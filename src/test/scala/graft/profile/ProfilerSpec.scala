@@ -1,0 +1,94 @@
+package graft.profile
+
+import graft.SparkSpec
+import graft.core.MinHash
+import org.apache.spark.sql.Row
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // s: strings with empty + null; n: ints with null; d: doubles
+  private lazy val df = Seq(
+    (Some("apple"), Some(1L), 1.0),
+    (Some("banana pie"), Some(2L), 2.0),
+    (Some(""), Some(3L), 3.0),       // empty string -> null (P2)
+    (None: Option[String], None: Option[Long], 4.0),
+    (Some("apple"), Some(5L), 10.0)
+  ).toDF("s", "n", "d")
+
+  private lazy val prof = Profiler.profile(df, "t").collect()
+    .map(r => r.getAs[String]("col_name") -> r).toMap
+
+  test("num_nan counts nulls incl. empty-string promotion") {
+    assert(prof("s").getAs[Long]("num_nan") == 2) // "" and null
+    assert(prof("n").getAs[Long]("num_nan") == 1)
+    assert(prof("d").getAs[Long]("num_nan") == 0)
+  }
+
+  test("unique includes null as a value (pandas Series.unique parity)") {
+    assert(prof("s").getAs[Long]("unique") == 3) // apple, banana pie, null
+    assert(prof("n").getAs[Long]("unique") == 5) // 1,2,3,5,null
+    assert(prof("d").getAs[Long]("unique") == 5)
+  }
+
+  test("rows and types") {
+    assert(prof("s").getAs[Long]("rows") == 5)
+    assert(prof("s").getAs[String]("col_type") == "string")
+    assert(prof("n").getAs[String]("col_type") == "integer")
+    assert(prof("d").getAs[String]("col_type") == "float")
+  }
+
+  test("quantile vector: 13 slots = deciles + mean + std_pop + min + max") {
+    val q = prof("d").getAs[scala.collection.Seq[Double]]("quantile")
+    assert(q.length == 13)
+    val data = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
+    assert(q(9) == data.sum / 5)                       // mean
+    val mu = data.sum / 5
+    val varp = data.map(x => (x - mu) * (x - mu)).sum / 5
+    assert(math.abs(q(10) - math.sqrt(varp)) < 1e-12)  // std (population)
+    assert(q(11) == 1.0 && q(12) == 10.0)              // min, max
+    assert(q(4) == 3.0)                                // median
+    assert(prof("s").isNullAt(prof("s").fieldIndex("quantile"))) // strings: none
+  }
+
+  test("std guard: unique<=2 forces std 0 (data_prep.py:238-241)") {
+    val tiny = Seq(7.0, 7.0, 7.0, 9.0).toDF("x")
+    val p = Profiler.profile(tiny, "tiny").collect()(0)
+    val q = p.getAs[scala.collection.Seq[Double]]("quantile")
+    assert(q(10) == 0.0)
+  }
+
+  test("cell_width only for strings, equals avg byte length") {
+    // non-null strings after P2: "apple"(5), "banana pie"(10), "apple"(5)
+    assert(math.abs(prof("s").getAs[Double]("cell_width") - 20.0 / 3) < 1e-9)
+    assert(prof("n").isNullAt(prof("n").fieldIndex("cell_width")))
+  }
+
+  test("minhash_exact matches core sketch of distinct present values") {
+    val d = prof("n").getAs[scala.collection.Seq[Long]]("minhash_exact").toArray
+    assert(d.sameElements(MinHash.sketch(Seq("1", "2", "3", "5"))))
+  }
+
+  test("minhash_words tokenizes string cells; absent for numerics") {
+    val d = prof("s").getAs[scala.collection.Seq[Long]]("minhash_words").toArray
+    assert(d.sameElements(MinHash.sketch(Seq("apple", "banana", "pie"))))
+    assert(prof("n").isNullAt(prof("n").fieldIndex("minhash_words")))
+  }
+
+  test("content snapshot equals sketch of row strings") {
+    val snap = Profiler.contentSnapshot(df, "t").collect()(0)
+      .getAs[scala.collection.Seq[Long]]("content_snapshot").toArray
+    // concat_ws skips nulls -> row 4 renders as "4.0"
+    val rows = Seq("apple 1 1.0", "banana pie 2 2.0", " 3 3.0", "4.0", "apple 5 10.0")
+    assert(snap.sameElements(MinHash.sketch(rows)))
+  }
+
+  test("date columns profile as 'date' with epoch quantiles") {
+    val dd = Seq(java.sql.Timestamp.valueOf("2021-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2021-01-03 00:00:00")).toDF("ts")
+    val p = Profiler.profile(dd, "dates").collect()(0)
+    assert(p.getAs[String]("col_type") == "date")
+    assert(p.isNullAt(p.fieldIndex("quantile"))) // only numeric get quantile vec
+    assert(p.getAs[Double]("min_v") == 1609459200.0)
+  }
+}
