@@ -138,4 +138,15 @@ object SketchFunctions {
   /** `minhash_bands(digest, nBands)`: array of band keys for LSH joins. */
   def minhash_bands(digest: Column, bands: Int = 20): Column =
     bandUdf(bands)(digest)
+
+  private val minhashSetUdf = org.apache.spark.sql.functions.udf {
+    (items: Array[String]) =>
+      if (items == null) null else MinHash.sketch(items.iterator.filter(_ != null))
+  }
+
+  /** `minhash_set(arr)`: per-row MinHash digest of an array column — the
+    * per-document sketch used by shingle-based near-dup detection (vs the
+    * aggregator, which sketches a whole column's multiset).
+    */
+  def minhash_set(items: Column): Column = minhashSetUdf(items)
 }

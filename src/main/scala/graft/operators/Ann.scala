@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`) — training-data-pipeline extension.
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: broadcast the (small) query set, score with
+  *    codegen'd `zip_with`+`aggregate` (no UDF in the hot path), window
+  *    top-k. Exact; O(|corpus|·|queries|) but embarrassingly parallel.
+  *  - random-hyperplane LSH: `nBits`-bit signature per vector, banded into
+  *    chunks; candidates share a chunk; verified by exact cosine. This is
+  *    the 100 TB path — shuffle cost tracks bucket collisions, not n².
+  */
+object Ann {
+
+  /** Dot product of two array<float|double> columns, in double, codegen'd. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * Queries are broadcast (the small side); corpus streams. Self-hits
+    * (same id) are excluded, reference O5 semantics.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Pre-normalize both sides once: cosine = dot of unit vectors; avoids
+    // recomputing norms per pair.
+    def unit(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id),
+        transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))).as(v))
+    val c = unit(corpus, "neighbor_id", "nv")
+    val q = unit(queries, "query_id", "qv")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic random-hyperplane signs: hyperplane h component j uses a
+    * hash-derived pseudo-random weight in [-1, 1). Purely column-level
+    * (codegen'd), deterministic across runs/engines.
+    */
+  private def rhWeight(h: Int, j: Column): Column =
+    (pmod(hash(lit(h), j), lit(1000000)).cast("double") / 500000.0) - 1.0
+
+  /** `nBits`-bit signature via random hyperplanes (sign of Σ w_hj * v_j). */
+  def rhSignature(vec: Column, nBits: Int = 16): Column = {
+    val bits = (0 until nBits).map { h =>
+      val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, j) => x.cast("double") * rhWeight(h, j)), lit(0.0), (acc, v) => acc + v)
+      when(s >= 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH cosine near-dup pairs: signature chunks as band keys, exact cosine
+    * verification. Output (id_a, id_b, cosine) with cosine ≥ threshold.
+    */
+  def cosineNearDups(embs: DataFrame, threshold: Double = 0.95,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     nBits: Int = 16, chunkBits: Int = 4): DataFrame = {
+    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      rhSignature(col(vecCol), nBits).as("sig"))
+    val nChunks = nBits / chunkBits
+    val banded = sig.select(col("id"), col("v"),
+      explode(array((0 until nChunks).map(i =>
+        struct(lit(i).as("ci"),
+          shiftrightunsigned(col("sig"), i * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("ck"))): _*)).as("c"))
+      .select(col("id"), col("v"), col("c.ci"), col("c.ck"))
+    banded.as("a").join(banded.as("b"),
+        col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF-style bucketed top-k: assign each vector to its nearest of
+    * `nCells` hash-derived centroid buckets (by signature prefix), search
+    * only within the query's bucket. Approximate; the scale path when the
+    * query set is also large.
+    */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   prefixBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      rhSignature(col(vecCol), prefixBits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      rhSignature(col(vecCol), prefixBits).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

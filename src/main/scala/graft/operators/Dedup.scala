@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.SketchFunctions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline surface
+  * (engine extension beyond the reference — BASELINE.json north star).
+  *
+  * All variants follow the same scale discipline: never materialize the
+  * O(n²) pair space. Exact dedup is a hash-groupBy; near-dup goes
+  * shingle → per-doc MinHash → LSH band keys → equi-join on band →
+  * verify candidates only. The band join shuffles on band keys, so cost
+  * tracks the number of *colliding* pairs, not n².
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full text equality (hash groupBy).
+    * Returns one row per duplicated text: (fingerprint, n_dups, keeper,
+    * dup_ids) with the minimum id as the canonical keeper.
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.groupBy(doc_fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(col(idCol)).as("keeper"),
+        sort_array(collect_list(col(idCol))).as("dup_ids"))
+      .filter(col("n_dups") > 1)
+
+  /** Distinct-keeper projection: drop all but the minimum-id copy of each
+    * exact-duplicate group. Scales as one shuffle on the fingerprint.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(doc_fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-doc MinHash digests over word shingles. */
+  def docSketches(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", shingleSize: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      minhash_set(word_shingles(col(textCol), shingleSize)).as("mh"))
+
+  /** MinHash+LSH near-duplicate candidate pairs with verified estimated
+    * Jaccard ≥ threshold. Standard banding: `bands` keys per doc; docs
+    * sharing any band key become candidates; candidates are verified with
+    * the full digest. Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleSize: Int = 3, bands: Int = 20): DataFrame = {
+    val sk = docSketches(docs, idCol, textCol, shingleSize)
+    val banded = sk.select(col(idCol).as("id"), col("mh"),
+        explode(minhash_bands(col("mh"), bands)).as("band"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
+      .dropDuplicates("id_a", "id_b") // a pair can collide in several bands
+    pairs.withColumn("jaccard", minhash_jaccard(col("mh_a"), col("mh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dups: 64-bit fingerprints, banded into 4×16-bit chunks
+    * (any pair within Hamming distance ≤ 3 of each other must agree on at
+    * least one chunk — pigeonhole), verified by exact Hamming distance.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk_idx"),
+          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk_key"))): _*))
+        .as("c"))
+      .select(col("id"), col("sh"), col("c.chunk_idx"), col("c.chunk_key"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_key") === col("b.chunk_key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact word-n-gram Jaccard over a candidate pair relation — the
+    * verification stage (and a standalone small-scale dedup). `pairs` must
+    * have (id_a, id_b); fully SQL-expressible for the oracle.
+    */
+  def ngramJaccardPairs(docs: DataFrame, pairs: DataFrame, n: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(word_shingles(col(textCol), n)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", round(array_jaccard(col("sh_a"), col("sh_b")), 6))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dups: cosine ≥ threshold via the ANN banding in
+    * [[Ann.cosineNearDups]] — re-exported here for the dedup surface.
+    */
+  def embeddingNearDups(embs: DataFrame, threshold: Double = 0.95,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Ann.cosineNearDups(embs, threshold, idCol, vecCol)
+}

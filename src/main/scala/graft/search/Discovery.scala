@@ -1,0 +1,123 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.SketchFunctions._
+
+/** Data-discovery search: "which tables in the lake union/join with table Q?"
+  *
+  * Re-expresses the reference's search pipeline (`/root/reference/
+  * tabsketchfm/embedding_search.py:94-190`) relationally:
+  *   per-query-column k-NN (O3, k·3 over-fetch `:129`) →
+  *   first-match-per-candidate-table filter (`:147-155`) →
+  *   column-vote ranking by (−#matched-cols, Σdistance) (O4, `:159-161`) →
+  *   top-k with self-removal (O5, `:183-184`).
+  *
+  * Similarity is pluggable: MinHash-Jaccard over column sketches (the
+  * model-free mode) or any per-column vector distance. All stages are
+  * joins/windows/aggregations — no driver-side loops — so the same plan
+  * runs on a 1000-executor cluster; the query side is broadcast (one
+  * table's columns ≪ lake size).
+  */
+object Discovery {
+
+  /** Pairwise column similarities between a query table's columns and all
+    * other columns in the profile catalog, via MinHash Jaccard on exact
+    * values. Output: (q_col_idx, q_col_name, cand_table, cand_col_idx,
+    * cand_col_name, dist).
+    */
+  def columnDistances(profiles: DataFrame, queryTable: String): DataFrame = {
+    val q = profiles.filter(col("table_name") === queryTable)
+      .select(col("col_idx").as("q_col_idx"), col("col_name").as("q_col_name"),
+        col("col_type").as("q_type"), col("minhash_exact").as("q_mh"))
+    val cands = profiles.filter(col("table_name") =!= queryTable)
+      .select(col("table_name").as("cand_table"), col("col_idx").as("cand_col_idx"),
+        col("col_name").as("cand_col_name"), col("col_type").as("cand_type"),
+        col("minhash_exact").as("cand_mh"))
+    // Same-type pruning matches the sketch semantics (cross-type value sets
+    // rarely overlap); the broadcast keeps this a map-side nested loop.
+    cands.join(broadcast(q), col("q_type") === col("cand_type"))
+      .withColumn("dist", lit(1.0) - minhash_jaccard(col("q_mh"), col("cand_mh")))
+      .select("q_col_idx", "q_col_name", "cand_table", "cand_col_idx",
+        "cand_col_name", "dist")
+  }
+
+  /** Column-vote ranking (O4) on top of any (q_col_idx, cand_table,
+    * cand_col_idx, dist) relation. `k` result tables; per-query-column
+    * candidate pool capped at k·overFetch (reference over-fetch, O3).
+    */
+  def columnVoteRank(dists: DataFrame, k: Int, overFetch: Int = 3): DataFrame = {
+    // O3: top k·overFetch neighbors per query column (deterministic ties)
+    val wKnn = Window.partitionBy(col("q_col_idx"))
+      .orderBy(col("dist"), col("cand_table"), col("cand_col_idx"))
+    val knn = dists.withColumn("rank", row_number().over(wKnn))
+      .filter(col("rank") <= k * overFetch)
+    // first match per (query column, candidate table) — embedding_search.py:147-150
+    val wFirst = Window.partitionBy(col("q_col_idx"), col("cand_table"))
+      .orderBy(col("rank"))
+    val first = knn.withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+    // dedup matched candidate columns within a table (seen_cols, :151-155):
+    // a candidate column counts once even if several query columns hit it
+    val wSeen = Window.partitionBy(col("cand_table"), col("cand_col_idx"))
+      .orderBy(col("rank"))
+    val deduped = first.withColumn("seen", row_number().over(wSeen))
+      .filter(col("seen") === 1)
+    // vote: (−#matched columns, Σ distance)  — :159-161
+    deduped.groupBy(col("cand_table"))
+      .agg(count(lit(1)).as("matched_cols"),
+        round(sum(col("dist")), 6).as("sum_dist"))
+      .orderBy(col("matched_cols").desc, col("sum_dist"), col("cand_table"))
+      .limit(k)
+  }
+
+  /** Top-k unionable/subset tables for a query table (sketch-only mode). */
+  def searchUnionable(profiles: DataFrame, queryTable: String, k: Int = 10): DataFrame =
+    columnVoteRank(columnDistances(profiles, queryTable), k)
+
+  /** Exact-Jaccard variant: distances from true distinct-value-set overlap
+    * instead of sketches. Fully SQL-expressible — used as the DuckDB oracle
+    * for the flagship semantics. `values` is the long-format (table_name,
+    * col_idx, col_name, value_str) relation.
+    */
+  def columnDistancesExact(values: DataFrame, queryTable: String): DataFrame = {
+    val cv = values.filter(col("value_str").isNotNull)
+      .select(col("table_name"), col("col_idx"), col("value_str")).distinct()
+    val sizes = cv.groupBy("table_name", "col_idx")
+      .agg(count(lit(1)).as("n_distinct"))
+    val q = cv.filter(col("table_name") === queryTable)
+      .select(col("col_idx").as("q_col_idx"), col("value_str"))
+    val c = cv.filter(col("table_name") =!= queryTable)
+      .select(col("table_name").as("cand_table"),
+        col("col_idx").as("cand_col_idx"), col("value_str"))
+    val inter = c.join(broadcast(q), "value_str")
+      .groupBy("q_col_idx", "cand_table", "cand_col_idx")
+      .agg(count(lit(1)).as("n_inter"))
+    val qs = sizes.filter(col("table_name") === queryTable)
+      .select(col("col_idx").as("q_col_idx"), col("n_distinct").as("n_q"))
+    val cs = sizes.select(col("table_name").as("cand_table"),
+      col("col_idx").as("cand_col_idx"), col("n_distinct").as("n_c"))
+    inter.join(broadcast(qs), "q_col_idx")
+      .join(cs, Seq("cand_table", "cand_col_idx"))
+      .withColumn("dist",
+        lit(1.0) - col("n_inter") / (col("n_q") + col("n_c") - col("n_inter")))
+      .select("q_col_idx", "cand_table", "cand_col_idx", "dist")
+  }
+
+  /** Whole-table near-duplicate search over content snapshots (the
+    * table-level path, `embedding_search.py:166-186`): top-k tables by
+    * content-snapshot Jaccard, self removed.
+    */
+  def searchTables(snapshots: DataFrame, queryTable: String, k: Int = 10): DataFrame = {
+    val q = snapshots.filter(col("table_name") === queryTable)
+      .select(col("content_snapshot").as("q_snap"))
+    snapshots.filter(col("table_name") =!= queryTable)
+      .crossJoin(broadcast(q))
+      .withColumn("jaccard", minhash_jaccard(col("content_snapshot"), col("q_snap")))
+      .select(col("table_name").as("cand_table"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("cand_table"))
+      .limit(k)
+  }
+}

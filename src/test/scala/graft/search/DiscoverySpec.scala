@@ -1,0 +1,71 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.profile.Profiler
+import org.apache.spark.sql.DataFrame
+
+class DiscoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  // micro-lake: q(k, name); good shares both columns; half shares one;
+  // noise shares nothing.
+  private def lake(): DataFrame = {
+    val q = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    val good = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("id", "label")
+    val half = (51 to 150).map(i => (i.toLong, s"other$i")).toDF("id", "tag")
+    val noise = (1000 to 1100).map(i => (i.toLong, s"zzz$i")).toDF("x", "y")
+    Seq(Profiler.profile(q, "q"), Profiler.profile(good, "good"),
+      Profiler.profile(half, "half"), Profiler.profile(noise, "noise"))
+      .reduce(_ unionByName _)
+  }
+
+  test("searchUnionable ranks full-overlap > partial > noise") {
+    val res = Discovery.searchUnionable(lake(), "q", k = 3).collect()
+    val tables = res.map(_.getAs[String]("cand_table"))
+    // Reference k-NN has no distance cutoff (embedding_search.py:129-161):
+    // every retrieved neighbor counts as a match; ranking is
+    // (matched_cols desc, sum_dist asc). So the order must be
+    // good (2 cols, ~0 dist) > half (2 cols, high dist) > noise.
+    assert(tables.sameElements(Array("good", "half", "noise")), tables.mkString(","))
+    val sums = res.map(r => r.getAs[String]("cand_table") ->
+      r.getAs[Double]("sum_dist")).toMap
+    assert(sums("good") < 0.2)
+    assert(sums("half") > sums("good") && sums("noise") > sums("half"))
+  }
+
+  test("exact-jaccard distances match ground truth") {
+    val q = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+    val half = (51 to 150).map(i => (i.toLong, s"other$i")).toDF("id", "tag")
+    val values = Profiler.longFormat(q).withColumn("table_name",
+        org.apache.spark.sql.functions.lit("q"))
+      .unionByName(Profiler.longFormat(half).withColumn("table_name",
+        org.apache.spark.sql.functions.lit("half")))
+    val d = Discovery.columnDistancesExact(values, "q").collect()
+      .map(r => (r.getAs[Int]("q_col_idx"), r.getAs[Int]("cand_col_idx")) ->
+        r.getAs[Double]("dist")).toMap
+    // k vs id: |inter|=50, |union|=150 -> dist = 1 - 1/3
+    assert(math.abs(d((0, 0)) - (1.0 - 50.0 / 150.0)) < 1e-12)
+    // name vs tag: no overlap -> absent (inner join drops) or dist 1
+    assert(!d.contains((1, 1)))
+  }
+
+  test("searchTables ranks identical content first") {
+    val a = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val b = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")   // dup of a
+    val c = (500 to 560).map(i => (i.toLong, s"w$i")).toDF("k", "v")
+    val snaps = Seq(Profiler.contentSnapshot(a, "a"),
+      Profiler.contentSnapshot(b, "b"), Profiler.contentSnapshot(c, "c"))
+      .reduce(_ unionByName _)
+    val res = Discovery.searchTables(snaps, "a", k = 2).collect()
+    assert(res(0).getAs[String]("cand_table") == "b")
+    assert(res(0).getAs[Double]("jaccard") == 1.0)
+    assert(res(1).getAs[Double]("jaccard") < 0.2)
+  }
+
+  test("minhash ranking agrees with exact ranking on the micro-lake") {
+    val profiles = lake()
+    val approx = Discovery.searchUnionable(profiles, "q", k = 3).collect()
+      .map(_.getAs[String]("cand_table")).take(2)
+    assert(approx.sameElements(Array("good", "half")))
+  }
+}
