@@ -1,13 +1,367 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.profile.Profiler
+import graft.search.Discovery
+import graft.operators.{Ann, Dedup, TextAnalysis}
+import graft.functions.SketchFunctions._
+import graft.functions.TextFunctions._
+import graft.functions.DateFunctions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * from SURVEY.md §2, with a DuckDB-equivalent oracle where the operator is
+  * SQL-expressible. Column names/aliases match the oracle exactly (the
+  * driver sorts columns by name before hashing).
+  *
+  * Float discipline for cross-engine hash parity: money sums go through
+  * exact DECIMAL(18,2) arithmetic then cast to double; order-dependent
+  * double aggregates (avg/stddev/sum of products) are rounded to 6 dp on
+  * BOTH sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Lake.read(s, dir, name)
+
+  val LakeTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Relational lake used by the exact-search oracle (SQL stays bounded). */
+  private val SearchLake = Seq("customer", "nation", "orders", "part", "region", "supplier")
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Flagship query on sf=0.001: top-k unionable tables for `supplier`
+    * over the whole lake, sketch-only mode (E4/minimum slice, SURVEY §7).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val profiles = Profiler.profileLake(spark, dir, LakeTables)
+    Discovery.searchUnionable(profiles, "supplier", k = 10)
+  }
+
+  // ---------- query implementations ----------
+
+  /** Exact (order-independent) mean/std from the profiler's decimal sums:
+    * mean = Σx/n, var = Σx²/n − mean², all from exact decimal Σ cast to
+    * double — bit-identical across engines, no rounding races.
+    */
+  private def exactMean: Column =
+    col("sum_dec").cast("double") / (col("rows") - col("num_nan"))
+  private def exactStd: Column =
+    sqrt(greatest(
+      col("sum_sq_dec").cast("double") / (col("rows") - col("num_nan")) - exactMean * exactMean,
+      lit(0.0)))
+
+  private def numericProfile(s: SparkSession, dir: String): DataFrame =
+    Profiler.profile(t(s, dir, "lineitem"), "lineitem", withSketches = false)
+      .filter(col("col_type").isin("integer", "float"))
+      .select(col("col_name"), col("rows").as("n_rows"), col("num_nan"),
+        col("unique").as("n_unique"),
+        exactMean.as("mean_r"), round(exactStd, 6).as("std_r"),
+        col("min_v"), col("max_v"))
+      .orderBy("col_name")
+
+  private def quantileProfile(s: SparkSession, dir: String): DataFrame = {
+    val p = Profiler.profile(t(s, dir, "lineitem"), "lineitem", withSketches = false)
+      .filter(col("col_type").isin("integer", "float"))
+    val qCols = (1 to 9).map(i =>
+      round(element_at(col("quantile"), i), 6).as(s"q$i")) ++
+      Seq(exactMean.as("mean_q"),
+        when(col("unique") > 2, round(exactStd, 6)).otherwise(lit(0.0)).as("std_q"),
+        element_at(col("quantile"), 12).as("min_q"),
+        element_at(col("quantile"), 13).as("max_q"))
+    p.select(col("col_name") +: qCols: _*).orderBy("col_name")
+  }
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private def starJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("r_name")
+
+  private def topkWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  private def runningAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("k")).distinct()
+    val su = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("k")).distinct()
+    val mk = (op: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    mk("except", c.except(su))
+      .unionByName(mk("intersect", c.intersect(su)))
+      .unionByName(mk("union", c.union(su).distinct()))
+      .orderBy("op")
+  }
+
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    def setOf(tbl: String, c: String) =
+      t(s, dir, tbl).select(col(c).cast("string").as("v")).filter(col("v").isNotNull).distinct()
+    val pairs = Seq(
+      ("c_nationkey~s_nationkey", setOf("customer", "c_nationkey"), setOf("supplier", "s_nationkey")),
+      ("o_custkey~c_custkey", setOf("orders", "o_custkey"), setOf("customer", "c_custkey")),
+      ("l_partkey~p_partkey", setOf("lineitem", "l_partkey"), setOf("part", "p_partkey")))
+    pairs.map { case (label, a, b) =>
+      val na = a.agg(count(lit(1)).as("n_a"))
+      val nb = b.agg(count(lit(1)).as("n_b"))
+      val ni = a.join(b, "v").agg(count(lit(1)).as("n_i"))
+      na.crossJoin(nb).crossJoin(ni)
+        .select(lit(label).as("pair"),
+          round(col("n_i") / (col("n_a") + col("n_b") - col("n_i")), 6).as("jaccard"),
+          round(col("n_i") / col("n_a"), 6).as("containment"))
+    }.reduce(_ unionByName _).orderBy("pair")
+  }
+
+  private def lenientDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"),
+        lenient_date_parse(date_format(col("o_orderdate"), "MM/dd/yyyy")).as("parsed"))
+      .orderBy("o_orderkey")
+
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private def hourlyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("value_sum"))
+      .orderBy("event_type", "h")
+
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  private def textMetrics(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(s, dir, "documents").select(col("doc_id"),
+      length(txt).cast("long").as("n_chars"),
+      token_count(txt).cast("long").as("n_tokens"),
+      round(punct_ratio(txt), 6).as("punct_r"),
+      round(stopword_ratio(txt), 6).as("stopword_r"),
+      round(mean_token_len(txt), 6).as("mean_tok_len"),
+      doc_fingerprint(txt).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private def tokenFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  private def exactDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDuplicates(t(s, dir, "documents"))
+      .select(col("fingerprint"), col("n_dups"), col("keeper"))
+      .orderBy("fingerprint")
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") <= 25)
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    Dedup.ngramJaccardPairs(docs, pairs, n = 2)
+      .filter(col("jaccard") > 0)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def embStats(s: SparkSession, dir: String): DataFrame = {
+    val nrm = sqrt(Ann.dot(col("embedding"), col("embedding")))
+    t(s, dir, "embeddings")
+      .select(col("label"), nrm.as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 5).as("avg_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy("label")
+  }
+
+  private def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Ann.bruteForceTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def searchExact(s: SparkSession, dir: String): DataFrame = {
+    val values = SearchLake.map { name =>
+      Profiler.longFormat(t(s, dir, name)).withColumn("table_name", lit(name))
+    }.reduce(_ unionByName _)
+    Discovery.columnVoteRank(
+      Discovery.columnDistancesExact(values, "supplier"), k = 10)
+  }
+
+  // ---- rows-only (non-SQL-expressible) operators ----
+
+  private def profileSketches(s: SparkSession, dir: String): DataFrame =
+    Profiler.profileLake(s, dir, Seq("customer", "supplier", "nation", "region", "part"))
+
+  private def contentSnapshots(s: SparkSession, dir: String): DataFrame =
+    LakeTables.map(n => Profiler.contentSnapshot(t(s, dir, n), n))
+      .reduce(_ unionByName _).orderBy("table_name")
+
+  private def searchMinhash(s: SparkSession, dir: String): DataFrame = {
+    val profiles = Profiler.profileLake(s, dir, LakeTables)
+    Discovery.searchUnionable(profiles, "supplier", k = 10)
+  }
+
+  private def minhashJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val profiles = Profiler.profileLake(s, dir, Seq("customer", "supplier", "orders", "part", "lineitem"))
+    val cols = profiles.select(col("table_name"), col("col_name"), col("minhash_exact"), col("unique"))
+    cols.as("a").join(cols.as("b"),
+        col("a.table_name") < col("b.table_name"))
+      .select(concat_ws(".", col("a.table_name"), col("a.col_name")).as("col_a"),
+        concat_ws(".", col("b.table_name"), col("b.col_name")).as("col_b"),
+        round(minhash_jaccard(col("a.minhash_exact"), col("b.minhash_exact")), 6).as("jaccard_est"),
+        round(minhash_containment(col("a.minhash_exact"), col("b.minhash_exact"),
+          col("a.unique"), col("b.unique")), 6).as("containment_est"))
+      .filter(col("jaccard_est") > 0.05)
+      .orderBy("col_a", "col_b")
+  }
+
+  private def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.05)
+      .orderBy("id_a", "id_b")
+
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") <= 40)
+    val sh = docs.select(col("doc_id").as("id"), simhash64(col("text")).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  private def langQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.analyze(t(s, dir, "documents"))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"), round(avg(col("quality")), 6).as("avg_quality"))
+      .orderBy("lang", "lang_pred")
+
+  private def typeInference(s: SparkSession, dir: String): DataFrame =
+    LakeTables.map { name =>
+      val df = t(s, dir, name)
+      val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        (name, i, f.name, Profiler.logicalType(f.dataType))
+      }
+      s.createDataFrame(rows.toSeq).toDF("table_name", "col_idx", "col_name", "col_type")
+    }.reduce(_ unionByName _).orderBy("table_name", "col_idx")
+
+  private def embNearDups(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.35)
+      .orderBy("id_a", "id_b")
+
+  // ---------- registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_scan_topn" -> ((s, d) => t(s, d, "lineitem")
+      .orderBy("l_orderkey", "l_linenumber").limit(100)),
+    "p2_filter_project" -> ((s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-06-01") && col("l_shipdate") < lit("1995-07-01")
+        && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")),
+    "a_profile_stats" -> numericProfile,
+    "a4_quantiles" -> quantileProfile,
+    "q1_agg" -> q1Agg,
+    "q3_top_revenue" -> q3TopRevenue,
+    "j_star_join" -> starJoin,
+    "o_topk_window" -> topkWindow,
+    "w_running_agg" -> runningAgg,
+    "set_ops" -> setOps,
+    "j5_exact_jaccard" -> exactJaccardPairs,
+    "f_lenient_dates" -> lenientDates,
+    "f_json_extract" -> jsonExtract,
+    "e_hourly_events" -> hourlyEvents,
+    "e_sessionize" -> sessionize,
+    "t_text_metrics" -> textMetrics,
+    "t_token_freq" -> tokenFreq,
+    "d_exact_dup" -> exactDup,
+    "d_ngram_jaccard" -> ngramJaccard,
+    "emb_stats" -> embStats,
+    "ann_cosine_topk" -> annTopK,
+    "o4_search_exact" -> searchExact,
+    // rows-only operators (sketch-based / heuristic; no SQL oracle)
+    "profile_sketches" -> profileSketches,
+    "content_snapshots" -> contentSnapshots,
+    "o4_search_minhash" -> searchMinhash,
+    "j5_minhash_pairs" -> minhashJaccardPairs,
+    "d_minhash_lsh" -> minhashNearDups,
+    "d_simhash_pairs" -> simhashPairs,
+    "t_lang_quality" -> langQuality,
+    "type_inference" -> typeInference,
+    "d_emb_neardups" -> embNearDups
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

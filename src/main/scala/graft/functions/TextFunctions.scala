@@ -22,9 +22,11 @@ object TextFunctions {
   def subword_count(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Punctuation character ratio over total length (0 for empty). */
+  /** Punctuation character ratio over total length (0 for empty).
+    * Java `\p{Punct}` == POSIX `[[:punct:]]` (ASCII punctuation), so the
+    * DuckDB oracle can mirror this exactly. */
   def punct_ratio(text: Column): Column = {
-    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
     when(length(text) === 0, lit(0.0)).otherwise(punct.cast("double") / length(text))
   }
 

@@ -36,18 +36,20 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Pre-normalize both sides once: cosine = dot of unit vectors; avoids
-    // recomputing norms per pair.
-    def unit(df: DataFrame, id: String, v: String) =
+    // Precompute each side's norm ONCE (not per pair); cosine is then
+    // dot/(n1*n2) — the same arithmetic order as DuckDB's
+    // list_dot_product-based oracle, for bit-stable cross-engine results.
+    def withNorm(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id),
-        transform(col(vecCol), x => x.cast("double") / norm(col(vecCol))).as(v))
-    val c = unit(corpus, "neighbor_id", "nv")
-    val q = unit(queries, "query_id", "qv")
+        transform(col(vecCol), _.cast("double")).as(v))
+        .withColumn(n, norm(col(v)))
+    val c = withNorm(corpus, "neighbor_id", "nv", "nn")
+    val q = withNorm(queries, "query_id", "qv", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(dot(col("qv"), col("nv")), 6))
+      .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }

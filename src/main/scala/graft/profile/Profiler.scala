@@ -3,6 +3,7 @@ package graft.profile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.SketchFunctions._
 
@@ -77,7 +78,12 @@ object Profiler {
       avg(col("value_num")).as("mean"),                                   // A5
       stddev_pop(col("value_num")).as("std"),                             // A6
       min(col("value_num")).as("min_v"),                                  // A7
-      max(col("value_num")).as("max_v"))                                  // A7
+      max(col("value_num")).as("max_v"),                                  // A7
+      // Exact decimal sums: order-independent mean/std for oracle parity
+      // (double Σ is partition-order-dependent; DECIMAL Σ is exact).
+      sum(col("value_num").cast(DecimalType(18, 2))).as("sum_dec"),
+      sum(col("value_num").cast(DecimalType(18, 2)) *
+        col("value_num").cast(DecimalType(18, 2))).as("sum_sq_dec"))
     val sketchAggs =
       if (withSketches) Seq(
         minhash_agg(col("value_str")).as("minhash_exact"),                // A11
@@ -101,7 +107,8 @@ object Profiler {
         if (withSketches) when(col("col_type") === "string", col("minhash_words"))
         else lit(null))
     val cols = Seq("table_name", "col_idx", "col_name", "col_type", "rows",
-      "num_nan", "unique", "cell_width", "quantile", "mean", "std", "min_v", "max_v") ++
+      "num_nan", "unique", "cell_width", "quantile", "mean", "std", "min_v", "max_v",
+      "sum_dec", "sum_sq_dec") ++
       (if (withSketches) Seq("minhash_exact") else Nil)
     out.select(cols.map(col) ++
       (if (withSketches) Seq(col("minhash_words_f").as("minhash_words")) else Nil): _*)
@@ -125,7 +132,7 @@ object Profiler {
   def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
                   withSketches: Boolean = true, rowCap: Option[Int] = None): DataFrame =
     tables.map { t =>
-      val df0 = spark.read.parquet(s"$dir/$t.parquet")
+      val df0 = graft.sources.Lake.read(spark, dir, t)
       val df = rowCap.map(df0.limit).getOrElse(df0)
       profile(df, t, withSketches)
     }.reduce(_ unionByName _)

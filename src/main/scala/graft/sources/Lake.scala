@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, Metadata}
+
+/** Lake table reader.
+  *
+  * Spark 4 rejects parquet TIMESTAMP(NANOS) columns outright
+  * (PARQUET_TYPE_ILLEGAL); the driver's `events` table carries one. We read
+  * nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and convert
+  * to a micros TimestampType column — the same ns→us truncation DuckDB
+  * applies when it loads TIMESTAMP_NS into its us-precision TIMESTAMP, so
+  * both engines see identical values.
+  */
+object Lake {
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Columns that were TIMESTAMP(NANOS) surface as LongType with parquet
+    // metadata; the only such column in the driver lake is events.ts.
+    // Convert any long column literally named like a timestamp.
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == LongType && (f.name == "ts" || f.name.endsWith("_ts")))
+        // integer div (not `/`, which is double and loses ns precision)
+        acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+      else acc
+    }
+  }
+}

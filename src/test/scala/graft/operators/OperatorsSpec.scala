@@ -66,7 +66,7 @@ class AnnSpec extends SparkSpec {
 
   test("bruteForceTopK ranks by cosine, excludes self") {
     val res = Ann.bruteForceTopK(embs, embs.filter($"vec_id" === 1), k = 2)
-    val rows = res.collect().sortBy(_.getAs[Int]("rank"))
+    val rows = res.collect().sortBy(_.getAs[Long]("rank"))
     assert(rows.length == 2)
     assert(rows(0).getAs[Long]("neighbor_id") == 2L)
     assert(rows(0).getAs[Double]("cosine") > 0.99)
