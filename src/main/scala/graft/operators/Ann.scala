@@ -43,7 +43,7 @@ object Ann {
       df.select(col(idCol).as(id),
         transform(col(vecCol), _.cast("double")).as(v))
         .withColumn(n, norm(col(v)))
-    val c = withNorm(corpus, "neighbor_id", "nv", "nn")
+    val c = withNorm(graft.sources.Lake.balance(corpus), "neighbor_id", "nv", "nn")
     val q = withNorm(queries, "query_id", "qv", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
@@ -77,22 +77,31 @@ object Ann {
   def cosineNearDups(embs: DataFrame, threshold: Double = 0.95,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      nBits: Int = 16, chunkBits: Int = 4): DataFrame = {
-    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      rhSignature(col(vecCol), nBits).as("sig"))
+    // Band join + dedup carry ids only; vectors re-attach after, so the
+    // wide payload never rides through the collision shuffle. Norms are
+    // precomputed once per vector, not per pair.
+    val base = graft.sources.Lake.balance(embs)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"),
+        rhSignature(col(vecCol), nBits).as("sig"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
     val nChunks = nBits / chunkBits
-    val banded = sig.select(col("id"), col("v"),
+    val banded = base.select(col("id"),
       explode(array((0 until nChunks).map(i =>
         struct(lit(i).as("ci"),
           shiftrightunsigned(col("sig"), i * chunkBits)
             .bitwiseAND(lit((1L << chunkBits) - 1)).as("ck"))): _*)).as("c"))
-      .select(col("id"), col("v"), col("c.ci"), col("c.ck"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("id"), col("c.ci"), col("c.ck"))
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("v_a"), col("b.v").as("v_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn("cosine", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -43,26 +43,32 @@ object Dedup {
   /** Per-doc MinHash digests over word shingles. */
   def docSketches(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", shingleSize: Int = 3): DataFrame =
-    docs.select(col(idCol),
+    graft.sources.Lake.balance(docs).select(col(idCol),
       minhash_set(word_shingles(col(textCol), shingleSize)).as("mh"))
 
   /** MinHash+LSH near-duplicate candidate pairs with verified estimated
     * Jaccard ≥ threshold. Standard banding: `bands` keys per doc; docs
     * sharing any band key become candidates; candidates are verified with
     * the full digest. Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Shuffle discipline: the band self-join and pair dedup carry ONLY ids —
+    * the 100-slot digests are re-attached afterwards by two joins, so the
+    * wide payload never rides through the collision shuffle.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleSize: Int = 3, bands: Int = 20): DataFrame = {
-    val sk = docSketches(docs, idCol, textCol, shingleSize)
-    val banded = sk.select(col(idCol).as("id"), col("mh"),
-        explode(minhash_bands(col("mh"), bands)).as("band"))
+    val sk = docSketches(docs, idCol, textCol, shingleSize).persist()
+    val banded = sk.select(col(idCol).as("id"),
+      explode(minhash_bands(col("mh"), bands)).as("band"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b") // a pair can collide in several bands
-    pairs.withColumn("jaccard", minhash_jaccard(col("mh_a"), col("mh_b")))
+    pairs
+      .join(sk.select(col(idCol).as("id_a"), col("mh").as("mh_a")), "id_a")
+      .join(sk.select(col(idCol).as("id_b"), col("mh").as("mh_b")), "id_b")
+      .withColumn("jaccard", minhash_jaccard(col("mh_a"), col("mh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -73,7 +79,8 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val sh = graft.sources.Lake.balance(docs)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk_idx"),

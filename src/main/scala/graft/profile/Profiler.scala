@@ -3,20 +3,25 @@ package graft.profile
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.SketchFunctions._
 
 /** Column profiler — re-expresses the reference's `preprocess_cols`
-  * (`/root/reference/tabsketchfm/data_prep.py:188-279`) as ONE Spark
-  * aggregation over a long-format values relation.
+  * (`/root/reference/tabsketchfm/data_prep.py:188-279`) as a two-level
+  * Spark aggregation over a long-format values relation.
   *
-  * Shape: wide table → `posexplode(array(struct(idx, name, type, value_str,
-  * value_num)))` → `groupBy(col_idx)` computing A1-A8 stats + A11/A12
-  * MinHash digests. The explode multiplies rows ×nCols but partial (map-side)
-  * aggregation collapses each partition to nCols fixed-size buffers before
-  * the shuffle, so network cost is O(nCols × nPartitions), independent of
-  * row count — the property that makes this viable at 100 TB.
+  * Shape: wide table → `posexplode(array(struct(idx, value_str,
+  * value_num)))` → **stage 1** `groupBy(col_idx, value)` frequency
+  * histogram → **stage 2** `groupBy(col_idx)` stats over (value, freq)
+  * pairs. Why two levels:
+  *  - map-side partial aggregation collapses stage 1 to the per-partition
+  *    distinct values, so the shuffle carries histograms, not rows;
+  *  - `unique` becomes a plain `count(*)` over histogram rows — no
+  *    `count_distinct`, so no Expand doubling of the stream;
+  *  - exact deciles use frequency-weighted `percentile(v, p, freq)`, whose
+  *    state is one histogram entry per *distinct* value, not per row;
+  *  - MinHash is set-semantics, so sketching distinct values gives the
+  *    identical digest while hashing each value once.
   *
   * Reference semantics preserved:
   *  - `num_nan` counts nulls after empty-string→null (P2, `data_prep.py:202`)
@@ -39,9 +44,18 @@ object Profiler {
     case _                                             => "other"  // zero-encoded downstream
   }
 
+  /** Ensure enough partitions for the downstream aggregation: a single
+    * parquet row group arrives as ONE partition, which would serialize the
+    * whole profile. No-op when the scan already has parallelism (the 100 TB
+    * case — thousands of row groups).
+    */
+  private def ensureParallelism(df: DataFrame): DataFrame =
+    graft.sources.Lake.balance(df)
+
   /** Long-format values relation for one table:
-    * (col_idx, col_name, col_type, value_str, value_num).
-    * `value_num` carries numerics (and date→epoch-seconds) for quantiles.
+    * (col_idx, value_str, value_num). `value_num` carries numerics (and
+    * date→epoch-seconds) for quantiles. Column metadata stays out of the
+    * hot path and is re-attached from [[colMeta]] after aggregation.
     */
   def longFormat(df: DataFrame): DataFrame = {
     val structs = df.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -57,54 +71,75 @@ object Profiler {
         case "date"              => unix_timestamp(c.cast("timestamp")).cast("double")
         case _                   => lit(null).cast("double")
       }
-      struct(
-        lit(i).as("col_idx"), lit(f.name).as("col_name"), lit(lt).as("col_type"),
-        valueStr.as("value_str"), valueNum.as("value_num"))
+      struct(lit(i).as("col_idx"), valueStr.as("value_str"), valueNum.as("value_num"))
     }
     df.select(posexplode(array(structs: _*)).as(Seq("pos", "c"))).select("c.*")
   }
 
-  /** Full per-column profile of one table (one aggregation pass). */
+  /** Tiny (col_idx, col_name, col_type) dimension for one table's schema. */
+  def colMeta(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      (i, f.name, logicalType(f.dataType))
+    }
+    spark.createDataFrame(rows.toIndexedSeq).toDF("col_idx", "col_name", "col_type")
+  }
+
+  /** Full per-column profile of one table (two aggregation levels). */
   def profile(df: DataFrame, tableName: String,
               withSketches: Boolean = true): DataFrame = {
-    val long = longFormat(df)
+    val spark = df.sparkSession
+    // Repartition the narrow input BEFORE exploding ×nCols — the serial
+    // shuffle write from a single-row-group scan is 11× cheaper that way.
+    val long = longFormat(ensureParallelism(df))
+
+    // stage 1: per-column value histogram (map-side combine shrinks to
+    // distinct values per partition before any shuffle)
+    val hist = long.groupBy(col("col_idx"), col("value_str"), col("value_num"))
+      .agg(count(lit(1)).as("freq"))
+
+    val decV = col("value_num").cast(DecimalType(18, 2))
     val baseAggs = Seq(
-      count(lit(1)).as("rows"),                                          // A10
-      sum(when(col("value_str").isNull, 1L).otherwise(0L)).as("num_nan"), // A1
-      (count_distinct(col("value_str")) +
-        max(when(col("value_str").isNull, 1L).otherwise(0L))).as("unique"), // A2 (unique incl. null)
-      avg(octet_length(col("value_str"))).as("cell_width"),               // A3
-      percentile(col("value_num"), typedLit(QuantileProbs)).as("deciles"), // A4
-      avg(col("value_num")).as("mean"),                                   // A5
-      stddev_pop(col("value_num")).as("std"),                             // A6
-      min(col("value_num")).as("min_v"),                                  // A7
-      max(col("value_num")).as("max_v"),                                  // A7
+      sum(col("freq")).as("rows"),                                          // A10
+      sum(when(col("value_str").isNull, col("freq")).otherwise(0L)).as("num_nan"), // A1
+      count(lit(1)).as("unique"),                                           // A2 (incl. null)
+      (sum(octet_length(col("value_str")) * col("freq")) /
+        sum(when(col("value_str").isNotNull, col("freq")))).as("cell_width"), // A3
+      percentile(col("value_num"), typedLit(QuantileProbs), col("freq")).as("deciles"), // A4
+      (sum(col("value_num") * col("freq")) /
+        sum(when(col("value_num").isNotNull, col("freq")))).as("mean"),     // A5
+      min(col("value_num")).as("min_v"),                                    // A7
+      max(col("value_num")).as("max_v"),                                    // A7
       // Exact decimal sums: order-independent mean/std for oracle parity
-      // (double Σ is partition-order-dependent; DECIMAL Σ is exact).
-      sum(col("value_num").cast(DecimalType(18, 2))).as("sum_dec"),
-      sum(col("value_num").cast(DecimalType(18, 2)) *
-        col("value_num").cast(DecimalType(18, 2))).as("sum_sq_dec"))
+      sum(decV * col("freq")).as("sum_dec"),
+      sum(decV * decV * col("freq")).as("sum_sq_dec"),
+      sum(col("value_num") * col("value_num") * col("freq")).as("sum_sq"),
+      sum(when(col("value_num").isNotNull, col("freq"))).as("n_num"))
     val sketchAggs =
       if (withSketches) Seq(
-        minhash_agg(col("value_str")).as("minhash_exact"),                // A11
-        minhash_words_agg(when(col("col_type") === "string", col("value_str")))
-          .as("minhash_words"))                                           // A12
+        minhash_agg(col("value_str")).as("minhash_exact"),                  // A11 (set semantics)
+        minhash_words_agg(col("value_str")).as("minhash_words_raw"))        // A12
       else Seq.empty
-    val aggd = long
-      .groupBy(col("col_idx"), col("col_name"), col("col_type"))
+    val aggd = hist.groupBy(col("col_idx"))
       .agg(baseAggs.head, (baseAggs.tail ++ sketchAggs): _*)
 
-    val stdAdj = when(col("unique") > 2, col("std")).otherwise(lit(0.0)) // A6 guard (data_prep.py:238-241)
+    // A6: population std = sqrt(E[x²] − E[x]²); guard unique<=2 → 0
+    // (data_prep.py:238-241)
+    val stdRaw = sqrt(greatest(
+      col("sum_sq") / col("n_num") - col("mean") * col("mean"), lit(0.0)))
+    val stdAdj = when(col("unique") > 2, stdRaw).otherwise(lit(0.0))
     val quantileVec = when(col("col_type").isin("integer", "float"),
       concat(col("deciles"),
         array(col("mean"), stdAdj, col("min_v"), col("max_v")))) // A8: 13 floats
-    val out = aggd
+
+    val meta = broadcast(colMeta(spark, df))
+    val out = aggd.join(meta, "col_idx")
       .withColumn("table_name", lit(tableName))
       .withColumn("quantile", quantileVec)
+      .withColumn("std", when(col("col_type").isin("integer", "float"), stdRaw))
       .withColumn("cell_width",
         when(col("col_type") === "string", col("cell_width")))
       .withColumn("minhash_words_f",
-        if (withSketches) when(col("col_type") === "string", col("minhash_words"))
+        if (withSketches) when(col("col_type") === "string", col("minhash_words_raw"))
         else lit(null))
     val cols = Seq("table_name", "col_idx", "col_name", "col_type", "rows",
       "num_nan", "unique", "cell_width", "quantile", "mean", "std", "min_v", "max_v",
@@ -117,10 +152,16 @@ object Profiler {
 
   /** Whole-table content snapshot (A13): one MinHash over the multiset of
     * space-joined row strings (`create_content_snapshot`, data_prep.py:319-337).
+    * MinHash is set-semantics, so we sketch distinct row strings (stage-1
+    * dedup shrinks the UDAF input).
     */
   def contentSnapshot(df: DataFrame, tableName: String): DataFrame = {
     val rowStr = concat_ws(" ", df.columns.map(c => col(s"`$c`").cast("string")): _*)
-    df.select(rowStr.as("row_str"))
+    // Single-level aggregation: partial digests build map-side in every
+    // partition and only 100-slot buffers merge — no data shuffle at all.
+    // (Row strings are mostly unique, so a dedup pre-stage would only add
+    // a shuffle.)
+    ensureParallelism(df).select(rowStr.as("row_str"))
       .agg(minhash_agg(col("row_str")).as("content_snapshot"))
       .withColumn("table_name", lit(tableName))
       .select("table_name", "content_snapshot")

@@ -15,6 +15,15 @@ import org.apache.spark.sql.types.{LongType, Metadata}
   */
 object Lake {
 
+  /** Repartition up to the session's default parallelism when the scan
+    * arrives with fewer partitions (e.g. one parquet row group). No-op on
+    * already-parallel inputs — the 100 TB case keeps its natural layout.
+    */
+  def balance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
