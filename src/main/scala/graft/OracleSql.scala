@@ -269,6 +269,25 @@ object OracleSql {
         |  FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "o4_search_exact" -> searchExactSql
+    "o4_search_exact" -> searchExactSql,
+
+    "a16_value_heads" -> Seq(
+      ("documents", "lang"), ("documents", "source"), ("events", "event_type"),
+      ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+      ("lineitem", "l_returnflag"))
+      .map { case (tbl, c) =>
+        s"""SELECT '$tbl.$c' AS col_ref,
+           |  array_to_string(list_sort(list(DISTINCT CAST($c AS VARCHAR))), ',') AS values_head
+           |FROM $tbl""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_ref"),
+
+    "a9_corr_probe" -> Seq(
+      ("orders", "o_orderkey", "o_custkey"),
+      ("orders", "o_orderkey", "o_totalprice"),
+      ("lineitem", "l_quantity", "l_extendedprice"),
+      ("events", "user_id", "value"))
+      .map { case (tbl, x, y) =>
+        s"SELECT '$tbl.$x~$y' AS pair, round(corr($x, $y), 6) AS corr_v FROM $tbl"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY pair")
   )
 }

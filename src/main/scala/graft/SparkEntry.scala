@@ -321,6 +321,67 @@ object SparkEntry {
     Ann.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.35)
       .orderBy("id_a", "id_b")
 
+  /** A16: distinct-value head for small-domain columns — deterministic via
+    * full sort (domains ≤ ~100 values), string-joined for the oracle. */
+  private def valueHeads(s: SparkSession, dir: String): DataFrame = {
+    def head(tbl: String, c: String) =
+      t(s, dir, tbl).agg(
+        array_join(array_sort(collect_set(col(c).cast("string"))), ",").as("values_head"))
+        .select(lit(s"$tbl.$c").as("col_ref"), col("values_head"))
+    Seq(head("documents", "lang"), head("documents", "source"),
+      head("events", "event_type"), head("orders", "o_orderstatus"),
+      head("orders", "o_orderpriority"), head("lineitem", "l_returnflag"))
+      .reduce(_ unionByName _).orderBy("col_ref")
+  }
+
+  /** A9: correlation probes (the reference's row-index correlation check,
+    * generalized to column pairs). */
+  private def corrProbe(s: SparkSession, dir: String): DataFrame = {
+    def c(tbl: String, x: String, y: String) =
+      t(s, dir, tbl).agg(round(corr(col(x), col(y)), 6).as("corr_v"))
+        .select(lit(s"$tbl.$x~$y").as("pair"), col("corr_v"))
+    Seq(c("orders", "o_orderkey", "o_custkey"),
+      c("orders", "o_orderkey", "o_totalprice"),
+      c("lineitem", "l_quantity", "l_extendedprice"),
+      c("events", "user_id", "value"))
+      .reduce(_ unionByName _).orderBy("pair")
+  }
+
+  /** A15: order-independent content hash per table (dup-table detection). */
+  private def contentHashes(s: SparkSession, dir: String): DataFrame =
+    Seq("region", "nation", "customer", "supplier", "part").map { n =>
+      graft.ingest.Augment.contentHash(t(s, dir, n))
+        .select(lit(n).as("table_name"), col("content_hash"), col("rows"))
+    }.reduce(_ unionByName _).orderBy("table_name")
+
+  /** M4: pair similarity features over the profile catalog. */
+  private def pairFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val profiles = Profiler.profileLake(s, dir,
+      Seq("customer", "supplier", "orders", "nation", "region", "part"))
+    val pairs = Seq(("customer", "orders"), ("customer", "supplier"),
+      ("nation", "region"), ("part", "supplier"), ("orders", "supplier"))
+      .toDF("table1", "table2")
+    graft.ml.PairScoring.pairFeatures(pairs, profiles).orderBy("table1", "table2")
+  }
+
+  /** T1+T4: tokenizer-layer tensors (text assembly + fixed-width vectors). */
+  private def featureTensors(s: SparkSession, dir: String): DataFrame = {
+    val profiles = Profiler.profileLake(s, dir, Seq("customer", "nation", "region"))
+    graft.ml.FeatureAssembly.columnTensors(profiles, width = 256)
+      .orderBy("table_name", "col_idx")
+  }
+
+  /** A14: hashing-trick alt sketch per column. */
+  private def hashingSketches(s: SparkSession, dir: String): DataFrame = {
+    val values = Seq("nation", "region", "supplier").map { n =>
+      Profiler.longFormat(t(s, dir, n)).withColumn("table_name", lit(n))
+    }.reduce(_ unionByName _)
+    graft.ml.FeatureAssembly.hashingSketch(values, nFeatures = 1024)
+      .select(col("table_name"), col("col_idx"), col("hv").cast("string").as("hv_str"))
+      .orderBy("table_name", "col_idx")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -360,7 +421,13 @@ object SparkEntry {
     "d_simhash_pairs" -> simhashPairs,
     "t_lang_quality" -> langQuality,
     "type_inference" -> typeInference,
-    "d_emb_neardups" -> embNearDups
+    "d_emb_neardups" -> embNearDups,
+    "a16_value_heads" -> valueHeads,
+    "a9_corr_probe" -> corrProbe,
+    "a15_content_hash" -> contentHashes,
+    "m4_pair_features" -> pairFeatures,
+    "t1_feature_tensors" -> featureTensors,
+    "a14_hashing_sketch" -> hashingSketches
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

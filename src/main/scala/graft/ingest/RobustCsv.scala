@@ -1,0 +1,116 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.functions.DateFunctions
+
+/** Robust CSV ingestion — the Spark re-expression of the reference's
+  * fault-tolerant reader chain (`/root/reference/tabsketchfm/data_prep.py:
+  * 51-112`):
+  *  - strict parse → permissive parse with sniffed delimiter (S3)
+  *  - bz2/gz transparent via codec-by-extension (S2)
+  *  - 10k-row cap (O1, `NROWS` at `data_prep.py:27`)
+  *  - `row_index` synthetic column drop (S4, `:80`)
+  *  - <5-row table filter (P4, `:139-141`)
+  *  - column-name sanitization (P1, `sanitize_column_names`, `:119-125`)
+  *  - string→DATE promotion appending a derived `<col>_DATE` column
+  *    (`get_types`, `:87-112`)
+  */
+object RobustCsv {
+
+  val RowCap = 10000
+  val MinRows = 5
+  val CandidateDelimiters = Seq(",", ";", "\t", "|")
+
+  /** Sniff the delimiter from a head sample: the candidate with the highest
+    * consistent per-line count wins (reference uses `sep=None` python-engine
+    * sniffing, `data_prep.py:76`).
+    */
+  def sniffDelimiter(spark: SparkSession, path: String): String = {
+    val head = spark.read.textFile(path).limit(20).collect()
+    if (head.isEmpty) ","
+    else CandidateDelimiters.maxBy { d =>
+      val counts = head.map(_.split(java.util.regex.Pattern.quote(d), -1).length)
+      val consistent = counts.distinct.length == 1 && counts.head > 1
+      (if (consistent) 1000 else 0) + counts.min
+    }
+  }
+
+  /** Strip quotes/space, drop newlines+commas, lowercase — P1 semantics. */
+  def sanitizeName(name: String): String =
+    name.trim.stripPrefix("\"").stripSuffix("\"")
+      .replace("\n", " ").replace(",", " ").trim.toLowerCase
+
+  /** Read one CSV (optionally compressed) with the fallback chain. Returns
+    * None when the table is unreadable or has <5 rows.
+    */
+  def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    // Sniff first: a ';'-separated file "succeeds" as one comma-column, so
+    // a strict-then-fallback order would silently mis-parse (the reference
+    // hits the same with pandas and retries with sep=None, data_prep.py:76).
+    val delim = sniffDelimiter(spark, path)
+    val df = tryRead(spark, path, delim, permissive = false)
+      .orElse(tryRead(spark, path, delim, permissive = true))
+    df.map(postProcess).filter(_.limit(MinRows).count() >= MinRows)
+  }
+
+  private def tryRead(spark: SparkSession, path: String, delim: String,
+                      permissive: Boolean): Option[DataFrame] =
+    try {
+      val base = spark.read
+        .option("header", "true")
+        .option("sep", delim)
+        .option("inferSchema", "true")
+        .option("mode", if (permissive) "PERMISSIVE" else "DROPMALFORMED")
+        .option("nullValue", "")
+      val df = base.csv(path).limit(RowCap)
+      if (df.columns.isEmpty) None else Some(df)
+    } catch { case _: Exception => None }
+
+  private def postProcess(df0: DataFrame): DataFrame = {
+    // sanitize names (P1) and drop synthetic row_index (S4)
+    val renamed = df0.toDF(df0.columns.map(sanitizeName): _*)
+    val df = if (renamed.columns.contains("row_index")) renamed.drop("row_index") else renamed
+    promoteDates(df)
+  }
+
+  /** String→DATE promotion: a string column whose every non-null value
+    * parses leniently gains a derived `<col>_DATE` column appended LAST
+    * (downstream code depends on that ordering, `embedding_search.py:75-78`).
+    */
+  def promoteDates(df: DataFrame, sampleRows: Int = 1000): DataFrame = {
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+    if (stringCols.isEmpty) return df
+    // one aggregation pass over a sample: per column, all-parse vote
+    val sample = df.limit(sampleRows)
+    val aggs = stringCols.map { c =>
+      (min(when(col(s"`$c`").isNull, true)
+        .otherwise(DateFunctions.is_parseable_date(col(s"`$c`")))).as(c),
+        count(when(col(s"`$c`").isNotNull, 1)).as(c + "__n"))
+    }
+    val row = sample.agg(aggs.head._1, (aggs.tail.map(_._1) ++ aggs.map(_._2)): _*).collect()(0)
+    val promote = stringCols.filter { c =>
+      row.getAs[Boolean](c) && row.getAs[Long](c + "__n") > 0
+    }
+    promote.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c + "_DATE", DateFunctions.lenient_date_parse(col(s"`$c`")))
+    }
+  }
+
+  /** Directory-walk source (S6): list `*.csv[.bz2|.gz]` under a directory.
+    * The reference's 21-files-per-dir cap (`batch_fastdata_opendata.py:
+    * 5-23`) is a quirk we expose behind a flag, default off.
+    */
+  def listTables(spark: SparkSession, dir: String,
+                 capPerDir: Option[Int] = None): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".csv") ||
+        s.getPath.getName.endsWith(".csv.bz2") || s.getPath.getName.endsWith(".csv.gz")))
+      .map(_.getPath.toString).sorted
+    capPerDir.map(it.take).getOrElse(it)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing — engine extension for training-data
+  * pipelines: image/audio/video travel as opaque `binary` columns with a
+  * typed metadata struct; decode / feature-extract run as `mapPartitions`
+  * batch transforms (the Scala analogue of `mapInPandas` batches).
+  *
+  * The actual media decoding is STUBBED with a deterministic fake (this
+  * container has no image/audio codecs — see builder brief); everything
+  * Spark-side — schema, batching, partitioning, output shape — is real and
+  * tested, so a real decoder drops in by replacing [[decodeStub]] only.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),   // image|audio|video
+    StructField("mime", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** STUB decoder: a real implementation would decode `payload` with an
+    * image/audio library. The fake derives a deterministic feature vector
+    * from the payload bytes so the pipeline shape (binary → fixed-width
+    * float features) is fully exercised and reproducible.
+    */
+  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (payload != null) {
+      var h = 1469598103934665603L // FNV offset
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ payload(i)) * 1099511628211L
+        out(math.abs((h % dim).toInt)) += 1.0f
+        i += 1
+      }
+      var j = 0
+      val n = math.max(payload.length, 1).toFloat
+      while (j < dim) { out(j) /= n; j += 1 }
+    }
+    out
+  }
+
+  /** Feature extraction over media batches: `mapPartitions` so any real
+    * decoder amortizes model/codec init once per partition (the same
+    * batching rationale as pandas-UDF execution).
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: init decoder/model HERE, once per partition
+        it.map { case (id, modality, payload) =>
+          (id, modality, decodeStub(payload, dim))
+        }
+      }
+    out.toDF("media_id", "modality", "features")
+  }
+
+  /** Payload-level metadata probe without decoding: size, magic-byte
+    * sniff, fingerprint — cheap columnar ops on binary.
+    */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("modality"),
+      octet_length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      substring(hex(col("payload")), 1, 8).as("magic"))
+
+  /** Frame-sampling plan for video payloads: every `stepMs` up to
+    * `meta.duration_ms` — pure relational expansion (`sequence`), the
+    * frame decode itself happens in [[extractFeatures]] per sampled
+    * offset at real scale.
+    */
+  def sampleFramePlan(media: DataFrame, stepMs: Long = 1000L): DataFrame =
+    media.filter(col("modality") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), coalesce(col("meta.duration_ms"), lit(0L)),
+          lit(stepMs))).as("frame_offset_ms"))
+}

@@ -1,0 +1,55 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch store (S7/S8) — persists the long-format profile catalog.
+  *
+  * Primary format is Parquet (partitioned for pruning); a JSON-lines
+  * writer with bz2 codec keeps format parity with the reference's
+  * `{hash}.json.bz2` documents (`/root/reference/tabsketchfm/data_prep.py:
+  * 150-163`) — one JSON object per table with nested column sketches.
+  */
+object SketchStore {
+
+  /** Write the profile catalog; dedup on table identity first
+    * (`dropDuplicates`, mirroring the collision skip at `data_prep.py:
+    * 153-156`).
+    */
+  def writeParquet(profiles: DataFrame, path: String): Unit =
+    profiles.dropDuplicates("table_name", "col_idx")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("table_name")
+      .parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON parity writer: one document per table —
+    * `{"table_metadata":{"file_name":…,"rows":…},"columns":{name:{…}}}`.
+    */
+  def writeJsonBz2(profiles: DataFrame, snapshots: DataFrame, path: String): Unit = {
+    val colDoc = struct(
+      col("col_name").as("name"), col("col_type").as("type"),
+      col("num_nan"), col("unique"),
+      col("cell_width").as("cell_width_bytes"),
+      col("quantile"),
+      col("minhash_exact").as("min-hash-exact"),
+      col("minhash_words").as("min-hash-words"))
+    val docs = profiles
+      .groupBy(col("table_name"))
+      .agg(max(col("rows")).as("rows"),
+        map_from_entries(array_sort(collect_list(
+          struct(col("col_idx"), struct(col("col_name"), colDoc.as("doc"))))))
+          .as("columns_by_idx"))
+      .join(snapshots, Seq("table_name"), "left")
+      .select(
+        struct(col("table_name").as("file_name"), col("rows")).as("table_metadata"),
+        map_from_entries(transform(map_values(col("columns_by_idx")),
+          e => struct(e.getField("col_name"), e.getField("doc")))).as("columns"),
+        col("content_snapshot"))
+    docs.write.mode(SaveMode.Overwrite)
+      .option("compression", "bzip2")
+      .json(path)
+  }
+}

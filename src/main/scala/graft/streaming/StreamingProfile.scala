@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.MinHash
+
+/** Incremental lake indexing over Structured Streaming — the engine
+  * extension SURVEY §1.1 notes the reference lacks (it is batch-only): as
+  * new rows stream in, per-column profiles (counts, null counts, MinHash
+  * digests) are maintained as typed state and emitted each batch.
+  *
+  * The sketch algebra (elementwise-min merge) is what makes this exact:
+  * streaming partial digests merge into state losslessly, so the streamed
+  * profile equals the batch profile over the same data.
+  */
+object StreamingProfile {
+
+  case class ColState(rows: Long, nulls: Long, digest: Array[Long])
+  case class ColUpdate(colName: String, rows: Long, nulls: Long, digest: Array[Long])
+
+  /** Maintain per-column state over a stream of (col_name, value) rows.
+    * Emits the updated profile row for every column touched in a batch.
+    */
+  def profileStream(values: DataFrame): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    values.select(col("col_name").cast("string"), col("value").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ColState, ColUpdate](GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[ColState]) =>
+          val prev = state.getOption.getOrElse(
+            ColState(0L, 0L, MinHash.emptyDigest()))
+          val p = MinHash.perms()
+          var n = prev.rows
+          var nulls = prev.nulls
+          val digest = prev.digest.clone()
+          rows.foreach { case (_, v) =>
+            n += 1
+            if (v == null) nulls += 1
+            else MinHash.updateInto(digest, v, p)
+          }
+          val next = ColState(n, nulls, digest)
+          state.update(next)
+          ColUpdate(key, n, nulls, digest)
+      }
+      .toDF("col_name", "rows", "nulls", "digest")
+  }
+
+  /** Windowed event aggregation with watermark — the standard streaming
+    * rollup (per event_type per hour), exactly the batch `e_hourly_events`
+    * semantics applied to a stream.
+    */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("event_type"), col("window.start").as("h"),
+        col("n"), col("approx_users"))
+}

@@ -1,0 +1,96 @@
+package graft.ingest
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+class RobustCsvSpec extends SparkSpec {
+
+  private def writeCsv(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_csv")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("strict csv read with header, null empties, row_index drop") {
+    val p = writeCsv("a.csv",
+      "row_index,Name ,AMT\n0,alice,1.5\n1,bob,\n2,carol,3.0\n3,dan,4\n4,eve,5\n")
+    val df = RobustCsv.read(spark, p).get
+    assert(df.columns.sameElements(Array("name", "amt"))) // sanitized + dropped
+    assert(df.count() == 5)
+    assert(df.filter(df("amt").isNull).count() == 1)
+  }
+
+  test("small tables (<5 rows) are rejected (data_prep.py:139-141)") {
+    val p = writeCsv("small.csv", "a,b\n1,2\n3,4\n")
+    assert(RobustCsv.read(spark, p).isEmpty)
+  }
+
+  test("delimiter sniffing falls back for ';' files") {
+    val p = writeCsv("semi.csv",
+      "x;y\n1;one\n2;two\n3;three\n4;four\n5;five\n")
+    val df = RobustCsv.read(spark, p).get
+    assert(df.columns.sameElements(Array("x", "y")))
+    assert(df.count() == 5)
+  }
+
+  test("bz2-compressed csv reads transparently") {
+    val dir = Files.createTempDirectory("graft_bz2")
+    val raw = "k,v\n1,a\n2,b\n3,c\n4,d\n5,e\n"
+    val p = dir.resolve("c.csv.bz2")
+    val out = new org.apache.hadoop.io.compress.BZip2Codec()
+    // write via java: use Apache Hadoop codec through a local stream
+    val conf = new org.apache.hadoop.conf.Configuration()
+    out.setConf(conf)
+    val os = out.createOutputStream(Files.newOutputStream(p))
+    os.write(raw.getBytes("UTF-8")); os.close()
+    val df = RobustCsv.read(spark, p.toString).get
+    assert(df.count() == 5)
+  }
+
+  test("string date columns promote with appended _DATE column LAST") {
+    val p = writeCsv("d.csv",
+      "id,when\n1,2021-01-01\n2,2021-02-03\n3,03/04/2021\n4,2021-05-06\n5,7-Mar-2021\n")
+    val df = RobustCsv.read(spark, p).get
+    assert(df.columns.last == "when_DATE")
+    assert(df.filter(df("when_DATE").isNull).count() == 0)
+  }
+
+  test("sanitizeName strips quotes, newlines, commas, lowers") {
+    assert(RobustCsv.sanitizeName("\" First,Name \"") == "first name")
+    assert(RobustCsv.sanitizeName("A\nB") == "a b")
+  }
+}
+
+class AugmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
+    .toDF("k", "s", "v")
+
+  test("obscureColumns renames to colN (data_prep.py:196-200)") {
+    assert(Augment.obscureColumns(df).columns.sameElements(Array("col0", "col1", "col2")))
+  }
+
+  test("shuffleColumns is a seeded permutation; deterministic") {
+    val s1 = Augment.shuffleColumns(df, 7).columns
+    val s2 = Augment.shuffleColumns(df, 7).columns
+    assert(s1.sameElements(s2))
+    assert(s1.sorted.sameElements(df.columns.sorted))
+  }
+
+  test("contentHash is row-order independent but content sensitive") {
+    val h1 = Augment.contentHash(df).collect()(0).getString(0)
+    val h2 = Augment.contentHash(df.orderBy($"v".desc)).collect()(0).getString(0)
+    val h3 = Augment.contentHash(df.filter($"k" =!= 2)).collect()(0).getString(0)
+    assert(h1 == h2)
+    assert(h1 != h3)
+  }
+
+  test("augmentations: 3 variants, same row count") {
+    val augs = Augment.augmentations(df)
+    assert(augs.map(_._1) == Seq(0, 1, 2))
+    assert(augs.forall(_._2.count() == 3))
+    assert(augs(1)._2.columns.head == "col0")
+  }
+}

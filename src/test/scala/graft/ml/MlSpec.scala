@@ -1,0 +1,80 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.profile.Profiler
+import org.apache.spark.sql.functions._
+
+class PairScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val profiles = {
+    val a = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    val b = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("ident", "label")  // joinable w/ a
+    val c = (900 to 999).map(i => (i.toLong, s"zz$i")).toDF("k", "v")          // unrelated
+    Seq(Profiler.profile(a, "a"), Profiler.profile(b, "b"), Profiler.profile(c, "c"))
+      .reduce(_ unionByName _).persist()
+  }
+
+  test("pairFeatures separate joinable from unrelated pairs") {
+    val pairs = Seq(("a", "b"), ("a", "c")).toDF("table1", "table2")
+    val f = PairScoring.pairFeatures(pairs, profiles).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(f(("a", "b")).getAs[Double]("max_j_exact") > 0.8)
+    assert(f(("a", "c")).getAs[Double]("max_j_exact") < 0.2)
+    assert(f(("a", "b")).getAs[Double]("type_agreement") == 0.5) // int~int, str~str of 4 combos
+  }
+
+  test("assemblePairs nests both sides' columns; missingPairs flags gaps") {
+    val pairs = Seq(("a", "b"), ("a", "nope")).toDF("table1", "table2")
+    val asm = PairScoring.assemblePairs(pairs, profiles)
+    assert(asm.count() == 1) // only (a,b) resolves
+    val missing = PairScoring.missingPairs(pairs, profiles).collect()
+    assert(missing.length == 1 && missing(0).getAs[String]("table2") == "nope")
+  }
+
+  test("trainScorer learns joinable-vs-not on tiny synthetic set") {
+    val pairs = Seq(("a", "b", 1.0), ("a", "c", 0.0), ("b", "c", 0.0))
+      .toDF("table1", "table2", "y")
+    val feats = PairScoring.pairFeatures(pairs.select("table1", "table2"), profiles)
+      .join(pairs, Seq("table1", "table2"))
+    val model = PairScoring.trainScorer(feats, "y")
+    val preds = model.transform(feats).select("table1", "table2", "prediction")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(preds(("a", "b")) == 1.0)
+    assert(preds(("a", "c")) == 0.0)
+  }
+}
+
+class FeatureAssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val profiles =
+    Profiler.profile((1 to 50).map(i => (i.toLong, s"w$i b")).toDF("n", "s"), "t")
+
+  test("columnTensors emit fixed-width z-scored stats + scaled minhash") {
+    val t = FeatureAssembly.columnTensors(profiles, width = 256).collect()
+    assert(t.length == 2)
+    t.foreach { r =>
+      val sv = r.getAs[scala.collection.Seq[Double]]("stats_vec")
+      val mv = r.getAs[scala.collection.Seq[Double]]("minhash_vec")
+      assert(sv.length == 256 && mv.length == 256)
+      assert(sv.drop(16).forall(_ == 0.0))
+      assert(mv.take(200).forall(v => v >= 0 && v < 43.0)) // 2^32/1e8
+    }
+  }
+
+  test("tableText builds [SEP]-joined column text (T1)") {
+    val txt = FeatureAssembly.tableText(profiles).collect()(0).getString(1)
+    assert(txt == "t [SEP] n [SEP] s")
+  }
+
+  test("hashingSketch emits sparse vectors of requested width (A14)") {
+    val values = Profiler.longFormat((1 to 20).map(i => (i, s"tok$i x")).toDF("a", "b"))
+      .withColumn("table_name", lit("t"))
+    val hv = FeatureAssembly.hashingSketch(values, nFeatures = 512).collect()
+    assert(hv.length == 2)
+    val vec = hv(0).getAs[org.apache.spark.ml.linalg.SparseVector]("hv")
+    assert(vec.size == 512)
+    assert(vec.numNonzeros > 0)
+  }
+}

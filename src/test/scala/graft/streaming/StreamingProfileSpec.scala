@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.MinHash
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed profile equals batch profile over same data (sketch algebra)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val updates = StreamingProfile.profileStream(input.toDF().toDF("col_name", "value"))
+    val q = updates.writeStream.format("memory").queryName("prof")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("c1", "a"), ("c1", "b"), ("c2", "x"))
+      q.processAllAvailable()
+      input.addData(("c1", "c"), ("c2", null))
+      q.processAllAvailable()
+      val rows = spark.table("prof").collect()
+        .groupBy(_.getString(0)).view.mapValues(_.maxBy(_.getLong(1))).toMap
+      assert(rows("c1").getLong(1) == 3 && rows("c1").getLong(2) == 0)
+      assert(rows("c2").getLong(1) == 2 && rows("c2").getLong(2) == 1)
+      val d1 = rows("c1").getAs[scala.collection.Seq[Long]](3).toArray
+      assert(d1.sameElements(MinHash.sketch(Seq("a", "b", "c"))))
+    } finally q.stop()
+  }
+
+  test("hourly windowed rollup runs on a stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "event_type", "user_id")
+    val q = StreamingProfile.hourlyEventCounts(df)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1L),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2L),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+      assert(rows.exists(r => r.getString(0) == "click" && r.getLong(2) == 2))
+    } finally q.stop()
+  }
+}
