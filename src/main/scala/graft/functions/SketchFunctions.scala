@@ -57,14 +57,22 @@ object SketchFunctions {
     }
   }
 
-  /** `minhash_agg(values)`: 100-slot MinHash digest of a string column. */
-  def minhash_agg(col: Column, seed: Long = MinHash.DefaultSeed,
-                  numPerm: Int = MinHash.NumPerm): Column =
-    udaf(new MinHashAgg(seed, numPerm)).apply(col)
+  import org.apache.spark.sql.graftbridge.{columnOf, expressionOf}
+
+  /** `minhash_agg(values)`: 100-slot MinHash digest of a string column.
+    * Native TypedImperativeAggregate — hashes UTF8String bytes in place.
+    */
+  def minhash_agg(col: Column): Column =
+    columnOf(MinHashExactAgg(expressionOf(col)).toAggregateExpression())
 
   /** `minhash_words_agg(values)`: digest of the word-token multiset. */
-  def minhash_words_agg(col: Column, seed: Long = MinHash.DefaultSeed,
-                        numPerm: Int = MinHash.NumPerm): Column =
+  def minhash_words_agg(col: Column): Column =
+    columnOf(MinHashWordsAggNative(expressionOf(col)).toAggregateExpression())
+
+  /** Aggregator-based variants (kept for API parity / custom seeds). */
+  def minhash_agg_seeded(col: Column, seed: Long, numPerm: Int = MinHash.NumPerm): Column =
+    udaf(new MinHashAgg(seed, numPerm)).apply(col)
+  def minhash_words_agg_seeded(col: Column, seed: Long, numPerm: Int = MinHash.NumPerm): Column =
     udaf(new MinHashWordsAgg(seed, numPerm)).apply(col)
 
   // ---- scalar sketch functions ----
