@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.functions.SketchFunctions._
 
 /** Column profiler — re-expresses the reference's `preprocess_cols`
@@ -104,7 +106,6 @@ object Profiler {
       count(lit(1)).as("unique"),                                           // A2 (incl. null)
       (sum(octet_length(col("value_str")) * col("freq")) /
         sum(when(col("value_str").isNotNull, col("freq")))).as("cell_width"), // A3
-      percentile(col("value_num"), typedLit(QuantileProbs), col("freq")).as("deciles"), // A4
       (sum(col("value_num") * col("freq")) /
         sum(when(col("value_num").isNotNull, col("freq")))).as("mean"),     // A5
       min(col("value_num")).as("min_v"),                                    // A7
@@ -119,8 +120,12 @@ object Profiler {
         minhash_agg(col("value_str")).as("minhash_exact"),                  // A11 (set semantics)
         minhash_words_agg(col("value_str")).as("minhash_words_raw"))        // A12
       else Seq.empty
-    val aggd = hist.groupBy(col("col_idx"))
+    val aggd0 = hist.groupBy(col("col_idx"))
       .agg(baseAggs.head, (baseAggs.tail ++ sketchAggs): _*)
+    // A4 deciles: sort-based interpolation over the histogram (left join —
+    // string columns have no numeric rows). The stage-1 exchange is shared
+    // with the stats branch via ReuseExchange (identical subplan).
+    val aggd = aggd0.join(decilesFromHist(hist, QuantileProbs), Seq("col_idx"), "left")
 
     // A6: population std = sqrt(E[x²] − E[x]²); guard unique<=2 → 0
     // (data_prep.py:238-241)
@@ -148,6 +153,44 @@ object Profiler {
     out.select(cols.map(col) ++
       (if (withSketches) Seq(col("minhash_words_f").as("minhash_words")) else Nil): _*)
       .orderBy("col_idx")
+  }
+
+  /** Exact linear-interpolation percentiles computed relationally from a
+    * (col_idx, value_num, freq) histogram — the scale-path replacement for
+    * the built-in `percentile` aggregate, whose per-group in-memory value
+    * maps become the bottleneck (and an OOM risk) at very high column
+    * cardinality. A window cum-sum assigns each distinct value its index
+    * range; each probe interpolates between the two covering values using
+    * the same `(hi−pos)·vLo + (pos−lo)·vHi` formula as Spark's Percentile,
+    * so results are identical. Sort-shuffle based: spills gracefully.
+    */
+  def decilesFromHist(hist: DataFrame, probs: Seq[Double]): DataFrame = {
+    val spark = hist.sparkSession
+    val h = hist.filter(col("value_num").isNotNull)
+      .groupBy(col("col_idx"), col("value_num"))
+      .agg(sum(col("freq")).as("freq"))
+    val w = Window.partitionBy(col("col_idx")).orderBy(col("value_num"))
+    val cum = h.withColumn("cum", sum(col("freq")).over(w))
+      .withColumn("start", col("cum") - col("freq"))
+    val n = cum.groupBy(col("col_idx")).agg(max(col("cum")).as("n"))
+    val probsDf = spark.createDataFrame(probs.zipWithIndex.toIndexedSeq).toDF("p", "qi")
+    val targets = n.join(broadcast(probsDf))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val covering = cum.join(targets, Seq("col_idx"))
+      .filter((col("start") <= col("lo") && col("lo") < col("cum")) ||
+        (col("start") <= col("hi") && col("hi") < col("cum")))
+    covering.groupBy(col("col_idx"), col("qi"), col("pos"), col("lo"), col("hi"))
+      .agg(
+        max(when(col("start") <= col("lo") && col("lo") < col("cum"), col("value_num"))).as("v_lo"),
+        max(when(col("start") <= col("hi") && col("hi") < col("cum"), col("value_num"))).as("v_hi"))
+      .withColumn("q", when(col("lo") === col("hi"), col("v_lo"))
+        .otherwise((col("hi").cast("double") - col("pos")) * col("v_lo") +
+          (col("pos") - col("lo").cast("double")) * col("v_hi")))
+      .groupBy(col("col_idx"))
+      .agg(sort_array(collect_list(struct(col("qi"), col("q"))))
+        .getField("q").as("deciles"))
   }
 
   /** Whole-table content snapshot (A13): one MinHash over the multiset of
