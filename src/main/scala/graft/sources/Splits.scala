@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Split/label-file sources (S5, S10; FIXTURES F2/F4/F5) — the JSON
+  * sidecars and train/valid/test descriptors the reference reads around
+  * its datasets (`/root/reference/tabsketchfm/datamodule.py:36-44,100-115`,
+  * `data_prep.py:53-58`).
+  */
+object Splits {
+
+  /** F2 metadata sidecar: one JSON object per file
+    * `{table_name, table_description, dataset_description}`. */
+  def readMetadata(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** F4 pretrain split: `{train:[{table, metadata, json, column}], valid,
+    * test}` → long format (split, table, metadata, json, column). Reads
+    * plain or .bz2 JSON (codec by extension).
+    */
+  /** Splits whose arrays hold structs (empty lists infer as
+    * array<string> and carry no records). */
+  private def structSplits(raw: DataFrame): Seq[String] =
+    Seq("train", "valid", "test").filter { s =>
+      raw.schema.fields.find(_.name == s).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.ArrayType(
+          _: org.apache.spark.sql.types.StructType, _)) => true
+        case _ => false
+      }
+    }
+
+  def readPretrainSplit(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    structSplits(raw).map { s =>
+      raw.select(explode(col(s)).as("r")).select(lit(s).as("split"), col("r.*"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** F5 finetune pair-label file: `{train:[{table1:{filename}, table2:
+    * {filename}, label}], …}` → (split, table1, table2, label).
+    */
+  def readPairLabels(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    structSplits(raw).map { s =>
+      raw.select(explode(col(s)).as("r"))
+        .select(lit(s).as("split"),
+          col("r.table1.filename").as("table1"),
+          col("r.table2.filename").as("table2"),
+          col("r.label").as("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Filename→table normalization (P11): basename without .csv suffix —
+    * how pair files reference catalog tables
+    * (`tabular_dataset.py:249-258`). */
+  def tableKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(element_at(split(c, "/"), -1), "\\.csv(\\.bz2|\\.gz)?$", "")
+
+  /** O7: deterministic seeded shuffle of a relation (training-order
+    * shuffles, `tabular_dataset.py:18-19`). */
+  def seededShuffle(df: DataFrame, seed: Long): DataFrame =
+    df.orderBy(rand(seed))
+}

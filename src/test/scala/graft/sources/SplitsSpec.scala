@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import java.nio.file.Files
+
+class SplitsSpec extends SparkSpec {
+
+  test("pair-label file parses to long format with filename keys") {
+    val dir = Files.createTempDirectory("graft_splits")
+    val p = dir.resolve("labels.json")
+    Files.writeString(p,
+      """{"train": [{"table1": {"filename": "tables/a.csv"},
+        |            "table2": {"filename": "tables/b.csv"}, "label": 1}],
+        |  "valid": [{"table1": {"filename": "c.csv"},
+        |            "table2": {"filename": "d.csv.bz2"}, "label": 0}],
+        |  "test": []}""".stripMargin)
+    val df = Splits.readPairLabels(spark, p.toString)
+      .withColumn("k1", Splits.tableKey(col("table1")))
+      .withColumn("k2", Splits.tableKey(col("table2")))
+    val rows = df.collect().map(r => (r.getAs[String]("split"),
+      r.getAs[String]("k1"), r.getAs[String]("k2"), r.getAs[Long]("label")))
+    assert(rows.toSet == Set(("train", "a", "b", 1L), ("valid", "c", "d", 0L)))
+  }
+
+  test("pretrain split file parses (table, column) records") {
+    val dir = Files.createTempDirectory("graft_splits2")
+    val p = dir.resolve("split.json")
+    Files.writeString(p,
+      """{"train": [{"table": "x.csv", "metadata": "x.meta", "json": "h.json.bz2", "column": 3}],
+        |  "valid": [], "test": [{"table": "y.csv", "metadata": "y.meta", "json": "g.json.bz2", "column": 0}]}""".stripMargin)
+    val df = Splits.readPretrainSplit(spark, p.toString)
+    assert(df.count() == 2)
+    assert(df.filter(col("split") === "train").collect()(0).getAs[Long]("column") == 3)
+  }
+
+  test("seededShuffle is deterministic for a seed") {
+    import spark.implicits._
+    val df = (1 to 50).toDF("x")
+    val a = Splits.seededShuffle(df, 7).collect().map(_.getInt(0))
+    val b = Splits.seededShuffle(df, 7).collect().map(_.getInt(0))
+    assert(a.sameElements(b))
+    assert(!a.sameElements(1 to 50))
+  }
+}
