@@ -57,8 +57,12 @@ object SparkEntry {
       col("sum_sq_dec").cast("double") / (col("rows") - col("num_nan")) - exactMean * exactMean,
       lit(0.0)))
 
+  private val lineitemNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   private def numericProfile(s: SparkSession, dir: String): DataFrame =
-    Profiler.profile(t(s, dir, "lineitem"), "lineitem", withSketches = false)
+    Profiler.profile(t(s, dir, "lineitem").select(lineitemNumeric.map(col): _*),
+      "lineitem", withSketches = false)
       .filter(col("col_type").isin("integer", "float"))
       .select(col("col_name"), col("rows").as("n_rows"), col("num_nan"),
         col("unique").as("n_unique"),
@@ -67,7 +71,8 @@ object SparkEntry {
       .orderBy("col_name")
 
   private def quantileProfile(s: SparkSession, dir: String): DataFrame = {
-    val p = Profiler.profile(t(s, dir, "lineitem"), "lineitem", withSketches = false)
+    val p = Profiler.profile(t(s, dir, "lineitem").select(lineitemNumeric.map(col): _*),
+      "lineitem", withSketches = false)
       .filter(col("col_type").isin("integer", "float"))
     val qCols = (1 to 9).map(i =>
       round(element_at(col("quantile"), i), 6).as(s"q$i")) ++

@@ -76,7 +76,7 @@ object Ann {
     */
   def cosineNearDups(embs: DataFrame, threshold: Double = 0.95,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     nBits: Int = 16, chunkBits: Int = 4): DataFrame = {
+                     nBits: Int = 30, chunkBits: Int = 6): DataFrame = {
     // Band join + dedup carry ids only; vectors re-attach after, so the
     // wide payload never rides through the collision shuffle. Norms are
     // precomputed once per vector, not per pair.

@@ -115,10 +115,19 @@ object Profiler {
       sum(decV * decV * col("freq")).as("sum_sq_dec"),
       sum(col("value_num") * col("value_num") * col("freq")).as("sum_sq"),
       sum(when(col("value_num").isNotNull, col("freq"))).as("n_num"))
+    // A12 runs only on string columns — gate INSIDE the aggregation (the
+    // reference computes word sketches for strings only, and tokenizing
+    // numeric renders just to null them out later would double sketch cost)
+    val stringIdxs = df.schema.fields.zipWithIndex.collect {
+      case (f, i) if logicalType(f.dataType) == "string" => i
+    }.toSeq
+    val wordsInput =
+      if (stringIdxs.isEmpty) lit(null).cast("string")
+      else when(col("col_idx").isin(stringIdxs: _*), col("value_str"))
     val sketchAggs =
       if (withSketches) Seq(
         minhash_agg(col("value_str")).as("minhash_exact"),                  // A11 (set semantics)
-        minhash_words_agg(col("value_str")).as("minhash_words_raw"))        // A12
+        minhash_words_agg(wordsInput).as("minhash_words_raw"))              // A12
       else Seq.empty
     val aggd0 = hist.groupBy(col("col_idx"))
       .agg(baseAggs.head, (baseAggs.tail ++ sketchAggs): _*)
