@@ -121,12 +121,21 @@ object Profiler {
     val stringIdxs = df.schema.fields.zipWithIndex.collect {
       case (f, i) if logicalType(f.dataType) == "string" => i
     }.toSeq
+    // "other" types (arrays/maps/binary) are zero-encoded downstream
+    // (tabular_tokenizer.py:184-189) — hashing their huge renders would be
+    // pure waste, so A11 skips them too (digest stays the empty sketch).
+    val otherIdxs = df.schema.fields.zipWithIndex.collect {
+      case (f, i) if logicalType(f.dataType) == "other" => i
+    }.toSeq
+    val exactInput =
+      if (otherIdxs.isEmpty) col("value_str")
+      else when(!col("col_idx").isin(otherIdxs: _*), col("value_str"))
     val wordsInput =
       if (stringIdxs.isEmpty) lit(null).cast("string")
       else when(col("col_idx").isin(stringIdxs: _*), col("value_str"))
     val sketchAggs =
       if (withSketches) Seq(
-        minhash_agg(col("value_str")).as("minhash_exact"),                  // A11 (set semantics)
+        minhash_agg(exactInput).as("minhash_exact"),                        // A11 (set semantics)
         minhash_words_agg(wordsInput).as("minhash_words_raw"))              // A12
       else Seq.empty
     val aggd0 = hist.groupBy(col("col_idx"))

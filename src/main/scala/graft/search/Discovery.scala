@@ -40,6 +40,7 @@ object Discovery {
     // rarely overlap); the broadcast keeps this a map-side nested loop.
     cands.join(broadcast(q), col("q_type") === col("cand_type"))
       .withColumn("dist", lit(1.0) - minhash_jaccard(col("q_mh"), col("cand_mh")))
+      .filter(col("dist").isNotNull) // zero-encoded "other" columns have no digest
       .select("q_col_idx", "q_col_name", "cand_table", "cand_col_idx",
         "cand_col_name", "dist")
   }
