@@ -59,13 +59,16 @@ object Profiler {
     * date→epoch-seconds) for quantiles. Column metadata stays out of the
     * hot path and is re-attached from [[colMeta]] after aggregation.
     */
-  def longFormat(df: DataFrame): DataFrame = {
+  def longFormat(df: DataFrame, renderNumerics: Boolean = true): DataFrame = {
     val structs = df.schema.fields.zipWithIndex.map { case (f, i) =>
       val c = col(s"`${f.name}`")
       val lt = logicalType(f.dataType)
       val valueStr = lt match {
         // empty string → null, matching P2 (data_prep.py:202)
         case "string" => when(c.cast("string") === "", lit(null)).otherwise(c.cast("string"))
+        // sketch-free profiles don't need the (expensive) numeric renders;
+        // nullness is then carried by value_num alone
+        case _ if !renderNumerics => lit(null).cast("string")
         case _        => c.cast("string")
       }
       val valueNum = lt match {
@@ -92,7 +95,7 @@ object Profiler {
     val spark = df.sparkSession
     // Repartition the narrow input BEFORE exploding ×nCols — the serial
     // shuffle write from a single-row-group scan is 11× cheaper that way.
-    val long = longFormat(ensureParallelism(df))
+    val long = longFormat(ensureParallelism(df), renderNumerics = withSketches)
 
     // stage 1: per-column value histogram (map-side combine shrinks to
     // distinct values per partition before any shuffle)
@@ -102,7 +105,10 @@ object Profiler {
     val decV = col("value_num").cast(DecimalType(18, 2))
     val baseAggs = Seq(
       sum(col("freq")).as("rows"),                                          // A10
-      sum(when(col("value_str").isNull, col("freq")).otherwise(0L)).as("num_nan"), // A1
+      // null test spans both carriers: strings render into value_str only,
+      // numerics/dates may carry value_num only (renderNumerics=false)
+      sum(when(col("value_str").isNull && col("value_num").isNull, col("freq"))
+        .otherwise(0L)).as("num_nan"),                                      // A1
       count(lit(1)).as("unique"),                                           // A2 (incl. null)
       (sum(octet_length(col("value_str")) * col("freq")) /
         sum(when(col("value_str").isNotNull, col("freq")))).as("cell_width"), // A3
