@@ -281,6 +281,22 @@ object OracleSql {
            |FROM $tbl""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_ref"),
 
+    "x_rollup_agg" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "x_semi_anti_join" ->
+      """SELECT 'anti' AS kind, count(*) AS n FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |UNION ALL
+        |SELECT 'semi' AS kind, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |ORDER BY kind""".stripMargin,
+
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),
       ("orders", "o_orderkey", "o_totalprice"),

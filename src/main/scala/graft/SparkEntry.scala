@@ -387,6 +387,24 @@ object SparkEntry {
       .orderBy("table_name", "col_idx")
   }
 
+  /** Engine extensions beyond the reference: multi-level aggregation. */
+  private def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  private def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    val semi = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("semi").as("kind"), col("n"))
+    val anti = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("anti").as("kind"), col("n"))
+    semi.unionByName(anti).orderBy("kind")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -432,7 +450,9 @@ object SparkEntry {
     "a15_content_hash" -> contentHashes,
     "m4_pair_features" -> pairFeatures,
     "t1_feature_tensors" -> featureTensors,
-    "a14_hashing_sketch" -> hashingSketches
+    "a14_hashing_sketch" -> hashingSketches,
+    "x_rollup_agg" -> rollupAgg,
+    "x_semi_anti_join" -> semiAntiJoin
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

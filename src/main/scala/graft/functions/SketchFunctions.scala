@@ -77,14 +77,13 @@ object SketchFunctions {
 
   // ---- scalar sketch functions ----
 
-  private val jaccardUdf = org.apache.spark.sql.functions.udf {
-    (a: Array[Long], b: Array[Long]) =>
-      if (a == null || b == null) null
-      else java.lang.Double.valueOf(MinHash.jaccard(a, b))
-  }
-
-  /** Estimated Jaccard similarity of two MinHash digests (J5). */
-  def minhash_jaccard(a: Column, b: Column): Column = jaccardUdf(a, b)
+  /** Estimated Jaccard similarity of two MinHash digests (J5) — native
+    * expression over ArrayData (no per-row Seq conversion), and the
+    * pattern [[graft.plans.SimilarityJoinRewrite]] matches to turn naive
+    * similarity joins into LSH-banded joins.
+    */
+  def minhash_jaccard(a: Column, b: Column): Column =
+    columnOf(graft.plans.MinHashJaccard(expressionOf(a), expressionOf(b)))
 
   private val containmentUdf = org.apache.spark.sql.functions.udf {
     (a: Array[Long], b: Array[Long], cardA: Long, cardB: Long) =>
@@ -123,29 +122,14 @@ object SketchFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = hamming64Udf(a, b)
 
-  /** LSH band keys for a MinHash digest: `bands` values, each hashing
-    * `numPerm/bands` consecutive slots. Two columns sharing any band key are
-    * near-dup candidates — the standard banding scheme that turns an O(n²)
-    * similarity join into a shuffle on band keys.
+  /** `minhash_bands(digest, nBands)`: array of band keys for LSH joins —
+    * `bands` keys, each hashing `numPerm/bands` consecutive slots. Two
+    * columns sharing any band key are near-dup candidates: the standard
+    * banding scheme that turns an O(n²) similarity join into a shuffle on
+    * band keys. Native expression shared with the optimizer rewrite.
     */
-  private def bandUdf(bands: Int) = org.apache.spark.sql.functions.udf {
-    (d: Array[Long]) =>
-      if (d == null) null
-      else {
-        val rowsPerBand = d.length / bands
-        (0 until bands).map { b =>
-          var h = 1125899906842597L
-          var i = b * rowsPerBand
-          val end = i + rowsPerBand
-          while (i < end) { h = 31 * h + d(i); i += 1 }
-          (b.toLong << 56) ^ (h & 0x00ffffffffffffffL)
-        }.toArray
-      }
-  }
-
-  /** `minhash_bands(digest, nBands)`: array of band keys for LSH joins. */
   def minhash_bands(digest: Column, bands: Int = 20): Column =
-    bandUdf(bands)(digest)
+    columnOf(graft.plans.MinHashBandKeys(expressionOf(digest), bands))
 
   private val minhashSetUdf = org.apache.spark.sql.functions.udf {
     (items: Array[String]) =>
