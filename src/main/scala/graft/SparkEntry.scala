@@ -27,6 +27,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Lake.read(s, dir, name)
 
+  /** Sketch-catalog cache: the reference materializes sketches once and
+    * reuses them across every downstream task (`data_prep.py:150-163`,
+    * SURVEY §4 "sketch materialization"); the Spark analogue is one
+    * persisted profile catalog per lake shared by all sketch queries.
+    */
+  private val catalogCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def lakeCatalog(s: SparkSession, dir: String): DataFrame =
+    catalogCache.getOrElseUpdate(s"$dir#profiles",
+      Profiler.profileLake(s, dir, LakeTables).persist())
+
+  private def lakeSnapshots(s: SparkSession, dir: String): DataFrame =
+    catalogCache.getOrElseUpdate(s"$dir#snapshots",
+      LakeTables.map(n => Profiler.contentSnapshot(t(s, dir, n), n))
+        .reduce(_ unionByName _).persist())
+
   val LakeTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -38,11 +55,9 @@ object SparkEntry {
   /** Flagship query on sf=0.001: top-k unionable tables for `supplier`
     * over the whole lake, sketch-only mode (E4/minimum slice, SURVEY §7).
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val profiles = Profiler.profileLake(spark, dir, LakeTables)
-    Discovery.searchUnionable(profiles, "supplier", k = 10)
-  }
+  def entry(spark: SparkSession): DataFrame =
+    Discovery.searchUnionable(
+      lakeCatalog(spark, "/root/testdata/sf0.001"), "supplier", k = 10)
 
   // ---------- query implementations ----------
 
@@ -267,19 +282,18 @@ object SparkEntry {
   // ---- rows-only (non-SQL-expressible) operators ----
 
   private def profileSketches(s: SparkSession, dir: String): DataFrame =
-    Profiler.profileLake(s, dir, Seq("customer", "supplier", "nation", "region", "part"))
+    lakeCatalog(s, dir)
+      .filter(col("table_name").isin("customer", "supplier", "nation", "region", "part"))
 
   private def contentSnapshots(s: SparkSession, dir: String): DataFrame =
-    LakeTables.map(n => Profiler.contentSnapshot(t(s, dir, n), n))
-      .reduce(_ unionByName _).orderBy("table_name")
+    lakeSnapshots(s, dir).orderBy("table_name")
 
-  private def searchMinhash(s: SparkSession, dir: String): DataFrame = {
-    val profiles = Profiler.profileLake(s, dir, LakeTables)
-    Discovery.searchUnionable(profiles, "supplier", k = 10)
-  }
+  private def searchMinhash(s: SparkSession, dir: String): DataFrame =
+    Discovery.searchUnionable(lakeCatalog(s, dir), "supplier", k = 10)
 
   private def minhashJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val profiles = Profiler.profileLake(s, dir, Seq("customer", "supplier", "orders", "part", "lineitem"))
+    val profiles = lakeCatalog(s, dir)
+      .filter(col("table_name").isin("customer", "supplier", "orders", "part", "lineitem"))
     val cols = profiles.select(col("table_name"), col("col_name"), col("minhash_exact"), col("unique"))
     cols.as("a").join(cols.as("b"),
         col("a.table_name") < col("b.table_name"))
@@ -362,8 +376,8 @@ object SparkEntry {
   /** M4: pair similarity features over the profile catalog. */
   private def pairFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val profiles = Profiler.profileLake(s, dir,
-      Seq("customer", "supplier", "orders", "nation", "region", "part"))
+    val profiles = lakeCatalog(s, dir)
+      .filter(col("table_name").isin("customer", "supplier", "orders", "nation", "region", "part"))
     val pairs = Seq(("customer", "orders"), ("customer", "supplier"),
       ("nation", "region"), ("part", "supplier"), ("orders", "supplier"))
       .toDF("table1", "table2")
@@ -372,7 +386,8 @@ object SparkEntry {
 
   /** T1+T4: tokenizer-layer tensors (text assembly + fixed-width vectors). */
   private def featureTensors(s: SparkSession, dir: String): DataFrame = {
-    val profiles = Profiler.profileLake(s, dir, Seq("customer", "nation", "region"))
+    val profiles = lakeCatalog(s, dir)
+      .filter(col("table_name").isin("customer", "nation", "region"))
     graft.ml.FeatureAssembly.columnTensors(profiles, width = 256)
       .orderBy("table_name", "col_idx")
   }
