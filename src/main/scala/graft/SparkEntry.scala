@@ -35,12 +35,14 @@ object SparkEntry {
   private val catalogCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  // keyed by session too: a cached plan is bound to the session that built
+  // it and must not leak into a successor session in the same JVM
   private def lakeCatalog(s: SparkSession, dir: String): DataFrame =
-    catalogCache.getOrElseUpdate(s"$dir#profiles",
+    catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#profiles",
       Profiler.profileLake(s, dir, LakeTables).persist())
 
   private def lakeSnapshots(s: SparkSession, dir: String): DataFrame =
-    catalogCache.getOrElseUpdate(s"$dir#snapshots",
+    catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#snapshots",
       LakeTables.map(n => Profiler.contentSnapshot(t(s, dir, n), n))
         .reduce(_ unionByName _).persist())
 

@@ -56,9 +56,18 @@ object DateFunctions {
     if (s == null) return None
     val t = s.trim
     if (t.isEmpty) return None
-    // epoch heuristics: 10-digit seconds / 13-digit millis
-    if (t.matches("\\d{10}")) return Some(Instant.ofEpochSecond(t.toLong))
-    if (t.matches("\\d{13}")) return Some(Instant.ofEpochMilli(t.toLong))
+    // epoch heuristics: 10-digit seconds / 13-digit millis, bounded to
+    // 2001–2033 so zero-padded IDs/phone numbers don't promote to DATE
+    if (t.matches("\\d{10}")) {
+      val v = t.toLong
+      if (v >= 1000000000L && v <= 2000000000L) return Some(Instant.ofEpochSecond(v))
+      return None
+    }
+    if (t.matches("\\d{13}")) {
+      val v = t.toLong
+      if (v >= 1000000000000L && v <= 2000000000000L) return Some(Instant.ofEpochMilli(v))
+      return None
+    }
     var i = 0
     while (i < formats.length) {
       try {

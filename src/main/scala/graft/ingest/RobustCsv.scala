@@ -50,6 +50,10 @@ object RobustCsv {
     // Sniff first: a ';'-separated file "succeeds" as one comma-column, so
     // a strict-then-fallback order would silently mis-parse (the reference
     // hits the same with pandas and retries with sep=None, data_prep.py:76).
+    // First pass DROPMALFORMED mirrors the reference's skip-bad-lines
+    // default (`on_bad_lines='skip'`, data_prep.py:67-69) — bad rows are
+    // dropped by design, not a strictness failure; the PERMISSIVE retry
+    // only handles files the skip-mode parser rejects outright.
     val delim = sniffDelimiter(spark, path)
     val df = tryRead(spark, path, delim, permissive = false)
       .orElse(tryRead(spark, path, delim, permissive = true))

@@ -58,6 +58,9 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text",
                       shingleSize: Int = 3, bands: Int = 20): DataFrame = {
+    // persisted because three branches (banding + both digest re-attach
+    // joins) consume it; blocks release with the session or an explicit
+    // spark.catalog.clearCache() between batches
     val sk = docSketches(docs, idCol, textCol, shingleSize).persist()
     val banded = sk.select(col(idCol).as("id"),
       explode(minhash_bands(col("mh"), bands)).as("band"))
@@ -73,18 +76,25 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dups: 64-bit fingerprints, banded into 4×16-bit chunks
-    * (any pair within Hamming distance ≤ 3 of each other must agree on at
-    * least one chunk — pigeonhole), verified by exact Hamming distance.
+  /** SimHash near-dups: 64-bit fingerprints, banded into `maxHamming + 1`
+    * bit-range chunks — by pigeonhole, any pair within Hamming distance ≤
+    * maxHamming agrees on at least one whole chunk — then verified by
+    * exact Hamming distance. maxHamming ≤ 31 (chunks need ≥ 2 bits).
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks) // even-ish bit ranges
     val sh = graft.sources.Lake.balance(docs)
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val chunked = sh.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until nChunks).map { i =>
+        val width = bounds(i + 1) - bounds(i)
         struct(lit(i).as("chunk_idx"),
-          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk_key"))): _*))
+          shiftrightunsigned(col("sh"), bounds(i))
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk_key"))
+      }: _*))
         .as("c"))
       .select(col("id"), col("sh"), col("c.chunk_idx"), col("c.chunk_key"))
     chunked.as("a").join(chunked.as("b"),

@@ -66,12 +66,26 @@ case class MinHashBandKeys(child: Expression, bands: Int)
   *
   * Semantics note: results are DISTINCT over the joined rows (banding
   * collapses duplicate input rows that agree on every column) — the
-  * standard set-semantics of candidate generation. τ must be ≥ minJaccard
-  * (default 0.1): below that, banding with this band count has poor recall
-  * and the rule leaves the plan untouched.
+  * standard set-semantics of candidate generation.
+  *
+  * Recall: rows-per-band is chosen PER THRESHOLD so that the collision
+  * probability at τ is ≥ `recallTarget` (1−(1−τ^r)^(numPerm/r) ≥ target,
+  * largest such r). Thresholds too low to reach the target even with
+  * r=1 leave the plan untouched — the rule must not silently change
+  * results.
   */
-case class SimilarityJoinRewrite(bands: Int = 20, minJaccard: Double = 0.1)
+case class SimilarityJoinRewrite(numPerm: Int = 100, recallTarget: Double = 0.95)
     extends Rule[LogicalPlan] {
+
+  /** Largest rows-per-band meeting the recall target at threshold t, or
+    * None if even r=1 misses it (then banding would drop results). */
+  private def chooseBands(t: Double): Option[Int] = {
+    val r = (5 to 1 by -1).find { r =>
+      val bands = numPerm / r
+      1.0 - math.pow(1.0 - math.pow(t, r), bands) >= recallTarget
+    }
+    r.map(numPerm / _)
+  }
 
   private object JaccardPredicate {
     /** Extract (leftDigest, rightDigest, threshold, remainder) */
@@ -97,13 +111,16 @@ case class SimilarityJoinRewrite(bands: Int = 20, minJaccard: Double = 0.1)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(l, r, Inner | Cross, Some(cond), hint) if !alreadyBanded(cond) =>
       val conjuncts = splitConjuncts(cond)
-      conjuncts.collectFirst { case p @ JaccardPredicate(a, b, t) if t >= minJaccard => (p, a, b, t) } match {
-        case Some((pred, a, b, _))
+      val matched = conjuncts.collectFirst {
+        case p @ JaccardPredicate(a, b, t) => (p, a, b, chooseBands(t))
+      }
+      matched match {
+        case Some((_, a, b, Some(bands)))
             if a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) =>
-          rewrite(j, l, r, a, b, cond, hint)
-        case Some((pred, a, b, _))
+          rewrite(j, l, r, a, b, cond, hint, bands)
+        case Some((_, a, b, Some(bands)))
             if b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) =>
-          rewrite(j, l, r, b, a, cond, hint)
+          rewrite(j, l, r, b, a, cond, hint, bands)
         case _ => j
       }
   }
@@ -115,7 +132,7 @@ case class SimilarityJoinRewrite(bands: Int = 20, minJaccard: Double = 0.1)
 
   private def rewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
                       digestL: Expression, digestR: Expression,
-                      cond: Expression, hint: JoinHint): LogicalPlan = {
+                      cond: Expression, hint: JoinHint, bands: Int): LogicalPlan = {
     def banded(side: LogicalPlan, digest: Expression, name: String): (LogicalPlan, Attribute) = {
       val gen = Explode(MinHashBandKeys(digest, bands))
       val attr = AttributeReference(name, LongType, nullable = false)()

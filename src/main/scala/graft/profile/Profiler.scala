@@ -170,6 +170,14 @@ object Profiler {
       .withColumn("minhash_words_f",
         if (withSketches) when(col("col_type") === "string", col("minhash_words_raw"))
         else lit(null))
+      // zero-encoded "other" columns and all-null columns carry NO digest
+      // (an empty sketch would spuriously match other empty sketches at
+      // jaccard 1.0 in search)
+      .withColumn("minhash_exact",
+        if (withSketches)
+          when(col("col_type") =!= "other" && col("num_nan") < col("rows"),
+            col("minhash_exact"))
+        else lit(null))
     val cols = Seq("table_name", "col_idx", "col_name", "col_type", "rows",
       "num_nan", "unique", "cell_width", "quantile", "mean", "std", "min_v", "max_v",
       "sum_dec", "sum_sq_dec") ++
