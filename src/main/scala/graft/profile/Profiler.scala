@@ -198,19 +198,31 @@ object Profiler {
     */
   def decilesFromHist(hist: DataFrame, probs: Seq[Double]): DataFrame = {
     val spark = hist.sparkSession
-    val h = hist.filter(col("value_num").isNotNull)
+    // No pre-filter on value_num: a filter here would be pushed below the
+    // histogram aggregate and fork a second scan; instead null rows ride
+    // along with a conditional cum-sum (they can never satisfy the
+    // covering ranges), so this branch shares the stats branch's stage-1
+    // exchange via ReuseExchange.
+    val h = hist
       .groupBy(col("col_idx"), col("value_num"))
       .agg(sum(col("freq")).as("freq"))
-    val w = Window.partitionBy(col("col_idx")).orderBy(col("value_num"))
-    val cum = h.withColumn("cum", sum(col("freq")).over(w))
+    val w = Window.partitionBy(col("col_idx"))
+      .orderBy(col("value_num").asc_nulls_first)
+    val wAll = Window.partitionBy(col("col_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nnFreq = when(col("value_num").isNotNull, col("freq")).otherwise(0L)
+    // n rides in the same Window stage (a separate aggregate would fork a
+    // second copy of the whole histogram subtree); probes explode inline.
+    val cum = h.withColumn("cum", sum(nnFreq).over(w))
       .withColumn("start", col("cum") - col("freq"))
-    val n = cum.groupBy(col("col_idx")).agg(max(col("cum")).as("n"))
-    val probsDf = spark.createDataFrame(probs.zipWithIndex.toIndexedSeq).toDF("p", "qi")
-    val targets = n.join(broadcast(probsDf))
-      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("n", sum(nnFreq).over(wAll))
+    val probsLit = typedLit(probs.zipWithIndex.map { case (p, i) => (p, i) })
+    val covering = cum
+      .select(col("*"), explode(probsLit).as("pq"))
+      .withColumn("pos", col("pq._1") * (col("n") - 1).cast("double"))
+      .withColumn("qi", col("pq._2"))
       .withColumn("lo", floor(col("pos")).cast("long"))
       .withColumn("hi", ceil(col("pos")).cast("long"))
-    val covering = cum.join(targets, Seq("col_idx"))
       .filter((col("start") <= col("lo") && col("lo") < col("cum")) ||
         (col("start") <= col("hi") && col("hi") < col("cum")))
     covering.groupBy(col("col_idx"), col("qi"), col("pos"), col("lo"), col("hi"))
