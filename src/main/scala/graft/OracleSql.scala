@@ -92,7 +92,7 @@ object OracleSql {
        |  QUALIFY row_number() OVER (PARTITION BY q_ci, cand_table ORDER BY rnk) = 1
        |), dedup AS (
        |  SELECT * FROM firstm
-       |  QUALIFY row_number() OVER (PARTITION BY cand_table, cand_ci ORDER BY rnk) = 1
+       |  QUALIFY row_number() OVER (PARTITION BY cand_table, cand_ci ORDER BY dist, rnk) = 1
        |)
        |SELECT cand_table, count(*) AS matched_cols, round(sum(dist), 6) AS sum_dist
        |FROM dedup GROUP BY cand_table

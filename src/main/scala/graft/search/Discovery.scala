@@ -61,9 +61,11 @@ object Discovery {
     val first = knn.withColumn("rn", row_number().over(wFirst))
       .filter(col("rn") === 1)
     // dedup matched candidate columns within a table (seen_cols, :151-155):
-    // a candidate column counts once even if several query columns hit it
+    // a candidate column counts once even if several query columns hit it,
+    // keeping its MINIMUM distance (the reference sorts by distance before
+    // the seen_cols dedup, :144-155)
     val wSeen = Window.partitionBy(col("cand_table"), col("cand_col_idx"))
-      .orderBy(col("rank"))
+      .orderBy(col("dist"), col("rank"))
     val deduped = first.withColumn("seen", row_number().over(wSeen))
       .filter(col("seen") === 1)
     // vote: (−#matched columns, Σ distance)  — :159-161
@@ -74,7 +76,12 @@ object Discovery {
       .limit(k)
   }
 
-  /** Top-k unionable/subset tables for a query table (sketch-only mode). */
+  /** Top-k unionable/subset tables for a query table (sketch-only mode).
+    * Divergence from the reference noted: its union path leaves the query
+    * table in its own candidate list and slices k+1 (`:160-161` has no
+    * self-removal); we exclude the query table up front and return exactly
+    * k — the self-hit is never a useful answer.
+    */
   def searchUnionable(profiles: DataFrame, queryTable: String, k: Int = 10): DataFrame =
     columnVoteRank(columnDistances(profiles, queryTable), k)
 
