@@ -27,10 +27,21 @@ import graft.functions.SketchFunctions._
   *
   * Reference semantics preserved:
   *  - `num_nan` counts nulls after empty-string→null (P2, `data_prep.py:202`)
-  *  - `unique` includes null as a value (`len(Series.unique())`, `:209`)
-  *  - quantile vector = 9 deciles + mean + std(pop) + min + max (`:234-244`)
-  *  - `cell_width` = avg byte length of string cells (intent of `:214`)
-  *  - MinHash over exact values, plus word tokens for strings (`:264-274`)
+  *  - `unique` includes null as a value (the dropna at `:207` re-aligns on
+  *    assignment, so NaN is back in the Series by `:209`)
+  *  - quantile vector = 9 deciles + mean + std(pop) + min + max
+  *    (`:234-244`), omitted for all-null/single-row/single-valued columns
+  *    (`:231-232`)
+  *  - `cell_width` = avg byte length of string cells (intent of `:214`;
+  *    the reference's `tobytes()/len(df)` degenerates to pointer width and
+  *    divides by the full row count — we use true avg bytes over non-null
+  *    cells, per SURVEY §2.3 A3)
+  *  - MinHash over exact values, plus word tokens for strings (`:264-274`).
+  *    Deliberate divergence: the reference's `[... for v in col if v]`
+  *    drops FALSY values (0, 0.0, False) from sketch input (`:211-213`) —
+  *    we keep them; excluding legitimate zeros skews Jaccard estimates,
+  *    and digest-level parity is already out of scope (permutation seeds
+  *    differ, SURVEY §7 hard part 1).
   */
 object Profiler {
 
@@ -156,7 +167,10 @@ object Profiler {
     val stdRaw = sqrt(greatest(
       col("sum_sq") / col("n_num") - col("mean") * col("mean"), lit(0.0)))
     val stdAdj = when(col("unique") > 2, stdRaw).otherwise(lit(0.0))
-    val quantileVec = when(col("col_type").isin("integer", "float"),
+    // reference omits the quantile vector for all-null, single-row, or
+    // single-valued columns (data_prep.py:231-232 guard)
+    val quantileVec = when(col("col_type").isin("integer", "float") &&
+        (col("rows") - col("num_nan")) > 1 && col("unique") > 1,
       concat(col("deciles"),
         array(col("mean"), stdAdj, col("min_v"), col("max_v")))) // A8: 13 floats
 
