@@ -38,10 +38,13 @@ object RobustCsv {
     }
   }
 
-  /** Strip quotes/space, drop newlines+commas, lowercase — P1 semantics. */
+  /** Strip quotes/space, remove newlines+commas (no replacement),
+    * lowercase — exact `sanitize_column_names` semantics
+    * (`data_prep.py:119-125`: `strip('\'" ').replace('\n','')
+    * .replace(',','').lower()`). */
   def sanitizeName(name: String): String =
-    name.trim.stripPrefix("\"").stripSuffix("\"")
-      .replace("\n", " ").replace(",", " ").trim.toLowerCase
+    name.replaceAll("^['\" ]+", "").replaceAll("['\" ]+$", "")
+      .replace("\n", "").replace(",", "").toLowerCase
 
   /** Read one CSV (optionally compressed) with the fallback chain. Returns
     * None when the table is unreadable or has <5 rows.
@@ -83,6 +86,10 @@ object RobustCsv {
   /** String→DATE promotion: a string column whose every non-null value
     * parses leniently gains a derived `<col>_DATE` column appended LAST
     * (downstream code depends on that ordering, `embedding_search.py:75-78`).
+    * Divergence noted: the reference also re-types the ORIGINAL string
+    * column as DATE (`get_types`, data_prep.py:92-98) while keeping its
+    * string values; we keep the original typed by its Spark schema — the
+    * derived `_DATE` column carries the date semantics for profiling.
     */
   def promoteDates(df: DataFrame, sampleRows: Int = 1000): DataFrame = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)

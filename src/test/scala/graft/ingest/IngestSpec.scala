@@ -56,9 +56,11 @@ class RobustCsvSpec extends SparkSpec {
     assert(df.filter(df("when_DATE").isNull).count() == 0)
   }
 
-  test("sanitizeName strips quotes, newlines, commas, lowers") {
-    assert(RobustCsv.sanitizeName("\" First,Name \"") == "first name")
-    assert(RobustCsv.sanitizeName("A\nB") == "a b")
+  test("sanitizeName strips quotes, removes newlines/commas, lowers") {
+    // exact reference semantics: ',' and '\n' removed, not replaced
+    assert(RobustCsv.sanitizeName("\" First,Name \"") == "firstname")
+    assert(RobustCsv.sanitizeName("A\nB") == "ab")
+    assert(RobustCsv.sanitizeName("' Price '") == "price")
   }
 }
 
