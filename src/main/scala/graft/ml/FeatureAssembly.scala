@@ -21,17 +21,23 @@ object FeatureAssembly {
   val StatsWidth = 16   // unique, num_nan, cell_width, 13 quantiles
   val DefaultPad = 768  // reference hidden size
 
-  /** Per-column stats vector, z-scored then zero-padded to `width`. */
+  /** Per-column stats vector: `[unique, num_nan, cell_width, quantile13,
+    * 0-pad]` to full width, then z-scored over the WHOLE width — the
+    * reference z-scores after padding (`tabular_tokenizer.py:222-234`), so
+    * the pad slots carry the common (0−μ)/σ value. Missing cell_width
+    * defaults to the CELL_WIDTH_BYTES constant 1.0 (`:201-204,51`);
+    * missing/NaN quantiles → 0 (`:217-218`).
+    */
   def statsVector(width: Int = DefaultPad): Column = {
     val raw = concat(
       array(col("unique").cast("double"), col("num_nan").cast("double"),
-        coalesce(col("cell_width"), lit(0.0))),
-      coalesce(col("quantile"), array_repeat(lit(0.0), 13)))
-    // z-score over the 16 slots (stats.zscore at tabular_tokenizer.py:231-234)
-    val mu = aggregate(raw, lit(0.0), (a, x) => a + x) / lit(StatsWidth)
-    val sd = sqrt(aggregate(raw, lit(0.0), (a, x) => a + (x - mu) * (x - mu)) / lit(StatsWidth))
-    val z = transform(raw, x => when(sd === 0, lit(0.0)).otherwise((x - mu) / sd))
-    concat(z, array_repeat(lit(0.0), width - StatsWidth))
+        coalesce(col("cell_width"), lit(1.0))),
+      transform(coalesce(col("quantile"), array_repeat(lit(0.0), 13)),
+        q => coalesce(q, lit(0.0))),
+      array_repeat(lit(0.0), width - StatsWidth))
+    val mu = aggregate(raw, lit(0.0), (a, x) => a + x) / lit(width)
+    val sd = sqrt(aggregate(raw, lit(0.0), (a, x) => a + (x - mu) * (x - mu)) / lit(width))
+    transform(raw, x => when(sd === 0, lit(0.0)).otherwise((x - mu) / sd))
   }
 
   /** Per-column minhash vector: exact + words digests scaled by 1e-8,
@@ -43,6 +49,17 @@ object FeatureAssembly {
     concat(transform(mh, x => x.cast("double") / 1e8),
       array_repeat(lit(0.0), width - 200))
   }
+
+  /** Content-snapshot slot vector (T4 layout: sequence position 1 carries
+    * the whole-table snapshot, `tabular_tokenizer.py:175-181`):
+    * `[snapshot/1e8, 0-pad]` in the minhash channel, zeros in the stats
+    * channel. Input: the snapshots relation (table_name, content_snapshot).
+    */
+  def snapshotTensor(snapshots: DataFrame, width: Int = DefaultPad): DataFrame =
+    snapshots.select(col("table_name"),
+      array_repeat(lit(0.0), width).as("stats_vec"),
+      concat(transform(col("content_snapshot"), x => x.cast("double") / 1e8),
+        array_repeat(lit(0.0), width - 100)).as("minhash_vec"))
 
   /** T1: table text assembly `"{table} [SEP] col1 [SEP] col2 …"`. */
   def tableText(profiles: DataFrame): DataFrame =

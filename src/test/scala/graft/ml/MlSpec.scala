@@ -58,9 +58,22 @@ class FeatureAssemblySpec extends SparkSpec {
       val sv = r.getAs[scala.collection.Seq[Double]]("stats_vec")
       val mv = r.getAs[scala.collection.Seq[Double]]("minhash_vec")
       assert(sv.length == 256 && mv.length == 256)
-      assert(sv.drop(16).forall(_ == 0.0))
+      // z-scored over the FULL width (reference pads THEN zscores): pad
+      // slots all share the (0-mu)/sd value, and the whole vector is
+      // zero-mean
+      assert(sv.drop(16).distinct.size == 1)
+      assert(math.abs(sv.sum) < 1e-9)
       assert(mv.take(200).forall(v => v >= 0 && v < 43.0)) // 2^32/1e8
     }
+  }
+
+  test("snapshotTensor carries the table snapshot in the minhash channel") {
+    val docs = (1 to 30).map(i => (i.toLong, s"v$i")).toDF("a", "b")
+    val snap = graft.profile.Profiler.contentSnapshot(docs, "t")
+    val out = FeatureAssembly.snapshotTensor(snap, width = 128).collect()(0)
+    assert(out.getAs[scala.collection.Seq[Double]]("stats_vec").forall(_ == 0.0))
+    val mv = out.getAs[scala.collection.Seq[Double]]("minhash_vec")
+    assert(mv.take(100).exists(_ > 0) && mv.drop(100).forall(_ == 0.0))
   }
 
   test("tableText builds [SEP]-joined column text (T1)") {
