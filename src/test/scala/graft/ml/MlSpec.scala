@@ -91,3 +91,29 @@ class FeatureAssemblySpec extends SparkSpec {
     assert(vec.numNonzeros > 0)
   }
 }
+
+class PoolingSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("meanPool averages token vectors per group in slot order (Q1)") {
+    val df = Seq(
+      ("t1", 0, Array(1.0f, 2.0f, 3.0f)),
+      ("t1", 0, Array(3.0f, 4.0f, 5.0f)),
+      ("t1", 1, Array(10.0f, 0.0f, 0.0f)))
+      .toDF("table", "col_idx", "vec")
+    val pooled = Pooling.meanPool(df, Seq("table", "col_idx"), "vec")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        r.getAs[scala.collection.Seq[Double]]("pooled")).toMap
+    assert(pooled(("t1", 0)) == Seq(2.0, 3.0, 4.0))
+    assert(pooled(("t1", 1)) == Seq(10.0, 0.0, 0.0))
+  }
+
+  test("l2Normalize produces unit vectors; zero vector stays zero") {
+    val df = Seq(Array(3.0f, 4.0f), Array(0.0f, 0.0f)).toDF("v")
+    val out = df.select(Pooling.l2Normalize(col("v"))).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0))
+    assert(out(0) == Seq(0.6, 0.8))
+    assert(out(1) == Seq(0.0, 0.0))
+  }
+}
