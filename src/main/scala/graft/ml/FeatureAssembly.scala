@@ -28,6 +28,15 @@ object FeatureAssembly {
     * defaults to the CELL_WIDTH_BYTES constant 1.0 (`:201-204,51`);
     * missing/NaN quantiles → 0 (`:217-218`).
     */
+  private val zscoreUdf = udf { (arr: Seq[Double]) =>
+    val n = arr.length
+    val mu = arr.sum / n
+    var s2 = 0.0
+    arr.foreach { x => val d = x - mu; s2 += d * d }
+    val sd = math.sqrt(s2 / n)
+    if (sd == 0) arr.map(_ => 0.0) else arr.map(x => (x - mu) / sd)
+  }
+
   def statsVector(width: Int = DefaultPad): Column = {
     val raw = concat(
       array(col("unique").cast("double"), col("num_nan").cast("double"),
@@ -35,9 +44,10 @@ object FeatureAssembly {
       transform(coalesce(col("quantile"), array_repeat(lit(0.0), 13)),
         q => coalesce(q, lit(0.0))),
       array_repeat(lit(0.0), width - StatsWidth))
-    val mu = aggregate(raw, lit(0.0), (a, x) => a + x) / lit(width)
-    val sd = sqrt(aggregate(raw, lit(0.0), (a, x) => a + (x - mu) * (x - mu)) / lit(width))
-    transform(raw, x => when(sd === 0, lit(0.0)).otherwise((x - mu) / sd))
+    // z-score in ONE UDF pass: expressing μ/σ as nested Column aggregates
+    // re-inlines them per element (a ~10^5-node tree whose codegen costs
+    // seconds); one row per table column makes a UDF the right tool here
+    zscoreUdf(raw)
   }
 
   /** Per-column minhash vector: exact + words digests scaled by 1e-8,
