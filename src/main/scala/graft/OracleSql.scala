@@ -65,23 +65,20 @@ object OracleSql {
       }
     }.mkString("\n    UNION ALL ")
     s"""WITH cv AS (
-       |  SELECT t, ci, v FROM (
+       |  SELECT t, ci, v, count(*) OVER (PARTITION BY t, ci) AS n FROM (
        |    $cv
        |  ) WHERE v IS NOT NULL AND v <> ''
-       |), sizes AS (
-       |  SELECT t, ci, count(*) AS n FROM cv GROUP BY t, ci
        |), q AS (
-       |  SELECT ci AS q_ci, v FROM cv WHERE t = 'supplier'
+       |  SELECT ci AS q_ci, v, n AS n_q FROM cv WHERE t = 'supplier'
        |), c AS (
-       |  SELECT t, ci, v FROM cv WHERE t <> 'supplier'
+       |  SELECT t, ci, v, n AS n_c FROM cv WHERE t <> 'supplier'
        |), inter AS (
-       |  SELECT q.q_ci, c.t, c.ci, count(*) AS ni FROM c JOIN q USING (v) GROUP BY 1, 2, 3
+       |  SELECT q.q_ci, c.t, c.ci, q.n_q, c.n_c, count(*) AS ni
+       |  FROM c JOIN q USING (v) GROUP BY 1, 2, 3, 4, 5
        |), dists AS (
        |  SELECT i.q_ci, i.t AS cand_table, i.ci AS cand_ci,
-       |         1.0 - CAST(i.ni AS DOUBLE) / (qs.n + cs.n - i.ni) AS dist
+       |         1.0 - CAST(i.ni AS DOUBLE) / (i.n_q + i.n_c - i.ni) AS dist
        |  FROM inter i
-       |  JOIN sizes qs ON qs.t = 'supplier' AND qs.ci = i.q_ci
-       |  JOIN sizes cs ON cs.t = i.t AND cs.ci = i.ci
        |), knn AS (
        |  SELECT * FROM dists
        |  QUALIFY row_number() OVER (PARTITION BY q_ci ORDER BY dist, cand_table, cand_ci) <= 30

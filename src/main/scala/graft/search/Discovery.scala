@@ -91,24 +91,24 @@ object Discovery {
     * col_idx, col_name, value_str) relation.
     */
   def columnDistancesExact(values: DataFrame, queryTable: String): DataFrame = {
+    // Per-column distinct sizes ride on each value row via a window —
+    // separate sizes aggregates would fork two more copies of the whole
+    // distinct-values subtree (4 scans instead of 2).
+    val wCol = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table_name"), col("col_idx"))
     val cv = values.filter(col("value_str").isNotNull)
       .select(col("table_name"), col("col_idx"), col("value_str")).distinct()
-    val sizes = cv.groupBy("table_name", "col_idx")
-      .agg(count(lit(1)).as("n_distinct"))
+      .withColumn("n_distinct", count(lit(1)).over(wCol))
     val q = cv.filter(col("table_name") === queryTable)
-      .select(col("col_idx").as("q_col_idx"), col("value_str"))
+      .select(col("col_idx").as("q_col_idx"), col("value_str"),
+        col("n_distinct").as("n_q"))
     val c = cv.filter(col("table_name") =!= queryTable)
       .select(col("table_name").as("cand_table"),
-        col("col_idx").as("cand_col_idx"), col("value_str"))
-    val inter = c.join(broadcast(q), "value_str")
-      .groupBy("q_col_idx", "cand_table", "cand_col_idx")
+        col("col_idx").as("cand_col_idx"), col("value_str"),
+        col("n_distinct").as("n_c"))
+    c.join(broadcast(q), "value_str")
+      .groupBy("q_col_idx", "cand_table", "cand_col_idx", "n_q", "n_c")
       .agg(count(lit(1)).as("n_inter"))
-    val qs = sizes.filter(col("table_name") === queryTable)
-      .select(col("col_idx").as("q_col_idx"), col("n_distinct").as("n_q"))
-    val cs = sizes.select(col("table_name").as("cand_table"),
-      col("col_idx").as("cand_col_idx"), col("n_distinct").as("n_c"))
-    inter.join(broadcast(qs), "q_col_idx")
-      .join(cs, Seq("cand_table", "cand_col_idx"))
       .withColumn("dist",
         lit(1.0) - col("n_inter") / (col("n_q") + col("n_c") - col("n_inter")))
       .select("q_col_idx", "cand_table", "cand_col_idx", "dist")
