@@ -4,8 +4,410 @@ package graft
   * `SparkEntry.queries`. Aliases, rounding, and arithmetic paths match the
   * Spark implementations exactly (decimal-exact money sums, round-6 on
   * order-dependent double aggregates).
+  *
+  * Sketch queries are verified EXACTLY: the engine's MinHash/SimHash base
+  * hash is MD5-derived (`MinHash.md5Low32/md5Low64` == DuckDB
+  * `md5_number_lower`), and the permutation constants below are embedded
+  * from the same `MinHash.perms()` the engine uses, so DuckDB recomputes
+  * whole digests independently and the driver hash-compares them.
   */
 object OracleSql {
+
+  // ---------- sketch-oracle building blocks ----------
+
+  private val MersenneP = "2305843009213693951" // 2^61 - 1, MinHash.MersennePrime
+
+  /** The engine's 100 permutation constants as a VALUES CTE. */
+  private def permsCte: String = {
+    val p = graft.core.MinHash.perms()
+    val rows = (0 until graft.core.MinHash.NumPerm)
+      .map(i => s"(${i},${p.a(i)},${p.b(i)})").mkString(",")
+    s"perms(pi, pa, pb) AS (SELECT * FROM (VALUES $rows) _p(pi, pa, pb))"
+  }
+
+  /** min-over-values of one permuted slot: mirrors MinHash.permuteInto —
+    * `((a*h + b) mod p) & 0xffffffff` with h = md5Low32(v). */
+  private def mhSlotMin(v: String): String =
+    s"min(CAST((CAST(pa AS HUGEINT) * CAST((md5_number_lower($v) & 4294967295) AS BIGINT) + pb) % $MersenneP AS BIGINT) & 4294967295)"
+
+  /** Logical schema of the driver lake (verified against the parquet
+    * footers) — (column, logical type in the reference's 4-type system). */
+  private val lakeSchemas: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "integer", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "integer", "n_name" -> "string",
+      "n_regionkey" -> "integer"),
+    "customer" -> Seq("c_custkey" -> "integer", "c_name" -> "string",
+      "c_nationkey" -> "integer", "c_acctbal" -> "float", "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "integer", "s_name" -> "string",
+      "s_nationkey" -> "integer", "s_acctbal" -> "float"),
+    "part" -> Seq("p_partkey" -> "integer", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "integer",
+      "p_retailprice" -> "float"),
+    "orders" -> Seq("o_orderkey" -> "integer", "o_custkey" -> "integer",
+      "o_orderstatus" -> "string", "o_totalprice" -> "float",
+      "o_orderdate" -> "date", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "integer", "l_partkey" -> "integer",
+      "l_suppkey" -> "integer", "l_linenumber" -> "integer",
+      "l_quantity" -> "float", "l_extendedprice" -> "float",
+      "l_discount" -> "float", "l_tax" -> "float", "l_returnflag" -> "string",
+      "l_linestatus" -> "string", "l_shipdate" -> "date"),
+    "documents" -> Seq("doc_id" -> "integer", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "integer"),
+    "embeddings" -> Seq("vec_id" -> "integer", "embedding" -> "other",
+      "label" -> "integer"),
+    "events" -> Seq("event_id" -> "integer", "ts" -> "date",
+      "user_id" -> "integer", "event_type" -> "string", "value" -> "float",
+      "props" -> "string"))
+
+  /** Long-format values relation for a set of tables: (t, ci, v) with the
+    * same string rendering as Profiler.longFormat (P2 empty→null on string
+    * columns). `cap` mirrors the engine's deterministic first-N row cap.
+    */
+  private def valsCte(tables: Seq[String], cap: Option[Int]): String = {
+    val selects = tables.flatMap { tbl =>
+      val src = cap.map(n => s"(SELECT * FROM $tbl LIMIT $n)").getOrElse(tbl)
+      lakeSchemas(tbl).zipWithIndex.map { case ((c, lt), i) =>
+        val render =
+          if (lt == "string") s"nullif(CAST($c AS VARCHAR), '')"
+          else s"CAST($c AS VARCHAR)"
+        s"SELECT '$tbl' AS t, $i AS ci, $render AS v FROM $src"
+      }
+    }
+    s"vals AS (\n  ${selects.mkString("\n  UNION ALL ")}\n)"
+  }
+
+  /** (t, ci, col_name, col_type) metadata VALUES CTE. */
+  private def metaCte(tables: Seq[String]): String = {
+    val rows = tables.flatMap { tbl =>
+      lakeSchemas(tbl).zipWithIndex.map { case ((c, lt), i) =>
+        s"('$tbl',$i,'$c','$lt')"
+      }
+    }.mkString(",")
+    s"meta(t, ci, cn, ct) AS (SELECT * FROM (VALUES $rows) _m(t, ci, cn, ct))"
+  }
+
+  /** Exact-value + word-token digest CTEs over `vals` → edig(t, ci,
+    * mh_exact list) and wdig(t, ci, mh_words list), each slot-ordered. */
+  private val digestCtes: String =
+    s"""dvals AS (SELECT DISTINCT t, ci, v FROM vals WHERE v IS NOT NULL),
+       |emins AS (SELECT t, ci, pi, ${mhSlotMin("v")} AS mh
+       |          FROM dvals CROSS JOIN perms GROUP BY t, ci, pi),
+       |edig AS (SELECT t, ci, list(mh ORDER BY pi) AS d FROM emins GROUP BY t, ci),
+       |wvals AS (SELECT DISTINCT t, ci, tok FROM (
+       |            SELECT v.t, v.ci, unnest(string_split_regex(v.v, '\\s+')) AS tok
+       |            FROM vals v JOIN meta USING (t, ci)
+       |            WHERE v.v IS NOT NULL AND meta.ct = 'string') WHERE tok <> ''),
+       |wmins AS (SELECT t, ci, pi, ${mhSlotMin("tok")} AS mh
+       |          FROM wvals CROSS JOIN perms GROUP BY t, ci, pi),
+       |wdig AS (SELECT t, ci, list(mh ORDER BY pi) AS d FROM wmins GROUP BY t, ci)""".stripMargin
+
+  /** profile_sketches: stats + stringified exact/word digests per column of
+    * the five dimension tables (mirrors Profiler.profile + the md5 MinHash).
+    */
+  private def profileSketchesSql: String = {
+    val tables = Seq("customer", "supplier", "nation", "region", "part")
+    s"""WITH $permsCte,
+       |${valsCte(tables, Some(10000))},
+       |${metaCte(tables)},
+       |stats AS (
+       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
+       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
+       |         round(CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v), 6) AS cw
+       |  FROM vals GROUP BY t, ci),
+       |$digestCtes
+       |SELECT meta.t AS table_name, CAST(meta.ci AS BIGINT) AS col_idx,
+       |  meta.cn AS col_name, meta.ct AS col_type,
+       |  stats.n_rows, stats.num_nan, stats.n_unique,
+       |  CASE WHEN meta.ct = 'string' THEN stats.cw END AS cell_width_r,
+       |  array_to_string(edig.d, ',') AS mh_exact,
+       |  CASE WHEN meta.ct = 'string' THEN array_to_string(wdig.d, ',') END AS mh_words
+       |FROM meta JOIN stats USING (t, ci) JOIN edig USING (t, ci)
+       |LEFT JOIN wdig USING (t, ci)
+       |ORDER BY table_name, col_idx""".stripMargin
+  }
+
+  /** content_snapshots: one digest per table over space-joined row strings
+    * (A13/P7; mirrors Profiler.contentSnapshot over first-10k-capped reads).
+    */
+  private def contentSnapshotsSql: String = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents")
+    val rowSelects = tables.map { tbl =>
+      val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
+      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM (SELECT * FROM $tbl LIMIT 10000)"
+    }
+    s"""WITH $permsCte,
+       |rows_cte AS (
+       |  ${rowSelects.mkString("\n  UNION ALL ")}
+       |),
+       |drows AS (SELECT DISTINCT t, rs FROM rows_cte),
+       |mins AS (SELECT t, pi, ${mhSlotMin("rs")} AS mh
+       |         FROM drows CROSS JOIN perms GROUP BY t, pi)
+       |SELECT t AS table_name, array_to_string(list(mh ORDER BY pi), ',') AS snapshot
+       |FROM mins GROUP BY t ORDER BY table_name""".stripMargin
+  }
+
+  /** j5_minhash_pairs: cross-table column-pair jaccard/containment from the
+    * digests (mirrors SparkEntry.minhashJaccardPairs + MinHash.containment).
+    */
+  private def minhashPairsSql: String = {
+    val tables = Seq("customer", "supplier", "orders", "part", "lineitem")
+    s"""WITH $permsCte,
+       |${valsCte(tables, Some(10000))},
+       |${metaCte(tables)},
+       |uq AS (
+       |  SELECT t, ci, count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS u
+       |  FROM vals GROUP BY t, ci),
+       |dvals AS (SELECT DISTINCT t, ci, v FROM vals WHERE v IS NOT NULL),
+       |emins AS (SELECT t, ci, pi, ${mhSlotMin("v")} AS mh
+       |          FROM dvals CROSS JOIN perms GROUP BY t, ci, pi),
+       |dig AS (SELECT t, ci, list(mh ORDER BY pi) AS d FROM emins GROUP BY t, ci),
+       |cols AS (
+       |  SELECT meta.t, meta.ci, meta.cn, dig.d, uq.u
+       |  FROM meta JOIN dig USING (t, ci) JOIN uq USING (t, ci)),
+       |pairs AS (
+       |  SELECT a.t || '.' || a.cn AS col_a, b.t || '.' || b.cn AS col_b,
+       |    CAST(len([i FOR i IN range(1, 101) IF a.d[i] = b.d[i]]) AS DOUBLE) / 100.0 AS j,
+       |    CAST(a.u AS DOUBLE) AS ua, CAST(b.u AS DOUBLE) AS ub
+       |  FROM cols a JOIN cols b ON a.t < b.t)
+       |SELECT col_a, col_b, round(j, 6) AS jaccard_est,
+       |  round(CASE WHEN ua <= 0 THEN 0.0
+       |             ELSE least(1.0, (j * (ua + ub)) / ((1.0 + j) * ua)) END, 6) AS containment_est
+       |FROM pairs WHERE round(j, 6) > 0.05
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** d_minhash_lsh: 3-word-shingle MinHash near-dup pairs with the SAME
+    * banding semantics as Dedup.minhashNearDups (bands of 5 consecutive
+    * slots; a pair is a candidate iff some band matches in full), verified
+    * at jaccard ≥ 0.05.
+    */
+  private def minhashLshSql: String =
+    s"""WITH $permsCte,
+       |d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+       |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+       |      FROM d),
+       |sv AS (SELECT DISTINCT doc_id, unnest(sh) AS v FROM g),
+       |mins AS (SELECT doc_id, pi, ${mhSlotMin("v")} AS mh
+       |         FROM sv CROSS JOIN perms GROUP BY doc_id, pi),
+       |dig AS (SELECT doc_id, list(mh ORDER BY pi) AS d FROM mins GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len([i FOR i IN range(1, 101) IF a.d[i] = b.d[i]]) AS DOUBLE) / 100.0 AS jaccard,
+       |    len([bb FOR bb IN range(0, 20) IF list_slice(a.d, 5*bb+1, 5*bb+5) = list_slice(b.d, 5*bb+1, 5*bb+5)]) AS nb
+       |  FROM dig a JOIN dig b ON a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, jaccard FROM pairs
+       |WHERE nb > 0 AND jaccard >= 0.05
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** d_simhash_pairs: 64-bit SimHash (md5Low64 token hash) + Hamming. */
+  private def simhashPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents WHERE doc_id <= 40),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    bit_or(CASE WHEN cnt > 0 THEN (CAST(1 AS UBIGINT) << b) ELSE CAST(0 AS UBIGINT) END) AS s
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |ORDER BY hamming, id_a, id_b LIMIT 100""".stripMargin
+
+  /** d_emb_neardups: exact all-pairs cosine ≥ 0.35 (the engine falls back
+    * to Ann.exactCosinePairs at thresholds where banding can't reach the
+    * recall target). */
+  private def embNearDupsSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** a15_content_hash: order-independent md5Low64 row-hash sum per table
+    * (mirrors Augment.contentHash: \\u0001-joined row, \\u0002 null marker,
+    * header hash added). */
+  private def contentHashSql: String = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part")
+    tables.map { tbl =>
+      val cols = lakeSchemas(tbl).map(_._1)
+      val rendered = cols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(2))")
+      val header = cols.mkString(",")
+      s"""SELECT '$tbl' AS table_name,
+         |  CAST(SUM(CAST(md5_number_lower(rs) AS HUGEINT)) + CAST(md5_number_lower('$header') AS HUGEINT) AS VARCHAR) AS content_hash,
+         |  count(*) AS "rows"
+         |FROM (SELECT concat_ws(chr(1), ${rendered.mkString(", ")}) AS rs FROM $tbl)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
+  /** type_inference: DuckDB's own parquet schema read mapped into the
+    * reference's 4-type system. */
+  private def typeInferenceSql: String = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val describes = tables.map { tbl =>
+      s"SELECT '$tbl' AS table_name, row_number() OVER () AS idx, column_name, column_type FROM (DESCRIBE $tbl)"
+    }
+    s"""SELECT table_name, CAST(idx - 1 AS BIGINT) AS col_idx, column_name AS col_name,
+       |  CASE WHEN column_type LIKE '%[]' OR column_type LIKE 'STRUCT%'
+       |            OR column_type LIKE 'MAP%' OR column_type = 'BLOB' THEN 'other'
+       |       WHEN column_type LIKE 'TIMESTAMP%' OR column_type = 'DATE' THEN 'date'
+       |       WHEN column_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT') THEN 'integer'
+       |       WHEN column_type IN ('FLOAT','DOUBLE') OR column_type LIKE 'DECIMAL%' THEN 'float'
+       |       WHEN column_type IN ('VARCHAR','BOOLEAN') THEN 'string'
+       |       ELSE 'other' END AS col_type
+       |FROM (${describes.mkString("\nUNION ALL ")})
+       |ORDER BY table_name, col_idx""".stripMargin
+  }
+
+  /** t1_feature_tensors: per-column stats + minhash tensors of customer/
+    * nation/region, rendered as DECIMAL(28,6)-joined strings. The z-score
+    * mirrors FeatureAssembly.zscoreUdf's exact FP expression tree:
+    * μ = (x1+…+x16)/256 (pad zeros add exactly nothing), variance =
+    * Σ(xi−μ)² + (240·μ)·μ (closed-form pad term), σ = √(s2/256).
+    */
+  private def featureTensorsSql: String = {
+    val tables = Seq("customer", "nation", "region")
+    val width = 256
+    val head = 16
+    // numeric long-format values for the quantile branch
+    val nvalSelects = tables.flatMap { tbl =>
+      lakeSchemas(tbl).zipWithIndex.collect {
+        case ((c, lt), i) if lt == "integer" || lt == "float" =>
+          s"SELECT '$tbl' AS t, $i AS ci, CAST($c AS DOUBLE) AS nv FROM $tbl"
+      }
+    }
+    val qCols = (1 to 9).map(i => s"quantile_cont(nv, 0.$i) AS q$i").mkString(", ")
+    val meanE = "CAST(SUM(CAST(nv AS DECIMAL(18,2))) AS DOUBLE) / count(nv)"
+    val raw =
+      (Seq("CAST(n_unique AS DOUBLE)", "CAST(num_nan AS DOUBLE)",
+        "coalesce(CASE WHEN ct = 'string' THEN cw END, 1.0)") ++
+        (1 to 9).map(i => s"CASE WHEN qok THEN q$i ELSE 0.0 END") ++
+        Seq("CASE WHEN qok THEN mean_e ELSE 0.0 END",
+          "CASE WHEN qok AND n_unique > 2 THEN std_e ELSE 0.0 END",
+          "CASE WHEN qok THEN mn ELSE 0.0 END",
+          "CASE WHEN qok THEN mx ELSE 0.0 END"))
+        .zipWithIndex.map { case (e, i) => s"$e AS x${i + 1}" }
+    val xs = (1 to head).map(i => s"x$i")
+    val muExpr = s"(${xs.mkString(" + ")}) / $width.0"
+    val s2Expr = xs.map(x => s"($x - mu) * ($x - mu)").mkString(" + ") +
+      s" + (($width - $head) * mu) * mu"
+    val zList = xs.map(x => s"CAST(($x - mu) / sd AS DECIMAL(28,6))").mkString(", ")
+    val zerosTail = (n: Int) => s"repeat(',0.000000', $n)"
+    val mhToDec = (d: String) =>
+      s"array_to_string(list_transform($d, _h -> CAST(CAST(_h AS DOUBLE) / 100000000.0 AS DECIMAL(28,6))), ',')"
+    s"""WITH $permsCte,
+       |${valsCte(tables, Some(10000))},
+       |${metaCte(tables)},
+       |stats AS (
+       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
+       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
+       |         CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v) AS cw
+       |  FROM vals GROUP BY t, ci),
+       |nvals AS (
+       |  ${nvalSelects.mkString("\n  UNION ALL ")}
+       |),
+       |q0 AS (
+       |  SELECT t, ci, $qCols, $meanE AS mean_e,
+       |    sqrt(greatest(CAST(SUM(CAST(nv AS DECIMAL(18,2)) * CAST(nv AS DECIMAL(18,2))) AS DOUBLE) / count(nv)
+       |      - ($meanE) * ($meanE), 0.0)) AS std_e,
+       |    min(nv) AS mn, max(nv) AS mx
+       |  FROM nvals GROUP BY t, ci),
+       |$digestCtes,
+       |raw0 AS (
+       |  SELECT meta.t, meta.ci, meta.cn, meta.ct, edig.d AS ed, wdig.d AS wd,
+       |    stats.n_rows, stats.num_nan, stats.n_unique, stats.cw,
+       |    q0.q1, q0.q2, q0.q3, q0.q4, q0.q5, q0.q6, q0.q7, q0.q8, q0.q9,
+       |    q0.mean_e, q0.std_e, q0.mn, q0.mx,
+       |    (meta.ct IN ('integer', 'float') AND (stats.n_rows - stats.num_nan) > 1
+       |      AND stats.n_unique > 1 AND q0.mean_e IS NOT NULL) AS qok
+       |  FROM meta JOIN stats USING (t, ci)
+       |  JOIN edig USING (t, ci) LEFT JOIN wdig USING (t, ci)
+       |  LEFT JOIN q0 USING (t, ci)),
+       |raw AS (
+       |  SELECT t, ci, cn, ct, ed, wd,
+       |    ${raw.mkString(",\n    ")}
+       |  FROM raw0),
+       |m1 AS (SELECT *, $muExpr AS mu FROM raw),
+       |m2 AS (SELECT *, sqrt(($s2Expr) / $width.0) AS sd FROM m1)
+       |SELECT t AS table_name, CAST(ci AS BIGINT) AS col_idx, cn AS col_name,
+       |  ct AS col_type,
+       |  CASE WHEN sd = 0 THEN '0.000000' || ${zerosTail(width - 1)}
+       |       ELSE array_to_string([$zList], ',')
+       |            || repeat(',' || CAST(CAST((-mu) / sd AS DECIMAL(28,6)) AS VARCHAR), ${width - head}) END AS stats_vec_str,
+       |  ${mhToDec("ed")} || ',' ||
+       |    CASE WHEN ct = 'string' AND wd IS NOT NULL THEN ${mhToDec("wd")}
+       |         ELSE '0.000000' || ${zerosTail(99)} END
+       |    || ${zerosTail(width - 200)} AS mh_vec_str
+       |FROM m2 ORDER BY table_name, col_idx""".stripMargin
+  }
+
+  /** t_lang_quality: the n-gram-marker language heuristic + composite
+    * quality score, grouped by (lang, lang_pred) — mirrors
+    * TextFunctions.lang_id (non-overlapping marker counts, deterministic
+    * argmax) and quality_score.
+    */
+  private def langQualitySql: String = {
+    val markers = graft.functions.TextFunctions.langMarkers
+    val cntSelects = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val cnt = ms.map { m =>
+        s"(length(t) - length(replace(t, '$m', ''))) // ${m.length}"
+      }.mkString(" + ")
+      s"SELECT doc_id, '$lang' AS cand, $cnt AS cnt FROM t0"
+    }
+    val nTok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    val punctR = "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END"
+    val stopR = s"CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ($stopList))) AS DOUBLE) / len(string_split_regex(lower(trim(text)), '\\s+'))"
+    s"""WITH t0 AS (
+       |  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS t FROM documents),
+       |scores AS (
+       |  ${cntSelects.mkString("\n  UNION ALL ")}
+       |),
+       |best AS (
+       |  SELECT doc_id, cand, cnt,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, CASE WHEN cand = 'en' THEN 0 ELSE 1 END, cand) AS rn
+       |  FROM scores),
+       |marker AS (
+       |  SELECT doc_id, CASE WHEN cnt = 0 THEN 'und' ELSE cand END AS marker_pred
+       |  FROM best WHERE rn = 1),
+       |pred AS (
+       |  SELECT t0.lang,
+       |    CASE WHEN t0.text IS NULL OR trim(t0.text) = '' THEN 'und'
+       |         WHEN length(regexp_replace(t0.t, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 2 > length(t0.t) THEN 'zh'
+       |         ELSE m.marker_pred END AS lang_pred,
+       |    round(
+       |      (CASE WHEN ($nTok) < 5 THEN CAST(($nTok) AS DOUBLE) / 5.0
+       |            WHEN ($nTok) > 5000 THEN 0.5 ELSE 1.0 END) * 0.4
+       |      + (1.0 - least(($punctR) * 2.0, 1.0)) * 0.3
+       |      + least(($stopR) * 4.0, 1.0) * 0.3, 6) AS q
+       |  FROM t0 JOIN marker m USING (doc_id))
+       |SELECT lang, lang_pred, count(*) AS n,
+       |  round(CAST(SUM(CAST(q AS DECIMAL(20,6))) AS DOUBLE) / count(q), 6) AS avg_quality
+       |FROM pred GROUP BY lang, lang_pred
+       |ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  /** mm_media_stats: binary-column probe over the documents-derived media
+    * relation (payload = UTF-8 text bytes; DuckDB md5/hex hash the same
+    * bytes). */
+  private def mediaStatsSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  substr(hex(text), 1, 8) AS magic
+      |FROM documents ORDER BY media_id""".stripMargin
 
   private val lineitemNumeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -293,6 +695,19 @@ object OracleSql {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |ORDER BY kind""".stripMargin,
+
+    // ---- sketch pipeline (digest-exact via md5-derived base hash) ----
+    "profile_sketches" -> profileSketchesSql,
+    "content_snapshots" -> contentSnapshotsSql,
+    "j5_minhash_pairs" -> minhashPairsSql,
+    "d_minhash_lsh" -> minhashLshSql,
+    "d_simhash_pairs" -> simhashPairsSql,
+    "d_emb_neardups" -> embNearDupsSql,
+    "a15_content_hash" -> contentHashSql,
+    "type_inference" -> typeInferenceSql,
+    "t1_feature_tensors" -> featureTensorsSql,
+    "t_lang_quality" -> langQualitySql,
+    "mm_media_stats" -> mediaStatsSql,
 
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),

@@ -35,19 +35,35 @@ object SparkEntry {
   private val catalogCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** O1: the reference caps every table read at 10 k rows before sketching
+    * (`data_prep.py:27`); the deterministic first-N analogue lives in
+    * `Lake.read`. Uncapped profiling stays available as the explicit
+    * engine mode (`Profiler.profileLake(rowCap = None)`).
+    */
+  val RowCap = 10000
+
   // keyed by session too: a cached plan is bound to the session that built
   // it and must not leak into a successor session in the same JVM
   private def lakeCatalog(s: SparkSession, dir: String): DataFrame =
     catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#profiles",
-      Profiler.profileLake(s, dir, LakeTables).persist())
+      Profiler.profileLake(s, dir, LakeTables, rowCap = Some(RowCap)).persist())
 
   private def lakeSnapshots(s: SparkSession, dir: String): DataFrame =
     catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#snapshots",
-      LakeTables.map(n => Profiler.contentSnapshot(t(s, dir, n), n))
+      SnapshotTables.map(n =>
+        Profiler.contentSnapshot(graft.sources.Lake.read(s, dir, n, Some(RowCap)), n))
         .reduce(_ unionByName _).persist())
 
   val LakeTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Snapshot scope: tables whose row-string rendering is identical across
+    * engines. `events` (sub-second timestamp rendering) and `embeddings`
+    * (float-array rendering) are excluded so the A13 oracle can recompute
+    * the snapshots exactly; both still flow through the profile catalog.
+    */
+  val SnapshotTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "documents")
 
   /** Relational lake used by the exact-search oracle (SQL stays bounded). */
   private val SearchLake = Seq("customer", "nation", "orders", "part", "region", "supplier")
@@ -281,14 +297,32 @@ object SparkEntry {
       Discovery.columnDistancesExact(values, "supplier"), k = 10)
   }
 
-  // ---- rows-only (non-SQL-expressible) operators ----
+  // ---- sketch-pipeline operators ----
+  // The MD5-derived base hash (MinHash.md5Low32 == DuckDB md5_number_lower)
+  // makes every digest below recomputable by the DuckDB oracle, so the
+  // whole sketch pipeline is hash-verified, not rows-only.
 
+  /** A1–A3, A11, A12: per-column stats + exact/word MinHash digests.
+    * Digests travel as comma-joined strings (deterministic, and the
+    * driver's pandas row-sort chokes on raw array columns).
+    */
   private def profileSketches(s: SparkSession, dir: String): DataFrame =
     lakeCatalog(s, dir)
       .filter(col("table_name").isin("customer", "supplier", "nation", "region", "part"))
+      .select(col("table_name"), col("col_idx").cast("long").as("col_idx"),
+        col("col_name"), col("col_type"),
+        col("rows").as("n_rows"), col("num_nan"), col("unique").as("n_unique"),
+        round(col("cell_width"), 6).as("cell_width_r"),
+        array_join(col("minhash_exact"), ",").as("mh_exact"),
+        array_join(col("minhash_words"), ",").as("mh_words"))
+      .orderBy("table_name", "col_idx")
 
+  /** A13 + P7: whole-table content snapshots (MinHash over space-joined
+    * row strings), digest stringified for the oracle compare. */
   private def contentSnapshots(s: SparkSession, dir: String): DataFrame =
-    lakeSnapshots(s, dir).orderBy("table_name")
+    lakeSnapshots(s, dir)
+      .select(col("table_name"), array_join(col("content_snapshot"), ",").as("snapshot"))
+      .orderBy("table_name")
 
   private def searchMinhash(s: SparkSession, dir: String): DataFrame =
     Discovery.searchUnionable(lakeCatalog(s, dir), "supplier", k = 10)
@@ -317,7 +351,7 @@ object SparkEntry {
     val sh = docs.select(col("doc_id").as("id"), simhash64(col("text")).as("sh"))
     sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+        hamming64(col("a.sh"), col("b.sh")).cast("long").as("hamming"))
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
       .limit(100)
   }
@@ -326,14 +360,18 @@ object SparkEntry {
     TextAnalysis.analyze(t(s, dir, "documents"))
       .join(t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"), col("lang_pred"))
-      .agg(count(lit(1)).as("n"), round(avg(col("quality")), 6).as("avg_quality"))
+      // decimal-exact mean of the (round-6) quality scores: FP-order-free,
+      // so the oracle reproduces it bit-for-bit
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("quality").cast(DecimalType(20, 6))).cast("double") /
+          count(col("quality")), 6).as("avg_quality"))
       .orderBy("lang", "lang_pred")
 
   private def typeInference(s: SparkSession, dir: String): DataFrame =
     LakeTables.map { name =>
       val df = t(s, dir, name)
       val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
-        (name, i, f.name, Profiler.logicalType(f.dataType))
+        (name, i.toLong, f.name, Profiler.logicalType(f.dataType))
       }
       s.createDataFrame(rows.toSeq).toDF("table_name", "col_idx", "col_name", "col_type")
     }.reduce(_ unionByName _).orderBy("table_name", "col_idx")
@@ -386,12 +424,40 @@ object SparkEntry {
     graft.ml.PairScoring.pairFeatures(pairs, profiles).orderBy("table1", "table2")
   }
 
-  /** T1+T4: tokenizer-layer tensors (text assembly + fixed-width vectors). */
+  /** T1+T4: tokenizer-layer tensors (stats + minhash channels), rendered
+    * as DECIMAL(28,6)-joined strings — deterministic across engines (a
+    * shortest-repr double print would diverge on tiny z-scores), and the
+    * full 256-wide vectors stay exactly verifiable by the oracle.
+    */
   private def featureTensors(s: SparkSession, dir: String): DataFrame = {
     val profiles = lakeCatalog(s, dir)
       .filter(col("table_name").isin("customer", "nation", "region"))
+    def decStr(c: Column) =
+      array_join(transform(c, x => x.cast(DecimalType(28, 6)).cast("string")), ",")
     graft.ml.FeatureAssembly.columnTensors(profiles, width = 256)
+      .select(col("table_name"), col("col_idx").cast("long").as("col_idx"),
+        col("col_name"), col("col_type"),
+        decStr(col("stats_vec")).as("stats_vec_str"),
+        decStr(col("minhash_vec")).as("mh_vec_str"))
       .orderBy("table_name", "col_idx")
+  }
+
+  /** Multimodal surface: media relation derived deterministically from
+    * `documents` (payload = UTF-8 bytes of text) so the binary-column
+    * plumbing — octet length, payload digest, magic-byte sniff — has a
+    * DuckDB-expressible oracle. Real media only changes the payload bytes.
+    */
+  private def mediaStats(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      lit(null).cast("string").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit(null).cast("struct<width:int,height:int,duration_ms:bigint>").as("meta"))
+    graft.multimodal.Multimodal.mediaStats(media)
+      .withColumn("n_bytes", col("n_bytes").cast("long"))
+      .orderBy("media_id")
   }
 
   /** A14: hashing-trick alt sketch per column. */
@@ -468,6 +534,7 @@ object SparkEntry {
     "m4_pair_features" -> pairFeatures,
     "t1_feature_tensors" -> featureTensors,
     "a14_hashing_sketch" -> hashingSketches,
+    "mm_media_stats" -> mediaStats,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

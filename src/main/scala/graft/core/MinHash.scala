@@ -6,14 +6,21 @@ import net.jpountz.xxhash.XXHashFactory
   *
   * Semantics follow the reference's column sketches
   * (`/root/reference/tabsketchfm/data_prep.py:31-32,264-274`): a
-  * 100-permutation MinHash over a multiset of UTF-8 byte strings, base hash
-  * xxhash32, permuted by `(a*h + b) mod p` truncated to 32 bits, merged by
-  * elementwise min.
+  * 100-permutation MinHash over a multiset of UTF-8 byte strings, permuted
+  * by `(a*h + b) mod p` truncated to 32 bits, merged by elementwise min.
   *
-  * Permutation constants come from a seeded JVM `SplittableRandom` rather
-  * than numpy's `RandomState` (documented divergence — SURVEY.md §7 "Hard
-  * parts" (1)); estimator accuracy, merge algebra, and digest shape are
-  * identical.
+  * Two documented divergences from the reference (SURVEY.md §7 "Hard
+  * parts" (1) — digest-level parity is out of scope by design):
+  *  - permutation constants come from a seeded JVM `SplittableRandom`
+  *    rather than numpy's `RandomState`;
+  *  - the base hash is the low 32 bits of MD5 rather than xxhash32. MD5 is
+  *    computable by any engine (DuckDB: `md5_number_lower(v) & 0xffffffff`
+  *    equals [[md5Low32]] bit-for-bit), which lets an independent SQL
+  *    engine recompute whole digests and verify the entire sketch pipeline
+  *    exactly — worth the ~10× slower base hash, which is still a minority
+  *    of sketch cost next to the 100-slot permute loop.
+  * Estimator accuracy, merge algebra, and digest shape are identical to
+  * the reference.
   */
 object MinHash {
   val NumPerm = 100
@@ -25,11 +32,46 @@ object MinHash {
 
   private val xxFactory = XXHashFactory.fastestJavaInstance()
 
-  /** xxhash32 of UTF-8 bytes, seed 0, as unsigned in a Long. */
+  /** xxhash32 of UTF-8 bytes, seed 0, as unsigned in a Long (kept for API
+    * parity with the reference's base hash; not used in sketching). */
   def xxhash32(bytes: Array[Byte]): Long =
     xxFactory.hash32().hash(bytes, 0, bytes.length, 0) & 0xffffffffL
 
   def xxhash32(s: String): Long = xxhash32(s.getBytes("UTF-8"))
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MD5 of the bytes (thread-local digest instance, reset per call). */
+  def md5(bytes: Array[Byte]): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    md.digest(bytes)
+  }
+
+  /** Base hash: little-endian uint32 of MD5 bytes [8,12) — bit-identical to
+    * DuckDB's `md5_number_lower(v) & 4294967295`, so an independent engine
+    * can recompute digests for verification. */
+  def md5Low32(bytes: Array[Byte]): Long = {
+    val d = md5(bytes)
+    ((d(8) & 0xffL)) | ((d(9) & 0xffL) << 8) | ((d(10) & 0xffL) << 16) | ((d(11) & 0xffL) << 24)
+  }
+
+  def md5Low32(s: String): Long = md5Low32(s.getBytes("UTF-8"))
+
+  /** Little-endian uint64 of MD5 bytes [8,16) (raw bits in a signed Long) —
+    * bit-identical to DuckDB's `md5_number_lower(v)` UBIGINT. */
+  def md5Low64(bytes: Array[Byte]): Long = {
+    val d = md5(bytes)
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (d(8 + i) & 0xffL); i -= 1 }
+    h
+  }
+
+  def md5Low64(s: String): Long = md5Low64(s.getBytes("UTF-8"))
 
   /** Permutation parameters (a odd-ish in [1, p), b in [0, p)). */
   final case class Perms(a: Array[Long], b: Array[Long])
@@ -75,9 +117,9 @@ object MinHash {
     }
   }
 
-  /** Update digest in place with one element's raw xxhash32 value. */
+  /** Update digest in place with one element's base-hash value. */
   @inline def updateInto(digest: Array[Long], value: String, p: Perms): Unit =
-    permuteInto(digest, xxhash32(value), p)
+    permuteInto(digest, md5Low32(value), p)
 
   /** Elementwise-min merge (associative, commutative, idempotent). */
   def mergeInto(acc: Array[Long], other: Array[Long]): Array[Long] = {

@@ -7,12 +7,10 @@ package graft.core
   * engine's training-data-pipeline extensions.
   */
 object SimHash {
-  /** xxhash-based 64-bit token hash: two xxh32 calls with different salts. */
-  @inline def tokenHash64(tok: String): Long = {
-    val lo = MinHash.xxhash32(tok)
-    val hi = MinHash.xxhash32(tok + "s")
-    (hi << 32) | lo
-  }
+  /** 64-bit token hash: low 64 bits of MD5 — bit-identical to DuckDB's
+    * `md5_number_lower(tok)`, so fingerprints are verifiable by an
+    * independent SQL engine (same rationale as [[MinHash.md5Low32]]). */
+  @inline def tokenHash64(tok: String): Long = MinHash.md5Low64(tok)
 
   def simhash(tokens: IterableOnce[String]): Long = {
     val counts = new Array[Int](64)

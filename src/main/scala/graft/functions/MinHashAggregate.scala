@@ -50,7 +50,7 @@ trait MinHashAggBase extends TypedImperativeAggregate[Array[Long]] {
   }
 
   protected def hashUtf8(buffer: Array[Long], s: UTF8String): Unit =
-    MinHash.permuteInto(buffer, MinHash.xxhash32(s.getBytes), perms)
+    MinHash.permuteInto(buffer, MinHash.md5Low32(s.getBytes), perms)
 }
 
 /** MinHash over exact values. */
@@ -95,7 +95,7 @@ case class MinHashWordsAggNative(child: Expression,
         while (i < n && !isWs(bytes(i))) i += 1
         if (i > start)
           MinHash.permuteInto(buffer,
-            MinHash.xxhash32(java.util.Arrays.copyOfRange(bytes, start, i)), perms)
+            MinHash.md5Low32(java.util.Arrays.copyOfRange(bytes, start, i)), perms)
       }
     }
     buffer

@@ -97,7 +97,8 @@ object TextFunctions {
   // classifier scores a doc by stopword/character evidence. Deterministic,
   // no external model. For the synthetic corpus (shared vocabulary across
   // langs) it degrades gracefully to 'en'.
-  private val langMarkers: Map[String, Seq[String]] = Map(
+  // exposed so the oracle generator embeds the same marker table
+  private[graft] val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of ", " is ", " to ", "ing ", " that "),
     "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", "sch", " nicht "),
     "fr" -> Seq(" le ", " la ", " les ", " et ", " est ", " une ", " que "),
@@ -113,14 +114,19 @@ object TextFunctions {
       val cjk = t.codePoints().filter(c => c >= 0x4e00 && c <= 0x9fff).count()
       if (cjk * 2 > t.length) "zh"
       else {
+        // non-overlapping occurrence counts (replace-count semantics, so an
+        // independent SQL engine can mirror via length deltas)
         val scores = langMarkers.map { case (lang, ms) =>
           lang -> ms.map { m =>
             var c = 0; var idx = t.indexOf(m)
-            while (idx >= 0) { c += 1; idx = t.indexOf(m, idx + 1) }
+            while (idx >= 0) { c += 1; idx = t.indexOf(m, idx + m.length) }
             c
           }.sum
         }
-        val (best, cnt) = scores.maxBy { case (l, c) => (c, l == "en") }
+        // deterministic argmax: highest count, ties prefer 'en', then
+        // lexicographic — a total order both engines can reproduce
+        val (best, cnt) = scores.toSeq
+          .sortBy { case (l, c) => (-c, if (l == "en") 0 else 1, l) }.head
         if (cnt == 0) "und" else best
       }
     }

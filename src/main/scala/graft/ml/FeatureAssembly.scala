@@ -28,13 +28,24 @@ object FeatureAssembly {
     * defaults to the CELL_WIDTH_BYTES constant 1.0 (`:201-204,51`);
     * missing/NaN quantiles → 0 (`:217-218`).
     */
-  private val zscoreUdf = udf { (arr: Seq[Double]) =>
-    val n = arr.length
-    val mu = arr.sum / n
+  /** Z-score the `raw` head values against the FULL padded width: the pad
+    * slots are zeros, so μ = Σraw/width and the pad contribution to the
+    * variance is the closed form `(width−|raw|)·μ²` — a fixed left-to-right
+    * expression tree (Σ(xᵢ−μ)² then one fused pad term) that an independent
+    * SQL engine can replicate BIT-EXACTLY for verification, unlike a
+    * sequential loop over 240 pad slots. Output = z-scored raw head ++
+    * `(0−μ)/σ`-valued pad, total `width` slots.
+    */
+  private val zscoreUdf = udf { (raw: Seq[Double], width: Int) =>
+    var sum = 0.0
+    raw.foreach(sum += _)
+    val mu = sum / width
     var s2 = 0.0
-    arr.foreach { x => val d = x - mu; s2 += d * d }
-    val sd = math.sqrt(s2 / n)
-    if (sd == 0) arr.map(_ => 0.0) else arr.map(x => (x - mu) / sd)
+    raw.foreach { x => val d = x - mu; s2 += d * d }
+    s2 += (width - raw.length) * mu * mu
+    val sd = math.sqrt(s2 / width)
+    if (sd == 0) Seq.fill(width)(0.0)
+    else raw.map(x => (x - mu) / sd) ++ Seq.fill(width - raw.length)(-mu / sd)
   }
 
   def statsVector(width: Int = DefaultPad): Column = {
@@ -42,12 +53,11 @@ object FeatureAssembly {
       array(col("unique").cast("double"), col("num_nan").cast("double"),
         coalesce(col("cell_width"), lit(1.0))),
       transform(coalesce(col("quantile"), array_repeat(lit(0.0), 13)),
-        q => coalesce(q, lit(0.0))),
-      array_repeat(lit(0.0), width - StatsWidth))
+        q => coalesce(q, lit(0.0))))
     // z-score in ONE UDF pass: expressing μ/σ as nested Column aggregates
     // re-inlines them per element (a ~10^5-node tree whose codegen costs
     // seconds); one row per table column makes a UDF the right tool here
-    zscoreUdf(raw)
+    zscoreUdf(raw, lit(width))
   }
 
   /** Per-column minhash vector: exact + words digests scaled by 1e-8,

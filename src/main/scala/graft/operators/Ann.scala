@@ -71,12 +71,61 @@ object Ann {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** Exact all-pairs cosine near-dups: O(n²) scored pairs, but each side
+    * carries only (id, vec, norm) and the small side broadcasts. The
+    * correct tool when the threshold is too low for LSH banding to reach
+    * recall (see [[cosineNearDups]]) and n is bounded; deterministic, so
+    * an independent engine can verify it exactly.
+    */
+  def exactCosinePairs(embs: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = graft.sources.Lake.balance(embs)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Largest chunk width whose banding recall at `threshold` meets
+    * `recallTarget` (same derivation as `SimilarityJoinRewrite.chooseBands`
+    * but over the random-hyperplane agreement probability
+    * p = 1 − arccos(cos)/π), or None when even 1-bit chunks miss it.
+    */
+  private[operators] def chooseChunkBits(threshold: Double, nBits: Int,
+                                         recallTarget: Double): Option[Int] = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(threshold, 1.0))) / math.Pi
+    (math.min(16, nBits) to 1 by -1).find { c =>
+      val nChunks = nBits / c
+      1.0 - math.pow(1.0 - math.pow(p, c), nChunks) >= recallTarget
+    }
+  }
+
   /** LSH cosine near-dup pairs: signature chunks as band keys, exact cosine
     * verification. Output (id_a, id_b, cosine) with cosine ≥ threshold.
+    *
+    * Chunk width is derived FROM the threshold so banding keeps ≥
+    * `recallTarget` of true pairs (a fixed width silently drops most
+    * qualifying pairs at low thresholds — at cosine 0.35 a 6-bit chunk
+    * agrees with p≈5%, recall≈23%). When the recall-feasible chunking is
+    * no longer selective (expected collision fraction ≥ ½ of all pairs),
+    * banding cannot beat scoring every pair, so this falls back to
+    * [[exactCosinePairs]] — correct results at every threshold, LSH
+    * speedup whenever geometry permits.
     */
   def cosineNearDups(embs: DataFrame, threshold: Double = 0.95,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     nBits: Int = 30, chunkBits: Int = 6): DataFrame = {
+                     nBits: Int = 32, recallTarget: Double = 0.95): DataFrame = {
+    val chunkBits = chooseChunkBits(threshold, nBits, recallTarget)
+    val selective = chunkBits.exists { c =>
+      (nBits / c).toDouble / math.pow(2.0, c) <= 0.5 // random-pair collision mass
+    }
+    if (!selective)
+      return exactCosinePairs(embs, threshold, idCol, vecCol)
     // Band join + dedup carry ids only; vectors re-attach after, so the
     // wide payload never rides through the collision shuffle. Norms are
     // precomputed once per vector, not per pair.
@@ -86,12 +135,13 @@ object Ann {
         rhSignature(col(vecCol), nBits).as("sig"))
       .withColumn("nrm", norm(col("v")))
       .persist()
-    val nChunks = nBits / chunkBits
+    val nChunks = nBits / chunkBits.get
+    val cb = chunkBits.get
     val banded = base.select(col("id"),
       explode(array((0 until nChunks).map(i =>
         struct(lit(i).as("ci"),
-          shiftrightunsigned(col("sig"), i * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)).as("ck"))): _*)).as("c"))
+          shiftrightunsigned(col("sig"), i * cb)
+            .bitwiseAND(lit((1L << cb) - 1)).as("ck"))): _*)).as("c"))
       .select(col("id"), col("c.ci"), col("c.ck"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&

@@ -166,13 +166,20 @@ object Profiler {
     // (data_prep.py:238-241)
     val stdRaw = sqrt(greatest(
       col("sum_sq") / col("n_num") - col("mean") * col("mean"), lit(0.0)))
-    val stdAdj = when(col("unique") > 2, stdRaw).otherwise(lit(0.0))
+    // Quantile-vector mean/std ride the EXACT decimal sums (order-independent
+    // FP → bit-identical across engines and runs; the lake's numerics are
+    // ≤2-decimal so the decimal quantization is lossless). The raw double
+    // `mean`/`std` columns keep the un-quantized values.
+    val exactMeanD = col("sum_dec").cast("double") / col("n_num")
+    val exactStdD = sqrt(greatest(
+      col("sum_sq_dec").cast("double") / col("n_num") - exactMeanD * exactMeanD, lit(0.0)))
+    val stdAdj = when(col("unique") > 2, exactStdD).otherwise(lit(0.0))
     // reference omits the quantile vector for all-null, single-row, or
     // single-valued columns (data_prep.py:231-232 guard)
     val quantileVec = when(col("col_type").isin("integer", "float") &&
         (col("rows") - col("num_nan")) > 1 && col("unique") > 1,
       concat(col("deciles"),
-        array(col("mean"), stdAdj, col("min_v"), col("max_v")))) // A8: 13 floats
+        array(exactMeanD, stdAdj, col("min_v"), col("max_v")))) // A8: 13 floats
 
     val meta = broadcast(colMeta(spark, df))
     val out = aggd.join(meta, "col_idx")
@@ -274,8 +281,7 @@ object Profiler {
   def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
                   withSketches: Boolean = true, rowCap: Option[Int] = None): DataFrame =
     tables.map { t =>
-      val df0 = graft.sources.Lake.read(spark, dir, t)
-      val df = rowCap.map(df0.limit).getOrElse(df0)
-      profile(df, t, withSketches)
+      // deterministic first-N cap (O1, data_prep.py:27) — see Lake.read
+      profile(graft.sources.Lake.read(spark, dir, t, rowCap), t, withSketches)
     }.reduce(_ unionByName _)
 }

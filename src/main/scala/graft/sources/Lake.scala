@@ -24,9 +24,28 @@ object Lake {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    read(spark, dir, name, None)
+
+  /** Read a lake table, optionally capped to the first `rowCap` rows of
+    * each file in file order (O1 — the reference reads `nrows=10000`,
+    * `data_prep.py:27`). The cap uses the parquet `_metadata.row_index`
+    * hidden column, so it is DETERMINISTIC regardless of partitioning /
+    * AQE (a bare `.limit(n)` takes whatever partitions report first) and
+    * mirrorable by any order-preserving engine (`LIMIT n` over a
+    * single-file table in DuckDB). On multi-file tables the cap applies
+    * per file — the distributed analogue of "first rows" that needs no
+    * global coordination.
+    */
+  def read(spark: SparkSession, dir: String, name: String, rowCap: Option[Int]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df0 = spark.read.parquet(s"$dir/$name.parquet")
+    val df = rowCap match {
+      case Some(n) =>
+        df0.select(col("*"), col("_metadata.row_index").as("__row_index"))
+          .filter(col("__row_index") < n).drop("__row_index")
+      case None => df0
+    }
     // Columns that were TIMESTAMP(NANOS) surface as LongType with parquet
     // metadata; the only such column in the driver lake is events.ts.
     // Convert any long column literally named like a timestamp.

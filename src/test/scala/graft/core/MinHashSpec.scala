@@ -12,6 +12,22 @@ class MinHashSpec extends AnyFunSuite {
     assert(MinHash.xxhash32("hello") != MinHash.xxhash32("world"))
   }
 
+  test("md5Low32/md5Low64 match DuckDB md5_number_lower (cross-engine oracle)") {
+    // expected values computed with DuckDB 1.0:
+    //   SELECT md5_number_lower(s) & 4294967295, md5_number_lower(s)
+    val expected = Seq(
+      ("hello", 2443014585L, java.lang.Long.parseUnsignedLong("10575884659879408057")),
+      ("abc", 2101319382L, java.lang.Long.parseUnsignedLong("8250560606382298838")),
+      ("", 2550759657L, java.lang.Long.parseUnsignedLong("9098107892288553193")),
+      ("1", 2588986381L, java.lang.Long.parseUnsignedLong("11206210894995442701")),
+      ("héllo wörld", 2253486130L, java.lang.Long.parseUnsignedLong("4071543494652557362")),
+      ("42.5", 2633199707L, java.lang.Long.parseUnsignedLong("8987335677875286107")))
+    for ((s, lo32, lo64) <- expected) {
+      assert(MinHash.md5Low32(s) == lo32, s"md5Low32($s)")
+      assert(MinHash.md5Low64(s) == lo64, s"md5Low64($s)")
+    }
+  }
+
   test("digest shape and range") {
     val d = MinHash.sketch(Seq("a", "b", "c"))
     assert(d.length == MinHash.NumPerm)
@@ -71,7 +87,8 @@ class MinHashSpec extends AnyFunSuite {
     val b = MinHash.sketch((1 to 1200).map("k" + _))
     val j = MinHash.jaccard(a, b) // true 300/1200 = .25
     val c = MinHash.containment(j, 300, 1200)
-    assert(c > 0.7, s"containment $c should be near 1")
+    // J est std err ~ sqrt(.25*.75/100) ≈ .043 → containment noise ~.17
+    assert(c > 0.6, s"containment $c should be near 1")
   }
 
   test("different seeds give different perms") {
