@@ -24,12 +24,58 @@ object RobustCsv {
   val MinRows = 5
   val CandidateDelimiters = Seq(",", ";", "\t", "|")
 
+  /** Head bytes of a (possibly compressed) file, decompressed — the raw
+    * material for charset + delimiter sniffing. Driver-side single read of
+    * a bounded prefix; the distributed scan happens afterwards.
+    */
+  private def headBytes(spark: SparkSession, path: String, n: Int): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      spark.sparkContext.hadoopConfiguration).getCodec(p)
+    val raw = fs.open(p)
+    val in: java.io.InputStream =
+      if (codec != null) codec.createInputStream(raw) else raw
+    try in.readNBytes(n) finally in.close()
+  }
+
+  /** Charset sniff over the head sample — BOM first, then strict UTF-8
+    * validation, ISO-8859-1 as the 8-bit fallback. This is the
+    * `get_encoding` intent (reference `data_prep.py:114-117`, chardet over
+    * a head sample) without the dependency: BOM and UTF-8-validity cover
+    * the deterministic cases, and Latin-1 decodes every byte sequence, so
+    * the fallback never throws — exactly the reference's error-tolerance.
+    */
+  def detectCharset(spark: SparkSession, path: String): String = {
+    val bytes = headBytes(spark, path, 64 * 1024)
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) "UTF-16BE"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) "UTF-16LE"
+    else if (validUtf8(bytes)) "UTF-8" // UTF-8 BOM is itself valid UTF-8
+    else "ISO-8859-1"
+  }
+
+  private def validUtf8(bytes0: Array[Byte]): Boolean = {
+    // a multi-byte sequence truncated by the sample boundary must not fail
+    // the whole validation — trim up to 3 trailing continuation/lead bytes
+    var end = bytes0.length
+    var trimmed = 0
+    while (end > 0 && trimmed < 4 && (bytes0(end - 1) & 0x80) != 0) {
+      end -= 1; trimmed += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(bytes0, 0, end)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+
   /** Sniff the delimiter from a head sample: the candidate with the highest
     * consistent per-line count wins (reference uses `sep=None` python-engine
     * sniffing, `data_prep.py:76`).
     */
-  def sniffDelimiter(spark: SparkSession, path: String): String = {
-    val head = spark.read.textFile(path).limit(20).collect()
+  def sniffDelimiter(spark: SparkSession, path: String, charset: String = "UTF-8"): String = {
+    val head = new String(headBytes(spark, path, 64 * 1024), charset)
+      .split("\r?\n").iterator.filter(_.nonEmpty).take(20).toArray
     if (head.isEmpty) ","
     else CandidateDelimiters.maxBy { d =>
       val counts = head.map(_.split(java.util.regex.Pattern.quote(d), -1).length)
@@ -50,25 +96,36 @@ object RobustCsv {
     * None when the table is unreadable or has <5 rows.
     */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
-    // Sniff first: a ';'-separated file "succeeds" as one comma-column, so
-    // a strict-then-fallback order would silently mis-parse (the reference
-    // hits the same with pandas and retries with sep=None, data_prep.py:76).
-    // First pass DROPMALFORMED mirrors the reference's skip-bad-lines
-    // default (`on_bad_lines='skip'`, data_prep.py:67-69) — bad rows are
-    // dropped by design, not a strictness failure; the PERMISSIVE retry
-    // only handles files the skip-mode parser rejects outright.
-    val delim = sniffDelimiter(spark, path)
-    val df = tryRead(spark, path, delim, permissive = false)
-      .orElse(tryRead(spark, path, delim, permissive = true))
+    // Sniff charset + delimiter first: a ';'-separated file "succeeds" as
+    // one comma-column, so a strict-then-fallback order would silently
+    // mis-parse (the reference hits the same with pandas and retries with
+    // sep=None, data_prep.py:76); likewise a Latin-1 file "succeeds" as
+    // UTF-8 with mojibake. First pass DROPMALFORMED mirrors the
+    // reference's skip-bad-lines default (`on_bad_lines='skip'`,
+    // data_prep.py:67-69) — bad rows are dropped by design, not a
+    // strictness failure; the PERMISSIVE retry only handles files the
+    // skip-mode parser rejects outright; Excel is the reference's last
+    // resort (`pd.read_excel`, data_prep.py:78).
+    val charset = detectCharset(spark, path)
+    val delim = sniffDelimiter(spark, path, charset)
+    def csvChain = tryRead(spark, path, delim, charset, permissive = false)
+      .orElse(tryRead(spark, path, delim, charset, permissive = true))
+    // zip magic means a workbook: the permissive CSV parser would otherwise
+    // "succeed" on the raw zip bytes as one garbage column and mask S12
+    val df =
+      if (headBytes(spark, path, 4).startsWith(Array[Byte]('P', 'K', 3, 4)))
+        ExcelRead.read(spark, path, RowCap).orElse(csvChain)
+      else csvChain.orElse(ExcelRead.read(spark, path, RowCap))
     df.map(postProcess).filter(_.limit(MinRows).count() >= MinRows)
   }
 
   private def tryRead(spark: SparkSession, path: String, delim: String,
-                      permissive: Boolean): Option[DataFrame] =
+                      charset: String, permissive: Boolean): Option[DataFrame] =
     try {
       val base = spark.read
         .option("header", "true")
         .option("sep", delim)
+        .option("encoding", charset)
         .option("inferSchema", "true")
         .option("mode", if (permissive) "PERMISSIVE" else "DROPMALFORMED")
         .option("nullValue", "")

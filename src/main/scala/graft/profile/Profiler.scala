@@ -212,31 +212,54 @@ object Profiler {
     * (col_idx, value_num, freq) histogram — the scale-path replacement for
     * the built-in `percentile` aggregate, whose per-group in-memory value
     * maps become the bottleneck (and an OOM risk) at very high column
-    * cardinality. A window cum-sum assigns each distinct value its index
-    * range; each probe interpolates between the two covering values using
-    * the same `(hi−pos)·vLo + (pos−lo)·vHi` formula as Spark's Percentile,
-    * so results are identical. Sort-shuffle based: spills gracefully.
+    * cardinality. Each probe interpolates between the two covering values
+    * using the same `(hi−pos)·vLo + (pos−lo)·vHi` formula as Spark's
+    * Percentile, so results are identical.
+    *
+    * The rank cum-sum is a TWO-LEVEL prefix sum so no column ever funnels
+    * through one reducer (a plain `Window.partitionBy(col_idx)` bounds
+    * parallelism by column count — a near-unique column at 100× scale
+    * becomes a single-partition sort): distinct values are range-bucketed
+    * deterministically on the column's (min,max) span, per-bucket totals
+    * roll up into bucket offsets via a tiny window (≤ `DecileBuckets` rows
+    * per column), and the heavy cum-sum runs partitioned by
+    * (col_idx, bucket). Range bucketing is monotone, so bucket-then-value
+    * order equals global value order and results are exactly unchanged.
+    * Worst case (all distinct values in one bucket) degrades to the old
+    * single-reducer plan, never below it.
     */
+  val DecileBuckets = 1024
+
   def decilesFromHist(hist: DataFrame, probs: Seq[Double]): DataFrame = {
     val spark = hist.sparkSession
     // No pre-filter on value_num: a filter here would be pushed below the
     // histogram aggregate and fork a second scan; instead null rows ride
-    // along with a conditional cum-sum (they can never satisfy the
-    // covering ranges), so this branch shares the stats branch's stage-1
-    // exchange via ReuseExchange.
+    // along (bucket −1, no offset match → null cum, never covering), so
+    // every branch below shares the stage-1 exchange via ReuseExchange.
     val h = hist
       .groupBy(col("col_idx"), col("value_num"))
       .agg(sum(col("freq")).as("freq"))
-    val w = Window.partitionBy(col("col_idx"))
-      .orderBy(col("value_num").asc_nulls_first)
-    val wAll = Window.partitionBy(col("col_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val nnFreq = when(col("value_num").isNotNull, col("freq")).otherwise(0L)
-    // n rides in the same Window stage (a separate aggregate would fork a
-    // second copy of the whole histogram subtree); probes explode inline.
-    val cum = h.withColumn("cum", sum(nnFreq).over(w))
+    val rng = h.groupBy(col("col_idx")).agg(
+      min(col("value_num")).as("vmin"), max(col("value_num")).as("vmax"),
+      sum(when(col("value_num").isNotNull, col("freq")).otherwise(0L)).as("n"))
+    val span = when(col("vmax") > col("vmin"), col("vmax") - col("vmin")).otherwise(lit(1.0))
+    val hb = h.join(broadcast(rng), "col_idx")
+      .withColumn("bucket",
+        when(col("value_num").isNull, lit(-1))
+          .otherwise(least(lit(DecileBuckets - 1), greatest(lit(0),
+            floor((col("value_num") - col("vmin")) / span * DecileBuckets).cast("int")))))
+    // level 1: bucket totals → exclusive bucket offsets (tiny per-column window)
+    val wB = Window.partitionBy(col("col_idx")).orderBy(col("bucket"))
+    val bOff = hb.filter(col("value_num").isNotNull)
+      .groupBy(col("col_idx"), col("bucket")).agg(sum(col("freq")).as("bfreq"))
+      .withColumn("boff", sum(col("bfreq")).over(wB) - col("bfreq"))
+      .select(col("col_idx"), col("bucket"), col("boff"))
+    // level 2: within-bucket cum-sum, parallel across (col_idx, bucket)
+    val wV = Window.partitionBy(col("col_idx"), col("bucket")).orderBy(col("value_num"))
+    val cum = hb.join(bOff, Seq("col_idx", "bucket"), "left")
+      .withColumn("cum",
+        when(col("value_num").isNotNull, sum(col("freq")).over(wV) + col("boff")))
       .withColumn("start", col("cum") - col("freq"))
-      .withColumn("n", sum(nnFreq).over(wAll))
     val probsLit = typedLit(probs.zipWithIndex.map { case (p, i) => (p, i) })
     val covering = cum
       .select(col("*"), explode(probsLit).as("pq"))

@@ -96,3 +96,73 @@ class AugmentSpec extends SparkSpec {
     assert(augs(1)._2.columns.head == "col0")
   }
 }
+
+class CharsetAndExcelSpec extends SparkSpec {
+  import java.nio.file.Files
+
+  test("Latin-1 csv detected and read with correct accents") {
+    val dir = Files.createTempDirectory("graft_latin1")
+    val p = dir.resolve("l1.csv")
+    val content = "city,name\nparis,café\nmünchen,jürgen\noslo,bjørn\nnice,rené\nmadrid,niño\n"
+    Files.write(p, content.getBytes("ISO-8859-1"))
+    assert(RobustCsv.detectCharset(spark, p.toString) == "ISO-8859-1")
+    val df = RobustCsv.read(spark, p.toString).get
+    val names = df.select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("café", "jürgen", "bjørn", "rené", "niño"))
+  }
+
+  test("UTF-8 input (with accents) stays UTF-8") {
+    val dir = Files.createTempDirectory("graft_utf8")
+    val p = dir.resolve("u8.csv")
+    Files.write(p, "a,b\n1,é\n2,ü\n3,ø\n4,ñ\n5,ç\n".getBytes("UTF-8"))
+    assert(RobustCsv.detectCharset(spark, p.toString) == "UTF-8")
+    val df = RobustCsv.read(spark, p.toString).get
+    assert(df.count() == 5)
+  }
+
+  private def writeXlsx(rows: Seq[Seq[String]]): String = {
+    // minimal workbook: one sheet, inline strings
+    val dir = Files.createTempDirectory("graft_xlsx")
+    val p = dir.resolve("t.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    def colRef(i: Int): String = { // 0 -> A, 27 -> AB
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    val sheetRows = rows.zipWithIndex.map { case (r, ri) =>
+      val cells = r.zipWithIndex.collect { case (v, ci) if v != null =>
+        s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t>$v</t></is></c>"""
+      }.mkString
+      s"""<row r="${ri + 1}">$cells</row>"""
+    }.mkString
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$sheetRows</sheetData></worksheet>""")
+    zos.close()
+    p.toString
+  }
+
+  test("xlsx fallback reads first sheet, header + string cells (S12)") {
+    val p = writeXlsx(Seq(
+      Seq("Name ", "amt"),
+      Seq("alice", "1"), Seq("bob", null), Seq("carol", "3"),
+      Seq("dan", "4"), Seq("eve", "5")))
+    val df = RobustCsv.read(spark, p).get
+    assert(df.columns.sameElements(Array("name", "amt"))) // sanitized like csv
+    assert(df.count() == 5)
+    assert(df.filter(df("amt").isNull).count() == 1)
+  }
+
+  test("non-workbook zip and binary junk fall through to None") {
+    val dir = Files.createTempDirectory("graft_junk")
+    val p = dir.resolve("junk.bin")
+    Files.write(p, Array.fill[Byte](64)(0x7f))
+    assert(ExcelRead.read(spark, p.toString).isEmpty)
+  }
+}

@@ -103,3 +103,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Double]("quality") > 0)
   }
 }
+
+class CosineRecallSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("chooseChunkBits: selective at high threshold, infeasible-selective at low") {
+    // τ=0.9: some chunking reaches 0.95 recall
+    assert(Ann.chooseChunkBits(0.9, 32, 0.95).isDefined)
+    // τ=0.35: only tiny chunks reach recall — banding can't be selective
+    val c = Ann.chooseChunkBits(0.35, 32, 0.95)
+    assert(c.forall(_ <= 2))
+  }
+
+  test("cosineNearDups returns the EXACT pair set at a low threshold (fallback)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val vecs = (0 until 60).map { i =>
+      val v =
+        if (i % 3 == 0) base.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+        else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Ann.cosineNearDups(df, threshold = 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Ann.exactCosinePairs(df, threshold = 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"fallback must be exact: ${want.size} expected, ${got.size} got")
+    assert(want.nonEmpty)
+  }
+
+  test("cosineNearDups at high threshold recovers >=95% of exact pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val protos = Array.fill(5)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val p = protos(i % 5)
+      (i.toLong, p.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val want = Ann.exactCosinePairs(df, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.cosineNearDups(df, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(want), "LSH must verify candidates exactly")
+    assert(want.nonEmpty && got.size >= math.ceil(want.size * 0.95).toInt,
+      s"recall ${got.size}/${want.size} below target")
+  }
+}
+
+class RowCapSpec extends SparkSpec {
+  test("Lake.read rowCap takes the first N file rows deterministically") {
+    val dir = "/root/testdata/sf0.01"
+    val capped = graft.sources.Lake.read(spark, dir, "lineitem", Some(100))
+    assert(capped.count() == 100)
+    // first-N means: identical to the head of the uncapped file order
+    val all = graft.sources.Lake.read(spark, dir, "lineitem", None)
+      .limit(100).select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = capped.select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == all)
+    // repeated reads agree (no partition-race nondeterminism)
+    val again = graft.sources.Lake.read(spark, dir, "lineitem", Some(100))
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == got)
+  }
+}
