@@ -398,6 +398,141 @@ object OracleSql {
        |ORDER BY lang, lang_pred""".stripMargin
   }
 
+  /** o4_search_minhash: the full sketch-mode discovery search — digests
+    * over the capped catalog, per-query-column k·3 over-fetch, first-match
+    * per candidate table, seen-cols dedup, column-vote rank (mirrors
+    * Discovery.columnDistances + columnVoteRank for query 'supplier').
+    * Date/other columns are omitted: the type-equality join makes them
+    * unreachable from supplier's {integer,float,string} columns, and the
+    * ns-timestamp render (events.ts) is the one cross-engine unstable one.
+    */
+  private def searchMinhashSql: String = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val selects = tables.flatMap { tbl =>
+      lakeSchemas(tbl).zipWithIndex.collect {
+        case ((c, lt), i) if lt == "integer" || lt == "float" || lt == "string" =>
+          val render =
+            if (lt == "string") s"nullif(CAST($c AS VARCHAR), '')"
+            else s"CAST($c AS VARCHAR)"
+          s"SELECT '$tbl' AS t, $i AS ci, '$lt' AS ct, $render AS v FROM (SELECT * FROM $tbl LIMIT 10000)"
+      }
+    }
+    s"""WITH $permsCte,
+       |vals AS (
+       |  ${selects.mkString("\n  UNION ALL ")}
+       |),
+       |dvals AS (SELECT DISTINCT t, ci, ct, v FROM vals WHERE v IS NOT NULL),
+       |emins AS (SELECT t, ci, any_value(ct) AS ct, pi, ${mhSlotMin("v")} AS mh
+       |          FROM dvals CROSS JOIN perms GROUP BY t, ci, pi),
+       |dig AS (SELECT t, ci, any_value(ct) AS ct, list(mh ORDER BY pi) AS d
+       |        FROM emins GROUP BY t, ci),
+       |q AS (SELECT * FROM dig WHERE t = 'supplier'),
+       |c AS (SELECT * FROM dig WHERE t <> 'supplier'),
+       |dists AS (
+       |  SELECT q.ci AS q_ci, c.t AS cand_table, c.ci AS cand_ci,
+       |    1.0 - CAST(len([i FOR i IN range(1, 101) IF q.d[i] = c.d[i]]) AS DOUBLE) / 100.0 AS dist
+       |  FROM c JOIN q ON q.ct = c.ct),
+       |knn AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_ci ORDER BY dist, cand_table, cand_ci) AS rnk
+       |    FROM dists) WHERE rnk <= 30),
+       |firstm AS (
+       |  SELECT * FROM knn
+       |  QUALIFY row_number() OVER (PARTITION BY q_ci, cand_table ORDER BY rnk) = 1),
+       |dedup AS (
+       |  SELECT * FROM firstm
+       |  QUALIFY row_number() OVER (PARTITION BY cand_table, cand_ci ORDER BY dist, rnk) = 1)
+       |SELECT cand_table, count(*) AS matched_cols, round(sum(dist), 6) AS sum_dist
+       |FROM dedup GROUP BY cand_table
+       |ORDER BY matched_cols DESC, sum_dist, cand_table
+       |LIMIT 10""".stripMargin
+  }
+
+  /** m4_pair_features: table-pair similarity features from the capped
+    * catalog digests (mirrors PairScoring.pairFeatures). */
+  private def pairFeaturesSql: String = {
+    val tables = Seq("customer", "supplier", "orders", "nation", "region", "part")
+    val pairs = Seq(("customer", "orders"), ("customer", "supplier"),
+      ("nation", "region"), ("part", "supplier"), ("orders", "supplier"))
+      .map { case (a, b) => s"('$a','$b')" }.mkString(",")
+    val jac = (da: String, db: String) =>
+      s"CAST(len([i FOR i IN range(1, 101) IF $da[i] = $db[i]]) AS DOUBLE) / 100.0"
+    def nameToks(cn: String) = s"list_distinct(string_split_regex(lower($cn), '[_\\s]+'))"
+    s"""WITH $permsCte,
+       |${valsCte(tables, Some(10000))},
+       |${metaCte(tables)},
+       |$digestCtes,
+       |cols AS (
+       |  SELECT meta.t, meta.ci, meta.cn, meta.ct, edig.d AS ed, wdig.d AS wd
+       |  FROM meta JOIN edig USING (t, ci) LEFT JOIN wdig USING (t, ci)),
+       |prs AS (SELECT * FROM (VALUES $pairs) _r(table1, table2)),
+       |aligned AS (
+       |  SELECT p.table1, p.table2, a.ci AS ci1, b.ci AS ci2,
+       |    ${jac("a.ed", "b.ed")} AS j_exact,
+       |    CASE WHEN a.wd IS NOT NULL AND b.wd IS NOT NULL
+       |         THEN ${jac("a.wd", "b.wd")} END AS j_words,
+       |    CASE WHEN len(list_distinct(list_concat(${nameToks("a.cn")}, ${nameToks("b.cn")}))) = 0 THEN 1.0
+       |         ELSE CAST(len(list_intersect(${nameToks("a.cn")}, ${nameToks("b.cn")})) AS DOUBLE)
+       |              / len(list_distinct(list_concat(${nameToks("a.cn")}, ${nameToks("b.cn")}))) END AS name_sim,
+       |    CASE WHEN a.ct = b.ct THEN 1.0 ELSE 0.0 END AS type_match
+       |  FROM prs p JOIN cols a ON a.t = p.table1 JOIN cols b ON b.t = p.table2)
+       |SELECT table1, table2,
+       |  round(max(j_exact), 6) AS max_j_exact,
+       |  round(CAST(SUM(CAST(j_exact AS DECIMAL(20,10))) AS DOUBLE) / count(j_exact), 6) AS mean_j_exact,
+       |  round(max(coalesce(j_words, 0.0)), 6) AS max_j_words,
+       |  round(max(name_sim), 6) AS max_name_sim,
+       |  round(avg(type_match), 6) AS type_agreement,
+       |  count(DISTINCT ci1) AS n_cols_1, count(DISTINCT ci2) AS n_cols_2,
+       |  round(CAST(least(count(DISTINCT ci1), count(DISTINCT ci2)) AS DOUBLE)
+       |        / greatest(count(DISTINCT ci1), count(DISTINCT ci2)), 6) AS col_ratio
+       |FROM aligned GROUP BY table1, table2
+       |ORDER BY table1, table2""".stripMargin
+  }
+
+  /** a14_hashing_sketch: md5-bucket term-frequency vectors as sorted
+    * sparse "bucket:count" strings (mirrors FeatureAssembly.hashingSketch,
+    * nFeatures = 1024). */
+  private def hashingSketchSql: String =
+    s"""WITH ${valsCte(Seq("nation", "region", "supplier"), None)},
+       |toks AS (
+       |  SELECT t, ci, unnest(string_split_regex(v, '\\s+')) AS tok
+       |  FROM vals WHERE v IS NOT NULL),
+       |b AS (
+       |  SELECT t, ci, bucket, count(*) AS cnt FROM (
+       |    SELECT t, ci, CAST((md5_number_lower(tok) & 4294967295) % 1024 AS BIGINT) AS bucket
+       |    FROM toks WHERE tok <> '')
+       |  GROUP BY t, ci, bucket)
+       |SELECT t AS table_name, CAST(ci AS BIGINT) AS col_idx,
+       |  string_agg(bucket || ':' || cnt, ' ' ORDER BY bucket) AS hv_str
+       |FROM b GROUP BY t, ci ORDER BY table_name, col_idx""".stripMargin
+
+  /** st_stream_profile: the streamed profile of `nation` must equal the
+    * batch profile over the same rows (lossless sketch merge), so its
+    * oracle is just the batch computation. */
+  private def streamProfileSql: String = {
+    val selects = lakeSchemas("nation").map { case (c, lt) =>
+      val render =
+        if (lt == "string") s"nullif(CAST($c AS VARCHAR), '')"
+        else s"CAST($c AS VARCHAR)"
+      s"SELECT '$c' AS cn, $render AS v FROM nation"
+    }
+    s"""WITH $permsCte,
+       |vals AS (
+       |  ${selects.mkString("\n  UNION ALL ")}
+       |),
+       |stats AS (
+       |  SELECT cn, count(*) AS n_rows, count(*) - count(v) AS n_nulls
+       |  FROM vals GROUP BY cn),
+       |dvals AS (SELECT DISTINCT cn, v FROM vals WHERE v IS NOT NULL),
+       |mins AS (SELECT cn, pi, ${mhSlotMin("v")} AS mh
+       |         FROM dvals CROSS JOIN perms GROUP BY cn, pi),
+       |dig AS (SELECT cn, array_to_string(list(mh ORDER BY pi), ',') AS digest
+       |        FROM mins GROUP BY cn)
+       |SELECT cn AS col_name, stats.n_rows, stats.n_nulls, dig.digest
+       |FROM stats JOIN dig USING (cn) ORDER BY col_name""".stripMargin
+  }
+
   /** mm_media_stats: binary-column probe over the documents-derived media
     * relation (payload = UTF-8 text bytes; DuckDB md5/hex hash the same
     * bytes). */
@@ -708,6 +843,10 @@ object OracleSql {
     "t1_feature_tensors" -> featureTensorsSql,
     "t_lang_quality" -> langQualitySql,
     "mm_media_stats" -> mediaStatsSql,
+    "o4_search_minhash" -> searchMinhashSql,
+    "m4_pair_features" -> pairFeaturesSql,
+    "a14_hashing_sketch" -> hashingSketchSql,
+    "st_stream_profile" -> streamProfileSql,
 
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),

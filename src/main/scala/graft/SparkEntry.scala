@@ -460,14 +460,48 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
-  /** A14: hashing-trick alt sketch per column. */
+  /** A14: hashing-trick alt sketch per column (md5 buckets — DuckDB
+    * recomputes the sparse vector exactly). */
   private def hashingSketches(s: SparkSession, dir: String): DataFrame = {
     val values = Seq("nation", "region", "supplier").map { n =>
       Profiler.longFormat(t(s, dir, n)).withColumn("table_name", lit(n))
     }.reduce(_ unionByName _)
     graft.ml.FeatureAssembly.hashingSketch(values, nFeatures = 1024)
-      .select(col("table_name"), col("col_idx"), col("hv").cast("string").as("hv_str"))
+      .select(col("table_name"), col("col_idx").cast("long").as("col_idx"), col("hv_str"))
       .orderBy("table_name", "col_idx")
+  }
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** §2.12: Structured-Streaming profile of `nation`, driven to completion
+    * with AvailableNow and read back from the memory sink. The MinHash
+    * merge algebra makes the streamed profile EQUAL the batch profile over
+    * the same rows, so this streaming query has an exact DuckDB oracle —
+    * the strongest possible evidence the incremental path is lossless.
+    */
+  private def streamingProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StringType
+    val name = s"st_profile_${streamSeq.incrementAndGet()}"
+    val schema = t(s, dir, "nation").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "nation.parquet").parquet(dir)
+    val structs = schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      val v = // P2 empty→null, same rendering as Profiler.longFormat
+        if (f.dataType == StringType) when(c === "", lit(null)).otherwise(c).cast("string")
+        else c.cast("string")
+      struct(lit(f.name).as("col_name"), v.as("value"))
+    }
+    val long = stream.select(explode(array(structs.toIndexedSeq: _*)).as("c")).select("c.*")
+    val q = graft.streaming.StreamingProfile.profileStream(long)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("col_name"), col("rows").as("n_rows"), col("nulls").as("n_nulls"),
+        array_join(col("digest"), ",").as("digest"))
+      .orderBy("col_name")
   }
 
   /** Engine extensions beyond the reference: multi-level aggregation. */
@@ -535,6 +569,7 @@ object SparkEntry {
     "t1_feature_tensors" -> featureTensors,
     "a14_hashing_sketch" -> hashingSketches,
     "mm_media_stats" -> mediaStats,
+    "st_stream_profile" -> streamingProfile,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

@@ -98,12 +98,40 @@ object FeatureAssembly {
       statsVector(width).as("stats_vec"),
       minhashVector(width).as("minhash_vec"))
 
+  /** md5Low32 as a Column (codegen'd builtins, no UDF): little-endian
+    * uint32 of md5 bytes [8,12) extracted from the hex render — the same
+    * base hash as MinHash.md5Low32, so DuckDB (`md5_number_lower & 2³²−1`)
+    * can recompute it. */
+  private def md5Low32Col(c: Column): Column = {
+    val h = md5(c)
+    conv(concat(substring(h, 23, 2), substring(h, 21, 2),
+      substring(h, 19, 2), substring(h, 17, 2)), 16, 10).cast("long")
+  }
+
   /** A14 alt-sketch: hashing-trick term-frequency vector over the column's
-    * whitespace-joined values — `HashingVectorizer(n_features)` semantics
-    * via MLlib HashingTF applied per column of a long-format values
-    * relation (table_name, col_idx, value_str).
+    * whitespace tokens — `HashingVectorizer(n_features)` semantics
+    * (`data_prep.py:251-261`), fully relational: explode tokens → md5
+    * bucket → count, one shuffle on (col, bucket). Emitted as a sorted
+    * sparse "bucket:count" string: deterministic, verifiable by an
+    * independent engine, and never materializes a column's token multiset
+    * in one place (the dense-vector route would).
     */
-  def hashingSketch(values: DataFrame, nFeatures: Int = 30000): DataFrame = {
+  def hashingSketch(values: DataFrame, nFeatures: Int = 30000): DataFrame =
+    values.filter(col("value_str").isNotNull)
+      .select(col("table_name"), col("col_idx"),
+        explode(split(col("value_str"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket", pmod(md5Low32Col(col("tok")), lit(nFeatures)))
+      .groupBy(col("table_name"), col("col_idx"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("table_name"), col("col_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("bucket"), col("cnt")))),
+        s => concat_ws(":", s.getField("bucket"), s.getField("cnt"))), " ").as("hv_str"))
+
+  /** MLlib-interop variant of [[hashingSketch]] (HashingTF murmur3
+    * buckets, dense ML vector output) for pipelines that feed MLlib. */
+  def hashingSketchTF(values: DataFrame, nFeatures: Int = 30000): DataFrame = {
     import org.apache.spark.ml.feature.HashingTF
     val docs = values.filter(col("value_str").isNotNull)
       .groupBy(col("table_name"), col("col_idx"))

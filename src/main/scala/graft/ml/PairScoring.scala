@@ -65,7 +65,9 @@ object PairScoring {
       .withColumn("type_match", (col("ct1") === col("ct2")).cast("double"))
     aligned.groupBy(col("table1"), col("table2")).agg(
       round(max(col("j_exact")), 6).as("max_j_exact"),
-      round(avg(col("j_exact")), 6).as("mean_j_exact"),
+      // decimal-exact mean: FP-order-free so the oracle reproduces it
+      round(sum(col("j_exact").cast(org.apache.spark.sql.types.DecimalType(20, 10)))
+        .cast("double") / count(col("j_exact")), 6).as("mean_j_exact"),
       round(max(coalesce(col("j_words"), lit(0.0))), 6).as("max_j_words"),
       round(max(col("name_sim")), 6).as("max_name_sim"),
       round(avg(col("type_match")), 6).as("type_agreement"),

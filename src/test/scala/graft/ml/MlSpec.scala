@@ -81,14 +81,21 @@ class FeatureAssemblySpec extends SparkSpec {
     assert(txt == "t [SEP] n [SEP] s")
   }
 
-  test("hashingSketch emits sparse vectors of requested width (A14)") {
+  test("hashingSketch emits sorted sparse bucket:count strings (A14)") {
     val values = Profiler.longFormat((1 to 20).map(i => (i, s"tok$i x")).toDF("a", "b"))
       .withColumn("table_name", lit("t"))
     val hv = FeatureAssembly.hashingSketch(values, nFeatures = 512).collect()
     assert(hv.length == 2)
-    val vec = hv(0).getAs[org.apache.spark.ml.linalg.SparseVector]("hv")
-    assert(vec.size == 512)
-    assert(vec.numNonzeros > 0)
+    val entries = hv.map(_.getAs[String]("hv_str")).flatMap(_.split(" "))
+      .map { e => val Array(b, c) = e.split(":"); (b.toInt, c.toInt) }
+    assert(entries.nonEmpty)
+    assert(entries.forall { case (b, c) => b >= 0 && b < 512 && c > 0 })
+    // the shared token "x" appears once per row of column b
+    val colB = hv.find(_.getAs[Int]("col_idx") == 1).get.getAs[String]("hv_str")
+    assert(colB.split(" ").map(_.split(":")(1).toInt).max == 20)
+    // MLlib-interop variant still produces dense ML vectors
+    val tf = FeatureAssembly.hashingSketchTF(values, nFeatures = 512).collect()
+    assert(tf.head.getAs[org.apache.spark.ml.linalg.SparseVector]("hv").size == 512)
   }
 }
 
