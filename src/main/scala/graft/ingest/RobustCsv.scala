@@ -143,10 +143,12 @@ object RobustCsv {
   /** String→DATE promotion: a string column whose every non-null value
     * parses leniently gains a derived `<col>_DATE` column appended LAST
     * (downstream code depends on that ordering, `embedding_search.py:75-78`).
-    * Divergence noted: the reference also re-types the ORIGINAL string
-    * column as DATE (`get_types`, data_prep.py:92-98) while keeping its
-    * string values; we keep the original typed by its Spark schema — the
-    * derived `_DATE` column carries the date semantics for profiling.
+    * The ORIGINAL column keeps its string values but is re-classified as
+    * DATE for downstream type votes, exactly the reference's get_types
+    * split (df values stay, `col_types[col] = DATE`, data_prep.py:92-98):
+    * the classification rides Spark schema metadata
+    * ([[graft.profile.Profiler.DatePromotedKey]]), which survives parquet
+    * round-trips into the sketch catalog.
     */
   def promoteDates(df: DataFrame, sampleRows: Int = 1000): DataFrame = {
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
@@ -162,8 +164,11 @@ object RobustCsv {
     val promote = stringCols.filter { c =>
       row.getAs[Boolean](c) && row.getAs[Long](c + "__n") > 0
     }
+    val dateMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(graft.profile.Profiler.DatePromotedKey, true).build()
     promote.foldLeft(df) { (acc, c) =>
-      acc.withColumn(c + "_DATE", DateFunctions.lenient_date_parse(col(s"`$c`")))
+      acc.withColumn(c, col(s"`$c`").as(c, dateMeta))
+        .withColumn(c + "_DATE", DateFunctions.lenient_date_parse(col(s"`$c`")))
     }
   }
 

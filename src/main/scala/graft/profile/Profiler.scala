@@ -47,6 +47,24 @@ object Profiler {
 
   val QuantileProbs: Seq[Double] = (1 to 9).map(_ / 10.0)
 
+  /** Schema-metadata key set by `RobustCsv.promoteDates` on a string
+    * column whose values all parse as dates. The reference re-classifies
+    * the ORIGINAL column as DATE in its type map while the values stay
+    * strings (`get_types`, data_prep.py:88-98); Spark column metadata is
+    * the idiomatic carrier for that out-of-band type vote.
+    */
+  val DatePromotedKey = "graft.date_promoted"
+
+  /** Logical type of a field: the data type's mapping, overridden to
+    * "date" for date-promoted string columns (see [[DatePromotedKey]]).
+    * Rendering in [[longFormat]] still follows the physical type — the
+    * values ARE strings — only the classification changes, exactly the
+    * reference's split between df values and col_types.
+    */
+  def logicalType(f: StructField): String =
+    if (f.metadata.contains(DatePromotedKey) && f.metadata.getBoolean(DatePromotedKey)) "date"
+    else logicalType(f.dataType)
+
   /** Logical type in the reference's 4-type system (SURVEY §1.2). */
   def logicalType(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType => "integer"
@@ -95,7 +113,7 @@ object Profiler {
   /** Tiny (col_idx, col_name, col_type) dimension for one table's schema. */
   def colMeta(spark: SparkSession, df: DataFrame): DataFrame = {
     val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      (i, f.name, logicalType(f.dataType))
+      (i, f.name, logicalType(f))
     }
     spark.createDataFrame(rows.toIndexedSeq).toDF("col_idx", "col_name", "col_type")
   }

@@ -54,6 +54,14 @@ class RobustCsvSpec extends SparkSpec {
     val df = RobustCsv.read(spark, p).get
     assert(df.columns.last == "when_DATE")
     assert(df.filter(df("when_DATE").isNull).count() == 0)
+    // the ORIGINAL column keeps string values but is re-classified DATE
+    // for type votes (get_types split, data_prep.py:92-98)
+    val meta = graft.profile.Profiler.colMeta(spark, df).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[String]("col_type")).toMap
+    assert(meta("when") == "date")
+    assert(meta("when_DATE") == "date")
+    assert(meta("id") == "integer")
+    assert(df.schema("when").dataType == org.apache.spark.sql.types.StringType)
   }
 
   test("sanitizeName strips quotes, removes newlines/commas, lowers") {

@@ -42,6 +42,39 @@ class PairScoringSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(preds(("a", "b")) == 1.0)
     assert(preds(("a", "c")) == 0.0)
+    // the trained pipeline plugs into the TableScorer seam unchanged
+    val viaSeam = new Scorer.PipelineScorer(model).score(feats)
+      .select("table1", "table2", "prediction").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(viaSeam == preds)
+  }
+
+  test("ExternalModelScorer: per-partition batched seam scores every row") {
+    val df = (1 to 1000).map(i => (i.toLong, i * 0.5, i * 2.0)).toDF("id", "f1", "f2")
+      .repartition(7)
+    // deterministic fake model: sum of features (a real one opens an ONNX
+    // session in the factory and forwards the batch matrix)
+    val scorer = new Scorer.ExternalModelScorer(
+      () => (batch: Array[Array[Double]]) => batch.map(_.sum),
+      featureCols = Seq("f1", "f2"), batchSize = 64)
+    val out = scorer.score(df).collect()
+    assert(out.length == 1000)
+    assert(out.forall { r =>
+      r.getAs[Double]("score") == r.getAs[Double]("f1") + r.getAs[Double]("f2") })
+    assert(scorer.score(df).columns.toSeq == Seq("id", "f1", "f2", "score"))
+  }
+
+  test("ExternalEmbedder: fixed-dim vectors, batch boundaries invisible") {
+    val df = (1 to 130).map(i => (i.toLong, i.toDouble)).toDF("id", "f")
+    val emb = new Scorer.ExternalEmbedder(
+      () => (batch: Array[Array[Double]]) =>
+        batch.map(r => Array(r(0).toFloat, (r(0) * 2).toFloat)),
+      featureCols = Seq("f"), dim = 2, batchSize = 32)
+    val rows = emb.score(df).collect()
+    assert(rows.length == 130)
+    assert(rows.forall { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      v.length == 2 && v(1) == v(0) * 2 && v(0) == r.getAs[Double]("f").toFloat })
   }
 }
 
