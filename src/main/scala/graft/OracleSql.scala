@@ -234,6 +234,38 @@ object OracleSql {
       |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** ann_ivf_topk: recompute Ann.bucketedTopK independently — the
+    * integer-exact hyperplane signature (q_j = floor(v_j·10⁶); weight =
+    * 3-round Lehmer mix of (1009h + j), centered; bit = sign of the exact
+    * BIGINT dot) makes the bucket assignment engine-independent, then
+    * top-5 cosine within the query's bucket. Spark j is 0-based,
+    * DuckDB list index is 1-based: seeds align as (1009h + j_duck).
+    */
+  private def annIvfSql: String = {
+    def wExpr(h: Int) =
+      s"((((($h*1009 + j) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) - 1073741823"
+    val bucketTerms = (0 until 8).map { h =>
+      s"CASE WHEN list_sum([qv[j] * (${wExpr(h)}) FOR j IN range(1, len(qv)+1)]) >= 0 THEN ${1L << h} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    [CAST(floor(x * 1000000) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS qv
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_dot_product(e, e)) AS nrm,
+       |    $bucketTerms AS bucket
+       |  FROM n)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+       |  FROM sigs q JOIN sigs c ON q.bucket = c.bucket
+       |    AND q.vec_id <= 10 AND c.vec_id <> q.vec_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** a15_content_hash: order-independent md5Low64 row-hash sum per table
     * (mirrors Augment.contentHash: \\u0001-joined row, \\u0002 null marker,
     * header hash added). */
@@ -838,6 +870,7 @@ object OracleSql {
     "d_minhash_lsh" -> minhashLshSql,
     "d_simhash_pairs" -> simhashPairsSql,
     "d_emb_neardups" -> embNearDupsSql,
+    "ann_ivf_topk" -> annIvfSql,
     "a15_content_hash" -> contentHashSql,
     "type_inference" -> typeInferenceSql,
     "t1_feature_tensors" -> featureTensorsSql,

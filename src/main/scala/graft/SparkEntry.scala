@@ -289,6 +289,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Q2/Q3 scale path: IVF-bucketed top-k — integer-exact hyperplane
+    * buckets (DuckDB recomputes signatures bit-for-bit), search confined
+    * to the query's cell. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Ann.bucketedTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   private def searchExact(s: SparkSession, dir: String): DataFrame = {
     val values = SearchLake.map { name =>
       Profiler.longFormat(t(s, dir, name)).withColumn("table_name", lit(name))
@@ -551,6 +560,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> ngramJaccard,
     "emb_stats" -> embStats,
     "ann_cosine_topk" -> annTopK,
+    "ann_ivf_topk" -> annIvf,
     "o4_search_exact" -> searchExact,
     // rows-only operators (sketch-based / heuristic; no SQL oracle)
     "profile_sketches" -> profileSketches,

@@ -54,18 +54,34 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic random-hyperplane signs: hyperplane h component j uses a
-    * hash-derived pseudo-random weight in [-1, 1). Purely column-level
-    * (codegen'd), deterministic across runs/engines.
+  /** Lehmer-mixed integer hyperplane weight: three rounds of
+    * x → 48271·x mod (2³¹−1) over seed (1009·h + j + 1), centered to
+    * ±2³⁰. Chosen over murmur3 because it is plain BIGINT arithmetic any
+    * engine reproduces bit-for-bit — the DuckDB oracle recomputes whole
+    * signatures independently, and no JVM/platform hash quirk can shift a
+    * bucket boundary at scale.
     */
-  private def rhWeight(h: Int, j: Column): Column =
-    (pmod(hash(lit(h), j), lit(1000000)).cast("double") / 500000.0) - 1.0
+  private val LehmerM = 2147483647L // 2^31 − 1 (Mersenne prime)
+  private def lehmer3(x: Column): Column = {
+    val r1 = pmod(x * lit(48271L), lit(LehmerM))
+    val r2 = pmod(r1 * lit(48271L), lit(LehmerM))
+    pmod(r2 * lit(48271L), lit(LehmerM))
+  }
+  private def intWeight(h: Int, j: Column): Column =
+    lehmer3(pmod(lit(1009L * h) + j + lit(1L), lit(LehmerM))) - lit(1073741823L)
 
-  /** `nBits`-bit signature via random hyperplanes (sign of Σ w_hj * v_j). */
+  /** `nBits`-bit signature via random hyperplanes: bit h = sign of
+    * Σ_j q_j · w_hj with q_j = ⌊v_j · 10⁶⌋. The dot product is EXACT
+    * integer arithmetic — no floating summation order anywhere — so the
+    * same vector gets the same signature on every engine and partition
+    * layout (bounds: |q|≤10⁶·max|v|, |w|<2³⁰, dim·10⁶·2³⁰ ≪ 2⁶³ for any
+    * realistic embedding). Fully codegen'd column expression.
+    */
   def rhSignature(vec: Column, nBits: Int = 16): Column = {
+    val q = transform(vec, x => floor(x.cast("double") * 1000000).cast("long"))
     val bits = (0 until nBits).map { h =>
-      val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, j) => x.cast("double") * rhWeight(h, j)), lit(0.0), (acc, v) => acc + v)
+      val s = aggregate(zip_with(q, sequence(lit(0L), size(vec).cast("long") - 1),
+        (x, j) => x * intWeight(h, j)), lit(0L), (acc, v) => acc + v)
       when(s >= 0, lit(1L << h)).otherwise(lit(0L))
     }
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
@@ -173,7 +189,7 @@ object Ann {
       .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
