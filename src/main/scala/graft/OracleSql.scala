@@ -104,8 +104,10 @@ object OracleSql {
   /** profile_sketches: stats + stringified exact/word digests per column of
     * the five dimension tables (mirrors Profiler.profile + the md5 MinHash).
     */
-  private def profileSketchesSql: String = {
-    val tables = Seq("customer", "supplier", "nation", "region", "part")
+  private def profileSketchesSql: String =
+    profileSketchesSqlFor(Seq("customer", "supplier", "nation", "region", "part"))
+
+  private def profileSketchesSqlFor(tables: Seq[String]): String = {
     s"""WITH $permsCte,
        |${valsCte(tables, Some(10000))},
        |${metaCte(tables)},
@@ -880,6 +882,29 @@ object OracleSql {
     "m4_pair_features" -> pairFeaturesSql,
     "a14_hashing_sketch" -> hashingSketchSql,
     "st_stream_profile" -> streamProfileSql,
+
+    // round-trip fixtures: Verify writes these files BEFORE the oracle
+    // runs; DuckDB parses the same bytes with its own readers
+    "s2_compressed_roundtrip" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+        |FROM read_csv('/tmp/graft_fixtures/nation_gz/*.csv.gz', header=true)
+        |GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+
+    "s7s8_sketch_roundtrip" -> profileSketchesSqlFor(Seq("region", "nation")),
+
+    "s10_split_roundtrip" ->
+      """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),
+        |x AS (
+        |  SELECT 'train' AS split, unnest(train, recursive := false) AS r FROM raw
+        |  UNION ALL SELECT 'valid', unnest(valid, recursive := false) FROM raw
+        |  UNION ALL SELECT 'test', unnest(test, recursive := false) FROM raw)
+        |SELECT split,
+        |  regexp_replace(string_split(r.table1.filename, '/')[-1], '\.csv(\.bz2|\.gz)?$', '') AS t1,
+        |  regexp_replace(string_split(r.table2.filename, '/')[-1], '\.csv(\.bz2|\.gz)?$', '') AS t2,
+        |  CAST(r.label AS BIGINT) AS label
+        |FROM x ORDER BY split, t1, t2""".stripMargin,
 
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),

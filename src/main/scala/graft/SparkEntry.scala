@@ -333,6 +333,65 @@ object SparkEntry {
       .select(col("table_name"), array_join(col("content_snapshot"), ",").as("snapshot"))
       .orderBy("table_name")
 
+  /** S2/S3/S6 round-trip: nation → gzip CSV on disk → directory walk →
+    * RobustCsv fallback chain → aggregate. The oracle parses the SAME
+    * compressed file with DuckDB's CSV reader, so codec handling, header,
+    * quoting, and schema inference are all cross-checked, not just
+    * spec'd. */
+  private def compressedRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_fixtures/nation_gz"
+    t(s, dir, "nation").orderBy("n_nationkey").coalesce(1)
+      .write.mode("overwrite").option("header", "true")
+      .option("compression", "gzip").csv(out)
+    val path = graft.ingest.RobustCsv.listTables(s, out).head
+    val df = graft.ingest.RobustCsv.read(s, path).get
+    df.groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"),
+        sum(length(col("n_name"))).cast("long").as("name_chars"))
+      .orderBy("n_regionkey")
+  }
+
+  /** S7/S8 round-trip: profile catalog → partitioned parquet sketch store
+    * → read back → same projection as `profile_sketches`. Green iff the
+    * persisted digests survive the store bit-for-bit (the oracle
+    * recomputes them from the raw tables). */
+  private def sketchRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_fixtures/sketch_store"
+    graft.store.SketchStore.writeParquet(
+      lakeCatalog(s, dir).filter(col("table_name").isin("region", "nation")), out)
+    graft.store.SketchStore.readParquet(s, out)
+      .select(col("table_name"), col("col_idx").cast("long").as("col_idx"),
+        col("col_name"), col("col_type"),
+        col("rows").as("n_rows"), col("num_nan"), col("unique").as("n_unique"),
+        round(col("cell_width"), 6).as("cell_width_r"),
+        array_join(col("minhash_exact"), ",").as("mh_exact"),
+        array_join(col("minhash_words"), ",").as("mh_words"))
+      .orderBy("table_name", "col_idx")
+  }
+
+  /** S10/P11 round-trip: write a finetune pair-label JSON descriptor,
+    * read it with Splits.readPairLabels, normalize filenames with
+    * tableKey. The oracle parses the same file with DuckDB's JSON reader.
+    */
+  private def splitRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get("/tmp/graft_fixtures/pair_labels.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    def mk(a: String, b: String, l: Int) =
+      s"""{"table1":{"filename":"data/$a.csv"},"table2":{"filename":"data/$b.csv.gz"},"label":$l}"""
+    val json =
+      s"""{"train":[${mk("customer", "orders", 1)},${mk("nation", "region", 1)},${mk("part", "events", 0)}],
+         |"valid":[${mk("supplier", "customer", 1)}],
+         |"test":[${mk("lineitem", "orders", 0)}]}""".stripMargin
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    graft.sources.Splits.readPairLabels(s, p.toString)
+      .select(col("split"),
+        graft.sources.Splits.tableKey(col("table1")).as("t1"),
+        graft.sources.Splits.tableKey(col("table2")).as("t2"),
+        col("label").cast("long").as("label"))
+      .orderBy("split", "t1", "t2")
+  }
+
   private def searchMinhash(s: SparkSession, dir: String): DataFrame =
     Discovery.searchUnionable(lakeCatalog(s, dir), "supplier", k = 10)
 
@@ -580,6 +639,9 @@ object SparkEntry {
     "a14_hashing_sketch" -> hashingSketches,
     "mm_media_stats" -> mediaStats,
     "st_stream_profile" -> streamingProfile,
+    "s2_compressed_roundtrip" -> compressedRoundtrip,
+    "s7s8_sketch_roundtrip" -> sketchRoundtrip,
+    "s10_split_roundtrip" -> splitRoundtrip,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )
