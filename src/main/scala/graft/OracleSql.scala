@@ -268,6 +268,58 @@ object OracleSql {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** j3_search_eval: precision/recall@5 of exact cosine top-5 against the
+    * same-label ground truth (mirrors Evaluation.precisionAtK over
+    * Ann.bruteForceTopK). */
+  private def searchEvalSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |res AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |truth AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS nid
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <= 10 AND b.vec_id <> a.vec_id),
+      |hits AS (
+      |  SELECT r.query_id, count(*) AS n_hits
+      |  FROM res r JOIN truth t ON r.query_id = t.query_id AND r.neighbor_id = t.nid
+      |  GROUP BY r.query_id),
+      |exp_c AS (SELECT query_id, count(*) AS n_expected FROM truth GROUP BY query_id)
+      |SELECT CAST(e.query_id AS VARCHAR) AS query,
+      |  round(coalesce(h.n_hits, 0) / 5.0, 6) AS precision_at_k,
+      |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / e.n_expected, 6) AS recall_at_k
+      |FROM exp_c e LEFT JOIN hits h USING (query_id)
+      |ORDER BY query""".stripMargin
+
+  /** q5_table_search: top tables by content-snapshot slot agreement with
+    * `nation` (mirrors Discovery.searchTables over the A13 snapshots). */
+  private def tableSearchSql: String = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents")
+    val rowSelects = tables.map { tbl =>
+      val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
+      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM (SELECT * FROM $tbl LIMIT 10000)"
+    }
+    s"""WITH $permsCte,
+       |rows_cte AS (
+       |  ${rowSelects.mkString("\n  UNION ALL ")}
+       |),
+       |drows AS (SELECT DISTINCT t, rs FROM rows_cte),
+       |mins AS (SELECT t, pi, ${mhSlotMin("rs")} AS mh
+       |         FROM drows CROSS JOIN perms GROUP BY t, pi),
+       |dig AS (SELECT t, list(mh ORDER BY pi) AS d FROM mins GROUP BY t)
+       |SELECT c.t AS cand_table,
+       |  round(CAST(len([i FOR i IN range(1, 101) IF q.d[i] = c.d[i]]) AS DOUBLE) / 100.0, 6) AS jaccard
+       |FROM dig c, dig q WHERE q.t = 'nation' AND c.t <> 'nation'
+       |ORDER BY jaccard DESC, cand_table LIMIT 10""".stripMargin
+  }
+
   /** a15_content_hash: order-independent md5Low64 row-hash sum per table
     * (mirrors Augment.contentHash: \\u0001-joined row, \\u0002 null marker,
     * header hash added). */
@@ -893,6 +945,8 @@ object OracleSql {
         |GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
 
     "s7s8_sketch_roundtrip" -> profileSketchesSqlFor(Seq("region", "nation")),
+    "j3_search_eval" -> searchEvalSql,
+    "q5_table_search" -> tableSearchSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -392,6 +392,28 @@ object SparkEntry {
       .orderBy("split", "t1", "t2")
   }
 
+  /** J3: precision/recall@5 of brute-force ANN against same-label ground
+    * truth (labels make the truth relation relational, so the whole
+    * evaluation join is independently recomputable). */
+  private def searchEval(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val results = Ann.bruteForceTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+      .select(col("query_id").cast("string").as("query"),
+        col("neighbor_id").cast("string").as("candidate"), col("rank"))
+    val truth = embs.filter(col("vec_id") <= 10)
+      .select(col("vec_id"), col("label"))
+      .join(embs.select(col("label"), col("vec_id").as("nid")), "label")
+      .filter(col("vec_id") =!= col("nid"))
+      .groupBy(col("vec_id").cast("string").as("query"))
+      .agg(collect_list(col("nid").cast("string")).as("expected"))
+    graft.search.Evaluation.precisionAtK(results, truth, 5).orderBy("query")
+  }
+
+  /** Q5: whole-table near-duplicate search by content-snapshot Jaccard. */
+  private def tableSearch(s: SparkSession, dir: String): DataFrame =
+    Discovery.searchTables(lakeSnapshots(s, dir), "nation", k = 10)
+      .select(col("cand_table"), round(col("jaccard"), 6).as("jaccard"))
+
   private def searchMinhash(s: SparkSession, dir: String): DataFrame =
     Discovery.searchUnionable(lakeCatalog(s, dir), "supplier", k = 10)
 
@@ -640,6 +662,8 @@ object SparkEntry {
     "mm_media_stats" -> mediaStats,
     "st_stream_profile" -> streamingProfile,
     "s2_compressed_roundtrip" -> compressedRoundtrip,
+    "j3_search_eval" -> searchEval,
+    "q5_table_search" -> tableSearch,
     "s7s8_sketch_roundtrip" -> sketchRoundtrip,
     "s10_split_roundtrip" -> splitRoundtrip,
     "x_rollup_agg" -> rollupAgg,
