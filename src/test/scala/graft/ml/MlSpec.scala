@@ -157,3 +157,46 @@ class PoolingSpec extends graft.SparkSpec {
     assert(out(1) == Seq(0.0, 0.0))
   }
 }
+
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+  import WordPiece._
+
+  private val vocab: Map[String, Long] =
+    (Seq(Pad, Unk, Cls, Sep) ++ Seq("un", "##aff", "##able", "runn", "##ing", "x"))
+      .zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+
+  test("segmentWord: greedy longest-match with ## continuations (T2)") {
+    assert(segmentWord("unaffable", vocab) == Seq(vocab("un"), vocab("##aff"), vocab("##able")))
+    assert(segmentWord("running", vocab) == Seq(vocab("runn"), vocab("##ing")))
+    // dead end (no piece covers 'z') -> whole word is [UNK]
+    assert(segmentWord("zing", vocab) == Seq(vocab(Unk)))
+  }
+
+  test("encode: [CLS]/[SEP] frame, padding, truncation, mask") {
+    val vdf = vocab.toSeq.toDF("piece", "id")
+    val df = Seq((1, "unaffable running"), (2, "x x x x x x")).toDF("id", "text")
+    val out = WordPiece.encode(df, "text", vdf, maxLen = 8).collect()
+      .map(r => r.getAs[Int]("id") ->
+        (r.getAs[scala.collection.Seq[Long]]("input_ids"),
+         r.getAs[scala.collection.Seq[Int]]("attention_mask"))).toMap
+    val (ids1, mask1) = out(1)
+    assert(ids1 == Seq(vocab(Cls), vocab("un"), vocab("##aff"), vocab("##able"),
+      vocab("runn"), vocab("##ing"), vocab(Sep), vocab(Pad)))
+    assert(mask1 == Seq(1, 1, 1, 1, 1, 1, 1, 0))
+    val (ids2, mask2) = out(2)  // 6 pieces truncate to maxLen-2
+    assert(ids2.length == 8 && ids2.head == vocab(Cls) && ids2(7) == vocab(Sep))
+    assert(mask2.forall(_ == 1))
+  }
+
+  test("buildVocab: specials + chars + frequent words, deterministic ids") {
+    val texts = Seq("aa bb aa", "aa cc").toDF("text")
+    val v = WordPiece.buildVocab(texts, "text", maxSize = 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v(Pad) == 0 && v(Unk) == 1 && v(Cls) == 2 && v(Sep) == 3)
+    assert(v.contains("a") && v.contains("##a") && v.contains("aa") && v.contains("bb"))
+    assert(v.values.toSeq.distinct.length == v.size) // ids unique
+    // whole-word segmentation now works end to end
+    assert(segmentWord("aa", v) == Seq(v("aa")))
+  }
+}
