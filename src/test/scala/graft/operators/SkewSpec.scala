@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hot key 0 holds half the fact rows — the salting target
+  private lazy val facts = ((1 to 500).map(_ => 0L) ++ (1 to 500).map(_.toLong % 7))
+    .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "row_id")
+  private lazy val dims = (0L to 6L).map(i => (i, s"d$i")).toDF("k", "attr")
+
+  test("saltedJoin is row-identical to the plain join") {
+    val plain = facts.join(dims, "k").select("row_id", "attr")
+    val salted = Skew.saltedJoin(facts, dims, "k", factor = 8).select("row_id", "attr")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedJoin left_outer keeps unmatched rows exactly once") {
+    val extra = facts.unionByName(Seq((99L, -1)).toDF("k", "row_id"))
+    val out = Skew.saltedJoin(extra, dims, "k", factor = 4, joinType = "left_outer")
+    assert(out.filter(col("row_id") === -1).count() == 1)
+    assert(out.filter(col("row_id") === -1).select("attr").first().isNullAt(0))
+  }
+
+  test("keySkewProfile surfaces the hot key with its share") {
+    val prof = Skew.keySkewProfile(facts, "k", topN = 3).collect()
+    assert(prof.head.getLong(0) == 0L)
+    assert(prof.head.getAs[Double]("share") > 0.5)
+  }
+}
