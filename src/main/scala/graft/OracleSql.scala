@@ -268,6 +268,37 @@ object OracleSql {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** inc_profile_merge: the incremental path's merged profile must equal
+    * this from-scratch computation over the FULL table (counts, digests,
+    * numeric bounds per column). */
+  private def incProfileMergeSql: String = {
+    val selects = lakeSchemas("supplier").zipWithIndex.map { case ((c, lt), i) =>
+      val strRender =
+        if (lt == "string") s"nullif(CAST($c AS VARCHAR), '')"
+        else s"CAST($c AS VARCHAR)"
+      val numRender =
+        if (lt == "integer" || lt == "float") s"CAST($c AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"SELECT $i AS ci, $strRender AS v, $numRender AS vn FROM supplier"
+    }
+    s"""WITH $permsCte,
+       |vals AS (
+       |  ${selects.mkString("\n  UNION ALL ")}
+       |),
+       |stats AS (
+       |  SELECT ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
+       |         min(vn) AS min_v, max(vn) AS max_v
+       |  FROM vals GROUP BY ci),
+       |dvals AS (SELECT DISTINCT ci, v FROM vals WHERE v IS NOT NULL),
+       |mins AS (SELECT ci, pi, ${mhSlotMin("v")} AS mh
+       |         FROM dvals CROSS JOIN perms GROUP BY ci, pi),
+       |dig AS (SELECT ci, array_to_string(list(mh ORDER BY pi), ',') AS mh_exact
+       |        FROM mins GROUP BY ci)
+       |SELECT 'supplier' AS table_name, CAST(ci AS BIGINT) AS col_idx,
+       |  stats.n_rows AS "rows", stats.num_nan, dig.mh_exact,
+       |  stats.min_v, stats.max_v
+       |FROM stats JOIN dig USING (ci) ORDER BY col_idx""".stripMargin
+  }
+
   /** j3_search_eval: precision/recall@5 of exact cosine top-5 against the
     * same-label ground truth (mirrors Evaluation.precisionAtK over
     * Ann.bruteForceTopK). */
@@ -946,6 +977,7 @@ object OracleSql {
 
     "s7s8_sketch_roundtrip" -> profileSketchesSqlFor(Seq("region", "nation")),
     "j3_search_eval" -> searchEvalSql,
+    "inc_profile_merge" -> incProfileMergeSql,
     "q5_table_search" -> tableSearchSql,
 
     "s10_split_roundtrip" ->

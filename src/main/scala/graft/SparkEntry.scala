@@ -594,6 +594,26 @@ object SparkEntry {
       .orderBy("col_name")
   }
 
+  /** Incremental-maintenance path: profile supplier in two key-parity
+    * chunks, merge, emit the mergeable fields. The oracle computes the
+    * same profile from the FULL table — green iff chunked profiling is
+    * indistinguishable from a from-scratch scan (the 100 TB append
+    * story). HLL state is engine-internal and excluded here; its bound
+    * is spec'd in IncrementalSpec.
+    */
+  private def incrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    val full = t(s, dir, "supplier")
+    val chunks = Seq(full.filter(col("s_suppkey") % 2 === 0),
+      full.filter(col("s_suppkey") % 2 === 1))
+      .map(graft.profile.Incremental.profileChunk(_, "supplier"))
+      .reduce(_ unionByName _)
+    graft.profile.Incremental.merge(chunks)
+      .select(col("table_name"), col("col_idx"), col("rows"), col("num_nan"),
+        array_join(col("minhash_exact"), ",").as("mh_exact"),
+        col("min_v"), col("max_v"))
+      .orderBy("col_idx")
+  }
+
   /** Engine extensions beyond the reference: multi-level aggregation. */
   private def rollupAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -666,6 +686,7 @@ object SparkEntry {
     "q5_table_search" -> tableSearch,
     "s7s8_sketch_roundtrip" -> sketchRoundtrip,
     "s10_split_roundtrip" -> splitRoundtrip,
+    "inc_profile_merge" -> incrementalMerge,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )
