@@ -43,16 +43,23 @@ object SparkEntry {
   val RowCap = 10000
 
   // keyed by session too: a cached plan is bound to the session that built
-  // it and must not leak into a successor session in the same JVM
+  // it and must not leak into a successor session in the same JVM.
+  // localCheckpoint (not persist): the profile pipeline's logical plan is
+  // enormous, and every downstream query referencing a persisted catalog
+  // re-pays its analysis/optimization on the DRIVER (~3 s per query here);
+  // checkpointing truncates lineage so consumers plan against a flat
+  // LogicalRDD. On a real cluster the durable equivalent is the
+  // SketchStore parquet catalog (s7s8 round-trip) — same effect, reliable.
   private def lakeCatalog(s: SparkSession, dir: String): DataFrame =
     catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#profiles",
-      Profiler.profileLake(s, dir, LakeTables, rowCap = Some(RowCap)).persist())
+      Profiler.profileLake(s, dir, LakeTables, rowCap = Some(RowCap))
+        .localCheckpoint(eager = true))
 
   private def lakeSnapshots(s: SparkSession, dir: String): DataFrame =
     catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#snapshots",
       SnapshotTables.map(n =>
         Profiler.contentSnapshot(graft.sources.Lake.read(s, dir, n, Some(RowCap)), n))
-        .reduce(_ unionByName _).persist())
+        .reduce(_ unionByName _).localCheckpoint(eager = true))
 
   val LakeTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
