@@ -46,3 +46,33 @@ class StreamingProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dropDuplicatesWithinWatermark: repeats within horizon are dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingDedup.dedupStream(df, "ts", "10 minutes",
+      keyCols = Seq("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t = (m: String) => java.sql.Timestamp.valueOf(s"2024-01-01 10:$m:00")
+      input.addData((t("00"), "d1", "hello"), (t("01"), "d2", "world"))
+      q.processAllAvailable()
+      // same content re-delivered in a later batch, inside the watermark
+      input.addData((t("02"), "d1", "hello"), (t("03"), "d3", "fresh"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").collect()
+      assert(rows.length == 3)
+      assert(rows.map(_.getString(1)).sorted.toSeq == Seq("d1", "d2", "d3"))
+      // null-safe fingerprint distinguishes null from empty string
+      val fp = Seq(("a", null: String), ("a", "")).toDF("x", "y")
+        .select(StreamingDedup.fingerprint(Seq("x", "y")).as("fp"))
+        .collect().map(_.getString(0))
+      assert(fp(0) != fp(1))
+    } finally q.stop()
+  }
+}
