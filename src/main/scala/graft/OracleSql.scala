@@ -299,6 +299,33 @@ object OracleSql {
        |FROM stats JOIN dig USING (ci) ORDER BY col_idx""".stripMargin
   }
 
+  /** t_quality_filter: Gopher-style rule filter counts per language
+    * (mirrors TextAnalysis.qualityFilter with the query's thresholds;
+    * rule comparisons on round-6 metrics on both sides). */
+  private def qualityFilterSql: String =
+    """WITH m AS (
+      |  SELECT lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |    round(CASE WHEN length(text) = 0 THEN 0
+      |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS pr,
+      |    round(CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0
+      |          ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w))) AS DOUBLE)
+      |               / len(string_split_regex(trim(text), '\s+')) END, 6) AS mtl
+      |  FROM documents),
+      |f AS (
+      |  SELECT lang,
+      |    (n_tokens >= 30 AND n_tokens <= 5000) AS ok_tokens,
+      |    (mtl >= 3.0 AND mtl <= 4.8) AS ok_word_len,
+      |    (pr <= 0.1) AS ok_punct
+      |  FROM m)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ok_tokens AND ok_word_len AND ok_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(sum(CASE WHEN NOT ok_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_tokens,
+      |  CAST(sum(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
+      |  CAST(sum(CASE WHEN NOT ok_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   /** j3_search_eval: precision/recall@5 of exact cosine top-5 against the
     * same-label ground truth (mirrors Evaluation.precisionAtK over
     * Ann.bruteForceTopK). */
@@ -978,6 +1005,7 @@ object OracleSql {
     "s7s8_sketch_roundtrip" -> profileSketchesSqlFor(Seq("region", "nation")),
     "j3_search_eval" -> searchEvalSql,
     "inc_profile_merge" -> incProfileMergeSql,
+    "t_quality_filter" -> qualityFilterSql,
     "q5_table_search" -> tableSearchSql,
 
     "s10_split_roundtrip" ->

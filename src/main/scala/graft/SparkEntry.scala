@@ -621,6 +621,21 @@ object SparkEntry {
       .orderBy("col_idx")
   }
 
+  /** LLM-pipeline: Gopher-style quality filter, reported per language. */
+  private def qualityFilterStats(s: SparkSession, dir: String): DataFrame = {
+    val rules = TextAnalysis.QualityRules(
+      minTokens = 30, maxTokens = 5000,
+      minMeanTokenLen = 3.0, maxMeanTokenLen = 4.8, maxPunctRatio = 0.1)
+    TextAnalysis.qualityFilter(t(s, dir, "documents"), rules)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum((!col("ok_tokens")).cast("long")).as("n_fail_tokens"),
+        sum((!col("ok_word_len")).cast("long")).as("n_fail_word_len"),
+        sum((!col("ok_punct")).cast("long")).as("n_fail_punct"))
+      .orderBy("lang")
+  }
+
   /** Engine extensions beyond the reference: multi-level aggregation. */
   private def rollupAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -694,6 +709,7 @@ object SparkEntry {
     "s7s8_sketch_roundtrip" -> sketchRoundtrip,
     "s10_split_roundtrip" -> splitRoundtrip,
     "inc_profile_merge" -> incrementalMerge,
+    "t_quality_filter" -> qualityFilterStats,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

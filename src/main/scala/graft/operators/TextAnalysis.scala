@@ -27,4 +27,32 @@ object TextAnalysis {
       lang_id(t).as("lang_pred"),
       simhash64(t).as("simhash"))
   }
+
+  /** Rule thresholds for [[qualityFilter]] — Gopher-style corpus rules
+    * (token-count window, word-length window, symbol ceiling; Rae et al.
+    * 2021, "Scaling Language Models", App. A1.1 — public paper, see
+    * PAPERS.md). Metrics are compared AFTER round-6, so an independent
+    * engine applying the same rules to the same text agrees exactly.
+    */
+  final case class QualityRules(
+      minTokens: Long = 50, maxTokens: Long = 100000,
+      minMeanTokenLen: Double = 3.0, maxMeanTokenLen: Double = 10.0,
+      maxPunctRatio: Double = 0.2)
+
+  /** Per-document rule flags + the keep verdict. Narrow projection, no
+    * shuffle — the 100 TB shape is scan → filter, nothing else.
+    */
+  def qualityFilter(docs: DataFrame, rules: QualityRules = QualityRules(),
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTok = token_count(t)
+    val mtl = round(mean_token_len(t), 6)
+    val pr = round(punct_ratio(t), 6)
+    docs.withColumn("ok_tokens",
+        nTok >= rules.minTokens && nTok <= rules.maxTokens)
+      .withColumn("ok_word_len",
+        mtl >= rules.minMeanTokenLen && mtl <= rules.maxMeanTokenLen)
+      .withColumn("ok_punct", pr <= rules.maxPunctRatio)
+      .withColumn("keep", col("ok_tokens") && col("ok_word_len") && col("ok_punct"))
+  }
 }

@@ -102,6 +102,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[String]("fingerprint").length == 32)
     assert(out.getAs[Double]("quality") > 0)
   }
+
+  test("qualityFilter applies Gopher-style rules with per-rule flags") {
+    val docs = Seq(
+      (1L, "a solid document with plenty of reasonable words inside it"), // keep
+      (2L, "too short"),                                   // fails token window
+      (3L, "!!! ??? ... ;;; ::: !!! ??? ... ;;; :::"),     // fails punct + word len
+      (4L, "aa bb cc dd ee ff gg hh ii jj kk ll")          // fails mean word len (short words)
+    ).toDF("doc_id", "text")
+    val rules = TextAnalysis.QualityRules(minTokens = 5, maxTokens = 100,
+      minMeanTokenLen = 3.0, maxMeanTokenLen = 10.0, maxPunctRatio = 0.2)
+    val out = TextAnalysis.qualityFilter(docs, rules).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("ok_tokens") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("ok_punct"))
+    assert(!out(4L).getAs[Boolean]("ok_word_len") && !out(4L).getAs[Boolean]("keep"))
+    // passthrough: original columns survive the filter decoration
+    assert(out(1L).getAs[String]("text").startsWith("a solid"))
+  }
 }
 
 class CosineRecallSpec extends SparkSpec {
