@@ -184,8 +184,10 @@ object OracleSql {
     * slots; a pair is a candidate iff some band matches in full), verified
     * at jaccard ≥ 0.05.
     */
-  private def minhashLshSql: String =
-    s"""WITH $permsCte,
+  /** Shared CTE chain: per-doc 3-word-shingle digests → banded candidate
+    * pairs with estimated jaccard (band-of-5 agreement = candidate). */
+  private def minhashPairCtes: String =
+    s"""$permsCte,
        |d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |g AS (SELECT doc_id,
        |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
@@ -199,10 +201,36 @@ object OracleSql {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(len([i FOR i IN range(1, 101) IF a.d[i] = b.d[i]]) AS DOUBLE) / 100.0 AS jaccard,
        |    len([bb FOR bb IN range(0, 20) IF list_slice(a.d, 5*bb+1, 5*bb+5) = list_slice(b.d, 5*bb+1, 5*bb+5)]) AS nb
-       |  FROM dig a JOIN dig b ON a.doc_id < b.doc_id)
+       |  FROM dig a JOIN dig b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private def minhashLshSql: String =
+    s"""WITH $minhashPairCtes
        |SELECT id_a, id_b, jaccard FROM pairs
        |WHERE nb > 0 AND jaccard >= 0.05
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d_dedup_corpus: end-to-end near-dup REMOVAL — verified pairs →
+    * connected components (transitive closure; min id wins) → keep one
+    * representative per component plus unpaired docs (mirrors
+    * Dedup.dropNearDuplicates ∘ resolveClusters ∘ minhashNearDups). The
+    * id checksum pins the exact kept set, not just its size.
+    */
+  private def dedupCorpusSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |vp AS (SELECT id_a, id_b FROM pairs WHERE nb > 0 AND jaccard >= 0.05),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+       |          UNION SELECT id_b, id_a FROM vp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+       |           FROM reach GROUP BY src),
+       |losers AS (SELECT id FROM labels WHERE id <> cluster)
+       |SELECT lang, count(*) AS n_docs_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** d_simhash_pairs: 64-bit SimHash (md5Low64 token hash) + Hamming. */
   private def simhashPairsSql: String =
@@ -1006,6 +1034,7 @@ object OracleSql {
     "j3_search_eval" -> searchEvalSql,
     "inc_profile_merge" -> incProfileMergeSql,
     "t_quality_filter" -> qualityFilterSql,
+    "d_dedup_corpus" -> dedupCorpusSql,
     "q5_table_search" -> tableSearchSql,
 
     "s10_split_roundtrip" ->

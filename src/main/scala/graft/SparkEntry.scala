@@ -621,6 +621,18 @@ object SparkEntry {
       .orderBy("col_idx")
   }
 
+  /** LLM-pipeline: end-to-end near-dup removal — pairs → components →
+    * one representative per cluster. The id checksum pins the kept SET. */
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05)
+    Dedup.dropNearDuplicates(docs, pairs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang")
+  }
+
   /** LLM-pipeline: Gopher-style quality filter, reported per language. */
   private def qualityFilterStats(s: SparkSession, dir: String): DataFrame = {
     val rules = TextAnalysis.QualityRules(
@@ -710,6 +722,7 @@ object SparkEntry {
     "s10_split_roundtrip" -> splitRoundtrip,
     "inc_profile_merge" -> incrementalMerge,
     "t_quality_filter" -> qualityFilterStats,
+    "d_dedup_corpus" -> dedupCorpus,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

@@ -129,4 +129,51 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, threshold: Double = 0.95,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Ann.cosineNearDups(embs, threshold, idCol, vecCol)
+
+  /** Resolve near-dup pairs into connected components by iterative
+    * min-label propagation (the relational Pregel): each round every node
+    * takes the min of its own label and its neighbors', converging in
+    * O(log diameter) rounds — near-dup clusters are short chains in
+    * practice, so the default bound is generous. Each round is one
+    * shuffle on id; lineage is checkpoint-truncated per round so the
+    * iterative plan stays flat (the planning-cost lesson from the sketch
+    * catalog applies doubly to loops).
+    * Output: (id, cluster), cluster = the component's minimum id.
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Corpus-level near-dup removal: resolve pair clusters, keep each
+    * component's minimum-id representative (plus every unpaired doc).
+    * The anti-join ships only the (id, cluster) relation — tiny next to
+    * the corpus — so the docs table streams through untouched.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val losers = resolveClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -50,6 +50,23 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1.0)
     assert(out((1L, 4L)) == 0.0)
   }
+
+  test("resolveClusters: transitive chains collapse to min-id components") {
+    // chain 1-2-3-4 (diameter > 1 round) plus island 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(clusters(7L) == 7L && clusters(8L) == 7L)
+  }
+
+  test("dropNearDuplicates keeps one representative + unpaired docs") {
+    val corpus = (1L to 10L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(corpus, pairs).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L, 8L, 9L, 10L))
+  }
 }
 
 class AnnSpec extends SparkSpec {
