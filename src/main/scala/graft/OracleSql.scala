@@ -354,6 +354,47 @@ object OracleSql {
       |  CAST(sum(CASE WHEN NOT ok_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** t_pii_scrub: DuckDB synthesizes the same contact strings from
+    * customer keys and redacts with the same RE2 patterns in the same
+    * order (emails → IPv4 → phones, counts on progressively-scrubbed
+    * text — mirrors TextAnalysis.scrubPii). */
+  private def piiScrubSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+    def hitSum(c: String, re: String) =
+      s"CAST(sum(len(string_split_regex($c, '$re')) - 1) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT c_mktsegment,
+       |    c_name || ' reachable at user' || c_custkey ||
+       |    '@example.com or +1 (555) 010-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+       |    ' from 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_custkey % 100 AS VARCHAR) AS text
+       |  FROM customer),
+       |s1 AS (SELECT c_mktsegment, text,
+       |         regexp_replace(text, '$email', '[EMAIL]', 'g') AS after_email FROM base),
+       |s2 AS (SELECT *, regexp_replace(after_email, '$ip', '[IP]', 'g') AS after_ip FROM s1)
+       |SELECT c_mktsegment, count(*) AS n_rows,
+       |  ${hitSum("text", email)} AS emails,
+       |  ${hitSum("after_ip", phone)} AS phones,
+       |  ${hitSum("after_email", ip)} AS ips,
+       |  min(regexp_replace(after_ip, '$phone', '[PHONE]', 'g')) AS sample_clean
+       |FROM s2 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  }
+
+  /** d_stratified_sample: recompute the deterministic sample membership
+    * (md5_low32(doc_id:salt) < floor(fraction·2³²), per-lang thresholds
+    * mirroring Sampling.stratifiedSample with the query's mix). */
+  private def stratifiedSampleSql: String = {
+    def thr(f: Double) = math.floor(f * 4294967296.0).toLong
+    s"""SELECT lang, count(*) AS n_sampled,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |FROM documents
+       |WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix1') & 4294967295)
+       |      < CASE lang WHEN 'en' THEN ${thr(0.5)} WHEN 'zh' THEN ${thr(0.25)}
+       |                  ELSE ${thr(0.1)} END
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** j3_search_eval: precision/recall@5 of exact cosine top-5 against the
     * same-label ground truth (mirrors Evaluation.precisionAtK over
     * Ann.bruteForceTopK). */
@@ -1035,6 +1076,8 @@ object OracleSql {
     "inc_profile_merge" -> incProfileMergeSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
+    "t_pii_scrub" -> piiScrubSql,
+    "d_stratified_sample" -> stratifiedSampleSql,
     "q5_table_search" -> tableSearchSql,
 
     "s10_split_roundtrip" ->

@@ -633,6 +633,39 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** LLM-pipeline: PII scrub over deterministic synthetic contact text
+    * (the lake has no real PII; both engines synthesize the same strings
+    * from customer keys, then redact independently). */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "customer").withColumn("text",
+      concat(col("c_name"), lit(" reachable at user"), col("c_custkey"),
+        lit("@example.com or +1 (555) 010-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("c_custkey"), lit(256)).cast("string"),
+        lit("."), pmod(col("c_custkey"), lit(100)).cast("string")))
+    TextAnalysis.scrubPii(withPii)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_emails")).cast("long").as("emails"),
+        sum(col("n_phones")).cast("long").as("phones"),
+        sum(col("n_ips")).cast("long").as("ips"),
+        min(col("text_clean")).as("sample_clean"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** LLM-pipeline: deterministic stratified sample (training mix). The
+    * id checksum pins the exact selected set — membership is a pure
+    * function of (doc_id, salt), so DuckDB selects the same rows. */
+  private def stratifiedSampleStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents"), "lang",
+      fractions = Map("en" -> 0.5, "zh" -> 0.25),
+      defaultFraction = 0.1, idCol = "doc_id", salt = "mix1")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang")
+
   /** LLM-pipeline: Gopher-style quality filter, reported per language. */
   private def qualityFilterStats(s: SparkSession, dir: String): DataFrame = {
     val rules = TextAnalysis.QualityRules(
@@ -723,6 +756,8 @@ object SparkEntry {
     "inc_profile_merge" -> incrementalMerge,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
+    "t_pii_scrub" -> piiScrub,
+    "d_stratified_sample" -> stratifiedSampleStats,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -54,5 +54,32 @@ object TextAnalysis {
         mtl >= rules.minMeanTokenLen && mtl <= rules.maxMeanTokenLen)
       .withColumn("ok_punct", pr <= rules.maxPunctRatio)
       .withColumn("keep", col("ok_tokens") && col("ok_word_len") && col("ok_punct"))
+  }
+
+  // RE2-compatible PII patterns (work identically in DuckDB's regex
+  // engine, so redaction is independently verifiable)
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII scrub: redact emails, then IPv4 addresses, then phone numbers
+    * with typed placeholder tokens; append per-kind redaction counts.
+    * Counting is sequential on the progressively-scrubbed text — an IPv4
+    * would otherwise also match the (digits+separators) phone pattern and
+    * double-count. Pure regexp_replace over a projection — codegen'd,
+    * shuffle-free.
+    */
+  def scrubPii(docs: DataFrame, textCol: String = "text",
+               outCol: String = "text_clean"): DataFrame = {
+    val t = col(textCol)
+    def hits(c: Column, re: String) =
+      (size(split(c, re, -1)) - 1).cast("long")
+    val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
+    docs
+      .withColumn("n_emails", hits(t, EmailRe))
+      .withColumn("n_ips", hits(afterEmail, Ipv4Re))
+      .withColumn("n_phones", hits(afterIp, PhoneRe))
+      .withColumn(outCol, regexp_replace(afterIp, PhoneRe, "[PHONE]"))
   }
 }

@@ -138,6 +138,25 @@ class TextAnalysisSpec extends SparkSpec {
     // passthrough: original columns survive the filter decoration
     assert(out(1L).getAs[String]("text").startsWith("a solid"))
   }
+
+  test("scrubPii redacts emails, IPs, phones without double counting") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@some-host.org or call +1 (555) 123-4567"),
+      (2L, "server at 192.168.0.1 responded"),   // IP must NOT count as phone
+      (3L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1 && out(1L).getAs[Long]("n_phones") == 1)
+    val c1 = out(1L).getAs[String]("text_clean")
+    assert(c1.contains("[EMAIL]") && c1.contains("[PHONE]"))
+    assert(!c1.contains("@") && !c1.contains("555"))
+    assert(out(2L).getAs[Long]("n_ips") == 1 && out(2L).getAs[Long]("n_phones") == 0)
+    assert(out(2L).getAs[String]("text_clean") == "server at [IP] responded")
+    assert(out(3L).getAs[Long]("n_emails") + out(3L).getAs[Long]("n_phones") +
+      out(3L).getAs[Long]("n_ips") == 0)
+    assert(out(3L).getAs[String]("text_clean") == "nothing sensitive here at all")
+  }
 }
 
 class CosineRecallSpec extends SparkSpec {

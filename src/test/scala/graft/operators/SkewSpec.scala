@@ -31,3 +31,30 @@ class SkewSpec extends SparkSpec {
     assert(prof.head.getAs[Double]("share") > 0.5)
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = (1L to 10000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    .toDF("id", "grp")
+
+  test("deterministicSample: reproducible, partition-invariant, ~fraction") {
+    val s1 = Sampling.deterministicSample(df, "id", 0.3).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(df.repartition(13), "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                       // partitioning must not matter
+    assert(math.abs(s1.size - 3000) < 200) // ~binomial tolerance
+    val other = Sampling.deterministicSample(df, "id", 0.3, salt = "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != s1)                    // salt draws an independent sample
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val out = Sampling.stratifiedSample(df, "grp",
+      fractions = Map("a" -> 0.5), defaultFraction = 0.05, idCol = "id")
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("a") - 2500) < 200)
+    assert(math.abs(out("b") - 250) < 80)
+  }
+}
