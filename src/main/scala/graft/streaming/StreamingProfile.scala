@@ -61,4 +61,20 @@ object StreamingProfile {
         approx_count_distinct(col("user_id")).as("approx_users"))
       .select(col("event_type"), col("window.start").as("h"),
         col("n"), col("approx_users"))
+
+  /** Streaming sessionization: gap-based session windows per user — the
+    * batch `e_sessionize` semantics maintained incrementally. State is
+    * bounded by the watermark; sessions emit on close (Append mode).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("event_type")).as("n_types"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("n_types"))
 }

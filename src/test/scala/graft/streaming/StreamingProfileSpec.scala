@@ -47,6 +47,34 @@ class StreamingProfileSpec extends SparkSpec {
   }
 }
 
+class SessionWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap-based session windows close after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamingProfile.sessionWindows(df, gap = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t = (hm: String) => java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00")
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      input.addData((t("10:00"), 1L, "click"), (t("10:05"), 1L, "view"),
+        (t("10:40"), 1L, "click"))
+      q.processAllAvailable()
+      // advance watermark far enough to close every session
+      input.addData((t("12:00"), 2L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .filter(_.getLong(0) == 1L).sortBy(_.getTimestamp(1).getTime)
+      assert(rows.length == 2, s"expected 2 closed sessions, got ${rows.toSeq}")
+      assert(rows(0).getLong(3) == 2) // first session merged both events
+      assert(rows(1).getLong(3) == 1)
+    } finally q.stop()
+  }
+}
+
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
 
