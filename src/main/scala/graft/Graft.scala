@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Single entry point for the library — the operator surface a user of
+  * the reference system (IBM/tabsketchfm) maps onto directly, plus the
+  * training-data-pipeline extensions. Every method delegates to the
+  * module that implements it; see each module's Scaladoc for the scale
+  * contract and the driver queries in [[SparkEntry]] for end-to-end,
+  * oracle-verified usage of every operator.
+  *
+  * Reference workflow → facade:
+  *  - sketch building (`data_prep.py` E1)       → [[ingestTable]], [[profileLake]], [[snapshot]], [[sketchStore]]
+  *  - incremental upkeep (no reference analogue) → [[profileChunk]], [[mergeProfiles]]
+  *  - discovery search (`embedding_search.py`)   → [[searchUnionable]], [[searchTables]], [[evaluateSearch]]
+  *  - pair scoring (`tabsketchfm_finetune.py`)   → [[pairFeatures]], [[trainPairScorer]], external scorers via [[ml.Scorer]]
+  *  - tokenizer tensors (`tabular_tokenizer.py`) → [[ml.FeatureAssembly]], [[ml.TokenizerOps]], [[ml.WordPiece]]
+  *  - pipeline extensions                        → [[dedupCorpus]], [[qualityFilter]], [[scrubPii]], [[sampleStratified]], `operators.Ann`, `streaming.*`
+  */
+object Graft {
+
+  // ---- ingest & profile (S*/P*/A* rows) ----
+
+  /** Fault-tolerant table read: charset+delimiter sniff → strict →
+    * permissive → xlsx; None for unreadable or <5-row tables. */
+  def ingestTable(spark: SparkSession, path: String): Option[DataFrame] =
+    ingest.RobustCsv.read(spark, path)
+
+  /** Profile every table of a parquet lake into the long-format sketch
+    * catalog (capped at the reference's 10k rows unless overridden). */
+  def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
+                  rowCap: Option[Int] = Some(10000)): DataFrame =
+    profile.Profiler.profileLake(spark, dir, tables, rowCap = rowCap)
+
+  /** Whole-table content snapshot (A13). */
+  def snapshot(df: DataFrame, tableName: String): DataFrame =
+    profile.Profiler.contentSnapshot(df, tableName)
+
+  /** Persist / reload the catalog as partitioned parquet (S7/S8). */
+  def sketchStore: store.SketchStore.type = store.SketchStore
+
+  /** Mergeable partial profile of one chunk (append-only upkeep). */
+  def profileChunk(df: DataFrame, tableName: String): DataFrame =
+    profile.Incremental.profileChunk(df, tableName)
+
+  /** Exact fold of chunk profiles (digests slot-min, HLL union). */
+  def mergeProfiles(chunks: DataFrame): DataFrame =
+    profile.Incremental.merge(chunks)
+
+  // ---- discovery search (J*/O*/Q* rows) ----
+
+  /** Top-k unionable tables for a query table over the profile catalog. */
+  def searchUnionable(profiles: DataFrame, queryTable: String, k: Int = 10): DataFrame =
+    search.Discovery.searchUnionable(profiles, queryTable, k)
+
+  /** Top-k near-duplicate tables by content-snapshot Jaccard. */
+  def searchTables(snapshots: DataFrame, queryTable: String, k: Int = 10): DataFrame =
+    search.Discovery.searchTables(snapshots, queryTable, k)
+
+  /** precision/recall@k of ranked results against ground truth (J3). */
+  def evaluateSearch(results: DataFrame, groundTruth: DataFrame, k: Int): DataFrame =
+    search.Evaluation.precisionAtK(results, groundTruth, k)
+
+  // ---- pair scoring (Q7) ----
+
+  def pairFeatures(pairs: DataFrame, profiles: DataFrame): DataFrame =
+    ml.PairScoring.pairFeatures(pairs, profiles)
+
+  def trainPairScorer(features: DataFrame, labelCol: String,
+                      problemType: String = "classification"): ml.TableScorer =
+    new ml.Scorer.PipelineScorer(
+      ml.PairScoring.trainScorer(features, labelCol, problemType))
+
+  // ---- training-data pipeline extensions ----
+
+  /** Near-dup removal end to end: banded MinHash pairs → connected
+    * components → one representative per cluster. */
+  def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    operators.Dedup.dropNearDuplicates(docs,
+      operators.Dedup.minhashNearDups(docs, threshold, idCol, textCol), idCol)
+
+  def qualityFilter(docs: DataFrame,
+                    rules: operators.TextAnalysis.QualityRules =
+                      operators.TextAnalysis.QualityRules()): DataFrame =
+    operators.TextAnalysis.qualityFilter(docs, rules)
+
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    operators.TextAnalysis.scrubPii(docs, textCol)
+
+  def sampleStratified(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double], defaultFraction: Double,
+                       idCol: String, salt: String = "s0"): DataFrame =
+    operators.Sampling.stratifiedSample(df, strataCol, fractions,
+      defaultFraction, idCol, salt)
+
+  /** Exact cosine top-k over an embedding column (queries broadcast). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    operators.Ann.bruteForceTopK(corpus, queries, k)
+}
