@@ -395,6 +395,25 @@ object OracleSql {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** d_decontam_report: 3-gram overlap of corpus docs (id > 5) against
+    * the eval set (id ≤ 5), mirroring Decontamination.overlapReport
+    * (distinct shingles; ≤2-word docs collapse to one whole-text
+    * shingle, same as word_shingles). */
+  private def decontamSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |      FROM d),
+      |ds AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM g WHERE doc_id > 5),
+      |bs AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id <= 5),
+      |counts AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY doc_id),
+      |ov AS (SELECT doc_id, count(*) AS n_overlap FROM ds JOIN bs ON ds.s = bs.s GROUP BY doc_id)
+      |SELECT c.doc_id AS id, c.n_shingles, coalesce(o.n_overlap, 0) AS n_overlap,
+      |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / c.n_shingles, 6) AS overlap_frac,
+      |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / c.n_shingles, 6) >= 0.2 AS contaminated
+      |FROM counts c LEFT JOIN ov o USING (doc_id) ORDER BY id""".stripMargin
+
   /** j3_search_eval: precision/recall@5 of exact cosine top-5 against the
     * same-label ground truth (mirrors Evaluation.precisionAtK over
     * Ann.bruteForceTopK). */
@@ -1078,6 +1097,7 @@ object OracleSql {
     "d_dedup_corpus" -> dedupCorpusSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
+    "d_decontam_report" -> decontamSql,
     "q5_table_search" -> tableSearchSql,
 
     "s10_split_roundtrip" ->

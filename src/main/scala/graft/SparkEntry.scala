@@ -666,6 +666,16 @@ object SparkEntry {
         sum(col("doc_id")).cast("long").as("id_checksum"))
       .orderBy("lang")
 
+  /** LLM-pipeline: benchmark decontamination — per-doc 3-gram overlap of
+    * the corpus (doc_id > 5) against the "eval set" (doc_id ≤ 5). */
+  private def decontamReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Decontamination.overlapReport(
+      docs.filter(col("doc_id") > 5), docs.filter(col("doc_id") <= 5),
+      n = 3, threshold = 0.2)
+      .orderBy("id")
+  }
+
   /** LLM-pipeline: Gopher-style quality filter, reported per language. */
   private def qualityFilterStats(s: SparkSession, dir: String): DataFrame = {
     val rules = TextAnalysis.QualityRules(
@@ -758,6 +768,7 @@ object SparkEntry {
     "d_dedup_corpus" -> dedupCorpus,
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,
+    "d_decontam_report" -> decontamReport,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

@@ -58,3 +58,31 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("b") - 250) < 80)
   }
 }
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Decontamination
+
+  private lazy val bench = Seq((100L, "the secret eval question about spark internals"))
+    .toDF("doc_id", "text")
+  private lazy val corpus = Seq(
+    (1L, "the secret eval question about spark internals appears verbatim here"),
+    (2L, "a completely unrelated training document with fresh content"),
+    (3L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("overlapReport flags verbatim leakage, not fresh docs") {
+    val rep = Decontamination.overlapReport(corpus, bench, n = 3, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getAs[Boolean]("contaminated"))
+    assert(rep(1L).getAs[Long]("n_overlap") >= 5)
+    assert(!rep(2L).getAs[Boolean]("contaminated") && rep(2L).getAs[Long]("n_overlap") == 0)
+    assert(!rep(3L).getAs[Boolean]("contaminated")) // whole-text shingle, no match
+  }
+
+  test("decontaminate drops only the flagged docs") {
+    val kept = Decontamination.decontaminate(corpus, bench, n = 3, threshold = 0.2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+  }
+}
