@@ -414,6 +414,25 @@ object OracleSql {
       |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / c.n_shingles, 6) >= 0.2 AS contaminated
       |FROM counts c LEFT JOIN ov o USING (doc_id) ORDER BY id""".stripMargin
 
+  /** t_repetition: duplicate-word and top-bigram fractions (mirrors
+    * TextAnalysis.repetitionMetrics; 2-shingles via the same ≤1-word
+    * whole-text collapse as word_shingles). */
+  private def repetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      |  WHERE doc_id <= 200),
+      |g AS (SELECT doc_id, w,
+      |        CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bg
+      |      FROM d)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |  round(CASE WHEN len(w) > 0
+      |        THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) ELSE 0 END, 6) AS dup_word_frac,
+      |  round(CASE WHEN len(bg) > 0
+      |        THEN CAST(list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE)
+      |             / len(bg) ELSE 0 END, 6) AS top_bigram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** j3_search_eval: precision/recall@5 of exact cosine top-5 against the
     * same-label ground truth (mirrors Evaluation.precisionAtK over
     * Ann.bruteForceTopK). */
@@ -1098,6 +1117,7 @@ object OracleSql {
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,
+    "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,
 
     "s10_split_roundtrip" ->

@@ -676,6 +676,12 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** LLM-pipeline: per-doc repetition metrics (Gopher rule family). */
+  private def repetitionMetricsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(
+      t(s, dir, "documents").filter(col("doc_id") <= 200))
+      .orderBy("doc_id")
+
   /** LLM-pipeline: Gopher-style quality filter, reported per language. */
   private def qualityFilterStats(s: SparkSession, dir: String): DataFrame = {
     val rules = TextAnalysis.QualityRules(
@@ -769,6 +775,7 @@ object SparkEntry {
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,
+    "t_repetition" -> repetitionMetricsQ,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

@@ -56,6 +56,28 @@ object TextAnalysis {
       .withColumn("keep", col("ok_tokens") && col("ok_word_len") && col("ok_punct"))
   }
 
+  /** Repetition metrics (the rest of the Gopher rule family): duplicate
+    * word fraction and the share of bigrams taken by the most frequent
+    * one. Pure array expressions per row — codegen'd, shuffle-free; the
+    * O(distinct·n) inner count is bounded by document length.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nW = size(toks)
+    val dupFrac = when(nW > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / nW).otherwise(lit(0.0))
+    val bg = word_shingles(col(textCol), 2)
+    val topCnt = array_max(transform(array_distinct(bg),
+      d => size(filter(bg, x => x === d))))
+    val topFrac = when(size(bg) > 0,
+      topCnt.cast("double") / size(bg)).otherwise(lit(0.0))
+    docs.select(col(idCol),
+      nW.cast("long").as("n_words"),
+      round(dupFrac, 6).as("dup_word_frac"),
+      round(topFrac, 6).as("top_bigram_frac"))
+  }
+
   // RE2-compatible PII patterns (work identically in DuckDB's regex
   // engine, so redaction is independently verifiable)
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

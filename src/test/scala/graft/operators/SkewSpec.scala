@@ -86,3 +86,24 @@ class DecontaminationSpec extends SparkSpec {
     assert(kept == Seq(2L, 3L))
   }
 }
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.TextAnalysis
+
+  test("repetitionMetrics: duplicate-word and top-bigram fractions") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),            // all dup words, one bigram repeated
+      (2L, "all words here are unique now"),  // no repetition
+      (3L, "one")                             // degenerate single word
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Double]("dup_word_frac") == 0.75)   // 1 - 1/4
+    assert(m(1L).getAs[Double]("top_bigram_frac") == 1.0)  // "spam spam" x3
+    assert(m(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(m(2L).getAs[Double]("top_bigram_frac") == 0.2)  // 5 distinct of 5
+    assert(m(3L).getAs[Long]("n_words") == 1)
+    assert(m(3L).getAs[Double]("dup_word_frac") == 0.0)
+  }
+}
