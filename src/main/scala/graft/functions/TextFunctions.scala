@@ -70,9 +70,15 @@ object TextFunctions {
   def word_shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
     val k = size(toks) - (n - 1)
-    when(k <= 0, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), k - 1),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    // n shifted slices zipped with concat — NOT a transform over indices:
+    // a lambda body referencing the outer `toks` expression re-evaluates
+    // the split per element (O(tokens²) per row); zip_with lambdas touch
+    // only their arguments, so the split is evaluated a constant number
+    // of times per row
+    val slices = (0 until n).map(j => slice(toks, lit(j + 1), k))
+    val joined = slices.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(k <= 0, array(concat_ws(" ", toks))).otherwise(joined)
   }
 
   /** Character n-gram shingles (the classic MinHash dedup unit). */

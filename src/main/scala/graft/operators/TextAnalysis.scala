@@ -63,16 +63,31 @@ object TextAnalysis {
     */
   def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    val nW = size(toks)
+    // materialize token/bigram arrays as real columns FIRST: lambda
+    // bodies that reference an outer expression tree re-evaluate it per
+    // element (the naive distinct×filter top-count was O(n²·tokenize)
+    // per row — 160 ms/doc); an attribute reference is computed once
+    val staged = docs
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__bg", array_sort(word_shingles(col(textCol), 2)))
+    val nW = size(col("__toks"))
     val dupFrac = when(nW > 0,
-      lit(1.0) - size(array_distinct(toks)).cast("double") / nW).otherwise(lit(0.0))
-    val bg = word_shingles(col(textCol), 2)
-    val topCnt = array_max(transform(array_distinct(bg),
-      d => size(filter(bg, x => x === d))))
-    val topFrac = when(size(bg) > 0,
-      topCnt.cast("double") / size(bg)).otherwise(lit(0.0))
-    docs.select(col(idCol),
+      lit(1.0) - size(array_distinct(col("__toks"))).cast("double") / nW)
+      .otherwise(lit(0.0))
+    // longest equal-run over the SORTED bigrams == max bigram frequency;
+    // one O(n) fold instead of distinct×filter
+    val topCnt = aggregate(col("__bg"),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topFrac = when(size(col("__bg")) > 0,
+      topCnt.cast("double") / size(col("__bg"))).otherwise(lit(0.0))
+    staged.select(col(idCol),
       nW.cast("long").as("n_words"),
       round(dupFrac, 6).as("dup_word_frac"),
       round(topFrac, 6).as("top_bigram_frac"))
