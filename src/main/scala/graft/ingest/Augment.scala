@@ -36,7 +36,7 @@ object Augment {
     */
   def contentHash(df: DataFrame): DataFrame = {
     val rowStr = concat_ws("\u0001",
-      df.columns.map(c => coalesce(col(s"`$c`").cast("string"), lit("\u0002"))): _*)
+      df.columns.toIndexedSeq.map(c => coalesce(col(s"`$c`").cast("string"), lit("\u0002"))): _*)
     val header = df.columns.mkString(",")
     def md5Low64Dec(c: org.apache.spark.sql.Column) = {
       val h = md5(c)

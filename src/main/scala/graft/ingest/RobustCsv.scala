@@ -135,7 +135,7 @@ object RobustCsv {
 
   private def postProcess(df0: DataFrame): DataFrame = {
     // sanitize names (P1) and drop synthetic row_index (S4)
-    val renamed = df0.toDF(df0.columns.map(sanitizeName): _*)
+    val renamed = df0.toDF(df0.columns.toIndexedSeq.map(sanitizeName): _*)
     val df = if (renamed.columns.contains("row_index")) renamed.drop("row_index") else renamed
     promoteDates(df)
   }
@@ -160,7 +160,7 @@ object RobustCsv {
         .otherwise(DateFunctions.is_parseable_date(col(s"`$c`")))).as(c),
         count(when(col(s"`$c`").isNotNull, 1)).as(c + "__n"))
     }
-    val row = sample.agg(aggs.head._1, (aggs.tail.map(_._1) ++ aggs.map(_._2)): _*).collect()(0)
+    val row = sample.agg(aggs.head._1, (aggs.tail.map(_._1) ++ aggs.map(_._2)).toIndexedSeq: _*).collect()(0)
     val promote = stringCols.filter { c =>
       row.getAs[Boolean](c) && row.getAs[Long](c + "__n") > 0
     }

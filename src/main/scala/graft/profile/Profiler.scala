@@ -107,7 +107,7 @@ object Profiler {
       }
       struct(lit(i).as("col_idx"), valueStr.as("value_str"), valueNum.as("value_num"))
     }
-    df.select(posexplode(array(structs: _*)).as(Seq("pos", "c"))).select("c.*")
+    df.select(posexplode(array(structs.toIndexedSeq: _*)).as(Seq("pos", "c"))).select("c.*")
   }
 
   /** Tiny (col_idx, col_name, col_type) dimension for one table's schema. */
@@ -305,7 +305,7 @@ object Profiler {
     * dedup shrinks the UDAF input).
     */
   def contentSnapshot(df: DataFrame, tableName: String): DataFrame = {
-    val rowStr = concat_ws(" ", df.columns.map(c => col(s"`$c`").cast("string")): _*)
+    val rowStr = concat_ws(" ", df.columns.toIndexedSeq.map(c => col(s"`$c`").cast("string")): _*)
     // Single-level aggregation: partial digests build map-side in every
     // partition and only 100-slot buffers merge — no data shuffle at all.
     // (Row strings are mostly unique, so a dedup pre-stage would only add
