@@ -63,9 +63,18 @@ object OracleSql {
     * same string rendering as Profiler.longFormat (P2 empty→null on string
     * columns). `cap` mirrors the engine's deterministic first-N row cap.
     */
+  /** Keyed deterministic cap — mirrors `Lake.read(rowCap)`: ORDER BY the
+    * table key, so both engines select the SAME first-N rows regardless
+    * of parquet row-group scheduling (a bare LIMIT is nondeterministic on
+    * parallel scans in both engines). */
+  private def cappedSrc(tbl: String, n: Int): String = {
+    val keys = graft.sources.Lake.TableKeys(tbl).mkString(", ")
+    s"(SELECT * FROM $tbl ORDER BY $keys LIMIT $n)"
+  }
+
   private def valsCte(tables: Seq[String], cap: Option[Int]): String = {
     val selects = tables.flatMap { tbl =>
-      val src = cap.map(n => s"(SELECT * FROM $tbl LIMIT $n)").getOrElse(tbl)
+      val src = cap.map(n => cappedSrc(tbl, n)).getOrElse(tbl)
       lakeSchemas(tbl).zipWithIndex.map { case ((c, lt), i) =>
         val render =
           if (lt == "string") s"nullif(CAST($c AS VARCHAR), '')"
@@ -136,7 +145,7 @@ object OracleSql {
       "orders", "lineitem", "documents")
     val rowSelects = tables.map { tbl =>
       val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
-      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM (SELECT * FROM $tbl LIMIT 10000)"
+      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM ${cappedSrc(tbl, 10000)}"
     }
     s"""WITH $permsCte,
        |rows_cte AS (
@@ -469,7 +478,7 @@ object OracleSql {
       "orders", "lineitem", "documents")
     val rowSelects = tables.map { tbl =>
       val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
-      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM (SELECT * FROM $tbl LIMIT 10000)"
+      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM ${cappedSrc(tbl, 10000)}"
     }
     s"""WITH $permsCte,
        |rows_cte AS (
@@ -535,7 +544,9 @@ object OracleSql {
     val nvalSelects = tables.flatMap { tbl =>
       lakeSchemas(tbl).zipWithIndex.collect {
         case ((c, lt), i) if lt == "integer" || lt == "float" =>
-          s"SELECT '$tbl' AS t, $i AS ci, CAST($c AS DOUBLE) AS nv FROM $tbl"
+          // capped like every other catalog branch — customer exceeds the
+          // cap from sf0.1 up, and the Spark side profiles capped reads
+          s"SELECT '$tbl' AS t, $i AS ci, CAST($c AS DOUBLE) AS nv FROM ${cappedSrc(tbl, 10000)}"
       }
     }
     val qCols = (1 to 9).map(i => s"quantile_cont(nv, 0.$i) AS q$i").mkString(", ")
@@ -666,7 +677,7 @@ object OracleSql {
           val render =
             if (lt == "string") s"nullif(CAST($c AS VARCHAR), '')"
             else s"CAST($c AS VARCHAR)"
-          s"SELECT '$tbl' AS t, $i AS ci, '$lt' AS ct, $render AS v FROM (SELECT * FROM $tbl LIMIT 10000)"
+          s"SELECT '$tbl' AS t, $i AS ci, '$lt' AS ct, $render AS v FROM ${cappedSrc(tbl, 10000)}"
       }
     }
     s"""WITH $permsCte,

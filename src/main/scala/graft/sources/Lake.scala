@@ -24,26 +24,42 @@ object Lake {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Primary key per driver-lake table — the ordering that makes the O1
+    * row cap deterministic across engines (see [[read]]). */
+  val TableKeys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     read(spark, dir, name, None)
 
-  /** Read a lake table, optionally capped to the first `rowCap` rows of
-    * each file in file order (O1 — the reference reads `nrows=10000`,
-    * `data_prep.py:27`). The cap uses the parquet `_metadata.row_index`
-    * hidden column, so it is DETERMINISTIC regardless of partitioning /
-    * AQE (a bare `.limit(n)` takes whatever partitions report first) and
-    * mirrorable by any order-preserving engine (`LIMIT n` over a
-    * single-file table in DuckDB). On multi-file tables the cap applies
-    * per file — the distributed analogue of "first rows" that needs no
-    * global coordination.
+  /** Read a lake table, optionally capped to the first `rowCap` rows BY
+    * TABLE KEY (O1 — the reference reads `nrows=10000`,
+    * `data_prep.py:27`). A keyed cap plans as TakeOrderedAndProject
+    * (per-partition top-N, no full sort) and selects the SAME rows on
+    * every engine, partitioning, and parquet row-group layout — a bare
+    * `LIMIT n` is nondeterministic on parallel scans in Spark AND DuckDB
+    * (both grab whichever row groups finish first), which silently
+    * diverged at sf0.1 on the one file-shuffled table. For key-ordered
+    * files (the normal lake layout) keyed cap == the reference's
+    * first-N-file-rows. Tables without a known key fall back to the
+    * parquet `_metadata.row_index` per-file cap.
     */
   def read(spark: SparkSession, dir: String, name: String, rowCap: Option[Int]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df0 = spark.read.parquet(s"$dir/$name.parquet")
     val df = rowCap match {
       case Some(n) =>
-        df0.select(col("*"), col("_metadata.row_index").as("__row_index"))
-          .filter(col("__row_index") < n).drop("__row_index")
+        TableKeys.get(name) match {
+          case Some(keys) => df0.orderBy(keys.map(col): _*).limit(n)
+          case None =>
+            df0.select(col("*"), col("_metadata.row_index").as("__row_index"))
+              .filter(col("__row_index") < n).drop("__row_index")
+        }
       case None => df0
     }
     // Columns that were TIMESTAMP(NANOS) surface as LongType with parquet

@@ -209,21 +209,26 @@ class CosineRecallSpec extends SparkSpec {
 }
 
 class RowCapSpec extends SparkSpec {
-  test("Lake.read rowCap takes the first N file rows deterministically") {
+  test("Lake.read rowCap takes the first N rows BY TABLE KEY deterministically") {
     val dir = "/root/testdata/sf0.01"
     val capped = graft.sources.Lake.read(spark, dir, "lineitem", Some(100))
     assert(capped.count() == 100)
-    // first-N means: identical to the head of the uncapped file order
-    val all = graft.sources.Lake.read(spark, dir, "lineitem", None)
-      .limit(100).select("l_orderkey", "l_linenumber")
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // keyed first-N: the 100 smallest (l_orderkey, l_linenumber) pairs —
+    // engine-independent even though lineitem's file order is shuffled
+    val expected = graft.sources.Lake.read(spark, dir, "lineitem", None)
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.take(100).toSet
     val got = capped.select("l_orderkey", "l_linenumber")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(got == all)
+    assert(got == expected)
     // repeated reads agree (no partition-race nondeterminism)
     val again = graft.sources.Lake.read(spark, dir, "lineitem", Some(100))
       .select("l_orderkey", "l_linenumber")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(again == got)
+    // keyed cap plans as a top-N, not a global sort
+    val plan = graft.sources.Lake.read(spark, dir, "lineitem", Some(100))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-N plan:\n$plan")
   }
 }
