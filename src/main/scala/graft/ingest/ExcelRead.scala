@@ -54,7 +54,7 @@ object ExcelRead {
           val data = rows.tail.map { r =>
             Row.fromSeq(r.padTo(width, null).take(width))
           }
-          spark.createDataFrame(data.asJava, schema)
+          inferNumeric(spark.createDataFrame(data.asJava, schema))
         }
       }
     } finally zip.close()
@@ -90,4 +90,32 @@ object ExcelRead {
   private def colIndex(letters: String): Int =
     if (letters.isEmpty) -1
     else letters.foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1)) - 1
+
+  /** Numeric inference over the all-string frame — the `pd.read_excel`
+    * typing the reference relies on: a column whose every non-null value
+    * casts cleanly becomes long (else double); one aggregation pass, same
+    * vote shape as `RobustCsv.promoteDates`.
+    */
+  private def inferNumeric(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (df.isEmpty) return df
+    val aggs = df.columns.flatMap { c =>
+      val v = col(s"`$c`")
+      // try_cast, not cast: ANSI mode makes a malformed cast THROW
+      val asL = expr(s"try_cast(`$c` AS BIGINT)")
+      val asD = expr(s"try_cast(`$c` AS DOUBLE)")
+      Seq(count(when(v.isNotNull, 1)).as(c + "__n"),
+        count(when(v.isNotNull && asL.isNull, 1)).as(c + "__badL"),
+        count(when(v.isNotNull && asD.isNull, 1)).as(c + "__badD"))
+    }
+    val r = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+    df.columns.foldLeft(df) { (acc, c) =>
+      val (n, badL, badD) = (r.getAs[Long](c + "__n"),
+        r.getAs[Long](c + "__badL"), r.getAs[Long](c + "__badD"))
+      if (n == 0) acc
+      else if (badL == 0) acc.withColumn(c, col(s"`$c`").cast("long"))
+      else if (badD == 0) acc.withColumn(c, col(s"`$c`").cast("double"))
+      else acc
+    }
+  }
 }

@@ -165,6 +165,10 @@ class CharsetAndExcelSpec extends SparkSpec {
     assert(df.columns.sameElements(Array("name", "amt"))) // sanitized like csv
     assert(df.count() == 5)
     assert(df.filter(df("amt").isNull).count() == 1)
+    // pd.read_excel-style typing: all-numeric column becomes long,
+    // text stays string
+    assert(df.schema("amt").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("name").dataType == org.apache.spark.sql.types.StringType)
   }
 
   test("non-workbook zip and binary junk fall through to None") {
