@@ -668,7 +668,16 @@ object OracleSql {
     * unreachable from supplier's {integer,float,string} columns, and the
     * ns-timestamp render (events.ts) is the one cross-engine unstable one.
     */
-  private def searchMinhashSql: String = {
+  private def searchMinhashSql: String = searchSql("supplier", containment = false)
+
+  private def searchSubsetSql: String = searchSql("nation", containment = true)
+
+  /** Sketch-mode discovery search: digests over the capped catalog,
+    * per-query-column k·3 over-fetch, first-match + seen-cols dedup,
+    * column-vote rank. `containment = true` ranks by the J5 containment
+    * estimator (query ⊆ candidate) instead of Jaccard — the Q4 subset
+    * semantics. */
+  private def searchSql(queryTable: String, containment: Boolean): String = {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     val selects = tables.flatMap { tbl =>
@@ -680,20 +689,30 @@ object OracleSql {
           s"SELECT '$tbl' AS t, $i AS ci, '$lt' AS ct, $render AS v FROM ${cappedSrc(tbl, 10000)}"
       }
     }
+    val jExpr = "CAST(len([i FOR i IN range(1, 101) IF q.d[i] = c.d[i]]) AS DOUBLE) / 100.0"
+    val distExpr =
+      if (!containment) s"1.0 - $jExpr"
+      else s"""1.0 - (CASE WHEN q.u <= 0 THEN 0.0
+              ELSE least(1.0, ($jExpr) * (q.u + c.u) / ((1.0 + $jExpr) * q.u)) END)"""
     s"""WITH $permsCte,
        |vals AS (
        |  ${selects.mkString("\n  UNION ALL ")}
        |),
+       |uq AS (
+       |  SELECT t, ci, CAST(count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS DOUBLE) AS u
+       |  FROM vals GROUP BY t, ci),
        |dvals AS (SELECT DISTINCT t, ci, ct, v FROM vals WHERE v IS NOT NULL),
        |emins AS (SELECT t, ci, any_value(ct) AS ct, pi, ${mhSlotMin("v")} AS mh
        |          FROM dvals CROSS JOIN perms GROUP BY t, ci, pi),
-       |dig AS (SELECT t, ci, any_value(ct) AS ct, list(mh ORDER BY pi) AS d
-       |        FROM emins GROUP BY t, ci),
-       |q AS (SELECT * FROM dig WHERE t = 'supplier'),
-       |c AS (SELECT * FROM dig WHERE t <> 'supplier'),
+       |dig AS (SELECT e.t, e.ci, any_value(e.ct) AS ct, any_value(uq.u) AS u,
+       |          list(e.mh ORDER BY e.pi) AS d
+       |        FROM emins e JOIN uq ON e.t = uq.t AND e.ci = uq.ci
+       |        GROUP BY e.t, e.ci),
+       |q AS (SELECT * FROM dig WHERE t = '$queryTable'),
+       |c AS (SELECT * FROM dig WHERE t <> '$queryTable'),
        |dists AS (
        |  SELECT q.ci AS q_ci, c.t AS cand_table, c.ci AS cand_ci,
-       |    1.0 - CAST(len([i FOR i IN range(1, 101) IF q.d[i] = c.d[i]]) AS DOUBLE) / 100.0 AS dist
+       |    $distExpr AS dist
        |  FROM c JOIN q ON q.ct = c.ct),
        |knn AS (
        |  SELECT * FROM (
@@ -1107,6 +1126,7 @@ object OracleSql {
     "t_lang_quality" -> langQualitySql,
     "mm_media_stats" -> mediaStatsSql,
     "o4_search_minhash" -> searchMinhashSql,
+    "o4_search_subset" -> searchSubsetSql,
     "m4_pair_features" -> pairFeaturesSql,
     "a14_hashing_sketch" -> hashingSketchSql,
     "st_stream_profile" -> streamProfileSql,

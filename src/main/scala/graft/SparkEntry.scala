@@ -424,6 +424,10 @@ object SparkEntry {
   private def searchMinhash(s: SparkSession, dir: String): DataFrame =
     Discovery.searchUnionable(lakeCatalog(s, dir), "supplier", k = 10)
 
+  /** Q4 subset mode: tables ranked by containment of nation's columns. */
+  private def searchSubsetQ(s: SparkSession, dir: String): DataFrame =
+    Discovery.searchSubset(lakeCatalog(s, dir), "nation", k = 10)
+
   private def minhashJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val profiles = lakeCatalog(s, dir)
       .filter(col("table_name").isin("customer", "supplier", "orders", "part", "lineitem"))
@@ -750,6 +754,7 @@ object SparkEntry {
     "profile_sketches" -> profileSketches,
     "content_snapshots" -> contentSnapshots,
     "o4_search_minhash" -> searchMinhash,
+    "o4_search_subset" -> searchSubsetQ,
     "j5_minhash_pairs" -> minhashJaccardPairs,
     "d_minhash_lsh" -> minhashNearDups,
     "d_simhash_pairs" -> simhashPairs,

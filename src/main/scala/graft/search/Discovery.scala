@@ -85,6 +85,33 @@ object Discovery {
   def searchUnionable(profiles: DataFrame, queryTable: String, k: Int = 10): DataFrame =
     columnVoteRank(columnDistances(profiles, queryTable), k)
 
+  /** Q4 subset mode: distances by estimated containment(query ⊆ cand) —
+    * ranks tables by how fully they CONTAIN the query's column values
+    * (the J5 estimator: j·(u_q+u_c) / ((1+j)·u_q)). Same broadcast
+    * nested-loop shape as [[columnDistances]].
+    */
+  def columnDistancesContainment(profiles: DataFrame, queryTable: String): DataFrame = {
+    val q = profiles.filter(col("table_name") === queryTable)
+      .select(col("col_idx").as("q_col_idx"), col("col_name").as("q_col_name"),
+        col("col_type").as("q_type"), col("minhash_exact").as("q_mh"),
+        col("unique").as("q_u"))
+    val cands = profiles.filter(col("table_name") =!= queryTable)
+      .select(col("table_name").as("cand_table"), col("col_idx").as("cand_col_idx"),
+        col("col_name").as("cand_col_name"), col("col_type").as("cand_type"),
+        col("minhash_exact").as("cand_mh"), col("unique").as("cand_u"))
+    cands.join(broadcast(q), col("q_type") === col("cand_type"))
+      .withColumn("dist", lit(1.0) -
+        minhash_containment(col("q_mh"), col("cand_mh"), col("q_u"), col("cand_u")))
+      .filter(col("dist").isNotNull)
+      .select("q_col_idx", "q_col_name", "cand_table", "cand_col_idx",
+        "cand_col_name", "dist")
+  }
+
+  /** Top-k tables likely to be SUPERSETS of the query table (Q4 subset
+    * search — the LakeBench subset benchmarks' semantics). */
+  def searchSubset(profiles: DataFrame, queryTable: String, k: Int = 10): DataFrame =
+    columnVoteRank(columnDistancesContainment(profiles, queryTable), k)
+
   /** Exact-Jaccard variant: distances from true distinct-value-set overlap
     * instead of sketches. Fully SQL-expressible — used as the DuckDB oracle
     * for the flagship semantics. `values` is the long-format (table_name,
