@@ -1096,6 +1096,17 @@ object OracleSql {
            |FROM $tbl""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_ref"),
 
+    "x_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(value) AS pv FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, round(p.pv, 6) AS asof_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+
     "x_rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

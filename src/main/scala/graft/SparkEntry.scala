@@ -701,6 +701,22 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Engine extension: as-of join — each click enriched with the user's
+    * latest prior purchase value (DuckDB's native ASOF JOIN verifies). */
+  private def asofEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id")
+    // right side unique per (user_id, ts): max value on exact-tie stamps
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+    graft.operators.AsOf.join(clicks, purchases,
+      keyCols = Seq("user_id"), tsCol = "ts", payloadCols = Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        round(col("asof_purchase_value"), 6).as("asof_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Engine extensions beyond the reference: multi-level aggregation. */
   private def rollupAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -781,6 +797,7 @@ object SparkEntry {
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,
     "t_repetition" -> repetitionMetricsQ,
+    "x_asof_join" -> asofEnrich,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

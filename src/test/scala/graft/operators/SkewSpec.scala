@@ -107,3 +107,35 @@ class RepetitionSpec extends SparkSpec {
     assert(m(3L).getAs[Double]("dup_word_frac") == 0.0)
   }
 }
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin matches latest right row with ts <= left ts, per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (2L, ts("2024-01-01 12:00:00"), 100L),
+      (3L, ts("2024-01-01 09:00:00"), 200L)   // before any right row
+    ).toDF("id", "ts", "k")
+    val right = Seq(
+      (ts("2024-01-01 09:30:00"), 100L, "a"),
+      (ts("2024-01-01 11:00:00"), 100L, "b"),
+      (ts("2024-01-01 10:00:00"), 200L, "c")
+    ).toDF("ts", "k", "payload")
+    val out = AsOf.join(left, right, keyCols = Seq("k"), tsCol = "ts",
+      payloadCols = Seq("payload")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("asof_payload")).toMap
+    assert(out(1L) == "a")   // 10:00 -> latest prior is 09:30
+    assert(out(2L) == "b")   // 12:00 -> 11:00
+    assert(out(3L) == null)  // nothing precedes 09:00 for key 200
+  }
+
+  test("asofJoin: equal timestamps count as matches (<=)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("id", "ts", "k")
+    val right = Seq((ts("2024-01-01 10:00:00"), 1L, "same")).toDF("ts", "k", "payload")
+    val out = AsOf.join(left, right, Seq("k"), "ts", Seq("payload")).collect()
+    assert(out(0).getAs[String]("asof_payload") == "same")
+  }
+}
