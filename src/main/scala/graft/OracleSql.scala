@@ -1107,6 +1107,13 @@ object OracleSql {
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
 
+    "x_range_join" ->
+      """SELECT s.s_suppkey, count(*) AS n_customers,
+        |  CAST(sum(c.c_custkey) AS BIGINT) AS cust_checksum
+        |FROM supplier s JOIN customer c
+        |  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal <= s.s_acctbal + 100.0
+        |GROUP BY s.s_suppkey ORDER BY s_suppkey""".stripMargin,
+
     "x_rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

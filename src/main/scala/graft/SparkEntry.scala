@@ -717,6 +717,22 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Engine extension: range join — customers whose balance falls in each
+    * supplier's [s_acctbal, s_acctbal+100] bracket, via bucketized
+    * equi-join (no cross-product nested loop). */
+  private def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val custs = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+    val brackets = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+        (col("s_acctbal") + 100.0).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+      custs, "c_acctbal", brackets, "lo", "hi", bucketWidth = 100.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_custkey")).cast("long").as("cust_checksum"))
+      .orderBy("s_suppkey")
+  }
+
   /** Engine extensions beyond the reference: multi-level aggregation. */
   private def rollupAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -798,6 +814,7 @@ object SparkEntry {
     "d_decontam_report" -> decontamReport,
     "t_repetition" -> repetitionMetricsQ,
     "x_asof_join" -> asofEnrich,
+    "x_range_join" -> rangeJoinQ,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin
   )

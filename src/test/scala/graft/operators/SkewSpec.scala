@@ -139,3 +139,31 @@ class AsOfSpec extends SparkSpec {
     assert(out(0).getAs[String]("asof_payload") == "same")
   }
 }
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pointInInterval equals the naive theta-join, without the cross product") {
+    val points = (1 to 500).map(i => (i.toLong, i * 0.7)).toDF("pid", "v")
+    val intervals = (1 to 40).map(i => (i.toLong, i * 8.0, i * 8.0 + 12.5))
+      .toDF("iid", "lo", "hi")
+    val fast = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 10.0)
+      .select("pid", "iid")
+    val naive = points.join(intervals,
+      col("v") >= col("lo") && col("v") <= col("hi")).select("pid", "iid")
+    assert(fast.count() == naive.count() && fast.count() > 0)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // the physical join is an equi-join on the bucket, not a nested loop
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a cross product:\n$plan")
+  }
+
+  test("boundary inclusivity: both endpoints match") {
+    val points = Seq((1L, 10.0), (2L, 22.5), (3L, 22.5000001)).toDF("pid", "v")
+    val intervals = Seq((9L, 10.0, 22.5)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 5.0)
+      .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
+}
