@@ -200,7 +200,13 @@ object Profiler {
         array(exactMeanD, stdAdj, col("min_v"), col("max_v")))) // A8: 13 floats
 
     val meta = broadcast(colMeta(spark, df))
-    val out = aggd.join(meta, "col_idx")
+    // RIGHT outer on the schema dimension: an EMPTY table still yields one
+    // zero-count row per column (the <5-row ingest filter normally screens
+    // these out, but the catalog contract holds for any input)
+    val out = aggd.join(meta, Seq("col_idx"), "right")
+      .withColumn("rows", coalesce(col("rows"), lit(0L)))
+      .withColumn("num_nan", coalesce(col("num_nan"), lit(0L)))
+      .withColumn("unique", coalesce(col("unique"), lit(0L)))
       .withColumn("table_name", lit(tableName))
       .withColumn("quantile", quantileVec)
       .withColumn("std", when(col("col_type").isin("integer", "float"), stdRaw))
