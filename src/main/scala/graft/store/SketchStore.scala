@@ -25,6 +25,27 @@ object SketchStore {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Upsert freshly-profiled tables into an existing catalog: dynamic
+    * partition overwrite rewrites ONLY the `table_name` partitions present
+    * in `profiles`, leaving every other table's sketches untouched — the
+    * catalog-maintenance half of the incremental story (re-profile what
+    * changed, `Incremental.merge` what grew, never touch the rest).
+    */
+  def upsertParquet(profiles: DataFrame, path: String): Unit = {
+    val spark = profiles.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      profiles.dropDuplicates("table_name", "col_idx")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("table_name")
+        .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** JSON parity writer: one document per table —
     * `{"table_metadata":{"file_name":…,"rows":…},"columns":{name:{…}}}`.
     */

@@ -2,6 +2,7 @@ package graft.store
 
 import graft.SparkSpec
 import graft.profile.Profiler
+  import org.apache.spark.sql.functions.col
 import java.nio.file.Files
 
 class SketchStoreSpec extends SparkSpec {
@@ -40,5 +41,32 @@ class SketchStoreSpec extends SparkSpec {
     val cols = doc.getAs[org.apache.spark.sql.Row]("columns")
     assert(cols.schema.fieldNames.toSet == Set("id", "txt"))
     assert(doc.getAs[scala.collection.Seq[Long]]("content_snapshot").length == 100)
+  }
+}
+
+class SketchStoreUpsertSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.profile.Profiler
+  import org.apache.spark.sql.functions.col
+
+  test("upsertParquet rewrites only the partitions being refreshed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val a = Profiler.profile((1 to 30).map(i => (i.toLong, s"a$i")).toDF("id", "v"), "ta")
+    val b = Profiler.profile((1 to 30).map(i => (i.toLong, s"b$i")).toDF("id", "v"), "tb")
+    SketchStore.writeParquet(a.unionByName(b), dir)
+    // refresh ONLY tb with different content
+    val b2 = Profiler.profile((1 to 50).map(i => (i.toLong, s"B$i")).toDF("id", "v"), "tb")
+    SketchStore.upsertParquet(b2, dir)
+    val back = SketchStore.readParquet(spark, dir)
+    assert(back.filter(col("table_name") === "ta").count() == 2) // untouched
+    val tbRows = back.filter(col("table_name") === "tb")
+    assert(tbRows.count() == 2)
+    assert(tbRows.filter(col("col_name") === "v").first().getAs[Long]("rows") == 50)
+    // ta digests identical to the original write
+    val origDigest = a.filter(col("col_name") === "v")
+      .first().getAs[scala.collection.Seq[Long]]("minhash_exact")
+    val storedDigest = back.filter(col("table_name") === "ta" && col("col_name") === "v")
+      .first().getAs[scala.collection.Seq[Long]]("minhash_exact")
+    assert(storedDigest == origDigest)
   }
 }
