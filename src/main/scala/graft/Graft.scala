@@ -97,4 +97,25 @@ object Graft {
   /** Exact cosine top-k over an embedding column (queries broadcast). */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     operators.Ann.bruteForceTopK(corpus, queries, k)
+
+  /** Drop docs sharing long n-grams with an eval set (leakage guard). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    threshold: Double = 0.05): DataFrame =
+    operators.Decontamination.decontaminate(docs, benchmark, n, threshold)
+
+  /** Refresh only the re-profiled tables inside a stored catalog. */
+  def upsertCatalog(profiles: DataFrame, path: String): Unit =
+    store.SketchStore.upsertParquet(profiles, path)
+
+  // ---- custom joins ----
+
+  /** Latest right row with ts <= left ts per key (one key shuffle). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, payloadCols: Seq[String]): DataFrame =
+    operators.AsOf.join(left, right, keyCols, tsCol, payloadCols)
+
+  /** Points matched to containing intervals via bucketized equi-join. */
+  def rangeJoin(points: DataFrame, pCol: String, intervals: DataFrame,
+                loCol: String, hiCol: String, bucketWidth: Double): DataFrame =
+    operators.RangeJoin.pointInInterval(points, pCol, intervals, loCol, hiCol, bucketWidth)
 }
