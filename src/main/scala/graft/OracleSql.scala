@@ -1143,6 +1143,11 @@ object OracleSql {
     "t1_feature_tensors" -> featureTensorsSql,
     "t_lang_quality" -> langQualitySql,
     "mm_media_stats" -> mediaStatsSql,
+    "mm_frame_plan" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((n_chars * 100) // 1000 + 1 AS BIGINT) AS n_frames,
+        |  CAST(((n_chars * 100) // 1000) * 1000 AS BIGINT) AS last_offset_ms
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
     "o4_search_minhash" -> searchMinhashSql,
     "o4_search_subset" -> searchSubsetSql,
     "m4_pair_features" -> pairFeaturesSql,

@@ -561,6 +561,23 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Multimodal frame-sampling plan: video rows (doc_id % 3 == 2) with a
+    * deterministic duration (n_chars × 100 ms), one frame per second —
+    * the relational expansion is verified per media id. */
+  private def framePlan(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"), lit("video").as("modality"),
+        lit(null).cast("string").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          (col("n_chars").cast("long") * 100L).as("duration_ms")).as("meta"))
+    graft.multimodal.Multimodal.sampleFramePlan(media, stepMs = 1000L)
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"), max(col("frame_offset_ms")).as("last_offset_ms"))
+      .orderBy("media_id")
+  }
+
   /** A14: hashing-trick alt sketch per column (md5 buckets — DuckDB
     * recomputes the sparse vector exactly). */
   private def hashingSketches(s: SparkSession, dir: String): DataFrame = {
@@ -800,6 +817,7 @@ object SparkEntry {
     "t1_feature_tensors" -> featureTensors,
     "a14_hashing_sketch" -> hashingSketches,
     "mm_media_stats" -> mediaStats,
+    "mm_frame_plan" -> framePlan,
     "st_stream_profile" -> streamingProfile,
     "s2_compressed_roundtrip" -> compressedRoundtrip,
     "j3_search_eval" -> searchEval,
