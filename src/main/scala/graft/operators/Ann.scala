@@ -87,65 +87,79 @@ object Ann {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
-  /** Exact all-pairs cosine near-dups: O(n²) scored pairs with the full
-    * vector set broadcast as primitive arrays and each partition scoring
-    * its slice against every higher id — a mapPartitions kernel rather
-    * than a pair join, because per-pair Catalyst array ops allocate per
-    * element while the loop below is pure flops (≈20× here). Arithmetic
-    * is the SAME IEEE sequence as the Column path (dot in array order,
-    * then /(‖a‖·‖b‖), round 6), so the DuckDB oracle still matches
-    * bit-for-bit. The correct tool when the threshold is too low for LSH
-    * banding to reach recall (see [[cosineNearDups]]) and n is bounded;
-    * for unbounded n there is no exact sub-quadratic option — cap the
-    * candidate universe first.
+  /** Accumulator hook for the scale contract of [[exactCosinePairs]]: when
+    * set (by specs), every scoring task records how many vectors it held.
+    * The spec asserts max ≤ 2·⌈n/blocks⌉ — i.e. no JVM ever sees the corpus.
+    */
+  private[operators] var scaleProbe: Option[org.apache.spark.util.CollectionAccumulator[java.lang.Long]] = None
+
+  /** Exact all-pairs cosine near-dups via BLOCKED pair enumeration: ids are
+    * hashed into `blocks` buckets, the B·(B+1)/2 block pairs are enumerated
+    * with an RDD cartesian over the (small) grouped-block relation, and each
+    * task scores one block pair with a primitive-array kernel (per-pair
+    * Catalyst array ops allocate per element; this loop is pure flops, ≈20×
+    * faster). NO node — driver or executor — ever holds more than TWO
+    * blocks (2·n/B vectors): shuffle volume is n·B rows, compute n²/2 flops
+    * spread over B(B+1)/2 tasks. Arithmetic is the SAME IEEE sequence as
+    * the Column path (dot in array order, then /(‖a‖·‖b‖), HALF_UP round 6),
+    * so the DuckDB oracle matches bit-for-bit. The correct tool when the
+    * threshold is too low for LSH banding to reach recall (see
+    * [[cosineNearDups]]); the O(n²) FLOP bill is inherent to exactness —
+    * cap the candidate universe first if n² compute is unaffordable.
     */
   def exactCosinePairs(embs: DataFrame, threshold: Double,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       blocks: Int = 8): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
     val base = graft.sources.Lake.balance(embs)
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), _.cast("double")).as("v"))
       .as[(Long, Array[Double])]
-    // the collect IS the broadcast build side — the same bytes a broadcast
-    // join would ship; callers guarantee bounded n (see gate above)
-    val all = base.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(all)
+    val nb = blocks
     val thr = threshold
-    base.toDF("id", "v").mapPartitions { it =>
-      val vs = bc.value
-      val norms = vs.map { case (_, v) =>
+    val probe = scaleProbe
+    // Block assignment must be deterministic in the id alone (Lehmer mix so
+    // consecutive ids spread) — every engine/partition layout agrees.
+    def blockOf(id: Long): Int = {
+      val m = 2147483647L
+      val x = ((id % m) + m) % m
+      ((x * 48271L) % m % nb).toInt
+    }
+    // One block per key, norms precomputed once per vector. groupByKey is
+    // deliberate: the whole point of blocking is that a block (n/B vectors)
+    // fits a task; holding it as one value is the contract, not a leak.
+    val grouped = base.rdd
+      .map { case (id, v) =>
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i) * v(i); i += 1 }
-        math.sqrt(s)
+        (blockOf(id), (id, v, math.sqrt(s)))
       }
-      val ids = vs.map(_._1)
-      it.flatMap { row =>
-        val idA = row.getLong(0)
-        val va = row.getSeq[Double](1).toArray
-        var sa = 0.0; var i = 0
-        while (i < va.length) { sa += va(i) * va(i); i += 1 }
-        val na = math.sqrt(sa)
-        // score only against ids AFTER this one (id_a < id_b, O5 self-skip)
-        val from = {
-          var lo = 0; var hi = ids.length
-          while (lo < hi) { val m = (lo + hi) / 2; if (ids(m) <= idA) lo = m + 1 else hi = m }
-          lo
-        }
-        (from until vs.length).iterator.flatMap { j =>
-          val vb = vs(j)._2
+      .groupByKey(nb)
+      .mapValues(rs => rs.toArray.sortBy(_._1))
+    val rows = grouped.cartesian(grouped)
+      .filter { case ((bi, _), (bj, _)) => bi <= bj }
+      .flatMap { case ((bi, as), (bj, bs)) =>
+        val held = as.length.toLong + (if (bi == bj) 0L else bs.length.toLong)
+        probe.foreach(_.add(held))
+        def score(a: (Long, Array[Double], Double),
+                  b: (Long, Array[Double], Double)): Option[(Long, Long, Double)] = {
+          val (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
+          val va = lo._2; val vb = hi._2
           var d = 0.0; var k = 0
           while (k < va.length) { d += va(k) * vb(k); k += 1 }
-          val c = BigDecimal(d / (na * norms(j)))
+          val c = BigDecimal(d / (lo._3 * hi._3))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (c >= thr) Some((idA, ids(j), c)) else None
+          if (c >= thr) Some((lo._1, hi._1, c)) else None
         }
+        if (bi == bj)
+          for (i <- as.indices.iterator; j <- (i + 1) until as.length;
+               r <- score(as(i), as(j))) yield r
+        else
+          for (a <- as.iterator; b <- bs; r <- score(a, b)) yield r
       }
-    }(org.apache.spark.sql.Encoders.tuple(
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.scalaLong,
-      org.apache.spark.sql.Encoders.scalaDouble))
-      .toDF("id_a", "id_b", "cosine")
+    spark.createDataset(rows).toDF("id_a", "id_b", "cosine")
   }
 
   /** Largest chunk width whose banding recall at `threshold` meets
@@ -172,7 +186,9 @@ object Ann {
     * no longer selective (expected collision fraction ≥ ½ of all pairs),
     * banding cannot beat scoring every pair, so this falls back to
     * [[exactCosinePairs]] — correct results at every threshold, LSH
-    * speedup whenever geometry permits.
+    * speedup whenever geometry permits. The fallback is blocked (no node
+    * holds the corpus) but still O(n²) FLOPs — that cost is inherent to an
+    * exact answer at a threshold where banding has no recall.
     */
   def cosineNearDups(embs: DataFrame, threshold: Double = 0.95,
                      idCol: String = "vec_id", vecCol: String = "embedding",

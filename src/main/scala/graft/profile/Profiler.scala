@@ -175,10 +175,17 @@ object Profiler {
       else Seq.empty
     val aggd0 = hist.groupBy(col("col_idx"))
       .agg(baseAggs.head, (baseAggs.tail ++ sketchAggs): _*)
-    // A4 deciles: sort-based interpolation over the histogram (left join —
-    // string columns have no numeric rows). The stage-1 exchange is shared
-    // with the stats branch via ReuseExchange (identical subplan).
-    val aggd = aggd0.join(decilesFromHist(hist, QuantileProbs), Seq("col_idx"), "left")
+    // A4 deciles: sort-based interpolation over a value-only histogram fed
+    // straight from the long relation (left join — string columns have no
+    // numeric rows). Aggregating `long` twice beats chaining off `hist`:
+    // map-side combine makes each shuffle carry only distinct values, the
+    // (col_idx, value_num) keying means decilesFromHist's internal re-agg
+    // adds NO exchange, and the two stage-1 aggregations are independent
+    // stages Spark runs concurrently instead of serially.
+    val valueHist = long.filter(col("value_num").isNotNull)
+      .groupBy(col("col_idx"), col("value_num"))
+      .agg(count(lit(1)).as("freq"))
+    val aggd = aggd0.join(decilesFromHist(valueHist, QuantileProbs), Seq("col_idx"), "left")
 
     // A6: population std = sqrt(E[x²] − E[x]²); guard unique<=2 → 0
     // (data_prep.py:238-241)
@@ -199,11 +206,14 @@ object Profiler {
       concat(col("deciles"),
         array(exactMeanD, stdAdj, col("min_v"), col("max_v")))) // A8: 13 floats
 
-    val meta = broadcast(colMeta(spark, df))
-    // RIGHT outer on the schema dimension: an EMPTY table still yields one
-    // zero-count row per column (the <5-row ingest filter normally screens
-    // these out, but the catalog contract holds for any input)
-    val out = aggd.join(meta, Seq("col_idx"), "right")
+    val meta = colMeta(spark, df)
+    // LEFT outer with the schema dimension PRESERVED: an EMPTY table still
+    // yields one zero-count row per column (the <5-row ingest filter
+    // normally screens these out, but the catalog contract holds for any
+    // input). The broadcast hint rides the non-preserved aggregate side —
+    // Spark can't build the preserved side of an outer join, so hinting the
+    // preserved side is silently dropped (HintErrorLogger).
+    val out = meta.join(broadcast(aggd), Seq("col_idx"), "left")
       .withColumn("rows", coalesce(col("rows"), lit(0L)))
       .withColumn("num_nan", coalesce(col("num_nan"), lit(0L)))
       .withColumn("unique", coalesce(col("unique"), lit(0L)))
@@ -256,10 +266,11 @@ object Profiler {
 
   def decilesFromHist(hist: DataFrame, probs: Seq[Double]): DataFrame = {
     val spark = hist.sparkSession
-    // No pre-filter on value_num: a filter here would be pushed below the
-    // histogram aggregate and fork a second scan; instead null rows ride
-    // along (bucket −1, no offset match → null cum, never covering), so
-    // every branch below shares the stage-1 exchange via ReuseExchange.
+    // Accepts any (col_idx, …, value_num, freq) histogram; the re-agg below
+    // collapses extra grouping columns. When the input is already keyed
+    // (col_idx, value_num) — as profile() feeds it — the child partitioning
+    // matches and this adds NO exchange. Null value rows (string columns)
+    // ride along as bucket −1: no offset match → never covering.
     val h = hist
       .groupBy(col("col_idx"), col("value_num"))
       .agg(sum(col("freq")).as("freq"))
@@ -277,20 +288,33 @@ object Profiler {
     val bOff = hb.filter(col("value_num").isNotNull)
       .groupBy(col("col_idx"), col("bucket")).agg(sum(col("freq")).as("bfreq"))
       .withColumn("boff", sum(col("bfreq")).over(wB) - col("bfreq"))
-      .select(col("col_idx"), col("bucket"), col("boff"))
-    // level 2: within-bucket cum-sum, parallel across (col_idx, bucket)
-    val wV = Window.partitionBy(col("col_idx"), col("bucket")).orderBy(col("value_num"))
-    val cum = hb.join(bOff, Seq("col_idx", "bucket"), "left")
-      .withColumn("cum",
-        when(col("value_num").isNotNull, sum(col("freq")).over(wV) + col("boff")))
-      .withColumn("start", col("cum") - col("freq"))
+    // Probe positions: 9 tiny rows per column — joined against the bucket
+    // offsets FIRST, so only buckets whose rank interval [boff, boff+bfreq)
+    // actually contains a probe rank survive. Exploding the probes onto
+    // every histogram row instead is a 9× row amplification on the dominant
+    // relation (~all distinct values) that the filter then throws away.
     val probsLit = typedLit(probs.zipWithIndex.map { case (p, i) => (p, i) })
-    val covering = cum
-      .select(col("*"), explode(probsLit).as("pq"))
-      .withColumn("pos", col("pq._1") * (col("n") - 1).cast("double"))
-      .withColumn("qi", col("pq._2"))
-      .withColumn("lo", floor(col("pos")).cast("long"))
-      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val probes = rng
+      .select(col("col_idx"), col("n"), explode(probsLit).as("pq"))
+      .select(col("col_idx"), col("pq._2").as("qi"),
+        (col("pq._1") * (col("n") - 1).cast("double")).as("pos"))
+      .select(col("col_idx"), col("qi"), col("pos"),
+        floor(col("pos")).cast("long").as("lo"),
+        ceil(col("pos")).cast("long").as("hi"))
+    val coverB = bOff.join(broadcast(probes), Seq("col_idx"))
+      .filter((col("boff") <= col("lo") && col("lo") < col("boff") + col("bfreq")) ||
+        (col("boff") <= col("hi") && col("hi") < col("boff") + col("bfreq")))
+      .select("col_idx", "bucket", "boff", "qi", "pos", "lo", "hi")
+    // level 2: within-bucket cum-sum, ONLY over covering buckets (≤ 18 per
+    // column), each histogram row exactly once (distinct before the window
+    // so a bucket covering several probes doesn't double-count freq)
+    val neededB = coverB.select("col_idx", "bucket", "boff").distinct()
+    val wV = Window.partitionBy(col("col_idx"), col("bucket")).orderBy(col("value_num"))
+    val cum = hb.join(broadcast(neededB), Seq("col_idx", "bucket"))
+      .withColumn("cum", sum(col("freq")).over(wV) + col("boff"))
+      .withColumn("start", col("cum") - col("freq"))
+    val covering = cum.drop("boff")
+      .join(broadcast(coverB.drop("boff")), Seq("col_idx", "bucket"))
       .filter((col("start") <= col("lo") && col("lo") < col("cum")) ||
         (col("start") <= col("hi") && col("hi") < col("cum")))
     covering.groupBy(col("col_idx"), col("qi"), col("pos"), col("lo"), col("hi"))

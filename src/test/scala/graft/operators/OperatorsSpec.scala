@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -205,6 +206,38 @@ class CosineRecallSpec extends SparkSpec {
     assert(got.subsetOf(want), "LSH must verify candidates exactly")
     assert(want.nonEmpty && got.size >= math.ceil(want.size * 0.95).toInt,
       s"recall ${got.size}/${want.size} below target")
+  }
+
+  test("exactCosinePairs is blocked: no task holds the corpus, results block-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val protos = Array.fill(4)(Array.fill(12)(rnd.nextGaussian()))
+    val n = 120
+    val vecs = (0 until n).map { i =>
+      val p = protos(i % 4)
+      (i.toLong, p.map(x => (x + rnd.nextGaussian() * 0.2).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // block-count invariance: 1 block (single all-pairs task) == 5 blocks
+    val whole = pairSet(Ann.exactCosinePairs(df, 0.5, blocks = 1))
+    val acc = spark.sparkContext.collectionAccumulator[java.lang.Long]("heldVectors")
+    Ann.scaleProbe = Some(acc)
+    val blocked =
+      try pairSet(Ann.exactCosinePairs(df, 0.5, blocks = 5))
+      finally Ann.scaleProbe = None
+    assert(blocked == whole && whole.nonEmpty)
+    // the scale contract: with B=5 blocks no scoring task ever held more
+    // than two blocks' vectors — a strict fraction of the corpus
+    val held = acc.value.asScala.map(_.longValue)
+    assert(held.nonEmpty && held.max < n,
+      s"a task held ${held.max} of $n vectors — corpus must never sit on one JVM")
+    // and the hot kernel never funnels rows through the driver: physical
+    // plan is an RDD scan (blocked cartesian), not a CollectLimit/collect
+    val plan = Ann.exactCosinePairs(df, 0.5, blocks = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan[obj") && !plan.contains("CollectLimit"), plan)
   }
 }
 
