@@ -137,6 +137,54 @@ object OracleSql {
        |ORDER BY table_name, col_idx""".stripMargin
   }
 
+  /** s7_json_roundtrip: DuckDB parses the plain-codec sketch documents with
+    * its own JSON reader (structure check — the inner join on parsed
+    * (table, column) keys drops rows if the document layout is wrong) while
+    * every projected value — stats, both digests, the content snapshot — is
+    * recomputed from the raw tables (content check). The Spark side reads
+    * the same documents back from the bzip2 files, so the compare verifies
+    * writer format, codec, and contents end-to-end. */
+  private def jsonRoundtripSql: String = {
+    val tables = Seq("region", "nation")
+    val rowSelects = tables.map { tbl =>
+      val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
+      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM ${cappedSrc(tbl, 10000)}"
+    }
+    s"""WITH $permsCte,
+       |${valsCte(tables, Some(10000))},
+       |${metaCte(tables)},
+       |stats AS (
+       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
+       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
+       |         round(CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v), 6) AS cw
+       |  FROM vals GROUP BY t, ci),
+       |$digestCtes,
+       |srows AS (
+       |  ${rowSelects.mkString("\n  UNION ALL ")}),
+       |sdrows AS (SELECT DISTINCT t, rs FROM srows),
+       |smins AS (SELECT t, pi, ${mhSlotMin("rs")} AS mh
+       |          FROM sdrows CROSS JOIN perms GROUP BY t, pi),
+       |snapd AS (SELECT t, list(mh ORDER BY pi) AS d FROM smins GROUP BY t),
+       |docs AS (SELECT * FROM read_json('/tmp/graft_fixtures/sketch_docs_plain/*.json',
+       |  format='newline_delimited',
+       |  columns={'table_metadata': 'JSON', 'columns': 'JSON', 'content_snapshot': 'JSON'})),
+       |dcols AS (
+       |  SELECT json_extract_string(d.table_metadata, '$$.file_name') AS t,
+       |         unnest(json_keys(d.columns)) AS cn
+       |  FROM docs d)
+       |SELECT meta.t AS table_name, meta.cn AS col_name, meta.ct AS col_type,
+       |  stats.n_rows, stats.num_nan, stats.n_unique,
+       |  CASE WHEN meta.ct = 'string' THEN stats.cw END AS cell_width_r,
+       |  array_to_string(edig.d, ',') AS mh_exact,
+       |  CASE WHEN meta.ct = 'string' THEN array_to_string(wdig.d, ',') END AS mh_words,
+       |  array_to_string(snapd.d, ',') AS snapshot
+       |FROM meta JOIN stats USING (t, ci) JOIN edig USING (t, ci)
+       |LEFT JOIN wdig USING (t, ci)
+       |JOIN snapd ON snapd.t = meta.t
+       |JOIN dcols ON dcols.t = meta.t AND dcols.cn = meta.cn
+       |ORDER BY table_name, col_name""".stripMargin
+  }
+
   /** content_snapshots: one digest per table over space-joined row strings
     * (A13/P7; mirrors Profiler.contentSnapshot over first-10k-capped reads).
     */
@@ -1164,6 +1212,7 @@ object OracleSql {
         |GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
 
     "s7s8_sketch_roundtrip" -> profileSketchesSqlFor(Seq("region", "nation")),
+    "s7_json_roundtrip" -> jsonRoundtripSql,
     "j3_search_eval" -> searchEvalSql,
     "inc_profile_merge" -> incProfileMergeSql,
     "t_quality_filter" -> qualityFilterSql,

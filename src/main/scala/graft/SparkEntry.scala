@@ -377,6 +377,50 @@ object SparkEntry {
       .orderBy("table_name", "col_idx")
   }
 
+  /** S7 JSON-document parity round-trip: catalog → per-table JSON sketch
+    * documents (the reference's `{hash}.json.bz2` layout, data_prep.py:
+    * 150-163) → read the bzip2 files back with an explicit schema → explode
+    * the per-column map. A plain-codec copy of the SAME docs is written for
+    * the oracle, which parses it with DuckDB's JSON reader (structure
+    * check: an inner join on parsed (table, column) keys drops rows if the
+    * doc layout is wrong) while recomputing every projected value — stats,
+    * both digests, the content snapshot — from the raw tables (content
+    * check). Green iff format, bzip2 codec, and contents all survive. */
+  private def jsonSketchRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outBz = "/tmp/graft_fixtures/sketch_docs_bz2"
+    val outPlain = "/tmp/graft_fixtures/sketch_docs_plain"
+    val profs = lakeCatalog(s, dir).filter(col("table_name").isin("region", "nation"))
+    val snaps = lakeSnapshots(s, dir).filter(col("table_name").isin("region", "nation"))
+    graft.store.SketchStore.writeJsonBz2(profs, snaps, outBz)
+    graft.store.SketchStore.writeJsonBz2(profs, snaps, outPlain, codec = "none")
+    val colSchema = StructType(Seq(
+      StructField("name", StringType), StructField("type", StringType),
+      StructField("num_nan", LongType), StructField("unique", LongType),
+      StructField("cell_width_bytes", DoubleType),
+      StructField("quantile", ArrayType(DoubleType)),
+      StructField("min-hash-exact", ArrayType(LongType)),
+      StructField("min-hash-words", ArrayType(LongType))))
+    val docSchema = StructType(Seq(
+      StructField("table_metadata", StructType(Seq(
+        StructField("file_name", StringType), StructField("rows", LongType)))),
+      StructField("columns", MapType(StringType, colSchema)),
+      StructField("content_snapshot", ArrayType(LongType))))
+    s.read.schema(docSchema).json(outBz)
+      .select(col("table_metadata.file_name").as("table_name"),
+        col("table_metadata.rows").as("n_rows"),
+        col("content_snapshot"),
+        explode(col("columns")).as(Seq("col_name", "c")))
+      .select(col("table_name"), col("col_name"),
+        col("c.type").as("col_type"), col("n_rows"),
+        col("c.num_nan").as("num_nan"), col("c.unique").as("n_unique"),
+        round(col("c.cell_width_bytes"), 6).as("cell_width_r"),
+        array_join(col("c.`min-hash-exact`"), ",").as("mh_exact"),
+        array_join(col("c.`min-hash-words`"), ",").as("mh_words"),
+        array_join(col("content_snapshot"), ",").as("snapshot"))
+      .orderBy("table_name", "col_name")
+  }
+
   /** S10/P11 round-trip: write a finetune pair-label JSON descriptor,
     * read it with Splits.readPairLabels, normalize filenames with
     * tableKey. The oracle parses the same file with DuckDB's JSON reader.
@@ -823,6 +867,7 @@ object SparkEntry {
     "j3_search_eval" -> searchEval,
     "q5_table_search" -> tableSearch,
     "s7s8_sketch_roundtrip" -> sketchRoundtrip,
+    "s7_json_roundtrip" -> jsonSketchRoundtrip,
     "s10_split_roundtrip" -> splitRoundtrip,
     "inc_profile_merge" -> incrementalMerge,
     "t_quality_filter" -> qualityFilterStats,

@@ -48,8 +48,11 @@ object SketchStore {
 
   /** JSON parity writer: one document per table —
     * `{"table_metadata":{"file_name":…,"rows":…},"columns":{name:{…}}}`.
+    * `codec` defaults to bzip2 for reference `{hash}.json.bz2` parity; pass
+    * "none" for a plain copy third-party JSON readers (DuckDB) can parse.
     */
-  def writeJsonBz2(profiles: DataFrame, snapshots: DataFrame, path: String): Unit = {
+  def writeJsonBz2(profiles: DataFrame, snapshots: DataFrame, path: String,
+                   codec: String = "bzip2"): Unit = {
     val colDoc = struct(
       col("col_name").as("name"), col("col_type").as("type"),
       col("num_nan"), col("unique"),
@@ -70,7 +73,7 @@ object SketchStore {
           e => struct(e.getField("col_name"), e.getField("doc")))).as("columns"),
         col("content_snapshot"))
     docs.write.mode(SaveMode.Overwrite)
-      .option("compression", "bzip2")
+      .option("compression", codec)
       .json(path)
   }
 }
