@@ -558,6 +558,31 @@ object OracleSql {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
+  /** a_augment_hashes: recompute each augmentation's content hash with the
+    * SAME deterministic column order/header the engine used —
+    * `Augment.lehmerPerm` is shared between the engine and this SQL
+    * generator, so the permutation is a cross-engine constant, not RNG
+    * state. `cols_reuse` is pinned at full width: per-column value digests
+    * are order/name-independent by construction, and the Spark side must
+    * PROVE it by recomputing and joining digests across augs. */
+  private def augmentHashesSql: String = {
+    val cols = lakeSchemas("part").map(_._1)
+    val n = cols.length
+    def one(aug: Int, order: Seq[Int], names: Seq[String]) = {
+      val rendered = order.map(i => s"coalesce(CAST(${cols(i)} AS VARCHAR), chr(2))")
+      val header = names.mkString(",")
+      s"""SELECT CAST($aug AS BIGINT) AS aug_id, '$header' AS header,
+         |  CAST(SUM(CAST(md5_number_lower(rs) AS HUGEINT)) + CAST(md5_number_lower('$header') AS HUGEINT) AS VARCHAR) AS content_hash,
+         |  count(*) AS n_rows, CAST($n AS BIGINT) AS cols_reuse
+         |FROM (SELECT concat_ws(chr(1), ${rendered.mkString(", ")}) AS rs FROM part)""".stripMargin
+    }
+    val perm = graft.ingest.Augment.lehmerPerm(n, 2)
+    Seq(one(0, 0 until n, cols),
+      one(1, 0 until n, (0 until n).map("col" + _)),
+      one(2, perm, perm.map(cols)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY aug_id")
+  }
+
   /** type_inference: DuckDB's own parquet schema read mapped into the
     * reference's 4-type system. */
   private def typeInferenceSql: String = {
@@ -1187,6 +1212,7 @@ object OracleSql {
     "d_emb_neardups" -> embNearDupsSql,
     "ann_ivf_topk" -> annIvfSql,
     "a15_content_hash" -> contentHashSql,
+    "a_augment_hashes" -> augmentHashesSql,
     "type_inference" -> typeInferenceSql,
     "t1_feature_tensors" -> featureTensorsSql,
     "t_lang_quality" -> langQualitySql,

@@ -558,6 +558,44 @@ object SparkEntry {
         .select(lit(n).as("table_name"), col("content_hash"), col("rows"))
     }.reduce(_ unionByName _).orderBy("table_name")
 
+  /** P8/P9/A15: the 3-augmentation sketch-build invariant (`data_prep.py:
+    * 281-337`) — aug 0 original, aug 1 obscured names, aug 2 deterministic
+    * column shuffle. Content hashes DIFFER across augs (identity tracks
+    * header + column order) while per-column value digests are IDENTICAL
+    * under renaming/shuffle (the reference's sketch-reuse invariant):
+    * `cols_reuse` counts aug columns whose recomputed digest equals the
+    * original column's, mapped by position (aug 1) / permutation (aug 2).
+    * The oracle recomputes each hash with the same permuted order
+    * ([[graft.ingest.Augment.lehmerPerm]] is shared with the SQL
+    * generator) and pins `cols_reuse` at full width. */
+  private def augmentHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = t(s, dir, "part")
+    val n = base.columns.length
+    val augs: Seq[(Int, DataFrame, Seq[Int])] = Seq(
+      (0, base, 0 until n),
+      (1, graft.ingest.Augment.obscureColumns(base), 0 until n),
+      (2, graft.ingest.Augment.shuffleColumnsDet(base, 2),
+        graft.ingest.Augment.lehmerPerm(n, 2)))
+    val d0 = Profiler.profile(base, "part")
+      .select(col("col_idx").cast("long").as("oidx"), col("minhash_exact").as("dig0"))
+    augs.map { case (id, df, origIdxAtPos) =>
+      val header = df.columns.mkString(",")
+      val posToOrig = origIdxAtPos.zipWithIndex
+        .map { case (o, p) => (p.toLong, o.toLong) }.toDF("col_idx", "oidx")
+      val reuse = Profiler.profile(df, s"part_aug$id")
+        .select(col("col_idx").cast("long").as("col_idx"), col("minhash_exact"))
+        .join(broadcast(posToOrig), "col_idx")
+        .join(broadcast(d0), "oidx")
+        .agg(sum(when(col("minhash_exact") === col("dig0"), 1L).otherwise(0L))
+          .as("cols_reuse"))
+      graft.ingest.Augment.contentHash(df)
+        .select(lit(id.toLong).as("aug_id"), lit(header).as("header"),
+          col("content_hash"), col("rows").as("n_rows"))
+        .crossJoin(reuse)
+    }.reduce(_ unionByName _).orderBy("aug_id")
+  }
+
   /** M4: pair similarity features over the profile catalog. */
   private def pairFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -857,6 +895,7 @@ object SparkEntry {
     "a16_value_heads" -> valueHeads,
     "a9_corr_probe" -> corrProbe,
     "a15_content_hash" -> contentHashes,
+    "a_augment_hashes" -> augmentHashes,
     "m4_pair_features" -> pairFeatures,
     "t1_feature_tensors" -> featureTensors,
     "a14_hashing_sketch" -> hashingSketches,

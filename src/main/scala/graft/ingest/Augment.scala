@@ -23,6 +23,27 @@ object Augment {
     df.select(perm.map(c => col(s"`$c`")): _*)
   }
 
+  /** Engine-independent column permutation: rank positions by a two-round
+    * Lehmer mix of (position, aug id). No RNG object, so the oracle-SQL
+    * generator replays the identical order (the `random.shuffle(seed)` at
+    * `data_prep.py:288-291`, made cross-engine reproducible). Result at
+    * position p is the ORIGINAL index placed there. */
+  def lehmerPerm(nCols: Int, augId: Int): Seq[Int] = {
+    val p = 2147483647L
+    def key(i: Int): Long = {
+      val x = ((i + 1 + augId).toLong * 48271L) % p
+      (x * 16807L) % p
+    }
+    (0 until nCols).sortBy(key)
+  }
+
+  /** `shuffleColumns` with the [[lehmerPerm]] order — augmentation ≥ 2 in
+    * oracle-verifiable pipelines. */
+  def shuffleColumnsDet(df: DataFrame, augId: Int): DataFrame = {
+    val perm = lehmerPerm(df.columns.length, augId)
+    df.select(perm.map(i => col(s"`${df.columns(i)}`")): _*)
+  }
+
   /** Order-independent table content hash: a 64-bit MD5-derived hash per
     * canonical row (column names + values, \u0001-separated, nulls marked
     * \u0002), combined by an order-insensitive sum. Serves the reference's

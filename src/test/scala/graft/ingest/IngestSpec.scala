@@ -97,6 +97,16 @@ class AugmentSpec extends SparkSpec {
     assert(h1 != h3)
   }
 
+  test("lehmerPerm: non-identity bijection, stable across calls") {
+    val p = Augment.lehmerPerm(6, 2)
+    assert(p.sorted == (0 until 6))
+    assert(p != (0 until 6), "permutation degenerated to identity")
+    assert(p == Augment.lehmerPerm(6, 2))
+    assert(p != Augment.lehmerPerm(6, 3), "aug id must change the order")
+    val cols = Augment.shuffleColumnsDet(df, 2).columns.toSeq
+    assert(cols == Augment.lehmerPerm(3, 2).map(df.columns))
+  }
+
   test("augmentations: 3 variants, same row count") {
     val augs = Augment.augmentations(df)
     assert(augs.map(_._1) == Seq(0, 1, 2))
