@@ -583,6 +583,53 @@ object OracleSql {
       .mkString("", "\nUNION ALL\n", "\nORDER BY aug_id")
   }
 
+  /** t2_tokenizer_layout: DuckDB replays the tokenizer-layer layouts —
+    * position encoding via a windowed SEP count, the MLM mask plan via the
+    * same md5-low32 draws (`md5_number_lower & 0xffffffff`, 0-based
+    * positions), pair concat via list slices. */
+  private def tokenizerLayoutSql: String = {
+    def mdraw(k: Int): String =
+      s"(md5_number_lower(CAST(key AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR) || ':$k') & 4294967295) % 10000 / 10000.0"
+    val onehot = (0 until 5)
+      .map(c => s"CAST(CASE WHEN n.n_regionkey = $c THEN 1 ELSE 0 END AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH n AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS key, n_regionkey,
+       |    ['[CLS]'] || string_split(n_name, ' ') ||
+       |    ['[SEP]', CAST(n_nationkey AS VARCHAR), '[SEP]',
+       |     CAST(n_regionkey AS VARCHAR), '[SEP]'] AS toks
+       |  FROM nation),
+       |r AS (SELECT r_regionkey,
+       |    ['[CLS]'] || string_split(r_name, ' ') || ['[SEP]'] AS rtoks
+       |  FROM region),
+       |pos AS (SELECT key, i0 + 1 AS i, toks[i0 + 1] AS tok
+       |        FROM (SELECT key, toks, unnest(range(len(toks))) AS i0 FROM n)),
+       |pos2 AS (SELECT key, i, tok,
+       |    coalesce(sum(CASE WHEN tok = '[SEP]' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY key ORDER BY i
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seps_before
+       |  FROM pos),
+       |enc AS (SELECT key, i,
+       |    CASE WHEN tok IN ('[CLS]', '[SEP]', '[PAD]', '[MASK]') THEN 0
+       |         ELSE 1 + CAST(seps_before AS INT) END AS ce,
+       |    CASE WHEN tok IN ('[CLS]', '[SEP]', '[PAD]') THEN 'keep'
+       |         WHEN ${mdraw(1)} >= 0.15 THEN 'keep'
+       |         WHEN ${mdraw(2)} < 0.8 THEN 'mask'
+       |         WHEN ${mdraw(2)} < 0.9 THEN 'random'
+       |         ELSE 'keep_masked' END AS action
+       |  FROM pos2),
+       |agg AS (SELECT key,
+       |    array_to_string(list(ce ORDER BY i), ',') AS colenc_s,
+       |    array_to_string(list(action ORDER BY i), ',') AS mask_s
+       |  FROM enc GROUP BY key)
+       |SELECT n.key, array_to_string(n.toks, ' ') AS tokens_s,
+       |  agg.colenc_s, agg.mask_s,
+       |  array_to_string(n.toks[1:4] || r.rtoks[1:4], ' ') AS pair_s,
+       |  $onehot AS onehot_s
+       |FROM n JOIN r ON n.n_regionkey = r.r_regionkey JOIN agg USING (key)
+       |ORDER BY key""".stripMargin
+  }
+
   /** type_inference: DuckDB's own parquet schema read mapped into the
     * reference's 4-type system. */
   private def typeInferenceSql: String = {
@@ -1213,6 +1260,7 @@ object OracleSql {
     "ann_ivf_topk" -> annIvfSql,
     "a15_content_hash" -> contentHashSql,
     "a_augment_hashes" -> augmentHashesSql,
+    "t2_tokenizer_layout" -> tokenizerLayoutSql,
     "type_inference" -> typeInferenceSql,
     "t1_feature_tensors" -> featureTensorsSql,
     "t_lang_quality" -> langQualitySql,

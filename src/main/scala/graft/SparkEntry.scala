@@ -596,6 +596,36 @@ object SparkEntry {
     }.reduce(_ unionByName _).orderBy("aug_id")
   }
 
+  /** T3/T5/T6/T7: tokenizer-layer layouts as deterministic relations
+    * (`tabular_tokenizer.py:77-80,127-143`, `tabular_dataset.py:152-192`).
+    * Per nation row: a [CLS]/[SEP]-structured token sequence, its
+    * column-position encoding (cumsum of SEPs, 0 at specials), the seeded
+    * MLM mask plan (MD5-derived draws DuckDB replays bit-for-bit), the
+    * budgeted pair-concat with the region side, and a one-hot label —
+    * every channel rendered as a joined string for the hash compare. */
+  private def tokenizerLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.TokenizerOps._
+    val reg = t(s, dir, "region").select(col("r_regionkey"),
+      concat(array(lit("[CLS]")), split(col("r_name"), " "),
+        array(lit("[SEP]"))).as("rtoks"))
+    val toks = concat(array(lit("[CLS]")), split(col("n_name"), " "),
+      array(lit("[SEP]"), col("n_nationkey").cast("string"), lit("[SEP]"),
+        col("n_regionkey").cast("string"), lit("[SEP]")))
+    def strs(c: Column): Column = transform(c, _.cast("string"))
+    t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("key"),
+        col("n_regionkey"), toks.as("toks"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("key"),
+        array_join(col("toks"), " ").as("tokens_s"),
+        array_join(strs(colPositionEncoding(col("toks"))), ",").as("colenc_s"),
+        array_join(mlmMaskPlan(col("toks"), col("key")), ",").as("mask_s"),
+        array_join(pairConcat(col("toks"), col("rtoks"), 8), " ").as("pair_s"),
+        array_join(strs(transform(oneHot(array(col("n_regionkey")), 5),
+          _.cast("int"))), ",").as("onehot_s"))
+      .orderBy("key")
+  }
+
   /** M4: pair similarity features over the profile catalog. */
   private def pairFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -896,6 +926,7 @@ object SparkEntry {
     "a9_corr_probe" -> corrProbe,
     "a15_content_hash" -> contentHashes,
     "a_augment_hashes" -> augmentHashes,
+    "t2_tokenizer_layout" -> tokenizerLayout,
     "m4_pair_features" -> pairFeatures,
     "t1_feature_tensors" -> featureTensors,
     "a14_hashing_sketch" -> hashingSketches,

@@ -35,16 +35,26 @@ object TokenizerOps {
   }
 
   /** T5: deterministic MLM mask plan — per token position, draw seeded
-    * pseudo-randoms from `hash(seed, table, pos)`; 15% of positions masked,
-    * of those 80% → [MASK], 10% → random token, 10% → kept
-    * (`tabular_tokenizer.py:127-143`). Emits the *plan* (action per
-    * position); applying it is the trainer's job.
+    * pseudo-randoms from an MD5-derived hash of (seed, pos, draw#); 15% of
+    * positions masked, of those 80% → [MASK], 10% → random token, 10% →
+    * kept (`tabular_tokenizer.py:127-143`). Emits the *plan* (action per
+    * position); applying it is the trainer's job. The draw is the low-32
+    * MD5 pattern (`MinHash.md5Low32` == DuckDB `md5_number_lower(v) &
+    * 0xffffffff`) so an independent engine replays the plan exactly.
     */
   def mlmMaskPlan(tokens: Column, seedCol: Column,
                   maskProb: Double = 0.15): Column =
     transform(tokens, (tok, i) => {
-      val r1 = pmod(hash(seedCol, i, lit(1)), lit(10000)).cast("double") / 10000.0
-      val r2 = pmod(hash(seedCol, i, lit(2)), lit(10000)).cast("double") / 10000.0
+      // LE uint32 of md5 bytes [8,12): hex byte pairs 11..8 (same extract
+      // as Augment.contentHash's md5Low64, truncated to 32 bits)
+      def draw(k: Int): Column = {
+        val h = md5(concat_ws(":", seedCol.cast("string"),
+          i.cast("string"), lit(k.toString)))
+        val be = concat((11 to 8 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
+        (conv(be, 16, 10).cast("long") % 10000).cast("double") / 10000.0
+      }
+      val r1 = draw(1)
+      val r2 = draw(2)
       when(tok.isin("[CLS]", "[SEP]", "[PAD]"), lit("keep"))
         .when(r1 >= maskProb, lit("keep"))
         .when(r2 < 0.8, lit("mask"))
