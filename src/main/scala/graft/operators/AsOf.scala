@@ -31,15 +31,20 @@ object AsOf {
     val r = right.select((keyCols :+ tsCol).map(c => col(s"`$c`")) ++
         payloadCols.map(c => col(s"`$c`").as(s"__p_$c")): _*)
       .withColumn("__tag", lit(0))
+    // Row PRESENCE, not payload nullness, drives the carry: all payloads
+    // ride in one struct that is non-null exactly for right rows, so a
+    // matched right row whose payload value is legitimately NULL yields
+    // NULL (DuckDB/pandas ASOF semantics) instead of an older row's value.
     val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__pstruct", when(col("__tag") === 0,
+        struct(payloadCols.map(c => col(s"`__p_$c`").as(c)): _*)))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"__last_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = u.withColumn("__last",
+      last(col("__pstruct"), ignoreNulls = true).over(w))
     carried.filter(col("__tag") === 1)
       .select(leftCols.map(c => col(s"`$c`")) ++
-        payloadCols.map(c => col(s"__last_$c").as(s"asof_$c")): _*)
+        payloadCols.map(c => col("__last").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -130,36 +130,64 @@ object Dedup {
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Ann.cosineNearDups(embs, threshold, idCol, vecCol)
 
-  /** Resolve near-dup pairs into connected components by iterative
-    * min-label propagation (the relational Pregel): each round every node
-    * takes the min of its own label and its neighbors', converging in
-    * O(log diameter) rounds — near-dup clusters are short chains in
-    * practice, so the default bound is generous. Each round is one
-    * shuffle on id; lineage is checkpoint-truncated per round so the
-    * iterative plan stays flat (the planning-cost lesson from the sketch
-    * catalog applies doubly to loops).
+  /** Resolve near-dup pairs into connected components by min-label
+    * propagation WITH pointer jumping: each round every node takes the min
+    * of its own label and its neighbors' (one hop), then follows its
+    * label's label (the shortcut join) — path lengths halve per round, so
+    * convergence is O(log diameter), not the O(diameter) of plain
+    * propagation. Each round is two key shuffles; lineage is
+    * checkpoint-truncated per round so the iterative plan stays flat (the
+    * planning-cost lesson from the sketch catalog applies doubly to loops).
+    *
+    * If the loop exits UNCONVERGED it throws rather than silently
+    * returning split clusters (dropNearDuplicates would keep documents
+    * that belong to an existing cluster) — raise `maxIter` for
+    * pathologically deep graphs; 2^maxIter-diameter components converge.
     * Output: (id, cluster), cluster = the component's minimum id.
+    *
+    * `checkpointDir`: when set, rounds checkpoint RELIABLY to that
+    * directory (HDFS/S3 on a cluster) instead of `localCheckpoint` —
+    * local checkpoints pin lineage to executor storage, so losing an
+    * executor mid-loop kills the job; the reliable mode survives it at
+    * the price of a write per round. Local mode stays the single-JVM
+    * default.
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val edges = cp(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = cp(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      // pointer jumping: label(id) := label(label(id)) — labels are node
+      // ids, so the labels relation doubles as the label→label hop
+      val next = cp(prop
+        .join(prop.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") =!= col("old")).isEmpty
       labels = next
       i += 1
+    }
+    if (!converged) {
+      // unconverged exit means labels may not be components — failing
+      // beats silently returning split clusters
+      throw new IllegalStateException(
+        s"resolveClusters did not converge in $maxIter rounds; raise maxIter")
     }
     labels.select(col("id"), col("label").as("cluster"))
   }

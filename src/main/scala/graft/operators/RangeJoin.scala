@@ -32,8 +32,11 @@ object RangeJoin {
       .withColumn("__blo", floor(col(s"`$loCol`") / bucketWidth).cast("long"))
       .withColumn("__bhi", floor(col(s"`$hiCol`") / bucketWidth).cast("long"))
       .withColumn("__span", col("__bhi") - col("__blo"))
-    // a pathological interval would explode into the whole axis
-    val widest = ib.agg(max(col("__span"))).first().getLong(0)
+    // a pathological interval would explode into the whole axis; an EMPTY
+    // intervals side yields a NULL max (widest = 0 → empty join result,
+    // like any other join)
+    val widestRow = ib.agg(max(col("__span"))).first()
+    val widest = if (widestRow.isNullAt(0)) 0L else widestRow.getLong(0)
     require(widest <= 1000,
       s"an interval spans $widest buckets; raise bucketWidth")
     val exploded = ib.withColumn("__bucket",

@@ -22,13 +22,23 @@ object Skew {
     * over `factor` salt buckets. Use when `right` is too large to
     * broadcast outright but hot keys overload single reducers; for a
     * broadcastable right side, `broadcast()` already avoids the shuffle.
+    *
+    * Left-preserving join types only: the right side is pre-exploded over
+    * all `factor` salts, so right/full outer would emit each unmatched
+    * right row `factor` times.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  factor: Int = 16, joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    // left rows get a deterministic salt from non-key columns when
-    // available, else a uniform spread via monotonically increasing id;
-    // pmod keeps it in [0, factor)
+    val leftPreserving = Set("inner", "cross", "left", "left_outer",
+      "leftouter", "left_semi", "leftsemi", "semi", "left_anti", "leftanti",
+      "anti")
+    require(leftPreserving.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
+    // uniform spread via monotonically increasing id (pmod keeps it in
+    // [0, factor)); the row→salt assignment is partitioning-dependent and
+    // NOT stable across runs — only the join RESULT is deterministic,
+    // since every salt matches the same replicated right rows
     val l = left.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
     val r = right.withColumn("__salt",

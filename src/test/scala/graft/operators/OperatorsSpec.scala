@@ -61,6 +61,36 @@ class DedupSpec extends SparkSpec {
     assert(clusters(7L) == 7L && clusters(8L) == 7L)
   }
 
+  test("resolveClusters: pointer jumping collapses a deep chain within maxIter") {
+    // 60-node path: diameter 59 — plain one-hop propagation would need 59
+    // rounds; pointer jumping needs O(log) and must fit in the default 10
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 60L).forall(clusters(_) == 1L))
+  }
+
+  test("resolveClusters throws on unconverged exit instead of returning split clusters") {
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.resolveClusters(pairs, maxIter = 2)
+    }
+  }
+
+  test("resolveClusters: reliable-checkpoint mode matches local mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val local = Dedup.resolveClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reliable = Dedup.resolveClusters(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == reliable)
+    // the reliable mode actually wrote checkpoint data
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
+  }
+
   test("dropNearDuplicates keeps one representative + unpaired docs") {
     val corpus = (1L to 10L).map(i => (i, s"text$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

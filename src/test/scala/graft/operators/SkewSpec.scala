@@ -25,6 +25,15 @@ class SkewSpec extends SparkSpec {
     assert(out.filter(col("row_id") === -1).select("attr").first().isNullAt(0))
   }
 
+  test("saltedJoin rejects right/full outer (exploded right would duplicate rows)") {
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts, dims, "k", joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts, dims, "k", joinType = "full")
+    }
+  }
+
   test("keySkewProfile surfaces the hot key with its share") {
     val prof = Skew.keySkewProfile(facts, "k", topN = 3).collect()
     assert(prof.head.getLong(0) == 0L)
@@ -138,6 +147,18 @@ class AsOfSpec extends SparkSpec {
     val out = AsOf.join(left, right, Seq("k"), "ts", Seq("payload")).collect()
     assert(out(0).getAs[String]("asof_payload") == "same")
   }
+
+  test("asofJoin: a matched row's NULL payload is returned, not an older value") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 1L)).toDF("id", "ts", "k")
+    val right = Seq(
+      (ts("2024-01-01 09:00:00"), 1L, Some("old")),
+      (ts("2024-01-01 11:00:00"), 1L, None: Option[String]) // the as-of match
+    ).toDF("ts", "k", "payload")
+    val out = AsOf.join(left, right, Seq("k"), "ts", Seq("payload")).collect()
+    assert(out(0).getAs[String]("asof_payload") == null,
+      "NULL payload of the matched row must win over an older non-null one")
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
@@ -157,6 +178,12 @@ class RangeJoinSpec extends SparkSpec {
     val plan = fast.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join fell back to a cross product:\n$plan")
+  }
+
+  test("empty intervals side returns an empty result, like any join") {
+    val points = Seq((1L, 10.0)).toDF("pid", "v")
+    val intervals = Seq.empty[(Long, Double, Double)].toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 5.0).isEmpty)
   }
 
   test("boundary inclusivity: both endpoints match") {
