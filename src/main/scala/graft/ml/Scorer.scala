@@ -64,6 +64,71 @@ object Scorer {
     }
   }
 
+  /** Export the trained classification pipeline's linear stage as a
+    * portable JSON artifact `{features, coefficients, intercept}` — the
+    * engine's stand-in for an ONNX export of the reference's fine-tuned
+    * scoring head (`tabsketchfm_finetune.py:64-117`). No inference runtime
+    * ships in this environment, so the artifact is scored by the pure-JVM
+    * kernel in [[linearModelFactory]] behind the SAME per-partition /
+    * batched seam a real session would use; swapping in onnxruntime
+    * changes only the factory body.
+    */
+  def exportLinearModel(model: org.apache.spark.ml.PipelineModel,
+                        path: String): Unit = {
+    val lr = model.stages.collectFirst {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+    }.getOrElse(throw new IllegalArgumentException(
+      "exportLinearModel needs a LogisticRegressionModel stage"))
+    val feats = model.stages.collectFirst {
+      case a: org.apache.spark.ml.feature.VectorAssembler => a.getInputCols.toSeq
+    }.getOrElse(Seq.empty)
+    val json =
+      s"""{"features":[${feats.map("\"" + _ + "\"").mkString(",")}],
+         |"coefficients":[${lr.coefficients.toArray.mkString(",")}],
+         |"intercept":${lr.intercept}}""".stripMargin.replace("\n", "")
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+  }
+
+  /** Batch-scoring factory over an exported linear artifact: the file is
+    * opened and parsed ONCE per partition (the session-init slot — where a
+    * real integration creates its ONNX session), then each batch matrix is
+    * scored with the sigmoid linear kernel, matching `PipelineScorer`'s
+    * positive-class probability. `onInit` observes the per-partition init
+    * (specs count it with an accumulator).
+    */
+  def linearModelFactory(path: String, onInit: () => Unit = () => ())
+      : () => Array[Array[Double]] => Array[Double] =
+    () => {
+      onInit()
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+      import org.json4s.jvalue2monadic
+      val coef = (j \ "coefficients").extract[Seq[Double]].toArray
+      val intercept = (j \ "intercept").extract[Double]
+      (batch: Array[Array[Double]]) => batch.map { x =>
+        require(x.length == coef.length,
+          s"feature width ${x.length} != model width ${coef.length}")
+        var z = intercept
+        var i = 0
+        while (i < coef.length) { z += coef(i) * x(i); i += 1 }
+        1.0 / (1.0 + math.exp(-z))
+      }
+    }
+
+  /** The exported artifact's feature column order (callers wire it into
+    * [[ExternalModelScorer]]'s `featureCols` so batch layout matches). */
+  def exportedFeatures(path: String): Seq[String] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s.jvalue2monadic
+    (org.json4s.jackson.JsonMethods.parse(txt) \ "features").extract[Seq[String]]
+  }
+
   /** External embedder (Q1): one `Array[Float]` per row — the
     * `extract_embeddings` shape. Same per-partition/batched contract as
     * [[ExternalModelScorer]]; input is the row's feature columns, output a

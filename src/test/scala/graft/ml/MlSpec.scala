@@ -49,6 +49,37 @@ class PairScoringSpec extends SparkSpec {
     assert(viaSeam == preds)
   }
 
+  test("exported linear artifact scores identically to the MLlib pipeline") {
+    val pairs = Seq(("a", "b", 1.0), ("a", "c", 0.0), ("b", "c", 0.0))
+      .toDF("table1", "table2", "y")
+    val feats = PairScoring.pairFeatures(pairs.select("table1", "table2"), profiles)
+      .join(pairs, Seq("table1", "table2"))
+    val model = PairScoring.trainScorer(feats, "y")
+    val path = java.nio.file.Files.createTempDirectory("graft_model")
+      .resolve("scorer.json").toString
+    Scorer.exportLinearModel(model, path)
+    // pipeline path: positive-class probability
+    val viaPipeline = new Scorer.PipelineScorer(model).score(feats)
+      .select(col("table1"), col("table2"), col("probability")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](2)(1)).toMap
+    // artifact path: per-partition init + batched sigmoid kernel
+    val inits = spark.sparkContext.longAccumulator("modelInits")
+    val featCols = Scorer.exportedFeatures(path)
+    val scored = new Scorer.ExternalModelScorer(
+      Scorer.linearModelFactory(path, () => inits.add(1)),
+      featureCols = featCols, batchSize = 2)
+      .score(feats.repartition(3))
+    val viaArtifact = scored.select("table1", "table2", "score").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(viaArtifact.keySet == viaPipeline.keySet)
+    viaArtifact.foreach { case (k, s) =>
+      assert(math.abs(s - viaPipeline(k)) < 1e-9, s"$k: $s vs ${viaPipeline(k)}") }
+    // exactly one artifact load per non-empty partition
+    assert(inits.value > 0 && inits.value <= 3,
+      s"expected <=3 per-partition inits, saw ${inits.value}")
+  }
+
   test("ExternalModelScorer: per-partition batched seam scores every row") {
     val df = (1 to 1000).map(i => (i.toLong, i * 0.5, i * 2.0)).toDF("id", "f1", "f2")
       .repartition(7)
