@@ -185,6 +185,40 @@ object OracleSql {
        |ORDER BY table_name, col_name""".stripMargin
   }
 
+  /** s3_ingest_hygiene: DuckDB parses the SAME fixture files — the messy
+    * file's row count comes from its own CSV reader, the sub-5-row file is
+    * excluded by a HAVING the oracle computes itself, and the expected
+    * sanitized names are generated from the engine's own `sanitizeName`
+    * (shared Scala, embedded as literals). */
+  private def ingestHygieneSql: String = {
+    // post-CSV-parse raw header fields of messy.csv (see SparkEntry fixture)
+    val raw = Seq("row_index", " n_NationKey ", "N,Name", "' n_regionkey '")
+    val expect = raw.map(graft.ingest.RobustCsv.sanitizeName)
+      .filterNot(_ == "row_index")
+    s"""SELECT * FROM (
+       |  SELECT 'messy.csv' AS file, '${expect.mkString(",")}' AS cols,
+       |    count(*) AS n_rows
+       |  FROM read_csv('/tmp/graft_fixtures/hygiene/messy.csv', header=true)
+       |  UNION ALL
+       |  SELECT 'tiny.csv', 'filtered', count(*)
+       |  FROM read_csv('/tmp/graft_fixtures/hygiene/tiny.csv', header=true)
+       |  HAVING count(*) >= 5)
+       |ORDER BY file""".stripMargin
+  }
+
+  /** j2_missing_pairs: anti-join diagnostic replayed over the known lake
+    * table list. */
+  private def missingPairsSql: String = {
+    val tabs = graft.SparkEntry.LakeTables.map(t => s"('$t')").mkString(",")
+    s"""WITH pairs(table1, table2) AS (VALUES
+       |  ('customer','orders'), ('nation','atlantis'), ('gondor','region')),
+       |tabs(t) AS (VALUES $tabs)
+       |SELECT table1, table2 FROM pairs
+       |WHERE table1 NOT IN (SELECT t FROM tabs)
+       |   OR table2 NOT IN (SELECT t FROM tabs)
+       |ORDER BY table1, table2""".stripMargin
+  }
+
   /** content_snapshots: one digest per table over space-joined row strings
     * (A13/P7; mirrors Profiler.contentSnapshot over first-10k-capped reads).
     */
@@ -1275,6 +1309,11 @@ object OracleSql {
     "m4_pair_features" -> pairFeaturesSql,
     "a14_hashing_sketch" -> hashingSketchSql,
     "st_stream_profile" -> streamProfileSql,
+    // streamed dedup must keep exactly one row per distinct fingerprint key
+    "st_stream_dedup" ->
+      """SELECT event_type,
+        |  count(DISTINCT coalesce(CAST(user_id AS VARCHAR), chr(2))) AS n_kept
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // round-trip fixtures: Verify writes these files BEFORE the oracle
     // runs; DuckDB parses the same bytes with its own readers
@@ -1287,6 +1326,8 @@ object OracleSql {
 
     "s7s8_sketch_roundtrip" -> profileSketchesSqlFor(Seq("region", "nation")),
     "s7_json_roundtrip" -> jsonRoundtripSql,
+    "s3_ingest_hygiene" -> ingestHygieneSql,
+    "j2_missing_pairs" -> missingPairsSql,
     "j3_search_eval" -> searchEvalSql,
     "inc_profile_merge" -> incProfileMergeSql,
     "t_quality_filter" -> qualityFilterSql,

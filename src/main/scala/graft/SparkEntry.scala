@@ -377,6 +377,43 @@ object SparkEntry {
       .orderBy("table_name", "col_idx")
   }
 
+  /** P1/S4/P4 ingest hygiene: a fixture CSV with messy headers (quote/space
+    * padding, an embedded comma) plus a synthetic row_index column, and a
+    * second sub-5-row CSV. The robust reader must sanitize names, drop
+    * row_index, and filter the tiny table; DuckDB independently parses the
+    * SAME files (row counts + the <5-row exclusion), with expected names
+    * generated from the same `sanitizeName` the engine runs. */
+  private def ingestHygiene(s: SparkSession, dir: String): DataFrame = {
+    val fixDir = java.nio.file.Paths.get("/tmp/graft_fixtures/hygiene")
+    java.nio.file.Files.createDirectories(fixDir)
+    val data = t(s, dir, "nation").orderBy("n_nationkey").limit(20)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey")).collect()
+    val messy = ("""row_index," n_NationKey ","N,Name",' n_regionkey '""" +:
+      data.zipWithIndex.map { case (r, i) => s"$i,${r.get(0)},${r.get(1)},${r.get(2)}" }.toSeq)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(fixDir.resolve("messy.csv"), messy.getBytes("UTF-8"))
+    java.nio.file.Files.write(fixDir.resolve("tiny.csv"),
+      "a,b\n1,x\n2,y\n3,z\n".getBytes("UTF-8"))
+    val read = graft.ingest.RobustCsv.listTables(s, fixDir.toString)
+      .flatMap(p => graft.ingest.RobustCsv.read(s, p).map(df => (p, df)))
+    read.map { case (p, df) =>
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(p.split('/').last).as("file"),
+          lit(df.columns.mkString(",")).as("cols"), col("n_rows"))
+    }.reduce(_ unionByName _).orderBy("file")
+  }
+
+  /** J2 anti-join diagnostic: pairs naming tables ABSENT from the profile
+    * catalog surface in the missing report (and resolvable pairs do not).
+    */
+  private def missingPairsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Seq(("customer", "orders"), ("nation", "atlantis"),
+      ("gondor", "region")).toDF("table1", "table2")
+    graft.ml.PairScoring.missingPairs(pairs, lakeCatalog(s, dir))
+      .select("table1", "table2").orderBy("table1", "table2")
+  }
+
   /** S7 JSON-document parity round-trip: catalog → per-table JSON sketch
     * documents (the reference's `{hash}.json.bz2` layout, data_prep.py:
     * 150-163) → read the bzip2 files back with an explicit schema → explode
@@ -734,6 +771,31 @@ object SparkEntry {
       .orderBy("col_name")
   }
 
+  /** §2.12 streaming dedup: `dropDuplicatesWithinWatermark` over the
+    * events stream, fingerprinting (user_id, event_type), horizon wider
+    * than the dataset span — so the streamed output must keep EXACTLY one
+    * row per distinct key. Per-key arrival order is not deterministic, so
+    * the query reports kept-row COUNTS per event_type (arrival-invariant);
+    * the oracle is the batch distinct count. Green iff streaming state
+    * drops every duplicate and nothing else.
+    */
+  private def streamingDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_dedup_${streamSeq.incrementAndGet()}"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet").schema // ts stays ns-long
+    val stream = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = graft.streaming.StreamingDedup.dedupStream(
+      stream, "ts", "3650 days", Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept")).orderBy("event_type")
+  }
+
   /** Incremental-maintenance path: profile supplier in two key-parity
     * chunks, merge, emit the mergeable fields. The oracle computes the
     * same profile from the FULL table — green iff chunked profiling is
@@ -933,11 +995,14 @@ object SparkEntry {
     "mm_media_stats" -> mediaStats,
     "mm_frame_plan" -> framePlan,
     "st_stream_profile" -> streamingProfile,
+    "st_stream_dedup" -> streamingDedupQ,
     "s2_compressed_roundtrip" -> compressedRoundtrip,
     "j3_search_eval" -> searchEval,
     "q5_table_search" -> tableSearch,
     "s7s8_sketch_roundtrip" -> sketchRoundtrip,
     "s7_json_roundtrip" -> jsonSketchRoundtrip,
+    "s3_ingest_hygiene" -> ingestHygiene,
+    "j2_missing_pairs" -> missingPairsQ,
     "s10_split_roundtrip" -> splitRoundtrip,
     "inc_profile_merge" -> incrementalMerge,
     "t_quality_filter" -> qualityFilterStats,

@@ -15,13 +15,22 @@ import org.apache.spark.sql.types.{LongType, Metadata}
   */
 object Lake {
 
-  /** Repartition up to the session's default parallelism when the scan
-    * arrives with fewer partitions (e.g. one parquet row group). No-op on
-    * already-parallel inputs — the 100 TB case keeps its natural layout.
+  /** Repartition up to the session's default parallelism when the source
+    * is too small to parallelize naturally (e.g. one parquet row group).
+    * No-op on already-large inputs — the 100 TB case keeps its natural
+    * layout. Parallelism is ESTIMATED from optimizer size stats
+    * (`sizeInBytes / files.maxPartitionBytes` ≈ the split count a scan
+    * would get): `df.rdd.getNumPartitions` would be exact but forces eager
+    * physical planning + RDD materialization of the subtree on every call,
+    * paying the full planner twice per query.
     */
   def balance(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estParts =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPartBytes + 1).toLong
+    if (estParts < target) df.repartition(target) else df
   }
 
   /** Primary key per driver-lake table — the ordering that makes the O1
