@@ -171,8 +171,14 @@ object OracleSql {
        |dcols AS (
        |  SELECT json_extract_string(d.table_metadata, '$$.file_name') AS t,
        |         unnest(json_keys(d.columns)) AS cn
-       |  FROM docs d)
+       |  FROM docs d),
+       |-- EXPECTED per-table column count, from the schema literals (the
+       |-- Spark side reports the ACTUAL key count of the written doc, so a
+       |-- column missing from the document — invisible to the inner join
+       |-- below — surfaces as a count mismatch)
+       |ccnt AS (SELECT t, count(*) AS n_doc_cols FROM meta GROUP BY t)
        |SELECT meta.t AS table_name, meta.cn AS col_name, meta.ct AS col_type,
+       |  ccnt.n_doc_cols,
        |  stats.n_rows, stats.num_nan, stats.n_unique,
        |  CASE WHEN meta.ct = 'string' THEN stats.cw END AS cell_width_r,
        |  array_to_string(edig.d, ',') AS mh_exact,
@@ -181,6 +187,7 @@ object OracleSql {
        |FROM meta JOIN stats USING (t, ci) JOIN edig USING (t, ci)
        |LEFT JOIN wdig USING (t, ci)
        |JOIN snapd ON snapd.t = meta.t
+       |JOIN ccnt ON ccnt.t = meta.t
        |JOIN dcols ON dcols.t = meta.t AND dcols.cn = meta.cn
        |ORDER BY table_name, col_name""".stripMargin
   }

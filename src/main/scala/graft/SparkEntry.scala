@@ -446,9 +446,14 @@ object SparkEntry {
     s.read.schema(docSchema).json(outBz)
       .select(col("table_metadata.file_name").as("table_name"),
         col("table_metadata.rows").as("n_rows"),
+        // ACTUAL key count of the written doc's columns map — the oracle
+        // side emits the EXPECTED per-table column count from its schema
+        // literals, so a column omitted from the document (which the
+        // explode below would silently drop) breaks the hash compare.
+        size(col("columns")).cast("long").as("n_doc_cols"),
         col("content_snapshot"),
         explode(col("columns")).as(Seq("col_name", "c")))
-      .select(col("table_name"), col("col_name"),
+      .select(col("table_name"), col("col_name"), col("n_doc_cols"),
         col("c.type").as("col_type"), col("n_rows"),
         col("c.num_nan").as("num_nan"), col("c.unique").as("n_unique"),
         round(col("c.cell_width_bytes"), 6).as("cell_width_r"),

@@ -115,12 +115,11 @@ object SketchFunctions {
   /** 64-bit SimHash over whitespace tokens of a document. */
   def simhash64(col: Column): Column = simhashUdf(col)
 
-  private val hamming64Udf = org.apache.spark.sql.functions.udf {
-    (a: Long, b: Long) => SimHash.hammingDistance(a, b)
-  }
-
-  /** Hamming distance between two 64-bit fingerprints. */
-  def hamming64(a: Column, b: Column): Column = hamming64Udf(a, b)
+  /** Hamming distance between two 64-bit fingerprints — popcount of the
+    * XOR, all codegen'd built-ins (no UDF in the verify path).
+    */
+  def hamming64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
 
   /** `minhash_bands(digest, nBands)`: array of band keys for LSH joins —
     * `bands` keys, each hashing `numPerm/bands` consecutive slots. Two

@@ -82,6 +82,20 @@ object Scorer {
     val feats = model.stages.collectFirst {
       case a: org.apache.spark.ml.feature.VectorAssembler => a.getInputCols.toSeq
     }.getOrElse(Seq.empty)
+    // Fail at EXPORT time, not at first scored row: a NaN/Infinity
+    // coefficient (diverged fit) would serialize as invalid JSON, and a
+    // feature list that doesn't match the coefficient width would only
+    // surface per-row inside the scoring kernel.
+    val coefs = lr.coefficients.toArray
+    require(coefs.forall(java.lang.Double.isFinite) &&
+      java.lang.Double.isFinite(lr.intercept),
+      s"exportLinearModel: non-finite coefficient/intercept (diverged fit?): " +
+        s"intercept=${lr.intercept}, coefficients=${coefs.mkString(",")}")
+    require(feats.nonEmpty, "exportLinearModel: no VectorAssembler stage — " +
+      "the artifact needs the feature column order to lay out batches")
+    require(feats.length == coefs.length,
+      s"exportLinearModel: ${feats.length} feature columns vs " +
+        s"${coefs.length} coefficients — pipeline stages inconsistent")
     val json =
       s"""{"features":[${feats.map("\"" + _ + "\"").mkString(",")}],
          |"coefficients":[${lr.coefficients.toArray.mkString(",")}],

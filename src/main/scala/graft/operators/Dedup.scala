@@ -150,46 +150,100 @@ object Dedup {
     * local checkpoints pin lineage to executor storage, so losing an
     * executor mid-loop kills the job; the reliable mode survives it at
     * the price of a write per round. Local mode stays the single-JVM
-    * default.
+    * default. Each round checkpoints into its own subdirectory; on exit
+    * every round's files except the returned round's are deleted and the
+    * session's prior checkpoint dir is restored (the RDD checkpoint API
+    * only has session-global dir state, so it IS mutated mid-run).
+    *
+    * Convergence costs no extra job: labels are monotone non-increasing
+    * under `least`, so the round converged iff the exact label sum is
+    * unchanged — observed via `Dataset.observe` DURING the round's
+    * checkpoint action instead of a separate join + isEmpty scan (which
+    * doubled the per-round job count).
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10,
                       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def cp(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    val edges = cp(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = cp(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
-    var i = 0
-    var converged = false
-    while (i < maxIter && !converged) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // pointer jumping: label(id) := label(label(id)) — labels are node
-      // ids, so the labels relation doubles as the label→label hop
-      val next = cp(prop
-        .join(prop.select(col("id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
-      converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
-      i += 1
+    import org.apache.spark.sql.types.DecimalType
+    val sc = pairs.sparkSession.sparkContext
+    val priorDir = sc.getCheckpointDir
+    val runDir = checkpointDir.map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    val roundDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rounds = 0
+    def cpOnly(df: DataFrame): DataFrame = runDir match {
+      case Some(rd) =>
+        val d = s"$rd/round$rounds"
+        rounds += 1
+        sc.setCheckpointDir(d)
+        roundDirs += d
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
     }
-    if (!converged) {
-      // unconverged exit means labels may not be components — failing
-      // beats silently returning split clusters
-      throw new IllegalStateException(
-        s"resolveClusters did not converge in $maxIter rounds; raise maxIter")
+    // Checkpoint + exact label-sum observation in ONE action. Deliberately
+    // the STRING-named observe + queryExecution.observedMetrics, NOT the
+    // Observation helper: Observation registers itself in the session's
+    // ObservationManager, a non-serializable field that is null until
+    // first use — after which any closure capturing the session (e.g. an
+    // MLlib model with a training summary) fails task serialization.
+    def cp(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val observed = df.observe("graft_cc_conv",
+        sum(col("label").cast(DecimalType(38, 0))).as("lsum"))
+      val out = cpOnly(observed) // eager: runs observed's physical plan
+      val lsum = observed.queryExecution.observedMetrics.get("graft_cc_conv")
+        .map(_.getAs[java.math.BigDecimal]("lsum")) match {
+        case Some(d: java.math.BigDecimal) => d
+        case _ => java.math.BigDecimal.ZERO // empty relation
+      }
+      (out, lsum)
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    def rmDir(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
+    var keepDir: Option[String] = None
+    try {
+      val edgesCp = cpOnly(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      var (labels, prevSum) = cp(edgesCp.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+      var i = 0
+      var converged = false
+      while (i < maxIter && !converged) {
+        val nbrMin = edgesCp
+          .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+        val prop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        // pointer jumping: label(id) := label(label(id)) — labels are node
+        // ids, so the labels relation doubles as the label→label hop
+        val (next, nextSum) = cp(prop
+          .join(prop.select(col("id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+        // least() only ever lowers labels over a fixed id set, so an
+        // unchanged exact sum ⇔ no label changed anywhere
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        labels = next
+        i += 1
+      }
+      if (!converged) {
+        // unconverged exit means labels may not be components — failing
+        // beats silently returning split clusters
+        throw new IllegalStateException(
+          s"resolveClusters did not converge in $maxIter rounds; raise maxIter")
+      }
+      keepDir = roundDirs.lastOption // the returned round's files must survive
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally {
+      roundDirs.filterNot(keepDir.contains).foreach(rmDir)
+      // restore the caller's checkpoint dir; if none was set, fall back to
+      // the caller-provided root (a sane dir the caller owns) rather than
+      // leaving the global state pointing into this run's subtree
+      (priorDir orElse checkpointDir).foreach(sc.setCheckpointDir)
+    }
   }
 
   /** Corpus-level near-dup removal: resolve pair clusters, keep each

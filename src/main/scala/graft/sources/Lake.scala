@@ -28,8 +28,16 @@ object Lake {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Plans without real size stats surface the defaultSizeInBytes sentinel
+    // (Long.MaxValue by default) — possibly multiplied up by parent
+    // operators. Trusting it would skip the repartition on a genuinely
+    // single-partition input, so fall back to the EXACT partition count
+    // there (pays eager physical planning, but only on the no-stats path).
     val estParts =
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPartBytes + 1).toLong
+      if (sizeInBytes >= spark.sessionState.conf.defaultSizeInBytes)
+        df.rdd.getNumPartitions.toLong
+      else (sizeInBytes / maxPartBytes + 1).toLong
     if (estParts < target) df.repartition(target) else df
   }
 

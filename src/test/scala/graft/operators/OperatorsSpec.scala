@@ -89,6 +89,40 @@ class DedupSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "no reliable checkpoint files written")
+    // ...but only the RETURNED round's files survive: every earlier round's
+    // subdirectory (and the edges checkpoint) is deleted on exit, so
+    // repeated calls don't accumulate data in the caller's directory
+    import scala.jdk.CollectionConverters._
+    val roundDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("round") &&
+        java.nio.file.Files.isDirectory(p)).toSeq
+    assert(roundDirs.size == 1,
+      s"expected exactly the final round's checkpoint dir, found: $roundDirs")
+  }
+
+  test("resolveClusters: convergence check rides the checkpoint action (no extra job per round)") {
+    // The old implementation ran a join + isEmpty scan after every round's
+    // checkpoint — a full extra action per round (61 jobs on this fixture
+    // with AQE stage-jobs counted). The observed-metrics check folds
+    // convergence into the checkpoint action (39 jobs), so resolving a
+    // 60-node path (≈6 pointer-jumping rounds) must stay under a budget
+    // the two-actions-per-round version cannot meet.
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      Dedup.resolveClusters(pairs).collect()
+      Thread.sleep(1000) // listener bus is async; job-start events are long since queued
+    } finally sc.removeSparkListener(listener)
+    val n = jobs.get()
+    assert(n <= 45, s"resolveClusters scheduled $n jobs — convergence check " +
+      "is paying a separate action per round again")
   }
 
   test("dropNearDuplicates keeps one representative + unpaired docs") {
