@@ -83,6 +83,31 @@ object Profiler {
   private def ensureParallelism(df: DataFrame): DataFrame =
     graft.sources.Lake.balance(df)
 
+  /** The one pair of cell-rendering casts every profile path shares —
+    * `(value_str, value_num)` for a field (P2 empty→null on strings,
+    * epoch seconds for dates). `LakeScan.renderLong` mirrors these over
+    * its variant slots, so the unified and per-table paths render
+    * bit-identically.
+    */
+  private def cellExprs(f: StructField, renderNumerics: Boolean): (Column, Column) = {
+    val c = col(s"`${f.name}`")
+    val lt = logicalType(f.dataType)
+    val valueStr = lt match {
+      // empty string → null, matching P2 (data_prep.py:202)
+      case "string" => when(c.cast("string") === "", lit(null)).otherwise(c.cast("string"))
+      // sketch-free profiles don't need the (expensive) numeric renders;
+      // nullness is then carried by value_num alone
+      case _ if !renderNumerics => lit(null).cast("string")
+      case _        => c.cast("string")
+    }
+    val valueNum = lt match {
+      case "integer" | "float" => c.cast("double")
+      case "date"              => unix_timestamp(c.cast("timestamp")).cast("double")
+      case _                   => lit(null).cast("double")
+    }
+    (valueStr, valueNum)
+  }
+
   /** Long-format values relation for one table:
     * (col_idx, value_str, value_num). `value_num` carries numerics (and
     * date→epoch-seconds) for quantiles. Column metadata stays out of the
@@ -90,24 +115,52 @@ object Profiler {
     */
   def longFormat(df: DataFrame, renderNumerics: Boolean = true): DataFrame = {
     val structs = df.schema.fields.zipWithIndex.map { case (f, i) =>
-      val c = col(s"`${f.name}`")
-      val lt = logicalType(f.dataType)
-      val valueStr = lt match {
-        // empty string → null, matching P2 (data_prep.py:202)
-        case "string" => when(c.cast("string") === "", lit(null)).otherwise(c.cast("string"))
-        // sketch-free profiles don't need the (expensive) numeric renders;
-        // nullness is then carried by value_num alone
-        case _ if !renderNumerics => lit(null).cast("string")
-        case _        => c.cast("string")
-      }
-      val valueNum = lt match {
-        case "integer" | "float" => c.cast("double")
-        case "date"              => unix_timestamp(c.cast("timestamp")).cast("double")
-        case _                   => lit(null).cast("double")
-      }
+      val (valueStr, valueNum) = cellExprs(f, renderNumerics)
       struct(lit(i).as("col_idx"), valueStr.as("value_str"), valueNum.as("value_num"))
     }
     df.select(posexplode(array(structs.toIndexedSeq: _*)).as(Seq("pos", "c"))).select("c.*")
+  }
+
+  /** Schema of the KEYED long-format relation [[profileFromLong]]
+    * consumes — one row per cell plus one `present=false` sentinel per
+    * column (sentinels preserve the schema through aggregation, so an
+    * empty table still profiles to zero-count rows).
+    */
+  val KeyedLongSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("col_idx", IntegerType, nullable = false),
+    StructField("col_name", StringType, nullable = false),
+    StructField("col_type", StringType, nullable = false),
+    StructField("present", BooleanType, nullable = false),
+    StructField("value_str", StringType),
+    StructField("value_num", DoubleType)))
+
+  /** One `present=false` row per column of `df`'s schema (tiny local
+    * relation — the keyed replacement for the old meta left-join). */
+  def schemaSentinels(spark: SparkSession, df: DataFrame, tableName: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        Row(tableName, i, f.name, logicalType(f), false, null, null)
+      }: _*)
+    spark.createDataFrame(rows, KeyedLongSchema)
+  }
+
+  /** [[longFormat]] with the table/column keys riding each row (plus
+    * schema sentinels) — the single-table feeder of [[profileFromLong]].
+    */
+  def longFormatKeyed(df: DataFrame, tableName: String,
+                      renderNumerics: Boolean = true): DataFrame = {
+    val structs = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val (valueStr, valueNum) = cellExprs(f, renderNumerics)
+      struct(lit(tableName).as("table_name"), lit(i).as("col_idx"),
+        lit(f.name).as("col_name"), lit(logicalType(f)).as("col_type"),
+        lit(true).as("present"),
+        valueStr.as("value_str"), valueNum.as("value_num"))
+    }
+    val data = df.select(posexplode(array(structs.toIndexedSeq: _*)).as(Seq("pos", "c")))
+      .select("c.*")
+    data.unionByName(schemaSentinels(df.sparkSession, df, tableName))
   }
 
   /** Tiny (col_idx, col_name, col_type) dimension for one table's schema. */
@@ -118,18 +171,32 @@ object Profiler {
     spark.createDataFrame(rows.toIndexedSeq).toDF("col_idx", "col_name", "col_type")
   }
 
-  /** Full per-column profile of one table (two aggregation levels). */
+  /** Full per-column profile of one table (two aggregation levels) —
+    * the keyed core [[profileFromLong]] with this table's literal key.
+    */
   def profile(df: DataFrame, tableName: String,
-              withSketches: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
+              withSketches: Boolean = true): DataFrame =
     // Repartition the narrow input BEFORE exploding ×nCols — the serial
     // shuffle write from a single-row-group scan is 11× cheaper that way.
-    val long = longFormat(ensureParallelism(df), renderNumerics = withSketches)
+    profileFromLong(
+      longFormatKeyed(ensureParallelism(df), tableName, renderNumerics = withSketches),
+      withSketches)
+      .orderBy("col_idx")
 
+  /** The profiling core, keyed by (table_name, col_idx): two aggregation
+    * levels over a keyed long-format cell relation (see
+    * [[KeyedLongSchema]]), ONE aggregate subtree for however many tables
+    * ride in `long`. Feeders: [[longFormatKeyed]] (single table),
+    * `LakeScan.unifiedLongRows` (whole lake, one scan).
+    */
+  def profileFromLong(long: DataFrame, withSketches: Boolean = true): DataFrame = {
+    val keyCols = Seq("table_name", "col_idx", "col_name", "col_type").map(col)
     // stage 1: per-column value histogram (map-side combine shrinks to
-    // distinct values per partition before any shuffle)
-    val hist = long.groupBy(col("col_idx"), col("value_str"), col("value_num"))
-      .agg(count(lit(1)).as("freq"))
+    // distinct values per partition before any shuffle); schema sentinels
+    // ride through with freq 0 so every column aggregates to a row even
+    // when it has no cells (empty table)
+    val hist = long.groupBy(keyCols ++ Seq(col("value_str"), col("value_num")): _*)
+      .agg(sum(when(col("present"), 1L).otherwise(0L)).as("freq"))
 
     val decV = col("value_num").cast(DecimalType(18, 2))
     val baseAggs = Seq(
@@ -138,7 +205,9 @@ object Profiler {
       // numerics/dates may carry value_num only (renderNumerics=false)
       sum(when(col("value_str").isNull && col("value_num").isNull, col("freq"))
         .otherwise(0L)).as("num_nan"),                                      // A1
-      count(lit(1)).as("unique"),                                           // A2 (incl. null)
+      // A2 (incl. null): histogram rows with cells behind them — a freq-0
+      // row is a sentinel for a column whose null group never materialized
+      sum(when(col("freq") > 0, 1L).otherwise(0L)).as("unique"),
       (sum(octet_length(col("value_str")) * col("freq")) /
         sum(when(col("value_str").isNotNull, col("freq")))).as("cell_width"), // A3
       (sum(col("value_num") * col("freq")) /
@@ -152,40 +221,35 @@ object Profiler {
       sum(when(col("value_num").isNotNull, col("freq"))).as("n_num"))
     // A12 runs only on string columns — gate INSIDE the aggregation (the
     // reference computes word sketches for strings only, and tokenizing
-    // numeric renders just to null them out later would double sketch cost)
-    val stringIdxs = df.schema.fields.zipWithIndex.collect {
-      case (f, i) if logicalType(f.dataType) == "string" => i
-    }.toSeq
-    // "other" types (arrays/maps/binary) are zero-encoded downstream
-    // (tabular_tokenizer.py:184-189) — hashing their huge renders would be
-    // pure waste, so A11 skips them too (digest stays the empty sketch).
-    val otherIdxs = df.schema.fields.zipWithIndex.collect {
-      case (f, i) if logicalType(f.dataType) == "other" => i
-    }.toSeq
-    val exactInput =
-      if (otherIdxs.isEmpty) col("value_str")
-      else when(!col("col_idx").isin(otherIdxs: _*), col("value_str"))
-    val wordsInput =
-      if (stringIdxs.isEmpty) lit(null).cast("string")
-      else when(col("col_idx").isin(stringIdxs: _*), col("value_str"))
+    // numeric renders just to null them out later would double sketch
+    // cost). "other" types (arrays/maps/binary) are zero-encoded
+    // downstream (tabular_tokenizer.py:184-189) — hashing their huge
+    // renders would be pure waste, so A11 skips them too. Gating rides
+    // the col_type KEY column (same values the old per-table index sets
+    // produced, but schema-independent so one expression serves any mix
+    // of tables).
+    val exactInput = when(col("col_type") =!= "other", col("value_str"))
+    val wordsInput = when(col("col_type") === "string", col("value_str"))
     val sketchAggs =
       if (withSketches) Seq(
         minhash_agg(exactInput).as("minhash_exact"),                        // A11 (set semantics)
         minhash_words_agg(wordsInput).as("minhash_words_raw"))              // A12
       else Seq.empty
-    val aggd0 = hist.groupBy(col("col_idx"))
+    val aggd0 = hist.groupBy(keyCols: _*)
       .agg(baseAggs.head, (baseAggs.tail ++ sketchAggs): _*)
     // A4 deciles: sort-based interpolation over a value-only histogram fed
     // straight from the long relation (left join — string columns have no
     // numeric rows). Aggregating `long` twice beats chaining off `hist`:
     // map-side combine makes each shuffle carry only distinct values, the
-    // (col_idx, value_num) keying means decilesFromHist's internal re-agg
+    // (keys, value_num) keying means decilesFromHist's internal re-agg
     // adds NO exchange, and the two stage-1 aggregations are independent
     // stages Spark runs concurrently instead of serially.
-    val valueHist = long.filter(col("value_num").isNotNull)
-      .groupBy(col("col_idx"), col("value_num"))
+    val valueHist = long.filter(col("present") && col("value_num").isNotNull)
+      .groupBy(col("table_name"), col("col_idx"), col("value_num"))
       .agg(count(lit(1)).as("freq"))
-    val aggd = aggd0.join(decilesFromHist(valueHist, QuantileProbs), Seq("col_idx"), "left")
+    val aggd = aggd0.join(
+      decilesFromHist(valueHist, QuantileProbs, Seq("table_name", "col_idx")),
+      Seq("table_name", "col_idx"), "left")
 
     // A6: population std = sqrt(E[x²] − E[x]²); guard unique<=2 → 0
     // (data_prep.py:238-241)
@@ -206,18 +270,7 @@ object Profiler {
       concat(col("deciles"),
         array(exactMeanD, stdAdj, col("min_v"), col("max_v")))) // A8: 13 floats
 
-    val meta = colMeta(spark, df)
-    // LEFT outer with the schema dimension PRESERVED: an EMPTY table still
-    // yields one zero-count row per column (the <5-row ingest filter
-    // normally screens these out, but the catalog contract holds for any
-    // input). The broadcast hint rides the non-preserved aggregate side —
-    // Spark can't build the preserved side of an outer join, so hinting the
-    // preserved side is silently dropped (HintErrorLogger).
-    val out = meta.join(broadcast(aggd), Seq("col_idx"), "left")
-      .withColumn("rows", coalesce(col("rows"), lit(0L)))
-      .withColumn("num_nan", coalesce(col("num_nan"), lit(0L)))
-      .withColumn("unique", coalesce(col("unique"), lit(0L)))
-      .withColumn("table_name", lit(tableName))
+    val out = aggd
       .withColumn("quantile", quantileVec)
       .withColumn("std", when(col("col_type").isin("integer", "float"), stdRaw))
       .withColumn("cell_width",
@@ -239,7 +292,6 @@ object Profiler {
       (if (withSketches) Seq("minhash_exact") else Nil)
     out.select(cols.map(col) ++
       (if (withSketches) Seq(col("minhash_words_f").as("minhash_words")) else Nil): _*)
-      .orderBy("col_idx")
   }
 
   /** Exact linear-interpolation percentiles computed relationally from a
@@ -264,29 +316,31 @@ object Profiler {
     */
   val DecileBuckets = 1024
 
-  def decilesFromHist(hist: DataFrame, probs: Seq[Double]): DataFrame = {
-    val spark = hist.sparkSession
-    // Accepts any (col_idx, …, value_num, freq) histogram; the re-agg below
+  def decilesFromHist(hist: DataFrame, probs: Seq[Double],
+                      keys: Seq[String] = Seq("col_idx")): DataFrame = {
+    val k = keys.map(col)
+    // Accepts any (keys…, value_num, freq) histogram; the re-agg below
     // collapses extra grouping columns. When the input is already keyed
-    // (col_idx, value_num) — as profile() feeds it — the child partitioning
-    // matches and this adds NO exchange. Null value rows (string columns)
-    // ride along as bucket −1: no offset match → never covering.
+    // (keys…, value_num) — as profileFromLong feeds it — the child
+    // partitioning matches and this adds NO exchange. Null value rows
+    // (string columns) ride along as bucket −1: no offset match → never
+    // covering.
     val h = hist
-      .groupBy(col("col_idx"), col("value_num"))
+      .groupBy(k :+ col("value_num"): _*)
       .agg(sum(col("freq")).as("freq"))
-    val rng = h.groupBy(col("col_idx")).agg(
+    val rng = h.groupBy(k: _*).agg(
       min(col("value_num")).as("vmin"), max(col("value_num")).as("vmax"),
       sum(when(col("value_num").isNotNull, col("freq")).otherwise(0L)).as("n"))
     val span = when(col("vmax") > col("vmin"), col("vmax") - col("vmin")).otherwise(lit(1.0))
-    val hb = h.join(broadcast(rng), "col_idx")
+    val hb = h.join(broadcast(rng), keys)
       .withColumn("bucket",
         when(col("value_num").isNull, lit(-1))
           .otherwise(least(lit(DecileBuckets - 1), greatest(lit(0),
             floor((col("value_num") - col("vmin")) / span * DecileBuckets).cast("int")))))
     // level 1: bucket totals → exclusive bucket offsets (tiny per-column window)
-    val wB = Window.partitionBy(col("col_idx")).orderBy(col("bucket"))
+    val wB = Window.partitionBy(k: _*).orderBy(col("bucket"))
     val bOff = hb.filter(col("value_num").isNotNull)
-      .groupBy(col("col_idx"), col("bucket")).agg(sum(col("freq")).as("bfreq"))
+      .groupBy(k :+ col("bucket"): _*).agg(sum(col("freq")).as("bfreq"))
       .withColumn("boff", sum(col("bfreq")).over(wB) - col("bfreq"))
     // Probe positions: 9 tiny rows per column — joined against the bucket
     // offsets FIRST, so only buckets whose rank interval [boff, boff+bfreq)
@@ -295,36 +349,36 @@ object Profiler {
     // relation (~all distinct values) that the filter then throws away.
     val probsLit = typedLit(probs.zipWithIndex.map { case (p, i) => (p, i) })
     val probes = rng
-      .select(col("col_idx"), col("n"), explode(probsLit).as("pq"))
-      .select(col("col_idx"), col("pq._2").as("qi"),
-        (col("pq._1") * (col("n") - 1).cast("double")).as("pos"))
-      .select(col("col_idx"), col("qi"), col("pos"),
+      .select(k ++ Seq(col("n"), explode(probsLit).as("pq")): _*)
+      .select(k ++ Seq(col("pq._2").as("qi"),
+        (col("pq._1") * (col("n") - 1).cast("double")).as("pos")): _*)
+      .select(k ++ Seq(col("qi"), col("pos"),
         floor(col("pos")).cast("long").as("lo"),
-        ceil(col("pos")).cast("long").as("hi"))
-    val coverB = bOff.join(broadcast(probes), Seq("col_idx"))
+        ceil(col("pos")).cast("long").as("hi")): _*)
+    val coverB = bOff.join(broadcast(probes), keys)
       .filter((col("boff") <= col("lo") && col("lo") < col("boff") + col("bfreq")) ||
         (col("boff") <= col("hi") && col("hi") < col("boff") + col("bfreq")))
-      .select("col_idx", "bucket", "boff", "qi", "pos", "lo", "hi")
+      .select(keys ++ Seq("bucket", "boff", "qi", "pos", "lo", "hi") map col: _*)
     // level 2: within-bucket cum-sum, ONLY over covering buckets (≤ 18 per
     // column), each histogram row exactly once (distinct before the window
     // so a bucket covering several probes doesn't double-count freq)
-    val neededB = coverB.select("col_idx", "bucket", "boff").distinct()
-    val wV = Window.partitionBy(col("col_idx"), col("bucket")).orderBy(col("value_num"))
-    val cum = hb.join(broadcast(neededB), Seq("col_idx", "bucket"))
+    val neededB = coverB.select(keys ++ Seq("bucket", "boff") map col: _*).distinct()
+    val wV = Window.partitionBy(k :+ col("bucket"): _*).orderBy(col("value_num"))
+    val cum = hb.join(broadcast(neededB), keys :+ "bucket")
       .withColumn("cum", sum(col("freq")).over(wV) + col("boff"))
       .withColumn("start", col("cum") - col("freq"))
     val covering = cum.drop("boff")
-      .join(broadcast(coverB.drop("boff")), Seq("col_idx", "bucket"))
+      .join(broadcast(coverB.drop("boff")), keys :+ "bucket")
       .filter((col("start") <= col("lo") && col("lo") < col("cum")) ||
         (col("start") <= col("hi") && col("hi") < col("cum")))
-    covering.groupBy(col("col_idx"), col("qi"), col("pos"), col("lo"), col("hi"))
+    covering.groupBy(k ++ Seq(col("qi"), col("pos"), col("lo"), col("hi")): _*)
       .agg(
         max(when(col("start") <= col("lo") && col("lo") < col("cum"), col("value_num"))).as("v_lo"),
         max(when(col("start") <= col("hi") && col("hi") < col("cum"), col("value_num"))).as("v_hi"))
       .withColumn("q", when(col("lo") === col("hi"), col("v_lo"))
         .otherwise((col("hi").cast("double") - col("pos")) * col("v_lo") +
           (col("pos") - col("lo").cast("double")) * col("v_hi")))
-      .groupBy(col("col_idx"))
+      .groupBy(k: _*)
       .agg(sort_array(collect_list(struct(col("qi"), col("q"))))
         .getField("q").as("deciles"))
   }
@@ -347,7 +401,11 @@ object Profiler {
   }
 
   /** Profile a whole lake directory of parquet tables into one catalog
-    * DataFrame — the engine's long-format profile store (SURVEY §1.1).
+    * DataFrame — per-table plans unioned. RETAINED for the few-huge-tables
+    * shape (each table's parquet scan splits by row group) and as the
+    * independent double-check of [[profileLakeUnified]] (parity spec);
+    * the catalog default is the unified path, whose planning cost is
+    * CONSTANT in table count instead of an N-branch union.
     */
   def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
                   withSketches: Boolean = true, rowCap: Option[Int] = None): DataFrame =
@@ -355,4 +413,22 @@ object Profiler {
       // deterministic first-N cap (O1, data_prep.py:27) — see Lake.read
       profile(graft.sources.Lake.read(spark, dir, t, rowCap), t, withSketches)
     }.reduce(_ unionByName _)
+
+  /** Lake-scale single-job profiler (SURVEY §3 E1 "Spark shape"): ONE
+    * binaryFile scan over every table file → executor-side decode into a
+    * long cell relation keyed by table → ONE `groupBy(table_name,
+    * col_idx)` aggregate subtree, however many tables. The reference's
+    * real corpora run to 40,752 tables (`README.md:175`, Wiki Union);
+    * at that N the per-table loop's 40k-branch union plan and 80k+
+    * scheduled jobs stall the DRIVER — this path plans one fixed-shape
+    * job. Values render through the same Catalyst casts as [[profile]],
+    * so outputs are bit-identical (spec-pinned).
+    */
+  def profileLakeUnified(spark: SparkSession, dir: String, tables: Seq[String],
+                         withSketches: Boolean = true,
+                         rowCap: Option[Int] = None): DataFrame =
+    profileFromLong(
+      graft.sources.LakeScan.unifiedLongRows(spark, dir, tables, rowCap,
+        renderNumerics = withSketches),
+      withSketches)
 }

@@ -1,0 +1,411 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.io.{ColumnIOFactory, DelegatingSeekableInputStream, InputFile, SeekableInputStream}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+/** Distributed lake scanner — the single-job shape of the reference's
+  * sketch-build enumeration (`batch_fastdata_opendata.py:6-23` +
+  * `data_prep.py:134`, SURVEY §3 E1 "Spark shape"): ONE multi-path
+  * `binaryFile` scan over every table file, a `flatMap` that decodes each
+  * parquet file into long-format cell rows on the EXECUTORS, and Catalyst
+  * expressions for all value rendering. Downstream profiling is then one
+  * `groupBy(table_name, col_idx)` regardless of table count — no
+  * per-table driver plans, no N-way union (the reference's real corpora
+  * are 1k–40k tables; an N-branch plan stalls the driver before any
+  * executor works).
+  *
+  * Scale posture: a file is decoded WHOLE inside one task (binaryFile
+  * semantics), so this path targets the many-small-tables lake shape the
+  * reference profiles (≤ tens of MB per table, O1-capped at 10k rows).
+  * Few-huge-tables lakes keep the per-table `Lake.read` + `Profiler
+  * .profile` path, whose parquet scans split by row group.
+  *
+  * Value-rendering parity is BY CONSTRUCTION: the decoder only moves
+  * typed values into a fixed variant schema (one slot per physical type);
+  * `value_str` / `value_num` are produced by the same Catalyst casts
+  * `Profiler.longFormat` uses, so unified and per-table profiles are
+  * bit-identical without replicating any Spark formatting in Scala code.
+  */
+object LakeScan {
+
+  /** Variant row emitted by the decoder: one row per cell, the value in
+    * exactly one typed slot. `present=false` rows are per-column schema
+    * sentinels (they guarantee a profile row even for an empty table and
+    * contribute zero to every aggregate). `row_id` is the cell's row
+    * ordinal within its (capped) table — the snapshot path reassembles
+    * row strings from it.
+    */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("col_idx", IntegerType, nullable = false),
+    StructField("col_name", StringType, nullable = false),
+    StructField("col_type", StringType, nullable = false),
+    StructField("present", BooleanType, nullable = false),
+    StructField("row_id", LongType, nullable = true),
+    StructField("src_file", StringType, nullable = true),
+    StructField("v_str", StringType),
+    StructField("v_long", LongType),
+    StructField("v_float", FloatType),
+    StructField("v_double", DoubleType),
+    StructField("v_ts_us", LongType),
+    StructField("v_date_days", IntegerType),
+    StructField("v_bool", BooleanType),
+    StructField("v_arr", ArrayType(FloatType))))
+
+  // slot ids → offset of the typed columns after the 6 key/meta fields
+  private val SlotStr = 0; private val SlotLong = 1; private val SlotFloat = 2
+  private val SlotDouble = 3; private val SlotTs = 4; private val SlotDate = 5
+  private val SlotBool = 6; private val SlotArr = 7
+  private val SlotBase = 7
+
+  /** Per-column decode plan: field position, reference-logical type, the
+    * variant slot, and the (already-null-checked) value extractor. */
+  private final case class ColPlan(idx: Int, name: String, colType: String,
+                                   slot: Int, get: (Group, Int) => Any)
+
+  /** `InputFile` over the bytes a binaryFile scan already holds — the
+    * standard in-memory adapter (no Hadoop round-trip per file). */
+  private final class ByteArrayInputFile(bytes: Array[Byte]) extends InputFile {
+    override def getLength: Long = bytes.length.toLong
+    override def newStream(): SeekableInputStream = {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      new DelegatingSeekableInputStream(in) {
+        override def getPos: Long = bytes.length.toLong - in.available()
+        override def seek(newPos: Long): Unit = { in.reset(); in.skip(newPos) }
+      }
+    }
+  }
+
+  /** Map a parquet schema to decode plans. Types are the driver-lake /
+    * reference-corpus surface (ints, floats, strings, bools, dates,
+    * ms/us/ns timestamps, float-list embeddings); anything else fails
+    * loudly — the per-table path handles exotic schemas.
+    */
+  private def planFor(schema: MessageType, table: String): Array[ColPlan] = {
+    schema.getFields.asScala.zipWithIndex.map { case (t, i) =>
+      def unsupported(what: String) = throw new UnsupportedOperationException(
+        s"LakeScan: unsupported $what for column '${t.getName}' of table " +
+          s"'$table' — profile it through the per-table Lake.read path")
+      if (t.isPrimitive) {
+        val ann = t.asPrimitiveType().getLogicalTypeAnnotation
+        t.asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.BINARY => ann match {
+            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation |
+                 _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation |
+                 _: LogicalTypeAnnotation.JsonLogicalTypeAnnotation =>
+              ColPlan(i, t.getName, "string", SlotStr,
+                (g, f) => g.getBinary(f, 0).toStringUsingUTF8)
+            case a => unsupported(s"BINARY annotation $a")
+          }
+          case PrimitiveTypeName.INT32 => ann match {
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+              ColPlan(i, t.getName, "date", SlotDate, (g, f) => g.getInteger(f, 0))
+            case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              unsupported("INT32 decimal")
+            case _ =>
+              ColPlan(i, t.getName, "integer", SlotLong,
+                (g, f) => g.getInteger(f, 0).toLong)
+          }
+          case PrimitiveTypeName.INT64 => ann match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              import LogicalTypeAnnotation.TimeUnit
+              val toMicros: Long => Long = ts.getUnit match {
+                case TimeUnit.MILLIS => _ * 1000L
+                case TimeUnit.MICROS => identity
+                // integer div — the same ns→us truncation Lake.read (and
+                // DuckDB's TIMESTAMP_NS load) applies
+                case TimeUnit.NANOS => _ / 1000L
+              }
+              ColPlan(i, t.getName, "date", SlotTs,
+                (g, f) => toMicros(g.getLong(f, 0)))
+            case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              unsupported("INT64 decimal")
+            case _ =>
+              ColPlan(i, t.getName, "integer", SlotLong, (g, f) => g.getLong(f, 0))
+          }
+          case PrimitiveTypeName.INT96 =>
+            // legacy Spark-written timestamps: 8B nanos-of-day + 4B julian
+            // day, little-endian; same CORRECTED-mode conversion Spark's
+            // own reader applies (proleptic μs since epoch)
+            ColPlan(i, t.getName, "date", SlotTs, (g, f) => {
+              val buf = java.nio.ByteBuffer.wrap(g.getInt96(f, 0).getBytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val nanosOfDay = buf.getLong
+              val julianDay = buf.getInt
+              (julianDay - 2440588).toLong * 86400000000L + nanosOfDay / 1000L
+            })
+          case PrimitiveTypeName.FLOAT =>
+            ColPlan(i, t.getName, "float", SlotFloat, (g, f) => g.getFloat(f, 0))
+          case PrimitiveTypeName.DOUBLE =>
+            ColPlan(i, t.getName, "float", SlotDouble, (g, f) => g.getDouble(f, 0))
+          case PrimitiveTypeName.BOOLEAN => // pandas bool→STRING (data_prep.py:103-108)
+            ColPlan(i, t.getName, "string", SlotBool, (g, f) => g.getBoolean(f, 0))
+          case other => unsupported(s"physical type $other")
+        }
+      } else {
+        val gt = t.asGroupType()
+        val isList = t.getLogicalTypeAnnotation != null &&
+          t.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation]
+        if (!isList || gt.getFieldCount != 1) unsupported("nested group")
+        val inner = gt.getType(0)
+        // standard 3-level list<float> (repeated group { optional element })
+        // plus the legacy 2-level (repeated float) layout
+        val threeLevel = !inner.isPrimitive
+        val elemIsFloat =
+          if (threeLevel)
+            inner.asGroupType().getFieldCount == 1 &&
+              inner.asGroupType().getType(0).isPrimitive &&
+              inner.asGroupType().getType(0).asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.FLOAT
+          else inner.asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.FLOAT
+        if (!elemIsFloat) unsupported("list element type (only float lists)")
+        ColPlan(i, t.getName, "other", SlotArr, (g, f) => {
+          val lg = g.getGroup(f, 0)
+          val n = lg.getFieldRepetitionCount(0)
+          val out = new Array[Float](n)
+          var j = 0
+          while (j < n) {
+            out(j) =
+              if (threeLevel) {
+                val eg = lg.getGroup(0, j)
+                if (eg.getFieldRepetitionCount(0) == 0)
+                  unsupported("null list element")
+                eg.getFloat(0, 0)
+              } else lg.getFloat(0, j)
+            j += 1
+          }
+          out.toIndexedSeq
+        })
+      }
+    }.toArray
+  }
+
+  /** Lazy row iterator over all row groups of an open reader; caps at
+    * `limit` rows and closes the reader when exhausted. */
+  private def fileRows(in: ParquetFileReader, schema: MessageType,
+                       plans: Array[ColPlan], limit: Long): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private val colIO = new ColumnIOFactory().getColumnIO(schema)
+      private var reader: org.apache.parquet.io.RecordReader[Group] = _
+      private var inGroup = 0L
+      private var groupRows = 0L
+      private var emitted = 0L
+      private var closed = false
+      private def advance(): Boolean = {
+        val pages = in.readNextRowGroup()
+        if (pages == null) false
+        else {
+          reader = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
+          inGroup = 0L; groupRows = pages.getRowCount
+          if (groupRows == 0) advance() else true
+        }
+      }
+      def hasNext: Boolean = {
+        val more = emitted < limit && (inGroup < groupRows || advance())
+        if (!more && !closed) { closed = true; in.close() }
+        more
+      }
+      def next(): Array[Any] = {
+        val g = reader.read()
+        inGroup += 1; emitted += 1
+        val out = new Array[Any](plans.length)
+        var i = 0
+        while (i < plans.length) {
+          out(i) = if (g.getFieldRepetitionCount(i) == 0) null else plans(i).get(g, i)
+          i += 1
+        }
+        out
+      }
+    }
+
+  /** Spark-orderBy-compatible key compare (nulls first, then natural). */
+  private def compareKeys(a: Array[Any], b: Array[Any], idxs: Array[Int]): Int = {
+    var i = 0
+    while (i < idxs.length) {
+      val c = (a(idxs(i)), b(idxs(i))) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+        case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+        case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
+        case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x, _) => throw new UnsupportedOperationException(
+          s"LakeScan: unsupported row-cap key type ${x.getClass}")
+      }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  /** Decode one table file into variant cell rows (+ one `present=false`
+    * sentinel per column). `rowCap` keeps the first N rows BY TABLE KEY
+    * (O1, same semantics as `Lake.read(rowCap)`) via a bounded heap —
+    * memory O(cap × width) however large the file; unkeyed tables cap in
+    * file order and stop reading early.
+    */
+  private def readFile(table: String, path: String, bytes: Array[Byte],
+                       keys: Map[String, Seq[String]],
+                       rowCap: Option[Int]): Iterator[Row] = {
+    val in = ParquetFileReader.open(new ByteArrayInputFile(bytes))
+    val schema = in.getFooter.getFileMetaData.getSchema
+    val plans = planFor(schema, table)
+
+    def rowsOf(vals: Array[Any], rowId: Long): Iterator[Row] =
+      plans.iterator.map { p =>
+        val slots = new Array[Any](SlotBase + 8)
+        slots(0) = table; slots(1) = p.idx; slots(2) = p.name
+        slots(3) = p.colType; slots(4) = true; slots(5) = rowId; slots(6) = path
+        if (vals(p.idx) != null) slots(SlotBase + p.slot) = vals(p.idx)
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(slots))
+      }
+    val sentinels = plans.iterator.map { p =>
+      val slots = new Array[Any](SlotBase + 8)
+      slots(0) = table; slots(1) = p.idx; slots(2) = p.name
+      slots(3) = p.colType; slots(4) = false
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(slots))
+    }
+
+    val keyIdxs = keys.get(table)
+      .map(_.map(n => plans.indexWhere(_.name == n)))
+      .filter(_.forall(_ >= 0)).map(_.toArray)
+    val dataRows: Iterator[Row] = (rowCap, keyIdxs) match {
+      case (Some(cap), Some(ki)) =>
+        // keyed deterministic cap: bounded max-heap keeps the cap smallest
+        // rows by key — same selection as ORDER BY key LIMIT cap on any
+        // file layout, without sorting the file
+        val heap = scala.collection.mutable.PriorityQueue.empty[Array[Any]](
+          Ordering.fromLessThan((x, y) => compareKeys(x, y, ki) < 0))
+        fileRows(in, schema, plans, Long.MaxValue).foreach { vals =>
+          heap.enqueue(vals)
+          if (heap.size > cap) heap.dequeue()
+        }
+        val ordered: Iterator[Array[Any]] = heap.dequeueAll.reverseIterator
+        ordered.zipWithIndex.flatMap { case (vals, rid) => rowsOf(vals, rid.toLong) }
+      case (cap, _) =>
+        fileRows(in, schema, plans, cap.map(_.toLong).getOrElse(Long.MaxValue))
+          .zipWithIndex.flatMap { case (vals, rid) => rowsOf(vals, rid.toLong) }
+    }
+    dataRows ++ sentinels
+  }
+
+  /** One multi-path binaryFile scan over `tables` → decoded variant rows.
+    * Small lakes are re-spread one-file-per-task (binaryFile's open-cost
+    * packing would otherwise put the whole driver lake in one task);
+    * large lakes keep the natural packing — at 40k files the scan already
+    * yields ample partitions.
+    */
+  def rawCells(spark: SparkSession, dir: String, tables: Seq[String],
+               rowCap: Option[Int]): DataFrame = {
+    require(tables.nonEmpty, "LakeScan needs at least one table")
+    val paths = tables.map(t => s"$dir/$t.parquet")
+    // pathGlobFilter: Spark-written tables are DIRECTORIES of part files
+    // (plus _SUCCESS markers) — keep only parquet leaves
+    val bin0 = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(paths: _*)
+      .select(col("path"), col("content"))
+    val bin =
+      if (tables.size <= spark.sparkContext.defaultParallelism * 4)
+        bin0.repartition(tables.size, col("path"))
+      else bin0
+    val keyMap = Lake.TableKeys
+    val cap = rowCap
+    val enc = Encoders.row(RawSchema)
+    bin.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (path, bytes) =>
+          // table = the FIRST '<name>.parquet' path segment: the single
+          // file itself, or the table directory a part file lives in
+          val name = path.split('/')
+            .find(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+            .getOrElse(path)
+          readFile(name, path, bytes, keyMap, cap)
+        }
+      }(enc)
+  }
+
+  /** Render variant rows into the long-format relation `Profiler
+    * .profileFromLong` consumes: `(table_name, col_idx, col_name,
+    * col_type, present, value_str, value_num)` — exactly `Profiler
+    * .longFormat`'s casts, evaluated by Catalyst.
+    *
+    * `withRaw` additionally emits `value_raw` (the cast render WITHOUT
+    * the P2 empty→null) plus `row_id` — the content-snapshot inputs.
+    */
+  def renderLong(raw: DataFrame, renderNumerics: Boolean = true,
+                 withRaw: Boolean = false): DataFrame = {
+    val ts = timestamp_micros(col("v_ts_us"))
+    val dt = date_from_unix_date(col("v_date_days"))
+    // raw cast render (no P2): string slots as-is, everything else via the
+    // same casts Profiler.longFormat / contentSnapshot apply
+    val rawRender = coalesce(
+      col("v_str"),
+      col("v_bool").cast("string"),
+      col("v_long").cast("string"),
+      col("v_float").cast("string"),
+      col("v_double").cast("string"),
+      ts.cast("string"),
+      dt.cast("string"),
+      col("v_arr").cast("string"))
+    val valueStr =
+      when(col("col_type") === "string", nullif(rawRender, lit("")))      // P2
+        .when(lit(!renderNumerics), lit(null).cast("string"))
+        .otherwise(rawRender)
+    val valueNum = coalesce(
+      col("v_long").cast("double"),
+      col("v_float").cast("double"),
+      col("v_double"),
+      unix_timestamp(ts).cast("double"),
+      unix_timestamp(dt.cast("timestamp")).cast("double"))
+    val base = Seq(col("table_name"), col("col_idx"), col("col_name"),
+      col("col_type"), col("present"),
+      valueStr.as("value_str"), valueNum.as("value_num"))
+    val extra =
+      if (withRaw) Seq(col("row_id"), col("src_file"), rawRender.as("value_raw"))
+      else Nil
+    raw.select(base ++ extra: _*)
+  }
+
+  /** Long-format cell relation for a whole lake (the E1 "Spark shape"):
+    * ONE scan + flatMap however many tables, ready for the single
+    * `groupBy(table_name, col_idx)` profile.
+    */
+  def unifiedLongRows(spark: SparkSession, dir: String, tables: Seq[String],
+                      rowCap: Option[Int], renderNumerics: Boolean = true): DataFrame =
+    renderLong(rawCells(spark, dir, tables, rowCap), renderNumerics)
+
+  /** Whole-table content snapshots for a lake in ONE job (A13 at lake
+    * scale): reassemble each row's space-joined string relationally
+    * (group cells by (table, row), order by col_idx, concat_ws — nulls
+    * drop, empty strings stay, exactly `Profiler.contentSnapshot`'s
+    * `concat_ws(" ", cols…)`), then one MinHash aggregation per table.
+    */
+  def snapshotLakeUnified(spark: SparkSession, dir: String, tables: Seq[String],
+                          rowCap: Option[Int]): DataFrame = {
+    val cells = renderLong(rawCells(spark, dir, tables, rowCap), withRaw = true)
+      .filter(col("present"))
+    val rowStrs = cells
+      // src_file in the key: row_id is a PER-FILE ordinal, so multi-part
+      // tables must not merge cells of same-ordinal rows across files
+      .groupBy(col("table_name"), col("src_file"), col("row_id"))
+      .agg(sort_array(collect_list(struct(col("col_idx"), col("value_raw"))))
+        .as("cells"))
+      .select(col("table_name"),
+        concat_ws(" ", transform(col("cells"), c => c.getField("value_raw")))
+          .as("row_str"))
+    rowStrs.groupBy(col("table_name"))
+      .agg(graft.functions.SketchFunctions.minhash_agg(col("row_str"))
+        .as("content_snapshot"))
+  }
+}

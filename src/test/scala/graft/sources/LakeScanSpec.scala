@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.profile.Profiler
+
+/** The unified single-job lake profiler must be BIT-IDENTICAL to the
+  * per-table loop path on every stat, digest, and quantile — the loop
+  * path is oracle-verified against DuckDB, so parity transfers that
+  * verification to the unified path. Plus the planning property that
+  * motivates it: ONE aggregate subtree regardless of table count.
+  */
+class LakeScanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Canonical row renders. `mean`/`std` ride ORDER-DEPENDENT double
+    * summation (different partitionings → last-ulp drift, which is why
+    * every oracle query derives them from the exact decimal sums) — those
+    * two compare at 6 dp; everything else (counts, exact decimal sums,
+    * quantile vectors, digests) compares bit-exactly.
+    */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val rounded = df
+      .withColumn("mean", round(col("mean"), 6))
+      .withColumn("std", round(col("std"), 6))
+    rounded.orderBy("table_name", "col_idx").toJSON.collect().toSeq
+  }
+
+  private def assertParity(unified: org.apache.spark.sql.DataFrame,
+                           loop: org.apache.spark.sql.DataFrame): Unit = {
+    val (cu, cl) = (canon(unified), canon(loop))
+    if (cu != cl) {
+      val diffs = cu.zipAll(cl, "<missing>", "<missing>")
+        .filter { case (a, b) => a != b }.take(3)
+      fail(s"unified != loop (${cu.size} vs ${cl.size} rows); first diffs:\n" +
+        diffs.map { case (a, b) => s"U: $a\nL: $b" }.mkString("\n---\n"))
+    }
+  }
+
+  test("profileLakeUnified == profileLake on the full driver lake (sketches, cap)") {
+    val loop = Profiler.profileLake(spark, dir, tables, rowCap = Some(10000))
+    val unified = Profiler.profileLakeUnified(spark, dir, tables, rowCap = Some(10000))
+    assertParity(unified, loop)
+  }
+
+  test("profileLakeUnified == profileLake without sketches or cap") {
+    val sub = Seq("nation", "orders", "events", "embeddings")
+    val loop = Profiler.profileLake(spark, dir, sub, withSketches = false)
+    val unified = Profiler.profileLakeUnified(spark, dir, sub, withSketches = false)
+    assertParity(unified, loop)
+  }
+
+  test("keyed row cap selects the same rows on a file-shuffled table") {
+    // Write nation DELIBERATELY shuffled on disk: first-N-file-rows and
+    // first-N-by-key now differ, so this catches a cap that trusts file
+    // order. Lake.read's keyed cap (TakeOrdered) is the contract.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shuffled").toString
+    Lake.read(spark, dir, "nation")
+      .orderBy(expr("hash(n_nationkey)")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    val loop = Profiler.profileLake(spark, tmp, Seq("nation"), rowCap = Some(10))
+    val unified = Profiler.profileLakeUnified(spark, tmp, Seq("nation"), rowCap = Some(10))
+    assertParity(unified, loop)
+  }
+
+  test("edge schemas: bools, real DATE columns, empty strings, all-null column") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    Seq(
+      (1L, "a", true, java.sql.Date.valueOf("2024-01-02"),
+        java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), Option.empty[String]),
+      (2L, "", false, java.sql.Date.valueOf("2024-02-03"),
+        java.sql.Timestamp.valueOf("2024-02-03 04:05:06.123"), Option.empty[String]),
+      (3L, null, true, null, null, Option.empty[String]))
+      .toDF("id", "s", "b", "d", "ts", "dead")
+      .write.mode("overwrite").parquet(s"$tmp/edge.parquet")
+    val loop = Profiler.profileLake(spark, tmp, Seq("edge"))
+    val unified = Profiler.profileLakeUnified(spark, tmp, Seq("edge"))
+    assertParity(unified, loop)
+  }
+
+  test("snapshotLakeUnified matches per-table contentSnapshot digests") {
+    val snapTables = Seq("region", "nation", "supplier", "orders")
+    val loop = snapTables.map(t =>
+        Profiler.contentSnapshot(Lake.read(spark, dir, t, Some(10000)), t))
+      .reduce(_ unionByName _)
+    val unified = LakeScan.snapshotLakeUnified(spark, dir, snapTables, Some(10000))
+    def c(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("table_name").toJSON.collect().toSeq
+    assert(c(unified) == c(loop))
+  }
+
+  test("unified plan: ONE aggregate subtree and zero unions regardless of table count") {
+    def planOf(ts: Seq[String]) =
+      Profiler.profileLakeUnified(spark, dir, ts, rowCap = Some(10000))
+        .queryExecution.optimizedPlan
+    def aggCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.size
+    def unionCount(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.size
+    val p3 = planOf(tables.take(3))
+    val p10 = planOf(tables)
+    assert(unionCount(p3) == 0 && unionCount(p10) == 0,
+      "unified profile plan must not union per-table branches")
+    assert(aggCount(p3) == aggCount(p10),
+      s"aggregate count grew with table count: ${aggCount(p3)} -> ${aggCount(p10)}")
+    // the loop path, by contrast, grows linearly — the structural gap this
+    // operator removes
+    val loop10 = Profiler.profileLake(spark, dir, tables, rowCap = Some(10000))
+      .queryExecution.optimizedPlan
+    assert(unionCount(loop10) > 0 && aggCount(loop10) > aggCount(p10))
+  }
+
+  test("unsupported parquet types fail loudly, pointing at the per-table path") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_unsup").toString
+    Seq((1L, BigDecimal("1.23"))).toDF("id", "dec")
+      .write.mode("overwrite").parquet(s"$tmp/dec.parquet")
+    val e = intercept[org.apache.spark.SparkException] {
+      Profiler.profileLakeUnified(spark, tmp, Seq("dec")).collect()
+    }
+    assert(e.getMessage.contains("LakeScan") ||
+      Option(e.getCause).exists(_.getMessage.contains("LakeScan")))
+  }
+}
