@@ -42,7 +42,62 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val lp = lakePlanBench(spark)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"lake_plan":$lp,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Structural benchmark for the unified lake profiler: planning +
+    * scheduling cost vs table count. The per-table loop pays an N-branch
+    * union plan and ≥2 jobs per table; the unified path plans ONE
+    * fixed-shape job. Tables are tiny (50 rows), so the measured time IS
+    * driver overhead — the dimension that kills the loop at the
+    * reference's 40k-table corpora. Reported separately from `queries`
+    * (not part of the round-over-round total).
+    */
+  private def lakePlanBench(spark: SparkSession): String = {
+    val dir = "/tmp/graft_bench_microlake"
+    val nBig = 400
+    val nSmall = 40
+    val names = (0 until nBig).map(i => f"t$i%04d")
+    ensureMicroLake(spark, dir, names)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    import graft.profile.Profiler
+    // warm both paths on a 3-table slice (JIT, codegen cache)
+    run(Profiler.profileLake(spark, dir, names.take(3)))
+    run(Profiler.profileLakeUnified(spark, dir, names.take(3)))
+    val loop40 = time(run(Profiler.profileLake(spark, dir, names.take(nSmall))))
+    val uni40 = time(run(Profiler.profileLakeUnified(spark, dir, names.take(nSmall))))
+    val uni400 = time(run(Profiler.profileLakeUnified(spark, dir, names)))
+    f"""{"tables_small":$nSmall,"tables_big":$nBig,"loop_${nSmall}":$loop40%.3f,"unified_${nSmall}":$uni40%.3f,"unified_${nBig}":$uni400%.3f}"""
+  }
+
+  /** 50-row 4-column tables: one Spark-written template file, copied N
+    * times (content is irrelevant — this measures per-table DRIVER cost).
+    */
+  private def ensureMicroLake(spark: SparkSession, dir: String,
+                              names: Seq[String]): Unit = {
+    import java.nio.file._
+    val d = Paths.get(dir)
+    if (Files.isDirectory(d) &&
+      names.forall(n => Files.exists(d.resolve(s"$n.parquet")))) return
+    import spark.implicits._
+    val tpl = s"$dir/_template"
+    (0 until 50).map(i => (i.toLong, s"name$i", i * 1.5, if (i % 2 == 0) "y" else "n"))
+      .toDF("id", "name", "val", "flag")
+      .coalesce(1).write.mode("overwrite").parquet(tpl)
+    val part = Files.list(Paths.get(tpl)).iterator()
+    val src = {
+      var p: Path = null
+      while (part.hasNext) { val f = part.next(); if (f.toString.endsWith(".parquet")) p = f }
+      p
+    }
+    names.foreach { n =>
+      Files.copy(src, d.resolve(s"$n.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 }

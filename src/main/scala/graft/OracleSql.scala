@@ -137,6 +137,48 @@ object OracleSql {
        |ORDER BY table_name, col_idx""".stripMargin
   }
 
+  /** lake_profile_unified: per-column stats of ALL TEN driver tables —
+    * the widest type surface the unified decoder covers (ns timestamps,
+    * float-list embeddings included). Stats need only render INJECTIVITY
+    * (distinct values ↔ distinct renders), so engine-specific timestamp /
+    * float-array formatting can't fake a match the way digest compares
+    * would; digests for render-stable tables are pinned by
+    * `profile_sketches` over the same catalog.
+    */
+  private def lakeProfileUnifiedSql: String = {
+    val tables = lakeSchemas.keys.toSeq.sorted
+    // numeric long-format for min/max: doubles as-is, dates/timestamps as
+    // floor(epoch) — the same seconds truncation Spark's unix_timestamp
+    // applies
+    val nSelects = tables.flatMap { tbl =>
+      lakeSchemas(tbl).zipWithIndex.collect {
+        case ((c, lt), i) if lt == "integer" || lt == "float" =>
+          s"SELECT '$tbl' AS t, $i AS ci, CAST($c AS DOUBLE) AS nv FROM ${cappedSrc(tbl, 10000)}"
+        case ((c, lt), i) if lt == "date" =>
+          s"SELECT '$tbl' AS t, $i AS ci, floor(epoch($c)) AS nv FROM ${cappedSrc(tbl, 10000)}"
+      }
+    }
+    s"""WITH ${valsCte(tables, Some(10000))},
+       |${metaCte(tables)},
+       |stats AS (
+       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
+       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
+       |         round(CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v), 6) AS cw
+       |  FROM vals GROUP BY t, ci),
+       |nvals AS (
+       |  ${nSelects.mkString("\n  UNION ALL ")}),
+       |nstats AS (SELECT t, ci, round(min(nv), 6) AS min_r, round(max(nv), 6) AS max_r
+       |           FROM nvals GROUP BY t, ci)
+       |SELECT meta.t AS table_name, CAST(meta.ci AS BIGINT) AS col_idx,
+       |  meta.cn AS col_name, meta.ct AS col_type,
+       |  stats.n_rows, stats.num_nan, stats.n_unique,
+       |  CASE WHEN meta.ct = 'string' THEN stats.cw END AS cell_width_r,
+       |  nstats.min_r, nstats.max_r
+       |FROM meta JOIN stats USING (t, ci)
+       |LEFT JOIN nstats USING (t, ci)
+       |ORDER BY table_name, col_idx""".stripMargin
+  }
+
   /** s7_json_roundtrip: DuckDB parses the plain-codec sketch documents with
     * its own JSON reader (structure check — the inner join on parsed
     * (table, column) keys drops rows if the document layout is wrong) while
@@ -1293,6 +1335,7 @@ object OracleSql {
 
     // ---- sketch pipeline (digest-exact via md5-derived base hash) ----
     "profile_sketches" -> profileSketchesSql,
+    "lake_profile_unified" -> lakeProfileUnifiedSql,
     "content_snapshots" -> contentSnapshotsSql,
     "j5_minhash_pairs" -> minhashPairsSql,
     "d_minhash_lsh" -> minhashLshSql,

@@ -50,16 +50,20 @@ object SparkEntry {
   // checkpointing truncates lineage so consumers plan against a flat
   // LogicalRDD. On a real cluster the durable equivalent is the
   // SketchStore parquet catalog (s7s8 round-trip) — same effect, reliable.
+  // Both catalogs build through the UNIFIED single-job path (one
+  // binaryFile scan + one keyed aggregate subtree, planning cost constant
+  // in table count) — every sketch query downstream therefore
+  // hash-verifies the unified profiler end-to-end. The per-table loop
+  // (`Profiler.profileLake`) remains the spec-pinned double-check.
   private def lakeCatalog(s: SparkSession, dir: String): DataFrame =
     catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#profiles",
-      Profiler.profileLake(s, dir, LakeTables, rowCap = Some(RowCap))
+      Profiler.profileLakeUnified(s, dir, LakeTables, rowCap = Some(RowCap))
         .localCheckpoint(eager = true))
 
   private def lakeSnapshots(s: SparkSession, dir: String): DataFrame =
     catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#snapshots",
-      SnapshotTables.map(n =>
-        Profiler.contentSnapshot(graft.sources.Lake.read(s, dir, n, Some(RowCap)), n))
-        .reduce(_ unionByName _).localCheckpoint(eager = true))
+      graft.sources.LakeScan.snapshotLakeUnified(s, dir, SnapshotTables, Some(RowCap))
+        .localCheckpoint(eager = true))
 
   val LakeTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -331,6 +335,23 @@ object SparkEntry {
         round(col("cell_width"), 6).as("cell_width_r"),
         array_join(col("minhash_exact"), ",").as("mh_exact"),
         array_join(col("minhash_words"), ",").as("mh_words"))
+      .orderBy("table_name", "col_idx")
+
+  /** E1 at lake scale: the UNIFIED single-job profiler across ALL TEN
+    * driver tables — every type the decoder supports (ints, doubles,
+    * strings, ms/ns timestamps, float-list embeddings) flows through one
+    * scan + one keyed aggregate and lands on DuckDB-recomputed stats.
+    * Digest parity for the same catalog is covered by `profile_sketches`
+    * (render-sensitive tables excluded there); this row pins the stats,
+    * which only need render INJECTIVITY, across the full type surface.
+    */
+  private def lakeProfileUnifiedQ(s: SparkSession, dir: String): DataFrame =
+    lakeCatalog(s, dir)
+      .select(col("table_name"), col("col_idx").cast("long").as("col_idx"),
+        col("col_name"), col("col_type"),
+        col("rows").as("n_rows"), col("num_nan"), col("unique").as("n_unique"),
+        round(col("cell_width"), 6).as("cell_width_r"),
+        round(col("min_v"), 6).as("min_r"), round(col("max_v"), 6).as("max_r"))
       .orderBy("table_name", "col_idx")
 
   /** A13 + P7: whole-table content snapshots (MinHash over space-joined
@@ -980,6 +1001,7 @@ object SparkEntry {
     "o4_search_exact" -> searchExact,
     // rows-only operators (sketch-based / heuristic; no SQL oracle)
     "profile_sketches" -> profileSketches,
+    "lake_profile_unified" -> lakeProfileUnifiedQ,
     "content_snapshots" -> contentSnapshots,
     "o4_search_minhash" -> searchMinhash,
     "o4_search_subset" -> searchSubsetQ,

@@ -33,25 +33,35 @@ object SketchBuild {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Profiling always runs the UNIFIED single-job path (one scan + one
+    // keyed aggregate subtree — planning cost constant in table count,
+    // the E1 shape at the reference's 40k-table corpus scale). CSV lakes
+    // first stage through the robust reader into capped parquet — the
+    // fallback-chain parse is inherently per-file engine logic, but it
+    // runs ONCE at ingest; the (re-runnable, expensive) profiling is a
+    // single job either way.
     val csvs = RobustCsv.listTables(spark, inDir)
-    val tables: Seq[(String, org.apache.spark.sql.DataFrame)] =
-      if (csvs.nonEmpty)
-        csvs.flatMap { p =>
+    val (lakeDir, tableNames) =
+      if (csvs.nonEmpty) {
+        val staging = s"$outDir/staging"
+        val names = csvs.flatMap { p =>
           val name = p.split('/').last.replaceAll("\\.csv(\\.bz2|\\.gz)?$", "")
-          RobustCsv.read(spark, p).map(name -> _)
+          RobustCsv.read(spark, p).map { df =>
+            df.limit(RobustCsv.RowCap).write.mode("overwrite")
+              .parquet(s"$staging/$name.parquet")
+            name
+          }
         }
-      else // parquet lake directory
-        new java.io.File(inDir).listFiles((_, n) => n.endsWith(".parquet"))
-          .toSeq.map(_.getName.stripSuffix(".parquet")).sorted
-          .map(n => n -> graft.sources.Lake.read(spark, inDir, n))
+        (staging, names)
+      } else // parquet lake directory
+        (inDir, new java.io.File(inDir).listFiles((_, n) => n.endsWith(".parquet"))
+          .toSeq.map(_.getName.stripSuffix(".parquet")).sorted)
 
-    require(tables.nonEmpty, s"no readable tables under $inDir")
-    val capped = tables.map { case (n, df) => n -> df.limit(RobustCsv.RowCap) }
-
-    val profiles = capped.map { case (n, df) => Profiler.profile(df, n) }
-      .reduce(_ unionByName _)
-    val snapshots = capped.map { case (n, df) => Profiler.contentSnapshot(df, n) }
-      .reduce(_ unionByName _)
+    require(tableNames.nonEmpty, s"no readable tables under $inDir")
+    val profiles = Profiler.profileLakeUnified(
+      spark, lakeDir, tableNames, rowCap = Some(RobustCsv.RowCap))
+    val snapshots = graft.sources.LakeScan.snapshotLakeUnified(
+      spark, lakeDir, tableNames, Some(RobustCsv.RowCap))
 
     SketchStore.writeParquet(profiles, s"$outDir/profiles")
     snapshots.write.mode("overwrite").parquet(s"$outDir/snapshots")
@@ -60,7 +70,7 @@ object SketchBuild {
       spark.read.parquet(s"$outDir/snapshots"), s"$outDir/docs_json")
 
     val n = spark.read.parquet(s"$outDir/profiles").count()
-    println(s"[sketch-build] ${tables.length} tables, $n column profiles -> $outDir")
+    println(s"[sketch-build] ${tableNames.length} tables, $n column profiles -> $outDir")
     spark.stop()
   }
 }
