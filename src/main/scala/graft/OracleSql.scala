@@ -1400,6 +1400,53 @@ object OracleSql {
         |  CAST(r.label AS BIGINT) AS label
         |FROM x ORDER BY split, t1, t2""".stripMargin,
 
+    "s5_sidecar_merge" ->
+      """WITH meta AS (
+        |  SELECT table_name, table_description, dataset_description
+        |  FROM read_json_auto('/tmp/graft_fixtures/sidecars/*.meta.json')),
+        |counts AS (
+        |  SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+        |  UNION ALL SELECT 'nation', count(*) FROM nation)
+        |SELECT m.table_name, m.table_description, m.dataset_description, c.n_rows
+        |FROM meta m JOIN counts c USING (table_name)
+        |ORDER BY table_name""".stripMargin,
+
+    "o7_seeded_shuffle" ->
+      """SELECT pos, c_custkey FROM (
+        |  SELECT CAST(row_number() OVER (
+        |      ORDER BY md5('42' || chr(1) || CAST(c_custkey AS VARCHAR)), c_custkey)
+        |    AS BIGINT) AS pos,
+        |    CAST(c_custkey AS BIGINT) AS c_custkey
+        |  FROM customer)
+        |WHERE pos <= 100 ORDER BY pos""".stripMargin,
+
+    "s12_excel_charset" -> {
+      val files = Seq("latin1.csv" -> "ISO-8859-1", "utf16.csv" -> "UTF-16LE",
+        "book.xlsx" -> "xlsx")
+      val exp = files.flatMap { case (f, cs) =>
+        SparkEntry.CharsetFixtureRows.map { case (id, n, c) =>
+          s"('$f', '$cs', $id, '$n', '$c')"
+        }
+      }.mkString(",\n  ")
+      val conv = files.map { case (f, _) =>
+        s"""SELECT '$f' AS file, id, name, city
+           |  FROM read_csv('/tmp/graft_fixtures/charset_utf8/$f.csv', header=true,
+           |    columns={'id': 'BIGINT', 'name': 'VARCHAR', 'city': 'VARCHAR'})"""
+          .stripMargin
+      }.mkString("\n  UNION ALL ")
+      // expected literals JOIN the engine-converted UTF-8 copies: a wrong
+      // decode (or a conversion that doesn't match the in-memory read)
+      // drops rows from the join and the compare fails on row count
+      s"""WITH exp(file, charset, id, name, city) AS (VALUES
+         |  $exp),
+         |conv AS (
+         |  $conv)
+         |SELECT e.file, e.charset, CAST(e.id AS BIGINT) AS id, e.name, e.city
+         |FROM exp e JOIN conv c
+         |  ON c.file = e.file AND c.id = e.id AND c.name = e.name AND c.city = e.city
+         |ORDER BY e.file, e.id""".stripMargin
+    },
+
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),
       ("orders", "o_orderkey", "o_totalprice"),

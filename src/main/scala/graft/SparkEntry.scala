@@ -506,6 +506,121 @@ object SparkEntry {
       .orderBy("split", "t1", "t2")
   }
 
+  /** Fixture rows for `s12_excel_charset` — shared with the oracle-SQL
+    * generator the way the MinHash permutation constants are: both engines
+    * state the EXPECTED decoded content independently of the file bytes. */
+  val CharsetFixtureRows: Seq[(Long, String, String)] = Seq(
+    (1L, "café", "paris"), (2L, "jürgen", "münchen"), (3L, "bjørn", "oslo"),
+    (4L, "rené", "nice"), (5L, "niño", "madrid"), (6L, "åsa", "umeå"))
+
+  /** S12 + charset detection, oracle-verified: the SAME logical table is
+    * written as an ISO-8859-1 CSV, a UTF-16LE (BOM) CSV, and an .xlsx
+    * workbook (sharedStrings layout — `ExcelRead`'s other string path from
+    * the spec's inlineStr). The robust reader must detect each charset and
+    * decode identical content (reference `data_prep.py:78,114-117`).
+    * DuckDB 1.0 reads none of the three encodings natively, so the engine
+    * writes UTF-8 conversion copies; the oracle joins those against its
+    * own literal expected rows — a wrong decode OR a wrong conversion
+    * drops join rows and fails the compare. */
+  private def excelCharsetQ(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val fixDir = Paths.get("/tmp/graft_fixtures/charset")
+    val convDir = Paths.get("/tmp/graft_fixtures/charset_utf8")
+    Files.createDirectories(fixDir); Files.createDirectories(convDir)
+    val csv = "id,name,city\n" +
+      CharsetFixtureRows.map { case (i, n, c) => s"$i,$n,$c" }.mkString("\n") + "\n"
+    Files.write(fixDir.resolve("latin1.csv"), csv.getBytes("ISO-8859-1"))
+    Files.write(fixDir.resolve("utf16.csv"),
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++ csv.getBytes("UTF-16LE"))
+    writeXlsxShared(fixDir.resolve("book.xlsx").toString, CharsetFixtureRows)
+    Seq("latin1.csv", "utf16.csv", "book.xlsx").map { label =>
+      val p = fixDir.resolve(label).toString
+      val charset =
+        if (label.endsWith(".xlsx")) "xlsx"
+        else graft.ingest.RobustCsv.detectCharset(s, p)
+      val df = graft.ingest.RobustCsv.read(s, p)
+        .getOrElse(sys.error(s"unreadable charset fixture $label"))
+        .select(col("id").cast("long").as("id"), col("name"), col("city"))
+      // UTF-8 conversion copy for the oracle (bounded: 6 fixture rows)
+      val data = df.orderBy("id").collect()
+      Files.write(convDir.resolve(label + ".csv"),
+        ("id,name,city\n" + data.map(r =>
+          s"${r.getLong(0)},${r.getString(1)},${r.getString(2)}").mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      df.select(lit(label).as("file"), lit(charset).as("charset"),
+        col("id"), col("name"), col("city"))
+    }.reduce(_ unionByName _).orderBy("file", "id")
+  }
+
+  /** Minimal sharedStrings .xlsx writer (fixture): numeric `id` cells plus
+    * shared-string name/city cells — the workbook shape `ExcelRead`
+    * decodes via the sharedStrings table. */
+  private def writeXlsxShared(path: String, rows: Seq[(Long, String, String)]): Unit = {
+    val strings = ("id" +: "name" +: "city" +: rows.flatMap(r => Seq(r._2, r._3))).distinct
+    val sidx = strings.zipWithIndex.toMap
+    def sCell(ref: String, v: String) = s"""<c r="$ref" t="s"><v>${sidx(v)}</v></c>"""
+    def nCell(ref: String, v: Long) = s"""<c r="$ref"><v>$v</v></c>"""
+    val header = s"""<row r="1">${sCell("A1", "id")}${sCell("B1", "name")}${sCell("C1", "city")}</row>"""
+    val body = rows.zipWithIndex.map { case ((id, n, c), i) =>
+      val r = i + 2
+      s"""<row r="$r">${nCell(s"A$r", id)}${sCell(s"B$r", n)}${sCell(s"C$r", c)}</row>"""
+    }.mkString
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    entry("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst>${strings.map(v => s"<si><t>$v</t></si>").mkString}</sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$header$body</sheetData></worksheet>""")
+    zos.close()
+  }
+
+  /** S5 metadata sidecar merge: per-table JSON sidecars (the reference's
+    * `{table_name, table_description, dataset_description}` shape,
+    * `datamodule.py:36-44`) read by `Splits.readMetadata` and joined to
+    * row counts recomputed from the raw tables. DuckDB parses the SAME
+    * sidecar files and recomputes the same counts. */
+  private def sidecarMerge(s: SparkSession, dir: String): DataFrame = {
+    val fixDir = java.nio.file.Paths.get("/tmp/graft_fixtures/sidecars")
+    java.nio.file.Files.createDirectories(fixDir)
+    Seq("region" -> "continental regions", "nation" -> "nations with region links").foreach {
+      case (tbl, desc) =>
+        java.nio.file.Files.write(fixDir.resolve(s"$tbl.meta.json"),
+          s"""{"table_name": "$tbl", "table_description": "$desc", "dataset_description": "tpch-ish driver lake"}"""
+            .getBytes("UTF-8"))
+    }
+    val meta = graft.sources.Splits.readMetadata(s, fixDir.toString)
+    val counts = Seq("region", "nation").map { n =>
+      t(s, dir, n).agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), col("n_rows"))
+    }.reduce(_ unionByName _)
+    meta.join(counts, "table_name")
+      .select(col("table_name"), col("table_description"),
+        col("dataset_description"), col("n_rows"))
+      .orderBy("table_name")
+  }
+
+  /** O7 seeded shuffle: the first 100 customers in seed-42 training order.
+    * The order is an MD5 mix of (seed, key), so DuckDB replays it exactly —
+    * the point of the deterministic shuffle (`tabular_dataset.py:18-19`):
+    * the same seed gives the same epoch order on ANY engine or layout. */
+  private def seededShuffleQ(s: SparkSession, dir: String): DataFrame = {
+    val shuffled = graft.sources.Splits.seededShuffle(
+      t(s, dir, "customer"), seed = 42L, keyCols = Seq("c_custkey"))
+    shuffled
+      .withColumn("pos", row_number().over(Window.orderBy(
+        graft.sources.Splits.shuffleKey(42L, Seq(col("c_custkey"))), col("c_custkey")))
+        .cast("long"))
+      .filter(col("pos") <= 100)
+      .select(col("pos"), col("c_custkey").cast("long").as("c_custkey"))
+      .orderBy("pos")
+  }
+
   /** J3: precision/recall@5 of brute-force ANN against same-label ground
     * truth (labels make the truth relation relational, so the whole
     * evaluation join is independently recomputable). */
@@ -1031,6 +1146,9 @@ object SparkEntry {
     "s3_ingest_hygiene" -> ingestHygiene,
     "j2_missing_pairs" -> missingPairsQ,
     "s10_split_roundtrip" -> splitRoundtrip,
+    "s5_sidecar_merge" -> sidecarMerge,
+    "o7_seeded_shuffle" -> seededShuffleQ,
+    "s12_excel_charset" -> excelCharsetQ,
     "inc_profile_merge" -> incrementalMerge,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,

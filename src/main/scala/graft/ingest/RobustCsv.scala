@@ -120,18 +120,27 @@ object RobustCsv {
   }
 
   private def tryRead(spark: SparkSession, path: String, delim: String,
-                      charset: String, permissive: Boolean): Option[DataFrame] =
+                      charset: String, permissive: Boolean): Option[DataFrame] = {
+    // UTF-16 files can't ride Hadoop's byte-oriented line splitter ('\n'
+    // is 0A 00 / 00 0A): multiLine hands the whole file to the parser with
+    // a proper decoder, and Java's "UTF-16" charset consumes the BOM the
+    // detector keyed on (encoding=UTF-16LE would leak it into the first
+    // header name). Whole-file parse is fine HERE by design: UTF-16 CSVs
+    // are small interchange files; anything at scan scale is UTF-8/parquet.
+    val utf16 = charset.startsWith("UTF-16")
     try {
       val base = spark.read
         .option("header", "true")
         .option("sep", delim)
-        .option("encoding", charset)
+        .option("encoding", if (utf16) "UTF-16" else charset)
+        .option("multiLine", utf16.toString)
         .option("inferSchema", "true")
         .option("mode", if (permissive) "PERMISSIVE" else "DROPMALFORMED")
         .option("nullValue", "")
       val df = base.csv(path).limit(RowCap)
       if (df.columns.isEmpty) None else Some(df)
     } catch { case _: Exception => None }
+  }
 
   private def postProcess(df0: DataFrame): DataFrame = {
     // sanitize names (P1) and drop synthetic row_index (S4)

@@ -57,8 +57,23 @@ object Splits {
   def tableKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(element_at(split(c, "/"), -1), "\\.csv(\\.bz2|\\.gz)?$", "")
 
+  /** O7 shuffle key: MD5 of (seed, key columns) — engine-independent AND
+    * partition-layout-independent, unlike `rand(seed)` (whose draws depend
+    * on partition index, so a repartition would reorder "the same" seed).
+    * DuckDB replays the identical order with its own `md5`, which makes
+    * training-order shuffles oracle-verifiable. */
+  def shuffleKey(seed: Long, keys: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    md5(concat_ws("\u0001", (lit(seed.toString) +: keys.map(_.cast("string"))): _*))
+
   /** O7: deterministic seeded shuffle of a relation (training-order
-    * shuffles, `tabular_dataset.py:18-19`). */
+    * shuffles, `tabular_dataset.py:18-19`). `keyCols` defaults to all
+    * columns; pass the table key explicitly when values are not
+    * render-stable across engines (doubles). */
   def seededShuffle(df: DataFrame, seed: Long): DataFrame =
-    df.orderBy(rand(seed))
+    seededShuffle(df, seed, df.columns.toIndexedSeq)
+
+  def seededShuffle(df: DataFrame, seed: Long, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(c => col(s"`$c`"))
+    df.orderBy(shuffleKey(seed, keys) +: keys: _*)
+  }
 }

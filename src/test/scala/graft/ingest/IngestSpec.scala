@@ -138,6 +138,19 @@ class CharsetAndExcelSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("UTF-16LE csv (BOM) detected and read with correct accents") {
+    val dir = Files.createTempDirectory("graft_utf16")
+    val p = dir.resolve("u16.csv")
+    val content = "id,name\n1,café\n2,jürgen\n3,bjørn\n4,rené\n5,niño\n"
+    val bytes = Array[Byte](0xff.toByte, 0xfe.toByte) ++ content.getBytes("UTF-16LE")
+    Files.write(p, bytes)
+    assert(RobustCsv.detectCharset(spark, p.toString) == "UTF-16LE")
+    val df = RobustCsv.read(spark, p.toString).get
+    assert(df.columns.sameElements(Array("id", "name")))
+    val names = df.select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("café", "jürgen", "bjørn", "rené", "niño"))
+  }
+
   private def writeXlsx(rows: Seq[Seq[String]]): String = {
     // minimal workbook: one sheet, inline strings
     val dir = Files.createTempDirectory("graft_xlsx")
