@@ -1447,6 +1447,93 @@ object OracleSql {
          |ORDER BY e.file, e.id""".stripMargin
     },
 
+    // WordPiece replay: the greedy longest-match choice at each (word,
+    // position) does not depend on segmentation history, so `best`
+    // precomputes it per position and `walk` just follows the path.
+    // Constants mirror wordpieceQ: vocab docs<=20, maxSize 60 (56 pieces
+    // after the 4 specials), encode docs<=10, maxLen 32 (30 body slots).
+    "t2_wordpiece" ->
+      """WITH RECURSIVE
+        |words AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |    FROM documents WHERE doc_id <= 20) WHERE w <> ''),
+        |chars AS (
+        |  SELECT DISTINCT c AS piece FROM (
+        |    SELECT unnest(string_split(w, '')) AS c
+        |    FROM (SELECT DISTINCT w FROM words)) WHERE c <> ''),
+        |cand AS (
+        |  SELECT piece, 9223372036854775807 AS freq FROM chars
+        |  UNION ALL SELECT '##' || piece, 9223372036854775807 FROM chars
+        |  UNION ALL SELECT w AS piece, count(*) AS freq FROM words GROUP BY w),
+        |lim AS (
+        |  SELECT piece, max(freq) AS freq FROM cand GROUP BY piece
+        |  ORDER BY max(freq) DESC, piece LIMIT 56),
+        |vocab AS (
+        |  SELECT piece, CAST(id AS BIGINT) AS id FROM (VALUES
+        |    ('[PAD]', 0), ('[UNK]', 1), ('[CLS]', 2), ('[SEP]', 3)) sp(piece, id)
+        |  UNION ALL
+        |  SELECT piece, CAST(row_number() OVER (ORDER BY freq DESC, piece) + 3 AS BIGINT)
+        |  FROM lim),
+        |dw AS (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |    FROM documents WHERE doc_id <= 10) WHERE w <> ''),
+        |pieces AS (
+        |  SELECT id, piece LIKE '##%' AS cont,
+        |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS core
+        |  FROM vocab WHERE piece NOT LIKE '[%'),
+        |wp AS (SELECT w, unnest(generate_series(1, length(w))) AS pos FROM dw),
+        |best AS (
+        |  SELECT wp.w, wp.pos, arg_max(p.id, length(p.core)) AS pid,
+        |    max(length(p.core)) AS plen
+        |  FROM wp JOIN pieces p
+        |    ON p.cont = (wp.pos > 1)
+        |   AND substr(wp.w, wp.pos, length(p.core)) = p.core
+        |  GROUP BY wp.w, wp.pos),
+        |walk(w, pos, ids) AS (
+        |  SELECT w, 1, CAST([] AS BIGINT[]) FROM dw
+        |  UNION ALL
+        |  SELECT x.w, x.pos + b.plen, list_append(x.ids, b.pid)
+        |  FROM walk x JOIN best b ON b.w = x.w AND b.pos = x.pos),
+        |wseg AS (
+        |  SELECT d.w,
+        |    coalesce(t.ids, list_value((SELECT id FROM vocab WHERE piece = '[UNK]'))) AS ids
+        |  FROM dw d LEFT JOIN
+        |    (SELECT w, ids FROM walk WHERE pos = length(w) + 1) t ON t.w = d.w),
+        |toks AS (
+        |  SELECT doc_id, w, o FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(lower(text), '\s+')) AS w,
+        |      unnest(generate_series(1, len(regexp_split_to_array(lower(text), '\s+')))) AS o
+        |    FROM documents WHERE doc_id <= 10) WHERE w <> ''),
+        |enc AS (
+        |  SELECT t.doc_id,
+        |    list_concat(
+        |      list_value((SELECT id FROM vocab WHERE piece = '[CLS]')),
+        |      list_append(
+        |        list_slice(flatten(list(s.ids ORDER BY t.o)), 1, 30),
+        |        (SELECT id FROM vocab WHERE piece = '[SEP]'))) AS ids
+        |  FROM toks t JOIN wseg s ON s.w = t.w GROUP BY t.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  array_to_string(ids, ',') || repeat(',0', 32 - len(ids)) AS input_ids,
+        |  array_to_string(list_transform(ids, x -> 1), ',')
+        |    || repeat(',0', 32 - len(ids)) AS attention_mask
+        |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // Expected dimensions recomputed from the generating arithmetic —
+    // the engine side must parse them back out of real container bytes.
+    // n_bytes are the SyntheticMedia format constants (png 33, jpeg 35,
+    // gif 14).
+    "mm_decode_probe" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(n_chars % 640 + 16 AS BIGINT) AS img_width,
+        |  CAST(n_chars % 480 + 16 AS BIGINT) AS img_height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 35 ELSE 14 END AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id <= 60
+        |ORDER BY media_id""".stripMargin,
+
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),
       ("orders", "o_orderkey", "o_totalprice"),

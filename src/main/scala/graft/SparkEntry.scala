@@ -580,6 +580,27 @@ object SparkEntry {
     zos.close()
   }
 
+  /** T2 WordPiece, oracle-verified: vocab built from docs ≤20 (chars +
+    * `##`-continuations at max freq, whole words by frequency, ids by
+    * (freq desc, piece) — fully deterministic), then greedy
+    * longest-match-first encoding of docs ≤10 at maxLen=32 (reference
+    * `tabular_tokenizer.py:246`). The greedy choice at each (word,
+    * position) is history-independent, so DuckDB replays it: precompute
+    * per-position best matches, follow the path with a recursive CTE,
+    * reassemble `[CLS] body [SEP]` + padding relationally. The encoded id
+    * streams pin the whole vocab construction transitively. */
+  private def wordpieceQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.ml.WordPiece.buildVocab(
+      docs.filter(col("doc_id") <= 20), "text", maxSize = 60)
+    graft.ml.WordPiece.encode(
+      docs.filter(col("doc_id") <= 10), "text", vocab, maxLen = 32)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        array_join(col("input_ids"), ",").as("input_ids"),
+        array_join(col("attention_mask"), ",").as("attention_mask"))
+      .orderBy("doc_id")
+  }
+
   /** S5 metadata sidecar merge: per-table JSON sidecars (the reference's
     * `{table_name, table_description, dataset_description}` shape,
     * `datamodule.py:36-44`) read by `Splits.readMetadata` and joined to
@@ -868,6 +889,40 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Multimodal header decode, oracle-verified with REAL byte parsing:
+    * payloads are valid PNG/JPEG/GIF containers synthesized from
+    * (doc_id, n_chars) arithmetic (bounded fixture: 61 rows built
+    * driver-side), the engine parses dimensions back OUT of the bytes
+    * distributed (`Multimodal.probeHeaders` / `HeaderDecoder` — BE32 IHDR,
+    * JPEG SOF marker walk over a real APP0 segment, LE16 GIF screen), and
+    * DuckDB recomputes the expected dimensions from the same arithmetic,
+    * never touching the bytes. A parser bug on any endianness/offset
+    * breaks the hash. */
+  private def decodeProbe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = t(s, dir, "documents").filter(col("doc_id") <= 60)
+      .select(col("doc_id"), col("n_chars")).collect()
+    val rows = src.map { r =>
+      val (id, n) = (r.getAs[Number](0).longValue(), r.getAs[Number](1).intValue())
+      val (w, h) = ((n % 640 + 16), (n % 480 + 16))
+      val payload = (id % 3) match {
+        case 0 => graft.multimodal.SyntheticMedia.png(w, h)
+        case 1 => graft.multimodal.SyntheticMedia.jpeg(w, h)
+        case _ => graft.multimodal.SyntheticMedia.gif(w, h)
+      }
+      org.apache.spark.sql.Row(id, "image", null, payload, null)
+    }
+    val media = s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 4),
+      graft.multimodal.Multimodal.mediaSchema)
+    graft.multimodal.Multimodal.probeHeaders(media)
+      .select(col("media_id"), col("format"),
+        col("img_width").cast("long").as("img_width"),
+        col("img_height").cast("long").as("img_height"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy("media_id")
+  }
+
   /** A14: hashing-trick alt sketch per column (md5 buckets — DuckDB
     * recomputes the sparse vector exactly). */
   private def hashingSketches(s: SparkSession, dir: String): DataFrame = {
@@ -1149,6 +1204,8 @@ object SparkEntry {
     "s5_sidecar_merge" -> sidecarMerge,
     "o7_seeded_shuffle" -> seededShuffleQ,
     "s12_excel_charset" -> excelCharsetQ,
+    "t2_wordpiece" -> wordpieceQ,
+    "mm_decode_probe" -> decodeProbe,
     "inc_profile_merge" -> incrementalMerge,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,

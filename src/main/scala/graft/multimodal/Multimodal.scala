@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * typed metadata struct; decode / feature-extract run as `mapPartitions`
   * batch transforms (the Scala analogue of `mapInPandas` batches).
   *
-  * The actual media decoding is STUBBED with a deterministic fake (this
-  * container has no image/audio codecs — see builder brief); everything
-  * Spark-side — schema, batching, partitioning, output shape — is real and
-  * tested, so a real decoder drops in by replacing [[decodeStub]] only.
+  * Decoding is the pluggable [[MediaDecoder]] seam: the default
+  * [[HeaderDecoder]] REALLY parses container headers (PNG/JPEG/GIF
+  * dimensions) pure-JVM; full pixel/sample decoding falls back to the
+  * deterministic [[decodeStub]] fingerprint (this container has no
+  * image/audio codecs — see builder brief). Everything Spark-side —
+  * schema, batching, partitioning, output shape — is real and tested, so
+  * a codec-backed decoder drops in by implementing the trait.
   */
 object Multimodal {
 
@@ -50,20 +53,49 @@ object Multimodal {
 
   /** Feature extraction over media batches: `mapPartitions` so any real
     * decoder amortizes model/codec init once per partition (the same
-    * batching rationale as pandas-UDF execution).
+    * batching rationale as pandas-UDF execution). The decoder is the
+    * pluggable [[MediaDecoder]] seam; the default [[HeaderDecoder]] uses
+    * the codec-free fingerprint for features.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+  def extractFeatures(media: DataFrame, dim: Int = 64,
+                      decoder: MediaDecoder = HeaderDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val out = media.select(col("media_id"), col("modality"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: init decoder/model HERE, once per partition
+        // decoder state (codec/session) initializes here, once per partition
         it.map { case (id, modality, payload) =>
-          (id, modality, decodeStub(payload, dim))
+          (id, modality, decoder.features(payload, dim))
         }
       }
     out.toDF("media_id", "modality", "features")
+  }
+
+  /** Header probe over media payloads: REAL byte parsing (PNG/JPEG/GIF
+    * dimensions via [[HeaderDecoder]] by default) appended as
+    * `(format, img_width, img_height)` — null when the payload is not a
+    * recognized container. Distributed `mapPartitions`, no codec needed.
+    */
+  def probeHeaders(media: DataFrame,
+                   decoder: MediaDecoder = HeaderDecoder): DataFrame = {
+    val schema = media.schema
+    val outSchema = schema
+      .add("format", StringType, nullable = true)
+      .add("img_width", IntegerType, nullable = true)
+      .add("img_height", IntegerType, nullable = true)
+    val pi = schema.fieldIndex("payload")
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val info = decoder.probe(r.getAs[Array[Byte]](pi))
+        Row.fromSeq(r.toSeq ++ (info match {
+          case Some(i) => Seq(i.format, i.width, i.height)
+          case None    => Seq(null, null, null)
+        }))
+      }
+    }
   }
 
   /** Payload-level metadata probe without decoding: size, magic-byte

@@ -32,6 +32,45 @@ class MultimodalSpec extends SparkSpec {
     assert(s(1L).getAs[String]("magic") == "01020304")
   }
 
+  test("HeaderDecoder parses synthetic PNG/JPEG/GIF dimensions") {
+    assert(HeaderDecoder.probe(SyntheticMedia.png(640, 480))
+      .contains(MediaDecoder.Info("png", 640, 480)))
+    assert(HeaderDecoder.probe(SyntheticMedia.jpeg(123, 45))
+      .contains(MediaDecoder.Info("jpeg", 123, 45)))
+    assert(HeaderDecoder.probe(SyntheticMedia.gif(70000 % 65536, 2))
+      .contains(MediaDecoder.Info("gif", 70000 % 65536, 2)))
+    // wide dims exercise high bytes on both endiannesses
+    assert(HeaderDecoder.probe(SyntheticMedia.png(65537, 300))
+      .contains(MediaDecoder.Info("png", 65537, 300)))
+    assert(HeaderDecoder.probe(SyntheticMedia.gif(513, 1027))
+      .contains(MediaDecoder.Info("gif", 513, 1027)))
+  }
+
+  test("HeaderDecoder rejects junk, truncation, and SOF-less JPEG") {
+    assert(HeaderDecoder.probe(null).isEmpty)
+    assert(HeaderDecoder.probe(Array[Byte]()).isEmpty)
+    assert(HeaderDecoder.probe("not an image at all".getBytes).isEmpty)
+    assert(HeaderDecoder.probe(SyntheticMedia.png(10, 10).take(20)).isEmpty)
+    // SOI + APP0 only, then EOI: walker must not read past the end
+    val noSof = Array(0xff, 0xd8).map(_.toByte) ++
+      SyntheticMedia.jpeg(1, 1).slice(2, 20) ++ Array(0xff, 0xd9).map(_.toByte)
+    assert(HeaderDecoder.probe(noSof).isEmpty)
+  }
+
+  test("probeHeaders appends format/dims distributed, null on non-media") {
+    val withImages = media.union(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, "image", "image/png",
+          SyntheticMedia.png(320, 200), Row(null, null, null)))),
+      Multimodal.mediaSchema))
+    val out = Multimodal.probeHeaders(withImages).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[String]("format") == "png")
+    assert(out(10L).getAs[Int]("img_width") == 320)
+    assert(out(10L).getAs[Int]("img_height") == 200)
+    assert(out(1L).getAs[String]("format") == null) // 5 junk bytes
+  }
+
   test("sampleFramePlan expands video durations at step") {
     val frames = Multimodal.sampleFramePlan(media, stepMs = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
