@@ -1,0 +1,270 @@
+package graft.ml
+
+/** ONNX export + pure-JVM session for the trained scoring head (Q7) — the
+  * engine's re-expression of the reference's fine-tuned scorer artifact
+  * (`/root/reference/tabsketchfm/tabsketchfm_finetune.py:64-117`).
+  *
+  * The artifact written by [[OnnxExport.exportLogistic]] is a REAL ONNX
+  * `ModelProto` (protobuf wire format per the public onnx.proto schema;
+  * opset 13): graph `features ─MatMul coef─ Add intercept ─ Sigmoid─
+  * score`, DOUBLE tensors for bit-parity with the MLlib pipeline. Any
+  * standard onnxruntime loads it unchanged. This container ships no
+  * onnxruntime jar (offline build), so [[OnnxSession]] is the in-repo
+  * session: it PARSES the protobuf back (no shared state with the writer
+  * beyond the public format) and executes the graph nodes as data. The
+  * per-partition factory slot ([[Scorer.onnxModelFactory]]) is exactly
+  * where a JNI-backed `OrtSession` would open instead.
+  */
+object OnnxExport {
+
+  import Proto._
+
+  val OpsetVersion = 13L
+  val DataTypeDouble = 11 // TensorProto.DataType.DOUBLE
+
+  /** Export the pipeline's logistic stage as an ONNX binary. Same fail-fast
+    * validations as the JSON exporter: finite weights, a VectorAssembler
+    * supplying the feature order, widths consistent. */
+  def exportLogistic(model: org.apache.spark.ml.PipelineModel, path: String): Unit = {
+    val lr = model.stages.collectFirst {
+      case m: org.apache.spark.ml.classification.LogisticRegressionModel => m
+    }.getOrElse(throw new IllegalArgumentException(
+      "exportLogistic needs a LogisticRegressionModel stage"))
+    val feats = model.stages.collectFirst {
+      case a: org.apache.spark.ml.feature.VectorAssembler => a.getInputCols.toSeq
+    }.getOrElse(Seq.empty)
+    val coefs = lr.coefficients.toArray
+    require(coefs.forall(java.lang.Double.isFinite) &&
+      java.lang.Double.isFinite(lr.intercept),
+      "exportLogistic: non-finite coefficient/intercept (diverged fit?)")
+    require(feats.nonEmpty, "exportLogistic: no VectorAssembler stage")
+    require(feats.length == coefs.length,
+      s"exportLogistic: ${feats.length} features vs ${coefs.length} coefficients")
+
+    val d = coefs.length
+    def tensor(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] =
+      concat(
+        lenDelim(1, packedVarints(dims)),           // dims
+        varintField(2, DataTypeDouble),             // data_type
+        lenDelim(10, packedDoubles(data)),          // double_data
+        stringField(8, name))
+    def node(op: String, ins: Seq[String], out: String): Array[Byte] =
+      concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
+    def valueInfo(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
+      val shape = concat(dims.map {
+        case Left(param) => lenDelim(1, stringField(2, param))
+        case Right(v)    => lenDelim(1, varintField(1, v))
+      }: _*)
+      val tensorType = concat(varintField(1, DataTypeDouble), lenDelim(2, shape))
+      concat(stringField(1, name), lenDelim(2, lenDelim(1, tensorType)))
+    }
+    val graph = concat(
+      lenDelim(1, node("MatMul", Seq("features", "coef"), "z0")),
+      lenDelim(1, node("Add", Seq("z0", "intercept"), "z1")),
+      lenDelim(1, node("Sigmoid", Seq("z1"), "score")),
+      stringField(2, "graft_logistic"),
+      lenDelim(5, tensor("coef", Seq(d.toLong, 1L), coefs)),
+      lenDelim(5, tensor("intercept", Seq(1L), Array(lr.intercept))),
+      lenDelim(11, valueInfo("features", Seq(Left("N"), Right(d.toLong)))),
+      lenDelim(12, valueInfo("score", Seq(Left("N"), Right(1L)))))
+    val modelBytes = concat(
+      varintField(1, 8L),                            // ir_version
+      stringField(2, "graft"),                       // producer_name
+      lenDelim(7, graph),
+      lenDelim(8, varintField(2, OpsetVersion)),     // opset_import{version}
+      lenDelim(14, concat(                           // metadata_props
+        stringField(1, "features"), stringField(2, feats.mkString(",")))))
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, modelBytes)
+  }
+}
+
+/** Minimal ONNX session: parses a `ModelProto` and executes its graph —
+  * MatMul / Add (bias broadcast) / Sigmoid over 2-D DOUBLE tensors, the op
+  * set linear scoring heads need. Node list, tensor names, dims, and
+  * weights all come from the parsed file; nothing is hard-coded to the
+  * exporter's layout beyond the public schema.
+  */
+final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
+  import Proto._
+
+  private val model = parse(modelBytes)
+  private val graph = parse(bytesAt(model, 7))
+
+  /** metadata_props["features"] — the batch column order. */
+  val features: Seq[String] = allBytes(model, 14).flatMap { kv =>
+    val m = parse(kv)
+    if (stringAt(m, 1) == "features") stringAt(m, 2).split(',').toSeq else Nil
+  }
+
+  private case class Tensor(dims: Array[Int], data: Array[Double])
+
+  private val initializers: Map[String, Tensor] = allBytes(graph, 5).map { t =>
+    val m = parse(t)
+    val dims = packedVarintsAt(m, 1).map(_.toInt)
+    require(varintAt(m, 2) == OnnxExport.DataTypeDouble,
+      s"OnnxSession executes DOUBLE tensors; got data_type ${varintAt(m, 2)}")
+    stringAt(m, 8) -> Tensor(dims.toArray, packedDoublesAt(m, 10))
+  }.toMap
+
+  private case class Node(op: String, ins: Seq[String], out: String)
+  private val nodes: Seq[Node] = allBytes(graph, 1).map { n =>
+    val m = parse(n)
+    Node(stringAt(m, 4), allBytes(m, 1).map(new String(_, "UTF-8")), stringAt(m, 2))
+  }
+  private val inputName: String = stringAt(parse(bytesAt(graph, 11)), 1)
+  private val outputName: String = stringAt(parse(bytesAt(graph, 12)), 1)
+
+  /** Forward one [n, d] batch → n scores. */
+  def run(batch: Array[Array[Double]]): Array[Double] = {
+    val n = batch.length
+    if (n == 0) return Array.empty
+    val d = batch(0).length
+    var values = Map[String, Tensor](
+      inputName -> Tensor(Array(n, d), batch.flatten))
+    def get(name: String): Tensor =
+      values.getOrElse(name, initializers.getOrElse(name,
+        throw new IllegalStateException(s"unbound tensor '$name'")))
+    nodes.foreach { node =>
+      val out = node.op match {
+        case "MatMul" =>
+          val (a, b) = (get(node.ins(0)), get(node.ins(1)))
+          val (m, k, p) = (a.dims(0), a.dims(1), b.dims(1))
+          require(b.dims(0) == k, s"MatMul shape [$m,$k]x[${b.dims(0)},$p]")
+          val r = new Array[Double](m * p)
+          var i = 0
+          while (i < m) {
+            var j = 0
+            while (j < p) {
+              var s = 0.0; var t = 0
+              while (t < k) { s += a.data(i * k + t) * b.data(t * p + j); t += 1 }
+              r(i * p + j) = s; j += 1
+            }
+            i += 1
+          }
+          Tensor(Array(m, p), r)
+        case "Add" => // right side broadcast (bias)
+          val (a, b) = (get(node.ins(0)), get(node.ins(1)))
+          Tensor(a.dims, a.data.zipWithIndex.map { case (v, i) =>
+            v + b.data(i % b.data.length) })
+        case "Sigmoid" =>
+          val a = get(node.ins(0))
+          Tensor(a.dims, a.data.map(z => 1.0 / (1.0 + math.exp(-z))))
+        case op => throw new UnsupportedOperationException(s"op '$op'")
+      }
+      values += node.out -> out
+    }
+    val out = values(outputName)
+    require(out.data.length == n, s"expected $n scores, got ${out.data.length}")
+    out.data
+  }
+}
+
+object OnnxSession {
+  def load(path: String): OnnxSession =
+    new OnnxSession(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+}
+
+/** Protobuf wire-format helpers (the subset onnx.proto needs): varint,
+  * length-delimited, packed scalar fields. Writer emits proto3-canonical
+  * packed repeated scalars; reader accepts packed and unpacked.
+  */
+private[ml] object Proto {
+
+  // ---- writing ----
+  def varint(v: Long): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var x = v
+    while ((x & ~0x7fL) != 0) { out += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+    out += (x & 0x7f).toByte
+    out.toArray
+  }
+  private def tag(field: Int, wire: Int) = varint((field.toLong << 3) | wire)
+  def varintField(field: Int, v: Long): Array[Byte] = tag(field, 0) ++ varint(v)
+  def lenDelim(field: Int, bytes: Array[Byte]): Array[Byte] =
+    tag(field, 2) ++ varint(bytes.length.toLong) ++ bytes
+  def stringField(field: Int, s: String): Array[Byte] = lenDelim(field, s.getBytes("UTF-8"))
+  def packedVarints(vs: Seq[Long]): Array[Byte] = vs.toArray.flatMap(varint)
+  def packedDoubles(vs: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putDouble); bb.array()
+  }
+  def concat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+
+  // ---- reading ----
+  sealed trait Value
+  final case class VarintV(v: Long) extends Value
+  final case class BytesV(b: Array[Byte]) extends Value
+  final case class Fixed64V(v: Long) extends Value
+  final case class Fixed32V(v: Int) extends Value
+  type Message = Map[Int, Seq[Value]]
+
+  def parse(bytes: Array[Byte]): Message = {
+    val out = scala.collection.mutable.Map.empty[Int, Vector[Value]]
+    var i = 0
+    def readVarint(): Long = {
+      var shift = 0; var v = 0L
+      while ({ val b = bytes(i); i += 1; v |= (b & 0x7fL) << shift; shift += 7
+               (b & 0x80) != 0 }) ()
+      v
+    }
+    while (i < bytes.length) {
+      val key = readVarint()
+      val (field, wire) = ((key >>> 3).toInt, (key & 7).toInt)
+      val value: Value = wire match {
+        case 0 => VarintV(readVarint())
+        case 1 =>
+          val v = java.nio.ByteBuffer.wrap(bytes, i, 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+          i += 8; Fixed64V(v)
+        case 2 =>
+          val len = readVarint().toInt
+          val b = java.util.Arrays.copyOfRange(bytes, i, i + len)
+          i += len; BytesV(b)
+        case 5 =>
+          val v = java.nio.ByteBuffer.wrap(bytes, i, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          i += 4; Fixed32V(v)
+        case w => throw new IllegalArgumentException(s"wire type $w")
+      }
+      out(field) = out.getOrElse(field, Vector.empty) :+ value
+    }
+    out.toMap
+  }
+
+  def allBytes(m: Message, field: Int): Seq[Array[Byte]] =
+    m.getOrElse(field, Nil).collect { case BytesV(b) => b }
+  def bytesAt(m: Message, field: Int): Array[Byte] =
+    allBytes(m, field).headOption.getOrElse(Array.empty)
+  def stringAt(m: Message, field: Int): String =
+    new String(bytesAt(m, field), "UTF-8")
+  def varintAt(m: Message, field: Int): Long =
+    m.getOrElse(field, Nil).collectFirst { case VarintV(v) => v }.getOrElse(0L)
+  /** Packed or unpacked repeated varints. */
+  def packedVarintsAt(m: Message, field: Int): Seq[Long] =
+    m.getOrElse(field, Nil).flatMap {
+      case VarintV(v) => Seq(v)
+      case BytesV(b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = 0
+        while (i < b.length) {
+          var shift = 0; var v = 0L
+          while ({ val x = b(i); i += 1; v |= (x & 0x7fL) << shift; shift += 7
+                   (x & 0x80) != 0 }) ()
+          out += v
+        }
+        out.toSeq
+      case _ => Nil
+    }
+  /** Packed repeated doubles (or unpacked fixed64s). */
+  def packedDoublesAt(m: Message, field: Int): Array[Double] =
+    m.getOrElse(field, Nil).flatMap {
+      case BytesV(b) =>
+        val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Array.fill(b.length / 8)(bb.getDouble).toSeq
+      case Fixed64V(v) => Seq(java.lang.Double.longBitsToDouble(v))
+      case _ => Nil
+    }.toArray
+}

@@ -133,6 +133,20 @@ object Scorer {
       }
     }
 
+  /** Batch-scoring factory over an exported ONNX artifact
+    * ([[OnnxExport.exportLogistic]]): the model file is parsed and the
+    * session opened ONCE per partition — the exact slot a JNI-backed
+    * `OrtSession` occupies when a real onnxruntime jar is on the
+    * classpath (none ships in this offline container; [[OnnxSession]] is
+    * the pure-JVM session over the same ONNX bytes). */
+  def onnxModelFactory(path: String, onInit: () => Unit = () => ())
+      : () => Array[Array[Double]] => Array[Double] =
+    () => {
+      onInit()
+      val session = OnnxSession.load(path)
+      (batch: Array[Array[Double]]) => session.run(batch)
+    }
+
   /** The exported artifact's feature column order (callers wire it into
     * [[ExternalModelScorer]]'s `featureCols` so batch layout matches). */
   def exportedFeatures(path: String): Seq[String] = {
