@@ -70,9 +70,14 @@ object Bench {
     // warm both paths on a 3-table slice (JIT, codegen cache)
     run(Profiler.profileLake(spark, dir, names.take(3)))
     run(Profiler.profileLakeUnified(spark, dir, names.take(3)))
-    val loop40 = time(run(Profiler.profileLake(spark, dir, names.take(nSmall))))
-    val uni40 = time(run(Profiler.profileLakeUnified(spark, dir, names.take(nSmall))))
-    val uni400 = time(run(Profiler.profileLakeUnified(spark, dir, names)))
+    // this section runs AFTER the 70-query bench in the same JVM: force a
+    // collection first and take min-of-2 on the cheap unified runs, or a
+    // full-heap GC pause lands inside one timed run and reads as a 15×
+    // "regression" (observed: 33 s for a 2 s measurement)
+    def timed2(f: => Unit): Double = { System.gc(); math.min(time(f), time(f)) }
+    val loop40 = { System.gc(); time(run(Profiler.profileLake(spark, dir, names.take(nSmall)))) }
+    val uni40 = timed2(run(Profiler.profileLakeUnified(spark, dir, names.take(nSmall))))
+    val uni400 = timed2(run(Profiler.profileLakeUnified(spark, dir, names)))
     f"""{"tables_small":$nSmall,"tables_big":$nBig,"loop_${nSmall}":$loop40%.3f,"unified_${nSmall}":$uni40%.3f,"unified_${nBig}":$uni400%.3f}"""
   }
 

@@ -78,6 +78,52 @@ object OnnxExport {
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, modelBytes)
   }
+
+  /** Export a linear projection head `x·W + b` as ONNX — the Q1/Q6
+    * embedding-head shape (`extract_embeddings.py:16-73`,
+    * `embedding_search.py:29-37`): pooled per-column features in,
+    * `k`-dim embedding out. `weights` is row-major `[d][k]`. */
+  def exportLinearMap(weights: Array[Array[Double]], bias: Array[Double],
+                      features: Seq[String], path: String): Unit = {
+    val d = weights.length
+    require(d > 0 && d == features.length,
+      s"exportLinearMap: ${features.length} features vs $d weight rows")
+    val k = weights(0).length
+    require(weights.forall(_.length == k) && bias.length == k,
+      "exportLinearMap: ragged weights or bias width mismatch")
+    require(weights.forall(_.forall(java.lang.Double.isFinite)) &&
+      bias.forall(java.lang.Double.isFinite), "exportLinearMap: non-finite weight")
+    import Proto._
+    def tensor(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] =
+      concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeDouble),
+        lenDelim(10, packedDoubles(data)), stringField(8, name))
+    def node(op: String, ins: Seq[String], out: String): Array[Byte] =
+      concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
+    def valueInfo(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
+      val shape = concat(dims.map {
+        case Left(param) => lenDelim(1, stringField(2, param))
+        case Right(v)    => lenDelim(1, varintField(1, v))
+      }: _*)
+      concat(stringField(1, name),
+        lenDelim(2, lenDelim(1, concat(varintField(1, DataTypeDouble), lenDelim(2, shape)))))
+    }
+    val graph = concat(
+      lenDelim(1, node("MatMul", Seq("features", "weights"), "z0")),
+      lenDelim(1, node("Add", Seq("z0", "bias"), "embedding")),
+      stringField(2, "graft_linear_map"),
+      lenDelim(5, tensor("weights", Seq(d.toLong, k.toLong), weights.flatten)),
+      lenDelim(5, tensor("bias", Seq(k.toLong), bias)),
+      lenDelim(11, valueInfo("features", Seq(Left("N"), Right(d.toLong)))),
+      lenDelim(12, valueInfo("embedding", Seq(Left("N"), Right(k.toLong)))))
+    val modelBytes = concat(
+      varintField(1, 8L), stringField(2, "graft"), lenDelim(7, graph),
+      lenDelim(8, varintField(2, OpsetVersion)),
+      lenDelim(14, concat(stringField(1, "features"),
+        stringField(2, features.mkString(",")))))
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, modelBytes)
+  }
 }
 
 /** Minimal ONNX session: parses a `ModelProto` and executes its graph —
@@ -116,10 +162,29 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   private val inputName: String = stringAt(parse(bytesAt(graph, 11)), 1)
   private val outputName: String = stringAt(parse(bytesAt(graph, 12)), 1)
 
-  /** Forward one [n, d] batch → n scores. */
+  /** Forward one [n, d] batch → n scores (the [n, 1] output flattened;
+    * use [[runMatrix]] for wider heads). */
   def run(batch: Array[Array[Double]]): Array[Double] = {
+    val out = forward(batch)
+    require(out.data.length == batch.length,
+      s"expected ${batch.length} scores, got ${out.data.length} values — " +
+        "wide output head? use runMatrix")
+    out.data
+  }
+
+  /** Forward one [n, d] batch → [n, k] rows (embedding heads). */
+  def runMatrix(batch: Array[Array[Double]]): Array[Array[Double]] = {
+    val out = forward(batch)
     val n = batch.length
     if (n == 0) return Array.empty
+    val k = out.data.length / n
+    require(out.data.length == n * k, s"non-rectangular output ${out.data.length}")
+    Array.tabulate(n)(i => java.util.Arrays.copyOfRange(out.data, i * k, (i + 1) * k))
+  }
+
+  private def forward(batch: Array[Array[Double]]): Tensor = {
+    val n = batch.length
+    if (n == 0) return Tensor(Array(0, 0), Array.empty)
     val d = batch(0).length
     var values = Map[String, Tensor](
       inputName -> Tensor(Array(n, d), batch.flatten))
@@ -155,9 +220,7 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
       }
       values += node.out -> out
     }
-    val out = values(outputName)
-    require(out.data.length == n, s"expected $n scores, got ${out.data.length}")
-    out.data
+    values(outputName)
   }
 }
 

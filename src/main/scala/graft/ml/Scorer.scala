@@ -147,6 +147,19 @@ object Scorer {
       (batch: Array[Array[Double]]) => session.run(batch)
     }
 
+  /** Embedding-head factory over an exported ONNX linear map
+    * ([[OnnxExport.exportLinearMap]]): per-partition session, batch in,
+    * `[n, k]` float vectors out — plugs into [[ExternalEmbedder]], the
+    * Q1 `extract_embeddings` shape. */
+  def onnxEmbedderFactory(path: String, onInit: () => Unit = () => ())
+      : () => Array[Array[Double]] => Array[Array[Float]] =
+    () => {
+      onInit()
+      val session = OnnxSession.load(path)
+      (batch: Array[Array[Double]]) =>
+        session.runMatrix(batch).map(_.map(_.toFloat))
+    }
+
   /** The exported artifact's feature column order (callers wire it into
     * [[ExternalModelScorer]]'s `featureCols` so batch layout matches). */
   def exportedFeatures(path: String): Seq[String] = {

@@ -49,11 +49,18 @@ object Skew {
 
   /** Top-N key frequencies — the diagnostic to decide whether salting is
     * needed and with what factor (hot-key share ≈ factor needed).
+    *
+    * ONE action: the total is a 1-row aggregate of the grouped relation
+    * broadcast-joined back in (exchange reuse — no second scan of the
+    * input), not a separate eager `df.count()` job. A global window sum
+    * would also work but forces every distinct key onto one task.
     */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .withColumn("share", round(col("n") / lit(total), 6))
+    val grouped = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = grouped.agg(sum(col("n")).cast("double").as("__total"))
+    grouped.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .drop("__total")
       .orderBy(col("n").desc)
       .limit(topN)
   }

@@ -117,6 +117,35 @@ class PairScoringSpec extends SparkSpec {
     assert(inits.value > 0 && inits.value <= 3)
   }
 
+  test("ONNX linear map drives ExternalEmbedder end-to-end") {
+    val d = 3; val k = 4
+    // deterministic projection: w(i)(j) = (i+1)*(j+1)/10, b(j) = j/100
+    val w = Array.tabulate(d, k)((i, j) => (i + 1) * (j + 1) / 10.0)
+    val b = Array.tabulate(k)(_ / 100.0)
+    val path = java.nio.file.Files.createTempDirectory("graft_onnx_emb")
+      .resolve("head.onnx").toString
+    OnnxExport.exportLinearMap(w, b, Seq("f1", "f2", "f3"), path)
+    val session = OnnxSession.load(path)
+    assert(session.features == Seq("f1", "f2", "f3"))
+    val df = (1 to 50).map(i => (i.toLong, i * 0.5, i * 2.0, i * -1.0))
+      .toDF("id", "f1", "f2", "f3").repartition(5)
+    val out = new Scorer.ExternalEmbedder(
+      Scorer.onnxEmbedderFactory(path), Seq("f1", "f2", "f3"),
+      dim = k, batchSize = 8).score(df)
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    assert(out.size == 50)
+    (1 to 50).foreach { i =>
+      val x = Array(i * 0.5, i * 2.0, i * -1.0)
+      val expect = Array.tabulate(k)(j =>
+        (0 until d).map(t => x(t) * w(t)(j)).sum + b(j))
+      out(i.toLong).toSeq.zip(expect).foreach { case (got, e) =>
+        assert(math.abs(got - e) < 1e-4, s"id $i: $got vs $e") }
+    }
+    // width guard: the scalar run() must refuse a k=4 head
+    intercept[IllegalArgumentException](session.run(Array(Array(1.0, 2.0, 3.0))))
+  }
+
   test("ExternalModelScorer: per-partition batched seam scores every row") {
     val df = (1 to 1000).map(i => (i.toLong, i * 0.5, i * 2.0)).toDF("id", "f1", "f2")
       .repartition(7)
