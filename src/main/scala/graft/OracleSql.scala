@@ -1534,6 +1534,41 @@ object OracleSql {
         |FROM documents WHERE doc_id <= 60
         |ORDER BY media_id""".stripMargin,
 
+    // Winnowing replay: same k-gram md5-low32 hashes, same w-window min,
+    // same full-window filter (k=8, w=4; min text length k+w-1=11).
+    "t_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, p,
+        |    CAST(md5_number_lower(substr(text, p + 1, 8)) & 4294967295 AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id, text, unnest(generate_series(0, length(text) - 8)) AS p
+        |    FROM documents WHERE doc_id <= 50 AND length(text) >= 11)),
+        |wmin AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+        |  FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE cnt = 4)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_fp,
+        |  CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // O6: expected canonical positions generated from the lake schema
+    // literals (same source the other profile oracles pin against).
+    "o6_canonical_order" -> {
+      val rows = Seq("customer", "orders", "part").flatMap { t =>
+        lakeSchemas(t).map(_._1).sorted.zipWithIndex.map {
+          case (c, i) => s"('$t', '$c', ${i + 1})"
+        }
+      }.mkString(",\n  ")
+      s"""SELECT table_name, col_name, CAST(canon_pos AS BIGINT) AS canon_pos
+         |FROM (VALUES
+         |  $rows) v(table_name, col_name, canon_pos)
+         |ORDER BY table_name, canon_pos""".stripMargin
+    },
+
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),
       ("orders", "o_orderkey", "o_totalprice"),

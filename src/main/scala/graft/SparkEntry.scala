@@ -580,6 +580,26 @@ object SparkEntry {
     zos.close()
   }
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting):
+    * per-doc fingerprint count + checksum — DuckDB replays the k-gram
+    * hashes and the window minima exactly. */
+  private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(
+      t(s, dir, "documents").filter(col("doc_id") <= 50), k = 8, w = 4)
+      .groupBy(col("id").cast("long").as("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), sum(col("fp")).as("fp_sum"))
+      .orderBy("doc_id")
+
+  /** O6 canonical column order: rank of each column under the sorted-name
+    * order the tokenizer feeds the model (`tabular_tokenizer.py:291`). */
+  private def canonicalOrderQ(s: SparkSession, dir: String): DataFrame =
+    graft.ml.TokenizerOps.canonicalColumns(
+      lakeCatalog(s, dir).filter(col("table_name").isin("customer", "orders", "part")))
+      .select(col("table_name"), col("col_name"),
+        row_number().over(Window.partitionBy("table_name").orderBy("col_name"))
+          .cast("long").as("canon_pos"))
+      .orderBy("table_name", "canon_pos")
+
   /** T2 WordPiece, oracle-verified: vocab built from docs ≤20 (chars +
     * `##`-continuations at max freq, whole words by frequency, ids by
     * (freq desc, piece) — fully deterministic), then greedy
@@ -1206,6 +1226,8 @@ object SparkEntry {
     "s12_excel_charset" -> excelCharsetQ,
     "t2_wordpiece" -> wordpieceQ,
     "mm_decode_probe" -> decodeProbe,
+    "t_fingerprint" -> fingerprintQ,
+    "o6_canonical_order" -> canonicalOrderQ,
     "inc_profile_merge" -> incrementalMerge,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,

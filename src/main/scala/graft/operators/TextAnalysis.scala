@@ -119,4 +119,39 @@ object TextAnalysis {
       .withColumn("n_phones", hits(afterIp, PhoneRe))
       .withColumn(outCol, regexp_replace(afterIp, PhoneRe, "[PHONE]"))
   }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the rolling-hash fingerprint family): hash every character k-gram,
+    * slide a w-gram window, keep each window's minimum hash, distinct per
+    * document. Guarantee: any substring of length ≥ k+w-1 shared by two
+    * documents yields at least one shared fingerprint — the selection a
+    * plain "every i-th hash" sample cannot make.
+    *
+    * Fully relational — position explode + codegen'd md5 hash + ONE
+    * window pass partitioned by document (no UDF, no cross-doc shuffle
+    * beyond the doc key), so DuckDB replays it hash-for-hash. At corpus
+    * scale the k-gram explode is the inherent cost (every winnowing
+    * implementation streams every position); Spark's columnar pipeline
+    * keeps it in whole-stage codegen.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val grams = docs
+      .filter(length(col(textCol)) >= k + w - 1) // too short: no full window
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0), length(col("t")) - k)).as("p"))
+      .select(col("id"), col("p"),
+        graft.functions.SketchFunctions.md5_low32(
+          expr(s"substring(t, p + 1, $k)")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("p").rowsBetween(0, w - 1)
+    grams
+      .select(col("id"), min(col("h")).over(win).as("fp"),
+        count(col("h")).over(win).as("cnt"))
+      .filter(col("cnt") === w) // trailing positions lack a full window
+      .select(col("id"), col("fp")).distinct()
+  }
 }

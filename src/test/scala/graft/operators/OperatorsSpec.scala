@@ -222,6 +222,28 @@ class TextAnalysisSpec extends SparkSpec {
       out(3L).getAs[Long]("n_ips") == 0)
     assert(out(3L).getAs[String]("text_clean") == "nothing sensitive here at all")
   }
+
+  test("winnowFingerprints: shared >=k+w-1 substring guarantees overlap") {
+    val shared = "identical plagiarized passage of text"
+    val docs = Seq(
+      (1L, s"alpha prefix $shared and a distinct tail one"),
+      (2L, s"totally different opening here $shared closing two"),
+      (3L, "no overlap with anything else whatsoever in this row")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowFingerprints(docs, k = 8, w = 4).collect()
+      .groupBy(_.getLong(0)).map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    // winnowing guarantee: docs 1 and 2 share a long substring -> at
+    // least one common fingerprint; doc 3 shares none with either
+    assert((fp(1L) & fp(2L)).nonEmpty)
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+    // determinism + density: every doc yields fingerprints, far fewer
+    // than its gram count (that's the point of winnowing)
+    assert(fp.values.forall(s => s.nonEmpty && s.size < 40))
+    // too-short docs produce no fingerprints rather than erroring
+    val short = TextAnalysis.winnowFingerprints(
+      Seq((9L, "tiny")).toDF("doc_id", "text"), k = 8, w = 4)
+    assert(short.count() == 0)
+  }
 }
 
 class CosineRecallSpec extends SparkSpec {
