@@ -27,10 +27,12 @@ object Graft {
     ingest.RobustCsv.read(spark, path)
 
   /** Profile every table of a parquet lake into the long-format sketch
-    * catalog (capped at the reference's 10k rows unless overridden). */
+    * catalog (capped at the reference's 10k rows unless overridden).
+    * ONE fixed-shape job regardless of table count (multi-path binary
+    * scan + keyed aggregation) — the loop-free path for 40k-table lakes. */
   def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
                   rowCap: Option[Int] = Some(10000)): DataFrame =
-    profile.Profiler.profileLake(spark, dir, tables, rowCap = rowCap)
+    profile.Profiler.profileLakeUnified(spark, dir, tables, rowCap = rowCap)
 
   /** Whole-table content snapshot (A13). */
   def snapshot(df: DataFrame, tableName: String): DataFrame =
@@ -102,6 +104,25 @@ object Graft {
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05): DataFrame =
     operators.Decontamination.decontaminate(docs, benchmark, n, threshold)
+
+  /** Winnowing rolling-hash fingerprints: any shared substring of
+    * ≥ k+w-1 chars between two docs yields a shared fingerprint. */
+  def fingerprintDocs(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame =
+    operators.TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
+
+  /** Parse media container headers (PNG/JPEG/GIF dims) out of binary
+    * payload columns — distributed, pure-JVM, no codec dependency. */
+  def probeMedia(media: DataFrame,
+                 decoder: multimodal.MediaDecoder = multimodal.HeaderDecoder): DataFrame =
+    multimodal.Multimodal.probeHeaders(media, decoder)
+
+  /** Export a trained pair scorer's logistic head as a REAL ONNX
+    * artifact; score it back via [[ml.Scorer.onnxModelFactory]] (opens a
+    * pure-JVM [[ml.OnnxSession]] per partition — swap in a JNI OrtSession
+    * by replacing the factory body only). */
+  def exportScorerOnnx(model: org.apache.spark.ml.PipelineModel, path: String): Unit =
+    ml.OnnxExport.exportLogistic(model, path)
 
   /** Refresh only the re-profiled tables inside a stored catalog. */
   def upsertCatalog(profiles: DataFrame, path: String): Unit =
