@@ -52,4 +52,33 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial"),
       s"no map-side combine in profile plan:\n$plan")
   }
+
+  test("winnowing fingerprints: one doc-key shuffle, no UDF, codegen'd hash") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val fp = graft.operators.TextAnalysis.winnowFingerprints(docs)
+    val plan = fp.queryExecution.executedPlan.toString
+    // the window shuffle by doc key is the ONLY exchange: the downstream
+    // distinct on (id, fp) must reuse HashPartitioning(id), not re-shuffle
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly one exchange (doc-key window):\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"winnowing must be UDF-free:\n$plan")
+    val codegen = fp.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), s"no codegen span:\n$codegen")
+  }
+
+  test("skew diagnostic is one job: total broadcast back, exchange reused") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val prof = graft.operators.Skew.keySkewProfile(li, "l_returnflag", topN = 5)
+    prof.collect() // AQE's ReuseExchange applies in the FINAL adaptive plan
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected the 1-row total to broadcast:\n$plan")
+    // the total must come from the grouped relation's exchange (reuse),
+    // not a second scan-and-aggregate of the input or an eager count() job
+    assert(plan.contains("ReusedExchange") ||
+      plan.linesIterator.count(_.contains("FileScan")) <= 1,
+      s"expected exchange reuse over a re-scan:\n$plan")
+  }
 }
