@@ -79,6 +79,73 @@ object OnnxExport {
     java.nio.file.Files.write(p, modelBytes)
   }
 
+  /** Export an MLP head as ONNX — the reference's `SimpleModel` baseline
+    * shape (`SimpleModel.py:3-16`: Linear → ReLU → Linear), generalized
+    * to any depth: MatMul+Add per layer, Relu between layers, optional
+    * Sigmoid on the output (scoring vs embedding head). Each layer is
+    * `(weights[d_in][d_out], bias[d_out])`. */
+  def exportMlp(layers: Seq[(Array[Array[Double]], Array[Double])],
+                features: Seq[String], path: String,
+                finalSigmoid: Boolean = false): Unit = {
+    require(layers.nonEmpty, "exportMlp: at least one layer")
+    require(layers.head._1.length == features.length,
+      s"exportMlp: ${features.length} features vs ${layers.head._1.length} first-layer rows")
+    layers.sliding(2).foreach {
+      case Seq((w1, b1), (w2, _)) =>
+        require(w1.head.length == b1.length && b1.length == w2.length,
+          "exportMlp: layer width mismatch")
+      case _ => ()
+    }
+    layers.foreach { case (w, b) =>
+      require(w.forall(r => r.length == b.length && r.forall(java.lang.Double.isFinite)) &&
+        b.forall(java.lang.Double.isFinite), "exportMlp: ragged or non-finite layer")
+    }
+    import Proto._
+    def tensor(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] =
+      concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeDouble),
+        lenDelim(10, packedDoubles(data)), stringField(8, name))
+    def node(op: String, ins: Seq[String], out: String): Array[Byte] =
+      concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
+    def valueInfo(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
+      val shape = concat(dims.map {
+        case Left(param) => lenDelim(1, stringField(2, param))
+        case Right(v)    => lenDelim(1, varintField(1, v))
+      }: _*)
+      concat(stringField(1, name),
+        lenDelim(2, lenDelim(1, concat(varintField(1, DataTypeDouble), lenDelim(2, shape)))))
+    }
+    val d = features.length
+    val kOut = layers.last._2.length
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val inits = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var cur = "features"
+    layers.zipWithIndex.foreach { case ((w, b), i) =>
+      val last = i == layers.length - 1
+      inits += lenDelim(5, tensor(s"w$i", Seq(w.length.toLong, b.length.toLong), w.flatten))
+      inits += lenDelim(5, tensor(s"b$i", Seq(b.length.toLong), b))
+      nodes += lenDelim(1, node("MatMul", Seq(cur, s"w$i"), s"mm$i"))
+      val addOut = if (last && !finalSigmoid) "out" else s"a$i"
+      nodes += lenDelim(1, node("Add", Seq(s"mm$i", s"b$i"), addOut))
+      cur = addOut
+      if (!last) {
+        nodes += lenDelim(1, node("Relu", Seq(cur), s"r$i")); cur = s"r$i"
+      } else if (finalSigmoid) {
+        nodes += lenDelim(1, node("Sigmoid", Seq(cur), "out")); cur = "out"
+      }
+    }
+    val graph = concat((nodes.toSeq ++ Seq(stringField(2, "graft_mlp")) ++ inits.toSeq ++ Seq(
+      lenDelim(11, valueInfo("features", Seq(Left("N"), Right(d.toLong)))),
+      lenDelim(12, valueInfo("out", Seq(Left("N"), Right(kOut.toLong)))))): _*)
+    val modelBytes = concat(
+      varintField(1, 8L), stringField(2, "graft"), lenDelim(7, graph),
+      lenDelim(8, varintField(2, OpsetVersion)),
+      lenDelim(14, concat(stringField(1, "features"),
+        stringField(2, features.mkString(",")))))
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, modelBytes)
+  }
+
   /** Export a linear projection head `x·W + b` as ONNX — the Q1/Q6
     * embedding-head shape (`extract_embeddings.py:16-73`,
     * `embedding_search.py:29-37`): pooled per-column features in,
@@ -216,6 +283,9 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
         case "Sigmoid" =>
           val a = get(node.ins(0))
           Tensor(a.dims, a.data.map(z => 1.0 / (1.0 + math.exp(-z))))
+        case "Relu" =>
+          val a = get(node.ins(0))
+          Tensor(a.dims, a.data.map(z => if (z > 0) z else 0.0))
         case op => throw new UnsupportedOperationException(s"op '$op'")
       }
       values += node.out -> out

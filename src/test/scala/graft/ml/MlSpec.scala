@@ -146,6 +146,38 @@ class PairScoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](session.run(Array(Array(1.0, 2.0, 3.0))))
   }
 
+  test("ONNX MLP (SimpleModel shape) executes Linear-ReLU-Linear") {
+    // the reference's 2-layer baseline head (SimpleModel.py:3-16)
+    val w1 = Array(Array(1.0, -1.0), Array(0.5, 2.0))   // 2 -> 2
+    val b1 = Array(0.1, -0.2)
+    val w2 = Array(Array(1.0, 0.0, -1.0), Array(2.0, 1.0, 0.5)) // 2 -> 3
+    val b2 = Array(0.0, 0.25, -0.5)
+    val path = java.nio.file.Files.createTempDirectory("graft_onnx_mlp")
+      .resolve("mlp.onnx").toString
+    OnnxExport.exportMlp(Seq((w1, b1), (w2, b2)), Seq("f1", "f2"), path)
+    val session = OnnxSession.load(path)
+    val xs = Array(Array(1.0, 2.0), Array(-3.0, 0.5), Array(0.0, 0.0))
+    val got = session.runMatrix(xs)
+    xs.zip(got).foreach { case (x, out) =>
+      val h = Array.tabulate(2)(j =>
+        math.max(0.0, x(0) * w1(0)(j) + x(1) * w1(1)(j) + b1(j)))
+      val expect = Array.tabulate(3)(j =>
+        h(0) * w2(0)(j) + h(1) * w2(1)(j) + b2(j))
+      out.zip(expect).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-12, s"x=${x.toSeq}: $g vs $e") }
+    }
+    // scoring variant: same layers + Sigmoid, scalar run()
+    val spath = path + ".sig"
+    OnnxExport.exportMlp(Seq((w1, b1), (Array(Array(1.0), Array(-1.0)), Array(0.0))),
+      Seq("f1", "f2"), spath, finalSigmoid = true)
+    val scores = OnnxSession.load(spath).run(Array(Array(1.0, 2.0)))
+    assert(scores.length == 1 && scores(0) > 0 && scores(0) < 1)
+    // width mismatch between layers fails at export, not score time
+    intercept[IllegalArgumentException](
+      OnnxExport.exportMlp(Seq((w1, b1), (Array(Array(1.0)), Array(0.0))),
+        Seq("f1", "f2"), path + ".bad"))
+  }
+
   test("ExternalModelScorer: per-partition batched seam scores every row") {
     val df = (1 to 1000).map(i => (i.toLong, i * 0.5, i * 2.0)).toDF("id", "f1", "f2")
       .repartition(7)
