@@ -938,7 +938,8 @@ object OracleSql {
   private def pairFeaturesSql: String = {
     val tables = Seq("customer", "supplier", "orders", "nation", "region", "part")
     val pairs = Seq(("customer", "orders"), ("customer", "supplier"),
-      ("nation", "region"), ("part", "supplier"), ("orders", "supplier"))
+      ("nation", "region"), ("part", "supplier"), ("orders", "supplier"),
+      ("nation", "nation"), ("region", "region")) // Q8 self-pairs
       .map { case (a, b) => s"('$a','$b')" }.mkString(",")
     val jac = (da: String, db: String) =>
       s"CAST(len([i FOR i IN range(1, 101) IF $da[i] = $db[i]]) AS DOUBLE) / 100.0"

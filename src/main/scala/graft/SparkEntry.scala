@@ -850,8 +850,13 @@ object SparkEntry {
     import s.implicits._
     val profiles = lakeCatalog(s, dir)
       .filter(col("table_name").isin("customer", "supplier", "orders", "nation", "region", "part"))
+    // the two (t, t) rows are Q8 self-pairs — the reference scores a table
+    // against itself as the similarity sanity row; features must come out
+    // at their fixed points (jaccard/name/type all 1.0), which the oracle
+    // recomputes rather than assumes
     val pairs = Seq(("customer", "orders"), ("customer", "supplier"),
-      ("nation", "region"), ("part", "supplier"), ("orders", "supplier"))
+      ("nation", "region"), ("part", "supplier"), ("orders", "supplier"),
+      ("nation", "nation"), ("region", "region"))
       .toDF("table1", "table2")
     graft.ml.PairScoring.pairFeatures(pairs, profiles).orderBy("table1", "table2")
   }
