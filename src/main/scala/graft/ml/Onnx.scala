@@ -202,8 +202,13 @@ object OnnxExport {
 final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   import Proto._
 
-  private val model = parse(modelBytes)
+  private val model =
+    try parse(modelBytes)
+    catch { case e: RuntimeException =>
+      throw new IllegalArgumentException(
+        s"not a parseable ONNX ModelProto (${modelBytes.length} bytes): $e") }
   private val graph = parse(bytesAt(model, 7))
+  require(graph.nonEmpty, "ONNX model has no graph (field 7 missing/empty)")
 
   /** metadata_props["features"] — the batch column order. */
   val features: Seq[String] = allBytes(model, 14).flatMap { kv =>
