@@ -102,11 +102,8 @@ object FeatureAssembly {
     * uint32 of md5 bytes [8,12) extracted from the hex render — the same
     * base hash as MinHash.md5Low32, so DuckDB (`md5_number_lower & 2³²−1`)
     * can recompute it. */
-  private def md5Low32Col(c: Column): Column = {
-    val h = md5(c)
-    conv(concat(substring(h, 23, 2), substring(h, 21, 2),
-      substring(h, 19, 2), substring(h, 17, 2)), 16, 10).cast("long")
-  }
+  private def md5Low32Col(c: Column): Column =
+    graft.functions.SketchFunctions.md5_low32(c)
 
   /** A14 alt-sketch: hashing-trick term-frequency vector over the column's
     * whitespace tokens — `HashingVectorizer(n_features)` semantics

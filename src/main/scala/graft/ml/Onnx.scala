@@ -22,6 +22,49 @@ object OnnxExport {
   val OpsetVersion = 13L
   val DataTypeDouble = 11 // TensorProto.DataType.DOUBLE
 
+  // ---- shared protobuf constructors (one definition for all exporters) ----
+  private def tensorMsg(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] = {
+    import Proto._
+    concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeDouble),
+      lenDelim(10, packedDoubles(data)), stringField(8, name))
+  }
+  private def nodeMsg(op: String, ins: Seq[String], out: String): Array[Byte] = {
+    import Proto._
+    concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
+  }
+  private def valueInfoMsg(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
+    import Proto._
+    val shape = concat(dims.map {
+      case Left(param) => lenDelim(1, stringField(2, param))
+      case Right(v)    => lenDelim(1, varintField(1, v))
+    }: _*)
+    concat(stringField(1, name),
+      lenDelim(2, lenDelim(1, concat(varintField(1, DataTypeDouble), lenDelim(2, shape)))))
+  }
+
+  /** Assemble + write one ModelProto: ir_version 8, producer "graft",
+    * opset, the graph, and the feature column order in metadata_props. */
+  private def writeModel(path: String, graphName: String,
+                         nodes: Seq[Array[Byte]], inits: Seq[Array[Byte]],
+                         input: (String, Seq[Either[String, Long]]),
+                         output: (String, Seq[Either[String, Long]]),
+                         features: Seq[String]): Unit = {
+    import Proto._
+    val graph = concat(
+      (nodes.map(lenDelim(1, _)) ++ Seq(stringField(2, graphName)) ++
+        inits.map(lenDelim(5, _)) ++ Seq(
+        lenDelim(11, valueInfoMsg(input._1, input._2)),
+        lenDelim(12, valueInfoMsg(output._1, output._2)))): _*)
+    val modelBytes = concat(
+      varintField(1, 8L), stringField(2, "graft"), lenDelim(7, graph),
+      lenDelim(8, varintField(2, OpsetVersion)),
+      lenDelim(14, concat(stringField(1, "features"),
+        stringField(2, features.mkString(",")))))
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, modelBytes)
+  }
+
   /** Export the pipeline's logistic stage as an ONNX binary. Same fail-fast
     * validations as the JSON exporter: finite weights, a VectorAssembler
     * supplying the feature order, widths consistent. */
@@ -42,41 +85,17 @@ object OnnxExport {
       s"exportLogistic: ${feats.length} features vs ${coefs.length} coefficients")
 
     val d = coefs.length
-    def tensor(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] =
-      concat(
-        lenDelim(1, packedVarints(dims)),           // dims
-        varintField(2, DataTypeDouble),             // data_type
-        lenDelim(10, packedDoubles(data)),          // double_data
-        stringField(8, name))
-    def node(op: String, ins: Seq[String], out: String): Array[Byte] =
-      concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
-    def valueInfo(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
-      val shape = concat(dims.map {
-        case Left(param) => lenDelim(1, stringField(2, param))
-        case Right(v)    => lenDelim(1, varintField(1, v))
-      }: _*)
-      val tensorType = concat(varintField(1, DataTypeDouble), lenDelim(2, shape))
-      concat(stringField(1, name), lenDelim(2, lenDelim(1, tensorType)))
-    }
-    val graph = concat(
-      lenDelim(1, node("MatMul", Seq("features", "coef"), "z0")),
-      lenDelim(1, node("Add", Seq("z0", "intercept"), "z1")),
-      lenDelim(1, node("Sigmoid", Seq("z1"), "score")),
-      stringField(2, "graft_logistic"),
-      lenDelim(5, tensor("coef", Seq(d.toLong, 1L), coefs)),
-      lenDelim(5, tensor("intercept", Seq(1L), Array(lr.intercept))),
-      lenDelim(11, valueInfo("features", Seq(Left("N"), Right(d.toLong)))),
-      lenDelim(12, valueInfo("score", Seq(Left("N"), Right(1L)))))
-    val modelBytes = concat(
-      varintField(1, 8L),                            // ir_version
-      stringField(2, "graft"),                       // producer_name
-      lenDelim(7, graph),
-      lenDelim(8, varintField(2, OpsetVersion)),     // opset_import{version}
-      lenDelim(14, concat(                           // metadata_props
-        stringField(1, "features"), stringField(2, feats.mkString(",")))))
-    val p = java.nio.file.Paths.get(path)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, modelBytes)
+    writeModel(path, "graft_logistic",
+      nodes = Seq(
+        nodeMsg("MatMul", Seq("features", "coef"), "z0"),
+        nodeMsg("Add", Seq("z0", "intercept"), "z1"),
+        nodeMsg("Sigmoid", Seq("z1"), "score")),
+      inits = Seq(
+        tensorMsg("coef", Seq(d.toLong, 1L), coefs),
+        tensorMsg("intercept", Seq(1L), Array(lr.intercept))),
+      input = ("features", Seq(Left("N"), Right(d.toLong))),
+      output = ("score", Seq(Left("N"), Right(1L))),
+      features = feats)
   }
 
   /** Export an MLP head as ONNX — the reference's `SimpleModel` baseline
@@ -100,20 +119,6 @@ object OnnxExport {
       require(w.forall(r => r.length == b.length && r.forall(java.lang.Double.isFinite)) &&
         b.forall(java.lang.Double.isFinite), "exportMlp: ragged or non-finite layer")
     }
-    import Proto._
-    def tensor(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] =
-      concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeDouble),
-        lenDelim(10, packedDoubles(data)), stringField(8, name))
-    def node(op: String, ins: Seq[String], out: String): Array[Byte] =
-      concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
-    def valueInfo(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
-      val shape = concat(dims.map {
-        case Left(param) => lenDelim(1, stringField(2, param))
-        case Right(v)    => lenDelim(1, varintField(1, v))
-      }: _*)
-      concat(stringField(1, name),
-        lenDelim(2, lenDelim(1, concat(varintField(1, DataTypeDouble), lenDelim(2, shape)))))
-    }
     val d = features.length
     val kOut = layers.last._2.length
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -121,29 +126,22 @@ object OnnxExport {
     var cur = "features"
     layers.zipWithIndex.foreach { case ((w, b), i) =>
       val last = i == layers.length - 1
-      inits += lenDelim(5, tensor(s"w$i", Seq(w.length.toLong, b.length.toLong), w.flatten))
-      inits += lenDelim(5, tensor(s"b$i", Seq(b.length.toLong), b))
-      nodes += lenDelim(1, node("MatMul", Seq(cur, s"w$i"), s"mm$i"))
+      inits += tensorMsg(s"w$i", Seq(w.length.toLong, b.length.toLong), w.flatten)
+      inits += tensorMsg(s"b$i", Seq(b.length.toLong), b)
+      nodes += nodeMsg("MatMul", Seq(cur, s"w$i"), s"mm$i")
       val addOut = if (last && !finalSigmoid) "out" else s"a$i"
-      nodes += lenDelim(1, node("Add", Seq(s"mm$i", s"b$i"), addOut))
+      nodes += nodeMsg("Add", Seq(s"mm$i", s"b$i"), addOut)
       cur = addOut
       if (!last) {
-        nodes += lenDelim(1, node("Relu", Seq(cur), s"r$i")); cur = s"r$i"
+        nodes += nodeMsg("Relu", Seq(cur), s"r$i"); cur = s"r$i"
       } else if (finalSigmoid) {
-        nodes += lenDelim(1, node("Sigmoid", Seq(cur), "out")); cur = "out"
+        nodes += nodeMsg("Sigmoid", Seq(cur), "out"); cur = "out"
       }
     }
-    val graph = concat((nodes.toSeq ++ Seq(stringField(2, "graft_mlp")) ++ inits.toSeq ++ Seq(
-      lenDelim(11, valueInfo("features", Seq(Left("N"), Right(d.toLong)))),
-      lenDelim(12, valueInfo("out", Seq(Left("N"), Right(kOut.toLong)))))): _*)
-    val modelBytes = concat(
-      varintField(1, 8L), stringField(2, "graft"), lenDelim(7, graph),
-      lenDelim(8, varintField(2, OpsetVersion)),
-      lenDelim(14, concat(stringField(1, "features"),
-        stringField(2, features.mkString(",")))))
-    val p = java.nio.file.Paths.get(path)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, modelBytes)
+    writeModel(path, "graft_mlp", nodes.toSeq, inits.toSeq,
+      input = ("features", Seq(Left("N"), Right(d.toLong))),
+      output = ("out", Seq(Left("N"), Right(kOut.toLong))),
+      features = features)
   }
 
   /** Export a linear projection head `x·W + b` as ONNX — the Q1/Q6
@@ -160,36 +158,16 @@ object OnnxExport {
       "exportLinearMap: ragged weights or bias width mismatch")
     require(weights.forall(_.forall(java.lang.Double.isFinite)) &&
       bias.forall(java.lang.Double.isFinite), "exportLinearMap: non-finite weight")
-    import Proto._
-    def tensor(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] =
-      concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeDouble),
-        lenDelim(10, packedDoubles(data)), stringField(8, name))
-    def node(op: String, ins: Seq[String], out: String): Array[Byte] =
-      concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
-    def valueInfo(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
-      val shape = concat(dims.map {
-        case Left(param) => lenDelim(1, stringField(2, param))
-        case Right(v)    => lenDelim(1, varintField(1, v))
-      }: _*)
-      concat(stringField(1, name),
-        lenDelim(2, lenDelim(1, concat(varintField(1, DataTypeDouble), lenDelim(2, shape)))))
-    }
-    val graph = concat(
-      lenDelim(1, node("MatMul", Seq("features", "weights"), "z0")),
-      lenDelim(1, node("Add", Seq("z0", "bias"), "embedding")),
-      stringField(2, "graft_linear_map"),
-      lenDelim(5, tensor("weights", Seq(d.toLong, k.toLong), weights.flatten)),
-      lenDelim(5, tensor("bias", Seq(k.toLong), bias)),
-      lenDelim(11, valueInfo("features", Seq(Left("N"), Right(d.toLong)))),
-      lenDelim(12, valueInfo("embedding", Seq(Left("N"), Right(k.toLong)))))
-    val modelBytes = concat(
-      varintField(1, 8L), stringField(2, "graft"), lenDelim(7, graph),
-      lenDelim(8, varintField(2, OpsetVersion)),
-      lenDelim(14, concat(stringField(1, "features"),
-        stringField(2, features.mkString(",")))))
-    val p = java.nio.file.Paths.get(path)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, modelBytes)
+    writeModel(path, "graft_linear_map",
+      nodes = Seq(
+        nodeMsg("MatMul", Seq("features", "weights"), "z0"),
+        nodeMsg("Add", Seq("z0", "bias"), "embedding")),
+      inits = Seq(
+        tensorMsg("weights", Seq(d.toLong, k.toLong), weights.flatten),
+        tensorMsg("bias", Seq(k.toLong), bias)),
+      input = ("features", Seq(Left("N"), Right(d.toLong))),
+      output = ("embedding", Seq(Left("N"), Right(k.toLong))),
+      features = features)
   }
 }
 
@@ -359,6 +337,11 @@ private[ml] object Proto {
           i += 8; Fixed64V(v)
         case 2 =>
           val len = readVarint().toInt
+          // copyOfRange would silently zero-PAD past the end — a truncated
+          // model must fail at load, not score every row as sigmoid(0)
+          if (len < 0 || i + len > bytes.length)
+            throw new IllegalArgumentException(
+              s"truncated length-delimited field: $len bytes at offset $i of ${bytes.length}")
           val b = java.util.Arrays.copyOfRange(bytes, i, i + len)
           i += len; BytesV(b)
         case 5 =>

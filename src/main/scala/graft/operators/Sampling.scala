@@ -18,11 +18,8 @@ object Sampling {
 
   /** Little-endian uint32 of md5 bytes [8,12) — the engine's shared base
     * hash (`MinHash.md5Low32` ≡ DuckDB `md5_number_lower & 2³²−1`). */
-  private def md5Low32Col(c: Column): Column = {
-    val h = md5(c)
-    conv(concat(substring(h, 23, 2), substring(h, 21, 2),
-      substring(h, 19, 2), substring(h, 17, 2)), 16, 10).cast("long")
-  }
+  private def md5Low32Col(c: Column): Column =
+    graft.functions.SketchFunctions.md5_low32(c)
 
   private def threshold(fraction: Double): Long =
     math.floor(fraction * 4294967296.0).toLong

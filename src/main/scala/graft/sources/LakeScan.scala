@@ -60,7 +60,11 @@ object LakeScan {
     StructField("v_ts_us", LongType),
     StructField("v_date_days", IntegerType),
     StructField("v_bool", BooleanType),
-    StructField("v_arr", ArrayType(FloatType))))
+    StructField("v_arr", ArrayType(FloatType)),
+    // P-promotion marker: col_type says "date" (classification) while the
+    // VALUES are physically strings — renderLong must keep the string
+    // render + P2, exactly Profiler.cellExprs' physical-type split
+    StructField("date_promoted", BooleanType, nullable = false)))
 
   // slot ids → offset of the typed columns after the 6 key/meta fields
   private val SlotStr = 0; private val SlotLong = 1; private val SlotFloat = 2
@@ -69,9 +73,12 @@ object LakeScan {
   private val SlotBase = 7
 
   /** Per-column decode plan: field position, reference-logical type, the
-    * variant slot, and the (already-null-checked) value extractor. */
+    * variant slot, and the (already-null-checked) value extractor.
+    * `datePromoted` mirrors `Profiler.DatePromotedKey`: classification is
+    * "date", physical values stay strings. */
   private final case class ColPlan(idx: Int, name: String, colType: String,
-                                   slot: Int, get: (Group, Int) => Any)
+                                   slot: Int, get: (Group, Int) => Any,
+                                   datePromoted: Boolean = false)
 
   /** `InputFile` over the bytes a binaryFile scan already holds — the
     * standard in-memory adapter (no Hadoop round-trip per file). */
@@ -91,7 +98,8 @@ object LakeScan {
     * ms/us/ns timestamps, float-list embeddings); anything else fails
     * loudly — the per-table path handles exotic schemas.
     */
-  private def planFor(schema: MessageType, table: String): Array[ColPlan] = {
+  private def planFor(schema: MessageType, table: String,
+                      promoted: Set[String]): Array[ColPlan] = {
     schema.getFields.asScala.zipWithIndex.map { case (t, i) =>
       def unsupported(what: String) = throw new UnsupportedOperationException(
         s"LakeScan: unsupported $what for column '${t.getName}' of table " +
@@ -103,8 +111,12 @@ object LakeScan {
             case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation |
                  _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation |
                  _: LogicalTypeAnnotation.JsonLogicalTypeAnnotation =>
-              ColPlan(i, t.getName, "string", SlotStr,
-                (g, f) => g.getBinary(f, 0).toStringUsingUTF8)
+              // date-promoted string columns (RobustCsv.promoteDates, via
+              // the Spark schema in the footer): classified "date", values
+              // rendered as strings — same split as Profiler.logicalType
+              val dp = promoted.contains(t.getName)
+              ColPlan(i, t.getName, if (dp) "date" else "string", SlotStr,
+                (g, f) => g.getBinary(f, 0).toStringUsingUTF8, datePromoted = dp)
             case a => unsupported(s"BINARY annotation $a")
           }
           case PrimitiveTypeName.INT32 => ann match {
@@ -239,7 +251,12 @@ object LakeScan {
         case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
         case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
         case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
-        case (x: String, y: String) => x.compareTo(y)
+        case (x: String, y: String) =>
+          // UTF-8 byte order, matching Spark orderBy's UTF8String compare
+          // (Java compareTo is UTF-16 code-unit order, which disagrees for
+          // supplementary characters vs BMP chars >= U+E000)
+          val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+          java.util.Arrays.compareUnsigned(xb, yb)
         case (x, _) => throw new UnsupportedOperationException(
           s"LakeScan: unsupported row-cap key type ${x.getClass}")
       }
@@ -259,21 +276,40 @@ object LakeScan {
                        keys: Map[String, Seq[String]],
                        rowCap: Option[Int]): Iterator[Row] = {
     val in = ParquetFileReader.open(new ByteArrayInputFile(bytes))
-    val schema = in.getFooter.getFileMetaData.getSchema
-    val plans = planFor(schema, table)
+    val meta = in.getFooter.getFileMetaData
+    val schema = meta.getSchema
+    // date-promoted columns ride the Spark schema JSON in the footer
+    // (the same metadata Profiler.logicalType(StructField) honors)
+    val promoted: Set[String] =
+      Option(meta.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap { json =>
+          try Some(DataType.fromJson(json).asInstanceOf[StructType])
+          catch { case _: Exception => None }
+        }
+        .map(_.fields.filter(f =>
+          f.metadata.contains(graft.profile.Profiler.DatePromotedKey) &&
+            f.metadata.getBoolean(graft.profile.Profiler.DatePromotedKey))
+          .map(_.name).toSet)
+        .getOrElse(Set.empty)
+    val plans = planFor(schema, table, promoted)
+    val width = SlotBase + 9 // 8 typed slots + date_promoted
 
     def rowsOf(vals: Array[Any], rowId: Long): Iterator[Row] =
       plans.iterator.map { p =>
-        val slots = new Array[Any](SlotBase + 8)
+        val slots = new Array[Any](width)
         slots(0) = table; slots(1) = p.idx; slots(2) = p.name
         slots(3) = p.colType; slots(4) = true; slots(5) = rowId; slots(6) = path
         if (vals(p.idx) != null) slots(SlotBase + p.slot) = vals(p.idx)
+        slots(width - 1) = p.datePromoted
         Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(slots))
       }
     val sentinels = plans.iterator.map { p =>
-      val slots = new Array[Any](SlotBase + 8)
+      val slots = new Array[Any](width)
       slots(0) = table; slots(1) = p.idx; slots(2) = p.name
-      slots(3) = p.colType; slots(4) = false
+      // src_file set on sentinels too: the multi-file cap detection and
+      // snapshot empty-table rows key off the per-(table, file) sentinels
+      slots(3) = p.colType; slots(4) = false; slots(6) = path
+      slots(width - 1) = p.datePromoted
       Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(slots))
     }
 
@@ -308,6 +344,20 @@ object LakeScan {
     */
   def rawCells(spark: SparkSession, dir: String, tables: Seq[String],
                rowCap: Option[Int]): DataFrame = {
+    val cells = decodeScan(spark, dir, tables, rowCap)
+    rowCap match {
+      case Some(cap) =>
+        // the per-file keyed heap is only a PRE-filter when a keyed table
+        // spans several part files — re-select the global top-cap rows
+        val multiKeyed = multiFileKeyedTables(spark, dir, tables)
+        if (multiKeyed.isEmpty) cells
+        else globalKeyedCap(spark, dir, cells, multiKeyed, cap)
+      case None => cells
+    }
+  }
+
+  private def decodeScan(spark: SparkSession, dir: String, tables: Seq[String],
+                         rowCap: Option[Int]): DataFrame = {
     require(tables.nonEmpty, "LakeScan needs at least one table")
     val paths = tables.map(t => s"$dir/$t.parquet")
     // pathGlobFilter: Spark-written tables are DIRECTORIES of part files
@@ -315,24 +365,91 @@ object LakeScan {
     val bin0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet").load(paths: _*)
       .select(col("path"), col("content"))
+    // re-spread decode work: round-robin (no hash collisions — each row IS
+    // one file, so this is genuinely one-file-per-task up to the partition
+    // count); large lakes already arrive with ample partitions
+    val spread = math.max(tables.size, spark.sparkContext.defaultParallelism * 2)
     val bin =
       if (tables.size <= spark.sparkContext.defaultParallelism * 4)
-        bin0.repartition(tables.size, col("path"))
+        bin0.repartition(spread)
       else bin0
     val keyMap = Lake.TableKeys
     val cap = rowCap
+    // resolve each file to its table from the REQUESTED names (deepest
+    // match wins), not by grabbing a '.parquet' path segment — a lake
+    // directory itself named '*.parquet' would otherwise swallow every
+    // table into one name
+    val known = tables.toArray
     val enc = Encoders.row(RawSchema)
     bin.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .mapPartitions { it =>
         it.flatMap { case (path, bytes) =>
-          // table = the FIRST '<name>.parquet' path segment: the single
-          // file itself, or the table directory a part file lives in
-          val name = path.split('/')
-            .find(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
-            .getOrElse(path)
+          val name = known.filter { t =>
+            path.endsWith(s"/$t.parquet") || path.contains(s"/$t.parquet/")
+          }.sortBy(t => path.lastIndexOf(s"/$t.parquet")).lastOption
+            .getOrElse(throw new IllegalStateException(
+              s"LakeScan: file $path matches no requested table"))
           readFile(name, path, bytes, keyMap, cap)
         }
       }(enc)
+  }
+
+  /** Keyed tables stored as MORE than one parquet leaf — detected from a
+    * driver-side FS listing (metadata only, the same listing the
+    * binaryFile load performs; no Spark jobs, no per-table plans). */
+  private def multiFileKeyedTables(spark: SparkSession, dir: String,
+                                   tables: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.filter(Lake.TableKeys.contains).filter { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      try {
+        val fs = p.getFileSystem(conf)
+        fs.getFileStatus(p).isDirectory && {
+          fs.listStatus(p).count(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet")) > 1
+        }
+      } catch { case _: java.io.FileNotFoundException => false }
+    }
+  }
+
+  /** Global ORDER BY key LIMIT cap across a table's part files: a scoped
+    * second decode of ONLY the multi-file keyed tables extracts each
+    * (pre-filtered) row's key tuple, a per-table window ranks them —
+    * bounded input: ≤ nFiles×cap rows per table after the per-file heaps —
+    * and the main cell relation keeps only the winning (file, row) pairs.
+    * Single-file tables stream through the left joins untouched.
+    */
+  private def globalKeyedCap(spark: SparkSession, dir: String, cells: DataFrame,
+                             multiKeyed: Seq[String], cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyRel = spark.createDataFrame(
+      multiKeyed.flatMap { t =>
+        Lake.TableKeys(t).zipWithIndex.map { case (k, i) => (t, k, i) }
+      }).toDF("table_name", "col_name", "key_pos")
+    val scoped = decodeScan(spark, dir, multiKeyed, Some(cap))
+    // one row per data row of a multi-file keyed table, its key tuple as a
+    // sort key: (key_pos asc, variant slots) — within one key column every
+    // row populates the SAME slot, so struct field order is inert and
+    // null-first matches the decoder's null-first key compare
+    val rowKeys = scoped.filter(col("present"))
+      .join(broadcast(keyRel), Seq("table_name", "col_name"))
+      .groupBy(col("table_name"), col("src_file"), col("row_id"))
+      .agg(sort_array(collect_list(struct(col("key_pos"),
+        struct(col("v_long"), col("v_date_days"), col("v_ts_us"),
+          col("v_float"), col("v_double"), col("v_str")).as("kv")))).as("k"))
+    val keep = rowKeys
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("table_name")).orderBy(col("k"))))
+      .filter(col("rk") <= cap)
+      .select(col("table_name"), col("src_file"), col("row_id"),
+        lit(true).as("__keep"))
+    val multiFlag = spark.createDataFrame(multiKeyed.map(Tuple1(_)))
+      .toDF("table_name").withColumn("__multi", lit(true))
+    cells
+      .join(broadcast(multiFlag), Seq("table_name"), "left")
+      .join(keep, Seq("table_name", "src_file", "row_id"), "left")
+      .filter(!col("present") || col("__multi").isNull || col("__keep").isNotNull)
+      .drop("__multi", "__keep")
   }
 
   /** Render variant rows into the long-format relation `Profiler
@@ -359,7 +476,11 @@ object LakeScan {
       dt.cast("string"),
       col("v_arr").cast("string"))
     val valueStr =
-      when(col("col_type") === "string", nullif(rawRender, lit("")))      // P2
+      // P2 empty→null for PHYSICAL strings — including date-promoted
+      // columns, whose col_type says "date" but whose values are strings
+      // (cellExprs branches on the physical type the same way)
+      when(col("col_type") === "string" || col("date_promoted"),
+        nullif(rawRender, lit("")))
         .when(lit(!renderNumerics), lit(null).cast("string"))
         .otherwise(rawRender)
     val valueNum = coalesce(
@@ -393,9 +514,8 @@ object LakeScan {
     */
   def snapshotLakeUnified(spark: SparkSession, dir: String, tables: Seq[String],
                           rowCap: Option[Int]): DataFrame = {
-    val cells = renderLong(rawCells(spark, dir, tables, rowCap), withRaw = true)
-      .filter(col("present"))
-    val rowStrs = cells
+    val all = renderLong(rawCells(spark, dir, tables, rowCap), withRaw = true)
+    val rowStrs = all.filter(col("present"))
       // src_file in the key: row_id is a PER-FILE ordinal, so multi-part
       // tables must not merge cells of same-ordinal rows across files
       .groupBy(col("table_name"), col("src_file"), col("row_id"))
@@ -404,7 +524,15 @@ object LakeScan {
       .select(col("table_name"),
         concat_ws(" ", transform(col("cells"), c => c.getField("value_raw")))
           .as("row_str"))
-    rowStrs.groupBy(col("table_name"))
+    // one null row per table from the schema sentinels: minhash_agg skips
+    // nulls, so populated tables are unaffected while an EMPTY table still
+    // yields its one empty-digest row — same contract as the per-table
+    // Profiler.contentSnapshot global aggregate
+    val sentinelRows = all.filter(!col("present"))
+      .select(col("table_name")).distinct()
+      .select(col("table_name"), lit(null).cast("string").as("row_str"))
+    rowStrs.unionByName(sentinelRows)
+      .groupBy(col("table_name"))
       .agg(graft.functions.SketchFunctions.minhash_agg(col("row_str"))
         .as("content_snapshot"))
   }

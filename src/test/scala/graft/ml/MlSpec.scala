@@ -146,6 +146,19 @@ class PairScoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](session.run(Array(Array(1.0, 2.0, 3.0))))
   }
 
+  test("truncated ONNX artifact fails at load, not as sigmoid(0) scores") {
+    val w = Array(Array(1.0, -1.0), Array(0.5, 2.0))
+    val b = Array(0.1, -0.2)
+    val path = java.nio.file.Files.createTempDirectory("graft_onnx_trunc")
+      .resolve("t.onnx").toString
+    OnnxExport.exportLinearMap(w, b, Seq("f1", "f2"), path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // cut inside the weights tensor: protobuf copyOfRange would otherwise
+    // zero-pad and every score would silently come out sigmoid(0)
+    intercept[IllegalArgumentException](new OnnxSession(bytes.dropRight(12)))
+    intercept[IllegalArgumentException](new OnnxSession(Array[Byte](1, 2, 3)))
+  }
+
   test("ONNX MLP (SimpleModel shape) executes Linear-ReLU-Linear") {
     // the reference's 2-layer baseline head (SimpleModel.py:3-16)
     val w1 = Array(Array(1.0, -1.0), Array(0.5, 2.0))   // 2 -> 2

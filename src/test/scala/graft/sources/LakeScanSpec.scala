@@ -114,6 +114,68 @@ class LakeScanSpec extends SparkSpec {
     assert(unionCount(loop10) > 0 && aggCount(loop10) > aggCount(p10))
   }
 
+  test("multi-part keyed table: global cap parity with the per-table path") {
+    // customer split over 3 shuffled part files, cap WELL below the table
+    // size: the per-file heap alone would keep 3x the cap — the global
+    // re-selection must reduce to exactly Lake.read's ORDER BY key LIMIT n
+    val tmp = java.nio.file.Files.createTempDirectory("graft_parts").toString
+    Lake.read(spark, dir, "customer")
+      .orderBy(expr("hash(c_custkey)")).repartition(3)
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val loop = Profiler.profileLake(spark, tmp, Seq("customer"), rowCap = Some(40))
+    val unified = Profiler.profileLakeUnified(spark, tmp, Seq("customer"), rowCap = Some(40))
+    assertParity(unified, loop)
+  }
+
+  test("date-promoted staging parquet keeps its 'date' classification") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_promoted").toString
+    val staged = graft.ingest.RobustCsv.promoteDates(
+      Seq((1L, "2021-01-15", "x"), (2L, "2021-02-20", "y"),
+        (3L, "2021-03-25", null), (4L, null, "z"), (5L, "2021-05-05", "w"))
+        .toDF("id", "when_str", "note"))
+    assert(Profiler.logicalType(staged.schema("when_str")) == "date") // fixture sane
+    staged.write.mode("overwrite").parquet(s"$tmp/dated.parquet")
+    val loop = Profiler.profileLake(spark, tmp, Seq("dated"))
+    val unified = Profiler.profileLakeUnified(spark, tmp, Seq("dated"))
+    // the promoted column must be CLASSIFIED date while its values stay
+    // strings (P2 applied) — and the whole profile must stay bit-identical
+    val ct = unified.filter(col("col_name") === "when_str")
+      .select("col_type").collect().map(_.getString(0)).toSeq
+    assert(ct == Seq("date"), s"promoted column classified $ct")
+    assertParity(unified, loop)
+  }
+
+  test("lake directory itself named *.parquet resolves table names correctly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_lakedir").toString
+    val lakeDir = s"$base/export.parquet"
+    Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"), (5L, "v"))
+      .toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$lakeDir/a.parquet")
+    Seq((10L, 1.5), (20L, 2.5), (30L, 3.5))
+      .toDF("k", "x").coalesce(1)
+      .write.mode("overwrite").parquet(s"$lakeDir/b.parquet")
+    val prof = Profiler.profileLakeUnified(spark, lakeDir, Seq("a", "b"))
+    val rows = prof.select("table_name", "rows").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("a" -> 5L, "b" -> 3L),
+      s"tables merged or misnamed: $rows")
+  }
+
+  test("empty table still yields one snapshot row (sentinel-fed aggregate)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_emptysnap").toString
+    Seq.empty[(Long, String)].toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/hollow.parquet")
+    val perTable = Profiler.contentSnapshot(
+      spark.read.parquet(s"$tmp/hollow.parquet"), "hollow")
+    val unified = LakeScan.snapshotLakeUnified(spark, tmp, Seq("hollow"), Some(10000))
+    def c(df: org.apache.spark.sql.DataFrame) = df.toJSON.collect().toSeq
+    assert(unified.count() == 1, "empty table dropped from unified snapshots")
+    assert(c(unified) == c(perTable))
+  }
+
   test("unsupported parquet types fail loudly, pointing at the per-table path") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_unsup").toString
