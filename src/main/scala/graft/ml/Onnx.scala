@@ -24,16 +24,13 @@ object OnnxExport {
 
   // ---- shared protobuf constructors (one definition for all exporters) ----
   private def tensorMsg(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] = {
-    import Proto._
     concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeDouble),
       lenDelim(10, packedDoubles(data)), stringField(8, name))
   }
   private def nodeMsg(op: String, ins: Seq[String], out: String): Array[Byte] = {
-    import Proto._
     concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
   }
   private def valueInfoMsg(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
-    import Proto._
     val shape = concat(dims.map {
       case Left(param) => lenDelim(1, stringField(2, param))
       case Right(v)    => lenDelim(1, varintField(1, v))
@@ -49,7 +46,6 @@ object OnnxExport {
                          input: (String, Seq[Either[String, Long]]),
                          output: (String, Seq[Either[String, Long]]),
                          features: Seq[String]): Unit = {
-    import Proto._
     val graph = concat(
       (nodes.map(lenDelim(1, _)) ++ Seq(stringField(2, graphName)) ++
         inits.map(lenDelim(5, _)) ++ Seq(

@@ -61,9 +61,13 @@ object Profiler {
     * values ARE strings — only the classification changes, exactly the
     * reference's split between df values and col_types.
     */
+  /** The single definition of the promotion check — LakeScan's footer
+    * decoding and this classification must never diverge. */
+  def isDatePromoted(f: StructField): Boolean =
+    f.metadata.contains(DatePromotedKey) && f.metadata.getBoolean(DatePromotedKey)
+
   def logicalType(f: StructField): String =
-    if (f.metadata.contains(DatePromotedKey) && f.metadata.getBoolean(DatePromotedKey)) "date"
-    else logicalType(f.dataType)
+    if (isDatePromoted(f)) "date" else logicalType(f.dataType)
 
   /** Logical type in the reference's 4-type system (SURVEY §1.2). */
   def logicalType(dt: DataType): String = dt match {

@@ -229,15 +229,34 @@ object LakeScan {
       def next(): Array[Any] = {
         val g = reader.read()
         inGroup += 1; emitted += 1
+        // out is POSITIONAL over `plans` (which may be a filtered subset);
+        // the parquet field index is always plans(i).idx
         val out = new Array[Any](plans.length)
         var i = 0
         while (i < plans.length) {
-          out(i) = if (g.getFieldRepetitionCount(i) == 0) null else plans(i).get(g, i)
+          val f = plans(i).idx
+          out(i) = if (g.getFieldRepetitionCount(f) == 0) null else plans(i).get(g, f)
           i += 1
         }
         out
       }
     }
+
+  /** Code-point string compare == UTF-8 byte order == Spark orderBy's
+    * UTF8String order. Java `compareTo` (UTF-16 code units) disagrees for
+    * supplementary characters vs BMP chars ≥ U+E000; encoding both sides
+    * to UTF-8 bytes per comparison would allocate in the heap's hot loop —
+    * code-point iteration gives the same order allocation-free. */
+  private def compareUtf8(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cp1 = x.codePointAt(i)
+      val cp2 = y.codePointAt(j)
+      if (cp1 != cp2) return Integer.compare(cp1, cp2)
+      i += Character.charCount(cp1); j += Character.charCount(cp2)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
 
   /** Spark-orderBy-compatible key compare (nulls first, then natural). */
   private def compareKeys(a: Array[Any], b: Array[Any], idxs: Array[Int]): Int = {
@@ -251,12 +270,7 @@ object LakeScan {
         case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
         case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y)
         case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y)
-        case (x: String, y: String) =>
-          // UTF-8 byte order, matching Spark orderBy's UTF8String compare
-          // (Java compareTo is UTF-16 code-unit order, which disagrees for
-          // supplementary characters vs BMP chars >= U+E000)
-          val (xb, yb) = (x.getBytes("UTF-8"), y.getBytes("UTF-8"))
-          java.util.Arrays.compareUnsigned(xb, yb)
+        case (x: String, y: String) => compareUtf8(x, y)
         case (x, _) => throw new UnsupportedOperationException(
           s"LakeScan: unsupported row-cap key type ${x.getClass}")
       }
@@ -274,7 +288,8 @@ object LakeScan {
     */
   private def readFile(table: String, path: String, bytes: Array[Byte],
                        keys: Map[String, Seq[String]],
-                       rowCap: Option[Int]): Iterator[Row] = {
+                       rowCap: Option[Int],
+                       onlyCols: Option[Set[String]] = None): Iterator[Row] = {
     val in = ParquetFileReader.open(new ByteArrayInputFile(bytes))
     val meta = in.getFooter.getFileMetaData
     val schema = meta.getSchema
@@ -286,20 +301,24 @@ object LakeScan {
           try Some(DataType.fromJson(json).asInstanceOf[StructType])
           catch { case _: Exception => None }
         }
-        .map(_.fields.filter(f =>
-          f.metadata.contains(graft.profile.Profiler.DatePromotedKey) &&
-            f.metadata.getBoolean(graft.profile.Profiler.DatePromotedKey))
+        .map(_.fields.filter(graft.profile.Profiler.isDatePromoted)
           .map(_.name).toSet)
         .getOrElse(Set.empty)
-    val plans = planFor(schema, table, promoted)
+    // onlyCols: projection pushdown for the scoped key-extraction pass —
+    // plans keep their ORIGINAL parquet field idx, data arrays are
+    // positional over the (possibly filtered) plan list
+    val plans = {
+      val all = planFor(schema, table, promoted)
+      onlyCols.map(cs => all.filter(p => cs.contains(p.name))).getOrElse(all)
+    }
     val width = SlotBase + 9 // 8 typed slots + date_promoted
 
     def rowsOf(vals: Array[Any], rowId: Long): Iterator[Row] =
-      plans.iterator.map { p =>
+      plans.iterator.zipWithIndex.map { case (p, pos) =>
         val slots = new Array[Any](width)
         slots(0) = table; slots(1) = p.idx; slots(2) = p.name
         slots(3) = p.colType; slots(4) = true; slots(5) = rowId; slots(6) = path
-        if (vals(p.idx) != null) slots(SlotBase + p.slot) = vals(p.idx)
+        if (vals(pos) != null) slots(SlotBase + p.slot) = vals(pos)
         slots(width - 1) = p.datePromoted
         Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(slots))
       }
@@ -357,7 +376,8 @@ object LakeScan {
   }
 
   private def decodeScan(spark: SparkSession, dir: String, tables: Seq[String],
-                         rowCap: Option[Int]): DataFrame = {
+                         rowCap: Option[Int],
+                         onlyCols: Option[Set[String]] = None): DataFrame = {
     require(tables.nonEmpty, "LakeScan needs at least one table")
     val paths = tables.map(t => s"$dir/$t.parquet")
     // pathGlobFilter: Spark-written tables are DIRECTORIES of part files
@@ -380,6 +400,7 @@ object LakeScan {
     // directory itself named '*.parquet' would otherwise swallow every
     // table into one name
     val known = tables.toArray
+    val only = onlyCols
     val enc = Encoders.row(RawSchema)
     bin.as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .mapPartitions { it =>
@@ -389,7 +410,7 @@ object LakeScan {
           }.sortBy(t => path.lastIndexOf(s"/$t.parquet")).lastOption
             .getOrElse(throw new IllegalStateException(
               s"LakeScan: file $path matches no requested table"))
-          readFile(name, path, bytes, keyMap, cap)
+          readFile(name, path, bytes, keyMap, cap, only)
         }
       }(enc)
   }
@@ -405,8 +426,16 @@ object LakeScan {
       try {
         val fs = p.getFileSystem(conf)
         fs.getFileStatus(p).isDirectory && {
-          fs.listStatus(p).count(s =>
-            s.isFile && s.getPath.getName.endsWith(".parquet")) > 1
+          // RECURSIVE leaf walk: binaryFile enumerates partition subdirs
+          // (key=value layouts), so the multi-file test must see the same
+          // leaves a direct-children listStatus would miss
+          val it = fs.listFiles(p, true)
+          var n = 0
+          while (n <= 1 && it.hasNext) {
+            val s = it.next()
+            if (s.isFile && s.getPath.getName.endsWith(".parquet")) n += 1
+          }
+          n > 1
         }
       } catch { case _: java.io.FileNotFoundException => false }
     }
@@ -426,30 +455,49 @@ object LakeScan {
       multiKeyed.flatMap { t =>
         Lake.TableKeys(t).zipWithIndex.map { case (k, i) => (t, k, i) }
       }).toDF("table_name", "col_name", "key_pos")
-    val scoped = decodeScan(spark, dir, multiKeyed, Some(cap))
+    val keyWidth = spark.createDataFrame(
+      multiKeyed.map(t => (t, Lake.TableKeys(t).size)))
+      .toDF("table_name", "n_keys")
+    // key cells only: the scoped second decode skips every non-key column
+    val keyCols = multiKeyed.flatMap(t => Lake.TableKeys(t)).toSet
+    val scoped = decodeScan(spark, dir, multiKeyed, Some(cap), onlyCols = Some(keyCols))
     // one row per data row of a multi-file keyed table, its key tuple as a
     // sort key: (key_pos asc, variant slots) — within one key column every
     // row populates the SAME slot, so struct field order is inert and
-    // null-first matches the decoder's null-first key compare
+    // null-first matches the decoder's null-first key compare. Rows whose
+    // key tuple is INCOMPLETE (a part file without the key columns —
+    // readFile then falls back to file-order capping) are excluded here
+    // and handled by the has-keys gate below.
     val rowKeys = scoped.filter(col("present"))
       .join(broadcast(keyRel), Seq("table_name", "col_name"))
       .groupBy(col("table_name"), col("src_file"), col("row_id"))
       .agg(sort_array(collect_list(struct(col("key_pos"),
         struct(col("v_long"), col("v_date_days"), col("v_ts_us"),
           col("v_float"), col("v_double"), col("v_str")).as("kv")))).as("k"))
+      .join(broadcast(keyWidth), Seq("table_name"))
+      .filter(size(col("k")) === col("n_keys"))
     val keep = rowKeys
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("table_name")).orderBy(col("k"))))
       .filter(col("rk") <= cap)
       .select(col("table_name"), col("src_file"), col("row_id"),
         lit(true).as("__keep"))
+    // a table that shares a TableKeys NAME but lacks the key columns
+    // produced no rowKeys; dropping its rows against an empty keep set
+    // would silently empty the table — gate the filter on the table
+    // actually having key rows (the decoder capped it per-file, the same
+    // graceful fallback the keyed heap takes for key-less files)
+    val hasKeys = keep.select(col("table_name")).distinct()
+      .withColumn("__hk", lit(true))
     val multiFlag = spark.createDataFrame(multiKeyed.map(Tuple1(_)))
       .toDF("table_name").withColumn("__multi", lit(true))
     cells
       .join(broadcast(multiFlag), Seq("table_name"), "left")
+      .join(broadcast(hasKeys), Seq("table_name"), "left")
       .join(keep, Seq("table_name", "src_file", "row_id"), "left")
-      .filter(!col("present") || col("__multi").isNull || col("__keep").isNotNull)
-      .drop("__multi", "__keep")
+      .filter(!col("present") || col("__multi").isNull || col("__hk").isNull ||
+        col("__keep").isNotNull)
+      .drop("__multi", "__hk", "__keep")
   }
 
   /** Render variant rows into the long-format relation `Profiler

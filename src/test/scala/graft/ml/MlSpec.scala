@@ -153,9 +153,13 @@ class PairScoringSpec extends SparkSpec {
       .resolve("t.onnx").toString
     OnnxExport.exportLinearMap(w, b, Seq("f1", "f2"), path)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    // cut inside the weights tensor: protobuf copyOfRange would otherwise
-    // zero-pad and every score would silently come out sigmoid(0)
-    intercept[IllegalArgumentException](new OnnxSession(bytes.dropRight(12)))
+    // the model tail is [graph][opset 4B][metadata_props 19B]: cut at
+    // several depths so truncation lands in metadata, in the graph, AND
+    // inside the weights tensor — copyOfRange would otherwise zero-pad
+    // the weights and every score would silently come out sigmoid(0)
+    Seq(12, 30, 60, bytes.length / 2).foreach { cut =>
+      intercept[IllegalArgumentException](new OnnxSession(bytes.dropRight(cut)))
+    }
     intercept[IllegalArgumentException](new OnnxSession(Array[Byte](1, 2, 3)))
   }
 

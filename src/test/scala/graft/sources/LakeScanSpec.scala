@@ -176,6 +176,21 @@ class LakeScanSpec extends SparkSpec {
     assert(c(unified) == c(perTable))
   }
 
+  test("multi-part table named like a keyed table but WITHOUT key columns is not emptied") {
+    // 'orders' is in Lake.TableKeys, but this user table lacks o_orderkey:
+    // the decoder falls back to per-file capping; the global re-selection
+    // must gate on key rows actually existing instead of dropping every
+    // row against an empty keep set
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_keyless").toString
+    (1 to 30).map(i => (s"n$i", i * 1.0)).toDF("name", "amount")
+      .repartition(2)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val prof = Profiler.profileLakeUnified(spark, tmp, Seq("orders"), rowCap = Some(100))
+    val rows = prof.select("rows").distinct().collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(30L), s"key-less multi-part table lost rows: $rows")
+  }
+
   test("unsupported parquet types fail loudly, pointing at the per-table path") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_unsup").toString
