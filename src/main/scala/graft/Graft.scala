@@ -128,6 +128,12 @@ object Graft {
   def upsertCatalog(profiles: DataFrame, path: String): Unit =
     store.SketchStore.upsertParquet(profiles, path)
 
+  /** Migration audit: slot-level digest agreement between two sketch
+    * catalogs (e.g. engine sketches in `core.ReferenceMinHash` parity
+    * mode vs reference-produced documents). */
+  def compareSketchCatalogs(a: DataFrame, b: DataFrame): DataFrame =
+    store.SketchStore.compareDigests(a, b)
+
   // ---- custom joins ----
 
   /** Latest right row with ts <= left ts per key (one key shuffle). */

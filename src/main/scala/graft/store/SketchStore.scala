@@ -46,6 +46,30 @@ object SketchStore {
     }
   }
 
+  /** Migration audit: slot-level agreement between two sketch catalogs —
+    * e.g. an engine catalog re-sketched in `ReferenceMinHash` parity mode
+    * vs digests parsed out of reference-produced `{hash}.json.bz2` docs.
+    * One row per common (table, column): slots compared, slots equal,
+    * exact-match flag. Full outer join, so columns present on only one
+    * side surface as rows with null counterparts instead of vanishing.
+    */
+  def compareDigests(a: DataFrame, b: DataFrame,
+                     digestCol: String = "minhash_exact"): DataFrame = {
+    val l = a.select(col("table_name"), col("col_name"),
+      col(digestCol).as("dig_a"))
+    val r = b.select(col("table_name"), col("col_name"),
+      col(digestCol).as("dig_b"))
+    l.join(r, Seq("table_name", "col_name"), "full_outer")
+      .select(col("table_name"), col("col_name"),
+        when(col("dig_a").isNotNull && col("dig_b").isNotNull,
+          size(col("dig_a"))).as("n_slots"),
+        when(col("dig_a").isNotNull && col("dig_b").isNotNull,
+          size(filter(zip_with(col("dig_a"), col("dig_b"), (x, y) => x === y),
+            e => e))).as("n_equal"),
+        (col("dig_a").isNotNull && col("dig_b").isNotNull &&
+          col("dig_a") === col("dig_b")).as("exact_match"))
+  }
+
   /** JSON parity writer: one document per table —
     * `{"table_metadata":{"file_name":…,"rows":…},"columns":{name:{…}}}`.
     * `codec` defaults to bzip2 for reference `{hash}.json.bz2` parity; pass

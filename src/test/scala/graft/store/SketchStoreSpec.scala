@@ -69,4 +69,24 @@ class SketchStoreUpsertSpec extends SparkSpec {
       .first().getAs[scala.collection.Seq[Long]]("minhash_exact")
     assert(storedDigest == origDigest)
   }
+
+  test("compareDigests reports slot agreement and one-sided columns") {
+    import spark.implicits._
+    val digA = Seq(1L, 2L, 3L, 4L)
+    val digB = Seq(1L, 2L, 9L, 4L) // one slot differs
+    val a = Seq(("t", "same", digA), ("t", "drift", digA), ("t", "only_a", digA))
+      .toDF("table_name", "col_name", "minhash_exact")
+    val b = Seq(("t", "same", digA), ("t", "drift", digB), ("t", "only_b", digB))
+      .toDF("table_name", "col_name", "minhash_exact")
+    val out = graft.store.SketchStore.compareDigests(a, b).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(out("same").getAs[Boolean]("exact_match"))
+    assert(out("same").getAs[Int]("n_equal") == 4)
+    assert(!out("drift").getAs[Boolean]("exact_match"))
+    assert(out("drift").getAs[Int]("n_equal") == 3 &&
+      out("drift").getAs[Int]("n_slots") == 4)
+    // one-sided columns surface as rows (full outer), not silently vanish
+    assert(out.contains("only_a") && out.contains("only_b"))
+    assert(out("only_a").isNullAt(out("only_a").fieldIndex("n_slots")))
+  }
 }
