@@ -29,10 +29,25 @@ object Graft {
   /** Profile every table of a parquet lake into the long-format sketch
     * catalog (capped at the reference's 10k rows unless overridden).
     * ONE fixed-shape job regardless of table count (multi-path binary
-    * scan + keyed aggregation) — the loop-free path for 40k-table lakes. */
+    * scan + keyed aggregation) — the loop-free path for 40k-table lakes.
+    * Tables whose parquet types the unified decoder cannot express
+    * (decimals, maps/structs, non-float lists) are detected up front by
+    * a one-job footer probe and profiled through the per-table path, so
+    * mixed lakes profile completely instead of failing mid-job. */
   def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
-                  rowCap: Option[Int] = Some(10000)): DataFrame =
-    profile.Profiler.profileLakeUnified(spark, dir, tables, rowCap = rowCap)
+                  rowCap: Option[Int] = Some(10000)): DataFrame = {
+    val exotic = sources.LakeScan.unsupportedTables(spark, dir, tables).toSet
+    val unified = tables.filterNot(exotic)
+    val parts =
+      (if (unified.nonEmpty)
+        Seq(profile.Profiler.profileLakeUnified(spark, dir, unified, rowCap = rowCap))
+      else Nil) ++
+      (if (exotic.nonEmpty)
+        Seq(profile.Profiler.profileLake(spark, dir, tables.filter(exotic),
+          rowCap = rowCap))
+      else Nil)
+    parts.reduce(_ unionByName _)
+  }
 
   /** Whole-table content snapshot (A13). */
   def snapshot(df: DataFrame, tableName: String): DataFrame =

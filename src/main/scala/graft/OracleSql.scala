@@ -1415,7 +1415,9 @@ object OracleSql {
     "o7_seeded_shuffle" ->
       """SELECT pos, c_custkey FROM (
         |  SELECT CAST(row_number() OVER (
-        |      ORDER BY md5('42' || chr(1) || CAST(c_custkey AS VARCHAR)), c_custkey)
+        |      ORDER BY md5('42' || chr(1) ||
+        |        CASE WHEN c_custkey IS NULL THEN '0' ELSE '1' END || chr(1) ||
+        |        coalesce(CAST(c_custkey AS VARCHAR), '')), c_custkey)
         |    AS BIGINT) AS pos,
         |    CAST(c_custkey AS BIGINT) AS c_custkey
         |  FROM customer)

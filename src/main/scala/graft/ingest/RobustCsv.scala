@@ -46,8 +46,14 @@ object RobustCsv {
     * the deterministic cases, and Latin-1 decodes every byte sequence, so
     * the fallback never throws — exactly the reference's error-tolerance.
     */
-  def detectCharset(spark: SparkSession, path: String): String = {
-    val bytes = headBytes(spark, path, 64 * 1024)
+  def detectCharset(spark: SparkSession, path: String): String =
+    detectCharsetFromBytes(headBytes(spark, path, 64 * 1024))
+
+  /** Pure core of [[detectCharset]] over an (up to 64 KiB) head sample —
+    * shared with the executor-side decoder ([[graft.sources.CsvScan]]),
+    * which must sniff IDENTICALLY to this driver chain or the two paths
+    * could classify the same file differently. */
+  def detectCharsetFromBytes(bytes: Array[Byte]): String = {
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) "UTF-16BE"
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe) "UTF-16LE"
     else if (validUtf8(bytes)) "UTF-8" // UTF-8 BOM is itself valid UTF-8
@@ -73,9 +79,13 @@ object RobustCsv {
     * consistent per-line count wins (reference uses `sep=None` python-engine
     * sniffing, `data_prep.py:76`).
     */
-  def sniffDelimiter(spark: SparkSession, path: String, charset: String = "UTF-8"): String = {
-    val head = new String(headBytes(spark, path, 64 * 1024), charset)
-      .split("\r?\n").iterator.filter(_.nonEmpty).take(20).toArray
+  def sniffDelimiter(spark: SparkSession, path: String, charset: String = "UTF-8"): String =
+    sniffDelimiterFromHead(new String(headBytes(spark, path, 64 * 1024), charset))
+
+  /** Pure core of [[sniffDelimiter]] over the decoded head sample (same
+    * 64 KiB prefix) — shared with the executor-side decoder. */
+  def sniffDelimiterFromHead(headText: String): String = {
+    val head = headText.split("\r?\n").iterator.filter(_.nonEmpty).take(20).toArray
     if (head.isEmpty) ","
     else CandidateDelimiters.maxBy { d =>
       val counts = head.map(_.split(java.util.regex.Pattern.quote(d), -1).length)

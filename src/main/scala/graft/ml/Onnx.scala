@@ -176,24 +176,30 @@ object OnnxExport {
 final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   import Proto._
 
-  private val model =
-    try parse(modelBytes)
+  // EVERY nested parse goes through this wrapper, not just the top-level
+  // ModelProto: malformed bytes can be length-consistent at the outer
+  // framing while a nested graph/node/tensor message is garbage — those
+  // must surface as not-a-ModelProto too, not as a raw bounds error.
+  private def parsed(what: String, b: Array[Byte]): Message =
+    try parse(b)
     catch { case e: RuntimeException =>
       throw new IllegalArgumentException(
-        s"not a parseable ONNX ModelProto (${modelBytes.length} bytes): $e") }
-  private val graph = parse(bytesAt(model, 7))
+        s"not a parseable ONNX ModelProto ($what, ${b.length} bytes): $e") }
+
+  private val model = parsed("model", modelBytes)
+  private val graph = parsed("graph", bytesAt(model, 7))
   require(graph.nonEmpty, "ONNX model has no graph (field 7 missing/empty)")
 
   /** metadata_props["features"] — the batch column order. */
   val features: Seq[String] = allBytes(model, 14).flatMap { kv =>
-    val m = parse(kv)
+    val m = parsed("metadata_props", kv)
     if (stringAt(m, 1) == "features") stringAt(m, 2).split(',').toSeq else Nil
   }
 
   private case class Tensor(dims: Array[Int], data: Array[Double])
 
   private val initializers: Map[String, Tensor] = allBytes(graph, 5).map { t =>
-    val m = parse(t)
+    val m = parsed("initializer", t)
     val dims = packedVarintsAt(m, 1).map(_.toInt)
     require(varintAt(m, 2) == OnnxExport.DataTypeDouble,
       s"OnnxSession executes DOUBLE tensors; got data_type ${varintAt(m, 2)}")
@@ -202,11 +208,11 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
 
   private case class Node(op: String, ins: Seq[String], out: String)
   private val nodes: Seq[Node] = allBytes(graph, 1).map { n =>
-    val m = parse(n)
+    val m = parsed("node", n)
     Node(stringAt(m, 4), allBytes(m, 1).map(new String(_, "UTF-8")), stringAt(m, 2))
   }
-  private val inputName: String = stringAt(parse(bytesAt(graph, 11)), 1)
-  private val outputName: String = stringAt(parse(bytesAt(graph, 12)), 1)
+  private val inputName: String = stringAt(parsed("input", bytesAt(graph, 11)), 1)
+  private val outputName: String = stringAt(parsed("output", bytesAt(graph, 12)), 1)
 
   /** Forward one [n, d] batch → n scores (the [n, 1] output flattened;
     * use [[runMatrix]] for wider heads). */
@@ -318,8 +324,19 @@ private[ml] object Proto {
     var i = 0
     def readVarint(): Long = {
       var shift = 0; var v = 0L
-      while ({ val b = bytes(i); i += 1; v |= (b & 0x7fL) << shift; shift += 7
-               (b & 0x80) != 0 }) ()
+      var more = true
+      while (more) {
+        // explicit bound: a varint running off the buffer end must surface
+        // as not-a-ModelProto, not an ArrayIndexOutOfBoundsException —
+        // malformed bytes can be length-consistent at the OUTER framing
+        // while a nested message ends mid-varint
+        if (i >= bytes.length)
+          throw new IllegalArgumentException(s"truncated varint at offset $i")
+        if (shift > 63)
+          throw new IllegalArgumentException(s"varint overflow at offset $i")
+        val b = bytes(i); i += 1; v |= (b & 0x7fL) << shift; shift += 7
+        more = (b & 0x80) != 0
+      }
       v
     }
     while (i < bytes.length) {
@@ -328,6 +345,8 @@ private[ml] object Proto {
       val value: Value = wire match {
         case 0 => VarintV(readVarint())
         case 1 =>
+          if (i + 8 > bytes.length)
+            throw new IllegalArgumentException(s"truncated fixed64 at offset $i")
           val v = java.nio.ByteBuffer.wrap(bytes, i, 8)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
           i += 8; Fixed64V(v)
@@ -341,6 +360,8 @@ private[ml] object Proto {
           val b = java.util.Arrays.copyOfRange(bytes, i, i + len)
           i += len; BytesV(b)
         case 5 =>
+          if (i + 4 > bytes.length)
+            throw new IllegalArgumentException(s"truncated fixed32 at offset $i")
           val v = java.nio.ByteBuffer.wrap(bytes, i, 4)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
           i += 4; Fixed32V(v)
@@ -368,8 +389,13 @@ private[ml] object Proto {
         var i = 0
         while (i < b.length) {
           var shift = 0; var v = 0L
-          while ({ val x = b(i); i += 1; v |= (x & 0x7fL) << shift; shift += 7
-                   (x & 0x80) != 0 }) ()
+          var more = true
+          while (more) {
+            if (i >= b.length) throw new IllegalArgumentException(
+              "truncated packed varint")
+            val x = b(i); i += 1; v |= (x & 0x7fL) << shift; shift += 7
+            more = (x & 0x80) != 0
+          }
           out += v
         }
         out.toSeq

@@ -67,10 +67,12 @@ object LakeScan {
     StructField("date_promoted", BooleanType, nullable = false)))
 
   // slot ids → offset of the typed columns after the 6 key/meta fields
-  private val SlotStr = 0; private val SlotLong = 1; private val SlotFloat = 2
-  private val SlotDouble = 3; private val SlotTs = 4; private val SlotDate = 5
-  private val SlotBool = 6; private val SlotArr = 7
-  private val SlotBase = 7
+  // (private[sources]: CsvScan emits the same variant schema)
+  private[sources] val SlotStr = 0; private[sources] val SlotLong = 1
+  private[sources] val SlotFloat = 2; private[sources] val SlotDouble = 3
+  private[sources] val SlotTs = 4; private[sources] val SlotDate = 5
+  private[sources] val SlotBool = 6; private[sources] val SlotArr = 7
+  private[sources] val SlotBase = 7
 
   /** Per-column decode plan: field position, reference-logical type, the
     * variant slot, and the (already-null-checked) value extractor.
@@ -415,6 +417,50 @@ object LakeScan {
       }(enc)
   }
 
+  /** Parquet-footer supportability probe: the tables whose schema the
+    * unified decoder cannot express (decimals, maps/structs, non-float
+    * lists — [[planFor]]'s loud-error surface). ONE footer per table,
+    * read on the EXECUTORS in a single tiny metadata-only job — no
+    * driver loop, so a 40k-table probe is still one job. Callers route
+    * the returned tables through the per-table `Lake.read` path.
+    */
+  def unsupportedTables(spark: SparkSession, dir: String,
+                        tables: Seq[String]): Seq[String] = {
+    if (tables.isEmpty) return Nil
+    // hadoop conf as a plain serializable map (SerializableConfiguration
+    // is private[spark]); executors rebuild it for FS access
+    val confMap = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val d = dir
+    spark.sparkContext.parallelize(tables, math.min(tables.size,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .filter { t =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+        val fs = p.getFileSystem(conf)
+        val leaf =
+          if (fs.getFileStatus(p).isFile) p
+          else {
+            val it = fs.listFiles(p, true)
+            var found: org.apache.hadoop.fs.Path = null
+            while (found == null && it.hasNext) {
+              val s = it.next()
+              if (s.isFile && s.getPath.getName.endsWith(".parquet")) found = s.getPath
+            }
+            found
+          }
+        leaf == null || {
+          val in = ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(leaf, conf))
+          try {
+            try { planFor(in.getFooter.getFileMetaData.getSchema, t, Set.empty); false }
+            catch { case _: UnsupportedOperationException => true }
+          } finally in.close()
+        }
+      }.collect().toSeq.sorted
+  }
+
   /** Keyed tables stored as MORE than one parquet leaf — detected from a
     * driver-side FS listing (metadata only, the same listing the
     * binaryFile load performs; no Spark jobs, no per-table plans). */
@@ -482,18 +528,21 @@ object LakeScan {
       .filter(col("rk") <= cap)
       .select(col("table_name"), col("src_file"), col("row_id"),
         lit(true).as("__keep"))
-    // a table that shares a TableKeys NAME but lacks the key columns
-    // produced no rowKeys; dropping its rows against an empty keep set
-    // would silently empty the table — gate the filter on the table
-    // actually having key rows (the decoder capped it per-file, the same
-    // graceful fallback the keyed heap takes for key-less files)
-    val hasKeys = keep.select(col("table_name")).distinct()
+    // a part file that lacks the key columns produced no rowKeys (its key
+    // tuples are incomplete); dropping its rows against an empty keep set
+    // would silently empty that file — gate the filter PER (table, file):
+    // only files that actually yielded complete key tuples participate in
+    // the global re-selection, rows from key-less files pass through with
+    // their per-file file-order cap (the same graceful fallback the keyed
+    // heap takes inside the decoder). Table-level gating would silently
+    // drop a mixed table's key-less files.
+    val hasKeys = rowKeys.select(col("table_name"), col("src_file")).distinct()
       .withColumn("__hk", lit(true))
     val multiFlag = spark.createDataFrame(multiKeyed.map(Tuple1(_)))
       .toDF("table_name").withColumn("__multi", lit(true))
     cells
       .join(broadcast(multiFlag), Seq("table_name"), "left")
-      .join(broadcast(hasKeys), Seq("table_name"), "left")
+      .join(broadcast(hasKeys), Seq("table_name", "src_file"), "left")
       .join(keep, Seq("table_name", "src_file", "row_id"), "left")
       .filter(!col("present") || col("__multi").isNull || col("__hk").isNull ||
         col("__keep").isNotNull)
@@ -561,8 +610,14 @@ object LakeScan {
     * `concat_ws(" ", cols…)`), then one MinHash aggregation per table.
     */
   def snapshotLakeUnified(spark: SparkSession, dir: String, tables: Seq[String],
-                          rowCap: Option[Int]): DataFrame = {
-    val all = renderLong(rawCells(spark, dir, tables, rowCap), withRaw = true)
+                          rowCap: Option[Int]): DataFrame =
+    snapshotFromRaw(rawCells(spark, dir, tables, rowCap))
+
+  /** [[snapshotLakeUnified]]'s aggregate over an already-decoded variant
+    * cell relation — shared by the parquet scan above and the CSV lake
+    * decoder ([[CsvScan]]). */
+  def snapshotFromRaw(raw: DataFrame): DataFrame = {
+    val all = renderLong(raw, withRaw = true)
     val rowStrs = all.filter(col("present"))
       // src_file in the key: row_id is a PER-FILE ordinal, so multi-part
       // tables must not merge cells of same-ordinal rows across files

@@ -62,8 +62,17 @@ object Splits {
     * on partition index, so a repartition would reorder "the same" seed).
     * DuckDB replays the identical order with its own `md5`, which makes
     * training-order shuffles oracle-verifiable. */
-  def shuffleKey(seed: Long, keys: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
-    md5(concat_ws("\u0001", (lit(seed.toString) +: keys.map(_.cast("string"))): _*))
+  def shuffleKey(seed: Long, keys: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    // Null keys are encoded EXPLICITLY (null-flag digit + value coalesced
+    // to "") so the hash input stays injective: concat_ws alone SKIPS
+    // nulls, making rows that differ only in WHICH nullable key is null
+    // hash identically -- and diverging from the oracle's NULL-propagating
+    // `||` replay. Every piece below is non-null, so concat_ws just joins.
+    val enc = keys.flatMap(k => Seq(
+      when(k.isNull, lit("0")).otherwise(lit("1")),
+      coalesce(k.cast("string"), lit(""))))
+    md5(concat_ws("\u0001", (lit(seed.toString) +: enc): _*))
+  }
 
   /** O7: deterministic seeded shuffle of a relation (training-order
     * shuffles, `tabular_dataset.py:18-19`). `keyCols` defaults to all

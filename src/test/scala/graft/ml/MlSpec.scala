@@ -163,6 +163,23 @@ class PairScoringSpec extends SparkSpec {
     intercept[IllegalArgumentException](new OnnxSession(Array[Byte](1, 2, 3)))
   }
 
+  test("malformed-but-length-consistent nested bytes fail as not-a-ModelProto") {
+    import Proto._
+    // Outer framing VALID — field 7 (graph) with a correct length — but
+    // the graph content ends mid-varint (lone continuation byte). Must
+    // surface as the not-a-ModelProto error, not a raw bounds exception.
+    val badGraph = lenDelim(7, Array(0x80.toByte))
+    val e1 = intercept[IllegalArgumentException](new OnnxSession(badGraph))
+    assert(e1.getMessage.contains("not a parseable ONNX ModelProto"))
+    // same inside a NESTED node message: graph parses, node bytes don't
+    val badNode = lenDelim(7, lenDelim(1, Array(0x80.toByte)))
+    val e2 = intercept[IllegalArgumentException](new OnnxSession(badNode))
+    assert(e2.getMessage.contains("not a parseable ONNX ModelProto"))
+    // unbounded varint (11 continuation bytes) inside an initializer
+    val badTensor = lenDelim(7, lenDelim(5, Array.fill(11)(0x80.toByte) :+ 0x01.toByte))
+    intercept[IllegalArgumentException](new OnnxSession(badTensor))
+  }
+
   test("ONNX MLP (SimpleModel shape) executes Linear-ReLU-Linear") {
     // the reference's 2-layer baseline head (SimpleModel.py:3-16)
     val w1 = Array(Array(1.0, -1.0), Array(0.5, 2.0))   // 2 -> 2

@@ -191,6 +191,49 @@ class LakeScanSpec extends SparkSpec {
     assert(rows == Seq(30L), s"key-less multi-part table lost rows: $rows")
   }
 
+  test("mixed multi-part keyed table: key-less part files survive the global cap") {
+    // 'orders' stored as TWO part files — one WITH o_orderkey, one without:
+    // only the keyed file's rows enter the global re-selection; the
+    // key-less file must keep its per-file file-order cap instead of being
+    // silently dropped by a table-level has-keys gate
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mixedparts").toString
+    (1 to 20).map(i => (i.toLong, s"v$i")).toDF("o_orderkey", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    (1 to 15).map(i => (s"n$i", i * 1.0)).toDF("name", "amount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/aside")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/aside"))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(s"$tmp/orders.parquet/part-keyless.parquet"))
+    val prof = Profiler.profileLakeUnified(spark, tmp, Seq("orders"), rowCap = Some(10))
+    val rows = prof.select("col_name", "rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("o_orderkey") == 10L && rows("v") == 10L,
+      s"keyed part file mis-capped: $rows")
+    assert(rows("name") == 10L && rows("amount") == 10L,
+      s"key-less part file dropped or mis-capped: $rows")
+  }
+
+  test("Graft.profileLake routes unsupported-type tables through the per-table path") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mixedtypes").toString
+    Seq((1L, BigDecimal("1.23")), (2L, BigDecimal("4.56"))).toDF("id", "dec")
+      .write.mode("overwrite").parquet(s"$tmp/money.parquet")
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$tmp/plain.parquet")
+    assert(LakeScan.unsupportedTables(spark, tmp, Seq("money", "plain")) == Seq("money"))
+    val prof = graft.Graft.profileLake(spark, tmp, Seq("money", "plain"))
+    val byTable = prof.groupBy("table_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTable == Map("money" -> 2L, "plain" -> 2L),
+      s"mixed lake lost tables: $byTable")
+    // the fallback leg is the ordinary per-table profile, bit-identical
+    val direct = Profiler.profile(Lake.read(spark, tmp, "money"), "money")
+    assertParity(prof.filter(col("table_name") === "money"), direct)
+  }
+
   test("unsupported parquet types fail loudly, pointing at the per-table path") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_unsup").toString

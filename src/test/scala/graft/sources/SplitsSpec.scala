@@ -42,4 +42,16 @@ class SplitsSpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(!a.sameElements(1 to 50))
   }
+
+  test("shuffleKey encodes nulls injectively: (null,x) and (x,null) differ") {
+    // concat_ws alone SKIPS nulls, so both rows would hash the same string
+    // "seedx" — the explicit null-flag encoding keeps the input
+    // injective and matches a NULL-propagating oracle replay
+    import spark.implicits._
+    val df = Seq((Option("x"), Option.empty[String]),
+      (Option.empty[String], Option("x"))).toDF("a", "b")
+    val keys = df.select(Splits.shuffleKey(7L, Seq(col("a"), col("b"))))
+      .collect().map(_.getString(0))
+    assert(keys(0) != keys(1), "null position lost in shuffle key")
+  }
 }
