@@ -37,13 +37,20 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up, untimed
+      // force a collection BETWEEN queries, outside the timed window: a
+      // composite 70+-query run accumulates enough heap that a full GC
+      // pause lands inside some query's all-three samples and misreports
+      // it at a multiple of its isolated cost (round-5 postmortem:
+      // ann_cosine_topk read 6x its isolated time)
+      System.gc()
       name -> (1 to 3).map(_ => once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val lp = lakePlanBench(spark)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"lake_plan":$lp,"sf":"$sfDir"}""")
+    val cp = csvPlanBench(spark)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -79,6 +86,61 @@ object Bench {
     val uni40 = timed2(run(Profiler.profileLakeUnified(spark, dir, names.take(nSmall))))
     val uni400 = timed2(run(Profiler.profileLakeUnified(spark, dir, names)))
     f"""{"tables_small":$nSmall,"tables_big":$nBig,"loop_${nSmall}":$loop40%.3f,"unified_${nSmall}":$uni40%.3f,"unified_${nBig}":$uni400%.3f}"""
+  }
+
+  /** Structural benchmark for the CSV ingest arm: per-file driver loop
+    * (robust read + profile per file — the pre-round-6 SketchBuild shape)
+    * vs the single-job executor-side decode, at 40 and 400 files. Same
+    * rationale as [[lakePlanBench]]: tiny files, so the measurement IS
+    * driver/scheduling cost — the dimension that makes a 40k-file CSV
+    * lake a ~80k-sequential-job ingest under the loop.
+    */
+  private def csvPlanBench(spark: SparkSession): String = {
+    import graft.sources.{CsvScan, LakeScan}
+    import graft.profile.Profiler
+    import graft.ingest.RobustCsv
+    val dir = "/tmp/graft_bench_microcsvlake"
+    val nBig = 400
+    val nSmall = 40
+    val files = ensureCsvMicroLake(dir, nBig)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def loop(fs: Seq[String]): Unit =
+      run(fs.map { p =>
+        val n = p.split('/').last.stripSuffix(".csv")
+        Profiler.profile(RobustCsv.read(spark, p).get, n)
+      }.reduce(_ unionByName _))
+    def unified(fs: Seq[String]): Unit = {
+      val scan = CsvScan.scanLake(spark, CsvScan.tableNames(fs))
+      run(Profiler.profileFromLong(LakeScan.renderLong(scan.cells)))
+      scan.cells.unpersist()
+    }
+    // warm both paths (JIT, codegen cache) on a 3-file slice
+    loop(files.take(3)); unified(files.take(3))
+    def timed2(f: => Unit): Double = { System.gc(); math.min(time(f), time(f)) }
+    val loop40 = { System.gc(); time(loop(files.take(nSmall))) }
+    val uni40 = timed2(unified(files.take(nSmall)))
+    val uni400 = timed2(unified(files))
+    f"""{"files_small":$nSmall,"files_big":$nBig,"loop_${nSmall}":$loop40%.3f,"unified_${nSmall}":$uni40%.3f,"unified_${nBig}":$uni400%.3f}"""
+  }
+
+  /** 50-row 4-column CSVs, one template copied N times (content is
+    * irrelevant — this measures per-file DRIVER cost). */
+  private def ensureCsvMicroLake(dir: String, n: Int): Seq[String] = {
+    import java.nio.file._
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    val content = ("id,name,val,flag" +:
+      (0 until 50).map(i => s"$i,name$i,${i * 1.5},${if (i % 2 == 0) "y" else "n"}"))
+      .mkString("", "\n", "\n")
+    val paths = (0 until n).map(i => d.resolve(f"c$i%04d.csv"))
+    paths.foreach { p =>
+      if (!Files.exists(p)) Files.write(p, content.getBytes("UTF-8"))
+    }
+    paths.map(_.toString)
   }
 
   /** 50-row 4-column tables: one Spark-written template file, copied N

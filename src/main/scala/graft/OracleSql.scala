@@ -137,6 +137,118 @@ object OracleSql {
        |ORDER BY table_name, col_idx""".stripMargin
   }
 
+  // ---- Q1/Q7 ONNX fixtures (shared with SparkEntry so both sides build
+  // from ONE formula; all values exact binary fractions → bit-equality) --
+  private[graft] def q1Weight(i: Int, j: Int): Double = ((i + 1) * (j + 2) % 5) * 0.5 - 1.0
+  private[graft] def q1Bias(j: Int): Double = 0.1 * (j + 1)
+
+  /** q7_onnx_score: recompute sigmoid(coef·x + b) from the exported JSON
+    * twin of the ONNX head over the same feature formulas. The engine
+    * side scores through the parsed ONNX ModelProto, so a wire-format,
+    * parse, or execution bug breaks the hash. */
+  private def q7OnnxScoreSql: String =
+    """WITH m AS (
+      |  SELECT * FROM read_json_auto('/tmp/graft_fixtures/q7_head.json')),
+      |xs AS (
+      |  SELECT i, (i % 7) * 0.5 - 1.5 AS x1, (i % 5) * 0.25 AS x2,
+      |         (i % 3) * 1.0 - 1.0 AS x3
+      |  FROM generate_series(1, 40) t(i))
+      |SELECT CAST(i AS BIGINT) AS id,
+      |  round(1.0 / (1.0 + exp(-(
+      |    m.coefficients[1] * x1 + m.coefficients[2] * x2 +
+      |    m.coefficients[3] * x3 + m.intercept))), 6) AS score_r
+      |FROM xs, m ORDER BY id""".stripMargin
+
+  /** q1_embed_extract: replay mean-pooling + the exported linear map
+    * (weights from the shared [[q1Weight]]/[[q1Bias]] formulas) with the
+    * ONNX session's summation order, float-narrowed like the embedder. */
+  private def q1EmbedExtractSql: String = {
+    val terms = (0 until 2).map { j =>
+      val dot = (0 until 3).map(i => s"p$i * ${q1Weight(i, j)}").mkString(" + ")
+      s"round(CAST(CAST($dot + ${q1Bias(j)} AS REAL) AS DOUBLE), 6) AS e${j}_r"
+    }
+    s"""WITH toks AS (
+       |  SELECT c AS col_id, s, ((c * 7 + t * 3 + s) % 11) * 0.25 - 1.0 AS v
+       |  FROM generate_series(1, 6) a(c), generate_series(1, 4) b(t),
+       |       generate_series(0, 2) d(s)),
+       |pooled AS (
+       |  SELECT col_id,
+       |    avg(CASE WHEN s = 0 THEN v END) AS p0,
+       |    avg(CASE WHEN s = 1 THEN v END) AS p1,
+       |    avg(CASE WHEN s = 2 THEN v END) AS p2
+       |  FROM toks GROUP BY col_id)
+       |SELECT CAST(col_id AS BIGINT) AS col_id, ${terms.mkString(", ")}
+       |FROM pooled ORDER BY col_id""".stripMargin
+  }
+
+  /** lake_csv_unified: DuckDB re-reads the CSV fixture lake (written by
+    * `SparkEntry.lakeCsvUnifiedQ` before oracles run) with PINNED column
+    * types — the types Spark's inference must produce — and recomputes
+    * the per-column stats, cross-checking the executor-side decode's
+    * sniffing, tokenization, inference replay, date promotion, and the
+    * decimal-file reject routing. `tiny.csv` (<5 rows) must be absent.
+    */
+  private def lakeCsvUnifiedSql: String = {
+    val dir = "/tmp/graft_fixtures/csv_lake"
+    // (cteName, tableLiteral, reader, cols: (name, colType, v, nv))
+    val tables: Seq[(String, String, String, Seq[(String, String, String, String)])] = Seq(
+      ("calpha", "alpha",
+        // seen reads as VARCHAR: duckdb's TIMESTAMP cast needs seconds,
+        // the fixture exercises the no-seconds grammar Spark accepts
+        s"""SELECT *, strptime("when", '%Y/%m/%d') AS wh_d,
+           |  CAST(CASE WHEN length(seen) = 16 THEN seen || ':00' ELSE seen END AS TIMESTAMP) AS seen_t
+           |  FROM read_csv('$dir/alpha.csv', header=true, dateformat='%Y-%m-%d', columns={'id':'BIGINT','amount':'DOUBLE','big':'BIGINT','flag':'BOOLEAN','day':'DATE','seen':'VARCHAR','note':'VARCHAR','when':'VARCHAR'})""".stripMargin,
+        Seq(
+          ("id", "integer", "CAST(id AS VARCHAR)", "CAST(id AS DOUBLE)"),
+          ("amount", "float", "CAST(amount AS VARCHAR)", "amount"),
+          ("big", "integer", "CAST(big AS VARCHAR)", "CAST(big AS DOUBLE)"),
+          ("flag", "string", "CAST(flag AS VARCHAR)", "CAST(NULL AS DOUBLE)"),
+          ("day", "date", "CAST(day AS VARCHAR)", "floor(epoch(day))"),
+          ("seen", "date", "CAST(seen_t AS VARCHAR)", "floor(epoch(seen_t))"),
+          ("note", "string", "note", "CAST(NULL AS DOUBLE)"),
+          // promoted: classified date, values stay strings (no numerics)
+          ("when", "date", "\"when\"", "CAST(NULL AS DOUBLE)"),
+          ("when_DATE", "date", "CAST(wh_d AS VARCHAR)", "floor(epoch(wh_d))"))),
+      ("cbeta", "beta",
+        s"""SELECT * FROM read_csv('$dir/beta.csv', header=true, delim=';', columns={'k':'BIGINT','v':'VARCHAR','w':'DOUBLE'})""",
+        Seq(
+          ("k", "integer", "CAST(k AS VARCHAR)", "CAST(k AS DOUBLE)"),
+          ("v", "string", "v", "CAST(NULL AS DOUBLE)"),
+          ("w", "float", "CAST(w AS VARCHAR)", "w"))),
+      ("cgamma", "gamma",
+        s"""SELECT * FROM read_csv('$dir/gamma.csv.gz', header=true, columns={'x':'BIGINT','y':'VARCHAR'})""",
+        Seq(
+          ("x", "integer", "CAST(x AS VARCHAR)", "CAST(x AS DOUBLE)"),
+          ("y", "string", "y", "CAST(NULL AS DOUBLE)"))),
+      ("crowidx", "rowidx",
+        s"""SELECT * FROM read_csv('$dir/rowidx.csv', header=true, columns={'row_index':'BIGINT','name':'VARCHAR','val':'BIGINT'})""",
+        Seq( // row_index dropped (S4); sanitized names
+          ("name", "string", "name", "CAST(NULL AS DOUBLE)"),
+          ("val", "integer", "CAST(val AS VARCHAR)", "CAST(val AS DOUBLE)"))),
+      ("cdec", "dec",
+        s"""SELECT * FROM read_csv('$dir/dec.csv', header=true, columns={'id':'BIGINT','huge':'DECIMAL(23,0)'})""",
+        Seq( // the reject-routed file: driver chain reads it as decimal
+          ("id", "integer", "CAST(id AS VARCHAR)", "CAST(id AS DOUBLE)"),
+          ("huge", "float", "CAST(huge AS VARCHAR)", "CAST(huge AS DOUBLE)"))))
+    val ctes = tables.map { case (cte, _, rdr, _) => s"$cte AS (\n$rdr)" }
+    val unions = tables.flatMap { case (cte, tbl, _, cols) =>
+      cols.zipWithIndex.map { case ((cn, ct, v, nv), i) =>
+        s"SELECT '$tbl' AS t, $i AS ci, '$cn' AS cn, '$ct' AS ct, $v AS v, $nv AS nv FROM $cte"
+      }
+    }
+    s"""WITH ${ctes.mkString(",\n")},
+       |cells AS (
+       |  ${unions.mkString("\n  UNION ALL ")})
+       |SELECT t AS table_name, CAST(ci AS BIGINT) AS col_idx, cn AS col_name,
+       |  ct AS col_type, count(*) AS n_rows, count(*) - count(v) AS num_nan,
+       |  count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
+       |  CASE WHEN ct = 'string'
+       |    THEN round(CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v), 6) END AS cell_width_r,
+       |  round(min(nv), 6) AS min_r, round(max(nv), 6) AS max_r
+       |FROM cells GROUP BY t, ci, cn, ct
+       |ORDER BY table_name, col_idx""".stripMargin
+  }
+
   /** lake_profile_unified: per-column stats of ALL TEN driver tables —
     * the widest type surface the unified decoder covers (ns timestamps,
     * float-list embeddings included). Stats need only render INJECTIVITY
@@ -1337,6 +1449,12 @@ object OracleSql {
     // ---- sketch pipeline (digest-exact via md5-derived base hash) ----
     "profile_sketches" -> profileSketchesSql,
     "lake_profile_unified" -> lakeProfileUnifiedSql,
+    "lake_csv_unified" -> lakeCsvUnifiedSql,
+    "q7_onnx_score" -> q7OnnxScoreSql,
+    "q1_embed_extract" -> q1EmbedExtractSql,
+    // same semantics as o4_search_minhash — the e2e row additionally
+    // routes the catalog through a store round-trip before searching
+    "e2e_lake_search" -> searchMinhashSql,
     "content_snapshots" -> contentSnapshotsSql,
     "j5_minhash_pairs" -> minhashPairsSql,
     "d_minhash_lsh" -> minhashLshSql,

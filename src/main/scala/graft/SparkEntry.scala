@@ -354,6 +354,133 @@ object SparkEntry {
         round(col("min_v"), 6).as("min_r"), round(col("max_v"), 6).as("max_r"))
       .orderBy("table_name", "col_idx")
 
+  /** E1's CSV arm end-to-end: a deterministic CSV micro-lake — typed
+    * columns (int/long/double/bool/date/timestamp/string), a
+    * date-promoted yyyy/MM/dd column, a semicolon-sniffed file, a gzip
+    * file, a messy quoted header with a row_index column, a decimal file
+    * the strict in-task decoder REJECTS to the driver chain, and a
+    * <5-row file P4 skips — decoded by `CsvScan`'s single-job binaryFile
+    * scan, profiled through the one keyed aggregate, fallback files
+    * profiled via `RobustCsv`. The oracle re-reads the same CSVs with
+    * pinned types and recomputes every stat, so sniffing, tokenization,
+    * inference replay, promotion, and the reject routing are all
+    * DuckDB-cross-checked. */
+  private def lakeCsvUnifiedQ(s: SparkSession, dir: String): DataFrame = {
+    val d = java.nio.file.Paths.get("/tmp/graft_fixtures/csv_lake")
+    java.nio.file.Files.createDirectories(d)
+    def w(name: String, content: String): Unit =
+      java.nio.file.Files.write(d.resolve(name), content.getBytes("UTF-8"))
+    w("alpha.csv",
+      "id,amount,big,flag,day,seen,note,when\n" +
+      "1,1.5,3000000000,true,2021-01-15,2021-01-15 10:30:00,hello,2021/01/15\n" +
+      "2,2.5,4000000000,false,2021-02-20,2021-02-20 11:45:30.123,\"with,comma\",2021/02/20\n" +
+      "3,3.75,5000000000,True,2021-03-25,2021-03-25T12:00:00,,2021/03/25\n" +
+      "4,4.0,6000000000,false,,2021-04-01 09:15,world,2021/04/30\n" +
+      "5,500.0,7000000000,true,2021-05-05,2021-05-05 00:00:00,x y,2021/05/31\n" +
+      "6,6.25,8000000000,false,2021-06-15,2021-06-15 23:59:59,zz,2021/06/01\n")
+    w("beta.csv",
+      "k;v;w\n1;one;0.5\n2;two;1.5\n3;three;2.5\n4;four;3.5\n5;five;4.5\n")
+    locally {
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(d.resolve("gamma.csv.gz")))
+      out.write("x,y\n10,a\n20,b\n30,c\n40,d\n50,e\n".getBytes("UTF-8"))
+      out.close()
+    }
+    w("rowidx.csv",
+      "row_index,\" Name \",\"V,al\"\n0,aa,1\n1,bb,2\n2,cc,3\n3,dd,4\n4,ee,5\n")
+    w("dec.csv",
+      "id,huge\n1,12345678901234567890123\n2,22345678901234567890123\n" +
+      "3,3234567890123456789\n4,1\n5,2\n")
+    w("tiny.csv", "a,b\n1,x\n2,y\n3,z\n")
+    val files = graft.ingest.RobustCsv.listTables(s, d.toString)
+    val names = graft.sources.CsvScan.tableNames(files)
+    val scan = graft.sources.CsvScan.scanLake(s, names)
+    val fallback = scan.rejected.flatMap(p =>
+      graft.ingest.RobustCsv.read(s, p).map(df => names(p) -> df))
+    val prof = (Profiler.profileFromLong(
+        graft.sources.LakeScan.renderLong(scan.cells)) +:
+      fallback.map { case (n, df) => Profiler.profile(df, n) })
+      .reduce(_ unionByName _)
+    prof.select(col("table_name"), col("col_idx").cast("long").as("col_idx"),
+        col("col_name"), col("col_type"),
+        col("rows").as("n_rows"), col("num_nan"), col("unique").as("n_unique"),
+        round(col("cell_width"), 6).as("cell_width_r"),
+        round(col("min_v"), 6).as("min_r"), round(col("max_v"), 6).as("max_r"))
+      .orderBy("table_name", "col_idx")
+  }
+
+  /** Q7 end-to-end through the REAL ONNX artifact: deterministic feature
+    * rows → MLlib logistic fit → `OnnxExport.exportLogistic` (public
+    * wire-format ModelProto) → per-partition `OnnxSession` scoring via
+    * the external-scorer seam. The trained head is ALSO exported as the
+    * JSON linear artifact, which the oracle reads to recompute
+    * sigmoid(coef·x + b) over the same feature formulas — so the train →
+    * export → parse → execute loop is hash-verified, not spec-only
+    * (reference: `tabsketchfm_finetune.py:64-117`). */
+  private def q7OnnxScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = (1 to 40).map { i =>
+      val (x1, x2, x3) = ((i % 7) * 0.5 - 1.5, (i % 5) * 0.25, (i % 3) * 1.0 - 1.0)
+      (i.toLong, x1, x2, x3, if (x1 + 2 * x2 - x3 > 0) 1.0 else 0.0)
+    }.toDF("id", "x1", "x2", "x3", "label")
+    val asm = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x1", "x2", "x3")).setOutputCol("features")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(50).setRegParam(0.1)
+    val model = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(asm, lr)).fit(feats)
+    val onnxPath = "/tmp/graft_fixtures/q7_head.onnx"
+    val jsonPath = "/tmp/graft_fixtures/q7_head.json"
+    graft.ml.OnnxExport.exportLogistic(model, onnxPath)
+    graft.ml.Scorer.exportLinearModel(model, jsonPath) // oracle's copy
+    new graft.ml.Scorer.ExternalModelScorer(
+        graft.ml.Scorer.onnxModelFactory(onnxPath), Seq("x1", "x2", "x3"))
+      .score(feats)
+      .select(col("id"), round(col("score"), 6).as("score_r"))
+      .orderBy("id")
+  }
+
+  /** Q1 embedding extraction through the ONNX linear-map head: literal
+    * token-state vectors → `Pooling.meanPool` per column →
+    * `ExternalEmbedder` over `OnnxExport.exportLinearMap` weights. All
+    * fixture values are exact binary fractions, so the oracle replays
+    * pooling + the linear map bit-exactly from the same formulas
+    * (reference: `extract_embeddings.py:16-73`). */
+  private def q1EmbedExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = for { c <- 1 to 6; t <- 1 to 4 } yield
+      (c.toLong, Array.tabulate(3)(sl => ((c * 7 + t * 3 + sl) % 11) * 0.25 - 1.0))
+    val pooled = graft.ml.Pooling.meanPool(
+        toks.toDF("col_id", "vec"), Seq("col_id"), "vec")
+      .select(col("col_id"), col("pooled")(0).as("f0"),
+        col("pooled")(1).as("f1"), col("pooled")(2).as("f2"))
+    val w = Array.tabulate(3, 2)((i, j) => OracleSql.q1Weight(i, j))
+    val b = Array.tabulate(2)(OracleSql.q1Bias)
+    val path = "/tmp/graft_fixtures/q1_embed.onnx"
+    graft.ml.OnnxExport.exportLinearMap(w, b, Seq("f0", "f1", "f2"), path)
+    new graft.ml.Scorer.ExternalEmbedder(
+        graft.ml.Scorer.onnxEmbedderFactory(path), Seq("f0", "f1", "f2"), dim = 2)
+      .score(pooled)
+      .select(col("col_id"),
+        round(col("embedding")(0).cast("double"), 6).as("e0_r"),
+        round(col("embedding")(1).cast("double"), 6).as("e1_r"))
+      .orderBy("col_id")
+  }
+
+  /** E2E discovery composition guard: lake dir → unified single-job
+    * profile (fresh, not the session cache) → SketchStore parquet
+    * round-trip → union search. Hash-verifies that the unified catalog
+    * schema, the store layout, and Discovery's expectations stay glued
+    * (each piece is separately green; this pins the seams). */
+  private def e2eLakeSearch(s: SparkSession, dir: String): DataFrame = {
+    val store = "/tmp/graft_fixtures/e2e_store"
+    val catalog = Profiler.profileLakeUnified(s, dir, LakeTables, rowCap = Some(RowCap))
+    graft.store.SketchStore.writeParquet(catalog, store)
+    Discovery.searchUnionable(
+      graft.store.SketchStore.readParquet(s, store), "supplier", k = 10)
+  }
+
   /** A13 + P7: whole-table content snapshots (MinHash over space-joined
     * row strings), digest stringified for the oracle compare. */
   private def contentSnapshots(s: SparkSession, dir: String): DataFrame =
@@ -1197,6 +1324,10 @@ object SparkEntry {
     // rows-only operators (sketch-based / heuristic; no SQL oracle)
     "profile_sketches" -> profileSketches,
     "lake_profile_unified" -> lakeProfileUnifiedQ,
+    "lake_csv_unified" -> lakeCsvUnifiedQ,
+    "q7_onnx_score" -> q7OnnxScore,
+    "q1_embed_extract" -> q1EmbedExtract,
+    "e2e_lake_search" -> e2eLakeSearch,
     "content_snapshots" -> contentSnapshots,
     "o4_search_minhash" -> searchMinhash,
     "o4_search_subset" -> searchSubsetQ,

@@ -36,32 +36,38 @@ object SketchBuild {
     // Profiling always runs the UNIFIED single-job path (one scan + one
     // keyed aggregate subtree — planning cost constant in table count,
     // the E1 shape at the reference's 40k-table corpus scale). CSV lakes
-    // first stage through the robust reader into capped parquet — the
-    // fallback-chain parse is inherently per-file engine logic, but it
-    // runs ONCE at ingest; the (re-runnable, expensive) profiling is a
-    // single job either way.
+    // decode ON THE EXECUTORS inside that same scan (CsvScan's strict
+    // in-task parse); only files the strict parser rejects — exotic
+    // charsets, malformed rows, gray-zone types, the expected minority —
+    // pay a driver-side RobustCsv fallback read. Table names come from
+    // CsvScan.tableNames, which suffixes basename collisions instead of
+    // letting same-named files in different subdirs overwrite each other.
     val csvs = RobustCsv.listTables(spark, inDir)
-    val (lakeDir, tableNames) =
+    val (profiles, snapshots) =
       if (csvs.nonEmpty) {
-        val staging = s"$outDir/staging"
-        val names = csvs.flatMap { p =>
-          val name = p.split('/').last.replaceAll("\\.csv(\\.bz2|\\.gz)?$", "")
-          RobustCsv.read(spark, p).map { df =>
-            df.limit(RobustCsv.RowCap).write.mode("overwrite")
-              .parquet(s"$staging/$name.parquet")
-            name
-          }
+        val names = graft.sources.CsvScan.tableNames(csvs)
+        val scan = graft.sources.CsvScan.scanLake(spark, names, RobustCsv.RowCap)
+        val fallback = scan.rejected.flatMap { p =>
+          RobustCsv.read(spark, p).map(df => names(p) -> df.persist())
         }
-        (staging, names)
-      } else // parquet lake directory
-        (inDir, new java.io.File(inDir).listFiles((_, n) => n.endsWith(".parquet"))
-          .toSeq.map(_.getName.stripSuffix(".parquet")).sorted)
-
-    require(tableNames.nonEmpty, s"no readable tables under $inDir")
-    val profiles = Profiler.profileLakeUnified(
-      spark, lakeDir, tableNames, rowCap = Some(RobustCsv.RowCap))
-    val snapshots = graft.sources.LakeScan.snapshotLakeUnified(
-      spark, lakeDir, tableNames, Some(RobustCsv.RowCap))
+        val pro = (Profiler.profileFromLong(
+            graft.sources.LakeScan.renderLong(scan.cells)) +:
+          fallback.map { case (n, df) => Profiler.profile(df, n) })
+          .reduce(_ unionByName _)
+        val snap = (graft.sources.LakeScan.snapshotFromRaw(scan.cells) +:
+          fallback.map { case (n, df) => Profiler.contentSnapshot(df, n) })
+          .reduce(_ unionByName _)
+        (pro, snap)
+      } else { // parquet lake directory
+        val tableNames = new java.io.File(inDir)
+          .listFiles((_, n) => n.endsWith(".parquet"))
+          .toSeq.map(_.getName.stripSuffix(".parquet")).sorted
+        require(tableNames.nonEmpty, s"no readable tables under $inDir")
+        (Profiler.profileLakeUnified(
+            spark, inDir, tableNames, rowCap = Some(RobustCsv.RowCap)),
+          graft.sources.LakeScan.snapshotLakeUnified(
+            spark, inDir, tableNames, Some(RobustCsv.RowCap)))
+      }
 
     SketchStore.writeParquet(profiles, s"$outDir/profiles")
     snapshots.write.mode("overwrite").parquet(s"$outDir/snapshots")
@@ -69,8 +75,9 @@ object SketchBuild {
       SketchStore.readParquet(spark, s"$outDir/profiles"),
       spark.read.parquet(s"$outDir/snapshots"), s"$outDir/docs_json")
 
-    val n = spark.read.parquet(s"$outDir/profiles").count()
-    println(s"[sketch-build] ${tableNames.length} tables, $n column profiles -> $outDir")
+    val written = spark.read.parquet(s"$outDir/profiles")
+    val nTables = written.select("table_name").distinct().count()
+    println(s"[sketch-build] $nTables tables, ${written.count()} column profiles -> $outDir")
     spark.stop()
   }
 }

@@ -31,7 +31,17 @@ import graft.functions.SketchFunctions._
   */
 object Incremental {
 
-  private def dec(c: Column): Column = c.cast(DecimalType(30, 6))
+  // Same huge-value discipline as Profiler's decimal sums: a value past
+  // the guard would make the ANSI decimal cast throw mid-aggregation
+  // (and its square overflow the capped precision), so it is excluded
+  // from the decimal accumulators per value. Columns whose range exceeds
+  // the guard are detected from the mergeable abs_max and fall back to
+  // the double sum in [[finalize]] — never a silently partial decimal
+  // mean. 1e9 keeps the six-decimal squares ~1e14 chunk rows clear of
+  // the Decimal(38) accumulator cap.
+  private val DecimalGuard = 1e9
+  private def dec(c: Column): Column =
+    when(abs(c) < lit(DecimalGuard), c).otherwise(lit(null)).cast(DecimalType(30, 6))
 
   /** Mergeable per-column partial profile of one chunk. Input is any
     * slice of a table's rows; output one row per column.
@@ -45,6 +55,8 @@ object Incremental {
       minhash_agg(col("value_str")).as("minhash_exact"),
       min(col("value_num")).as("min_v"),
       max(col("value_num")).as("max_v"),
+      max(abs(col("value_num"))).as("abs_max"),
+      sum(col("value_num")).as("sum_d"),
       sum(dec(col("value_num"))).as("sum_dec"),
       sum(dec(col("value_num")) * dec(col("value_num"))).as("sum_sq_dec"))
       .withColumn("table_name", lit(tableName))
@@ -66,16 +78,23 @@ object Incremental {
       slotMin.as("minhash_exact"),
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"),
+      max(col("abs_max")).as("abs_max"),
+      sum(col("sum_d")).as("sum_d"),
       sum(col("sum_dec")).as("sum_dec"),
       sum(col("sum_sq_dec")).as("sum_sq_dec"))
   }
 
-  /** Readable view: HLL estimates + derived mean over the merged state. */
+  /** Readable view: HLL estimates + derived mean over the merged state.
+    * In-range columns take the exact decimal mean; columns whose values
+    * exceeded [[DecimalGuard]] take the double sum (the decimal sum is
+    * partial there by construction). */
   def finalize(profile: DataFrame): DataFrame =
     profile
       .withColumn("unique_est", hll_sketch_estimate(col("unique_hll")))
       .withColumn("mean",
         when(col("rows") - col("num_nan") > 0,
-          (col("sum_dec") / (col("rows") - col("num_nan"))).cast("double")))
+          when(col("abs_max") >= DecimalGuard,
+            col("sum_d") / (col("rows") - col("num_nan")))
+            .otherwise((col("sum_dec") / (col("rows") - col("num_nan"))).cast("double"))))
       .drop("unique_hll")
 }

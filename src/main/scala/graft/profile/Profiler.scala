@@ -47,6 +47,13 @@ object Profiler {
 
   val QuantileProbs: Seq[Double] = (1 to 9).map(_ / 10.0)
 
+  /** Magnitude bound for the exact-decimal sum path: values at or past
+    * this fall back to double-summed mean/std (their decimal squares
+    * cannot be represented at any Spark precision without ANSI overflow).
+    * Driver-lake numerics (keys, money, epoch seconds ≈ 1.7e9) all sit
+    * far inside it, so oracle parity is unaffected. */
+  val DecimalSumGuard = 1e12
+
   /** Schema-metadata key set by `RobustCsv.promoteDates` on a string
     * column whose values all parse as dates. The reference re-classifies
     * the ORIGINAL column as DATE in its type map while the values stay
@@ -202,7 +209,17 @@ object Profiler {
     val hist = long.groupBy(keyCols ++ Seq(col("value_str"), col("value_num")): _*)
       .agg(sum(when(col("present"), 1L).otherwise(0L)).as("freq"))
 
-    val decV = col("value_num").cast(DecimalType(18, 2))
+    // Exact decimal sums power order-independent quantile-vector mean/std
+    // (bit-identical across engines). A value past the guard (decimal CSV
+    // columns, 1e22-scale doubles, ±Infinity, NaN — all fail the
+    // comparison) would make the ANSI cast THROW mid-aggregation, so the
+    // cast is guarded per value and columns whose RANGE exceeds the guard
+    // (detected post-agg from min/max) fall back to the double-summed
+    // mean/std below. 1e12 leaves the squares' running sum ~1e10 rows of
+    // headroom inside the capped Decimal(38,4) accumulator.
+    val decimalSafe = abs(col("value_num")) < lit(Profiler.DecimalSumGuard)
+    val decV = when(decimalSafe, col("value_num")).otherwise(lit(null))
+      .cast(DecimalType(18, 2))
     val baseAggs = Seq(
       sum(col("freq")).as("rows"),                                          // A10
       // null test spans both carriers: strings render into value_str only,
@@ -262,10 +279,15 @@ object Profiler {
     // Quantile-vector mean/std ride the EXACT decimal sums (order-independent
     // FP → bit-identical across engines and runs; the lake's numerics are
     // ≤2-decimal so the decimal quantization is lossless). The raw double
-    // `mean`/`std` columns keep the un-quantized values.
-    val exactMeanD = col("sum_dec").cast("double") / col("n_num")
-    val exactStdD = sqrt(greatest(
-      col("sum_sq_dec").cast("double") / col("n_num") - exactMeanD * exactMeanD, lit(0.0)))
+    // `mean`/`std` columns keep the un-quantized values. Columns whose
+    // range exceeds the decimal guard use the double sums instead — exact
+    // decimal arithmetic cannot represent their squares at any precision.
+    val isHuge = greatest(abs(col("min_v")), abs(col("max_v"))) >= lit(Profiler.DecimalSumGuard)
+    val exactMeanD = when(isHuge, col("mean"))
+      .otherwise(col("sum_dec").cast("double") / col("n_num"))
+    val exactStdD = when(isHuge, stdRaw).otherwise(sqrt(greatest(
+      col("sum_sq_dec").cast("double") / col("n_num") - exactMeanD * exactMeanD,
+      lit(0.0))))
     val stdAdj = when(col("unique") > 2, exactStdD).otherwise(lit(0.0))
     // reference omits the quantile vector for all-null, single-row, or
     // single-valued columns (data_prep.py:231-232 guard)

@@ -70,4 +70,36 @@ class EdgeCasesSpec extends SparkSpec {
     val docs = Seq((1L, "keep me")).toDF("doc_id", "text")
     assert(graft.operators.Dedup.dropNearDuplicates(docs, noPairs).count() == 1)
   }
+
+  test("huge-magnitude and non-finite numerics profile without ANSI overflow") {
+    // 1e22-scale values (decimal CSV columns) and ±Infinity would make the
+    // exact-decimal sum cast THROW under ANSI; such columns must fall back
+    // to double-summed mean/std, with in-range columns unaffected
+    val df = Seq(
+      (1L, 2.2345678901234568e22, 1.5, Double.PositiveInfinity),
+      (2L, 1.2345678901234568e22, 2.5, 1.0),
+      (3L, 3.2345678901234567e18, 3.5, 2.0),
+      (4L, 1.0, 4.5, 3.0),
+      (5L, 2.0, 5.5, 4.0)).toDF("id", "huge", "small", "inf")
+    val p = Profiler.profile(df, "t").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val hq = p("huge").getAs[collection.Seq[Double]]("quantile")
+    assert(hq != null && hq.length == 13)
+    val n = 5.0
+    val xs = Seq(2.2345678901234568e22, 1.2345678901234568e22,
+      3.2345678901234567e18, 1.0, 2.0)
+    assert(math.abs(hq(9) - xs.sum / n) / (xs.sum / n) < 1e-9) // double mean
+    // the in-range column still takes the exact decimal path
+    val sq = p("small").getAs[collection.Seq[Double]]("quantile")
+    assert(sq(9) == 3.5 && sq(11) == 1.5 && sq(12) == 5.5)
+    // Infinity column: no crash; mean/vector propagate Infinity
+    assert(p("inf").getAs[Long]("rows") == 5)
+    // incremental path survives the same inputs
+    val merged = Incremental.finalize(Incremental.merge(
+      Incremental.profileChunk(df.limit(3), "t")
+        .unionByName(Incremental.profileChunk(df.offset(3), "t"))))
+    val hm = merged.filter(col("col_idx") === 1).select("mean")
+      .collect()(0).getDouble(0)
+    assert(math.abs(hm - xs.sum / n) / (xs.sum / n) < 1e-9)
+  }
 }
