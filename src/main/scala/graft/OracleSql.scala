@@ -110,6 +110,37 @@ object OracleSql {
        |          FROM wvals CROSS JOIN perms GROUP BY t, ci, pi),
        |wdig AS (SELECT t, ci, list(mh ORDER BY pi) AS d FROM wmins GROUP BY t, ci)""".stripMargin
 
+  /** Per-(t, ci) stats CTE over a `vals(t, ci, v)` relation — the ONE
+    * definition of rows/nulls/distincts/byte-width every profile-stats
+    * oracle shares. */
+  private def statsCte(roundCw: Boolean = true): String = {
+    val cw = "CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v)"
+    s"""stats AS (
+       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
+       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
+       |         ${if (roundCw) s"round($cw, 6)" else cw} AS cw
+       |  FROM vals GROUP BY t, ci)""".stripMargin
+  }
+
+  /** Stats-summary skeleton shared by the unified lake/CSV profile rows:
+    * `leadingCtes` must define vals(t, ci, v) and meta(t, ci, cn, ct);
+    * `nSelects` feed nvals(t, ci, nv) for numeric/date columns. */
+  private def statsProfileSql(leadingCtes: String, nSelects: Seq[String]): String =
+    s"""WITH $leadingCtes,
+       |${statsCte()},
+       |nvals AS (
+       |  ${nSelects.mkString("\n  UNION ALL ")}),
+       |nstats AS (SELECT t, ci, round(min(nv), 6) AS min_r, round(max(nv), 6) AS max_r
+       |           FROM nvals GROUP BY t, ci)
+       |SELECT meta.t AS table_name, CAST(meta.ci AS BIGINT) AS col_idx,
+       |  meta.cn AS col_name, meta.ct AS col_type,
+       |  stats.n_rows, stats.num_nan, stats.n_unique,
+       |  CASE WHEN meta.ct = 'string' THEN stats.cw END AS cell_width_r,
+       |  nstats.min_r, nstats.max_r
+       |FROM meta JOIN stats USING (t, ci)
+       |LEFT JOIN nstats USING (t, ci)
+       |ORDER BY table_name, col_idx""".stripMargin
+
   /** profile_sketches: stats + stringified exact/word digests per column of
     * the five dimension tables (mirrors Profiler.profile + the md5 MinHash).
     */
@@ -120,11 +151,7 @@ object OracleSql {
     s"""WITH $permsCte,
        |${valsCte(tables, Some(10000))},
        |${metaCte(tables)},
-       |stats AS (
-       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
-       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
-       |         round(CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v), 6) AS cw
-       |  FROM vals GROUP BY t, ci),
+       |${statsCte()},
        |$digestCtes
        |SELECT meta.t AS table_name, CAST(meta.ci AS BIGINT) AS col_idx,
        |  meta.cn AS col_name, meta.ct AS col_type,
@@ -202,28 +229,28 @@ object OracleSql {
           ("id", "integer", "CAST(id AS VARCHAR)", "CAST(id AS DOUBLE)"),
           ("amount", "float", "CAST(amount AS VARCHAR)", "amount"),
           ("big", "integer", "CAST(big AS VARCHAR)", "CAST(big AS DOUBLE)"),
-          ("flag", "string", "CAST(flag AS VARCHAR)", "CAST(NULL AS DOUBLE)"),
+          ("flag", "string", "CAST(flag AS VARCHAR)", null),
           ("day", "date", "CAST(day AS VARCHAR)", "floor(epoch(day))"),
           ("seen", "date", "CAST(seen_t AS VARCHAR)", "floor(epoch(seen_t))"),
-          ("note", "string", "note", "CAST(NULL AS DOUBLE)"),
+          ("note", "string", "note", null),
           // promoted: classified date, values stay strings (no numerics)
-          ("when", "date", "\"when\"", "CAST(NULL AS DOUBLE)"),
+          ("when", "date", "\"when\"", null),
           ("when_DATE", "date", "CAST(wh_d AS VARCHAR)", "floor(epoch(wh_d))"))),
       ("cbeta", "beta",
         s"""SELECT * FROM read_csv('$dir/beta.csv', header=true, delim=';', columns={'k':'BIGINT','v':'VARCHAR','w':'DOUBLE'})""",
         Seq(
           ("k", "integer", "CAST(k AS VARCHAR)", "CAST(k AS DOUBLE)"),
-          ("v", "string", "v", "CAST(NULL AS DOUBLE)"),
+          ("v", "string", "v", null),
           ("w", "float", "CAST(w AS VARCHAR)", "w"))),
       ("cgamma", "gamma",
         s"""SELECT * FROM read_csv('$dir/gamma.csv.gz', header=true, columns={'x':'BIGINT','y':'VARCHAR'})""",
         Seq(
           ("x", "integer", "CAST(x AS VARCHAR)", "CAST(x AS DOUBLE)"),
-          ("y", "string", "y", "CAST(NULL AS DOUBLE)"))),
+          ("y", "string", "y", null))),
       ("crowidx", "rowidx",
         s"""SELECT * FROM read_csv('$dir/rowidx.csv', header=true, columns={'row_index':'BIGINT','name':'VARCHAR','val':'BIGINT'})""",
         Seq( // row_index dropped (S4); sanitized names
-          ("name", "string", "name", "CAST(NULL AS DOUBLE)"),
+          ("name", "string", "name", null),
           ("val", "integer", "CAST(val AS VARCHAR)", "CAST(val AS DOUBLE)"))),
       ("cdec", "dec",
         s"""SELECT * FROM read_csv('$dir/dec.csv', header=true, columns={'id':'BIGINT','huge':'DECIMAL(23,0)'})""",
@@ -231,22 +258,25 @@ object OracleSql {
           ("id", "integer", "CAST(id AS VARCHAR)", "CAST(id AS DOUBLE)"),
           ("huge", "float", "CAST(huge AS VARCHAR)", "CAST(huge AS DOUBLE)"))))
     val ctes = tables.map { case (cte, _, rdr, _) => s"$cte AS (\n$rdr)" }
-    val unions = tables.flatMap { case (cte, tbl, _, cols) =>
-      cols.zipWithIndex.map { case ((cn, ct, v, nv), i) =>
-        s"SELECT '$tbl' AS t, $i AS ci, '$cn' AS cn, '$ct' AS ct, $v AS v, $nv AS nv FROM $cte"
+    val vSelects = tables.flatMap { case (cte, tbl, _, cols) =>
+      cols.zipWithIndex.map { case ((_, _, v, _), i) =>
+        s"SELECT '$tbl' AS t, $i AS ci, $v AS v FROM $cte"
       }
     }
-    s"""WITH ${ctes.mkString(",\n")},
-       |cells AS (
-       |  ${unions.mkString("\n  UNION ALL ")})
-       |SELECT t AS table_name, CAST(ci AS BIGINT) AS col_idx, cn AS col_name,
-       |  ct AS col_type, count(*) AS n_rows, count(*) - count(v) AS num_nan,
-       |  count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
-       |  CASE WHEN ct = 'string'
-       |    THEN round(CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v), 6) END AS cell_width_r,
-       |  round(min(nv), 6) AS min_r, round(max(nv), 6) AS max_r
-       |FROM cells GROUP BY t, ci, cn, ct
-       |ORDER BY table_name, col_idx""".stripMargin
+    val nSelects = tables.flatMap { case (cte, tbl, _, cols) =>
+      cols.zipWithIndex.collect { case ((_, _, _, nv), i) if nv != null =>
+        s"SELECT '$tbl' AS t, $i AS ci, $nv AS nv FROM $cte"
+      }
+    }
+    val metaRows = tables.flatMap { case (_, tbl, _, cols) =>
+      cols.zipWithIndex.map { case ((cn, ct, _, _), i) => s"('$tbl',$i,'$cn','$ct')" }
+    }.mkString(",")
+    statsProfileSql(
+      s"""${ctes.mkString(",\n")},
+         |vals AS (
+         |  ${vSelects.mkString("\n  UNION ALL ")}),
+         |meta(t, ci, cn, ct) AS (SELECT * FROM (VALUES $metaRows) _m(t, ci, cn, ct))""".stripMargin,
+      nSelects)
   }
 
   /** lake_profile_unified: per-column stats of ALL TEN driver tables —
@@ -270,25 +300,7 @@ object OracleSql {
           s"SELECT '$tbl' AS t, $i AS ci, floor(epoch($c)) AS nv FROM ${cappedSrc(tbl, 10000)}"
       }
     }
-    s"""WITH ${valsCte(tables, Some(10000))},
-       |${metaCte(tables)},
-       |stats AS (
-       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
-       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
-       |         round(CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v), 6) AS cw
-       |  FROM vals GROUP BY t, ci),
-       |nvals AS (
-       |  ${nSelects.mkString("\n  UNION ALL ")}),
-       |nstats AS (SELECT t, ci, round(min(nv), 6) AS min_r, round(max(nv), 6) AS max_r
-       |           FROM nvals GROUP BY t, ci)
-       |SELECT meta.t AS table_name, CAST(meta.ci AS BIGINT) AS col_idx,
-       |  meta.cn AS col_name, meta.ct AS col_type,
-       |  stats.n_rows, stats.num_nan, stats.n_unique,
-       |  CASE WHEN meta.ct = 'string' THEN stats.cw END AS cell_width_r,
-       |  nstats.min_r, nstats.max_r
-       |FROM meta JOIN stats USING (t, ci)
-       |LEFT JOIN nstats USING (t, ci)
-       |ORDER BY table_name, col_idx""".stripMargin
+    statsProfileSql(s"${valsCte(tables, Some(10000))},\n${metaCte(tables)}", nSelects)
   }
 
   /** s7_json_roundtrip: DuckDB parses the plain-codec sketch documents with
@@ -307,11 +319,7 @@ object OracleSql {
     s"""WITH $permsCte,
        |${valsCte(tables, Some(10000))},
        |${metaCte(tables)},
-       |stats AS (
-       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
-       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
-       |         round(CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v), 6) AS cw
-       |  FROM vals GROUP BY t, ci),
+       |${statsCte()},
        |$digestCtes,
        |srows AS (
        |  ${rowSelects.mkString("\n  UNION ALL ")}),
@@ -886,11 +894,7 @@ object OracleSql {
     s"""WITH $permsCte,
        |${valsCte(tables, Some(10000))},
        |${metaCte(tables)},
-       |stats AS (
-       |  SELECT t, ci, count(*) AS n_rows, count(*) - count(v) AS num_nan,
-       |         count(DISTINCT v) + CASE WHEN count(*) > count(v) THEN 1 ELSE 0 END AS n_unique,
-       |         CAST(SUM(octet_length(encode(v))) AS DOUBLE) / count(v) AS cw
-       |  FROM vals GROUP BY t, ci),
+       |${statsCte(roundCw = false)},
        |nvals AS (
        |  ${nvalSelects.mkString("\n  UNION ALL ")}
        |),

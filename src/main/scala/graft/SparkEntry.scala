@@ -346,8 +346,12 @@ object SparkEntry {
     * which only need render INJECTIVITY, across the full type surface.
     */
   private def lakeProfileUnifiedQ(s: SparkSession, dir: String): DataFrame =
-    lakeCatalog(s, dir)
-      .select(col("table_name"), col("col_idx").cast("long").as("col_idx"),
+    statsSummary(lakeCatalog(s, dir))
+
+  /** The oracle-facing stats projection of a profile catalog (shared by
+    * the parquet- and CSV-lake unified rows). */
+  private def statsSummary(prof: DataFrame): DataFrame =
+    prof.select(col("table_name"), col("col_idx").cast("long").as("col_idx"),
         col("col_name"), col("col_type"),
         col("rows").as("n_rows"), col("num_nan"), col("unique").as("n_unique"),
         round(col("cell_width"), 6).as("cell_width_r"),
@@ -397,16 +401,10 @@ object SparkEntry {
     val scan = graft.sources.CsvScan.scanLake(s, names)
     val fallback = scan.rejected.flatMap(p =>
       graft.ingest.RobustCsv.read(s, p).map(df => names(p) -> df))
-    val prof = (Profiler.profileFromLong(
+    statsSummary((Profiler.profileFromLong(
         graft.sources.LakeScan.renderLong(scan.cells)) +:
       fallback.map { case (n, df) => Profiler.profile(df, n) })
-      .reduce(_ unionByName _)
-    prof.select(col("table_name"), col("col_idx").cast("long").as("col_idx"),
-        col("col_name"), col("col_type"),
-        col("rows").as("n_rows"), col("num_nan"), col("unique").as("n_unique"),
-        round(col("cell_width"), 6).as("cell_width_r"),
-        round(col("min_v"), 6).as("min_r"), round(col("max_v"), 6).as("max_r"))
-      .orderBy("table_name", "col_idx")
+      .reduce(_ unionByName _))
   }
 
   /** Q7 end-to-end through the REAL ONNX artifact: deterministic feature

@@ -194,6 +194,46 @@ class CharsetAndExcelSpec extends SparkSpec {
     assert(df.schema("name").dataType == org.apache.spark.sql.types.StringType)
   }
 
+  test("xlsx: formula cells read their CACHED value; only sheet1 is read") {
+    // the reference's last resort is pd.read_excel (data_prep.py:78):
+    // first sheet only, formulas surface as their stored evaluated value
+    // (openpyxl-style cached <v>, never recomputation) — pin both
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_xlsx_formula")
+    val p = dir.resolve("f.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets>""" +
+        """<sheet name="S1" sheetId="1"/><sheet name="S2" sheetId="2"/>""" +
+        """</sheets></workbook>""")
+    def row(ri: Int, a: String, bFormula: (String, String)): String =
+      s"""<row r="$ri"><c r="A$ri" t="inlineStr"><is><t>$a</t></is></c>""" +
+        s"""<c r="B$ri"><f>${bFormula._1}</f><v>${bFormula._2}</v></c></row>"""
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c>""" +
+        """<c r="B1" t="inlineStr"><is><t>doubled</t></is></c></row>""" +
+        (2 to 6).map(i => row(i, s"r$i", (s"2*${i}", (2 * i).toString))).mkString +
+        """</sheetData></worksheet>""")
+    entry("xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>OTHER_SHEET</t></is></c></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+    val df = RobustCsv.read(spark, p.toString).get
+    assert(df.columns.sameElements(Array("k", "doubled")))
+    // formula cells yield the cached evaluated values, typed numeric
+    assert(df.schema("doubled").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.select("doubled").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(4L, 6L, 8L, 10L, 12L)))
+    // nothing from sheet2 leaked in
+    assert(df.filter(df("k") === "OTHER_SHEET").isEmpty)
+  }
+
   test("non-workbook zip and binary junk fall through to None") {
     val dir = Files.createTempDirectory("graft_junk")
     val p = dir.resolve("junk.bin")

@@ -242,7 +242,14 @@ class LakeScanSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException] {
       Profiler.profileLakeUnified(spark, tmp, Seq("dec")).collect()
     }
-    assert(e.getMessage.contains("LakeScan") ||
-      Option(e.getCause).exists(_.getMessage.contains("LakeScan")))
+    // the DOCUMENTED error contract (README "Mixed lakes"): name the
+    // column and table, and point at the per-table fallback path
+    val msgs = (Iterator.single(e.getMessage) ++
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage)).mkString("\n")
+    assert(msgs.contains("LakeScan: unsupported"))
+    assert(msgs.contains("'dec'") && msgs.contains("column 'dec'") ||
+      msgs.contains("of table 'dec'"))
+    assert(msgs.contains("profile it through the per-table Lake.read path"))
   }
 }
