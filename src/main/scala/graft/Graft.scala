@@ -36,6 +36,7 @@ object Graft {
     * mixed lakes profile completely instead of failing mid-job. */
   def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
                   rowCap: Option[Int] = Some(10000)): DataFrame = {
+    require(tables.nonEmpty, "profileLake needs at least one table")
     val exotic = sources.LakeScan.unsupportedTables(spark, dir, tables).toSet
     val unified = tables.filterNot(exotic)
     val parts =

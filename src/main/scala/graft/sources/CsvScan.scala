@@ -79,8 +79,13 @@ object CsvScan {
                rowCap: Int = RobustCsv.RowCap): ScanResult = {
     val cells = rawCells(spark, nameByPath, rowCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // report rejects in the CALLER's path space (binaryFile re-schemes
+    // paths — file:/x vs /x — which would break nameByPath lookups)
+    val byNorm = nameByPath.keys.map(p => normPath(p) -> p).toMap
     val rejected = cells.filter(col("col_name") === lit(RejectMarker))
-      .select("src_file").distinct().collect().map(_.getString(0)).toSeq.sorted
+      .select("src_file").distinct().collect()
+      .map(r => byNorm.getOrElse(normPath(r.getString(0)), r.getString(0)))
+      .toSeq.sorted
     ScanResult(cells.filter(col("col_name") =!= lit(RejectMarker)), rejected)
   }
 
@@ -129,8 +134,13 @@ object CsvScan {
   private val TsRe = "\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d{1,6})?)?".r
   // the lenient gray zone: date-shaped strings Spark's ISO parsers might
   // still accept but our strict grammar does not (single-digit fields,
-  // year-month, zone suffixes) — any hit rejects the file to the driver
-  private val DateyRe = "\\s*[+-]?\\d{1,6}-\\d{1,2}(-\\d{1,2})?([ T].*)?\\s*".r
+  // year-month, surrounding whitespace, zone suffixes) — any hit rejects
+  // the file to the driver. The tail after the date part must be
+  // time/zone-SHAPED (digit after the separator, or a zone mark): Spark
+  // never parses a date prefix followed by arbitrary text, so values
+  // like "2021-12 report" stay plain strings instead of rejecting
+  private val DateyRe =
+    "\\s*[+-]?\\d{1,6}-\\d{1,2}(-\\d{1,2})?(Z|[ T]\\s*[0-9].*|[+-][0-9].*)?\\s*".r
 
   private def classify(tok: String): Int = {
     if (tok == null) return TNull

@@ -158,6 +158,25 @@ class CsvScanSpec extends SparkSpec {
       .collect()(0).getLong(0) == 10L)
   }
 
+  test("date-like PREFIXES in text stay strings; bare gray-zone dates reject") {
+    import graft.profile.Profiler
+    val d = java.nio.file.Files.createTempDirectory("graft_csvgray")
+    // "2021-12 report": date-shaped prefix + arbitrary text — Spark never
+    // parses this as a date/timestamp, so the file must be ACCEPTED and
+    // bit-parity must hold; scores like "5-3" are ambiguous (Spark's
+    // lenient stringToDate can take year-month forms) → reject
+    val pOk = write(d, "notes.csv",
+      "id,note\n1,2021-12 report\n2,2022-01 report\n3,plain\n4,2023-03 recap\n5,x\n")
+    val pBad = write(d, "scores.csv",
+      "id,score\n1,5-3\n2,2-1\n3,0-0\n4,4-2\n5,1-1\n")
+    val sc = CsvScan.scanLake(spark,
+      Map(pOk -> "notes", pBad -> "scores"), RobustCsv.RowCap)
+    assert(sc.rejected == Seq(pBad), s"rejected: ${sc.rejected}")
+    assertParity(
+      Profiler.profileFromLong(LakeScan.renderLong(sc.cells)),
+      Profiler.profile(RobustCsv.read(spark, pOk).get, "notes"))
+  }
+
   test("tableNames dedups basename collisions deterministically") {
     val m = CsvScan.tableNames(Seq("/lake/x/a.csv", "/lake/y/a.csv", "/lake/a.csv.gz", "/lake/b.csv"))
     assert(m.values.toSet.size == 4, s"collision survived: $m")
