@@ -185,6 +185,58 @@ class CsvScanSpec extends SparkSpec {
     assert(m == CsvScan.tableNames(Seq("/lake/b.csv", "/lake/a.csv.gz", "/lake/y/a.csv", "/lake/x/a.csv")))
   }
 
+  test("fuzz: 24 generated CSVs — every accepted file bit-matches the driver chain") {
+    // deterministic seed → deterministic accept/reject partition; the
+    // generator mixes every value pool (ints with +/0-padding, doubles
+    // with whitespace/exponent/NaN, bools in mixed case, strict and
+    // gray-zone dates, quoted delimiters, unicode, empties) across random
+    // widths, row counts, and delimiters
+    val rnd = new scala.util.Random(20260813L)
+    val pools: Seq[Seq[String]] = Seq(
+      Seq("0", "7", "-12", "007", "+5", "2147483648", "42"),
+      Seq("1.5", "2e3", " 4", "6.25", "-0.5", "1000000.25"),
+      Seq("true", "false", "True", "FALSE"),
+      Seq("2021-01-15", "1999-12-31", "2024-02-29", "2021-06-07"),
+      Seq("2021-01-15 10:30:00", "2021-06-07T23:59:59", "2020-02-02 02:02",
+        "2021-01-15 10:30:00.125"),
+      Seq("plain", "two words", "\"with,comma\"", "naïve", "2021-12 report", "x"),
+      Seq("2021-1-5", "5-3", " 2021-01-15"), // gray zone → must reject
+      Seq("12345678901234567890123", "22345678901234567890123")) // decimal → reject
+    val d = java.nio.file.Files.createTempDirectory("graft_csvfuzz")
+    val delims = Seq(",", ";", "|")
+    val paths = (0 until 24).map { fi =>
+      val delim = delims(rnd.nextInt(delims.length))
+      val nCols = 2 + rnd.nextInt(4)
+      val nRows = 6 + rnd.nextInt(40)
+      val colPools = Seq.fill(nCols)(pools(rnd.nextInt(pools.length)))
+      val header = (0 until nCols).map(i => s"c$i").mkString(delim)
+      val rows = (0 until nRows).map { _ =>
+        colPools.map { pool =>
+          if (rnd.nextInt(8) == 0) "" // null cell
+          else {
+            val v = pool(rnd.nextInt(pool.length))
+            if (v.contains(delim) && !v.startsWith("\"")) "\"" + v + "\"" else v
+          }
+        }.mkString(delim)
+      }
+      write(d, f"fz$fi%02d.csv", (header +: rows).mkString("", "\n", "\n"))
+    }
+    val nm = CsvScan.tableNames(paths)
+    val sc = CsvScan.scanLake(spark, nm, RobustCsv.RowCap)
+    val accepted = sc.cells.select("table_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(accepted.nonEmpty, "fuzz produced no accepted files — generator broken")
+    val unified = Profiler.profileFromLong(LakeScan.renderLong(sc.cells))
+    accepted.foreach { n =>
+      val path = paths.find(p => nm(p) == n).get
+      assertParity(unified.filter(col("table_name") === n),
+        Profiler.profile(RobustCsv.read(spark, path).get, n))
+    }
+    // every rejected file must still go through the driver chain cleanly
+    sc.rejected.foreach(p => RobustCsv.read(spark, p)) // None is fine; no throw
+    sc.cells.unpersist()
+  }
+
   test("bz2 decompression matches the driver chain") {
     val d = java.nio.file.Files.createTempDirectory("graft_csvbz2")
     val content = "m,n\n1,aa\n2,bb\n3,cc\n4,dd\n5,ee\n"
