@@ -177,6 +177,16 @@ class CsvScanSpec extends SparkSpec {
       Profiler.profile(RobustCsv.read(spark, pOk).get, "notes"))
   }
 
+  test("unified CSV plan: one aggregate subtree, zero per-file unions") {
+    // the structural property that makes 40k-file ingest one job: the
+    // profile over decoded cells must not grow per-file plan branches
+    val plan = Profiler.profileFromLong(LakeScan.renderLong(scan.cells))
+      .queryExecution.optimizedPlan
+    val unions = plan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u }.size
+    assert(unions == 0, s"unified CSV profile plan contains $unions unions")
+  }
+
   test("tableNames dedups basename collisions deterministically") {
     val m = CsvScan.tableNames(Seq("/lake/x/a.csv", "/lake/y/a.csv", "/lake/a.csv.gz", "/lake/b.csv"))
     assert(m.values.toSet.size == 4, s"collision survived: $m")
