@@ -133,6 +133,12 @@ object Graft {
                  decoder: multimodal.MediaDecoder = multimodal.HeaderDecoder): DataFrame =
     multimodal.Multimodal.probeHeaders(media, decoder)
 
+  /** FULL-FRAME decode of PNG payload columns (pure-JVM inflate +
+    * unfilter): pixel dimensions, channel count, per-channel means;
+    * nulls for payloads outside the decodable profile. */
+  def decodeFrames(media: DataFrame): DataFrame =
+    multimodal.Multimodal.pixelStats(media)
+
   /** Export a trained pair scorer's logistic head as a REAL ONNX
     * artifact; score it back via [[ml.Scorer.onnxModelFactory]] (opens a
     * pure-JVM [[ml.OnnxSession]] per partition — swap in a JNI OrtSession

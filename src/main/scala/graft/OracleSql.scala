@@ -1456,6 +1456,27 @@ object OracleSql {
     "lake_csv_unified" -> lakeCsvUnifiedSql,
     "q7_onnx_score" -> q7OnnxScoreSql,
     "q1_embed_extract" -> q1EmbedExtractSql,
+    // full-frame PNG decode: per-channel means recomputed from the
+    // generative pixel-ramp formula (SparkEntry.mmPixelDecode encodes the
+    // same ramp through deflate + per-row filters; the engine must
+    // reverse both to land on these numbers)
+    "mm_pixel_decode" ->
+      """WITH imgs AS (
+        |  SELECT i AS media_id, 8 + (i % 5) * 3 AS w, 6 + (i % 4) * 2 AS h,
+        |         (i * 17) % 251 AS seed
+        |  FROM generate_series(1, 12) t(i)),
+        |xs AS (SELECT media_id, w, h, seed,
+        |       unnest(generate_series(0, w - 1)) AS x FROM imgs),
+        |ys AS (SELECT media_id, w, h, seed, x,
+        |       unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |cells AS (SELECT media_id, w, h,
+        |            (x * 3 + y * 7 + c * 11 + seed) % 256 AS v, c
+        |          FROM (SELECT *, unnest([0, 1, 2]) AS c FROM ys))
+        |SELECT media_id, CAST(w AS BIGINT) AS px_width, CAST(h AS BIGINT) AS px_height,
+        |  round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_r,
+        |  round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g,
+        |  round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_b
+        |FROM cells GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
     // same semantics as o4_search_minhash — the e2e row additionally
     // routes the catalog through a store round-trip before searching
     "e2e_lake_search" -> searchMinhashSql,

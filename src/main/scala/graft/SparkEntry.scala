@@ -479,6 +479,29 @@ object SparkEntry {
       graft.store.SketchStore.readParquet(s, store), "supplier", k = 10)
   }
 
+  /** FULL-FRAME media decode, made real for PNG: standards-valid PNGs
+    * (zlib IDAT, CRC chunks, per-row filters cycling all five types) are
+    * written from a deterministic pixel ramp, decoded DISTRIBUTED by the
+    * pure-JVM `PngCodec` (inflate + unfilter), and the oracle recomputes
+    * the per-channel means straight from the ramp formula — so chunk
+    * walking, decompression, and every filter reversal are
+    * hash-verified, not spec-only. */
+  private def mmPixelDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = (1 to 12).map { i =>
+      (i.toLong, graft.multimodal.SyntheticMedia.pngFull(
+        8 + (i % 5) * 3, 6 + (i % 4) * 2, (i * 17) % 251))
+    }.toDF("media_id", "payload")
+    graft.multimodal.Multimodal.pixelStats(media)
+      .select(col("media_id"),
+        col("px_width").cast("long").as("px_width"),
+        col("px_height").cast("long").as("px_height"),
+        round(element_at(col("channel_means"), 1), 6).as("mean_r"),
+        round(element_at(col("channel_means"), 2), 6).as("mean_g"),
+        round(element_at(col("channel_means"), 3), 6).as("mean_b"))
+      .orderBy("media_id")
+  }
+
   /** A13 + P7: whole-table content snapshots (MinHash over space-joined
     * row strings), digest stringified for the oracle compare. */
   private def contentSnapshots(s: SparkSession, dir: String): DataFrame =
@@ -1326,6 +1349,7 @@ object SparkEntry {
     "q7_onnx_score" -> q7OnnxScore,
     "q1_embed_extract" -> q1EmbedExtract,
     "e2e_lake_search" -> e2eLakeSearch,
+    "mm_pixel_decode" -> mmPixelDecode,
     "content_snapshots" -> contentSnapshots,
     "o4_search_minhash" -> searchMinhash,
     "o4_search_subset" -> searchSubsetQ,

@@ -98,6 +98,31 @@ object Multimodal {
     }
   }
 
+  /** FULL-FRAME decode over payload batches: real PNG pixel decoding
+    * ([[PngCodec]] — inflate + unfilter, pure JVM) distributed via the
+    * same per-partition batch shape. Output per row: pixel dimensions,
+    * channel count, and per-channel mean sample values; nulls when the
+    * payload is not a decodable PNG. At 100 TB this is the exact shape a
+    * codec-backed frame decoder runs in — only the decode body differs.
+    */
+  def pixelStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          PngCodec.decode(payload) match {
+            case Some(img) =>
+              (id, Some(img.width), Some(img.height), Some(img.channels),
+                Some(img.channelMeans.toSeq))
+            case None => (id, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "px_width", "px_height", "n_channels", "channel_means")
+  }
+
   /** Payload-level metadata probe without decoding: size, magic-byte
     * sniff, fingerprint — cheap columnar ops on binary.
     */

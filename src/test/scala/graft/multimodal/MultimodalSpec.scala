@@ -71,6 +71,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).getAs[String]("format") == null) // 5 junk bytes
   }
 
+  test("PngCodec round-trips every channel layout and all five filters exactly") {
+    // h >= 5 so the per-row filter cycle exercises None/Sub/Up/Avg/Paeth
+    for (ch <- 1 to 4) {
+      val (w, h, seed) = (13, 7, 91 + ch)
+      val img = PngCodec.decode(SyntheticMedia.pngFull(w, h, seed, ch))
+        .getOrElse(fail(s"decode failed for $ch channels"))
+      assert(img.width == w && img.height == h && img.channels == ch)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch) {
+        val expect = (x * 3 + y * 7 + c * 11 + seed) % 256
+        val got = img.pixels(y * w * ch + x * ch + c) & 0xff
+        assert(got == expect, s"pixel ($x,$y,$c) ch=$ch: $got != $expect")
+      }
+    }
+  }
+
+  test("PngCodec rejects truncation, header-only files, and non-PNGs") {
+    val full = SyntheticMedia.pngFull(16, 9, 5)
+    assert(PngCodec.decode(full).isDefined)
+    // cut inside IDAT: inflate cannot complete -> None, never partial rows
+    assert(PngCodec.decode(full.dropRight(20)).isEmpty)
+    assert(PngCodec.decode(SyntheticMedia.png(16, 9)).isEmpty)  // no IDAT
+    assert(PngCodec.decode(SyntheticMedia.jpeg(16, 9)).isEmpty)
+    assert(PngCodec.decode(null).isEmpty)
+    // PixelDecoder still probes headers and stays total on features
+    assert(PixelDecoder.probe(full).contains(MediaDecoder.Info("png", 16, 9)))
+    assert(PixelDecoder.features(full, 16).length == 16)
+    assert(PixelDecoder.features(SyntheticMedia.gif(4, 4), 16).length == 16)
+  }
+
+  test("pixelStats decodes distributed; non-PNG rows yield nulls") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, SyntheticMedia.pngFull(10, 6, 3)),
+      (2L, SyntheticMedia.jpeg(8, 8)),
+      (3L, SyntheticMedia.pngFull(5, 5, 7, channels = 1)))
+      .toDF("media_id", "payload")
+    val out = Multimodal.pixelStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 10 && out(1L).getInt(2) == 6 &&
+      out(1L).getInt(3) == 3)
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(4))
+    assert(out(3L).getInt(3) == 1)
+    val means = out(3L).getAs[collection.Seq[Double]]("channel_means")
+    val expected = (for (y <- 0 until 5; x <- 0 until 5)
+      yield ((x * 3 + y * 7 + 7) % 256).toDouble).sum / 25.0
+    assert(means.length == 1 && math.abs(means.head - expected) < 1e-12)
+  }
+
   test("sampleFramePlan expands video durations at step") {
     val frames = Multimodal.sampleFramePlan(media, stepMs = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
