@@ -1462,15 +1462,23 @@ object OracleSql {
     // reverse both to land on these numbers)
     "mm_pixel_decode" ->
       """WITH imgs AS (
-        |  SELECT i AS media_id, 8 + (i % 5) * 3 AS w, 6 + (i % 4) * 2 AS h,
-        |         (i * 17) % 251 AS seed
-        |  FROM generate_series(1, 12) t(i)),
-        |xs AS (SELECT media_id, w, h, seed,
+        |  SELECT i AS media_id, 'png' AS fmt, 8 + (i % 5) * 3 AS w,
+        |         6 + (i % 4) * 2 AS h, (i * 17) % 251 AS seed
+        |  FROM generate_series(1, 12) t(i)
+        |  UNION ALL
+        |  SELECT i, 'gif', 7 + (i % 4) * 5, 5 + (i % 3) * 4, (i * 29) % 101
+        |  FROM generate_series(13, 18) t(i)),
+        |xs AS (SELECT media_id, fmt, w, h, seed,
         |       unnest(generate_series(0, w - 1)) AS x FROM imgs),
-        |ys AS (SELECT media_id, w, h, seed, x,
+        |ys AS (SELECT media_id, fmt, w, h, seed, x,
         |       unnest(generate_series(0, h - 1)) AS y FROM xs),
         |cells AS (SELECT media_id, w, h,
-        |            (x * 3 + y * 7 + c * 11 + seed) % 256 AS v, c
+        |            CASE WHEN fmt = 'png'
+        |              THEN (x * 3 + y * 7 + c * 11 + seed) % 256
+        |              -- gif: palette-resolved ramp — index (x*3+y*7+seed)%64,
+        |              -- palette channel c = (idx*(5|9|11) + (13|7|3)) % 256
+        |              ELSE (((x * 3 + y * 7 + seed) % 64) * [5, 9, 11][c + 1]
+        |                    + [13, 7, 3][c + 1]) % 256 END AS v, c
         |          FROM (SELECT *, unnest([0, 1, 2]) AS c FROM ys))
         |SELECT media_id, CAST(w AS BIGINT) AS px_width, CAST(h AS BIGINT) AS px_height,
         |  round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_r,

@@ -488,10 +488,14 @@ object SparkEntry {
     * hash-verified, not spec-only. */
   private def mmPixelDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = (1 to 12).map { i =>
+    val media = ((1 to 12).map { i =>
       (i.toLong, graft.multimodal.SyntheticMedia.pngFull(
         8 + (i % 5) * 3, 6 + (i % 4) * 2, (i * 17) % 251))
-    }.toDF("media_id", "payload")
+    } ++ (13 to 18).map { i =>
+      // GIF leg: real LZW decode + palette resolution (ids 13-18)
+      (i.toLong, graft.multimodal.SyntheticMedia.gifFull(
+        7 + (i % 4) * 5, 5 + (i % 3) * 4, (i * 29) % 101))
+    }).toDF("media_id", "payload")
     graft.multimodal.Multimodal.pixelStats(media)
       .select(col("media_id"),
         col("px_width").cast("long").as("px_width"),

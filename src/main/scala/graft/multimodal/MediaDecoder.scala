@@ -206,13 +206,143 @@ object PngCodec {
   }
 }
 
-/** [[MediaDecoder]] with REAL pixel decoding for PNG payloads: features
-  * hash the DECODED samples (so two encodings of the same image agree);
-  * non-PNG containers keep the deterministic byte fingerprint. */
+/** Pure-JVM GIF pixel decoder — full-frame decoding for the second
+  * codec-free format: GIF's image data is LZW, a dictionary coder with
+  * no entropy tables, implemented here from the public GIF87a/89a spec
+  * (variable code width 3–12 bits LSB-first, clear/end codes, the
+  * KwKwK case). First frame only, non-interlaced, global or local
+  * palette; output is palette-resolved RGB. With PNG (zlib) and GIF
+  * (LZW) both really decoded, only formats whose decoders genuinely
+  * need codec libraries (JPEG's Huffman+DCT, video) remain behind the
+  * [[MediaDecoder]] seam.
+  */
+object GifCodec {
+  import PngCodec.Image
+
+  private def u8(b: Byte): Int = b & 0xff
+  private def le16(p: Array[Byte], i: Int): Int = u8(p(i)) | (u8(p(i + 1)) << 8)
+
+  def decode(p: Array[Byte]): Option[Image] = {
+    if (p == null || p.length < 14 ||
+      !(p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+        (p(4) == '7' || p(4) == '9') && p(5) == 'a')) return None
+    try {
+      var i = 6
+      val flags = u8(p(i + 4))
+      i += 7 // logical screen descriptor
+      var palette: Array[Array[Byte]] = null
+      if ((flags & 0x80) != 0) { // global color table
+        val n = 2 << (flags & 7)
+        palette = Array.tabulate(n)(k => Array(p(i + 3 * k), p(i + 3 * k + 1), p(i + 3 * k + 2)))
+        i += 3 * n
+      }
+      while (i < p.length) {
+        u8(p(i)) match {
+          case 0x21 => // extension: label + sub-blocks
+            i += 2
+            while (u8(p(i)) != 0) i += 1 + u8(p(i))
+            i += 1
+          case 0x2c => // image descriptor
+            val iw = le16(p, i + 5); val ih = le16(p, i + 7)
+            val iflags = u8(p(i + 9))
+            i += 10
+            if ((iflags & 0x40) != 0) return None // interlaced: unsupported
+            if ((iflags & 0x80) != 0) { // local color table wins
+              val n = 2 << (iflags & 7)
+              palette = Array.tabulate(n)(k =>
+                Array(p(i + 3 * k), p(i + 3 * k + 1), p(i + 3 * k + 2)))
+              i += 3 * n
+            }
+            if (palette == null || iw <= 0 || ih <= 0) return None
+            val minCode = u8(p(i)); i += 1
+            // concatenate data sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            while (u8(p(i)) != 0) { val n = u8(p(i)); data.write(p, i + 1, n); i += 1 + n }
+            val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+              .getOrElse(return None)
+            val px = new Array[Byte](iw * ih * 3)
+            var k = 0
+            while (k < idx.length) {
+              val e = palette(idx(k) % palette.length)
+              px(3 * k) = e(0); px(3 * k + 1) = e(1); px(3 * k + 2) = e(2)
+              k += 1
+            }
+            return Some(Image(iw, ih, 3, px))
+          case 0x3b => return None // trailer before any image
+          case _    => return None
+        }
+      }
+      None
+      // IndexOutOfBounds (not just the Array subclass): a truncated
+      // payload can die inside the sub-block copy's range check too
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** General GIF-LZW decode (spec appendix F): variable width from
+    * `minCode`+1 up to 12 bits, clear resets, KwKwK handling. Stops
+    * after `nPixels` outputs (trailing codes ignored like real viewers). */
+  private def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Int]] = {
+    if (minCode < 2 || minCode > 11) return None
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new Array[Int](nPixels)
+    var outN = 0
+    // dictionary as prefix links: suffix byte + prefix code per entry
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = end + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L; var nBits = 0; var bi = 0
+    val stack = new Array[Int](4096); var sp = 0
+    def emit(code: Int): Boolean = { // expand a code to output, root-first
+      var c = code
+      sp = 0
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      stack(sp) = c; sp += 1
+      while (sp > 0 && outN < nPixels) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+      true
+    }
+    def firstOf(code: Int): Int = { var c = code; while (c >= clear) c = prefix(c); c }
+    while (outN < nPixels) {
+      while (nBits < width) {
+        if (bi >= data.length) return None // truncated stream
+        acc |= (data(bi) & 0xffL) << nBits; nBits += 8; bi += 1
+      }
+      val code = (acc & ((1 << width) - 1)).toInt
+      acc >>>= width; nBits -= width
+      if (code == clear) {
+        next = end + 1; width = minCode + 1; prev = -1
+      } else if (code == end) {
+        return if (outN == nPixels) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code must be a root
+        emit(code); prev = code
+      } else {
+        if (code > next || (code == next && prev < 0)) return None
+        if (code == next) { // KwKwK: prev ++ first(prev)
+          if (next >= 4096) return None
+          prefix(next) = prev; suffix(next) = firstOf(prev); next += 1
+          emit(code)
+        } else {
+          emit(code)
+          if (next < 4096) { prefix(next) = prev; suffix(next) = firstOf(code); next += 1 }
+        }
+        if (next == (1 << width) && width < 12) width += 1
+        prev = code
+      }
+    }
+    Some(out)
+  }
+}
+
+/** [[MediaDecoder]] with REAL pixel decoding for PNG and GIF payloads:
+  * features hash the DECODED samples (so two encodings of the same image
+  * agree); codec-needing containers keep the byte fingerprint. */
 object PixelDecoder extends MediaDecoder {
   def probe(p: Array[Byte]): Option[MediaDecoder.Info] = HeaderDecoder.probe(p)
   def features(payload: Array[Byte], dim: Int): Array[Float] =
-    PngCodec.decode(payload) match {
+    PngCodec.decode(payload).orElse(GifCodec.decode(payload)) match {
       case Some(img) => Multimodal.decodeStub(img.pixels, dim)
       case None      => Multimodal.decodeStub(payload, dim)
     }
@@ -320,6 +450,95 @@ object SyntheticMedia {
       (Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++ Array[Byte](8) ++
         be16(h) ++ be16(w) ++ Array[Byte](1) ++ Array[Byte](1, 0x11, 0)) ++
       Array(0xff, 0xd9).map(_.toByte)
+  }
+
+  /** A COMPLETE GIF87a with REAL LZW-compressed image data: 64-entry
+    * palette `i → ((i*5+13)%256, (i*9+7)%256, (i*11+3)%256)`, pixel
+    * index `(x,y) → (x*3 + y*7 + seed) % 64` — both formulas an
+    * independent engine replays, making GIF full-frame decode
+    * oracle-verifiable. The encoder is genuine LZW (dictionary builds,
+    * code width grows 7→12 bits, clear-code reset on a full table), so
+    * the decoder's general path is what gets exercised. */
+  def gifFull(w: Int, h: Int, seed: Int): Array[Byte] = {
+    checkDims(w, h, 65535, "gif")
+    val idx = Array.tabulate(w * h)(k => ((k % w) * 3 + (k / w) * 7 + seed) % 64)
+    gifOf(w, h, idx, Array.tabulate(64)(i => Array(
+      ((i * 5 + 13) % 256).toByte, ((i * 9 + 7) % 256).toByte,
+      ((i * 11 + 3) % 256).toByte)))
+  }
+
+  /** Assemble a GIF87a from explicit palette indices (palette size must
+    * be a power of two in [4, 256]). */
+  def gifOf(w: Int, h: Int, idx: Array[Int], palette: Array[Array[Byte]]): Array[Byte] = {
+    val nPal = palette.length
+    require(nPal >= 4 && nPal <= 256 && (nPal & (nPal - 1)) == 0,
+      s"palette size must be a power of two in [4,256]: $nPal")
+    require(idx.length == w * h && idx.forall(i => i >= 0 && i < nPal),
+      "index raster must be w*h entries within the palette")
+    val palBits = 31 - Integer.numberOfLeadingZeros(nPal)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0x80 | ((palBits - 1) << 4) | (palBits - 1)) // GCT present, size
+    out.write(0); out.write(0) // background, aspect
+    palette.foreach(out.write)
+    out.write(0x2c) // image descriptor
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+    out.write(0) // no local table, not interlaced
+    val minCode = math.max(2, palBits)
+    out.write(minCode)
+    val lzw = lzwEncode(idx, minCode)
+    var o = 0
+    while (o < lzw.length) { // ≤255-byte data sub-blocks
+      val n = math.min(255, lzw.length - o)
+      out.write(n); out.write(lzw, o, n); o += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Real GIF-LZW compression: dictionary of (prefix code, symbol)
+    * pairs, LSB-first variable-width output, width bump one step AHEAD
+    * of the decoder's table (the decoder lags one entry), clear-reset
+    * when the 4096-entry table fills. */
+  private def lzwEncode(idx: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    var next = end + 1
+    var width = minCode + 1
+    val dict = new java.util.HashMap[Long, Integer]()
+    val bytes = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nBits; nBits += width
+      while (nBits >= 8) { bytes.write((acc & 0xff).toInt); acc >>>= 8; nBits -= 8 }
+    }
+    put(clear)
+    var cur = idx(0)
+    var i = 1
+    while (i < idx.length) {
+      val k = idx(i)
+      val key = (cur.toLong << 16) | k
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        put(cur)
+        if (next == 4096) { // table full: reset (decoder mirrors)
+          put(clear); dict.clear(); next = end + 1; width = minCode + 1
+        } else {
+          dict.put(key, Integer.valueOf(next)); next += 1
+          // decoder adds entries one code behind: bump width when OUR
+          // table passes 2^width so the next emission still fits ITS width
+          if (next == (1 << width) + 1 && width < 12) width += 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    put(cur); put(end)
+    if (nBits > 0) bytes.write((acc & 0xff).toInt)
+    bytes.toByteArray
   }
 
   /** Header + logical screen descriptor + trailer. 14 bytes. GIF

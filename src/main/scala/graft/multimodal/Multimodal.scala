@@ -98,11 +98,12 @@ object Multimodal {
     }
   }
 
-  /** FULL-FRAME decode over payload batches: real PNG pixel decoding
-    * ([[PngCodec]] — inflate + unfilter, pure JVM) distributed via the
-    * same per-partition batch shape. Output per row: pixel dimensions,
-    * channel count, and per-channel mean sample values; nulls when the
-    * payload is not a decodable PNG. At 100 TB this is the exact shape a
+  /** FULL-FRAME decode over payload batches: real PNG ([[PngCodec]] —
+    * inflate + unfilter) and GIF ([[GifCodec]] — LZW + palette) pixel
+    * decoding, pure JVM, distributed via the same per-partition batch
+    * shape. Output per row: pixel dimensions, channel count, and
+    * per-channel mean sample values; nulls when the payload is outside
+    * the decodable profile. At 100 TB this is the exact shape a
     * codec-backed frame decoder runs in — only the decode body differs.
     */
   def pixelStats(media: DataFrame): DataFrame = {
@@ -112,7 +113,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          PngCodec.decode(payload) match {
+          PngCodec.decode(payload).orElse(GifCodec.decode(payload)) match {
             case Some(img) =>
               (id, Some(img.width), Some(img.height), Some(img.channels),
                 Some(img.channelMeans.toSeq))

@@ -100,6 +100,38 @@ class MultimodalSpec extends SparkSpec {
     assert(PixelDecoder.features(SyntheticMedia.gif(4, 4), 16).length == 16)
   }
 
+  test("GifCodec: real LZW round-trips exactly, including hard cases") {
+    def expectExact(w: Int, h: Int, idx: Array[Int],
+                    pal: Array[Array[Byte]]): Unit = {
+      val img = GifCodec.decode(SyntheticMedia.gifOf(w, h, idx, pal))
+        .getOrElse(fail(s"decode failed ${w}x$h"))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      for (k <- idx.indices; c <- 0 until 3)
+        assert(img.pixels(3 * k + c) == pal(idx(k))(c),
+          s"pixel $k ch $c mismatch")
+    }
+    val pal64 = Array.tabulate(64)(i => Array(
+      ((i * 5 + 13) % 256).toByte, ((i * 9 + 7) % 256).toByte,
+      ((i * 11 + 3) % 256).toByte))
+    // uniform image: the classic KwKwK code stream
+    expectExact(9, 7, Array.fill(63)(5), pal64)
+    // ramp: dictionary hits + code-width growth past 128 entries
+    expectExact(40, 30, Array.tabulate(1200)(k =>
+      ((k % 40) * 3 + (k / 40) * 7 + 11) % 64), pal64)
+    // random indices: maximal dictionary growth → 4096-entry clear-reset
+    val rnd = new scala.util.Random(7)
+    expectExact(200, 150, Array.fill(30000)(rnd.nextInt(64)), pal64)
+    // small palette (4 entries, 3-bit min code)
+    val pal4 = Array.tabulate(4)(i => Array((i * 60).toByte, (i * 3).toByte, i.toByte))
+    expectExact(11, 6, Array.tabulate(66)(_ % 4), pal4)
+    // truncation and pixel-less containers fail closed
+    val full = SyntheticMedia.gifFull(12, 9, 17)
+    assert(GifCodec.decode(full).isDefined)
+    assert(GifCodec.decode(full.dropRight(15)).isEmpty)
+    assert(GifCodec.decode(SyntheticMedia.gif(12, 9)).isEmpty) // no image data
+    assert(GifCodec.decode(SyntheticMedia.png(12, 9)).isEmpty)
+  }
+
   test("pixelStats decodes distributed; non-PNG rows yield nulls") {
     import spark.implicits._
     val media = Seq(
