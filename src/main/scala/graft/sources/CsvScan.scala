@@ -156,7 +156,12 @@ object CsvScan {
       case _ => ()
     }
     if (DateRe.matches(tok) && tryIs(LocalDate.parse(tok))) return TDate
-    if (TsRe.matches(tok)) return TTs
+    if (TsRe.matches(tok)) {
+      // grammar-valid but calendar/clock-invalid ("2021-13-45 25:99:00")
+      // must not reach emission — Spark would classify it string, so the
+      // file routes to the driver chain instead
+      return if (tryIs(tsMicros(tok, java.time.ZoneOffset.UTC))) TTs else TReject
+    }
     if (DateyRe.matches(tok)) return TReject
     if (tryIs(java.lang.Double.parseDouble(tok))) return TDouble
     if (tok.equalsIgnoreCase("true") || tok.equalsIgnoreCase("false")) return TBool

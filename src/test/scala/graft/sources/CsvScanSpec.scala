@@ -169,9 +169,13 @@ class CsvScanSpec extends SparkSpec {
       "id,note\n1,2021-12 report\n2,2022-01 report\n3,plain\n4,2023-03 recap\n5,x\n")
     val pBad = write(d, "scores.csv",
       "id,score\n1,5-3\n2,2-1\n3,0-0\n4,4-2\n5,1-1\n")
+    // grammar-valid but calendar-invalid timestamps: reject, never crash
+    val pBadTs = write(d, "badts.csv",
+      "id,t\n1,2021-13-45 10:30:00\n2,2021-01-15 25:99:00\n" +
+        "3,2021-02-30 10:00:00\n4,2021-01-01 10:00:00\n5,2021-01-02 10:00:00\n")
     val sc = CsvScan.scanLake(spark,
-      Map(pOk -> "notes", pBad -> "scores"), RobustCsv.RowCap)
-    assert(sc.rejected == Seq(pBad), s"rejected: ${sc.rejected}")
+      Map(pOk -> "notes", pBad -> "scores", pBadTs -> "badts"), RobustCsv.RowCap)
+    assert(sc.rejected == Seq(pBadTs, pBad).sorted, s"rejected: ${sc.rejected}")
     assertParity(
       Profiler.profileFromLong(LakeScan.renderLong(sc.cells)),
       Profiler.profile(RobustCsv.read(spark, pOk).get, "notes"))
