@@ -1456,10 +1456,13 @@ object OracleSql {
     "lake_csv_unified" -> lakeCsvUnifiedSql,
     "q7_onnx_score" -> q7OnnxScoreSql,
     "q1_embed_extract" -> q1EmbedExtractSql,
-    // full-frame PNG decode: per-channel means recomputed from the
-    // generative pixel-ramp formula (SparkEntry.mmPixelDecode encodes the
-    // same ramp through deflate + per-row filters; the engine must
-    // reverse both to land on these numbers)
+    // full-frame decode: per-channel means recomputed from the generative
+    // pixel formulas (SparkEntry.mmPixelDecode encodes the same formulas
+    // through deflate+filters / LZW / FDCT+Huffman; the engine must
+    // reverse each codec to land on these numbers). JPEG legs are exact
+    // because tile-constant blocks carry only a DC coefficient, which
+    // unit quantization preserves bit-for-bit; the color leg's neutral
+    // chroma makes the JFIF transform return R=G=B=Y exactly.
     "mm_pixel_decode" ->
       """WITH imgs AS (
         |  SELECT i AS media_id, 'png' AS fmt, 8 + (i % 5) * 3 AS w,
@@ -1467,7 +1470,13 @@ object OracleSql {
         |  FROM generate_series(1, 12) t(i)
         |  UNION ALL
         |  SELECT i, 'gif', 7 + (i % 4) * 5, 5 + (i % 3) * 4, (i * 29) % 101
-        |  FROM generate_series(13, 18) t(i)),
+        |  FROM generate_series(13, 18) t(i)
+        |  UNION ALL
+        |  SELECT i, 'jgray', 9 + (i % 5) * 4, 7 + (i % 4) * 3, (i * 31) % 200
+        |  FROM generate_series(19, 24) t(i)
+        |  UNION ALL
+        |  SELECT i, 'jcolor', 14 + (i % 3) * 9, 10 + (i % 2) * 13, (i * 23) % 150
+        |  FROM generate_series(25, 30) t(i)),
         |xs AS (SELECT media_id, fmt, w, h, seed,
         |       unnest(generate_series(0, w - 1)) AS x FROM imgs),
         |ys AS (SELECT media_id, fmt, w, h, seed, x,
@@ -1477,14 +1486,42 @@ object OracleSql {
         |              THEN (x * 3 + y * 7 + c * 11 + seed) % 256
         |              -- gif: palette-resolved ramp — index (x*3+y*7+seed)%64,
         |              -- palette channel c = (idx*(5|9|11) + (13|7|3)) % 256
-        |              ELSE (((x * 3 + y * 7 + seed) % 64) * [5, 9, 11][c + 1]
-        |                    + [13, 7, 3][c + 1]) % 256 END AS v, c
+        |            WHEN fmt = 'gif'
+        |              THEN (((x * 3 + y * 7 + seed) % 64) * [5, 9, 11][c + 1]
+        |                    + [13, 7, 3][c + 1]) % 256
+        |              -- jpeg grayscale: 8x8-tile-constant luma, channel 0 only
+        |            WHEN fmt = 'jgray'
+        |              THEN CASE WHEN c = 0
+        |                THEN ((x // 8) * 5 + (y // 8) * 11 + seed) % 256 END
+        |              -- jpeg 4:2:0 neutral-chroma: R=G=B = 16x16-tile luma
+        |              ELSE ((x // 16) * 5 + (y // 16) * 11 + seed) % 256
+        |            END AS v, c
         |          FROM (SELECT *, unnest([0, 1, 2]) AS c FROM ys))
         |SELECT media_id, CAST(w AS BIGINT) AS px_width, CAST(h AS BIGINT) AS px_height,
         |  round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_r,
         |  round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g,
         |  round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_b
         |FROM cells GROUP BY media_id, w, h ORDER BY media_id""".stripMargin,
+    // WAV decode: frames/duration/RMS recomputed from the generative
+    // sample formula (v² is an exact integer, so avg/sqrt match the
+    // engine's doubles bit-for-bit)
+    "mm_audio_decode" ->
+      """WITH clips AS (
+        |  SELECT i AS media_id,
+        |         ([8000, 16000, 22050, 44100])[(i % 4) + 1] AS rate,
+        |         1 + (i % 3) AS ch, 100 + (i % 5) * 77 AS frames,
+        |         (i * 13) % 97 AS seed
+        |  FROM generate_series(1, 10) t(i)),
+        |vals AS (
+        |  SELECT media_id, rate, ch, frames,
+        |         ((k * 37 + seed) % 4096) - 2048 AS v
+        |  FROM (SELECT *, unnest(generate_series(0, frames * ch - 1)) AS k
+        |        FROM clips))
+        |SELECT media_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(ch AS BIGINT) AS n_channels, CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+        |  round(sqrt(avg(v * v)), 6) AS rms_r
+        |FROM vals GROUP BY media_id, rate, ch, frames ORDER BY media_id""".stripMargin,
     // same semantics as o4_search_minhash — the e2e row additionally
     // routes the catalog through a store round-trip before searching
     "e2e_lake_search" -> searchMinhashSql,

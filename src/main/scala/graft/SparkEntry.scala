@@ -479,13 +479,16 @@ object SparkEntry {
       graft.store.SketchStore.readParquet(s, store), "supplier", k = 10)
   }
 
-  /** FULL-FRAME media decode, made real for PNG: standards-valid PNGs
-    * (zlib IDAT, CRC chunks, per-row filters cycling all five types) are
-    * written from a deterministic pixel ramp, decoded DISTRIBUTED by the
-    * pure-JVM `PngCodec` (inflate + unfilter), and the oracle recomputes
-    * the per-channel means straight from the ramp formula — so chunk
-    * walking, decompression, and every filter reversal are
-    * hash-verified, not spec-only. */
+  /** FULL-FRAME media decode, real for all three codec-free formats:
+    * standards-valid PNGs (zlib IDAT, per-row filters cycling all five
+    * types), GIFs (real LZW), and baseline JPEGs (Huffman + IDCT;
+    * tile-constant rasters survive unit quantization bit-exactly) are
+    * written from deterministic pixel formulas, decoded DISTRIBUTED by
+    * the pure-JVM codecs, and the oracle recomputes the per-channel
+    * means straight from the formulas — so chunk walking, inflate,
+    * every PNG filter, LZW, Huffman entropy decode, dequant+IDCT,
+    * restart markers, 4:2:0 upsampling, and the JFIF color transform
+    * are all hash-verified, not spec-only. */
   private def mmPixelDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = ((1 to 12).map { i =>
@@ -495,14 +498,45 @@ object SparkEntry {
       // GIF leg: real LZW decode + palette resolution (ids 13-18)
       (i.toLong, graft.multimodal.SyntheticMedia.gifFull(
         7 + (i % 4) * 5, 5 + (i % 3) * 4, (i * 29) % 101))
+    } ++ (19 to 24).map { i =>
+      // grayscale JPEG leg: dims off the 8-grid exercise pad/crop; odd
+      // seeds add restart markers (ids 19-24)
+      (i.toLong, graft.multimodal.SyntheticMedia.jpegFullGray(
+        9 + (i % 5) * 4, 7 + (i % 4) * 3, (i * 31) % 200))
+    } ++ (25 to 30).map { i =>
+      // 4:2:0 color JPEG leg: neutral chroma → RGB = luma exactly (ids 25-30)
+      (i.toLong, graft.multimodal.SyntheticMedia.jpegFullColor(
+        14 + (i % 3) * 9, 10 + (i % 2) * 13, (i * 23) % 150))
     }).toDF("media_id", "payload")
+    def chMean(n: Int) = when(size(col("channel_means")) >= n,
+      round(element_at(col("channel_means"), n), 6))
     graft.multimodal.Multimodal.pixelStats(media)
       .select(col("media_id"),
         col("px_width").cast("long").as("px_width"),
         col("px_height").cast("long").as("px_height"),
-        round(element_at(col("channel_means"), 1), 6).as("mean_r"),
-        round(element_at(col("channel_means"), 2), 6).as("mean_g"),
-        round(element_at(col("channel_means"), 3), 6).as("mean_b"))
+        chMean(1).as("mean_r"), chMean(2).as("mean_g"), chMean(3).as("mean_b"))
+      .orderBy("media_id")
+  }
+
+  /** FULL audio decode, the WAV leg of multimodal: real RIFF/PCM
+    * containers built from an integer sample formula, decoded
+    * DISTRIBUTED by the pure-JVM `WavCodec` (chunk walk, PCM sample
+    * extraction); the oracle replays frame counts, integer-division
+    * durations, and RMS from the same formula (sample squares are exact
+    * integers, so the float RMS matches bit-for-bit). */
+  private def mmAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = (1 to 10).map { i =>
+      (i.toLong, graft.multimodal.SyntheticAudio.wavFull(
+        Seq(8000, 16000, 22050, 44100)(i % 4), 1 + (i % 3),
+        100 + (i % 5) * 77, (i * 13) % 97))
+    }.toDF("media_id", "payload")
+    graft.multimodal.Multimodal.audioStats(media)
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("n_frames"), col("duration_ms"),
+        round(col("rms"), 6).as("rms_r"))
       .orderBy("media_id")
   }
 
@@ -1354,6 +1388,7 @@ object SparkEntry {
     "q1_embed_extract" -> q1EmbedExtract,
     "e2e_lake_search" -> e2eLakeSearch,
     "mm_pixel_decode" -> mmPixelDecode,
+    "mm_audio_decode" -> mmAudioDecode,
     "content_snapshots" -> contentSnapshots,
     "o4_search_minhash" -> searchMinhash,
     "o4_search_subset" -> searchSubsetQ,

@@ -98,9 +98,8 @@ object HeaderDecoder extends MediaDecoder {
   * (zlib/Inflater): chunk walk, concatenated-IDAT inflate, and scanline
   * unfiltering for all five PNG filter types, over 8-bit gray / gray+α /
   * RGB / RGBA, non-interlaced. CRCs are not verified (decoding serves
-  * feature extraction, not integrity checking). JPEG/GIF pixel decoding
-  * stays behind the [[MediaDecoder]] seam — their entropy coders need a
-  * codec library this container doesn't ship.
+  * feature extraction, not integrity checking). GIF pixel decoding lives
+  * in [[GifCodec]], baseline JPEG in [[JpegCodec]].
   */
 object PngCodec {
 
@@ -212,9 +211,9 @@ object PngCodec {
   * (variable code width 3–12 bits LSB-first, clear/end codes, the
   * KwKwK case). First frame only, non-interlaced, global or local
   * palette; output is palette-resolved RGB. With PNG (zlib) and GIF
-  * (LZW) both really decoded, only formats whose decoders genuinely
-  * need codec libraries (JPEG's Huffman+DCT, video) remain behind the
-  * [[MediaDecoder]] seam.
+  * (LZW), and baseline JPEG (Huffman+DCT, [[JpegCodec]]) all really
+  * decoded, only video/audio codecs remain behind the [[MediaDecoder]]
+  * seam.
   */
 object GifCodec {
   import PngCodec.Image
@@ -336,13 +335,15 @@ object GifCodec {
   }
 }
 
-/** [[MediaDecoder]] with REAL pixel decoding for PNG and GIF payloads:
-  * features hash the DECODED samples (so two encodings of the same image
-  * agree); codec-needing containers keep the byte fingerprint. */
+/** [[MediaDecoder]] with REAL pixel decoding for PNG, GIF, and baseline
+  * JPEG payloads: features hash the DECODED samples (so two encodings of
+  * the same image agree); anything outside the decodable profiles keeps
+  * the byte fingerprint. */
 object PixelDecoder extends MediaDecoder {
   def probe(p: Array[Byte]): Option[MediaDecoder.Info] = HeaderDecoder.probe(p)
   def features(payload: Array[Byte], dim: Int): Array[Float] =
-    PngCodec.decode(payload).orElse(GifCodec.decode(payload)) match {
+    PngCodec.decode(payload).orElse(GifCodec.decode(payload))
+      .orElse(JpegCodec.decode(payload)) match {
       case Some(img) => Multimodal.decodeStub(img.pixels, dim)
       case None      => Multimodal.decodeStub(payload, dim)
     }
@@ -450,6 +451,33 @@ object SyntheticMedia {
       (Array(0xff, 0xc0).map(_.toByte) ++ be16(11) ++ Array[Byte](8) ++
         be16(h) ++ be16(w) ++ Array[Byte](1) ++ Array[Byte](1, 0x11, 0)) ++
       Array(0xff, 0xd9).map(_.toByte)
+  }
+
+  /** A COMPLETE baseline grayscale JPEG with real Huffman+DCT
+    * compression: 8×8-tile-constant luma `((x/8)*5 + (y/8)*11 + seed)
+    * % 256`. A constant block carries a single DC coefficient, which
+    * unit quantization preserves bit-exactly through the codec — so
+    * full-frame JPEG decode is oracle-verifiable from the tile formula
+    * (restart markers every 4 MCUs when the seed is odd). */
+  def jpegFullGray(w: Int, h: Int, seed: Int): Array[Byte] = {
+    checkDims(w, h, 65535, "jpeg")
+    val yp = Array.tabulate(w * h)(k =>
+      ((k % w) / 8 * 5 + (k / w) / 8 * 11 + seed) % 256)
+    JpegEncoder.encodeGray(w, h, yp, if (seed % 2 == 1) 4 else 0)
+  }
+
+  /** A COMPLETE baseline 4:2:0 YCbCr JPEG: 16×16-tile-constant luma
+    * (tiles align with full MCUs so the subsampled chroma stays
+    * constant) and neutral chroma (128 → the JFIF transform returns
+    * R=G=B=Y exactly). Exercises interleaved-MCU decode, chroma
+    * upsampling, and color conversion end to end, exactly. */
+  def jpegFullColor(w: Int, h: Int, seed: Int): Array[Byte] = {
+    checkDims(w, h, 65535, "jpeg")
+    val yp = Array.tabulate(w * h)(k =>
+      ((k % w) / 16 * 5 + (k / w) / 16 * 11 + seed) % 256)
+    val neutral = Array.fill(w * h)(128)
+    JpegEncoder.encodeYcc(w, h, yp, neutral, neutral, subsample420 = true,
+      if (seed % 2 == 0) 3 else 0)
   }
 
   /** A COMPLETE GIF87a with REAL LZW-compressed image data: 64-entry

@@ -99,12 +99,13 @@ object Multimodal {
   }
 
   /** FULL-FRAME decode over payload batches: real PNG ([[PngCodec]] —
-    * inflate + unfilter) and GIF ([[GifCodec]] — LZW + palette) pixel
-    * decoding, pure JVM, distributed via the same per-partition batch
-    * shape. Output per row: pixel dimensions, channel count, and
-    * per-channel mean sample values; nulls when the payload is outside
-    * the decodable profile. At 100 TB this is the exact shape a
-    * codec-backed frame decoder runs in — only the decode body differs.
+    * inflate + unfilter), GIF ([[GifCodec]] — LZW + palette), and
+    * baseline JPEG ([[JpegCodec]] — Huffman + IDCT) pixel decoding,
+    * pure JVM, distributed via the same per-partition batch shape.
+    * Output per row: pixel dimensions, channel count, and per-channel
+    * mean sample values; nulls when the payload is outside the decodable
+    * profile. At 100 TB this is the exact shape a codec-backed frame
+    * decoder runs in — only the decode body differs.
     */
   def pixelStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -113,7 +114,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          PngCodec.decode(payload).orElse(GifCodec.decode(payload)) match {
+          PngCodec.decode(payload).orElse(GifCodec.decode(payload))
+            .orElse(JpegCodec.decode(payload)) match {
             case Some(img) =>
               (id, Some(img.width), Some(img.height), Some(img.channels),
                 Some(img.channelMeans.toSeq))
@@ -122,6 +124,31 @@ object Multimodal {
         }
       }
       .toDF("media_id", "px_width", "px_height", "n_channels", "channel_means")
+  }
+
+  /** FULL audio decode over payload batches: real WAV/RIFF PCM parsing
+    * ([[WavCodec]]) distributed via the same per-partition batch shape
+    * as [[pixelStats]]. Output per row: sample rate, channel count,
+    * frame count, duration, and RMS amplitude; nulls when the payload
+    * is not integer-PCM WAV.
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          WavCodec.decode(payload) match {
+            case Some(a) =>
+              (id, Some(a.sampleRate), Some(a.channels), Some(a.frames.toLong),
+                Some(a.durationMs), Some(a.rms))
+            case None => (id, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_channels", "n_frames",
+        "duration_ms", "rms")
   }
 
   /** Payload-level metadata probe without decoding: size, magic-byte

@@ -117,6 +117,22 @@ object GraftProperties extends Properties("graft") {
       HeaderDecoder.probe(bytes).contains(MediaDecoder.Info(fmt, w, h))
     }
 
+  property("tile-constant JPEGs round-trip exactly at any dims/seed") =
+    forAll(Gen.chooseNum(1, 70), Gen.chooseNum(1, 70), Gen.chooseNum(0, 255),
+      Gen.oneOf(true, false)) { (w, h, seed, color) =>
+      import graft.multimodal.{JpegCodec, SyntheticMedia}
+      val img = JpegCodec.decode(
+        if (color) SyntheticMedia.jpegFullColor(w, h, seed)
+        else SyntheticMedia.jpegFullGray(w, h, seed)).get
+      val tile = if (color) 16 else 8
+      img.width == w && img.height == h &&
+        (0 until w * h).forall { k =>
+          val expect = ((k % w) / tile * 5 + (k / w) / tile * 11 + seed) % 256
+          (0 until img.channels).forall(c =>
+            (img.pixels(k * img.channels + c) & 0xff) == expect)
+        }
+    }
+
   property("lehmerPerm is a bijection and stable") =
     forAll(Gen.chooseNum(1, 64), Gen.chooseNum(0, 16)) { (n, aug) =>
       val p = graft.ingest.Augment.lehmerPerm(n, aug)
