@@ -133,11 +133,23 @@ object Graft {
                  decoder: multimodal.MediaDecoder = multimodal.HeaderDecoder): DataFrame =
     multimodal.Multimodal.probeHeaders(media, decoder)
 
-  /** FULL-FRAME decode of PNG payload columns (pure-JVM inflate +
-    * unfilter): pixel dimensions, channel count, per-channel means;
-    * nulls for payloads outside the decodable profile. */
+  /** FULL-FRAME decode of PNG / GIF / baseline-JPEG payload columns
+    * (pure-JVM inflate+unfilter, LZW, Huffman+IDCT): pixel dimensions,
+    * channel count, per-channel means; nulls for payloads outside the
+    * decodable profiles. */
   def decodeFrames(media: DataFrame): DataFrame =
     multimodal.Multimodal.pixelStats(media)
+
+  /** Decode WAV/RIFF integer-PCM payload columns: sample rate,
+    * channels, frames, duration, RMS amplitude; nulls for non-PCM. */
+  def decodeAudio(media: DataFrame): DataFrame =
+    multimodal.Multimodal.audioStats(media)
+
+  /** Probe MP4/ISO-BMFF payload columns: movie duration, visual-track
+    * dimensions, track count — the metadata a frame-sampling plan
+    * consumes (frame decode itself stays behind the codec seam). */
+  def probeVideo(media: DataFrame): DataFrame =
+    multimodal.Multimodal.videoProbe(media)
 
   /** Export a trained pair scorer's logistic head as a REAL ONNX
     * artifact; score it back via [[ml.Scorer.onnxModelFactory]] (opens a

@@ -1522,6 +1522,18 @@ object OracleSql {
         |  CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
         |  round(sqrt(avg(v * v)), 6) AS rms_r
         |FROM vals GROUP BY media_id, rate, ch, frames ORDER BY media_id""".stripMargin,
+    // MP4 probe: duration/dims/track-count recomputed from the same
+    // integer formulas the synthetic containers encode (timescale
+    // division is integer on both sides)
+    "mm_video_probe" ->
+      """SELECT i AS media_id,
+        |  CAST((([600, 1000, 90000, 48000])[(i % 4) + 1] * (10 + i) + i * 7)
+        |       * 1000 // ([600, 1000, 90000, 48000])[(i % 4) + 1] AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(320 + i * 16 AS BIGINT) AS vid_width,
+        |  CAST(180 + i * 9 AS BIGINT) AS vid_height,
+        |  CAST(CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks
+        |FROM generate_series(1, 8) t(i) ORDER BY media_id""".stripMargin,
     // same semantics as o4_search_minhash — the e2e row additionally
     // routes the catalog through a store round-trip before searching
     "e2e_lake_search" -> searchMinhashSql,

@@ -540,6 +540,31 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Video container probe, the MP4 leg of multimodal: real ISO-BMFF
+    * box walking (`Mp4Probe` — mvhd v0/v1 duration, tkhd fixed-point
+    * dims, non-visual-track skip) over synthetic containers built from
+    * integer formulas; the oracle replays the timescale arithmetic.
+    * Frame decode needs codec libraries (documented seam); the
+    * container metadata a frame-sampling plan consumes is parsed from
+    * real bytes, distributed. */
+  private def mmVideoProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = (1 to 8).map { i =>
+      val ts = Seq(600L, 1000L, 90000L, 48000L)(i % 4)
+      val dims = (320 + i * 16, 180 + i * 9)
+      (i.toLong, graft.multimodal.SyntheticVideo.mp4Of(
+        ts, ts * (10 + i) + i * 7,
+        if (i % 3 == 0) Seq((0, 0), dims) else Seq(dims),
+        mvhdV1 = i % 2 == 1))
+    }.toDF("media_id", "payload")
+    graft.multimodal.Multimodal.videoProbe(media)
+      .select(col("media_id"), col("duration_ms"),
+        col("vid_width").cast("long").as("vid_width"),
+        col("vid_height").cast("long").as("vid_height"),
+        col("n_tracks").cast("long").as("n_tracks"))
+      .orderBy("media_id")
+  }
+
   /** A13 + P7: whole-table content snapshots (MinHash over space-joined
     * row strings), digest stringified for the oracle compare. */
   private def contentSnapshots(s: SparkSession, dir: String): DataFrame =
@@ -1389,6 +1414,7 @@ object SparkEntry {
     "e2e_lake_search" -> e2eLakeSearch,
     "mm_pixel_decode" -> mmPixelDecode,
     "mm_audio_decode" -> mmAudioDecode,
+    "mm_video_probe" -> mmVideoProbe,
     "content_snapshots" -> contentSnapshots,
     "o4_search_minhash" -> searchMinhash,
     "o4_search_subset" -> searchSubsetQ,

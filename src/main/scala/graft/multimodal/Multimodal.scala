@@ -151,6 +151,31 @@ object Multimodal {
         "duration_ms", "rms")
   }
 
+  /** Video container probe over payload batches: real MP4/ISO-BMFF box
+    * walking ([[Mp4Probe]]) — movie duration from `mvhd`, track
+    * dimensions from `tkhd`, track count — distributed like
+    * [[pixelStats]]. Frame decoding needs video codec libraries and
+    * stays behind the [[MediaDecoder]] seam; the metadata parsed here
+    * is exactly what [[sampleFramePlan]] consumes.
+    */
+  def videoProbe(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          Mp4Probe.probe(payload) match {
+            case Some(v) =>
+              (id, Some(v.durationMs), Some(v.width), Some(v.height),
+                Some(v.nTracks))
+            case None => (id, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "duration_ms", "vid_width", "vid_height", "n_tracks")
+  }
+
   /** Payload-level metadata probe without decoding: size, magic-byte
     * sniff, fingerprint — cheap columnar ops on binary.
     */
