@@ -145,6 +145,15 @@ object Graft {
   def decodeAudio(media: DataFrame): DataFrame =
     multimodal.Multimodal.audioStats(media)
 
+  /** Cross-format exact media dedup: fingerprint the DECODED pixels
+    * (so PNG/GIF/JPEG re-encodings of one image collide) and group via
+    * the standard exact-dedup operator — one hash shuffle. */
+  def mediaDuplicates(media: DataFrame): DataFrame =
+    operators.Dedup.exactDuplicates(
+      multimodal.Multimodal.pixelFingerprints(media)
+        .filter(org.apache.spark.sql.functions.col("pixel_fp").isNotNull),
+      idCol = "media_id", textCol = "pixel_fp")
+
   /** Probe MP4/ISO-BMFF payload columns: movie duration, visual-track
     * dimensions, track count — the metadata a frame-sampling plan
     * consumes (frame decode itself stays behind the codec seam). */

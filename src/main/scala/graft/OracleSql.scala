@@ -1522,6 +1522,54 @@ object OracleSql {
         |  CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
         |  round(sqrt(avg(v * v)), 6) AS rms_r
         |FROM vals GROUP BY media_id, rate, ch, frames ORDER BY media_id""".stripMargin,
+    // cross-format media dedup: duplicate groups recomputed INDEPENDENTLY
+    // by materializing every id's decoded raster from its generative
+    // formula (GIF palette arithmetic, 8/16-pixel gray tiles, PNG ramp)
+    // and grouping ids on the full ordered pixel sequence + dimensions —
+    // the engine must land on identical groups via decoded-content hashes
+    "d_media_dedup" ->
+      """WITH geom AS (
+        |  SELECT i AS id,
+        |    CASE WHEN i <= 8 THEN 11 + (i - 1) // 2
+        |         WHEN i <= 10 THEN 16 WHEN i <= 12 THEN 24
+        |         WHEN i <= 15 THEN 32
+        |         WHEN i = 16 THEN 10 WHEN i = 17 THEN 9 ELSE 17 END AS w,
+        |    CASE WHEN i <= 8 THEN 7 + (i - 1) // 2
+        |         WHEN i <= 10 THEN 16 WHEN i <= 12 THEN 9
+        |         WHEN i <= 15 THEN 32
+        |         WHEN i = 16 THEN 6 WHEN i = 17 THEN 8 ELSE 11 END AS h,
+        |    CASE WHEN i <= 8 THEN 3 WHEN i <= 12 THEN 1 WHEN i <= 15 THEN 3
+        |         WHEN i = 16 THEN 3 WHEN i = 17 THEN 3 ELSE 1 END AS ch,
+        |    CASE WHEN i <= 8 OR i = 17 THEN 'gifpal'
+        |         WHEN i <= 12 OR i = 18 THEN 'gray8'
+        |         WHEN i <= 15 THEN 'gray16'
+        |         ELSE 'pngramp' END AS fmt,
+        |    CASE WHEN i <= 8 THEN 10 + 7 * ((i - 1) // 2)
+        |         WHEN i <= 10 THEN 101 WHEN i <= 12 THEN 33
+        |         WHEN i <= 15 THEN 77
+        |         WHEN i = 16 THEN 200 WHEN i = 17 THEN 55 ELSE 66 END AS seed
+        |  FROM generate_series(1, 18) t(i)),
+        |xs AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM geom),
+        |ys AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |cells AS (
+        |  SELECT id, w, h, ch, x, y, c,
+        |    CASE fmt
+        |      WHEN 'gifpal' THEN (((x * 3 + y * 7 + seed) % 64) * [5, 9, 11][c + 1]
+        |                          + [13, 7, 3][c + 1]) % 256
+        |      WHEN 'gray8'  THEN ((x // 8) * 5 + (y // 8) * 11 + seed) % 256
+        |      WHEN 'gray16' THEN ((x // 16) * 5 + (y // 16) * 11 + seed) % 256
+        |      ELSE (x * 3 + y * 7 + c * 11 + seed) % 256
+        |    END AS v
+        |  FROM (SELECT *, unnest(generate_series(0, ch - 1)) AS c FROM ys)),
+        |rasters AS (
+        |  SELECT id, w || 'x' || h || 'x' || ch || ':' ||
+        |         string_agg(v::VARCHAR, ',' ORDER BY y, x, c) AS raster
+        |  FROM cells GROUP BY id, w, h, ch)
+        |SELECT CAST(min(id) AS BIGINT) AS keeper,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  string_agg(id::VARCHAR, ',' ORDER BY id) AS member_ids
+        |FROM rasters GROUP BY raster HAVING count(*) > 1
+        |ORDER BY keeper""".stripMargin,
     // MP4 probe: duration/dims/track-count recomputed from the same
     // integer formulas the synthetic containers encode (timescale
     // division is integer on both sides)

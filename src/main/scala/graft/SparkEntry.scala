@@ -565,6 +565,70 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Cross-format media dedup: the SAME raster encoded as PNG, GIF, and
+    * baseline JPEG (plus gray PNG↔JPEG pairs and singletons) is found
+    * duplicate by DECODED-content fingerprint — byte-level hashing can
+    * never match these, the encodings share no bytes. Composes
+    * `Multimodal.pixelFingerprints` with the standard
+    * `Dedup.exactDuplicates` operator (one hash shuffle). The oracle
+    * recomputes duplicate groups INDEPENDENTLY by materializing each
+    * id's raster from its generative formula and grouping on the full
+    * pixel sequence. */
+  private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{SyntheticAudio, SyntheticMedia}
+    // GIF palette-resolved raster for gifFull(w, h, seed)
+    def gifRaster(w: Int, h: Int, seed: Int): Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val k = i / 3; val c = i % 3
+        val idx = ((k % w) * 3 + (k / w) * 7 + seed) % 64
+        ((idx * Seq(5, 9, 11)(c) + Seq(13, 7, 3)(c)) % 256).toByte
+      }
+    // 16-tile gray raster (the jpegFullColor luma; neutral chroma → R=G=B)
+    def tile16(w: Int, h: Int, seed: Int, ch: Int): Array[Byte] =
+      Array.tabulate(w * h * ch)(i =>
+        (((i / ch) % w) / 16 * 5 + (i / ch / w) / 16 * 11 + seed).%(256).toByte)
+    // 8-tile gray raster (the jpegFullGray luma)
+    def tile8(w: Int, h: Int, seed: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => ((i % w) / 8 * 5 + (i / w) / 8 * 11 + seed).%(256).toByte)
+    val media = (
+      // ids 1-8: GIF + PNG pairs over the same palette-resolved raster
+      (0 to 3).flatMap { k =>
+        val (w, h, seed) = (11 + k, 7 + k, 10 + 7 * k)
+        Seq((2 * k + 1L, SyntheticMedia.gifFull(w, h, seed)),
+          (2 * k + 2L, SyntheticMedia.pngOf(w, h, 3, gifRaster(w, h, seed))))
+      } ++ {
+        // ids 9-12: gray JPEG + gray PNG pairs over the same 8-tile raster
+        Seq((16, 16, 101, 9L), (24, 9, 33, 11L)).flatMap { case (w, h, seed, id) =>
+          Seq((id, SyntheticMedia.jpegFullGray(w, h, seed)),
+            (id + 1, SyntheticMedia.pngOf(w, h, 1, tile8(w, h, seed))))
+        }
+      } ++ {
+        // ids 13-15: ONE raster, THREE formats — PNG, GIF, 4:2:0 JPEG
+        val raster = tile16(32, 32, 77, 3)
+        val grays = raster.grouped(3).map(_(0)).toArray
+        val vals = grays.distinct.sorted
+        val pal = Array.tabulate(4)(i =>
+          { val v = vals(math.min(i, vals.length - 1)); Array(v, v, v) })
+        Seq((13L, SyntheticMedia.pngOf(32, 32, 3, raster)),
+          (14L, SyntheticMedia.gifOf(32, 32, grays.map(vals.indexOf(_)), pal)),
+          (15L, SyntheticMedia.jpegFullColor(32, 32, 77)))
+      } ++ Seq(
+        // ids 16-18: singletons; id 19: non-image (null fingerprint)
+        (16L, SyntheticMedia.pngFull(10, 6, 200)),
+        (17L, SyntheticMedia.gifFull(9, 8, 55)),
+        (18L, SyntheticMedia.jpegFullGray(17, 11, 66)),
+        (19L, SyntheticAudio.wavFull(8000, 1, 16, 4)))
+      ).toDF("media_id", "payload")
+    val fps = graft.multimodal.Multimodal.pixelFingerprints(media)
+      .filter(col("pixel_fp").isNotNull)
+    graft.operators.Dedup.exactDuplicates(fps, idCol = "media_id", textCol = "pixel_fp")
+      .select(col("keeper").cast("long").as("keeper"),
+        col("n_dups").cast("long").as("n_copies"),
+        array_join(col("dup_ids").cast("array<string>"), ",").as("member_ids"))
+      .orderBy("keeper")
+  }
+
   /** A13 + P7: whole-table content snapshots (MinHash over space-joined
     * row strings), digest stringified for the oracle compare. */
   private def contentSnapshots(s: SparkSession, dir: String): DataFrame =
@@ -1415,6 +1479,7 @@ object SparkEntry {
     "mm_pixel_decode" -> mmPixelDecode,
     "mm_audio_decode" -> mmAudioDecode,
     "mm_video_probe" -> mmVideoProbe,
+    "d_media_dedup" -> mediaDedup,
     "content_snapshots" -> contentSnapshots,
     "o4_search_minhash" -> searchMinhash,
     "o4_search_subset" -> searchSubsetQ,

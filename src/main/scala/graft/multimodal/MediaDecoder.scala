@@ -385,17 +385,26 @@ object SyntheticMedia {
     * formula, which is what makes full-frame decoding oracle-verifiable.
     * `channels`: 1 = gray, 2 = gray+alpha, 3 = RGB, 4 = RGBA.
     */
-  def pngFull(w: Int, h: Int, seed: Int, channels: Int = 3): Array[Byte] = {
+  def pngFull(w: Int, h: Int, seed: Int, channels: Int = 3): Array[Byte] =
+    pngOf(w, h, channels, Array.tabulate(w * h * channels) { i =>
+      val x = (i / channels) % w; val y = i / (channels * w); val c = i % channels
+      ((x * 3 + y * 7 + c * 11 + seed) % 256).toByte
+    })
+
+  /** Assemble a complete standards-valid PNG (real zlib, real CRCs,
+    * per-row filters cycling all five types) from an EXPLICIT row-major
+    * interleaved raster — lets fixtures encode the SAME raster that a
+    * GIF palette or JPEG tile formula produces, for cross-format
+    * decoded-content dedup. */
+  def pngOf(w: Int, h: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
     checkDims(w, h, 4096, "png")
+    require(pixels.length == w * h * channels, "raster must be w*h*channels")
     val colorType = channels match {
       case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
-      case n => throw new IllegalArgumentException(s"pngFull: $n channels")
+      case n => throw new IllegalArgumentException(s"pngOf: $n channels")
     }
     val rowLen = w * channels
-    val raw = Array.tabulate(h, rowLen) { (y, i) =>
-      val x = i / channels; val c = i % channels
-      ((x * 3 + y * 7 + c * 11 + seed) % 256).toByte
-    }
+    val raw = Array.tabulate(h, rowLen)((y, i) => pixels(y * rowLen + i))
     val filtered = new Array[Byte](h * (1 + rowLen))
     var o = 0
     var prev = new Array[Byte](rowLen)

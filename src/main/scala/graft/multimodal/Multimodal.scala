@@ -151,6 +151,37 @@ object Multimodal {
         "duration_ms", "rms")
   }
 
+  /** Decoded-content fingerprints: hash the DECODED pixels (dims +
+    * channels + raster MD5), not the payload bytes — so the same image
+    * re-encoded (PNG vs GIF vs JPEG, different compressors, different
+    * filter choices) fingerprints identically, which byte-level hashing
+    * can never do. Null for payloads outside the decodable profiles.
+    * Feed the result to [[graft.operators.Dedup.exactDuplicates]] with
+    * `textCol = "pixel_fp"` for cross-format media dedup — one hash
+    * shuffle, the standard exact-dedup scale shape.
+    */
+  def pixelFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          PngCodec.decode(payload).orElse(GifCodec.decode(payload))
+            .orElse(JpegCodec.decode(payload)) match {
+            case Some(img) =>
+              md.reset()
+              md.update(s"${img.width}x${img.height}x${img.channels}:"
+                .getBytes("US-ASCII"))
+              (id, Some(md.digest(img.pixels).map("%02x".format(_)).mkString))
+            case None => (id, None)
+          }
+        }
+      }
+      .toDF("media_id", "pixel_fp")
+  }
+
   /** Video container probe over payload batches: real MP4/ISO-BMFF box
     * walking ([[Mp4Probe]]) — movie duration from `mvhd`, track
     * dimensions from `tkhd`, track count — distributed like

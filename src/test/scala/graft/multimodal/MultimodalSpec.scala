@@ -151,6 +151,34 @@ class MultimodalSpec extends SparkSpec {
     assert(means.length == 1 && math.abs(means.head - expected) < 1e-12)
   }
 
+  test("pixelFingerprints: re-encodings collide, distinct rasters do not") {
+    import spark.implicits._
+    // one raster, three containers: PNG of the GIF's palette-resolved
+    // pixels, the GIF itself — plus a gray JPEG/PNG pair and a stranger
+    val (w, h, seed) = (12, 9, 21)
+    val gifRaster = Array.tabulate(w * h * 3) { i =>
+      val k = i / 3; val c = i % 3
+      val idx = ((k % w) * 3 + (k / w) * 7 + seed) % 64
+      ((idx * Seq(5, 9, 11)(c) + Seq(13, 7, 3)(c)) % 256).toByte
+    }
+    val tile = Array.tabulate(16 * 16)(i =>
+      ((i % 16) / 8 * 5 + (i / 16) / 8 * 11 + 9).%(256).toByte)
+    val media = Seq(
+      (1L, SyntheticMedia.gifFull(w, h, seed)),
+      (2L, SyntheticMedia.pngOf(w, h, 3, gifRaster)),
+      (3L, SyntheticMedia.jpegFullGray(16, 16, 9)),
+      (4L, SyntheticMedia.pngOf(16, 16, 1, tile)),
+      (5L, SyntheticMedia.pngFull(12, 9, 22)),      // ≠ raster, same dims
+      (6L, SyntheticAudio.wavFull(8000, 1, 4, 0)))  // not an image
+      .toDF("media_id", "payload")
+    val fp = Multimodal.pixelFingerprints(media).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fp(1L).isDefined && fp(1L) == fp(2L)) // GIF == PNG re-encode
+    assert(fp(3L).isDefined && fp(3L) == fp(4L)) // JPEG == PNG re-encode
+    assert(fp(1L) != fp(5L) && fp(2L) != fp(5L))
+    assert(fp(6L).isEmpty)
+  }
+
   test("sampleFramePlan expands video durations at step") {
     val frames = Multimodal.sampleFramePlan(media, stepMs = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
