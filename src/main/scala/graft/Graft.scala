@@ -127,6 +127,16 @@ object Graft {
                       textCol: String = "text", k: Int = 8, w: Int = 4): DataFrame =
     operators.TextAnalysis.winnowFingerprints(docs, idCol, textCol, k, w)
 
+  /** Sliding-window chunking into training sequences (token windows
+    * with overlap) — codegen'd, shuffle-free. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlap: Int = 0): DataFrame =
+    operators.TextAnalysis.chunkDocuments(docs, chunkTokens, overlap)
+
+  /** Greedy per-shard packing of docs into ≤ maxTokens training bins
+    * (one shuffle on the shard key). */
+  def packSequences(docs: DataFrame, maxTokens: Int, nShards: Int = 16): DataFrame =
+    operators.TextAnalysis.packSequences(docs, maxTokens, nShards)
+
   /** Parse media container headers (PNG/JPEG/GIF dims) out of binary
     * payload columns — distributed, pure-JVM, no codec dependency. */
   def probeMedia(media: DataFrame,

@@ -1522,6 +1522,47 @@ object OracleSql {
         |  CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
         |  round(sqrt(avg(v * v)), 6) AS rms_r
         |FROM vals GROUP BY media_id, rate, ch, frames ORDER BY media_id""".stripMargin,
+    // sliding-window chunking: same tokens, same window arithmetic,
+    // chunk text rebuilt by list slicing and compared verbatim
+    "t_chunk_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 7 = 3 AND trim(text) <> ''),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        |c AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0,
+        |          CASE WHEN n <= 64 THEN 0
+        |               ELSE (n - 64 + 47) // 48 END)) AS chunk_idx
+        |      FROM n)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 48 AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+        |    least(chunk_idx * 48 + 64, n)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // greedy per-shard packing: the engine's per-shard state machine
+    // replayed as a recursive CTE (rn-ordered fold over each shard)
+    "t_pack_sequences" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS id, doc_id % 16 AS shard,
+        |         len(string_split_regex(trim(text), '\s+')) AS n,
+        |         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+        |  FROM documents WHERE trim(text) <> ''),
+        |rec AS (
+        |  SELECT shard, rn, id, n, CAST(0 AS BIGINT) AS bin,
+        |         CASE WHEN 512 - n > 0 THEN 512 - n ELSE 0 END AS rem
+        |  FROM toks WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.id, t.n,
+        |    CASE WHEN t.n <= r.rem THEN r.bin ELSE r.bin + 1 END,
+        |    CASE WHEN t.n <= r.rem THEN r.rem - t.n
+        |         WHEN 512 - t.n > 0 THEN 512 - t.n ELSE 0 END
+        |  FROM toks t JOIN rec r ON t.shard = r.shard AND t.rn = r.rn + 1)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS bin_tokens,
+        |  CAST(min(id) AS BIGINT) AS first_doc,
+        |  CAST(max(id) AS BIGINT) AS last_doc
+        |FROM rec GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     // cross-format media dedup: duplicate groups recomputed INDEPENDENTLY
     // by materializing every id's decoded raster from its generative
     // formula (GIF palette arithmetic, 8/16-pixel gray tiles, PNG ramp)

@@ -629,6 +629,34 @@ object SparkEntry {
       .orderBy("keeper")
   }
 
+  /** Sliding-window chunking over documents (64-token windows, 16-token
+    * overlap): the oracle replays the window arithmetic and list slicing
+    * on the same whitespace tokens, chunk text compared verbatim. */
+  private def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.chunkDocuments(
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 3), 64, 16)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Greedy per-shard sequence packing (512-token bins, 16 shards):
+    * DuckDB replays the greedy state machine with a recursive CTE over
+    * the same id-ordered shards, bins compared group-for-group. */
+  private def packSeqs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.packSequences(t(s, dir, "documents"), 512, 16)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .select(col("shard").cast("long").as("shard"),
+        col("bin").cast("long").as("bin"),
+        col("n_docs"), col("bin_tokens").cast("long").as("bin_tokens"),
+        col("first_doc").cast("long").as("first_doc"),
+        col("last_doc").cast("long").as("last_doc"))
+      .orderBy("shard", "bin")
+
   /** A13 + P7: whole-table content snapshots (MinHash over space-joined
     * row strings), digest stringified for the oracle compare. */
   private def contentSnapshots(s: SparkSession, dir: String): DataFrame =
@@ -1480,6 +1508,8 @@ object SparkEntry {
     "mm_audio_decode" -> mmAudioDecode,
     "mm_video_probe" -> mmVideoProbe,
     "d_media_dedup" -> mediaDedup,
+    "t_chunk_windows" -> chunkWindows,
+    "t_pack_sequences" -> packSeqs,
     "content_snapshots" -> contentSnapshots,
     "o4_search_minhash" -> searchMinhash,
     "o4_search_subset" -> searchSubsetQ,

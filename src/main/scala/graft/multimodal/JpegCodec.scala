@@ -251,8 +251,8 @@ object JpegCodec {
         while (by < cc.v) {
           var bx = 0
           while (bx < cc.h) {
-            decodeBlock(r, scanDc(ci), scanAc(ci), q, dcPred, ci, coef)
-            idctInto(coef, tmp, planes(ci), cw(ci),
+            val acCount = decodeBlock(r, scanDc(ci), scanAc(ci), q, dcPred, ci, coef)
+            idctInto(coef, acCount, tmp, planes(ci), cw(ci),
               (mx * cc.h + bx) * 8, (my * cc.v + by) * 8)
             bx += 1
           }
@@ -296,14 +296,17 @@ object JpegCodec {
   private def clamp8(v: Long): Byte =
     (if (v < 0) 0 else if (v > 255) 255 else v.toInt).toByte
 
+  /** Decode one block's coefficients; returns the count of nonzero AC
+    * terms so the IDCT can take the flat-block shortcut. */
   private def decodeBlock(r: BitReader, dc: Huff, ac: Huff, q: Array[Int],
-                          dcPred: Array[Int], ci: Int, coef: Array[Int]): Unit = {
+                          dcPred: Array[Int], ci: Int, coef: Array[Int]): Int = {
     java.util.Arrays.fill(coef, 0)
     val t = dc.decode(r)
     if (t > 15) throw Fail
     dcPred(ci) += extend(r.receive(t), t)
     coef(0) = dcPred(ci) * q(0)
     var k = 1
+    var acCount = 0
     var done = false
     while (!done && k < 64) {
       val rs = ac.decode(r)
@@ -314,14 +317,32 @@ object JpegCodec {
         k += run
         if (k > 63) throw Fail
         coef(ZigZag(k)) = extend(r.receive(s), s) * q(k)
+        acCount += 1
         k += 1
       }
     }
+    acCount
   }
 
-  /** Separable exact IDCT of one dequantized block into a plane. */
-  private def idctInto(coef: Array[Int], tmp: Array[Array[Double]],
+  /** Separable exact IDCT of one dequantized block into a plane. A
+    * DC-only block (smooth regions — the dominant case in natural
+    * images) short-circuits to a constant fill, the same population-
+    * based dispatch production decoders use. */
+  private def idctInto(coef: Array[Int], acCount: Int, tmp: Array[Array[Double]],
                        plane: Array[Byte], stride: Int, x0: Int, y0: Int): Unit = {
+    if (acCount == 0) {
+      // out = 0.25·DC·C0·C0 = DC/8 everywhere — computed in the general
+      // path's exact operation order so both paths round identically
+      val t0 = coef(0) * CosT(0)(0)
+      val v = clamp8(math.round(0.25 * (t0 * CosT(0)(0)) + 128))
+      var y = 0
+      while (y < 8) {
+        java.util.Arrays.fill(plane, (y0 + y) * stride + x0,
+          (y0 + y) * stride + x0 + 8, v)
+        y += 1
+      }
+      return
+    }
     var v = 0
     while (v < 8) {
       var x = 0

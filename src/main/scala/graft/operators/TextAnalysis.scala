@@ -154,4 +154,67 @@ object TextAnalysis {
       .filter(col("cnt") === w) // trailing positions lack a full window
       .select(col("id"), col("fp")).distinct()
   }
+
+  /** Sliding-window document chunking for training-sequence prep: split
+    * each doc into windows of `chunkTokens` whitespace tokens advancing
+    * by `chunkTokens - overlap`, last window keeping the remainder. One
+    * narrow projection — `split` + `sequence`-explode + `slice`, all
+    * codegen'd, zero shuffle; the chunk explode is the operator's
+    * inherent output, exactly like winnowing's k-gram explode. Empty
+    * docs produce no chunks.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val stride = chunkTokens - overlap
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        when(col("__n") <= chunkTokens, lit(0).cast("long"))
+          .otherwise(floor((col("__n") - chunkTokens + stride - 1)
+            .cast("double") / stride)))))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        array_join(slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"))
+  }
+
+  /** Greedy sequence packing for training batches: shard docs by
+    * `id % nShards`, then within each shard (in id order) pack docs
+    * into bins of at most `maxTokens` whitespace tokens — a new bin
+    * opens when the next doc does not fit; oversize docs take a bin
+    * alone. Global sequential packing is inherently serial, so real
+    * pipelines shard first and pack within shards — that is exactly
+    * this operator's shape: one shuffle on the shard key, per-shard
+    * state bounded by shard size (size `nShards` for the corpus).
+    * Output: one row per doc with its (shard, bin) assignment and
+    * token count.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Int, nShards: Int = 16,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0 && nShards > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).cast("long"),
+        token_count(col(textCol)).cast("int"),
+        pmod(col(idCol).cast("long"), lit(nShards.toLong)).cast("int"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toArray.sortBy(_._1)
+        var bin = -1L
+        var rem = 0
+        sorted.iterator.map { case (id, n, _) =>
+          if (bin < 0 || n > rem) { bin += 1; rem = math.max(0, maxTokens - n) }
+          else rem -= n
+          (shard, bin, id, n)
+        }
+      }
+      .toDF("shard", "bin", "doc_id", "n_tokens")
+  }
 }

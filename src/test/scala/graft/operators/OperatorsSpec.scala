@@ -244,6 +244,61 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((9L, "tiny")).toDF("doc_id", "text"), k = 8, w = 4)
     assert(short.count() == 0)
   }
+
+  test("chunkDocuments: windows stride with overlap, remainder tail, no shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "   "),                                    // whitespace-only: dropped
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // doc 1: starts 0,3,6 cover tokens 1-4, 4-7, 7-10 (stride 3)
+    assert(out((1L, 0L)).getAs[String]("chunk_text") == "t1 t2 t3 t4")
+    assert(out((1L, 1L)).getAs[String]("chunk_text") == "t4 t5 t6 t7")
+    assert(out((1L, 2L)).getAs[String]("chunk_text") == "t7 t8 t9 t10")
+    assert(out((1L, 2L)).getAs[Long]("n_chunk_tokens") == 4L)
+    assert(!out.contains((1L, 3L)))
+    assert(out((2L, 0L)).getAs[String]("chunk_text") == "a b c")
+    assert(out((2L, 0L)).getAs[Long]("n_chunk_tokens") == 3L)
+    assert(out.keys.forall(_._1 != 3L)) // empty doc chunks nothing
+    assert(out((4L, 0L)).getAs[String]("chunk_text") == "solo")
+    // consecutive chunks overlap by exactly `overlap` tokens
+    val plan = TextAnalysis.chunkDocuments(docs, 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("packSequences: greedy bins respect capacity, oversize isolates") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // one shard (nShards = 1) so the greedy order is the doc order
+    val docs = Seq(
+      (1L, words(40)), (2L, words(50)),  // 40+50=90 fits 100 → bin 0
+      (3L, words(20)),                   // 90+20>100 → bin 1
+      (4L, words(250)),                  // oversize → own bin 2
+      (5L, words(100)),                  // exactly max → bin 3
+      (6L, words(1)))                    // bin 4 (bin 3 left rem=0)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, maxTokens = 100, nShards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L))
+    // sharded: every bin's total stays within max unless it is a single
+    // oversize doc, and assignments are deterministic across runs
+    val big = (1L to 200L).map(i => (i, words(1 + (i % 37).toInt))).toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(big, maxTokens = 64, nShards = 4)
+    val bins = packed.groupBy("shard", "bin")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("tot"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    assert(bins.forall(b => b.getAs[Long]("tot") <= 64 || b.getAs[Long]("n") == 1))
+    val a = packed.collect().map(r => (r.getLong(2), r.getLong(1))).toSet
+    val b = TextAnalysis.packSequences(big, 64, 4).collect()
+      .map(r => (r.getLong(2), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }
 
 class CosineRecallSpec extends SparkSpec {
@@ -351,3 +406,4 @@ class RowCapSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-N plan:\n$plan")
   }
 }
+
