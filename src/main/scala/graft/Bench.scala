@@ -48,8 +48,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val lp = lakePlanBench(spark)
-    val cp = csvPlanBench(spark)
+    // the structural lake/CSV sections take minutes; a filtered run is
+    // single-query iteration, where they are dead time — skip them
+    val lp = if (only.isDefined) "{}" else lakePlanBench(spark)
+    val cp = if (only.isDefined) "{}" else csvPlanBench(spark)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   *
   * Decoding is the pluggable [[MediaDecoder]] seam: the default
   * [[HeaderDecoder]] REALLY parses container headers (PNG/JPEG/GIF
-  * dimensions) pure-JVM; full pixel/sample decoding falls back to the
-  * deterministic [[decodeStub]] fingerprint (this container has no
-  * image/audio codecs — see builder brief). Everything Spark-side —
-  * schema, batching, partitioning, output shape — is real and tested, so
-  * a codec-backed decoder drops in by implementing the trait.
+  * dimensions) pure-JVM, and full decoding is REAL for every format
+  * whose math needs no codec library — PNG ([[PngCodec]]), GIF
+  * ([[GifCodec]]), baseline JPEG ([[JpegCodec]]), WAV PCM
+  * ([[WavCodec]]), MP4 metadata ([[Mp4Probe]]). Only compressed A/V
+  * codec payloads fall back to the deterministic [[decodeStub]]
+  * fingerprint. Everything Spark-side — schema, batching, partitioning,
+  * output shape — is identical for a codec-backed decoder.
   */
 object Multimodal {
 

@@ -298,6 +298,11 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.packSequences(big, 64, 4).collect()
       .map(r => (r.getLong(2), r.getLong(1))).toSet
     assert(a == b)
+    // scale shape: exactly ONE shuffle (the shard key), nothing else
+    val plan = TextAnalysis.packSequences(big, 64, 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"packing must shuffle once, on the shard key:\n$plan")
   }
 }
 
