@@ -577,20 +577,7 @@ object SparkEntry {
   private def mediaDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{SyntheticAudio, SyntheticMedia}
-    // GIF palette-resolved raster for gifFull(w, h, seed)
-    def gifRaster(w: Int, h: Int, seed: Int): Array[Byte] =
-      Array.tabulate(w * h * 3) { i =>
-        val k = i / 3; val c = i % 3
-        val idx = ((k % w) * 3 + (k / w) * 7 + seed) % 64
-        ((idx * Seq(5, 9, 11)(c) + Seq(13, 7, 3)(c)) % 256).toByte
-      }
-    // 16-tile gray raster (the jpegFullColor luma; neutral chroma → R=G=B)
-    def tile16(w: Int, h: Int, seed: Int, ch: Int): Array[Byte] =
-      Array.tabulate(w * h * ch)(i =>
-        (((i / ch) % w) / 16 * 5 + (i / ch / w) / 16 * 11 + seed).%(256).toByte)
-    // 8-tile gray raster (the jpegFullGray luma)
-    def tile8(w: Int, h: Int, seed: Int): Array[Byte] =
-      Array.tabulate(w * h)(i => ((i % w) / 8 * 5 + (i / w) / 8 * 11 + seed).%(256).toByte)
+    import SyntheticMedia.{gifRaster, tileRaster}
     val media = (
       // ids 1-8: GIF + PNG pairs over the same palette-resolved raster
       (0 to 3).flatMap { k =>
@@ -601,11 +588,11 @@ object SparkEntry {
         // ids 9-12: gray JPEG + gray PNG pairs over the same 8-tile raster
         Seq((16, 16, 101, 9L), (24, 9, 33, 11L)).flatMap { case (w, h, seed, id) =>
           Seq((id, SyntheticMedia.jpegFullGray(w, h, seed)),
-            (id + 1, SyntheticMedia.pngOf(w, h, 1, tile8(w, h, seed))))
+            (id + 1, SyntheticMedia.pngOf(w, h, 1, tileRaster(w, h, 8, seed, 1))))
         }
       } ++ {
         // ids 13-15: ONE raster, THREE formats — PNG, GIF, 4:2:0 JPEG
-        val raster = tile16(32, 32, 77, 3)
+        val raster = tileRaster(32, 32, 16, 77, 3)
         val grays = raster.grouped(3).map(_(0)).toArray
         val vals = grays.distinct.sorted
         val pal = Array.tabulate(4)(i =>

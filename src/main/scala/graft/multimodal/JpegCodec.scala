@@ -131,6 +131,7 @@ object JpegCodec {
             h = be16(p, i + 3); w = be16(p, i + 5)
             val nf = u8(p(i + 7))
             if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return None
+            if (len < 8 + 3 * nf) return None // specs must fit the segment
             if (w.toLong * h * nf > (1L << 28)) return None // decoded-size guard
             comps = Array.tabulate(nf) { c =>
               val o = i + 8 + 3 * c
@@ -149,7 +150,8 @@ object JpegCodec {
               if (tc > 1 || th > 3) return None
               val bits = Array.tabulate(16)(k => u8(p(o + 1 + k)))
               val total = bits.sum
-              if (total > 256) return None
+              // vals must sit inside THIS segment, not bleed into the next
+              if (total > 256 || o + 17 + total > i + len) return None
               val vals = Array.tabulate(total)(k => u8(p(o + 17 + k)))
               if (tc == 0) dcTab(th) = new Huff(bits, vals)
               else acTab(th) = new Huff(bits, vals)
@@ -205,10 +207,16 @@ object JpegCodec {
   }
 
   private def decodeScan(p: Array[Byte], pos0: Int, w: Int, h: Int,
-                         comps: Array[Comp], qt: Array[Array[Int]],
+                         comps0: Array[Comp], qt: Array[Array[Int]],
                          scanDc: Array[Huff], scanAc: Array[Huff],
                          restart: Int): Option[Image] = {
-    val nc = comps.length
+    val nc = comps0.length
+    // T.81 A.2: a single-component scan is NON-interleaved — the MCU is
+    // one data unit and blocks raster the ceil(w/8)×ceil(h/8) grid, so
+    // the declared sampling factors do not shape the scan (real-world:
+    // grayscale files often keep 2x2 luma factors; treating them as
+    // interleaved would scramble block placement)
+    val comps = if (nc == 1) comps0.map(_.copy(h = 1, v = 1)) else comps0
     var c = 0
     while (c < nc) {
       if (scanDc(c) == null || scanAc(c) == null || qt(comps(c).tq) == null) return None

@@ -462,31 +462,37 @@ object SyntheticMedia {
       Array(0xff, 0xd9).map(_.toByte)
   }
 
+  /** Tile-constant luma raster `((x/tile)*5 + (y/tile)*11 + seed) % 256`
+    * replicated over `ch` channels — THE single source of the raster
+    * [[jpegFullGray]] (tile 8) and [[jpegFullColor]] (tile 16, neutral
+    * chroma → R=G=B=luma) encode; exported so fixtures can re-encode
+    * the same raster in other formats for cross-format dedup. */
+  def tileRaster(w: Int, h: Int, tile: Int, seed: Int, ch: Int): Array[Byte] =
+    Array.tabulate(w * h * ch)(i =>
+      (((i / ch) % w) / tile * 5 + (i / ch / w) / tile * 11 + seed).%(256).toByte)
+
   /** A COMPLETE baseline grayscale JPEG with real Huffman+DCT
-    * compression: 8×8-tile-constant luma `((x/8)*5 + (y/8)*11 + seed)
-    * % 256`. A constant block carries a single DC coefficient, which
-    * unit quantization preserves bit-exactly through the codec — so
-    * full-frame JPEG decode is oracle-verifiable from the tile formula
-    * (restart markers every 4 MCUs when the seed is odd). */
+    * compression over [[tileRaster]] (tile 8). A constant block carries
+    * a single DC coefficient, which unit quantization preserves
+    * bit-exactly through the codec — so full-frame JPEG decode is
+    * oracle-verifiable from the tile formula (restart markers every 4
+    * MCUs when the seed is odd). */
   def jpegFullGray(w: Int, h: Int, seed: Int): Array[Byte] = {
     checkDims(w, h, 65535, "jpeg")
-    val yp = Array.tabulate(w * h)(k =>
-      ((k % w) / 8 * 5 + (k / w) / 8 * 11 + seed) % 256)
-    JpegEncoder.encodeGray(w, h, yp, if (seed % 2 == 1) 4 else 0)
+    JpegEncoder.encodeGray(w, h, tileRaster(w, h, 8, seed, 1).map(_ & 0xff),
+      if (seed % 2 == 1) 4 else 0)
   }
 
-  /** A COMPLETE baseline 4:2:0 YCbCr JPEG: 16×16-tile-constant luma
-    * (tiles align with full MCUs so the subsampled chroma stays
-    * constant) and neutral chroma (128 → the JFIF transform returns
+  /** A COMPLETE baseline 4:2:0 YCbCr JPEG: [[tileRaster]] (tile 16)
+    * luma — tiles align with full MCUs so the subsampled chroma stays
+    * constant — and neutral chroma (128 → the JFIF transform returns
     * R=G=B=Y exactly). Exercises interleaved-MCU decode, chroma
     * upsampling, and color conversion end to end, exactly. */
   def jpegFullColor(w: Int, h: Int, seed: Int): Array[Byte] = {
     checkDims(w, h, 65535, "jpeg")
-    val yp = Array.tabulate(w * h)(k =>
-      ((k % w) / 16 * 5 + (k / w) / 16 * 11 + seed) % 256)
     val neutral = Array.fill(w * h)(128)
-    JpegEncoder.encodeYcc(w, h, yp, neutral, neutral, subsample420 = true,
-      if (seed % 2 == 0) 3 else 0)
+    JpegEncoder.encodeYcc(w, h, tileRaster(w, h, 16, seed, 1).map(_ & 0xff),
+      neutral, neutral, subsample420 = true, if (seed % 2 == 0) 3 else 0)
   }
 
   /** A COMPLETE GIF87a with REAL LZW-compressed image data: 64-entry
@@ -498,10 +504,23 @@ object SyntheticMedia {
     * the decoder's general path is what gets exercised. */
   def gifFull(w: Int, h: Int, seed: Int): Array[Byte] = {
     checkDims(w, h, 65535, "gif")
-    val idx = Array.tabulate(w * h)(k => ((k % w) * 3 + (k / w) * 7 + seed) % 64)
-    gifOf(w, h, idx, Array.tabulate(64)(i => Array(
-      ((i * 5 + 13) % 256).toByte, ((i * 9 + 7) % 256).toByte,
-      ((i * 11 + 3) % 256).toByte)))
+    gifOf(w, h, gifIndices(w, h, seed), gifPalette64)
+  }
+
+  // THE single source of gifFull's palette and index formulas
+  private def gifPalette64: Array[Array[Byte]] = Array.tabulate(64)(i => Array(
+    ((i * 5 + 13) % 256).toByte, ((i * 9 + 7) % 256).toByte,
+    ((i * 11 + 3) % 256).toByte))
+  private def gifIndices(w: Int, h: Int, seed: Int): Array[Int] =
+    Array.tabulate(w * h)(k => ((k % w) * 3 + (k / w) * 7 + seed) % 64)
+
+  /** The palette-resolved RGB raster [[gifFull]] decodes to — exported
+    * so fixtures can encode the SAME raster in other formats for
+    * cross-format decoded-content dedup. */
+  def gifRaster(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val pal = gifPalette64
+    val idx = gifIndices(w, h, seed)
+    Array.tabulate(w * h * 3)(i => pal(idx(i / 3))(i % 3))
   }
 
   /** Assemble a GIF87a from explicit palette indices (palette size must

@@ -39,9 +39,9 @@ object Mp4Probe {
           payload = i + 16
           i + be64(p, i.toInt + 8)
         } else i + size0
+      // end >= payload >= i + 8 also guarantees forward progress
       if (end < payload || end > to) return false
       f(typ, payload, end)
-      if (end == i) return false                 // zero-advance guard
       i = end
     }
     i == to
@@ -59,7 +59,8 @@ object Mp4Probe {
       val ok = walk(p, 0, p.length) { (typ, from, to) =>
         if (typ == "moov") {
           walk(p, from, to) { (t2, f2, t2end) =>
-            if (t2 == "mvhd" && t2end - f2 >= 24) {
+            if (t2 == "mvhd" &&
+              t2end - f2 >= (if (u8(p(f2.toInt)) == 1) 32 else 24)) {
               val ver = u8(p(f2.toInt))
               val (ts, dur) =
                 if (ver == 1) (be32(p, f2.toInt + 20), be64(p, f2.toInt + 24))

@@ -43,7 +43,9 @@ object WavCodec {
       while (i + 8 <= p.length && (dataOff < 0 || fmtTag < 0)) {
         val id = tag(p, i)
         val len = le32(p, i + 4)
-        if (len < 0 || i + 8 + len > p.length) return None
+        // Long arithmetic: a hostile length near Int.MaxValue must trip
+        // this bound, not overflow past it into a multi-GB allocation
+        if (len < 0 || i.toLong + 8 + len > p.length) return None
         id match {
           case "fmt " =>
             if (len < 16) return None

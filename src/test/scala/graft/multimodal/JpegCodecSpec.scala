@@ -35,6 +35,20 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:2 neutral-chroma round-trips exactly (mixed sampling factors)") {
+    // Y at (2,1), chroma at (1,1): MCUs are 16x8, luma tiles 16-wide/8-tall
+    val (w, h) = (35, 19) // off both MCU grids: pad + crop both axes
+    val y = grayPlane(w, h)((x, yy) => (x / 16 * 7 + yy / 8 * 13 + 31) % 256)
+    val neutral = Array.fill(w * h)(128)
+    val img = JpegCodec.decode(JpegEncoder.encode(w, h,
+      Array(y, neutral, neutral), Array((2, 1), (1, 1), (1, 1))))
+      .getOrElse(fail("4:2:2 decode failed"))
+    assert(img.width == w && img.height == h && img.channels == 3)
+    for (yy <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert((img.pixels((yy * w + x) * 3 + c) & 0xff) == y(yy * w + x),
+        s"($x,$yy,$c)")
+  }
+
   test("4:4:4 non-neutral chroma matches the JFIF transform of the coded YCbCr") {
     val (w, h) = (16, 8)
     // tile-constant planes so the YCbCr values survive the DCT exactly;
@@ -89,6 +103,23 @@ class JpegCodecSpec extends AnyFunSuite {
       .getOrElse(fail("decode failed"))
     for (k <- 0 until 40 * 8)
       assert((img.pixels(k) & 0xff) == y(k))
+  }
+
+  test("gray scans are non-interleaved: declared sampling factors don't shape blocks") {
+    val y = grayPlane(24, 16)((x, yy) => (x / 8 * 31 + yy / 8 * 17 + 5) % 256)
+    val base = JpegEncoder.encodeGray(24, 16, y)
+    val want = JpegCodec.decode(base).get.pixels
+    // patch SOF0's sampling byte (1,1)→(2,2): T.81 A.2 says a single-
+    // component scan ignores the factors (MCU = one data unit), so the
+    // decode must be byte-identical — grayscale files converted from
+    // color commonly keep their 2x2 luma factors
+    val patched = base.clone()
+    val sof = patched.indices.find(i => (patched(i) & 0xff) == 0xff &&
+      i + 1 < patched.length && (patched(i + 1) & 0xff) == 0xc0).get
+    assert((patched(sof + 11) & 0xff) == 0x11) // len(2) P(1) Y(2) X(2) Nf(1) C1(1) HV
+    patched(sof + 11) = 0x22.toByte
+    val got = JpegCodec.decode(patched).getOrElse(fail("2x2 gray decode failed"))
+    assert(got.pixels.sameElements(want))
   }
 
   test("rejects: truncation, header-only, progressive, junk, null") {

@@ -156,18 +156,11 @@ class MultimodalSpec extends SparkSpec {
     // one raster, three containers: PNG of the GIF's palette-resolved
     // pixels, the GIF itself — plus a gray JPEG/PNG pair and a stranger
     val (w, h, seed) = (12, 9, 21)
-    val gifRaster = Array.tabulate(w * h * 3) { i =>
-      val k = i / 3; val c = i % 3
-      val idx = ((k % w) * 3 + (k / w) * 7 + seed) % 64
-      ((idx * Seq(5, 9, 11)(c) + Seq(13, 7, 3)(c)) % 256).toByte
-    }
-    val tile = Array.tabulate(16 * 16)(i =>
-      ((i % 16) / 8 * 5 + (i / 16) / 8 * 11 + 9).%(256).toByte)
     val media = Seq(
       (1L, SyntheticMedia.gifFull(w, h, seed)),
-      (2L, SyntheticMedia.pngOf(w, h, 3, gifRaster)),
+      (2L, SyntheticMedia.pngOf(w, h, 3, SyntheticMedia.gifRaster(w, h, seed))),
       (3L, SyntheticMedia.jpegFullGray(16, 16, 9)),
-      (4L, SyntheticMedia.pngOf(16, 16, 1, tile)),
+      (4L, SyntheticMedia.pngOf(16, 16, 1, SyntheticMedia.tileRaster(16, 16, 8, 9, 1))),
       (5L, SyntheticMedia.pngFull(12, 9, 22)),      // ≠ raster, same dims
       (6L, SyntheticAudio.wavFull(8000, 1, 4, 0)))  // not an image
       .toDF("media_id", "payload")

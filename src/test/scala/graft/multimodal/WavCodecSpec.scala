@@ -44,6 +44,15 @@ class WavCodecSpec extends graft.SparkSpec {
     assert(a.samples.sameElements(Array(5, -5, 9)))
   }
 
+  test("hostile chunk length near Int.MaxValue rejects instead of allocating") {
+    val evil = SyntheticAudio.wavPcm(8000, 1, 16, Array(1, 2, 3)).clone()
+    // data chunk header sits at 36; its length field at 40, little-endian
+    evil(40) = 0xf0.toByte; evil(41) = 0xff.toByte
+    evil(42) = 0xff.toByte; evil(43) = 0x7f.toByte
+    // the overflow-prone bound `i + 8 + len` must trip, not wrap negative
+    assert(WavCodec.decode(evil).isEmpty)
+  }
+
   test("rejects: non-PCM, truncation, junk, null") {
     val full = SyntheticAudio.wavFull(8000, 1, 64, 3)
     assert(WavCodec.decode(full).isDefined)
