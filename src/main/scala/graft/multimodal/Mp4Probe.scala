@@ -105,6 +105,8 @@ object SyntheticVideo {
   def mp4Of(timescale: Long, duration: Long,
             tracks: Seq[(Int, Int)], mvhdV1: Boolean = false): Array[Byte] = {
     require(timescale > 0 && duration >= 0)
+    require(mvhdV1 || duration <= 0xffffffffL,
+      "v0 mvhd stores a u32 duration — use mvhdV1 for longer movies")
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
       "isomiso2".getBytes("US-ASCII"))
     val mvhd = box("mvhd",

@@ -133,6 +133,30 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  property("PCM WAVs round-trip samples exactly at any rate/channels/width") =
+    forAll(Gen.chooseNum(1, 192000), Gen.chooseNum(1, 8), Gen.oneOf(8, 16),
+      Gen.chooseNum(0, 500)) { (rate, ch, bits, frames) =>
+      import graft.multimodal.{SyntheticAudio, WavCodec}
+      val n = frames * ch
+      val samples =
+        if (bits == 8) Array.tabulate(n)(k => (k * 37 + 11) % 256)
+        else Array.tabulate(n)(k => ((k * 37 + 11) % 65536) - 32768)
+      val a = WavCodec.decode(SyntheticAudio.wavPcm(rate, ch, bits, samples)).get
+      val expect = if (bits == 8) samples.map(_ - 128) else samples
+      a.sampleRate == rate && a.channels == ch && a.frames == frames &&
+        a.samples.sameElements(expect)
+    }
+
+  property("mp4 probe recovers duration/dims for either mvhd version") =
+    forAll(Gen.chooseNum(1L, 1000000L), Gen.chooseNum(0L, (1L << 40)),
+      Gen.chooseNum(1, 4096), Gen.chooseNum(1, 4096), Gen.oneOf(true, false)) {
+      (ts, dur0, w, h, v1) =>
+      import graft.multimodal.{Mp4Probe, SyntheticVideo}
+      val dur = if (v1) dur0 else dur0 & 0xffffffffL // v0 duration is u32
+      Mp4Probe.probe(SyntheticVideo.mp4Of(ts, dur, Seq((w, h)), v1))
+        .contains(Mp4Probe.Info(dur * 1000L / ts, w, h, 1))
+    }
+
   property("lehmerPerm is a bijection and stable") =
     forAll(Gen.chooseNum(1, 64), Gen.chooseNum(0, 16)) { (n, aug) =>
       val p = graft.ingest.Augment.lehmerPerm(n, aug)
