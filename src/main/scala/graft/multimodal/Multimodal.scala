@@ -56,11 +56,12 @@ object Multimodal {
   /** Feature extraction over media batches: `mapPartitions` so any real
     * decoder amortizes model/codec init once per partition (the same
     * batching rationale as pandas-UDF execution). The decoder is the
-    * pluggable [[MediaDecoder]] seam; the default [[HeaderDecoder]] uses
-    * the codec-free fingerprint for features.
+    * pluggable [[MediaDecoder]] seam; the default [[PixelDecoder]]
+    * hashes DECODED samples for PNG/GIF/JPEG (re-encodings of one image
+    * agree) and falls back to the byte fingerprint otherwise.
     */
   def extractFeatures(media: DataFrame, dim: Int = 64,
-                      decoder: MediaDecoder = HeaderDecoder): DataFrame = {
+                      decoder: MediaDecoder = PixelDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val out = media.select(col("media_id"), col("modality"), col("payload"))

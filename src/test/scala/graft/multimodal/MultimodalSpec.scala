@@ -22,6 +22,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f.values.forall(_.length == 32))
     assert(f(1L) == f(2L))   // same payload -> same features
     assert(f(1L) != f(3L))
+    // default decoder hashes DECODED samples: a PNG and GIF of the same
+    // raster agree on features even though their bytes differ entirely
+    import spark.implicits._
+    val (w, h, seed) = (12, 9, 21)
+    val pair = Seq(
+      (1L, "image", SyntheticMedia.gifFull(w, h, seed)),
+      (2L, "image", SyntheticMedia.pngOf(w, h, 3, SyntheticMedia.gifRaster(w, h, seed))))
+      .toDF("media_id", "modality", "payload")
+    val pf = Multimodal.extractFeatures(pair, dim = 16).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](2)).toMap
+    assert(pf(1L) == pf(2L))
   }
 
   test("mediaStats: size, md5, magic bytes without decode") {
