@@ -118,7 +118,7 @@ object Bench {
     def unified(fs: Seq[String]): Unit = {
       val scan = CsvScan.scanLake(spark, CsvScan.tableNames(fs))
       run(Profiler.profileFromLong(LakeScan.renderLong(scan.cells)))
-      scan.cells.unpersist()
+      scan.release()
     }
     // warm both paths (JIT, codegen cache) on a 3-file slice
     loop(files.take(3)); unified(files.take(3))

@@ -50,6 +50,11 @@ object SketchBuild {
         val fallback = scan.rejected.flatMap { p =>
           RobustCsv.read(spark, p).map(df => names(p) -> df.persist())
         }
+        // loud failure when NOTHING decoded: every file sub-5-row or
+        // unreadable — an empty catalog written with exit 0 would look
+        // like success on a misconfigured input dir
+        require(scan.cells.limit(1).count() > 0 || fallback.nonEmpty,
+          s"no readable tables under $inDir (all files skipped or unreadable)")
         val pro = (Profiler.profileFromLong(
             graft.sources.LakeScan.renderLong(scan.cells)) +:
           fallback.map { case (n, df) => Profiler.profile(df, n) })

@@ -393,6 +393,9 @@ private[ml] object Proto {
           while (more) {
             if (i >= b.length) throw new IllegalArgumentException(
               "truncated packed varint")
+            if (shift > 63) throw new IllegalArgumentException(
+              "packed varint overflow") // same guard as readVarint: a
+            // shift ≥ 64 wraps mod 64 and folds high bytes into low bits
             val x = b(i); i += 1; v |= (x & 0x7fL) << shift; shift += 7
             more = (x & 0x80) != 0
           }

@@ -140,10 +140,13 @@ object PngCodec {
       var done = false
       while (!done && i + 12 <= p.length) {
         val len = be32(p, i)
-        if (len < 0 || i + 12 + len > p.length) return None
+        // Long arithmetic: a hostile length near Int.MaxValue must trip
+        // the bound, not overflow past it
+        if (len < 0 || i.toLong + 12 + len > p.length) return None
         val typ = new String(p, i + 4, 4, "US-ASCII")
         typ match {
           case "IHDR" =>
+            if (len < 13) return None // IHDR body is 13 bytes by spec
             w = be32(p, i + 8); h = be32(p, i + 12)
             val bitDepth = u8(p(i + 16)); val colorType = u8(p(i + 17))
             val interlace = u8(p(i + 20))
@@ -201,7 +204,10 @@ object PngCodec {
         y += 1
       }
       Some(Image(w, h, channels, pixels))
-    } catch { case _: java.util.zip.DataFormatException => None }
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+      case _: IndexOutOfBoundsException => None // truncated/malformed chunk walk
+    }
   }
 }
 
@@ -243,6 +249,9 @@ object GifCodec {
             i += 1
           case 0x2c => // image descriptor
             val iw = le16(p, i + 5); val ih = le16(p, i + 7)
+            // u16×u16×3 overflows Int (65535² ≈ 1.3e10): bound BEFORE any
+            // allocation, same decoded-size guard as PngCodec
+            if (iw.toLong * ih * 3 >= (1L << 30)) return None
             val iflags = u8(p(i + 9))
             i += 10
             if ((iflags & 0x40) != 0) return None // interlaced: unsupported

@@ -52,22 +52,35 @@ object CsvScan {
   val RejectMarker = "__graft_csv_reject__"
 
   /** Decoded CSV lake: `cells` holds the accepted files' variant rows
-    * (persisted — the reject probe already materialized the decode);
+    * (backed by a persisted decode — the reject probe already
+    * materialized it; call [[ScanResult.release]] to drop the cache:
+    * unpersisting the filtered `cells` view would be a silent no-op,
+    * Spark only uncaches plans that match the CACHED plan exactly);
     * `rejected` lists the files needing the driver fallback chain. */
-  final case class ScanResult(cells: DataFrame, rejected: Seq[String])
+  final case class ScanResult(cells: DataFrame, rejected: Seq[String],
+                              private val cached: DataFrame) {
+    def release(): Unit = cached.unpersist()
+  }
 
   /** Basename-derived table names with deterministic collision handling:
     * duplicate basenames (same name in different subdirs, or `a.csv` next
     * to `a.csv.gz`) get `__2`, `__3`… suffixes in sorted-path order
     * instead of silently overwriting one another (the reference dedups on
-    * collision too, `data_prep.py:153-156`). */
+    * collision too, `data_prep.py:153-156`). Suffixing is collision-aware
+    * against LITERAL basenames as well: with files `a`, `a`, `a__2` the
+    * second `a` becomes `a__3`, never colliding with the real `a__2`. */
   def tableNames(files: Seq[String]): Map[String, String] = {
-    val base = files.sorted.map(p =>
-      p -> p.split('/').last.replaceAll("\\.csv(\\.bz2|\\.gz)?$", ""))
-    base.groupBy(_._2).valuesIterator.flatMap {
-      case Seq((p, n)) => Seq(p -> n)
-      case ps => ps.zipWithIndex.map { case ((p, n), i) =>
-        p -> (if (i == 0) n else s"${n}__${i + 1}") }
+    val used = scala.collection.mutable.Set.empty[String]
+    files.sorted.map { p =>
+      val n = p.split('/').last.replaceAll("\\.csv(\\.bz2|\\.gz)?$", "")
+      val name =
+        if (used.add(n)) n
+        else {
+          var i = 2
+          while (!used.add(s"${n}__$i")) i += 1
+          s"${n}__$i"
+        }
+      p -> name
     }.toMap
   }
 
@@ -86,7 +99,7 @@ object CsvScan {
       .select("src_file").distinct().collect()
       .map(r => byNorm.getOrElse(normPath(r.getString(0)), r.getString(0)))
       .toSeq.sorted
-    ScanResult(cells.filter(col("col_name") =!= lit(RejectMarker)), rejected)
+    ScanResult(cells.filter(col("col_name") =!= lit(RejectMarker)), rejected, cells)
   }
 
   /** The raw decode: binaryFile scan over the listed files, flatMapped
@@ -163,6 +176,12 @@ object CsvScan {
       return if (tryIs(tsMicros(tok, java.time.ZoneOffset.UTC))) TTs else TReject
     }
     if (DateyRe.matches(tok)) return TReject
+    // Spark's CSV inference special-cases its positiveInf/negativeInf
+    // literals ("Inf"/"-Inf") as double, which Java's parseDouble does
+    // not accept — a schema the strict decoder cannot mirror bit-for-bit,
+    // so such files route to the driver chain ("Infinity"/"NaN" parse
+    // identically on both sides and stay here)
+    if (tok == "Inf" || tok == "-Inf") return TReject
     if (tryIs(java.lang.Double.parseDouble(tok))) return TDouble
     if (tok.equalsIgnoreCase("true") || tok.equalsIgnoreCase("false")) return TBool
     TStr
@@ -243,6 +262,17 @@ object CsvScan {
     val delim = RobustCsv.sniffDelimiterFromHead(
       new String(head, java.nio.charset.StandardCharsets.UTF_8))
     val parser = newParser(delim.charAt(0))
+
+    // lone-CR (classic Mac) line endings: Hadoop's LineReader in the
+    // driver chain accepts \r as a terminator, our \n split does not —
+    // such files must REJECT to the driver, not decode to zero rows and
+    // silently vanish from the catalog
+    var ci = 0
+    while (ci < bytes.length) {
+      if (bytes(ci) == '\r' && (ci + 1 >= bytes.length || bytes(ci + 1) != '\n'))
+        return reject("cr line endings")
+      ci += 1
+    }
 
     // line iteration mirrors the driver chain: Hadoop line split on \n
     // (trailing \r trimmed), trim-empty lines skipped (CSVUtils)

@@ -183,6 +183,33 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(6L).isEmpty)
   }
 
+  test("fuzz: PNG/GIF bit flips and truncations never throw, only None/valid") {
+    val rnd = new scala.util.Random(23)
+    val png = SyntheticMedia.pngFull(14, 11, 3)
+    val gif = SyntheticMedia.gifFull(13, 9, 41)
+    for (_ <- 0 until 300) {
+      for (base <- Seq(png, gif)) {
+        val mut = base.clone()
+        val i = rnd.nextInt(mut.length)
+        mut(i) = (mut(i) ^ (1 << rnd.nextInt(8))).toByte
+        PngCodec.decode(mut); GifCodec.decode(mut) // must not throw
+        val cut = mut.take(rnd.nextInt(mut.length))
+        PngCodec.decode(cut); GifCodec.decode(cut)
+      }
+    }
+    // the review-found crash shapes: a GIF whose IMAGE DESCRIPTOR claims
+    // 65535x65535 (iw*ih*3 wraps Int negative) and a PNG with an
+    // undersized IHDR must return None, not throw
+    val hugeGif = gif.clone()
+    // descriptor at 6 (header) + 7 (LSD) + 192 (64-entry GCT): w at +5, h at +7
+    assert((hugeGif(205) & 0xff) == 0x2c)
+    for (k <- 210 to 213) hugeGif(k) = 0xff.toByte
+    assert(GifCodec.decode(hugeGif).isEmpty)
+    val shortIhdr = PngCodec.Sig ++ Array[Byte](0, 0, 0, 2) ++
+      "IHDR".getBytes("US-ASCII") ++ Array[Byte](0, 1) ++ Array.fill(24)(0.toByte)
+    assert(PngCodec.decode(shortIhdr).isEmpty)
+  }
+
   test("sampleFramePlan expands video durations at step") {
     val frames = Multimodal.sampleFramePlan(media, stepMs = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -90,6 +90,12 @@ class CsvScanSpec extends SparkSpec {
     write(d, "dec.csv", "id,huge\n1,12345678901234567890123\n2,22345678901234567890123\n3,3234567890123456789\n4,1\n5,2\n")
     write(d, "bom.csv", "﻿a,b\n1,x\n2,y\n3,z\n4,w\n5,v\n")
     write(d, "gray.csv", "id,d\n1,2021-1-5\n2,2021-2-6\n3,2021-3-7\n4,2021-4-8\n5,2021-5-9\n")
+    // classic-Mac lone-CR line endings: Hadoop's LineReader reads these
+    // fine, the strict \n split cannot — must REJECT, never vanish
+    write(d, "cr.csv", "a,b\r1,x\r2,y\r3,z\r4,w\r5,v\r")
+    // Spark's positiveInf/negativeInf literals infer double; Java's
+    // parseDouble refuses them — schema would diverge, so reject
+    write(d, "inf.csv", "id,v\n1,Inf\n2,-Inf\n3,1.5\n4,2.5\n5,3.5\n")
     write(d, "tiny.csv", "a,b\n1,x\n2,y\n3,z\n") // P4: <5 rows → skipped
     d
   }
@@ -100,7 +106,7 @@ class CsvScanSpec extends SparkSpec {
 
   test("reject routing: exactly the non-strict files fall back, tiny is skipped") {
     val rejectedNames = scan.rejected.map(names).toSet
-    assert(rejectedNames == Set("lat", "bad", "dec", "bom", "gray"),
+    assert(rejectedNames == Set("lat", "bad", "dec", "bom", "gray", "cr", "inf"),
       s"rejected: $rejectedNames")
     val cellTables = scan.cells.select("table_name").distinct()
       .collect().map(_.getString(0)).toSet
@@ -197,6 +203,9 @@ class CsvScanSpec extends SparkSpec {
     assert(m("/lake/b.csv") == "b")
     // deterministic: sorted-path order fixes which file keeps the bare name
     assert(m == CsvScan.tableNames(Seq("/lake/b.csv", "/lake/a.csv.gz", "/lake/y/a.csv", "/lake/x/a.csv")))
+    // suffixing never collides with a LITERAL __2 basename
+    val lit = CsvScan.tableNames(Seq("/x/a.csv", "/y/a.csv", "/z/a__2.csv"))
+    assert(lit.values.toSet.size == 3, s"suffix collided with literal: $lit")
   }
 
   test("fuzz: 24 generated CSVs — every accepted file bit-matches the driver chain") {
@@ -248,7 +257,7 @@ class CsvScanSpec extends SparkSpec {
     }
     // every rejected file must still go through the driver chain cleanly
     sc.rejected.foreach(p => RobustCsv.read(spark, p)) // None is fine; no throw
-    sc.cells.unpersist()
+    sc.release()
   }
 
   test("bz2 decompression matches the driver chain") {
