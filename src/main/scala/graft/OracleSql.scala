@@ -110,6 +110,23 @@ object OracleSql {
        |          FROM wvals CROSS JOIN perms GROUP BY t, ci, pi),
        |wdig AS (SELECT t, ci, list(mh ORDER BY pi) AS d FROM wmins GROUP BY t, ci)""".stripMargin
 
+  /** Row-snapshot digest chain shared by content_snapshots /
+    * q5_table_search / s7_json_roundtrip: rendered rows per table →
+    * distinct → per-perm MinHash → snapd(t, d) digest lists (mirrors
+    * Profiler's content-snapshot MinHash over space-joined rows). */
+  private def snapshotDigestCtes(tables: Seq[String]): String = {
+    val rowSelects = tables.map { tbl =>
+      val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
+      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM ${cappedSrc(tbl, 10000)}"
+    }
+    s"""srows AS (
+       |  ${rowSelects.mkString("\n  UNION ALL ")}),
+       |sdrows AS (SELECT DISTINCT t, rs FROM srows),
+       |smins AS (SELECT t, pi, ${mhSlotMin("rs")} AS mh
+       |          FROM sdrows CROSS JOIN perms GROUP BY t, pi),
+       |snapd AS (SELECT t, list(mh ORDER BY pi) AS d FROM smins GROUP BY t)""".stripMargin
+  }
+
   /** Per-(t, ci) stats CTE over a `vals(t, ci, v)` relation — the ONE
     * definition of rows/nulls/distincts/byte-width every profile-stats
     * oracle shares. */
@@ -312,21 +329,12 @@ object OracleSql {
     * writer format, codec, and contents end-to-end. */
   private def jsonRoundtripSql: String = {
     val tables = Seq("region", "nation")
-    val rowSelects = tables.map { tbl =>
-      val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
-      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM ${cappedSrc(tbl, 10000)}"
-    }
     s"""WITH $permsCte,
        |${valsCte(tables, Some(10000))},
        |${metaCte(tables)},
        |${statsCte()},
        |$digestCtes,
-       |srows AS (
-       |  ${rowSelects.mkString("\n  UNION ALL ")}),
-       |sdrows AS (SELECT DISTINCT t, rs FROM srows),
-       |smins AS (SELECT t, pi, ${mhSlotMin("rs")} AS mh
-       |          FROM sdrows CROSS JOIN perms GROUP BY t, pi),
-       |snapd AS (SELECT t, list(mh ORDER BY pi) AS d FROM smins GROUP BY t),
+       |${snapshotDigestCtes(tables)},
        |docs AS (SELECT * FROM read_json('/tmp/graft_fixtures/sketch_docs_plain/*.json',
        |  format='newline_delimited',
        |  columns={'table_metadata': 'JSON', 'columns': 'JSON', 'content_snapshot': 'JSON'})),
@@ -394,19 +402,10 @@ object OracleSql {
   private def contentSnapshotsSql: String = {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents")
-    val rowSelects = tables.map { tbl =>
-      val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
-      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM ${cappedSrc(tbl, 10000)}"
-    }
     s"""WITH $permsCte,
-       |rows_cte AS (
-       |  ${rowSelects.mkString("\n  UNION ALL ")}
-       |),
-       |drows AS (SELECT DISTINCT t, rs FROM rows_cte),
-       |mins AS (SELECT t, pi, ${mhSlotMin("rs")} AS mh
-       |         FROM drows CROSS JOIN perms GROUP BY t, pi)
-       |SELECT t AS table_name, array_to_string(list(mh ORDER BY pi), ',') AS snapshot
-       |FROM mins GROUP BY t ORDER BY table_name""".stripMargin
+       |${snapshotDigestCtes(tables)}
+       |SELECT t AS table_name, array_to_string(d, ',') AS snapshot
+       |FROM snapd ORDER BY table_name""".stripMargin
   }
 
   /** j5_minhash_pairs: cross-table column-pair jaccard/containment from the
@@ -727,21 +726,11 @@ object OracleSql {
   private def tableSearchSql: String = {
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "documents")
-    val rowSelects = tables.map { tbl =>
-      val cols = lakeSchemas(tbl).map { case (c, _) => s"CAST($c AS VARCHAR)" }
-      s"SELECT '$tbl' AS t, concat_ws(' ', ${cols.mkString(", ")}) AS rs FROM ${cappedSrc(tbl, 10000)}"
-    }
     s"""WITH $permsCte,
-       |rows_cte AS (
-       |  ${rowSelects.mkString("\n  UNION ALL ")}
-       |),
-       |drows AS (SELECT DISTINCT t, rs FROM rows_cte),
-       |mins AS (SELECT t, pi, ${mhSlotMin("rs")} AS mh
-       |         FROM drows CROSS JOIN perms GROUP BY t, pi),
-       |dig AS (SELECT t, list(mh ORDER BY pi) AS d FROM mins GROUP BY t)
+       |${snapshotDigestCtes(tables)}
        |SELECT c.t AS cand_table,
        |  round(CAST(len([i FOR i IN range(1, 101) IF q.d[i] = c.d[i]]) AS DOUBLE) / 100.0, 6) AS jaccard
-       |FROM dig c, dig q WHERE q.t = 'nation' AND c.t <> 'nation'
+       |FROM snapd c, snapd q WHERE q.t = 'nation' AND c.t <> 'nation'
        |ORDER BY jaccard DESC, cand_table LIMIT 10""".stripMargin
   }
 
