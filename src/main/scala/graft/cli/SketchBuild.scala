@@ -53,7 +53,7 @@ object SketchBuild {
         // loud failure when NOTHING decoded: every file sub-5-row or
         // unreadable — an empty catalog written with exit 0 would look
         // like success on a misconfigured input dir
-        require(scan.cells.limit(1).count() > 0 || fallback.nonEmpty,
+        require(fallback.nonEmpty || scan.cells.limit(1).count() > 0,
           s"no readable tables under $inDir (all files skipped or unreadable)")
         val pro = (Profiler.profileFromLong(
             graft.sources.LakeScan.renderLong(scan.cells)) +:

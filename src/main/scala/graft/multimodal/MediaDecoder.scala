@@ -2,10 +2,12 @@ package graft.multimodal
 
 /** Pluggable media decoding seam — the multimodal analogue of the ML
   * scorer seam: the Spark-side plumbing (binary columns, batched
-  * `mapPartitions`, schema) is fixed; what varies is the decoder. The
-  * default [[HeaderDecoder]] does REAL byte parsing (PNG/JPEG/GIF header
-  * dimensions) with no codec dependency; full-frame decoding slots in by
-  * implementing this trait with an imaging library.
+  * `mapPartitions`, schema) is fixed; what varies is the decoder.
+  * [[HeaderDecoder]] does REAL byte parsing (PNG/JPEG/GIF header
+  * dimensions) with no codec dependency and is the probe/metadata
+  * default; [[PixelDecoder]] — the feature-extraction default — adds
+  * real full-frame decode via the pure-JVM codecs, and codec-library
+  * backends slot in by implementing this trait.
   */
 trait MediaDecoder extends Serializable {
 

@@ -9,10 +9,10 @@ import org.apache.spark.sql.types._
   * typed metadata struct; decode / feature-extract run as `mapPartitions`
   * batch transforms (the Scala analogue of `mapInPandas` batches).
   *
-  * Decoding is the pluggable [[MediaDecoder]] seam: the default
-  * [[HeaderDecoder]] REALLY parses container headers (PNG/JPEG/GIF
-  * dimensions) pure-JVM, and full decoding is REAL for every format
-  * whose math needs no codec library — PNG ([[PngCodec]]), GIF
+  * Decoding is the pluggable [[MediaDecoder]] seam: [[HeaderDecoder]]
+  * REALLY parses container headers (PNG/JPEG/GIF dimensions) pure-JVM,
+  * and the default feature path [[PixelDecoder]] fully decodes every
+  * format whose math needs no codec library — PNG ([[PngCodec]]), GIF
   * ([[GifCodec]]), baseline JPEG ([[JpegCodec]]), WAV PCM
   * ([[WavCodec]]), MP4 metadata ([[Mp4Probe]]). Only compressed A/V
   * codec payloads fall back to the deterministic [[decodeStub]]

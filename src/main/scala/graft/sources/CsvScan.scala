@@ -70,11 +70,16 @@ object CsvScan {
     * against LITERAL basenames as well: with files `a`, `a`, `a__2` the
     * second `a` becomes `a__3`, never colliding with the real `a__2`. */
   def tableNames(files: Seq[String]): Map[String, String] = {
-    val used = scala.collection.mutable.Set.empty[String]
-    files.sorted.map { p =>
-      val n = p.split('/').last.replaceAll("\\.csv(\\.bz2|\\.gz)?$", "")
+    val bases = files.sorted.map { p =>
+      p -> p.split('/').last.replaceAll("\\.csv(\\.bz2|\\.gz)?$", "")
+    }
+    // every literal basename is reserved up front so a suffixed alias can
+    // never steal the name of a file that genuinely has it
+    val used = scala.collection.mutable.Set[String](bases.map(_._2): _*)
+    val claimed = scala.collection.mutable.Set.empty[String]
+    bases.map { case (p, n) =>
       val name =
-        if (used.add(n)) n
+        if (claimed.add(n)) n
         else {
           var i = 2
           while (!used.add(s"${n}__$i")) i += 1

@@ -205,8 +205,10 @@ class MultimodalSpec extends SparkSpec {
     assert((hugeGif(205) & 0xff) == 0x2c)
     for (k <- 210 to 213) hugeGif(k) = 0xff.toByte
     assert(GifCodec.decode(hugeGif).isEmpty)
+    // 47 bytes: past the >=45 minimum-size gate, so the chunk walk really
+    // reaches the undersized (len=2 < 13) IHDR guard
     val shortIhdr = PngCodec.Sig ++ Array[Byte](0, 0, 0, 2) ++
-      "IHDR".getBytes("US-ASCII") ++ Array[Byte](0, 1) ++ Array.fill(24)(0.toByte)
+      "IHDR".getBytes("US-ASCII") ++ Array[Byte](0, 1) ++ Array.fill(29)(0.toByte)
     assert(PngCodec.decode(shortIhdr).isEmpty)
   }
 

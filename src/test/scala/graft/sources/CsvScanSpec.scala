@@ -203,9 +203,11 @@ class CsvScanSpec extends SparkSpec {
     assert(m("/lake/b.csv") == "b")
     // deterministic: sorted-path order fixes which file keeps the bare name
     assert(m == CsvScan.tableNames(Seq("/lake/b.csv", "/lake/a.csv.gz", "/lake/y/a.csv", "/lake/x/a.csv")))
-    // suffixing never collides with a LITERAL __2 basename
+    // suffixing never collides with a LITERAL __2 basename: the real
+    // a__2.csv keeps its name and the duplicate `a` skips to __3
     val lit = CsvScan.tableNames(Seq("/x/a.csv", "/y/a.csv", "/z/a__2.csv"))
-    assert(lit.values.toSet.size == 3, s"suffix collided with literal: $lit")
+    assert(lit == Map("/x/a.csv" -> "a", "/y/a.csv" -> "a__3",
+      "/z/a__2.csv" -> "a__2"), s"suffix collided with literal: $lit")
   }
 
   test("fuzz: 24 generated CSVs — every accepted file bit-matches the driver chain") {
