@@ -116,6 +116,11 @@ object Graft {
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     operators.Ann.bruteForceTopK(corpus, queries, k)
 
+  /** Int8 scalar-quantized cosine top-k: 4× smaller resident corpus,
+    * exact-integer dots — the memory-bound scale path. */
+  def annQuantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    operators.Ann.quantizedTopK(corpus, queries, k)
+
   /** Drop docs sharing long n-grams with an eval set (leakage guard). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05): DataFrame =

@@ -555,6 +555,40 @@ object OracleSql {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ann_quantized_topk: replay the int8 symmetric quantization
+    * (s = max|vᵢ|/127; round half away from zero; clamp ±127) and rank by
+    * the pure-BIGINT quantized dot over the quantized norms — every
+    * arithmetic step is either exact integer or a single IEEE double op
+    * in the same order as Ann.quantizedTopK. */
+  private def annQuantizedSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, e, list_max([abs(x) FOR x IN e]) / 127.0 AS sc FROM v),
+      |qq AS (
+      |  SELECT vec_id,
+      |    CASE WHEN sc = 0 THEN [CAST(0 AS BIGINT) FOR x IN e]
+      |         ELSE [CAST(greatest(-127, least(127,
+      |                CASE WHEN x / sc >= 0 THEN floor(x / sc + 0.5)
+      |                     ELSE ceil(x / sc - 0.5) END)) AS BIGINT) FOR x IN e]
+      |    END AS q
+      |  FROM s),
+      |n AS (
+      |  SELECT vec_id, q,
+      |    sqrt(CAST(list_sum([x * x FOR x IN q]) AS DOUBLE)) AS nrm
+      |  FROM qq)
+      |SELECT query_id, neighbor_id, qcosine, rank FROM (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+      |         ELSE round(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS DOUBLE)
+      |                    / (a.nrm * b.nrm), 6) END AS qcosine,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+      |           ELSE round(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS DOUBLE)
+      |                      / (a.nrm * b.nrm), 6) END DESC, b.vec_id) AS rank
+      |  FROM n a JOIN n b ON a.vec_id <= 10 AND b.vec_id <> a.vec_id)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** inc_profile_merge: the incremental path's merged profile must equal
     * this from-scratch computation over the FULL table (counts, digests,
     * numeric bounds per column). */
@@ -1621,6 +1655,7 @@ object OracleSql {
     "d_simhash_pairs" -> simhashPairsSql,
     "d_emb_neardups" -> embNearDupsSql,
     "ann_ivf_topk" -> annIvfSql,
+    "ann_quantized_topk" -> annQuantizedSql,
     "a15_content_hash" -> contentHashSql,
     "a_augment_hashes" -> augmentHashesSql,
     "t2_tokenizer_layout" -> tokenizerLayoutSql,

@@ -300,6 +300,15 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Q2/Q3 memory-bound scale path: int8 scalar-quantized top-k — 4×
+    * smaller resident corpus, exact-integer dots (DuckDB replays the
+    * quantization + ranking bit-for-bit). */
+  private def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Ann.quantizedTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Q2/Q3 scale path: IVF-bucketed top-k — integer-exact hyperplane
     * buckets (DuckDB recomputes signatures bit-for-bit), search confined
     * to the query's cell. */
@@ -1483,6 +1492,7 @@ object SparkEntry {
     "emb_stats" -> embStats,
     "ann_cosine_topk" -> annTopK,
     "ann_ivf_topk" -> annIvf,
+    "ann_quantized_topk" -> annQuantized,
     "o4_search_exact" -> searchExact,
     // rows-only operators (sketch-based / heuristic; no SQL oracle)
     "profile_sketches" -> profileSketches,

@@ -54,6 +54,45 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Int8 scalar-quantized cosine top-k — the memory-bound scale path:
+    * per-vector symmetric quantization (s = max|vᵢ|/127,
+    * qᵢ = clamp₍₋₁₂₇,₁₂₇₎(round-half-away(vᵢ/s))) shrinks the resident
+    * corpus 4× vs float32 / 8× vs float64, and scoring runs on pure
+    * BIGINT dot products (sums of int8 products are exact integers, no
+    * floating summation order anywhere), so ranking is engine- and
+    * partition-layout-independent and a DuckDB oracle replays it
+    * bit-for-bit. Same broadcast-queries/streaming-corpus shape as
+    * [[bruteForceTopK]]; all column expressions, fully codegen'd.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def rha(y: Column): Column = // round half away from zero, as doubles
+      when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
+    def quantize(df: DataFrame, id: String, q: String, n: String) = {
+      val v = transform(col(vecCol), _.cast("double"))
+      df.select(col(idCol).as(id), v.as("v"))
+        .withColumn("am", aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+        .withColumn(q, when(col("am") === 0, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x =>
+            greatest(lit(-127L), least(lit(127L),
+              rha(x / (col("am") / 127.0)).cast("long"))))))
+        .withColumn(n, sqrt(aggregate(col(q), lit(0L), (a, x) => a + x * x).cast("double")))
+        .drop("v", "am")
+    }
+    def qdot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val c = quantize(graft.sources.Lake.balance(corpus), "neighbor_id", "cq", "cn")
+    val q = quantize(queries, "query_id", "qq", "qn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcosine", when(col("qn") * col("cn") === 0, lit(0.0))
+        .otherwise(round(qdot(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")), 6)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "qcosine", "rank")
+  }
+
   /** Lehmer-mixed integer hyperplane weight: three rounds of
     * x → 48271·x mod (2³¹−1) over seed (1009·h + j + 1), centered to
     * ±2³⁰. Chosen over murmur3 because it is plain BIGINT arithmetic any

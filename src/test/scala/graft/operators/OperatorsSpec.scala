@@ -155,6 +155,29 @@ class AnnSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("neighbor_id") == 5L)
   }
 
+  test("quantizedTopK matches brute-force ranking on well-separated vectors") {
+    val res = Ann.quantizedTopK(embs, embs.filter($"vec_id" === 1), k = 2)
+    val rows = res.collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 2)
+    // int8 quantization error (≤ 1/254 per component) cannot reorder these
+    assert(rows(0).getAs[Long]("neighbor_id") == 2L)
+    assert(rows(0).getAs[Double]("qcosine") > 0.99)
+    assert(rows(1).getAs[Long]("neighbor_id") == 5L)
+  }
+
+  test("quantizedTopK: zero vectors score 0 and never rank above real matches") {
+    val withZero = Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").unionByName(embs)
+    val res = Ann.quantizedTopK(withZero, withZero.filter($"vec_id" === 1), k = 5)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(res.last.getAs[Long]("neighbor_id") == 9L)
+    assert(res.last.getAs[Double]("qcosine") == 0.0)
+    // and a zero-vector QUERY scores everything 0 without NaN/crash
+    val zq = Ann.quantizedTopK(withZero, withZero.filter($"vec_id" === 9), k = 3)
+      .collect()
+    assert(zq.length == 3 && zq.forall(_.getAs[Double]("qcosine") == 0.0))
+  }
+
   test("cosineNearDups finds the near pair above threshold") {
     val pairs = Ann.cosineNearDups(embs, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
