@@ -47,11 +47,18 @@ object Ann {
     val q = withNorm(queries, "query_id", "qv", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+    topKByScore(scored, "cosine", k)
+  }
+
+  /** Shared ranking tail of every ANN path: per-query row_number over
+    * (score desc, neighbor_id) — ONE definition of the tie-break and rank
+    * semantics, so the exact/quantized/bucketed paths cannot diverge. */
+  private def topKByScore(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .select("query_id", "neighbor_id", scoreCol, "rank")
   }
 
   /** Int8 scalar-quantized cosine top-k — the memory-bound scale path:
@@ -70,14 +77,19 @@ object Ann {
       when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
     def quantize(df: DataFrame, id: String, q: String, n: String) = {
       val v = transform(col(vecCol), _.cast("double"))
+      // branch on the SCALE being zero (not the abs-max): the oracle's
+      // CASE tests sc = max|v|/127.0, and a subnormal max component can
+      // underflow that division to 0.0 — testing the same quantity keeps
+      // both engines on the same branch for every input
       df.select(col(idCol).as(id), v.as("v"))
-        .withColumn("am", aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
-        .withColumn(q, when(col("am") === 0, transform(col("v"), _ => lit(0L)))
+        .withColumn("s",
+          aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0)
+        .withColumn(q, when(col("s") === 0, transform(col("v"), _ => lit(0L)))
           .otherwise(transform(col("v"), x =>
             greatest(lit(-127L), least(lit(127L),
-              rha(x / (col("am") / 127.0)).cast("long"))))))
+              rha(x / col("s")).cast("long"))))))
         .withColumn(n, sqrt(aggregate(col(q), lit(0L), (a, x) => a + x * x).cast("double")))
-        .drop("v", "am")
+        .drop("v", "s")
     }
     def qdot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
@@ -86,11 +98,7 @@ object Ann {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("qcosine", when(col("qn") * col("cn") === 0, lit(0.0))
         .otherwise(round(qdot(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")), 6)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "qcosine", "rank")
+    topKByScore(scored, "qcosine", k)
   }
 
   /** Lehmer-mixed integer hyperplane weight: three rounds of
@@ -283,10 +291,6 @@ object Ann {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKByScore(scored, "cosine", k)
   }
 }
