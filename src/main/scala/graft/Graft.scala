@@ -121,6 +121,12 @@ object Graft {
   def annQuantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     operators.Ann.quantizedTopK(corpus, queries, k)
 
+  /** Two-stage retrieval: quantized prefilter (k·oversample candidates)
+    * → full-precision exact-cosine rerank. */
+  def annRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    oversample: Int = 4): DataFrame =
+    operators.Ann.rerankTopK(corpus, queries, k, oversample)
+
   /** Drop docs sharing long n-grams with an eval set (leakage guard). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05): DataFrame =

@@ -555,13 +555,14 @@ object OracleSql {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** ann_quantized_topk: replay the int8 symmetric quantization
-    * (s = max|vᵢ|/127; round half away from zero; clamp ±127) and rank by
-    * the pure-BIGINT quantized dot over the quantized norms — every
-    * arithmetic step is either exact integer or a single IEEE double op
-    * in the same order as Ann.quantizedTopK. */
-  private def annQuantizedSql: String =
-    """WITH v AS (
+  /** Shared CTE chain replaying Ann.quantizedTopK: int8 symmetric
+    * quantization (sc = max|vᵢ|/127, both engines branch on sc = 0; round
+    * half away from zero; clamp ±127) → qranked(query_id, neighbor_id,
+    * qcosine, rank) by the pure-BIGINT quantized dot over quantized norms
+    * — every step is exact integer or a single IEEE double op in the same
+    * order as the engine. */
+  private val annQuantizedCtes: String =
+    """v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |s AS (
       |  SELECT vec_id, e, list_max([abs(x) FOR x IN e]) / 127.0 AS sc FROM v),
@@ -576,8 +577,8 @@ object OracleSql {
       |n AS (
       |  SELECT vec_id, q,
       |    sqrt(CAST(list_sum([x * x FOR x IN q]) AS DOUBLE)) AS nrm
-      |  FROM qq)
-      |SELECT query_id, neighbor_id, qcosine, rank FROM (
+      |  FROM qq),
+      |qranked AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
       |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
       |         ELSE round(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS DOUBLE)
@@ -586,8 +587,29 @@ object OracleSql {
       |      CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
       |           ELSE round(CAST(list_sum([a.q[i] * b.q[i] FOR i IN range(1, len(a.q) + 1)]) AS DOUBLE)
       |                      / (a.nrm * b.nrm), 6) END DESC, b.vec_id) AS rank
-      |  FROM n a JOIN n b ON a.vec_id <= 10 AND b.vec_id <> a.vec_id)
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |  FROM n a JOIN n b ON a.vec_id <= 10 AND b.vec_id <> a.vec_id)""".stripMargin
+
+  private def annQuantizedSql: String =
+    s"""WITH $annQuantizedCtes
+       |SELECT query_id, neighbor_id, qcosine, rank FROM qranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_rerank_topk: quantized prefilter (top k·oversample candidates)
+    * re-scored with FULL-precision exact cosine — the production
+    * retrieval shape. DuckDB replays both stages. */
+  private def annRerankSql: String =
+    s"""WITH $annQuantizedCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM qranked WHERE rank <= 20),
+       |f AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) DESC,
+       |               c.neighbor_id) AS rank
+       |  FROM cand c JOIN f a ON c.query_id = a.vec_id
+       |              JOIN f b ON c.neighbor_id = b.vec_id)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** inc_profile_merge: the incremental path's merged profile must equal
     * this from-scratch computation over the FULL table (counts, digests,
@@ -1656,6 +1678,7 @@ object OracleSql {
     "d_emb_neardups" -> embNearDupsSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_quantized_topk" -> annQuantizedSql,
+    "ann_rerank_topk" -> annRerankSql,
     "a15_content_hash" -> contentHashSql,
     "a_augment_hashes" -> augmentHashesSql,
     "t2_tokenizer_layout" -> tokenizerLayoutSql,

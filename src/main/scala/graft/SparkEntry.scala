@@ -309,6 +309,14 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Q2/Q3 two-stage retrieval: quantized prefilter (top-20 candidates)
+    * → full-precision exact-cosine rerank to top-5. */
+  private def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Ann.rerankTopK(embs, embs.filter(col("vec_id") <= 10), k = 5, oversample = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Q2/Q3 scale path: IVF-bucketed top-k — integer-exact hyperplane
     * buckets (DuckDB recomputes signatures bit-for-bit), search confined
     * to the query's cell. */
@@ -1493,6 +1501,7 @@ object SparkEntry {
     "ann_cosine_topk" -> annTopK,
     "ann_ivf_topk" -> annIvf,
     "ann_quantized_topk" -> annQuantized,
+    "ann_rerank_topk" -> annRerank,
     "o4_search_exact" -> searchExact,
     // rows-only operators (sketch-based / heuristic; no SQL oracle)
     "profile_sketches" -> profileSketches,

@@ -34,17 +34,19 @@ object Ann {
     * (same id) are excluded, reference O5 semantics.
     * Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
     */
+  // Precompute each side's norm ONCE (not per pair); cosine is then
+  // dot/(n1*n2) — the same arithmetic order as DuckDB's
+  // list_dot_product-based oracle, for bit-stable cross-engine results.
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       id: String, v: String, n: String) =
+    df.select(col(idCol).as(id),
+      transform(col(vecCol), _.cast("double")).as(v))
+      .withColumn(n, norm(col(v)))
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Precompute each side's norm ONCE (not per pair); cosine is then
-    // dot/(n1*n2) — the same arithmetic order as DuckDB's
-    // list_dot_product-based oracle, for bit-stable cross-engine results.
-    def withNorm(df: DataFrame, id: String, v: String, n: String) =
-      df.select(col(idCol).as(id),
-        transform(col(vecCol), _.cast("double")).as(v))
-        .withColumn(n, norm(col(v)))
-    val c = withNorm(graft.sources.Lake.balance(corpus), "neighbor_id", "nv", "nn")
-    val q = withNorm(queries, "query_id", "qv", "qn")
+    val c = withNorm(graft.sources.Lake.balance(corpus), idCol, vecCol, "neighbor_id", "nv", "nn")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
     topKByScore(scored, "cosine", k)
@@ -99,6 +101,27 @@ object Ann {
       .withColumn("qcosine", when(col("qn") * col("cn") === 0, lit(0.0))
         .otherwise(round(qdot(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")), 6)))
     topKByScore(scored, "qcosine", k)
+  }
+
+  /** Two-stage retrieval — the production shape at corpus scale: the int8
+    * quantized scan prefilters k·oversample candidates per query (4×
+    * smaller resident data, exact-integer ranking), then ONLY those pairs
+    * are re-scored with full-precision exact cosine. The candidate
+    * relation (|queries|·k·oversample ids) broadcasts into a second
+    * corpus pass that gathers full vectors; nothing n² ever materializes
+    * at float precision. Deterministic end to end, so the DuckDB oracle
+    * replays both stages. */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                 oversample: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cands = quantizedTopK(corpus, queries, k * oversample, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val c = withNorm(graft.sources.Lake.balance(corpus), idCol, vecCol, "neighbor_id", "nv", "nn")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val scored = c.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+    topKByScore(scored, "cosine", k)
   }
 
   /** Lehmer-mixed integer hyperplane weight: three rounds of

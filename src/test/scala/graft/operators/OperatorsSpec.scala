@@ -178,6 +178,17 @@ class AnnSpec extends SparkSpec {
     assert(zq.length == 3 && zq.forall(_.getAs[Double]("qcosine") == 0.0))
   }
 
+  test("rerankTopK equals exact brute-force when the oversampled prefilter covers the corpus") {
+    val exact = Ann.bruteForceTopK(embs, embs, k = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    // oversample 2 → 4 candidates/query = the whole non-self corpus
+    val rr = Ann.rerankTopK(embs, embs, k = 2, oversample = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(rr == exact)
+  }
+
   test("cosineNearDups finds the near pair above threshold") {
     val pairs = Ann.cosineNearDups(embs, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
