@@ -603,9 +603,11 @@ object OracleSql {
        |f AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT c.query_id, c.neighbor_id,
-       |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine,
+       |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |         ELSE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) END AS cosine,
        |    row_number() OVER (PARTITION BY c.query_id
-       |      ORDER BY round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) DESC,
+       |      ORDER BY CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |        ELSE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) END DESC,
        |               c.neighbor_id) AS rank
        |  FROM cand c JOIN f a ON c.query_id = a.vec_id
        |              JOIN f b ON c.neighbor_id = b.vec_id)
@@ -1443,9 +1445,11 @@ object OracleSql {
         |  FROM embeddings)
         |SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) AS cosine,
+        |    CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+        |         ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END AS cosine,
         |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+        |      ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+        |        ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC, c.vec_id) AS rank
         |  FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 

@@ -29,11 +29,6 @@ object Ann {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /** Exact cosine top-k neighbors for each query vector.
-    * Queries are broadcast (the small side); corpus streams. Self-hits
-    * (same id) are excluded, reference O5 semantics.
-    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
-    */
   // Precompute each side's norm ONCE (not per pair); cosine is then
   // dot/(n1*n2) — the same arithmetic order as DuckDB's
   // list_dot_product-based oracle, for bit-stable cross-engine results.
@@ -43,12 +38,25 @@ object Ann {
       transform(col(vecCol), _.cast("double")).as(v))
       .withColumn(n, norm(col(v)))
 
+  /** The ONE round-6 scoring expression of every precomputed-norm path:
+    * a zero norm product (directionless vector) scores 0.0 instead of
+    * dividing by zero — ANSI mode would otherwise crash, and non-ANSI
+    * NaN would sort ABOVE every real neighbor. Oracle SQL carries the
+    * same CASE guard. */
+  private def safeCosine(dotE: Column, nProd: Column): Column =
+    when(nProd === 0, lit(0.0)).otherwise(round(dotE / nProd, 6))
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * Queries are broadcast (the small side); corpus streams. Self-hits
+    * (same id) are excluded, reference O5 semantics.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = withNorm(graft.sources.Lake.balance(corpus), idCol, vecCol, "neighbor_id", "nv", "nn")
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("cosine", safeCosine(dot(col("qv"), col("nv")), col("qn") * col("nn")))
     topKByScore(scored, "cosine", k)
   }
 
@@ -98,8 +106,8 @@ object Ann {
     val c = quantize(graft.sources.Lake.balance(corpus), "neighbor_id", "cq", "cn")
     val q = quantize(queries, "query_id", "qq", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("qcosine", when(col("qn") * col("cn") === 0, lit(0.0))
-        .otherwise(round(qdot(col("qq"), col("cq")).cast("double") / (col("qn") * col("cn")), 6)))
+      .withColumn("qcosine",
+        safeCosine(qdot(col("qq"), col("cq")).cast("double"), col("qn") * col("cn")))
     topKByScore(scored, "qcosine", k)
   }
 
@@ -120,7 +128,7 @@ object Ann {
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
     val scored = c.join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("cosine", safeCosine(dot(col("qv"), col("nv")), col("qn") * col("nn")))
     topKByScore(scored, "cosine", k)
   }
 

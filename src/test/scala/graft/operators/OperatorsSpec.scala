@@ -178,6 +178,20 @@ class AnnSpec extends SparkSpec {
     assert(zq.length == 3 && zq.forall(_.getAs[Double]("qcosine") == 0.0))
   }
 
+  test("rerankTopK truncates candidates and survives zero vectors (no DIVIDE_BY_ZERO under ANSI)") {
+    val withZero = Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").unionByName(embs)
+    // k=1, oversample=2 → the prefilter keeps only 2 of 5 candidates per
+    // query: the rerank path really truncates, and the zero vector (in
+    // corpus AND as a query) must score 0.0 rather than crash or NaN-win
+    val res = Ann.rerankTopK(withZero, withZero.filter($"vec_id".isin(1L, 9L)),
+      k = 1, oversample = 2).collect()
+    val best = res.map(r => r.getAs[Long]("query_id") ->
+      (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(best(1L)._1 == 2L && best(1L)._2 > 0.99)
+    assert(best(9L)._2 == 0.0)
+  }
+
   test("rerankTopK equals exact brute-force when the oversampled prefilter covers the corpus") {
     val exact = Ann.bruteForceTopK(embs, embs, k = 2).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
