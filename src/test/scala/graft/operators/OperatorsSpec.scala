@@ -365,6 +365,28 @@ class CosineRecallSpec extends SparkSpec {
     assert(c.forall(_ <= 2))
   }
 
+  test("quantizedTopK cosine stays within int8 quantization error of exact cosine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.fill(32)((rnd.nextGaussian() * (1 + i % 7)).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" < 8)
+    val exact = Ann.bruteForceTopK(df, qs, k = 79).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    val quant = Ann.quantizedTopK(df, qs, k = 79).collect()
+    assert(quant.length == exact.size)
+    // per-component quantization error ≤ scale/2 = max|v|/254 bounds the
+    // cosine perturbation well under 0.05 at dim 32
+    quant.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      val d = math.abs(r.getAs[Double]("qcosine") - exact(key))
+      assert(d < 0.05, s"pair $key drifted $d")
+    }
+  }
+
   test("cosineNearDups returns the EXACT pair set at a low threshold (fallback)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
