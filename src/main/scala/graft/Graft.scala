@@ -127,6 +127,10 @@ object Graft {
                     oversample: Int = 4): DataFrame =
     operators.Ann.rerankTopK(corpus, queries, k, oversample)
 
+  /** BM25 keyword top-k over a document corpus (text-search modality). */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame =
+    search.TextSearch.bm25TopK(docs, queryTerms, k)
+
   /** Drop docs sharing long n-grams with an eval set (leakage guard). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05): DataFrame =

@@ -671,6 +671,35 @@ object OracleSql {
       |  CAST(sum(CASE WHEN NOT ok_punct THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_punct
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** t_bm25_search: replay Okapi BM25 (k1=1.2, b=0.75) — idf rounded to
+    * 6 dp on both sides (the one transcendental), per-term contributions
+    * rounded then summed as exact DECIMAL(18,6) so aggregation order
+    * cannot perturb the score, ties on ascending doc_id. */
+  private def bm25SearchSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |dd AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM d),
+      |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
+      |tf AS (
+      |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+      |  WHERE term IN ('dup', 'vector', 'join', 'window')
+      |  GROUP BY doc_id, dl, term),
+      |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    round(round(ln((c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1), 6)
+      |          * (tf.tf * (1.2 + 1))
+      |          / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / c.avgdl)), 6) AS cc
+      |  FROM tf JOIN dfq USING (term), consts c)
+      |SELECT doc_id,
+      |  CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DOUBLE) AS score_r,
+      |  row_number() OVER (ORDER BY CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id) AS rank
+      |FROM contrib GROUP BY doc_id
+      |QUALIFY rank <= 15 ORDER BY rank""".stripMargin
+
   /** t_pii_scrub: DuckDB synthesizes the same contact strings from
     * customer keys and redacts with the same RE2 patterns in the same
     * order (emails → IPv4 → phones, counts on progressively-scrubbed
@@ -1405,6 +1434,7 @@ object OracleSql {
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t_bm25_search" -> bm25SearchSql,
     "t_token_freq" ->
       """SELECT tok, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)

@@ -259,6 +259,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** BM25 keyword search over documents — the text-search modality next
+    * to sketch and embedding search. Mixed-selectivity query: 'dup' is
+    * rare (high idf), the others common. */
+  private def bm25Search(s: SparkSession, dir: String): DataFrame =
+    graft.search.TextSearch.bm25TopK(t(s, dir, "documents"),
+      Seq("dup", "vector", "join", "window"), k = 15)
+      .orderBy("rank")
+
   private def tokenFreq(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
@@ -1494,6 +1502,7 @@ object SparkEntry {
     "e_hourly_events" -> hourlyEvents,
     "e_sessionize" -> sessionize,
     "t_text_metrics" -> textMetrics,
+    "t_bm25_search" -> bm25Search,
     "t_token_freq" -> tokenFreq,
     "d_exact_dup" -> exactDup,
     "d_ngram_jaccard" -> ngramJaccard,

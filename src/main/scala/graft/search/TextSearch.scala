@@ -1,0 +1,77 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational BM25 keyword search over a document corpus — the text-search
+  * modality next to sketch search (`Discovery`) and embedding search
+  * (`operators.Ann`). Everything is DataFrame algebra shaped for corpus
+  * scale:
+  *
+  *  - document length comes from a per-row `size(split(...))` projection
+  *    (no shuffle, no explode of the full corpus);
+  *  - only tokens matching the (tiny, broadcast) query-term list are
+  *    exploded and aggregated, so the one shuffle carries
+  *    |matching tokens| rows, never the whole token stream;
+  *  - corpus-level constants (N, avgdl) ride a broadcast 1-row aggregate;
+  *  - per-term contributions are rounded to 6 dp and summed as exact
+  *    DECIMAL(18,6), making the doc score independent of Spark's
+  *    aggregation order — a DuckDB oracle replays scores bit-for-bit.
+  *
+  * Scoring is classic Okapi BM25 (Robertson–Spärck Jones idf in the
+  * "+1" form, so idf > 0 even for terms in most docs):
+  * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1),
+  * s(d,q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+  */
+object TextSearch {
+
+  private def toks(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), t => t =!= "")
+
+  /** Top-k documents for a bag-of-words query. Ties break on ascending id.
+    * Output: (doc_id, score_r, rank).
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = queryTerms.distinct.map(_.toLowerCase)
+    val base = docs.select(col(idCol).as("doc_id"),
+      toks(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("double"))
+    // corpus constants: one broadcast row (count + avg doc length)
+    val consts = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // explode ONLY query-term matches: the shuffle carries matching
+    // tokens, not the corpus token stream
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("w"), t => t.isInCollection(terms))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(consts))
+      // idf is the one transcendental in the score: round it to 6 dp so a
+      // sub-ulp libm-vs-Math.log difference can never reach the oracle
+      // compare through the later multiplications
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      .withColumn("c",
+        round(col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c").cast(DecimalType(18, 6))).cast("double").as("score_r"))
+    // global top-k as TakeOrdered (distributed partial top-k per partition,
+    // merged on the driver), NOT a global window over the whole corpus;
+    // the rank window then orders only the k surviving rows
+    val top = scored.orderBy(col("score_r").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score_r").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "score_r", "rank")
+  }
+}

@@ -69,3 +69,34 @@ class DiscoverySpec extends SparkSpec {
     assert(approx.sameElements(Array("good", "half")))
   }
 }
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "dup dup dup join"),
+    (2L, "join join join join scan scan"),
+    (3L, "dup window"),
+    (4L, "the the the the"),
+    (5L, "Dup JOIN")  // case-folded matching
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK ranks rare-term matches above common-term matches, omits no-hit docs") {
+    val res = TextSearch.bm25TopK(docs, Seq("dup", "join"), k = 10).collect()
+    val ranked = res.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id"))
+    // doc 4 has no query term: absent entirely
+    assert(!ranked.contains(4L) && res.length == 4)
+    // 'dup' (df=3) carries less idf than nothing but more than 'join'
+    // (df=4 of 5); doc 1 (3x dup + join, short) must beat doc 2 (join-only)
+    assert(ranked.head == 1L, s"got ${ranked.toSeq}")
+    // every score positive and monotone in rank
+    val scores = res.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score_r"))
+    assert(scores.forall(_ > 0) && scores.sameElements(scores.sortBy(-_)))
+  }
+
+  test("bm25TopK truncates to k with deterministic id tiebreak") {
+    val res = TextSearch.bm25TopK(docs, Seq("dup"), k = 2).collect()
+    assert(res.length == 2)
+    assert(res.map(_.getAs[Long]("doc_id")).toSet.subsetOf(Set(1L, 3L, 5L)))
+  }
+}
