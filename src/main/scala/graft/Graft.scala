@@ -131,6 +131,11 @@ object Graft {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame =
     search.TextSearch.bm25TopK(docs, queryTerms, k)
 
+  /** Bigram-LM mean log-probability per doc (perplexity-style quality
+    * filtering; train and score corpora may differ). */
+  def lmQualityScore(docs: DataFrame, train: DataFrame): DataFrame =
+    operators.TextAnalysis.bigramLogProb(docs, train)
+
   /** Drop docs sharing long n-grams with an eval set (leakage guard). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05): DataFrame =

@@ -700,6 +700,31 @@ object OracleSql {
       |FROM contrib GROUP BY doc_id
       |QUALIFY rank <= 15 ORDER BY rank""".stripMargin
 
+  /** t_lm_quality: replay the add-1 bigram LM — word_shingles(2)
+    * bigrams (≤1-token whole-text collapse), context counts from the
+    * bigram relation, unigram vocabulary, per-bigram round-6 ln, mean as
+    * an exact DECIMAL(18,6) sum over count. */
+  private def lmQualitySql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bgs
+      |      FROM d),
+      |tb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
+      |       FROM (SELECT unnest(bgs) AS bg FROM g) GROUP BY bg),
+      |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM tb GROUP BY w1),
+      |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      |       FROM (SELECT unnest(w) AS tok FROM d) WHERE tok <> ''),
+      |sc AS (
+      |  SELECT s.doc_id,
+      |    round(ln((coalesce(tb.c12, 0) + 1.0) / (coalesce(ctx.c1, 0) + 1.0 * vv.v)), 6) AS lp
+      |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) s
+      |  LEFT JOIN tb USING (bg)
+      |  LEFT JOIN ctx ON ctx.w1 = split_part(s.bg, ' ', 1), vv)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logprob_r
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** t_pii_scrub: DuckDB synthesizes the same contact strings from
     * customer keys and redacts with the same RE2 patterns in the same
     * order (emails → IPv4 → phones, counts on progressively-scrubbed
@@ -1435,6 +1460,7 @@ object OracleSql {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_bm25_search" -> bm25SearchSql,
+    "t_lm_quality" -> lmQualitySql,
     "t_token_freq" ->
       """SELECT tok, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)

@@ -259,6 +259,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality scores (perplexity-style filtering): the corpus
+    * is its own training set, the standard self-scoring setup. */
+  private def lmQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.bigramLogProb(docs, docs).orderBy("doc_id")
+  }
+
   /** BM25 keyword search over documents — the text-search modality next
     * to sketch and embedding search. Mixed-selectivity query: 'dup' is
     * rare (high idf), the others common. */
@@ -1503,6 +1510,7 @@ object SparkEntry {
     "e_sessionize" -> sessionize,
     "t_text_metrics" -> textMetrics,
     "t_bm25_search" -> bm25Search,
+    "t_lm_quality" -> lmQuality,
     "t_token_freq" -> tokenFreq,
     "d_exact_dup" -> exactDup,
     "d_ngram_jaccard" -> ngramJaccard,

@@ -217,4 +217,46 @@ object TextAnalysis {
       }
       .toDF("shard", "bin", "doc_id", "n_tokens")
   }
+
+  /** Bigram-LM quality score (CCNet-style perplexity filtering): train
+    * add-k-smoothed bigram counts on `train`, score each doc by its mean
+    * bigram log-probability. P(w₂|w₁) = (c(w₁w₂)+a) / (c(w₁·)+a·V) with
+    * c(w₁·) = Σ_w c(w₁w) (context counts derived FROM the bigram
+    * relation) and V = train's distinct-token vocabulary.
+    *
+    * Scale shape: the LM relations are vocab-bounded (≤V² bigrams,
+    * pruned in practice) and broadcast; scoring is one explode of each
+    * doc's bigrams joined against them — embarrassingly parallel, no
+    * corpus-wide shuffle. Cross-engine determinism: each bigram's log-
+    * prob is rounded to 6 dp (the one transcendental) and summed as
+    * exact DECIMAL(18,6), so the mean is aggregation-order-independent.
+    * Docs collapse to one whole-text shingle below 2 tokens (the
+    * [[graft.functions.TextFunctions.word_shingles]] convention) —
+    * such shingles score as unseen bigrams.
+    */
+  def bigramLogProb(docs: DataFrame, train: DataFrame, addK: Double = 1.0,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bg = train.select(explode(word_shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).cast("double").as("c12"))
+    val ctx = bg.select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = train
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(word_shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(broadcast(bg), Seq("bg"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log(
+        (coalesce(col("c12"), lit(0.0)) + addK) /
+          (coalesce(col("c1"), lit(0.0)) + lit(addK) * col("v"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_logprob_r"))
+  }
 }

@@ -233,6 +233,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Double]("quality") > 0)
   }
 
+  test("bigramLogProb: in-domain text outscores unseen bigrams; counts and floor are exact") {
+    val train = Seq(
+      (1L, "a b a b a b"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    // train bigrams: 'a b'x4, 'b a'x2, 'b c'x1; contexts a->4, b->3; V=3
+    val score = Seq(
+      (10L, "a b a b"),   // all high-frequency bigrams
+      (11L, "c c c"),     // every bigram unseen, context 'c' unseen
+      (12L, "x")          // <2 tokens: whole-text shingle, unseen
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(score, train).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob_r"))).toMap
+    assert(out(10L)._1 == 3 && out(11L)._1 == 2 && out(12L)._1 == 1)
+    assert(out(10L)._2 > out(11L)._2)
+    // unseen bigram with unseen context: ln((0+1)/(0+3)) = ln(1/3)
+    val floor = BigDecimal(math.log(1.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(11L)._2 == floor && out(12L)._2 == floor)
+  }
+
   test("qualityFilter applies Gopher-style rules with per-rule flags") {
     val docs = Seq(
       (1L, "a solid document with plenty of reasonable words inside it"), // keep
