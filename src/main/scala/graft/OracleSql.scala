@@ -701,9 +701,11 @@ object OracleSql {
       |QUALIFY rank <= 15 ORDER BY rank""".stripMargin
 
   /** t_lm_quality: replay the add-1 bigram LM — word_shingles(2)
-    * bigrams (≤1-token whole-text collapse), context counts from the
-    * bigram relation, unigram vocabulary, per-bigram round-6 ln, mean as
-    * an exact DECIMAL(18,6) sum over count. */
+    * bigrams, train counts from ≥2-token docs ONLY (sub-2-token docs
+    * would inject their whole-text collapse shingle), scored docs keep
+    * the collapse (scores as unseen), context counts from the bigram
+    * relation, unigram vocabulary, per-bigram round-6 ln, mean as an
+    * exact DECIMAL(18,6) sum over count. */
   private def lmQualitySql: String =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
@@ -711,7 +713,8 @@ object OracleSql {
       |             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bgs
       |      FROM d),
       |tb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
-      |       FROM (SELECT unnest(bgs) AS bg FROM g) GROUP BY bg),
+      |       FROM (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |             FROM d WHERE len(w) >= 2) GROUP BY bg),
       |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM tb GROUP BY w1),
       |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
       |       FROM (SELECT unnest(w) AS tok FROM d) WHERE tok <> ''),

@@ -224,20 +224,26 @@ object TextAnalysis {
     * c(w₁·) = Σ_w c(w₁w) (context counts derived FROM the bigram
     * relation) and V = train's distinct-token vocabulary.
     *
-    * Scale shape: the LM relations are vocab-bounded (≤V² bigrams,
-    * pruned in practice) and broadcast; scoring is one explode of each
-    * doc's bigrams joined against them — embarrassingly parallel, no
-    * corpus-wide shuffle. Cross-engine determinism: each bigram's log-
-    * prob is rounded to 6 dp (the one transcendental) and summed as
-    * exact DECIMAL(18,6), so the mean is aggregation-order-independent.
-    * Docs collapse to one whole-text shingle below 2 tokens (the
-    * [[graft.functions.TextFunctions.word_shingles]] convention) —
-    * such shingles score as unseen bigrams.
+    * Scale shape: the LM relations are bounded by the train corpus's
+    * distinct-bigram count — Catalyst broadcasts them when under the
+    * auto-broadcast threshold and shuffle-joins otherwise (no forced
+    * broadcast: a large corpus's bigram table must not be pinned to the
+    * driver). Scoring is one explode of each doc's bigrams joined
+    * against them. Cross-engine determinism: each bigram's log-prob is
+    * rounded to 6 dp (the one transcendental) and summed as exact
+    * DECIMAL(18,6), so the mean is aggregation-order-independent.
+    * Sub-2-token TRAIN docs contribute nothing (their whole-text
+    * collapse shingle is not a bigram); sub-2-token SCORED docs collapse
+    * to one whole-text shingle (the
+    * [[graft.functions.TextFunctions.word_shingles]] convention), which
+    * scores as an unseen bigram.
     */
   def bigramLogProb(docs: DataFrame, train: DataFrame, addK: Double = 1.0,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val bg = train.select(explode(word_shingles(col(textCol), 2)).as("bg"))
+    val trainable = train
+      .where(size(split(trim(col(textCol)), "\\s+")) >= 2)
+    val bg = trainable.select(explode(word_shingles(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).cast("double").as("c12"))
     val ctx = bg.select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
       .groupBy("w1").agg(sum(col("c12")).as("c1"))
@@ -248,8 +254,8 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
         explode(word_shingles(col(textCol), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(broadcast(bg), Seq("bg"), "left")
-      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(bg, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("lp", round(log(
         (coalesce(col("c12"), lit(0.0)) + addK) /

@@ -86,8 +86,8 @@ class TextSearchSpec extends SparkSpec {
     val ranked = res.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("doc_id"))
     // doc 4 has no query term: absent entirely
     assert(!ranked.contains(4L) && res.length == 4)
-    // 'dup' (df=3) carries less idf than nothing but more than 'join'
-    // (df=4 of 5); doc 1 (3x dup + join, short) must beat doc 2 (join-only)
+    // df(dup)=df(join)=3 of 5 (docs 1,3,5 / 1,2,5): equal idf, so doc 1
+    // (tf 3+1 at dl=4) must beat doc 2 (join-only, tf 3 at dl=6)
     assert(ranked.head == 1L, s"got ${ranked.toSeq}")
     // every score positive and monotone in rank
     val scores = res.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score_r"))
@@ -96,7 +96,9 @@ class TextSearchSpec extends SparkSpec {
 
   test("bm25TopK truncates to k with deterministic id tiebreak") {
     val res = TextSearch.bm25TopK(docs, Seq("dup"), k = 2).collect()
-    assert(res.length == 2)
-    assert(res.map(_.getAs[Long]("doc_id")).toSet.subsetOf(Set(1L, 3L, 5L)))
+      .sortBy(_.getAs[Long]("rank"))
+    // docs 3 and 5 tie exactly (tf=1, dl=2): ascending-id tiebreak MUST
+    // pick 3, so the k=2 result is exactly (1, 3) in rank order
+    assert(res.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L))
   }
 }
