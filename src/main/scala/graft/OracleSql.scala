@@ -704,8 +704,11 @@ object OracleSql {
     * bigrams, train counts from ≥2-token docs ONLY (sub-2-token docs
     * would inject their whole-text collapse shingle), scored docs keep
     * the collapse (scores as unseen), context counts from the bigram
-    * relation, unigram vocabulary, per-bigram round-6 ln, mean as an
-    * exact DECIMAL(18,6) sum over count. */
+    * relation, unigram vocabulary. Log-probs become integer micro-units
+    * via floor/ceil half-away rounding (bit-deterministic in both
+    * engines, unlike round() built-ins, which disagree when the decimal
+    * sum / count quotient lands exactly on a .5e-6 boundary — observed
+    * at sf0.1), summed exactly; the mean re-rounds the same way. */
   private def lmQualitySql: String =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
@@ -720,13 +723,19 @@ object OracleSql {
       |       FROM (SELECT unnest(w) AS tok FROM d) WHERE tok <> ''),
       |sc AS (
       |  SELECT s.doc_id,
-      |    round(ln((coalesce(tb.c12, 0) + 1.0) / (coalesce(ctx.c1, 0) + 1.0 * vv.v)), 6) AS lp
-      |  FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) s
-      |  LEFT JOIN tb USING (bg)
-      |  LEFT JOIN ctx ON ctx.w1 = split_part(s.bg, ' ', 1), vv)
-      |SELECT doc_id, count(*) AS n_bigrams,
-      |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logprob_r
-      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |    CAST(CASE WHEN l >= 0 THEN floor(l + 0.5) ELSE ceil(l - 0.5) END AS BIGINT) AS lpm
+      |  FROM (
+      |    SELECT s0.doc_id,
+      |      ln((coalesce(tb.c12, 0) + 1.0) / (coalesce(ctx.c1, 0) + 1.0 * vv.v)) * 1000000 AS l
+      |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) s0
+      |    LEFT JOIN tb USING (bg)
+      |    LEFT JOIN ctx ON ctx.w1 = split_part(s0.bg, ' ', 1), vv) s),
+      |ag AS (SELECT doc_id, count(*) AS n_bigrams,
+      |         CAST(sum(lpm) AS DOUBLE) / count(*) AS m
+      |       FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  (CASE WHEN m >= 0 THEN floor(m + 0.5) ELSE ceil(m - 0.5) END) / 1000000.0 AS avg_logprob_r
+      |FROM ag ORDER BY doc_id""".stripMargin
 
   /** t_pii_scrub: DuckDB synthesizes the same contact strings from
     * customer keys and redacts with the same RE2 patterns in the same

@@ -230,8 +230,11 @@ object TextAnalysis {
     * broadcast: a large corpus's bigram table must not be pinned to the
     * driver). Scoring is one explode of each doc's bigrams joined
     * against them. Cross-engine determinism: each bigram's log-prob is
-    * rounded to 6 dp (the one transcendental) and summed as exact
-    * DECIMAL(18,6), so the mean is aggregation-order-independent.
+    * converted to integer MICRO-units (round-half-away via floor/ceil —
+    * bit-deterministic primitives, unlike engine round() built-ins) and
+    * summed exactly; the mean re-rounds the same way, so no decimal
+    * division can land on a .5e-6 boundary where Spark's BigDecimal
+    * HALF_UP and DuckDB's C++ round disagree.
     * Sub-2-token TRAIN docs contribute nothing (their whole-text
     * collapse shingle is not a bigram); sub-2-token SCORED docs collapse
     * to one whole-text shingle (the
@@ -240,7 +243,8 @@ object TextAnalysis {
     */
   def bigramLogProb(docs: DataFrame, train: DataFrame, addK: Double = 1.0,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    def rha(y: Column): Column = // round half away from zero, exact floor/ceil
+      when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
     val trainable = train
       .where(size(split(trim(col(textCol)), "\\s+")) >= 2)
     val bg = trainable.select(explode(word_shingles(col(textCol), 2)).as("bg"))
@@ -257,12 +261,13 @@ object TextAnalysis {
       .join(bg, Seq("bg"), "left")
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", round(log(
+      .withColumn("lpm", rha(log(
         (coalesce(col("c12"), lit(0.0)) + addK) /
-          (coalesce(col("c1"), lit(0.0)) + lit(addK) * col("v"))), 6))
+          (coalesce(col("c1"), lit(0.0)) + lit(addK) * col("v"))) * 1e6).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("lp").cast(DecimalType(18, 6))).cast("double") /
-          count(lit(1)), 6).as("avg_logprob_r"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (rha(col("s6").cast("double") / col("n_bigrams").cast("double"))
+          .cast("double") / 1e6).as("avg_logprob_r"))
   }
 }
