@@ -644,6 +644,59 @@ object OracleSql {
        |FROM stats JOIN dig USING (ci) ORDER BY col_idx""".stripMargin
   }
 
+  /** inc_quantile_sketch: replay the HDR-style mergeable quantile sketch
+    * over the FULL orders table (merge invariance makes the engine's
+    * three-chunk path equivalent). Every step is exact integer: micro
+    * floor-quantize, msb via bin() length, 32 sub-buckets per octave,
+    * rank ceil(n·k/10), integer bucket midpoint; the single float op is
+    * the closing /1e6.
+    */
+  private def quantileSketchSql: String = {
+    val numeric = lakeSchemas("orders").zipWithIndex.collect {
+      case ((c, "integer"), i) => s"SELECT $i AS ci, CAST($c AS DOUBLE) AS v FROM orders"
+      case ((c, "float"), i)   => s"SELECT $i AS ci, CAST($c AS DOUBLE) AS v FROM orders"
+      case ((c, "date"), i)    => s"SELECT $i AS ci, CAST(floor(epoch($c)) AS DOUBLE) AS v FROM orders"
+    }
+    s"""WITH vn AS (
+       |  ${numeric.mkString("\n  UNION ALL ")}
+       |),
+       |qv AS (
+       |  SELECT ci, least(greatest(CAST(floor(v * 1e6) AS BIGINT),
+       |           -4611686018427387904), 4611686018427387904) AS q
+       |  FROM vn WHERE v IS NOT NULL),
+       |bi AS (
+       |  SELECT ci, q, abs(q) AS a, length(bin(abs(q))) - 1 AS e FROM qv),
+       |bk AS (
+       |  SELECT ci,
+       |    (CASE WHEN q < 0 THEN -1 ELSE 1 END) *
+       |    (CASE WHEN a < 32 THEN a
+       |          ELSE (CAST(e AS BIGINT) - 4) * 32 + (a >> (e - 5)) - 32 END) AS bucket
+       |  FROM bi),
+       |counts AS (SELECT ci, bucket, count(*) AS cnt FROM bk GROUP BY ci, bucket),
+       |cum AS (
+       |  SELECT ci, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY ci ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY ci) AS n
+       |  FROM counts),
+       |dk AS (
+       |  SELECT ci, bucket, cnt, cum, n, k
+       |  FROM cum CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+       |  WHERE cum >= greatest((n * k + 9) // 10, 1)
+       |    AND cum - cnt < greatest((n * k + 9) // 10, 1)),
+       |est AS (
+       |  SELECT ci, k, bucket, abs(bucket) AS idx,
+       |    abs(bucket) >> 5 AS lvl
+       |  FROM dk)
+       |SELECT 'orders' AS table_name, CAST(ci AS BIGINT) AS col_idx,
+       |  CAST(k AS BIGINT) AS decile,
+       |  CAST((CASE WHEN bucket < 0 THEN -1 ELSE 1 END) *
+       |    (CASE WHEN idx < 64 THEN idx
+       |          ELSE ((32 + (idx & 31)) << (lvl - 1))
+       |               + (CAST(1 AS BIGINT) << (lvl - 2)) END) AS DOUBLE)
+       |    / 1e6 AS est
+       |FROM est ORDER BY col_idx, decile""".stripMargin
+  }
+
   /** t_quality_filter: Gopher-style rule filter counts per language
     * (mirrors TextAnalysis.qualityFilter with the query's thresholds;
     * rule comparisons on round-6 metrics on both sides). */
@@ -1789,6 +1842,7 @@ object OracleSql {
     "j2_missing_pairs" -> missingPairsSql,
     "j3_search_eval" -> searchEvalSql,
     "inc_profile_merge" -> incProfileMergeSql,
+    "inc_quantile_sketch" -> quantileSketchSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "t_pii_scrub" -> piiScrubSql,

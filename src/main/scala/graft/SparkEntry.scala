@@ -1359,6 +1359,25 @@ object SparkEntry {
       .orderBy("col_idx")
   }
 
+  /** Mergeable quantile sketch (HDR-style exponential histogram over
+    * micro-quantized values — the incremental/streaming answer to the
+    * 13-vector's nine exact quantiles, `data_prep.py:234-244`): chunk
+    * orders three ways by key parity, sketch each chunk, merge, read
+    * the deciles back. The oracle replays the IDENTICAL integer bucket
+    * arithmetic over the FULL table — green iff chunked sketching is
+    * indistinguishable from from-scratch (merge invariance) AND the
+    * bucket/midpoint math matches bit-for-bit.
+    */
+  private def quantileSketchQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.profile.QuantileSketch
+    val full = t(s, dir, "orders")
+    val chunks = (0 to 2).map(r => QuantileSketch.sketchChunk(
+      full.filter(pmod(col("o_orderkey"), lit(3)) === r), "orders"))
+      .reduce(_ unionByName _)
+    QuantileSketch.deciles(QuantileSketch.merge(chunks))
+      .orderBy("col_idx", "decile")
+  }
+
   /** LLM-pipeline: end-to-end near-dup removal — pairs → components →
     * one representative per cluster. The id checksum pins the kept SET. */
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -1570,6 +1589,7 @@ object SparkEntry {
     "t_fingerprint" -> fingerprintQ,
     "o6_canonical_order" -> canonicalOrderQ,
     "inc_profile_merge" -> incrementalMerge,
+    "inc_quantile_sketch" -> quantileSketchQ,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "t_pii_scrub" -> piiScrub,
