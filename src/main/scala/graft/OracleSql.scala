@@ -697,6 +697,46 @@ object OracleSql {
        |FROM est ORDER BY col_idx, decile""".stripMargin
   }
 
+  /** w_domain_cap: replay URL synthesis → host regex → registered
+    * domain → salted-hash per-domain cap. Same regex text in RE2 as in
+    * Java regex; md5 hex ordering is byte-identical across engines.
+    */
+  private def domainCapSql: String = {
+    val psl = graft.operators.Web.TwoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'https://' END) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+       |    source ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+       |    '/doc/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, lower(nullif(regexp_extract(url,
+       |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]+)', 1), '')) AS host
+       |  FROM u),
+       |d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN host IS NULL THEN NULL
+       |         WHEN len(string_split(host, '.')) <= 2 THEN host
+       |         WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+       |              IN ($psl)
+       |           THEN string_split(host, '.')[-3] || '.' ||
+       |                string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       |         ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       |    END AS url_domain
+       |  FROM h),
+       |r AS (
+       |  SELECT doc_id, url_domain,
+       |    row_number() OVER (PARTITION BY url_domain
+       |      ORDER BY md5('crawlmix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM d WHERE url_domain IS NOT NULL)
+       |SELECT url_domain, count(*) AS n_kept,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |FROM r WHERE rk <= 8 GROUP BY url_domain ORDER BY url_domain""".stripMargin
+  }
+
   /** t_quality_filter: Gopher-style rule filter counts per language
     * (mirrors TextAnalysis.qualityFilter with the query's thresholds;
     * rule comparisons on round-6 metrics on both sides). */
@@ -1843,6 +1883,7 @@ object OracleSql {
     "j3_search_eval" -> searchEvalSql,
     "inc_profile_merge" -> incProfileMergeSql,
     "inc_quantile_sketch" -> quantileSketchSql,
+    "w_domain_cap" -> domainCapSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "t_pii_scrub" -> piiScrubSql,

@@ -1410,6 +1410,32 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** Web-corpus curation: synthesize deterministic URLs over documents
+    * (the lake has no URL column; both engines build identical strings,
+    * the PII-query pattern), decompose them, cap per registered domain
+    * by salted-hash order, report kept counts + id checksum — the
+    * CCNet-style crawl-balancing shape. The checksum pins the exact
+    * kept SET, so the oracle verifies the cap's selection, not just its
+    * size.
+    */
+  private def domainCapQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Web
+    val docs = t(s, dir, "documents").withColumn("url",
+      concat(
+        when(col("doc_id") % 4 === 0, lit("http://")).otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        when(col("doc_id") % 7 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/doc/"), col("doc_id").cast("string")))
+    val capped = Web.perDomainCap(Web.withUrlParts(docs, "url"),
+      maxPerDomain = 8, idCol = "doc_id", salt = "crawlmix")
+    capped.groupBy(col("url_domain"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("url_domain")
+  }
+
   /** LLM-pipeline: deterministic stratified sample (training mix). The
     * id checksum pins the exact selected set — membership is a pure
     * function of (doc_id, salt), so DuckDB selects the same rows. */
@@ -1590,6 +1616,7 @@ object SparkEntry {
     "o6_canonical_order" -> canonicalOrderQ,
     "inc_profile_merge" -> incrementalMerge,
     "inc_quantile_sketch" -> quantileSketchQ,
+    "w_domain_cap" -> domainCapQ,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "t_pii_scrub" -> piiScrub,
