@@ -697,6 +697,61 @@ object OracleSql {
        |FROM est ORDER BY col_idx, decile""".stripMargin
   }
 
+  /** t2_bpe_train: replay BPE training as an UNROLLED 8-round CTE
+    * cascade (each round references its predecessor freely — no
+    * recursive-CTE single-reference limit). Greedy left-to-right merge
+    * uses the run-parity formula: a match position is merged iff the
+    * count of consecutive match positions immediately before it is even
+    * — equivalent to the engine's carry fold (a merged token never
+    * re-merges within a pass).
+    */
+  private def bpeTrainSql: String = {
+    val numRounds = 8
+    val base =
+      """w0 AS (
+        |  SELECT word, cnt,
+        |    list_append([substr(word, i, 1) FOR i IN range(1, length(word) + 1)],
+        |                '</w>') AS syms
+        |  FROM (
+        |    SELECT word, count(*) AS cnt FROM (
+        |      SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |      FROM documents)
+        |    WHERE word <> '' GROUP BY word
+        |    ORDER BY cnt DESC, word LIMIT 40))""".stripMargin
+    val rounds = (1 to numRounds).map { k =>
+      val p = k - 1
+      s"""p$k AS (
+         |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS c
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM w$p)
+         |  GROUP BY lhs, rhs),
+         |b$k AS (SELECT lhs, rhs, c FROM p$k ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w$k AS (
+         |  SELECT word, cnt,
+         |    flatten([CASE WHEN list_contains(kept, i) THEN [syms[i] || syms[i + 1]]
+         |                  WHEN list_contains(kept, i - 1) THEN []
+         |                  ELSE [syms[i]] END
+         |             FOR i IN range(1, len(syms) + 1)]) AS syms
+         |  FROM (
+         |    SELECT word, cnt, syms,
+         |      [i FOR i IN mp IF
+         |         (i - 1 - coalesce(list_max(
+         |            [k2 FOR k2 IN range(1, i) IF NOT list_contains(mp, k2)]), 0)) % 2 = 0] AS kept
+         |    FROM (
+         |      SELECT word, cnt, syms,
+         |        [i FOR i IN range(1, len(syms))
+         |         IF syms[i] = b.lhs AND syms[i + 1] = b.rhs] AS mp
+         |      FROM w$p, b$k b)))""".stripMargin
+    }
+    val sel = (1 to numRounds)
+      .map(k => s"SELECT $k AS merge_rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${(base +: rounds).mkString(",\n")}
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, pair_count
+       |FROM (
+       |  $sel)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** w_domain_cap: replay URL synthesis → host regex → registered
     * domain → salted-hash per-domain cap. Same regex text in RE2 as in
     * Java regex; md5 hex ordering is byte-identical across engines.
@@ -1884,6 +1939,7 @@ object OracleSql {
     "inc_profile_merge" -> incProfileMergeSql,
     "inc_quantile_sketch" -> quantileSketchSql,
     "w_domain_cap" -> domainCapSql,
+    "t2_bpe_train" -> bpeTrainSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "t_pii_scrub" -> piiScrubSql,

@@ -1410,6 +1410,24 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** BPE tokenizer training (Sennrich et al. 2016): learn 8 merges over
+    * the documents word-frequency relation (top-40 words, deterministic
+    * cap). The oracle replays ALL 8 rounds — weighted pair counts,
+    * (count desc, pair asc) winner, greedy left-to-right rewrite with
+    * run-parity semantics — as an unrolled CTE cascade, so the learned
+    * merge table must match exactly.
+    */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Bpe
+    val wf = Bpe.wordFreq(t(s, dir, "documents"), "text", maxWords = Some(40))
+    val (merges, _) = Bpe.train(wf, 8)
+    import s.implicits._
+    merges.toDF()
+      .select(col("rank").cast("long").as("merge_rank"),
+        col("left").as("lhs"), col("right").as("rhs"), col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
   /** Web-corpus curation: synthesize deterministic URLs over documents
     * (the lake has no URL column; both engines build identical strings,
     * the PII-query pattern), decompose them, cap per registered domain
@@ -1617,6 +1635,7 @@ object SparkEntry {
     "inc_profile_merge" -> incrementalMerge,
     "inc_quantile_sketch" -> quantileSketchQ,
     "w_domain_cap" -> domainCapQ,
+    "t2_bpe_train" -> bpeTrainQ,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "t_pii_scrub" -> piiScrub,
