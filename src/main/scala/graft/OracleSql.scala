@@ -697,6 +697,66 @@ object OracleSql {
        |FROM est ORDER BY col_idx, decile""".stripMargin
   }
 
+  /** ann_kmeans_ivf: replay deterministic Lloyd's k-means (3 unrolled
+    * iterations, exact BIGINT micro-space distances, trunc-division
+    * means, empty cells keep their centroid), then the IVF search:
+    * corpus→nearest cell, queries→2 nearest cells, full-precision
+    * cosine within probed cells, top-5.
+    */
+  private def annKmeansIvfSql: String = {
+    val (iters, kCells, nProbe, k, dim) = (3, 8, 2, 5, 64)
+    def argmin(src: String, filter: String, rnCond: String) =
+      s"""  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_sum([(v.qv[d] - c.cq[d]) * (v.qv[d] - c.cq[d])
+         |                  FOR d IN range(1, ${dim + 1})]), c.cell) AS rn
+         |    FROM qvs v, $src c$filter)
+         |  WHERE $rnCond""".stripMargin
+    val base =
+      s"""qvs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    [CAST(floor(x * 1e6) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS qv
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cell, qv AS cq
+         |  FROM (SELECT vec_id, qv FROM qvs ORDER BY vec_id LIMIT $kCells))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |${argmin(s"c${i - 1}", "", "rn = 1")}),
+         |s$i AS (
+         |  SELECT a.cell, d, sum(v.qv[d]) AS s, count(*) AS n
+         |  FROM (SELECT vec_id, cell, unnest(range(1, ${dim + 1})) AS d FROM a$i) a
+         |  JOIN qvs v USING (vec_id)
+         |  GROUP BY a.cell, d),
+         |n$i AS (
+         |  SELECT cell,
+         |    list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END ORDER BY d) AS cq
+         |  FROM s$i GROUP BY cell),
+         |c$i AS (
+         |  SELECT o.cell, coalesce(nn.cq, o.cq) AS cq
+         |  FROM c${i - 1} o LEFT JOIN n$i nn USING (cell))""".stripMargin
+    }
+    s"""WITH ${(base +: rounds).mkString(",\n")},
+       |ca AS (
+       |${argmin(s"c$iters", "", "rn = 1")}),
+       |qp AS (
+       |${argmin(s"c$iters", " WHERE v.vec_id <= 10", s"rn <= $nProbe")}),
+       |f AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM qvs),
+       |scored AS (
+       |  SELECT qp.vec_id AS query_id, ca.vec_id AS neighbor_id,
+       |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |         ELSE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) END AS cosine
+       |  FROM qp JOIN ca USING (cell)
+       |  JOIN f a ON a.vec_id = qp.vec_id
+       |  JOIN f b ON b.vec_id = ca.vec_id
+       |  WHERE ca.vec_id <> qp.vec_id)
+       |SELECT query_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |FROM scored QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** t2_bpe_train: replay BPE training as an UNROLLED 8-round CTE
     * cascade (each round references its predecessor freely — no
     * recursive-CTE single-reference limit). Greedy left-to-right merge
@@ -1940,6 +2000,7 @@ object OracleSql {
     "inc_quantile_sketch" -> quantileSketchSql,
     "w_domain_cap" -> domainCapSql,
     "t2_bpe_train" -> bpeTrainSql,
+    "ann_kmeans_ivf" -> annKmeansIvfSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "t_pii_scrub" -> piiScrubSql,

@@ -1410,6 +1410,19 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** Trained-IVF ANN: deterministic Lloyd's k-means (exact integer
+    * micro-space — partitioning/order-independent) trains 8 cells in 3
+    * iterations; queries probe their 2 nearest cells; members score by
+    * full-precision cosine. The oracle replays every training iteration
+    * (unrolled), the assignments, and the search bit-for-bit.
+    */
+  private def annKmeansIvf(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Ann.kmeansIvfTopK(embs, embs.filter(col("vec_id") <= 10),
+      k = 5, kCells = 8, iters = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   /** BPE tokenizer training (Sennrich et al. 2016): learn 8 merges over
     * the documents word-frequency relation (top-40 words, deterministic
     * cap). The oracle replays ALL 8 rounds — weighted pair counts,
@@ -1636,6 +1649,7 @@ object SparkEntry {
     "inc_quantile_sketch" -> quantileSketchQ,
     "w_domain_cap" -> domainCapQ,
     "t2_bpe_train" -> bpeTrainQ,
+    "ann_kmeans_ivf" -> annKmeansIvf,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "t_pii_scrub" -> piiScrub,

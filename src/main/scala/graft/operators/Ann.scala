@@ -307,6 +307,105 @@ object Ann {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Micro-quantized vector (the rhSignature quantization, shared). */
+  private def microVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000000).cast("long"))
+
+  /** Exact integer squared distance between two micro-vectors (bounds:
+    * dim · (2·10⁶·max|v|)² ≪ 2⁶³ for any realistic embedding). */
+  private def sqDistMicro(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Truncating integer mean (toward zero) — Spark `div` truncates while
+    * DuckDB `//` floors, so both engines spell the negative branch
+    * explicitly and agree bit-for-bit. */
+  private val truncMean = "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END"
+
+  /** Deterministic Lloyd's k-means over micro-quantized vectors — trains
+    * REAL IVF centroids (vs [[rhSignature]]'s data-oblivious hash cells).
+    * Every step is exact integer arithmetic: micro components, BIGINT
+    * squared distances, argmin tie-broken by cell id, truncating-division
+    * centroid means — so training is independent of partitioning and
+    * aggregation order, and a DuckDB oracle replays every iteration
+    * bit-for-bit. Cells that lose all members keep their previous
+    * centroid.
+    *
+    * Scale shape: centroids broadcast (k·dim longs); assignment is
+    * map-side; each iteration pays ONE partial-aggregated shuffle of
+    * (cell, dim) integer sums. Init = the k lowest-id vectors (replayable;
+    * k-means++ would add per-round corpus scans for little gain at IVF
+    * cell granularity).
+    * Output: (cell, cq array<long>).
+    */
+  def kmeansCentroids(embs: DataFrame, k: Int = 8, iters: Int = 3,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = graft.sources.Lake.balance(embs)
+      .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
+    var cents = vecs.orderBy(col("id")).limit(k)
+      .withColumn("cell", row_number().over(Window.orderBy(col("id"))).cast("long"))
+      .select(col("cell"), col("qv").as("cq"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val assigned = assignCells(vecs, cents).select(col("cell"), col("qv"))
+      val newC = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr(truncMean))
+        .groupBy("cell")
+        .agg(collect_list(struct(col("d"), col("cv"))).as("l"))
+        .select(col("cell"), transform(array_sort(col("l")), _.getField("cv")).as("cq"))
+      cents = cents.as("o").join(newC.as("nw"), Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("nw.cq"), col("o.cq")).as("cq"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Nearest-cell assignment under broadcast centroids: exact integer
+    * argmin, ties to the lowest cell id. Input must carry `qv`. */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistMicro(col("qv"), col("cq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("dist", "rn", "cq")
+  }
+
+  /** IVF search through TRAINED centroids: corpus vectors live in their
+    * nearest cell; each query probes its `nProbe` nearest cells and
+    * scores only those cells' members with full-precision exact cosine.
+    * Approximate (recall bounded by cell geometry), the classic
+    * accuracy/cost dial: nProbe = #cells degenerates to exact search.
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def kmeansIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    kCells: Int = 8, iters: Int = 3, nProbe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    def prep(df: DataFrame, v: String, n: String) =
+      graft.sources.Lake.balance(df).select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as(v),
+        microVec(col(vecCol)).as("qv"))
+        .withColumn(n, norm(col(v)))
+    val c = assignCells(prep(corpus, "nv", "nn"), cents)
+      .withColumnRenamed("id", "neighbor_id").drop("qv")
+    val probeW = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
+    val q = prep(queries, "qvd", "qn")
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistMicro(col("qv"), col("cq")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("id").as("query_id"), col("qvd"), col("qn"), col("cell"))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", safeCosine(dot(col("qvd"), col("nv")), col("qn") * col("nn")))
+      // a neighbor can sit in several probed cells only if duplicated —
+      // cells partition the corpus, so (query, neighbor) pairs are unique
+    topKByScore(scored, "cosine", k)
+  }
+
   /** IVF-style bucketed top-k: assign each vector to its nearest of
     * `nCells` hash-derived centroid buckets (by signature prefix), search
     * only within the query's bucket. Approximate; the scale path when the
