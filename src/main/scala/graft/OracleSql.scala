@@ -651,11 +651,13 @@ object OracleSql {
     * rank ceil(n·k/10), integer bucket midpoint; the single float op is
     * the closing /1e6.
     */
-  private def quantileSketchSql: String = {
-    val numeric = lakeSchemas("orders").zipWithIndex.collect {
-      case ((c, "integer"), i) => s"SELECT $i AS ci, CAST($c AS DOUBLE) AS v FROM orders"
-      case ((c, "float"), i)   => s"SELECT $i AS ci, CAST($c AS DOUBLE) AS v FROM orders"
-      case ((c, "date"), i)    => s"SELECT $i AS ci, CAST(floor(epoch($c)) AS DOUBLE) AS v FROM orders"
+  private def quantileSketchSql: String = quantileSketchSql("orders")
+
+  private def quantileSketchSql(tbl: String): String = {
+    val numeric = lakeSchemas(tbl).zipWithIndex.collect {
+      case ((c, "integer"), i) => s"SELECT $i AS ci, CAST($c AS DOUBLE) AS v FROM $tbl"
+      case ((c, "float"), i)   => s"SELECT $i AS ci, CAST($c AS DOUBLE) AS v FROM $tbl"
+      case ((c, "date"), i)    => s"SELECT $i AS ci, CAST(floor(epoch($c)) AS DOUBLE) AS v FROM $tbl"
     }
     s"""WITH vn AS (
        |  ${numeric.mkString("\n  UNION ALL ")}
@@ -687,7 +689,7 @@ object OracleSql {
        |  SELECT ci, k, bucket, abs(bucket) AS idx,
        |    abs(bucket) >> 5 AS lvl
        |  FROM dk)
-       |SELECT 'orders' AS table_name, CAST(ci AS BIGINT) AS col_idx,
+       |SELECT '$tbl' AS table_name, CAST(ci AS BIGINT) AS col_idx,
        |  CAST(k AS BIGINT) AS decile,
        |  CAST((CASE WHEN bucket < 0 THEN -1 ELSE 1 END) *
        |    (CASE WHEN idx < 64 THEN idx
@@ -2001,6 +2003,7 @@ object OracleSql {
     "w_domain_cap" -> domainCapSql,
     "t2_bpe_train" -> bpeTrainSql,
     "ann_kmeans_ivf" -> annKmeansIvfSql,
+    "st_stream_quantiles" -> quantileSketchSql("lineitem"),
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "t_pii_scrub" -> piiScrubSql,

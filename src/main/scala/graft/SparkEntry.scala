@@ -1314,6 +1314,27 @@ object SparkEntry {
       .orderBy("col_name")
   }
 
+  /** Streaming mergeable quantiles: the HDR bucket counts are additive,
+    * so a plain streaming aggregation in Complete mode IS the sketch —
+    * the streamed state must equal the batch sketch (merge algebra), so
+    * the oracle recomputes the deciles from the full table directly.
+    */
+  private def streamingQuantilesQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_qsk_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+    val long = Profiler.longFormat(stream)
+      .withColumn("table_name", lit("lineitem"))
+    val q = graft.streaming.StreamingProfile.quantileSketchStream(long)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.profile.QuantileSketch.deciles(s.table(name))
+      .orderBy("col_idx", "decile")
+  }
+
   /** §2.12 streaming dedup: `dropDuplicatesWithinWatermark` over the
     * events stream, fingerprinting (user_id, event_type), horizon wider
     * than the dataset span — so the streamed output must keep EXACTLY one
@@ -1650,6 +1671,7 @@ object SparkEntry {
     "w_domain_cap" -> domainCapQ,
     "t2_bpe_train" -> bpeTrainQ,
     "ann_kmeans_ivf" -> annKmeansIvf,
+    "st_stream_quantiles" -> streamingQuantilesQ,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "t_pii_scrub" -> piiScrub,

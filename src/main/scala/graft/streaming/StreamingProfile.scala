@@ -49,6 +49,16 @@ object StreamingProfile {
       .toDF("col_name", "rows", "nulls", "digest")
   }
 
+  /** Streaming mergeable quantile sketch: HDR bucket counts are purely
+    * additive, so a plain streaming aggregation IS the sketch state — no
+    * custom state handler needed, and the streamed sketch equals the
+    * batch sketch over the same data by [[graft.profile.QuantileSketch]]
+    * merge algebra. Input: a streaming (table_name, col_idx, value_num)
+    * relation; run in Update/Complete mode.
+    */
+  def quantileSketchStream(values: DataFrame): DataFrame =
+    graft.profile.QuantileSketch.sketchLong(values)
+
   /** Windowed event aggregation with watermark — the standard streaming
     * rollup (per event_type per hour), exactly the batch `e_hourly_events`
     * semantics applied to a stream.

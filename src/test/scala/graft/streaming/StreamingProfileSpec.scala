@@ -28,6 +28,29 @@ class StreamingProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed quantile sketch equals batch sketch across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, Double)]
+    val sdf = input.toDF().toDF("table_name", "col_idx", "value_num")
+    val q = StreamingProfile.quantileSketchStream(sdf)
+      .writeStream.format("memory").queryName("qsk")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val b1 = (1 to 500).map(i => ("t", 0, i * 1.5))
+      val b2 = (1 to 400).map(i => ("t", 0, -i * 0.01))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qsk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val batch = graft.profile.QuantileSketch.sketchLong(
+        (b1 ++ b2).toDF("table_name", "col_idx", "value_num"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("hourly windowed rollup runs on a stream with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Long)]
