@@ -65,6 +65,20 @@ object Graft {
   def mergeProfiles(chunks: DataFrame): DataFrame =
     profile.Incremental.merge(chunks)
 
+  /** Mergeable quantile sketch of one chunk (HDR-style exponential
+    * histogram, exact-integer buckets) — the incremental/streaming
+    * answer to the 13-vector's exact quantiles. */
+  def quantileSketch(df: DataFrame, tableName: String): DataFrame =
+    profile.QuantileSketch.sketchChunk(df, tableName)
+
+  /** Fold chunk quantile sketches (bucket counts add). */
+  def mergeQuantileSketches(sketches: DataFrame): DataFrame =
+    profile.QuantileSketch.merge(sketches)
+
+  /** Decile read-back from a merged quantile sketch (±1.6 % relative). */
+  def sketchDeciles(sketch: DataFrame): DataFrame =
+    profile.QuantileSketch.deciles(sketch)
+
   // ---- discovery search (J*/O*/Q* rows) ----
 
   /** Top-k unionable tables for a query table over the profile catalog. */
@@ -126,6 +140,29 @@ object Graft {
   def annRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                     oversample: Int = 4): DataFrame =
     operators.Ann.rerankTopK(corpus, queries, k, oversample)
+
+  /** Trained-IVF ANN: deterministic integer-space Lloyd's k-means cells,
+    * nProbe-cell search, full-precision cosine scoring. */
+  def annKmeansIvfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                       kCells: Int = 64, iters: Int = 3, nProbe: Int = 4): DataFrame =
+    operators.Ann.kmeansIvfTopK(corpus, queries, k, kCells, iters, nProbe)
+
+  /** URL decomposition: scheme/host/path + registered domain. */
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame =
+    operators.Web.withUrlParts(df, urlCol)
+
+  /** CCNet-style per-registered-domain document cap (deterministic
+    * salted-hash selection). Expects [[withUrlParts]] columns. */
+  def capPerDomain(df: DataFrame, maxPerDomain: Int, idCol: String,
+                   salt: String = "s0"): DataFrame =
+    operators.Web.perDomainCap(df, maxPerDomain, idCol, salt)
+
+  /** Train a BPE subword vocabulary: learned merge pairs over the
+    * corpus word-frequency relation (one corpus-scale shuffle, then
+    * vocab-sized rounds). */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Option[Int] = None): (Seq[ml.Bpe.Merge], DataFrame) =
+    ml.Bpe.train(ml.Bpe.wordFreq(docs, textCol, maxWords), numMerges)
 
   /** BM25 keyword top-k over a document corpus (text-search modality). */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame =

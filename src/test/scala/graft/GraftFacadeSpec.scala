@@ -27,4 +27,26 @@ class GraftFacadeSpec extends SparkSpec {
       fractions = Map.empty, defaultFraction = 0.5, idCol = "doc_id")
     assert(sampled.count() > 0 && sampled.count() < 21)
   }
+
+  test("quantile sketch, domain cap, BPE, and trained IVF through the facade") {
+    val nums = (1 to 500).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+    val dec = Graft.sketchDeciles(Graft.mergeQuantileSketches(
+      Graft.quantileSketch(nums, "t"))).filter(col("col_idx") === 1)
+    assert(dec.count() == 9)
+
+    val urls = (1 to 50).map(i => (i.toLong, s"https://www.host${i % 3}.com/p/$i"))
+      .toDF("id", "url")
+    val capped = Graft.capPerDomain(Graft.withUrlParts(urls, "url"), 5, "id")
+    assert(capped.count() == 15)
+
+    val (merges, _) = Graft.trainBpe(Seq("aa ab aa aa").toDF("text"), "text", 2)
+    assert(merges.size == 2)
+
+    val embs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(d => (if (i % 4 == d) 1.0f else 0.0f) + 0.01f * d))
+    }.toDF("vec_id", "embedding")
+    val res = Graft.annKmeansIvfTopK(embs, embs.limit(2), k = 3,
+      kCells = 4, iters = 2, nProbe = 2)
+    assert(res.count() > 0)
+  }
 }
