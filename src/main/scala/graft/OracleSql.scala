@@ -699,6 +699,30 @@ object OracleSql {
        |FROM est ORDER BY col_idx, decile""".stripMargin
   }
 
+  /** x_zorder: replay quantize → integer min/max scale → Morton bit
+    * interleave (bit j of dim i at position j·k+i) → prefix buckets.
+    */
+  private def zorderSql: String = {
+    val bits = 8
+    val interleave = (for (i <- 0 to 1; j <- 0 until bits)
+      yield s"(((s$i >> $j) & 1) << ${j * 2 + i})").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT c_custkey,
+       |    CAST(floor(c_custkey * 1e6) AS BIGINT) AS q0,
+       |    CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e6) AS BIGINT) AS q1
+       |  FROM customer),
+       |bnd AS (SELECT min(q0) mn0, max(q0) mx0, min(q1) mn1, max(q1) mx1 FROM q),
+       |s AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN mx0 = mn0 THEN 0 ELSE ((q0 - mn0) * 255) // (mx0 - mn0) END AS s0,
+       |    CASE WHEN mx1 = mn1 THEN 0 ELSE ((q1 - mn1) * 255) // (mx1 - mn1) END AS s1
+       |  FROM q, bnd),
+       |z AS (SELECT c_custkey, $interleave AS zv FROM s)
+       |SELECT zv >> 10 AS z_bucket, count(*) AS n_rows,
+       |  CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+       |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+  }
+
   /** ann_kmeans_ivf: replay deterministic Lloyd's k-means (3 unrolled
     * iterations, exact BIGINT micro-space distances, trunc-division
     * means, empty cells keep their centroid), then the IVF search:
@@ -2004,6 +2028,7 @@ object OracleSql {
     "t2_bpe_train" -> bpeTrainSql,
     "ann_kmeans_ivf" -> annKmeansIvfSql,
     "st_stream_quantiles" -> quantileSketchSql("lineitem"),
+    "x_zorder" -> zorderSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "t_pii_scrub" -> piiScrubSql,

@@ -1431,6 +1431,20 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** Z-order layout: Morton-interleaved (c_custkey, c_acctbal) z-values
+    * — exact integer quantize→scale→interleave on both engines; bucket
+    * counts + key checksums pin every row's position on the curve. The
+    * write path (`Layout.zorderWrite`) range-partitions this exact
+    * column, spec'd for file-pruning effect in `LayoutSpec`.
+    */
+  private def zorderQ(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.withZValue(
+      t(s, dir, "customer"), Seq("c_custkey", "c_acctbal"), bitsPerDim = 8)
+      .groupBy(shiftright(col("__z"), 10).as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_custkey")).cast("long").as("key_checksum"))
+      .orderBy("z_bucket")
+
   /** Trained-IVF ANN: deterministic Lloyd's k-means (exact integer
     * micro-space — partitioning/order-independent) trains 8 cells in 3
     * iterations; queries probe their 2 nearest cells; members score by
@@ -1672,6 +1686,7 @@ object SparkEntry {
     "t2_bpe_train" -> bpeTrainQ,
     "ann_kmeans_ivf" -> annKmeansIvf,
     "st_stream_quantiles" -> streamingQuantilesQ,
+    "x_zorder" -> zorderQ,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "t_pii_scrub" -> piiScrub,
