@@ -791,8 +791,30 @@ object OracleSql {
     * — equivalent to the engine's carry fold (a merged token never
     * re-merges within a pass).
     */
-  private def bpeTrainSql: String = {
-    val numRounds = 8
+  /** One greedy-rewrite round: merge `best`'s pair into `src`'s symbol
+    * arrays (run-parity greedy semantics), carrying `keep` columns. */
+  private def bpeRewriteCte(src: String, best: String, out: String,
+                            keep: String): String =
+    s"""$out AS (
+       |  SELECT $keep,
+       |    flatten([CASE WHEN list_contains(kept, i) THEN [syms[i] || syms[i + 1]]
+       |                  WHEN list_contains(kept, i - 1) THEN []
+       |                  ELSE [syms[i]] END
+       |             FOR i IN range(1, len(syms) + 1)]) AS syms
+       |  FROM (
+       |    SELECT $keep, syms,
+       |      [i FOR i IN mp IF
+       |         (i - 1 - coalesce(list_max(
+       |            [k2 FOR k2 IN range(1, i) IF NOT list_contains(mp, k2)]), 0)) % 2 = 0] AS kept
+       |    FROM (
+       |      SELECT $keep, syms,
+       |        [i FOR i IN range(1, len(syms))
+       |         IF syms[i] = b.lhs AND syms[i + 1] = b.rhs] AS mp
+       |      FROM $src, $best b)))""".stripMargin
+
+  /** Shared BPE training cascade: w0 (top-40 word-freq, symbolized) and
+    * per-round pair counts p$k / winner b$k / rewritten w$k. */
+  private def bpeTrainCtes(numRounds: Int): String = {
     val base =
       """w0 AS (
         |  SELECT word, cnt,
@@ -811,31 +833,46 @@ object OracleSql {
          |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM w$p)
          |  GROUP BY lhs, rhs),
          |b$k AS (SELECT lhs, rhs, c FROM p$k ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |w$k AS (
-         |  SELECT word, cnt,
-         |    flatten([CASE WHEN list_contains(kept, i) THEN [syms[i] || syms[i + 1]]
-         |                  WHEN list_contains(kept, i - 1) THEN []
-         |                  ELSE [syms[i]] END
-         |             FOR i IN range(1, len(syms) + 1)]) AS syms
-         |  FROM (
-         |    SELECT word, cnt, syms,
-         |      [i FOR i IN mp IF
-         |         (i - 1 - coalesce(list_max(
-         |            [k2 FOR k2 IN range(1, i) IF NOT list_contains(mp, k2)]), 0)) % 2 = 0] AS kept
-         |    FROM (
-         |      SELECT word, cnt, syms,
-         |        [i FOR i IN range(1, len(syms))
-         |         IF syms[i] = b.lhs AND syms[i + 1] = b.rhs] AS mp
-         |      FROM w$p, b$k b)))""".stripMargin
+         |${bpeRewriteCte(s"w$p", s"b$k", s"w$k", "word, cnt")}""".stripMargin
     }
+    (base +: rounds).mkString(",\n")
+  }
+
+  private def bpeTrainSql: String = {
+    val numRounds = 8
     val sel = (1 to numRounds)
       .map(k => s"SELECT $k AS merge_rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM b$k")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${(base +: rounds).mkString(",\n")}
+    s"""WITH ${bpeTrainCtes(numRounds)}
        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, pair_count
        |FROM (
        |  $sel)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** t2_bpe_encode: encode EVERY document's words with the trained
+    * merges (8 more unrolled rewrite rounds over the per-doc word
+    * relation, reusing the training cascade's b$k winners) — per-doc
+    * subword/word counts pin the segmentation corpus-wide.
+    */
+  private def bpeEncodeSql: String = {
+    val numRounds = 8
+    val dw0 =
+      """dw0 AS (
+        |  SELECT doc_id, word,
+        |    list_append([substr(word, i, 1) FOR i IN range(1, length(word) + 1)],
+        |                '</w>') AS syms
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '')""".stripMargin
+    val encRounds = (1 to numRounds).map(k =>
+      bpeRewriteCte(s"dw${k - 1}", s"b$k", s"dw$k", "doc_id, word"))
+    s"""WITH ${bpeTrainCtes(numRounds)},
+       |${(dw0 +: encRounds).mkString(",\n")}
+       |SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+       |  count(*) AS n_words
+       |FROM dw$numRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** w_domain_cap: replay URL synthesis → host regex → registered
@@ -2029,6 +2066,7 @@ object OracleSql {
     "ann_kmeans_ivf" -> annKmeansIvfSql,
     "st_stream_quantiles" -> quantileSketchSql("lineitem"),
     "x_zorder" -> zorderSql,
+    "t2_bpe_encode" -> bpeEncodeSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "t_pii_scrub" -> piiScrubSql,

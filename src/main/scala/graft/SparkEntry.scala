@@ -1476,6 +1476,23 @@ object SparkEntry {
       .orderBy("merge_rank")
   }
 
+  /** BPE corpus encoding: apply the trained merges (same training run as
+    * `t2_bpe_train`) to every document's words; per-doc subword and word
+    * counts pin the segmentation corpus-wide. Oracle replays training +
+    * 8 encode rounds.
+    */
+  private def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Bpe
+    val docs = t(s, dir, "documents")
+    val (merges, _) = Bpe.train(
+      Bpe.wordFreq(docs, "text", maxWords = Some(40)), 8)
+    Bpe.encodeCorpus(docs, "text", "doc_id", merges)
+      .groupBy("doc_id")
+      .agg(sum(size(col("subwords"))).cast("long").as("n_subwords"),
+        count(lit(1)).as("n_words"))
+      .orderBy("doc_id")
+  }
+
   /** Web-corpus curation: synthesize deterministic URLs over documents
     * (the lake has no URL column; both engines build identical strings,
     * the PII-query pattern), decompose them, cap per registered domain
@@ -1687,6 +1704,7 @@ object SparkEntry {
     "ann_kmeans_ivf" -> annKmeansIvf,
     "st_stream_quantiles" -> streamingQuantilesQ,
     "x_zorder" -> zorderQ,
+    "t2_bpe_encode" -> bpeEncodeQ,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "t_pii_scrub" -> piiScrub,

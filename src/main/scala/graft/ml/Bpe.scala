@@ -38,12 +38,26 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     val capped = maxWords.map(n => words.orderBy(desc("cnt"), asc("word")).limit(n))
       .getOrElse(words)
-    capped.withColumn("syms",
-      concat(
-        transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))),
-        array(lit(EndMark))))
+    capped.withColumn("syms", symbolize(col("word")))
   }
+
+  /** Initial symbol array of a word: characters + [[EndMark]]. */
+  def symbolize(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndMark)))
+
+  /** Corpus-scale encoding with a trained merge table: tokenize docs to
+    * words, symbolize, fold the merges in rank order — one projection
+    * chain, no shuffle beyond the word explode. Output one row per
+    * (idCol, word) with the encoded subword array.
+    */
+  def encodeCorpus(docs: DataFrame, textCol: String, idCol: String,
+                   merges: Seq[Merge]): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("subwords", applyMerges(symbolize(col("word")), merges))
 
   /** Greedy left-to-right single-pass merge of adjacent (left, right)
     * into `left+right` over a symbol array — the standard BPE round
