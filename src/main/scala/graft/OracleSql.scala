@@ -1053,6 +1053,61 @@ object OracleSql {
     * the eval set (id ≤ 5), mirroring Decontamination.overlapReport
     * (distinct shingles; ≤2-word docs collapse to one whole-text
     * shingle, same as word_shingles). */
+  /** d_bloom_prefilter: decontamSql plus the Bloom band — bit positions
+    * are salted md5_low32 draws mod 1024 (`md5_number_lower(s||':bloom'||i)
+    * & 2³²−1 % 1024`), bits = distinct positions of the eval side, a
+    * corpus shingle is a candidate iff all 3 salted positions are set
+    * (JOIN multiplicity = 3), and the exact overlap join runs on
+    * candidates only — identical n_overlap because Bloom has no false
+    * negatives. */
+  private def bloomPrefilterSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |      FROM d),
+      |ds AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM g WHERE doc_id > 5),
+      |bs AS (SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id <= 5),
+      |bits AS (SELECT DISTINCT (md5_number_lower(s || ':bloom' || i) & 4294967295) % 1024 AS p
+      |         FROM bs, unnest([0, 1, 2]) AS t(i)),
+      |pos AS (SELECT doc_id, s, (md5_number_lower(s || ':bloom' || i) & 4294967295) % 1024 AS p
+      |        FROM ds, unnest([0, 1, 2]) AS t(i)),
+      |cand AS (SELECT doc_id, s FROM pos JOIN bits USING (p)
+      |         GROUP BY doc_id, s HAVING count(*) = 3),
+      |counts AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY doc_id),
+      |cc AS (SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY doc_id),
+      |ov AS (SELECT cand.doc_id, count(*) AS n_overlap FROM cand JOIN bs ON cand.s = bs.s GROUP BY cand.doc_id)
+      |SELECT c.doc_id AS id, c.n_shingles,
+      |  coalesce(cc.n_candidates, 0) AS n_candidates,
+      |  coalesce(o.n_overlap, 0) AS n_overlap,
+      |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / c.n_shingles, 6) AS overlap_frac,
+      |  round(CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / c.n_shingles, 6) >= 0.2 AS contaminated
+      |FROM counts c LEFT JOIN cc USING (doc_id) LEFT JOIN ov o USING (doc_id)
+      |ORDER BY id""".stripMargin
+
+  /** d_line_dedup: replay the 3-word line shaping, the corpus-wide
+    * normalized-line doc counts, the keep rule (unique line, or the
+    * minimum-id owner), and the in-order reassembly
+    * (`string_agg ORDER BY pos` ≡ Spark's array_sort(struct(pos,line))). */
+  private def lineDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |l0 AS (SELECT doc_id, i AS pos,
+      |         array_to_string(w[(i-1)*3+1:(i-1)*3+3], ' ') AS line
+      |       FROM d, unnest(range(1, CAST(ceil(len(w) / 3.0) AS BIGINT) + 1)) AS t(i)),
+      |k AS (SELECT lower(trim(line)) AS key, count(DISTINCT doc_id) AS n_docs,
+      |        min(doc_id) AS first_id
+      |      FROM l0 GROUP BY 1),
+      |kept AS (SELECT l0.doc_id, l0.pos, l0.line
+      |         FROM l0 JOIN k ON lower(trim(l0.line)) = k.key
+      |         WHERE k.n_docs <= 1 OR l0.doc_id = k.first_id),
+      |nl AS (SELECT doc_id, count(*) AS n_lines FROM l0 GROUP BY doc_id),
+      |agg AS (SELECT doc_id, count(*) AS n_kept,
+      |          string_agg(line, chr(10) ORDER BY pos) AS text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT nl.doc_id AS id, nl.n_lines, coalesce(agg.n_kept, 0) AS n_kept,
+      |  coalesce(agg.text, '') AS text
+      |FROM nl LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin
+
   private def decontamSql: String =
     """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
@@ -2072,6 +2127,8 @@ object OracleSql {
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,
+    "d_bloom_prefilter" -> bloomPrefilterSql,
+    "d_line_dedup" -> lineDedupSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,
 

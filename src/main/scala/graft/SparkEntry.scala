@@ -1542,6 +1542,41 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** LLM-pipeline: decontamination with the Bloom-bitmap prefilter —
+    * same exact overlap columns as `d_decontam_report` (no false
+    * negatives), plus the candidate band the bitmap let through. Small
+    * mBits=1024 on purpose: it exercises the false-positive path
+    * (n_candidates > n_overlap for some docs) that production mBits
+    * would make invisible at this SF.
+    */
+  private def bloomPrefilterQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Bloom.prefilterOverlap(
+      docs.filter(col("doc_id") > 5), docs.filter(col("doc_id") <= 5),
+      n = 3, threshold = 0.2,
+      spec = graft.operators.Bloom.BloomSpec(mBits = 1024, k = 3))
+      .orderBy("id")
+  }
+
+  /** LLM-pipeline: CCNet-style line-level corpus dedup. The synthetic
+    * documents are single-line word soup, so the query first shapes each
+    * into 3-word lines (sf0.01: 1,413 of 7,460 distinct lines repeat
+    * across docs) and then drops cross-document repeats, keeping the
+    * minimum-id copy.
+    */
+  private def lineDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val words = split(trim(col("text")), "\\s+")
+    val lined = docs.select(col("doc_id"),
+      array_join(transform(
+        sequence(lit(0), (ceil(size(words) / lit(3.0)) - 1).cast("int")),
+        i => array_join(slice(words, i * 3 + 1, lit(3)), " ")), "\n").as("text"))
+    graft.operators.Dedup.lineDedup(lined, maxDocsPerLine = 1)
+      .select(col("id"), col("n_lines").cast("long").as("n_lines"),
+        col("n_kept"), col("text"))
+      .orderBy("id")
+  }
+
   /** LLM-pipeline: per-doc repetition metrics (Gopher rule family). */
   private def repetitionMetricsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(
@@ -1710,6 +1745,8 @@ object SparkEntry {
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,
+    "d_bloom_prefilter" -> bloomPrefilterQ,
+    "d_line_dedup" -> lineDedupQ,
     "t_repetition" -> repetitionMetricsQ,
     "x_asof_join" -> asofEnrich,
     "x_range_join" -> rangeJoinQ,

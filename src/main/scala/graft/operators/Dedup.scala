@@ -258,4 +258,44 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Line-level corpus dedup (CCNet's public recipe: drop lines that
+    * repeat across the corpus — boilerplate, navigation chrome, headers —
+    * and keep each document's residue in original order). A line is
+    * duplicated when its normalized form (lowercased, trimmed) appears in
+    * more than `maxDocsPerLine` distinct documents; the FIRST document
+    * (minimum id) keeps its copy, later documents lose theirs.
+    *
+    * Output: (id, n_lines, n_kept, text) with `text` the surviving lines
+    * re-joined by `\n` in original position order. Documents whose every
+    * line is dropped still appear, with empty text.
+    *
+    * Scale shape: one explode to (id, pos, line), one groupBy on the
+    * normalized line (the corpus-wide count — shuffles line-sized rows
+    * once), a join back on the line key, then one per-doc groupBy to
+    * reassemble. Nothing is quadratic; the heavy shuffle carries each
+    * distinct line once.
+    */
+  def lineDedup(docs: DataFrame, maxDocsPerLine: Int = 1,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", lower(trim(col("line"))))
+    // corpus-wide: how many distinct docs carry each normalized line, and
+    // which doc owns the canonical (kept) copy
+    val keyStats = lines.groupBy("key")
+      .agg(countDistinct(col("id")).as("n_docs"), min(col("id")).as("first_id"))
+    val kept = lines.join(keyStats, "key")
+      .filter(col("n_docs") <= maxDocsPerLine || col("id") === col("first_id"))
+    val perDoc = docs.select(col(idCol).as("id"),
+      size(split(col(textCol), "\n")).as("n_lines"))
+    perDoc.join(
+        kept.groupBy("id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s("line")), "\n").as("text")),
+        Seq("id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("text"))
+  }
 }

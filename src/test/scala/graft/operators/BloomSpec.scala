@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = Bloom.BloomSpec(mBits = 1024, k = 3)
+
+  test("positions are deterministic and in [0, mBits)") {
+    val vals = Seq("a", "b", "a little longer shingle text").toDF("v")
+    val rows = vals.select(Bloom.positions(col("v"), spec).as("p"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("p"))
+    assert(rows.forall(ps => ps.length == 3 && ps.forall(p => p >= 0 && p < 1024)))
+    val again = vals.select(Bloom.positions(col("v"), spec).as("p"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("p"))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("no false negatives: every built value passes mightContain") {
+    val members = (1 to 200).map(i => s"member shingle $i").toDF("v")
+    val bm = Bloom.build(members, "v", spec)
+    val n = members.filter(Bloom.mightContain(col("v"), bm, spec)).count()
+    assert(n == 200)
+  }
+
+  test("false-positive rate of non-members is small but bitmap-bounded") {
+    val members = (1 to 200).map(i => s"member shingle $i").toDF("v")
+    val bm = Bloom.build(members, "v", spec)
+    val setBits = bm.map(java.lang.Long.bitCount).sum
+    assert(setBits > 0 && setBits <= 600) // <= k * n, minus collisions
+    val probes = (1 to 2000).map(i => s"absent probe $i").toDF("v")
+    val fp = probes.filter(Bloom.mightContain(col("v"), bm, spec)).count()
+    // load factor ~0.44 -> expected fp ~ 0.44^3 ~ 8.5%; generous bound
+    assert(fp < 500, s"false-positive count $fp implausibly high")
+  }
+
+  test("empty filter rejects everything; spec validates its arguments") {
+    val bm = new Array[Long](spec.words)
+    val probes = Seq("x", "y").toDF("v")
+    assert(probes.filter(Bloom.mightContain(col("v"), bm, spec)).count() == 0)
+    intercept[IllegalArgumentException](Bloom.BloomSpec(mBits = 100))
+    intercept[IllegalArgumentException](
+      Bloom.mightContain(col("v"), new Array[Long](3), spec))
+  }
+
+  test("prefilterOverlap: exact columns match overlapReport; candidates bound overlap") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma completely different tail here"),
+      (3L, "nothing shared with the benchmark at all ever")).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val exact = Decontamination.overlapReport(docs, bench, n = 3, threshold = 0.3)
+      .select("id", "n_shingles", "n_overlap", "overlap_frac", "contaminated")
+    val bloom = Bloom.prefilterOverlap(docs, bench, n = 3, threshold = 0.3, spec)
+    val b = bloom.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    exact.collect().foreach { e =>
+      val r = b(e.getAs[Long]("id"))
+      assert(r.getAs[Long]("n_shingles") == e.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("n_overlap") == e.getAs[Long]("n_overlap"))
+      assert(r.getAs[Boolean]("contaminated") == e.getAs[Boolean]("contaminated"))
+      assert(r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_overlap"))
+      assert(r.getAs[Long]("n_candidates") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+}
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "shared header line\nunique first body\nshared footer line"),
+    (2L, "shared header line\nunique second body\nshared footer line"),
+    (3L, "Shared Header Line\nunique third body"), // case-normalized dup
+    (4L, "shared header line")                     // loses its only line
+  ).toDF("doc_id", "text")
+
+  test("cross-document lines drop everywhere but the min-id owner, order kept") {
+    val out = Dedup.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    // doc 1 owns both shared lines (min id) and keeps everything
+    assert(out(1L).getAs[String]("text") ==
+      "shared header line\nunique first body\nshared footer line")
+    assert(out(1L).getAs[Long]("n_kept") == 3 && out(1L).getAs[Int]("n_lines") == 3)
+    // doc 2 loses header+footer, keeps its unique middle line
+    assert(out(2L).getAs[String]("text") == "unique second body")
+    assert(out(2L).getAs[Long]("n_kept") == 1)
+    // doc 3's case-variant header normalizes to the shared key -> dropped
+    assert(out(3L).getAs[String]("text") == "unique third body")
+    // doc 4 keeps nothing but still appears
+    assert(out(4L).getAs[String]("text") == "" && out(4L).getAs[Long]("n_kept") == 0)
+  }
+
+  test("maxDocsPerLine=2 tolerates two-document lines") {
+    val out = Dedup.lineDedup(docs, maxDocsPerLine = 2).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    // footer appears in exactly 2 docs -> kept in both; header in 3 -> min-id only
+    assert(out(2L) == "unique second body\nshared footer line")
+    assert(out(3L) == "unique third body")
+  }
+}
