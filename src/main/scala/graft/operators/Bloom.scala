@@ -89,7 +89,7 @@ object Bloom {
     val bm = typedLit(bitmap)
     forall(positions(v, spec), p =>
       call_function("shiftright",
-        element_at(bm, (p / 64).cast("int") + 1), (p % 64).cast("int"))
+        element_at(bm, shiftright(p, 6).cast("int") + 1), (p % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L))
   }
 
@@ -112,15 +112,17 @@ object Bloom {
         explode(array_distinct(word_shingles(col(textCol), n))).as("sh"))
     val benchSh = shingleSet(benchmark, "bench_id").select("sh").distinct()
     val bitmap = build(benchSh, "sh", spec)
-    val docSh = shingleSet(docs, "id")
-    val counts = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val cand = docSh.filter(mightContain(col("sh"), bitmap, spec))
-    val candCounts = cand.groupBy("id").agg(count(lit(1)).as("n_candidates"))
-    val overlaps = cand.join(benchSh, "sh")
+    // one corpus pass computes both counts (the Bloom test is a cheap
+    // map-side flag); only flagged shingles re-enter for the exact join
+    val flagged = shingleSet(docs, "id")
+      .withColumn("hit", mightContain(col("sh"), bitmap, spec))
+    val counts = flagged.groupBy("id").agg(
+      count(lit(1)).as("n_shingles"),
+      count(when(col("hit"), lit(1))).as("n_candidates"))
+    val overlaps = flagged.filter(col("hit")).join(benchSh, "sh")
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
-    counts.join(candCounts, Seq("id"), "left")
-      .join(overlaps, Seq("id"), "left")
-      .na.fill(0L, Seq("n_candidates", "n_overlap"))
+    counts.join(overlaps, Seq("id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
       .withColumn("overlap_frac",
         round(col("n_overlap") / col("n_shingles"), 6))
       .withColumn("contaminated", col("overlap_frac") >= threshold)
