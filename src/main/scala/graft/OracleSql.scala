@@ -443,9 +443,8 @@ object OracleSql {
     * slots; a pair is a candidate iff some band matches in full), verified
     * at jaccard ≥ 0.05.
     */
-  /** Shared CTE chain: per-doc 3-word-shingle digests → banded candidate
-    * pairs with estimated jaccard (band-of-5 agreement = candidate). */
-  private def minhashPairCtes: String =
+  /** Shared CTE chain: per-doc 3-word-shingle MinHash digests (`dig`). */
+  private def docDigCtes: String =
     s"""$permsCte,
        |d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |g AS (SELECT doc_id,
@@ -455,12 +454,62 @@ object OracleSql {
        |sv AS (SELECT DISTINCT doc_id, unnest(sh) AS v FROM g),
        |mins AS (SELECT doc_id, pi, ${mhSlotMin("v")} AS mh
        |         FROM sv CROSS JOIN perms GROUP BY doc_id, pi),
-       |dig AS (SELECT doc_id, list(mh ORDER BY pi) AS d FROM mins GROUP BY doc_id),
+       |dig AS (SELECT doc_id, list(mh ORDER BY pi) AS d FROM mins GROUP BY doc_id)""".stripMargin
+
+  /** Digest agreement: estimated jaccard + full-band-of-5 match count. */
+  private def digCompare(a: String, b: String): String =
+    s"""CAST(len([i FOR i IN range(1, 101) IF $a.d[i] = $b.d[i]]) AS DOUBLE) / 100.0 AS jaccard,
+       |    len([bb FOR bb IN range(0, 20) IF list_slice($a.d, 5*bb+1, 5*bb+5) = list_slice($b.d, 5*bb+1, 5*bb+5)]) AS nb""".stripMargin
+
+  /** docDigCtes → banded candidate pairs (band agreement = candidate). */
+  private def minhashPairCtes: String =
+    s"""$docDigCtes,
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST(len([i FOR i IN range(1, 101) IF a.d[i] = b.d[i]]) AS DOUBLE) / 100.0 AS jaccard,
-       |    len([bb FOR bb IN range(0, 20) IF list_slice(a.d, 5*bb+1, 5*bb+5) = list_slice(b.d, 5*bb+1, 5*bb+5)]) AS nb
+       |    ${digCompare("a", "b")}
        |  FROM dig a JOIN dig b ON a.doc_id < b.doc_id)""".stripMargin
+
+  /** t_cms_freq: rebuild the depth-3 × width-16 Count-Min cells
+    * (salted md5_low32 mod width, counts additive) and every per-token
+    * min-cell estimate next to the exact count. */
+  private def cmsFreqSql: String =
+    """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      |cells AS (SELECT i AS cms_row,
+      |            (md5_number_lower(tok || ':cms' || i) & 4294967295) % 16 AS cms_col,
+      |            count(*) AS cnt
+      |          FROM toks, unnest([0, 1, 2]) AS t(i) GROUP BY 1, 2),
+      |exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok),
+      |pos AS (SELECT e.tok, i AS cms_row,
+      |          (md5_number_lower(e.tok || ':cms' || i) & 4294967295) % 16 AS cms_col
+      |        FROM exact e, unnest([0, 1, 2]) AS t(i)),
+      |est AS (SELECT tok, min(coalesce(c.cnt, 0)) AS est_n
+      |        FROM pos LEFT JOIN cells c USING (cms_row, cms_col) GROUP BY tok)
+      |SELECT e.tok, e.exact_n, est.est_n
+      |FROM exact e JOIN est USING (tok) ORDER BY tok""".stripMargin
+
+  /** d_incremental_dedup: new batch (doc_id % 10 = 9) vs the catalog of
+    * the rest — exact fingerprint match (min catalog id) plus best banded
+    * MinHash match at jaccard ≥ 0.05 (max jaccard, min id tiebreak). */
+  private def incrementalDedupSql: String =
+    s"""WITH $docDigCtes,
+       |fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+       |       FROM documents),
+       |exact AS (SELECT n.doc_id AS id, min(c.doc_id) AS exact_dup_of
+       |          FROM fp n JOIN fp c ON n.f = c.f AND c.doc_id % 10 < 9
+       |          WHERE n.doc_id % 10 = 9 GROUP BY 1),
+       |pairs AS (
+       |  SELECT n.doc_id AS id, c.doc_id AS cat_id,
+       |    ${digCompare("n", "c")}
+       |  FROM dig n JOIN dig c ON n.doc_id % 10 = 9 AND c.doc_id % 10 < 9),
+       |best AS (SELECT id, cat_id AS near_dup_of, jaccard FROM (
+       |    SELECT id, cat_id, jaccard,
+       |      row_number() OVER (PARTITION BY id ORDER BY jaccard DESC, cat_id) AS rn
+       |    FROM pairs WHERE nb > 0 AND jaccard >= 0.05) WHERE rn = 1)
+       |SELECT nb.doc_id AS id, e.exact_dup_of, b.near_dup_of, b.jaccard
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) nb
+       |LEFT JOIN exact e ON e.id = nb.doc_id
+       |LEFT JOIN best b ON b.id = nb.doc_id
+       |ORDER BY id""".stripMargin
 
   private def minhashLshSql: String =
     s"""WITH $minhashPairCtes
@@ -2129,6 +2178,8 @@ object OracleSql {
     "d_decontam_report" -> decontamSql,
     "d_bloom_prefilter" -> bloomPrefilterSql,
     "d_line_dedup" -> lineDedupSql,
+    "t_cms_freq" -> cmsFreqSql,
+    "d_incremental_dedup" -> incrementalDedupSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,
 

@@ -1577,6 +1577,36 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** LLM-pipeline: Count-Min sketch vs exact token frequencies. Width 16
+    * forces collisions on the 31-token vocabulary so the one-sided error
+    * (est_n ≥ exact_n, never under) is visible and oracle-pinned.
+    */
+  private def cmsFreqQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.profile.CountMin
+    val toks = t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val spec = CountMin.CmsSpec(depth = 3, width = 16)
+    val cms = CountMin.build(toks, "tok", spec)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    exact.join(CountMin.estimate(cms, exact.select("tok"), "tok", spec), "tok")
+      .orderBy("tok")
+  }
+
+  /** LLM-pipeline: incremental dedup — the 10% of docs with
+    * doc_id % 10 = 9 arrive as a "new batch" and are flagged against the
+    * sketch catalog of the other 90% (exact fingerprint + banded MinHash
+    * at the LSH query's 0.05 threshold). SF-proportional split so the
+    * query is meaningful at every scale factor.
+    */
+  private def incrementalDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val catalog = graft.operators.Dedup.sketchCatalog(
+      docs.filter(col("doc_id") % 10 < 9))
+    graft.operators.Dedup.incrementalDedupReport(
+      docs.filter(col("doc_id") % 10 === 9), catalog, threshold = 0.05)
+      .orderBy("id")
+  }
+
   /** LLM-pipeline: per-doc repetition metrics (Gopher rule family). */
   private def repetitionMetricsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(
@@ -1747,6 +1777,8 @@ object SparkEntry {
     "d_decontam_report" -> decontamReport,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,
+    "t_cms_freq" -> cmsFreqQ,
+    "d_incremental_dedup" -> incrementalDedupQ,
     "t_repetition" -> repetitionMetricsQ,
     "x_asof_join" -> asofEnrich,
     "x_range_join" -> rangeJoinQ,

@@ -259,6 +259,58 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-doc sketch catalog row: (id, fingerprint, mh) — what a corpus
+    * persists (via [[graft.store.SketchStore]]) so later batches dedup
+    * against it without rescanning the corpus.
+    */
+  def sketchCatalog(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", shingleSize: Int = 3): DataFrame =
+    graft.sources.Lake.balance(docs).select(col(idCol).as("id"),
+      doc_fingerprint(col(textCol)).as("fingerprint"),
+      minhash_set(word_shingles(col(textCol), shingleSize)).as("mh"))
+
+  /** Incremental dedup — flag a NEW batch against an existing
+    * [[sketchCatalog]] without touching corpus text: the production
+    * shape for a growing 100 TB corpus, where re-running the full
+    * pairwise dedup per crawl drop is off the table. Only the new batch
+    * is sketched; the catalog side already is.
+    *
+    * Output: one row per new doc — (id, exact_dup_of, near_dup_of,
+    * jaccard). `exact_dup_of` = minimum catalog id sharing the
+    * normalized-text fingerprint; `near_dup_of` = best banded MinHash
+    * match with estimated jaccard ≥ threshold (max jaccard, min id on
+    * ties); null where nothing matches.
+    *
+    * Scale shape: exact pass is an equi-join on the fingerprint; near
+    * pass shuffles (id, band-key) rows only — candidates are pairs that
+    * collide in a band, never new × catalog.
+    */
+  def incrementalDedupReport(newDocs: DataFrame, catalog: DataFrame,
+                             threshold: Double = 0.8, bands: Int = 20,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             shingleSize: Int = 3): DataFrame = {
+    val newSk = sketchCatalog(newDocs, idCol, textCol, shingleSize).persist()
+    val exact = newSk.join(
+        catalog.select(col("fingerprint"), col("id").as("cat_id")), "fingerprint")
+      .groupBy("id").agg(min(col("cat_id")).as("exact_dup_of"))
+    def bandSide(sk: DataFrame, out: String) = sk.select(col("id").as(out),
+      explode(minhash_bands(col("mh"), bands)).as("band"))
+    val cand = bandSide(newSk, "id").join(bandSide(catalog, "cat_id"), "band")
+      .select("id", "cat_id").distinct()
+    val verified = cand
+      .join(newSk.select(col("id"), col("mh")), "id")
+      .join(catalog.select(col("id").as("cat_id"), col("mh").as("mh_c")), "cat_id")
+      .withColumn("jaccard", minhash_jaccard(col("mh"), col("mh_c")))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("id").orderBy(col("jaccard").desc, col("cat_id"))
+    val best = verified.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("cat_id").as("near_dup_of"), col("jaccard"))
+    newSk.select("id")
+      .join(exact, Seq("id"), "left")
+      .join(best, Seq("id"), "left")
+  }
+
   /** Line-level corpus dedup (CCNet's public recipe: drop lines that
     * repeat across the corpus — boilerplate, navigation chrome, headers —
     * and keep each document's residue in original order). A line is
