@@ -487,6 +487,40 @@ object OracleSql {
       |SELECT e.tok, e.exact_n, est.est_n
       |FROM exact e JOIN est USING (tok) ORDER BY tok""".stripMargin
 
+  /** a_hll_distinct: replay the p=8 HLL — reg = low 8 md5_low32 bits,
+    * rho = 25 - msb(bin-length) of the high 24 bits, register max,
+    * harmonic sum in exact integers (terms 2^(33-rho), zeros counted via
+    * 256 - n_regs), then the one fixed-shape raw / linear-counting
+    * estimate expression. alpha·m²·2³³ is written with the same
+    * operation order as the JVM literal so the doubles agree bitwise. */
+  private def hllDistinctSql: String =
+    """WITH d AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT lang,
+      |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |      FROM d),
+      |sv AS (SELECT lang, unnest(sh) AS s FROM g),
+      |h AS (SELECT lang, s, (md5_number_lower(s) & 4294967295) AS hv FROM sv),
+      |r AS (SELECT lang, hv & 255 AS reg,
+      |        CASE WHEN (hv >> 8) = 0 THEN 25 ELSE 25 - length(bin(hv >> 8)) END AS rho
+      |      FROM h),
+      |regs AS (SELECT lang, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+      |agg AS (SELECT lang, count(*) AS n_regs,
+      |          sum(CAST(1 AS BIGINT) << (33 - rho)) AS s_touched
+      |        FROM regs GROUP BY 1),
+      |est AS (SELECT lang,
+      |    CASE WHEN (0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 * 8589934592.0)
+      |              / CAST(s_touched + (256 - n_regs) * 8589934592 AS DOUBLE) <= 640.0
+      |           AND (256 - n_regs) > 0
+      |         THEN 256.0 * ln(256.0 / CAST(256 - n_regs AS DOUBLE))
+      |         ELSE (0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 * 8589934592.0)
+      |              / CAST(s_touched + (256 - n_regs) * 8589934592 AS DOUBLE)
+      |    END AS e
+      |  FROM agg),
+      |exact AS (SELECT lang, count(DISTINCT s) AS exact_distinct FROM sv GROUP BY lang)
+      |SELECT exact.lang, exact.exact_distinct, round(est.e, 4) AS hll_estimate
+      |FROM exact JOIN est USING (lang) ORDER BY lang""".stripMargin
+
   /** d_incremental_dedup: new batch (doc_id % 10 = 9) vs the catalog of
     * the rest — exact fingerprint match (min catalog id) plus best banded
     * MinHash match at jaccard ≥ 0.05 (max jaccard, min id tiebreak). */
@@ -2180,6 +2214,7 @@ object OracleSql {
     "d_line_dedup" -> lineDedupSql,
     "t_cms_freq" -> cmsFreqSql,
     "d_incremental_dedup" -> incrementalDedupSql,
+    "a_hll_distinct" -> hllDistinctSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,
 

@@ -1607,6 +1607,21 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Profile: relational HLL distinct estimate vs exact, per lang, over
+    * 3-word shingles — the estimate column is oracle-replayed register
+    * by register (integer-space harmonic sum, no FP summation order).
+    */
+  private def hllDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.profile.Hll
+    val sh = t(s, dir, "documents").select(col("lang"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("text"), 3))).as("sh"))
+    val spec = Hll.HllSpec(p = 8)
+    val est = Hll.estimate(Hll.registers(sh, "sh", spec, Seq("lang")), spec, Seq("lang"))
+    val exact = sh.distinct().groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+    exact.join(est, "lang").orderBy("lang")
+  }
+
   /** LLM-pipeline: per-doc repetition metrics (Gopher rule family). */
   private def repetitionMetricsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(
@@ -1779,6 +1794,7 @@ object SparkEntry {
     "d_line_dedup" -> lineDedupQ,
     "t_cms_freq" -> cmsFreqQ,
     "d_incremental_dedup" -> incrementalDedupQ,
+    "a_hll_distinct" -> hllDistinctQ,
     "t_repetition" -> repetitionMetricsQ,
     "x_asof_join" -> asofEnrich,
     "x_range_join" -> rangeJoinQ,
