@@ -178,6 +178,55 @@ object Graft {
                     threshold: Double = 0.05): DataFrame =
     operators.Decontamination.decontaminate(docs, benchmark, n, threshold)
 
+  /** Decontamination overlap report with a Bloom-bitmap prefilter: the
+    * corpus-side shingle test becomes a map-side predicate (zero
+    * shuffle); exact overlap counts are unchanged (no false negatives). */
+  def decontamReportBloom(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                          threshold: Double = 0.05,
+                          spec: operators.Bloom.BloomSpec = operators.Bloom.BloomSpec()): DataFrame =
+    operators.Bloom.prefilterOverlap(docs, benchmark, n, threshold, spec)
+
+  /** CCNet-style line dedup: drop lines repeated across more than
+    * `maxDocsPerLine` docs (min-id owner keeps its copy), reassemble
+    * each doc's residue in order. */
+  def lineDedup(docs: DataFrame, maxDocsPerLine: Int = 1): DataFrame =
+    operators.Dedup.lineDedup(docs, maxDocsPerLine)
+
+  /** Per-doc sketch catalog rows (fingerprint + MinHash) to persist for
+    * later incremental dedup. */
+  def docSketchCatalog(docs: DataFrame): DataFrame =
+    operators.Dedup.sketchCatalog(docs)
+
+  /** Flag a new batch against a stored [[docSketchCatalog]] — exact +
+    * banded near-dup matches without rescanning the corpus. */
+  def incrementalDedup(newDocs: DataFrame, catalog: DataFrame,
+                       threshold: Double = 0.8): DataFrame =
+    operators.Dedup.incrementalDedupReport(newDocs, catalog, threshold)
+
+  /** Count-Min frequency sketch over a column — relational, mergeable
+    * ([[mergeCms]]), never undercounts. */
+  def cmsBuild(df: DataFrame, valueCol: String,
+               spec: profile.CountMin.CmsSpec = profile.CountMin.CmsSpec()): DataFrame =
+    profile.CountMin.build(df, valueCol, spec)
+
+  def mergeCms(a: DataFrame, b: DataFrame): DataFrame = profile.CountMin.merge(a, b)
+
+  def cmsEstimate(cms: DataFrame, values: DataFrame, valueCol: String,
+                  spec: profile.CountMin.CmsSpec = profile.CountMin.CmsSpec()): DataFrame =
+    profile.CountMin.estimate(cms, values, valueCol, spec)
+
+  /** Relational HLL registers over a column (optionally grouped);
+    * mergeable by register max ([[mergeHll]]). */
+  def hllRegisters(df: DataFrame, valueCol: String,
+                   groupCols: Seq[String] = Nil): DataFrame =
+    profile.Hll.registers(df, valueCol, profile.Hll.HllSpec(), groupCols)
+
+  def mergeHll(a: DataFrame, b: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    profile.Hll.merge(a, b, groupCols)
+
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String] = Nil): DataFrame =
+    profile.Hll.estimate(regs, profile.Hll.HllSpec(), groupCols)
+
   /** Winnowing rolling-hash fingerprints: any shared substring of
     * ≥ k+w-1 chars between two docs yields a shared fingerprint. */
   def fingerprintDocs(docs: DataFrame, idCol: String = "doc_id",

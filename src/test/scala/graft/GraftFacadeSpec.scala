@@ -49,4 +49,43 @@ class GraftFacadeSpec extends SparkSpec {
       kCells = 4, iters = 2, nProbe = 2)
     assert(res.count() > 0)
   }
+
+  test("sketch family + incremental dedup + line dedup through the facade") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+
+    // incremental dedup: doc 2 matches the stored sketch of doc 1
+    val cat = Graft.docSketchCatalog(docs.filter(col("doc_id") === 1))
+    val inc = Graft.incrementalDedup(docs.filter(col("doc_id") > 1), cat, 0.5)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(inc(2L).getAs[java.lang.Long]("exact_dup_of") == 1L)
+    assert(inc(3L).getAs[java.lang.Long]("near_dup_of") == null)
+
+    // bloom-prefiltered decontamination agrees with the exact reporter
+    val rep = Graft.decontamReportBloom(
+      docs.filter(col("doc_id") === 3), docs.filter(col("doc_id") === 1), n = 3,
+      threshold = 0.2, spec = operators.Bloom.BloomSpec(mBits = 256, k = 2))
+      .collect().head
+    assert(rep.getAs[Long]("n_overlap") == 0)
+
+    // line dedup via the facade
+    val lined = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val ld = Graft.lineDedup(lined).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(ld(1L) == "a\nb" && ld(2L) == "c")
+
+    // CMS + HLL round trips
+    val vals = (1 to 300).map(i => s"tok${i % 7}").toDF("v")
+    val cms = Graft.cmsBuild(vals, "v")
+    val est = Graft.cmsEstimate(cms, Seq("tok0").toDF("v"), "v")
+      .collect().head.getAs[Long]("est_n")
+    assert(est >= 42) // ceil(300/7) occurrences of tok0... at least exact
+    val hll = Graft.hllEstimate(Graft.mergeHll(
+      Graft.hllRegisters(vals, "v"), Graft.hllRegisters(vals, "v")))
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(hll > 3 && hll < 12) // 7 distinct
+  }
 }
