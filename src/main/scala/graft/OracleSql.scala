@@ -521,6 +521,29 @@ object OracleSql {
       |SELECT exact.lang, exact.exact_distinct, round(est.e, 4) AS hll_estimate
       |FROM exact JOIN est USING (lang) ORDER BY lang""".stripMargin
 
+  /** d_temperature_mix: replay τ=0.5 mixture rates — sqrt quantized to
+    * integer micro-units so the normalizing sum is order-independent,
+    * then the one fixed-shape rate expression and salted-hash
+    * membership. */
+  private def temperatureMixSql: String =
+    """WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, n,
+      |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS isq
+      |      FROM tot),
+      |g AS (SELECT CAST(sum(isq) AS BIGINT) AS sisq, CAST(sum(n) AS BIGINT) AS t_all FROM w),
+      |r AS (SELECT source, n,
+      |        least(1.0, floor(CAST(g.t_all AS DOUBLE) * 0.3) * CAST(isq AS DOUBLE)
+      |                   / CAST(g.sisq AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+      |      FROM w, g),
+      |kept AS (SELECT d.source, d.doc_id, d.n_chars, r.rate
+      |         FROM documents d JOIN r USING (source)
+      |         WHERE (md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix0') & 4294967295)
+      |               < CAST(floor(rate * 4294967296.0) AS BIGINT))
+      |SELECT source, count(*) AS n_sampled,
+      |  CAST(sum(n_chars) AS BIGINT) AS tokens_sampled,
+      |  round(rate, 6) AS mix_rate, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM kept GROUP BY source, rate ORDER BY source""".stripMargin
+
   /** d_incremental_dedup: new batch (doc_id % 10 = 9) vs the catalog of
     * the rest — exact fingerprint match (min catalog id) plus best banded
     * MinHash match at jaccard ≥ 0.05 (max jaccard, min id tiebreak). */
@@ -2215,6 +2238,7 @@ object OracleSql {
     "t_cms_freq" -> cmsFreqSql,
     "d_incremental_dedup" -> incrementalDedupSql,
     "a_hll_distinct" -> hllDistinctSql,
+    "d_temperature_mix" -> temperatureMixSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,
 

@@ -1622,6 +1622,21 @@ object SparkEntry {
     exact.join(est, "lang").orderBy("lang")
   }
 
+  /** LLM-pipeline: temperature-flattened (τ=0.5) mixture sampling across
+    * the 20 sources at a 30% token budget; checksums pin the exact
+    * sampled set per source.
+    */
+  private def temperatureMixQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Sampling.temperatureMixture(docs, "source", "n_chars", "doc_id", 0.3)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("long").as("tokens_sampled"),
+        round(first(col("mix_rate")), 6).as("mix_rate"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("source")
+  }
+
   /** LLM-pipeline: per-doc repetition metrics (Gopher rule family). */
   private def repetitionMetricsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(
@@ -1795,6 +1810,7 @@ object SparkEntry {
     "t_cms_freq" -> cmsFreqQ,
     "d_incremental_dedup" -> incrementalDedupQ,
     "a_hll_distinct" -> hllDistinctQ,
+    "d_temperature_mix" -> temperatureMixQ,
     "t_repetition" -> repetitionMetricsQ,
     "x_asof_join" -> asofEnrich,
     "x_range_join" -> rangeJoinQ,

@@ -49,4 +49,44 @@ object Sampling {
     df.filter(
       md5Low32Col(concat_ws(":", col(s"`$idCol`").cast("string"), lit(salt))) < thr)
   }
+
+  /** Temperature-flattened mixture sampling — the multi-source pretraining
+    * mix recipe (public precedent: XLM-R / LLaMA-style up/down-weighting
+    * with w_s ∝ n_s^τ, τ < 1 flattening head sources). τ is FIXED at 0.5:
+    * sqrt is the one power IEEE-754 rounds exactly in every engine, so the
+    * sampled set stays a pure engine-replayable function of the data.
+    *
+    * Source s holding n_s tokens is sampled at
+    * `rate_s = min(1, T·isq_s / Σisq / n_s)` with
+    * `isq_s = floor(sqrt(n_s)·10⁶)` (sqrt quantized to integer
+    * micro-units, so the normalizing Σ is an ORDER-INDEPENDENT integer
+    * sum — no floating summation to diverge between engines) and
+    * T = targetFrac · Σn. Membership is then the usual salted-hash draw.
+    *
+    * Scale shape: per-source totals are one groupBy over a tiny key set;
+    * rates join back as a broadcast; membership is row-local. Returns the
+    * input rows with `mix_rate` attached.
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String, tokenCol: String,
+                         idCol: String, targetFrac: Double = 0.3,
+                         salt: String = "mix0"): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac must be in (0,1]")
+    val totals = df.groupBy(col(s"`$sourceCol`").as("__src"))
+      .agg(sum(col(s"`$tokenCol`")).cast("long").as("__n"))
+      .withColumn("__isq",
+        floor(sqrt(col("__n").cast("double")) * lit(1000000.0)).cast("long"))
+    val grand = totals.agg(sum(col("__isq")).as("__sisq"),
+      sum(col("__n")).as("__tot"))
+    val rates = totals.crossJoin(broadcast(grand))
+      .withColumn("__t", floor(col("__tot").cast("double") * lit(targetFrac)))
+      .withColumn("mix_rate", least(lit(1.0),
+        col("__t") * col("__isq").cast("double") / col("__sisq").cast("double")
+          / col("__n").cast("double")))
+      .select(col("__src"), col("mix_rate"))
+    df.join(broadcast(rates), col(s"`$sourceCol`") === col("__src"))
+      .drop("__src")
+      .filter(
+        md5Low32Col(concat_ws(":", col(s"`$idCol`").cast("string"), lit(salt)))
+          < floor(col("mix_rate") * lit(4294967296.0)).cast("long"))
+  }
 }

@@ -66,6 +66,27 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("a") - 2500) < 200)
     assert(math.abs(out("b") - 250) < 80)
   }
+
+  test("temperatureMixture flattens head sources and hits the token budget") {
+    // head source 10x the tail's tokens
+    val docs = ((1L to 1000L).map(i => (i, "head", 100L)) ++
+      (1001L to 1100L).map(i => (i, "tail", 100L))).toDF("id", "src", "tok")
+    val out = Sampling.temperatureMixture(docs, "src", "tok", "id", targetFrac = 0.3)
+    val rates = out.groupBy("src").agg(
+        count(lit(1)).as("n"), first(col("mix_rate")).as("rate"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // τ=0.5: head weight sqrt(10)≈3.16x tail's, so per-TOKEN rate is
+    // ~3.16x HIGHER for the tail (flattening), head rate lower than flat 0.3
+    assert(rates("head")._2 < 0.3)
+    assert(rates("tail")._2 > rates("head")._2 * 2.5)
+    // total sampled tokens ~ 30% of 110k = 33k -> n_docs ~ 330
+    val total = rates.values.map(_._1).sum
+    assert(math.abs(total - 330) < 70, s"sampled $total docs, expected ~330")
+    // partition-invariant and reproducible
+    val again = Sampling.temperatureMixture(docs.repartition(7), "src", "tok", "id", 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
 }
 
 class DecontaminationSpec extends SparkSpec {
