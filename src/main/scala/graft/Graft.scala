@@ -120,6 +120,12 @@ object Graft {
   def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     operators.TextAnalysis.scrubPii(docs, textCol)
 
+  /** τ=0.5 temperature-flattened multi-source mixture sampling at a
+    * token budget — deterministic, partition-invariant, engine-replayable. */
+  def sampleTemperatureMix(df: DataFrame, sourceCol: String, tokenCol: String,
+                           idCol: String, targetFrac: Double = 0.3): DataFrame =
+    operators.Sampling.temperatureMixture(df, sourceCol, tokenCol, idCol, targetFrac)
+
   def sampleStratified(df: DataFrame, strataCol: String,
                        fractions: Map[String, Double], defaultFraction: Double,
                        idCol: String, salt: String = "s0"): DataFrame =

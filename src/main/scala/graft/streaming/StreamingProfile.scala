@@ -59,6 +59,22 @@ object StreamingProfile {
   def quantileSketchStream(values: DataFrame): DataFrame =
     graft.profile.QuantileSketch.sketchLong(values)
 
+  /** Streaming Count-Min sketch: cells are additive counts, so the plain
+    * streaming aggregation IS the sketch — streamed equals batch by
+    * [[graft.profile.CountMin]] merge algebra. Run in Update/Complete.
+    */
+  def cmsStream(values: DataFrame, valueCol: String,
+                spec: graft.profile.CountMin.CmsSpec = graft.profile.CountMin.CmsSpec()): DataFrame =
+    graft.profile.CountMin.build(values, valueCol, spec)
+
+  /** Streaming HLL registers: register state is a max, which Spark's
+    * streaming aggregation maintains natively — streamed equals batch by
+    * [[graft.profile.Hll]] merge algebra. Run in Update/Complete.
+    */
+  def hllStream(values: DataFrame, valueCol: String,
+                groupCols: Seq[String] = Nil): DataFrame =
+    graft.profile.Hll.registers(values, valueCol, graft.profile.Hll.HllSpec(), groupCols)
+
   /** Windowed event aggregation with watermark — the standard streaming
     * rollup (per event_type per hour), exactly the batch `e_hourly_events`
     * semantics applied to a stream.

@@ -51,6 +51,35 @@ class StreamingProfileSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed CMS and HLL sketches equal their batch builds across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val sdf = input.toDF().toDF("v")
+    val cmsQ = StreamingProfile.cmsStream(sdf, "v")
+      .writeStream.format("memory").queryName("cms_s")
+      .outputMode(OutputMode.Complete()).start()
+    val hllQ = StreamingProfile.hllStream(sdf, "v")
+      .writeStream.format("memory").queryName("hll_s")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val b1 = (1 to 300).map(i => s"tok${i % 11}")
+      val b2 = (1 to 200).map(i => s"tok${i % 23}")
+      input.addData(b1: _*); cmsQ.processAllAvailable(); hllQ.processAllAvailable()
+      input.addData(b2: _*); cmsQ.processAllAvailable(); hllQ.processAllAvailable()
+      val all = (b1 ++ b2).toDF("v")
+      val cmsStreamed = spark.table("cms_s").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+      val cmsBatch = graft.profile.CountMin.build(all, "v").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("cnt")).toMap
+      assert(cmsStreamed == cmsBatch)
+      val hllStreamed = spark.table("hll_s").collect()
+        .map(r => r.getLong(0) -> r.getAs[Int]("rho")).toMap
+      val hllBatch = graft.profile.Hll.registers(all, "v").collect()
+        .map(r => r.getLong(0) -> r.getAs[Int]("rho")).toMap
+      assert(hllStreamed == hllBatch)
+    } finally { cmsQ.stop(); hllQ.stop() }
+  }
+
   test("hourly windowed rollup runs on a stream with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Long)]
