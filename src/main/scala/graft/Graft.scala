@@ -171,6 +171,10 @@ object Graft {
     ml.Bpe.train(ml.Bpe.wordFreq(docs, textCol, maxWords), numMerges)
 
   /** BM25 keyword top-k over a document corpus (text-search modality). */
+  /** Per-doc TF-IDF top terms (smooth idf, deterministic tiebreaks). */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame =
+    search.TextSearch.tfidfTopTerms(docs, topK)
+
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10): DataFrame =
     search.TextSearch.bm25TopK(docs, queryTerms, k)
 

@@ -521,6 +521,24 @@ object OracleSql {
       |SELECT exact.lang, exact.exact_distinct, round(est.e, 4) AS hll_estimate
       |FROM exact JOIN est USING (lang) ORDER BY lang""".stripMargin
 
+  /** t_tfidf_terms: smooth-idf TF-IDF with the BM25 determinism
+    * discipline — the ln is rounded to 6 dp BEFORE the multiply. */
+  private def tfidfTermsSql: String =
+    """WITH tk AS (SELECT doc_id,
+      |        unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+      |      FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+      |         round(tf.tf * round(ln((n.n_docs + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)) + 1.0, 6), 6) AS score_r
+      |       FROM tf JOIN dfq USING (term), n),
+      |r AS (SELECT doc_id, term, tf, score_r,
+      |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, term) AS BIGINT) AS rank
+      |      FROM sc)
+      |SELECT doc_id, term, tf, score_r, rank FROM r WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
   /** d_temperature_mix: replay τ=0.5 mixture rates — sqrt quantized to
     * integer micro-units so the normalizing sum is order-independent,
     * then the one fixed-shape rate expression and salted-hash
@@ -2239,6 +2257,7 @@ object OracleSql {
     "d_incremental_dedup" -> incrementalDedupSql,
     "a_hll_distinct" -> hllDistinctSql,
     "d_temperature_mix" -> temperatureMixSql,
+    "t_tfidf_terms" -> tfidfTermsSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,
 

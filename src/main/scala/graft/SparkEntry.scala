@@ -1637,6 +1637,12 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** LLM-pipeline: per-doc TF-IDF top-5 terms (smooth idf, 6-dp-rounded
+    * transcendental, term-ascending tiebreak). */
+  private def tfidfTermsQ(s: SparkSession, dir: String): DataFrame =
+    graft.search.TextSearch.tfidfTopTerms(t(s, dir, "documents"), topK = 5)
+      .orderBy("doc_id", "rank")
+
   /** LLM-pipeline: per-doc repetition metrics (Gopher rule family). */
   private def repetitionMetricsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(
@@ -1811,6 +1817,7 @@ object SparkEntry {
     "d_incremental_dedup" -> incrementalDedupQ,
     "a_hll_distinct" -> hllDistinctQ,
     "d_temperature_mix" -> temperatureMixQ,
+    "t_tfidf_terms" -> tfidfTermsQ,
     "t_repetition" -> repetitionMetricsQ,
     "x_asof_join" -> asofEnrich,
     "x_range_join" -> rangeJoinQ,

@@ -30,6 +30,39 @@ object TextSearch {
   private def toks(textCol: Column): Column =
     filter(split(lower(textCol), "\\s+"), t => t =!= "")
 
+  /** Per-document TF-IDF top terms — the classic featurization next to
+    * [[bm25TopK]]: smooth idf `ln((N+1)/(df+1)) + 1` (positive for every
+    * term), score `tf · idf`. Output: (doc_id, term, tf, score_r, rank)
+    * with `topK` terms per doc, ties broken on ascending term.
+    *
+    * Scale shape: one token explode → (doc, term) counts; document
+    * frequencies are a second aggregate over the DISTINCT (doc, term)
+    * relation the first one already produced; corpus size joins as a
+    * broadcast 1-row aggregate; the per-doc window ranks only each doc's
+    * own terms. The transcendental is rounded to 6 dp before the
+    * multiply, the [[bm25TopK]] determinism discipline.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
+    val consts = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = base.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df")) // tf rows are distinct (doc,term)
+    val scored = tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(consts))
+      .withColumn("idf",
+        round(log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0, 6))
+      .withColumn("score_r", round(col("tf") * col("idf"), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_r").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("doc_id", "term", "tf", "score_r", "rank")
+  }
+
   /** Top-k documents for a bag-of-words query. Ties break on ascending id.
     * Output: (doc_id, score_r, rank).
     */

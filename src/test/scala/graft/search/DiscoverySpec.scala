@@ -101,4 +101,22 @@ class TextSearchSpec extends SparkSpec {
     // pick 3, so the k=2 result is exactly (1, 3) in rank order
     assert(res.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L))
   }
+
+  test("tfidfTopTerms ranks rare terms above common, caps at topK, breaks ties by term") {
+    val out = TextSearch.tfidfTopTerms(docs, topK = 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 2: scan (df=1, tf=2) must outrank join (df=3, tf=4)?
+    // idf(scan)=ln(6/2)+1=2.0986, idf(join)=ln(6/4)+1=1.4055
+    // scores: scan 2*2.0986=4.1972 < join 4*1.4055=5.6219 -> join first
+    val d2 = out(2L).sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("term"))
+    assert(d2.toSeq == Seq("join", "scan"))
+    // doc 3: dup (df=3) vs window (df=1), both tf=1: window's higher idf wins
+    val d3 = out(3L).sortBy(_.getAs[Long]("rank")).map(_.getAs[String]("term"))
+    assert(d3.toSeq == Seq("window", "dup"))
+    // every doc capped at topK and ranks are 1..n
+    assert(out.values.forall(rows => rows.length <= 2 &&
+      rows.map(_.getAs[Long]("rank")).sorted.sameElements(1L to rows.length)))
+    // doc 5 case-folds: terms are lowercase
+    assert(out(5L).map(_.getAs[String]("term")).toSet == Set("dup", "join"))
+  }
 }
