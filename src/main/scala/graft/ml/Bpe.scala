@@ -53,11 +53,18 @@ object Bpe {
     * (idCol, word) with the encoded subword array.
     */
   def encodeCorpus(docs: DataFrame, textCol: String, idCol: String,
-                   merges: Seq[Merge]): DataFrame =
-    docs.select(col(idCol),
+                   merges: Seq[Merge]): DataFrame = {
+    val words = docs.select(col(idCol),
         explode(split(lower(col(textCol)), "\\s+")).as("word"))
       .filter(col("word") =!= "")
+    // encode each DISTINCT word once, then join back: the merge cascade
+    // is a deep fold expression, and the distinct-word relation is
+    // orders of magnitude smaller than the corpus occurrence stream
+    // (type/token ratio) — AQE broadcasts it when it fits
+    val encoded = words.select("word").distinct()
       .withColumn("subwords", applyMerges(symbolize(col("word")), merges))
+    words.join(encoded, "word").select(col(idCol), col("word"), col("subwords"))
+  }
 
   /** Greedy left-to-right single-pass merge of adjacent (left, right)
     * into `left+right` over a symbol array — the standard BPE round
