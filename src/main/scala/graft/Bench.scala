@@ -45,14 +45,35 @@ object Bench {
       System.gc()
       name -> (1 to 3).map(_ => once()).min
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // the structural lake/CSV sections take minutes; a filtered run is
     // single-query iteration, where they are dead time — skip them
     val lp = if (only.isDefined) "{}" else lakePlanBench(spark)
     val cp = if (only.isDefined) "{}" else csvPlanBench(spark)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"sf":"$sfDir"}""")
+    def entry(kv: (String, Double)): String = "\"" + kv._1 + f"""\":${kv._2}%.3f"""
+    val fullQs = results.map(entry).mkString("{", ",", "}")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"lake_plan":$lp,"csv_plan":$cp,"sf":"$sfDir"}"""
+    // Full per-query detail goes to a FILE: the harness that collects this
+    // run keeps only the last ~2000 chars of stdout, and at 90+ queries the
+    // full line no longer fits (round-6 postmortem: the recorded line was
+    // truncated mid-JSON and unparseable). stdout gets a compact line —
+    // the slowest queries first, cut to a hard length budget — so the
+    // one-line contract always parses; the file carries everything.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    val slowestFirst = results.sortBy(-_._2).map(entry)
+    // chars for the queries map: overhead + lake/csv sections + the
+    // collector's trailing sbt status line still fit inside 2000
+    val budget = 1200
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 2 // braces
+    for (e <- slowestFirst if used + e.length + 1 <= budget) {
+      kept += e; used += e.length + 1
+    }
+    val qs = kept.mkString("{", ",", "}")
+    val omitted = results.size - kept.size
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"omitted_fastest":$omitted,"detail":"BENCH_FULL.json","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"sf":"$sfDir"}""")
     spark.stop()
   }
 
