@@ -9,6 +9,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // pin the JSON decimal separator — f"%.3f" is default-locale dependent,
+    // and a comma-decimal locale would emit unparseable "0,993"
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -59,17 +62,24 @@ object Bench {
     // truncated mid-JSON and unparseable). stdout gets a compact line —
     // the slowest queries first, cut to a hard length budget — so the
     // one-line contract always parses; the file carries everything.
+    // a filtered (SPARK_GRAFT_QUERIES) iteration run must not clobber the
+    // full-run detail file that earlier compact lines point to
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json"),
+      java.nio.file.Paths.get(sys.props("user.dir"),
+        if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     val slowestFirst = results.sortBy(-_._2).map(entry)
     // chars for the queries map: overhead + lake/csv sections + the
-    // collector's trailing sbt status line still fit inside 2000
+    // collector's trailing sbt status line still fit inside 2000.
+    // Stop at the FIRST entry that doesn't fit so `kept` is a strict
+    // slowest-first prefix and "omitted_fastest" labels what it claims.
     val budget = 1200
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
-    for (e <- slowestFirst if used + e.length + 1 <= budget) {
-      kept += e; used += e.length + 1
+    var full_ = false
+    for (e <- slowestFirst) {
+      if (!full_ && used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      else full_ = true
     }
     val qs = kept.mkString("{", ",", "}")
     val omitted = results.size - kept.size

@@ -106,7 +106,7 @@ object SparkEntry {
 
   private def numericProfile(s: SparkSession, dir: String): DataFrame =
     Profiler.profile(t(s, dir, "lineitem").select(lineitemNumeric.map(col): _*),
-      "lineitem", withSketches = false)
+      "lineitem", withSketches = false, withQuantiles = false)
       .filter(col("col_type").isin("integer", "float"))
       .select(col("col_name"), col("rows").as("n_rows"), col("num_nan"),
         col("unique").as("n_unique"),
@@ -973,13 +973,18 @@ object SparkEntry {
     * the point of the deterministic shuffle (`tabular_dataset.py:18-19`):
     * the same seed gives the same epoch order on ANY engine or layout. */
   private def seededShuffleQ(s: SparkSession, dir: String): DataFrame = {
-    val shuffled = graft.sources.Splits.seededShuffle(
+    val sk = graft.sources.Splits.shuffleKey(42L, Seq(col("c_custkey")))
+    // Global top-100 in shuffle order as TakeOrderedAndProject (distributed
+    // partial top-k per partition, merged on the driver) — NOT a
+    // row_number window over the whole shuffled table, which would funnel
+    // every row through one partition. The rank window then orders only
+    // the 100 survivors (the TextSearch.bm25 pattern).
+    val top100 = graft.sources.Splits.seededShuffle(
       t(s, dir, "customer"), seed = 42L, keyCols = Seq("c_custkey"))
-    shuffled
-      .withColumn("pos", row_number().over(Window.orderBy(
-        graft.sources.Splits.shuffleKey(42L, Seq(col("c_custkey"))), col("c_custkey")))
-        .cast("long"))
-      .filter(col("pos") <= 100)
+      .limit(100)
+    top100
+      .withColumn("pos",
+        row_number().over(Window.orderBy(sk, col("c_custkey"))).cast("long"))
       .select(col("pos"), col("c_custkey").cast("long").as("c_custkey"))
       .orderBy("pos")
   }
@@ -1118,13 +1123,13 @@ object SparkEntry {
       (1, graft.ingest.Augment.obscureColumns(base), 0 until n),
       (2, graft.ingest.Augment.shuffleColumnsDet(base, 2),
         graft.ingest.Augment.lehmerPerm(n, 2)))
-    val d0 = Profiler.profile(base, "part")
+    val d0 = Profiler.profile(base, "part", withQuantiles = false)
       .select(col("col_idx").cast("long").as("oidx"), col("minhash_exact").as("dig0"))
     augs.map { case (id, df, origIdxAtPos) =>
       val header = df.columns.mkString(",")
       val posToOrig = origIdxAtPos.zipWithIndex
         .map { case (o, p) => (p.toLong, o.toLong) }.toDF("col_idx", "oidx")
-      val reuse = Profiler.profile(df, s"part_aug$id")
+      val reuse = Profiler.profile(df, s"part_aug$id", withQuantiles = false)
         .select(col("col_idx").cast("long").as("col_idx"), col("minhash_exact"))
         .join(broadcast(posToOrig), "col_idx")
         .join(broadcast(d0), "oidx")
@@ -1346,11 +1351,11 @@ object SparkEntry {
   private def streamingDedupQ(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"st_dedup_${streamSeq.incrementAndGet()}"
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet").schema // ts stays ns-long
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // micros-NTZ → session-TZ (UTC) timestamp for the watermark clock
+      .withColumn("ts", col("ts").cast("timestamp"))
     val deduped = graft.streaming.StreamingDedup.dedupStream(
       stream, "ts", "3650 days", Seq("user_id", "event_type"))
     val q = deduped.writeStream.format("memory").queryName(name)

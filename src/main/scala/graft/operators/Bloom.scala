@@ -78,6 +78,20 @@ object Bloom {
   def build(values: DataFrame, valueCol: String, spec: BloomSpec = BloomSpec()): Array[Long] =
     toBitmap(buildBits(values, valueCol, spec), spec)
 
+  /** The packed bitmap as a RELATION — `(word_idx, word)`, one row per
+    * 64-bit word with at least one set bit (≤ `spec.words` rows, sparse).
+    * This is the scale-safe form for filters past ~1e9 bits, where
+    * [[toBitmap]]'s driver-side `Array[Long]` would be GBs: the fold is a
+    * `groupBy(bit_pos >> 6)` bit-OR aggregation, so no bitmap ever
+    * materializes on one machine. Downstream, test membership by joining
+    * candidate positions on `word_idx` (broadcast — the words relation is
+    * tiny next to the corpus) instead of probing a literal array.
+    */
+  def toBitmapWords(bits: DataFrame): DataFrame =
+    bits.select(shiftright(col("bit_pos").cast("long"), 6).as("word_idx"),
+        call_function("shiftleft", lit(1L), (col("bit_pos") % 64).cast("int")).as("w"))
+      .groupBy("word_idx").agg(bit_or(col("w")).as("word"))
+
   /** Membership test against a built bitmap — all codegen'd built-ins
     * (variable-distance `shiftright` via `call_function`), no UDF, no
     * join: a pure map-side predicate suitable for the first pass over

@@ -186,12 +186,13 @@ object Profiler {
     * the keyed core [[profileFromLong]] with this table's literal key.
     */
   def profile(df: DataFrame, tableName: String,
-              withSketches: Boolean = true): DataFrame =
+              withSketches: Boolean = true,
+              withQuantiles: Boolean = true): DataFrame =
     // Repartition the narrow input BEFORE exploding ×nCols — the serial
     // shuffle write from a single-row-group scan is 11× cheaper that way.
     profileFromLong(
       longFormatKeyed(ensureParallelism(df), tableName, renderNumerics = withSketches),
-      withSketches)
+      withSketches, withQuantiles)
       .orderBy("col_idx")
 
   /** The profiling core, keyed by (table_name, col_idx): two aggregation
@@ -200,7 +201,8 @@ object Profiler {
     * ride in `long`. Feeders: [[longFormatKeyed]] (single table),
     * `LakeScan.unifiedLongRows` (whole lake, one scan).
     */
-  def profileFromLong(long: DataFrame, withSketches: Boolean = true): DataFrame = {
+  def profileFromLong(long: DataFrame, withSketches: Boolean = true,
+                      withQuantiles: Boolean = true): DataFrame = {
     val keyCols = Seq("table_name", "col_idx", "col_name", "col_type").map(col)
     // stage 1: per-column value histogram (map-side combine shrinks to
     // distinct values per partition before any shuffle); schema sentinels
@@ -258,19 +260,24 @@ object Profiler {
       else Seq.empty
     val aggd0 = hist.groupBy(keyCols: _*)
       .agg(baseAggs.head, (baseAggs.tail ++ sketchAggs): _*)
-    // A4 deciles: sort-based interpolation over a value-only histogram fed
-    // straight from the long relation (left join — string columns have no
-    // numeric rows). Aggregating `long` twice beats chaining off `hist`:
-    // map-side combine makes each shuffle carry only distinct values, the
-    // (keys, value_num) keying means decilesFromHist's internal re-agg
-    // adds NO exchange, and the two stage-1 aggregations are independent
-    // stages Spark runs concurrently instead of serially.
-    val valueHist = long.filter(col("present") && col("value_num").isNotNull)
-      .groupBy(col("table_name"), col("col_idx"), col("value_num"))
-      .agg(count(lit(1)).as("freq"))
-    val aggd = aggd0.join(
-      decilesFromHist(valueHist, QuantileProbs, Seq("table_name", "col_idx")),
-      Seq("table_name", "col_idx"), "left")
+    // A4 deciles (gated — consumers that discard the quantile column skip
+    // the whole subtree; Catalyst cannot prune a join that feeds a built
+    // output column, so the gate must be plan-construction-time): the
+    // value histogram CHAINS off `hist`, so the exploded cell relation is
+    // scanned, rendered, and stage-1-shuffled exactly ONCE — the stage-1
+    // exchange is shared with the stats branch (ReuseExchange / AQE stage
+    // reuse), and the re-aggregation to (keys, value_num) shuffles only
+    // distinct (value_str, value_num) pairs, not cells.
+    val aggd = if (!withQuantiles)
+      aggd0.withColumn("deciles", lit(null).cast(ArrayType(DoubleType)))
+    else {
+      val valueHist = hist
+        .filter(col("value_num").isNotNull && col("freq") > 0)
+        .select(col("table_name"), col("col_idx"), col("value_num"), col("freq"))
+      aggd0.join(
+        decilesFromHist(valueHist, QuantileProbs, Seq("table_name", "col_idx")),
+        Seq("table_name", "col_idx"), "left")
+    }
 
     // A6: population std = sqrt(E[x²] − E[x]²); guard unique<=2 → 0
     // (data_prep.py:238-241)
@@ -434,10 +441,12 @@ object Profiler {
     * CONSTANT in table count instead of an N-branch union.
     */
   def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
-                  withSketches: Boolean = true, rowCap: Option[Int] = None): DataFrame =
+                  withSketches: Boolean = true, rowCap: Option[Int] = None,
+                  withQuantiles: Boolean = true): DataFrame =
     tables.map { t =>
       // deterministic first-N cap (O1, data_prep.py:27) — see Lake.read
-      profile(graft.sources.Lake.read(spark, dir, t, rowCap), t, withSketches)
+      profile(graft.sources.Lake.read(spark, dir, t, rowCap), t, withSketches,
+        withQuantiles)
     }.reduce(_ unionByName _)
 
   /** Lake-scale single-job profiler (SURVEY §3 E1 "Spark shape"): ONE
@@ -452,9 +461,10 @@ object Profiler {
     */
   def profileLakeUnified(spark: SparkSession, dir: String, tables: Seq[String],
                          withSketches: Boolean = true,
-                         rowCap: Option[Int] = None): DataFrame =
+                         rowCap: Option[Int] = None,
+                         withQuantiles: Boolean = true): DataFrame =
     profileFromLong(
       graft.sources.LakeScan.unifiedLongRows(spark, dir, tables, rowCap,
         renderNumerics = withSketches),
-      withSketches)
+      withSketches, withQuantiles)
 }

@@ -118,24 +118,32 @@ object Discovery {
     * col_idx, col_name, value_str) relation.
     */
   def columnDistancesExact(values: DataFrame, queryTable: String): DataFrame = {
-    // Per-column distinct sizes ride on each value row via a window —
-    // separate sizes aggregates would fork two more copies of the whole
-    // distinct-values subtree (4 scans instead of 2).
-    val wCol = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("table_name"), col("col_idx"))
+    // Per-column distinct sizes come from a two-column aggregate over the
+    // distinct-values relation — one row per (table, col), tiny at any
+    // lake size — broadcast-joined onto the intersection AFTER its
+    // groupBy. The old plan attached sizes to every value row via
+    // `count().over(partitionBy(table, col))`, windowing millions of
+    // value rows at scale; the aggregate's stage-1 exchange is shared
+    // with `cv`'s distinct (ReuseExchange), so no extra scan is paid.
     val cv = values.filter(col("value_str").isNotNull)
       .select(col("table_name"), col("col_idx"), col("value_str")).distinct()
-      .withColumn("n_distinct", count(lit(1)).over(wCol))
+    val sizes = cv.groupBy(col("table_name"), col("col_idx"))
+      .agg(count(lit(1)).as("n_distinct"))
     val q = cv.filter(col("table_name") === queryTable)
-      .select(col("col_idx").as("q_col_idx"), col("value_str"),
-        col("n_distinct").as("n_q"))
+      .select(col("col_idx").as("q_col_idx"), col("value_str"))
     val c = cv.filter(col("table_name") =!= queryTable)
       .select(col("table_name").as("cand_table"),
-        col("col_idx").as("cand_col_idx"), col("value_str"),
-        col("n_distinct").as("n_c"))
+        col("col_idx").as("cand_col_idx"), col("value_str"))
+    val qSizes = sizes.filter(col("table_name") === queryTable)
+      .select(col("col_idx").as("q_col_idx"), col("n_distinct").as("n_q"))
+    val cSizes = sizes.filter(col("table_name") =!= queryTable)
+      .select(col("table_name").as("cand_table"),
+        col("col_idx").as("cand_col_idx"), col("n_distinct").as("n_c"))
     c.join(broadcast(q), "value_str")
-      .groupBy("q_col_idx", "cand_table", "cand_col_idx", "n_q", "n_c")
+      .groupBy("q_col_idx", "cand_table", "cand_col_idx")
       .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(qSizes), "q_col_idx")
+      .join(broadcast(cSizes), Seq("cand_table", "cand_col_idx"))
       .withColumn("dist",
         lit(1.0) - col("n_inter") / (col("n_q") + col("n_c") - col("n_inter")))
       .select("q_col_idx", "cand_table", "cand_col_idx", "dist")

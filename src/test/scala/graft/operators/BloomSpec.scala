@@ -36,6 +36,19 @@ class BloomSpec extends SparkSpec {
     assert(fp < 500, s"false-positive count $fp implausibly high")
   }
 
+  test("toBitmapWords: distributed packed words equal the driver-side bitmap") {
+    val members = (1 to 200).map(i => s"member shingle $i").toDF("v")
+    val bits = Bloom.buildBits(members, "v", spec)
+    val driver = Bloom.toBitmap(bits, spec)
+    val words = Bloom.toBitmapWords(bits).collect()
+      .map(r => r.getAs[Long]("word_idx").toInt -> r.getAs[Long]("word")).toMap
+    // sparse relation: only non-zero words appear, each equal to the array slot
+    assert(words.values.forall(_ != 0L))
+    driver.zipWithIndex.foreach { case (w, i) =>
+      assert(words.getOrElse(i, 0L) == w, s"word $i mismatch")
+    }
+  }
+
   test("empty filter rejects everything; spec validates its arguments") {
     val bm = new Array[Long](spec.words)
     val probes = Seq("x", "y").toDF("v")
