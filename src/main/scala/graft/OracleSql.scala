@@ -2297,7 +2297,7 @@ object OracleSql {
 
     "s12_excel_charset" -> {
       val files = Seq("latin1.csv" -> "ISO-8859-1", "utf16.csv" -> "UTF-16LE",
-        "book.xlsx" -> "xlsx")
+        "book.xlsx" -> "xlsx", "book.xls" -> "xls-biff8")
       val exp = files.flatMap { case (f, cs) =>
         SparkEntry.CharsetFixtureRows.map { case (id, n, c) =>
           s"('$f', '$cs', $id, '$n', '$c')"

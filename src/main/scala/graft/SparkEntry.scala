@@ -855,10 +855,17 @@ object SparkEntry {
     Files.write(fixDir.resolve("utf16.csv"),
       Array[Byte](0xff.toByte, 0xfe.toByte) ++ csv.getBytes("UTF-16LE"))
     writeXlsxShared(fixDir.resolve("book.xlsx").toString, CharsetFixtureRows)
-    Seq("latin1.csv", "utf16.csv", "book.xlsx").map { label =>
+    // same logical table as a legacy BIFF8 workbook (ministream container,
+    // RK ids + compressed/UTF-16 SST strings) — the XlsRead arm of S12
+    graft.ingest.XlsWrite.write(fixDir.resolve("book.xls").toString,
+      Seq("id", "name", "city"),
+      CharsetFixtureRows.map { case (i, n, c) => Seq[Any](i, n, c) },
+      forceRegularFat = false)
+    Seq("latin1.csv", "utf16.csv", "book.xlsx", "book.xls").map { label =>
       val p = fixDir.resolve(label).toString
       val charset =
         if (label.endsWith(".xlsx")) "xlsx"
+        else if (label.endsWith(".xls")) "xls-biff8"
         else graft.ingest.RobustCsv.detectCharset(s, p)
       val df = graft.ingest.RobustCsv.read(s, p)
         .getOrElse(sys.error(s"unreadable charset fixture $label"))
@@ -983,8 +990,12 @@ object SparkEntry {
       t(s, dir, "customer"), seed = 42L, keyCols = Seq("c_custkey"))
       .limit(100)
     top100
+      // constant partition: the input is the 100 surviving rows — ranking
+      // them on one partition is the point, not an accident worth a
+      // WindowExec scale warning
       .withColumn("pos",
-        row_number().over(Window.orderBy(sk, col("c_custkey"))).cast("long"))
+        row_number().over(Window.partitionBy(lit(0)).orderBy(sk, col("c_custkey")))
+          .cast("long"))
       .select(col("pos"), col("c_custkey").cast("long").as("c_custkey"))
       .orderBy("pos")
   }

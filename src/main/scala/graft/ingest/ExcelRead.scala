@@ -96,7 +96,7 @@ object ExcelRead {
     * casts cleanly becomes long (else double); one aggregation pass, same
     * vote shape as `RobustCsv.promoteDates`.
     */
-  private def inferNumeric(df: DataFrame): DataFrame = {
+  private[ingest] def inferNumeric(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     if (df.isEmpty) return df
     val aggs = df.columns.flatMap { c =>

@@ -120,12 +120,18 @@ object RobustCsv {
     val delim = sniffDelimiter(spark, path, charset)
     def csvChain = tryRead(spark, path, delim, charset, permissive = false)
       .orElse(tryRead(spark, path, delim, charset, permissive = true))
-    // zip magic means a workbook: the permissive CSV parser would otherwise
-    // "succeed" on the raw zip bytes as one garbage column and mask S12
+    // zip magic means an .xlsx workbook, CFB magic a legacy .xls: the
+    // permissive CSV parser would otherwise "succeed" on the raw bytes as
+    // one garbage column and mask S12
+    val head = headBytes(spark, path, 8)
+    val cfbMagic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
     val df =
-      if (headBytes(spark, path, 4).startsWith(Array[Byte]('P', 'K', 3, 4)))
+      if (head.startsWith(Array[Byte]('P', 'K', 3, 4)))
         ExcelRead.read(spark, path, RowCap).orElse(csvChain)
+      else if (head.startsWith(cfbMagic))
+        XlsRead.read(spark, path, RowCap).orElse(csvChain)
       else csvChain.orElse(ExcelRead.read(spark, path, RowCap))
+        .orElse(XlsRead.read(spark, path, RowCap))
     df.map(postProcess).filter(_.limit(MinRows).count() >= MinRows)
   }
 

@@ -51,8 +51,10 @@ object WordPiece {
     import spark.implicits._
     val specials = Seq(Pad, Unk, Cls, Sep).zipWithIndex
       .map { case (p, i) => (p, i.toLong) }.toDF("piece", "id")
+    // constant partition: vocab-bounded input; single-partition rank is
+    // intended (silences the WindowExec scale warning)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("piece"))
+      .partitionBy(lit(0)).orderBy(col("freq").desc, col("piece"))
     specials.unionByName(
       ranked.select(col("piece"), (row_number().over(w) + 3).cast("long").as("id")))
   }

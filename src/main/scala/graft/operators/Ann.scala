@@ -342,7 +342,9 @@ object Ann {
     val vecs = graft.sources.Lake.balance(embs)
       .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
     var cents = vecs.orderBy(col("id")).limit(k)
-      .withColumn("cell", row_number().over(Window.orderBy(col("id"))).cast("long"))
+      // constant partition: k seed rows; single-partition rank is intended
+      .withColumn("cell",
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("id"))).cast("long"))
       .select(col("cell"), col("qv").as("cq"))
       .localCheckpoint(true)
     (1 to iters).foreach { _ =>

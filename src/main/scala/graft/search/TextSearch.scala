@@ -103,7 +103,9 @@ object TextSearch {
     // merged on the driver), NOT a global window over the whole corpus;
     // the rank window then orders only the k surviving rows
     val top = scored.orderBy(col("score_r").desc, col("doc_id")).limit(k)
-    val w = Window.orderBy(col("score_r").desc, col("doc_id"))
+    // constant partition: input is the k survivors; single-partition rank
+    // is intended (silences the WindowExec scale warning)
+    val w = Window.partitionBy(lit(0)).orderBy(col("score_r").desc, col("doc_id"))
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select("doc_id", "score_r", "rank")
   }
