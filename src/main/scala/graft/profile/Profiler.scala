@@ -352,15 +352,17 @@ object Profiler {
   def decilesFromHist(hist: DataFrame, probs: Seq[Double],
                       keys: Seq[String] = Seq("col_idx")): DataFrame = {
     val k = keys.map(col)
-    // Accepts any (keys…, value_num, freq) histogram; the re-agg below
-    // collapses extra grouping columns. When the input is already keyed
-    // (keys…, value_num) — as profileFromLong feeds it — the child
-    // partitioning matches and this adds NO exchange. Null value rows
+    // Accepts any (keys…, value_num, freq) histogram, WITHOUT re-aggregating
+    // to distinct value_num first: duplicate (keys, value_num) rows (e.g. a
+    // chained stage-1 histogram still split by value_str) merely subdivide a
+    // value's rank interval into per-row sub-intervals — any probe rank
+    // falls into exactly one sub-interval and recovers the same value_num,
+    // so deciles are unchanged while a full re-agg shuffle is saved. The
+    // within-bucket cum-sum below uses an explicit ROWS frame so tied
+    // values accumulate per row, not per peer group. Null value rows
     // (string columns) ride along as bucket −1: no offset match → never
     // covering.
-    val h = hist
-      .groupBy(k :+ col("value_num"): _*)
-      .agg(sum(col("freq")).as("freq"))
+    val h = hist.select(k ++ Seq(col("value_num"), col("freq")): _*)
     val rng = h.groupBy(k: _*).agg(
       min(col("value_num")).as("vmin"), max(col("value_num")).as("vmax"),
       sum(when(col("value_num").isNotNull, col("freq")).otherwise(0L)).as("n"))
@@ -397,6 +399,7 @@ object Profiler {
     // so a bucket covering several probes doesn't double-count freq)
     val neededB = coverB.select(keys ++ Seq("bucket", "boff") map col: _*).distinct()
     val wV = Window.partitionBy(k :+ col("bucket"): _*).orderBy(col("value_num"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hb.join(broadcast(neededB), keys :+ "bucket")
       .withColumn("cum", sum(col("freq")).over(wV) + col("boff"))
       .withColumn("start", col("cum") - col("freq"))
