@@ -94,6 +94,12 @@ object Bench {
     * driver overhead — the dimension that kills the loop at the
     * reference's 40k-table corpora. Reported separately from `queries`
     * (not part of the round-over-round total).
+    *
+    * The 10+ MiB "broadcasting large task binary" warnings in the bench
+    * log come from THESE loop_40 arms (the 40-branch union plan serialized
+    * per task — the driver-side cost the unified path removes); the
+    * unified plans stay under Spark's 1 MiB warning threshold even at 400
+    * tables (tools/TaskBinProbe).
     */
   private def lakePlanBench(spark: SparkSession): String = {
     val dir = "/tmp/graft_bench_microlake"
