@@ -989,13 +989,9 @@ object SparkEntry {
     val top100 = graft.sources.Splits.seededShuffle(
       t(s, dir, "customer"), seed = 42L, keyCols = Seq("c_custkey"))
       .limit(100)
-    top100
-      // constant partition: the input is the 100 surviving rows — ranking
-      // them on one partition is the point, not an accident worth a
-      // WindowExec scale warning
-      .withColumn("pos",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(sk, col("c_custkey")))
-          .cast("long"))
+    // window-free rank of the 100 survivors (TakeOrdered output is one
+    // sorted partition; see Ranking.withPosition)
+    graft.operators.Ranking.withPosition(top100, "pos")
       .select(col("pos"), col("c_custkey").cast("long").as("c_custkey"))
       .orderBy("pos")
   }

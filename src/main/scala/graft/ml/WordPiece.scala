@@ -51,12 +51,14 @@ object WordPiece {
     import spark.implicits._
     val specials = Seq(Pad, Unk, Cls, Sep).zipWithIndex
       .map { case (p, i) => (p, i.toLong) }.toDF("piece", "id")
-    // constant partition: vocab-bounded input; single-partition rank is
-    // intended (silences the WindowExec scale warning)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("freq").desc, col("piece"))
+    // window-free vocab ids: global sort (range-partitioned — no single-
+    // partition funnel even at real 30k+ vocab sizes) + zipWithIndex
+    // positions (see Ranking.withPosition)
     specials.unionByName(
-      ranked.select(col("piece"), (row_number().over(w) + 3).cast("long").as("id")))
+      graft.operators.Ranking.withPosition(
+          ranked.select(col("piece"), col("freq"))
+            .orderBy(col("freq").desc, col("piece")), "__pos")
+        .select(col("piece"), (col("__pos") + 3).as("id")))
   }
 
   /** Greedy longest-match-first segmentation of one word (lowercased by

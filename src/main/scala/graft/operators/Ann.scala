@@ -341,10 +341,8 @@ object Ann {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = graft.sources.Lake.balance(embs)
       .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
-    var cents = vecs.orderBy(col("id")).limit(k)
-      // constant partition: k seed rows; single-partition rank is intended
-      .withColumn("cell",
-        row_number().over(Window.partitionBy(lit(0)).orderBy(col("id"))).cast("long"))
+    // window-free cell ids for the k seed rows (see Ranking.withPosition)
+    var cents = Ranking.withPosition(vecs.orderBy(col("id")).limit(k), "cell")
       .select(col("cell"), col("qv").as("cq"))
       .localCheckpoint(true)
     (1 to iters).foreach { _ =>

@@ -103,10 +103,9 @@ object TextSearch {
     // merged on the driver), NOT a global window over the whole corpus;
     // the rank window then orders only the k surviving rows
     val top = scored.orderBy(col("score_r").desc, col("doc_id")).limit(k)
-    // constant partition: input is the k survivors; single-partition rank
-    // is intended (silences the WindowExec scale warning)
-    val w = Window.partitionBy(lit(0)).orderBy(col("score_r").desc, col("doc_id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    // window-free rank of the k survivors (TakeOrdered output is one
+    // sorted partition; see Ranking.withPosition)
+    graft.operators.Ranking.withPosition(top, "rank")
       .select("doc_id", "score_r", "rank")
   }
 }

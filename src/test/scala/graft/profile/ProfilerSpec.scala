@@ -92,3 +92,53 @@ class ProfilerSpec extends SparkSpec {
     assert(p.getAs[Double]("min_v") == 1609459200.0)
   }
 }
+
+/** Contract of the re-agg-free decilesFromHist (round 8): duplicate
+  * (keys, value_num) histogram rows — e.g. a stage-1 histogram still
+  * split by value_str, or pre-split freq counts — subdivide a value's
+  * rank interval and must yield IDENTICAL deciles to the aggregated
+  * histogram, and to Spark's own exact percentile.
+  */
+class DecilesFromHistSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val probs = Profiler.QuantileProbs
+
+  test("duplicate value rows give the same deciles as the aggregated histogram") {
+    // column 0: skewed ints with heavy ties; column 1: near-unique doubles
+    val vals = (1 to 500).map(i => (0, (i % 7).toDouble, 1L)) ++
+      (1 to 400).map(i => (1, i * 1.25, 1L))
+    // split each value's frequency across 3 duplicate rows
+    val dup = vals.flatMap { case (c, v, _) => Seq((c, v, 1L), (c, v, 1L), (c, v, 1L)) }
+      .toDF("col_idx", "value_num", "freq")
+    val agg = dup.groupBy("col_idx", "value_num").agg(sum("freq").as("freq"))
+    val a = Profiler.decilesFromHist(dup, probs).collect()
+      .map(r => r.getAs[Int]("col_idx") -> r.getAs[Seq[Double]]("deciles")).toMap
+    val b = Profiler.decilesFromHist(agg, probs).collect()
+      .map(r => r.getAs[Int]("col_idx") -> r.getAs[Seq[Double]]("deciles")).toMap
+    assert(a == b)
+    // cross-check against Spark's built-in exact percentile on the
+    // expanded multiset (each dup row carries freq 1 = one element)
+    val expanded = dup.select(col("col_idx"), col("value_num"))
+    val exact = expanded.groupBy("col_idx")
+      .agg(expr(s"percentile(value_num, array(${probs.mkString(",")}))").as("p"))
+      .collect().map(r => r.getAs[Int]("col_idx") -> r.getAs[Seq[Double]]("p")).toMap
+    probs.indices.foreach { i =>
+      assert(math.abs(a(0)(i) - exact(0)(i)) < 1e-9, s"col0 q$i")
+      assert(math.abs(a(1)(i) - exact(1)(i)) < 1e-9, s"col1 q$i")
+    }
+  }
+
+  test("single-value and two-value columns interpolate exactly") {
+    val h = Seq((0, 5.0, 10L), (1, 1.0, 1L), (1, 2.0, 1L))
+      .toDF("col_idx", "value_num", "freq")
+    val d = Profiler.decilesFromHist(h, probs).collect()
+      .map(r => r.getAs[Int]("col_idx") -> r.getAs[Seq[Double]]("deciles")).toMap
+    assert(d(0).forall(_ == 5.0))
+    // two values, n=2: pos = p*(n-1) = p -> lo=0, hi=1 interpolation
+    probs.indices.foreach { i =>
+      assert(math.abs(d(1)(i) - (1.0 + probs(i))) < 1e-12)
+    }
+  }
+}
