@@ -33,19 +33,25 @@ object Graft {
     * Tables whose parquet types the unified decoder cannot express
     * (decimals, maps/structs, non-float lists) are detected up front by
     * a one-job footer probe and profiled through the per-table path, so
-    * mixed lakes profile completely instead of failing mid-job. */
+    * mixed lakes profile completely instead of failing mid-job.
+    * `withSketches=false` skips the MinHash digests, `withQuantiles=false`
+    * the exact-decile subtree — stats-only profiling at corpus scale pays
+    * for neither. */
   def profileLake(spark: SparkSession, dir: String, tables: Seq[String],
-                  rowCap: Option[Int] = Some(10000)): DataFrame = {
+                  rowCap: Option[Int] = Some(10000),
+                  withSketches: Boolean = true,
+                  withQuantiles: Boolean = true): DataFrame = {
     require(tables.nonEmpty, "profileLake needs at least one table")
     val exotic = sources.LakeScan.unsupportedTables(spark, dir, tables).toSet
     val unified = tables.filterNot(exotic)
     val parts =
       (if (unified.nonEmpty)
-        Seq(profile.Profiler.profileLakeUnified(spark, dir, unified, rowCap = rowCap))
+        Seq(profile.Profiler.profileLakeUnified(spark, dir, unified,
+          withSketches, rowCap, withQuantiles))
       else Nil) ++
       (if (exotic.nonEmpty)
         Seq(profile.Profiler.profileLake(spark, dir, tables.filter(exotic),
-          rowCap = rowCap))
+          withSketches, rowCap, withQuantiles))
       else Nil)
     parts.reduce(_ unionByName _)
   }
