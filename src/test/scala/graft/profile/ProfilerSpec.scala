@@ -142,3 +142,21 @@ class DecilesFromHistSpec extends SparkSpec {
     }
   }
 }
+
+/** Plan-shape guard for the round-8 chaining: the decile branch must
+  * REUSE the stage-1 histogram exchange at runtime (AQE stage reuse),
+  * not re-scan and re-shuffle the exploded cell relation. */
+class ProfilePlanReuseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decile branch reuses the stage-1 histogram exchange") {
+    val df = (1 to 5000).map(i => (i % 37, i.toDouble % 101, s"s$i")).toDF("a", "b", "c")
+    val prof = Profiler.profile(df, "t", withSketches = false)
+    prof.collect()
+    val plan = prof.queryExecution.executedPlan.toString
+    val reusedStage1 = plan.linesIterator.count(l =>
+      l.contains("ReusedExchange") && l.contains("value_str") && l.contains("value_num"))
+    assert(reusedStage1 >= 1,
+      s"expected the stage-1 (keys, value_str, value_num) exchange to be reused; plan:\n$plan")
+  }
+}
