@@ -1578,11 +1578,17 @@ object SparkEntry {
     */
   private def lineDedupQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val words = split(trim(col("text")), "\\s+")
-    val lined = docs.select(col("doc_id"),
-      array_join(transform(
-        sequence(lit(0), (ceil(size(words) / lit(3.0)) - 1).cast("int")),
-        i => array_join(slice(words, i * 3 + 1, lit(3)), " ")), "\n").as("text"))
+    // materialize the split ONCE per row in its own projection: referencing
+    // the split expression directly inside the transform lambda makes
+    // Catalyst re-evaluate the regex split per sequence element (~100x
+    // per doc — this query ran 5s instead of 1s at sf0.1). CollapseProject
+    // keeps the alias because it is referenced more than once.
+    val lined = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), (ceil(size(col("w")) / lit(3.0)) - 1).cast("int")),
+          i => array_join(slice(col("w"), i * 3 + 1, lit(3)), " ")), "\n").as("text"))
     graft.operators.Dedup.lineDedup(lined, maxDocsPerLine = 1)
       .select(col("id"), col("n_lines").cast("long").as("n_lines"),
         col("n_kept"), col("text"))
