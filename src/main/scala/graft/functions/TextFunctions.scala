@@ -81,12 +81,17 @@ object TextFunctions {
     when(k <= 0, array(concat_ws(" ", toks))).otherwise(joined)
   }
 
-  /** Character n-gram shingles (the classic MinHash dedup unit). */
+  /** Character n-gram shingles (the classic MinHash dedup unit).
+    * Same shifted-slice/zip_with construction as [[word_shingles]]: a
+    * `substr(i, n)` lambda over positions would re-evaluate the
+    * normalization regex per position — O(len²) per row. */
   def char_shingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val chars = split(norm, "")
     val k = length(norm) - (n - 1)
-    when(k <= 0, array(norm))
-      .otherwise(transform(sequence(lit(1), k), i => norm.substr(i, lit(n))))
+    val slices = (0 until n).map(j => slice(chars, lit(j + 1), k))
+    val joined = slices.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, y)))
+    when(k <= 0, array(norm)).otherwise(joined)
   }
 
   /** Exact Jaccard between two array columns (distinct semantics). */
