@@ -1802,7 +1802,7 @@ object OracleSql {
 
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+      s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
 
     "p2_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem

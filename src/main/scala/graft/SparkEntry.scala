@@ -1735,8 +1735,11 @@ object SparkEntry {
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // top-100 by the FULL cap key: (l_orderkey, l_linenumber) alone is not
+    // unique in the sampled-with-replacement lineitem, and a tie on the
+    // limit boundary would make the selected rows engine-dependent
     "s1_scan_topn" -> ((s, d) => t(s, d, "lineitem")
-      .orderBy("l_orderkey", "l_linenumber").limit(100)),
+      .orderBy(graft.sources.Lake.TableKeys("lineitem").map(col): _*).limit(100)),
     "p2_filter_project" -> ((s, d) => t(s, d, "lineitem")
       .filter(col("l_shipdate") >= lit("1995-06-01") && col("l_shipdate") < lit("1995-07-01")
         && col("l_discount") > 0.05)

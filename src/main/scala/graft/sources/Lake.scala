@@ -7,11 +7,13 @@ import org.apache.spark.sql.types.{LongType, Metadata}
 /** Lake table reader.
   *
   * Spark 4 rejects parquet TIMESTAMP(NANOS) columns outright
-  * (PARQUET_TYPE_ILLEGAL); the driver's `events` table carries one. We read
-  * nanos as raw longs (`spark.sql.legacy.parquet.nanosAsLong`) and convert
-  * to a micros TimestampType column — the same ns→us truncation DuckDB
-  * applies when it loads TIMESTAMP_NS into its us-precision TIMESTAMP, so
-  * both engines see identical values.
+  * (PARQUET_TYPE_ILLEGAL); earlier driver lakes stored `events.ts` that
+  * way (current testdata is micros, which reads natively). The ns path is
+  * kept defensively: read nanos as raw longs
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
+  * TimestampType column — the same ns→us truncation DuckDB applies when
+  * it loads TIMESTAMP_NS into its us-precision TIMESTAMP, so both
+  * engines see identical values either way.
   */
 object Lake {
 
@@ -41,13 +43,24 @@ object Lake {
     if (estParts < target) df.repartition(target) else df
   }
 
-  /** Primary key per driver-lake table — the ordering that makes the O1
-    * row cap deterministic across engines (see [[read]]). */
+  /** Cap-ordering key per driver-lake table — the ordering that makes the
+    * O1 row cap deterministic across engines (see [[read]]). The ordering
+    * must be TOTAL up to full-row duplicates, or a tie straddling the cap
+    * boundary makes the selected row SET engine-dependent: the driver's
+    * lineitem is sampled with replacement, so (l_orderkey, l_linenumber)
+    * is NOT unique (at sf0.1 a duplicate pair sat exactly at rank 10000
+    * and flipped one profile count vs the oracle) — its key is therefore
+    * the full column list; remaining ties are identical rows, which any
+    * engine may pick interchangeably. Single-column keys below are
+    * genuinely unique in the generated data.
+    */
   val TableKeys: Map[String, Seq[String]] = Map(
     "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
     "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
     "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
