@@ -1209,6 +1209,37 @@ object OracleSql {
       |FROM counts c LEFT JOIN cc USING (doc_id) LEFT JOIN ov o USING (doc_id)
       |ORDER BY id""".stripMargin
 
+  /** d_dup_spans: replay the exact duplicated-substring pass — 8-grams at
+    * every token position, corpus-wide occurrence counts with the
+    * lexicographic-first (id, pos) canonical copy (encoded as
+    * id·1e6 + pos, safe: doc ids and positions are far below 1e6),
+    * gaps-and-islands merge of the surviving positions. */
+  private def dupSpansSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |           FROM documents WHERE trim(text) <> ''),
+      |e AS (SELECT * FROM d WHERE len(w) >= 8),
+      |g AS (SELECT doc_id AS id, i - 1 AS pos,
+      |        array_to_string(w[i:i+7], ' ') AS gram
+      |      FROM e, unnest(range(1, len(w) - 7 + 1)) AS t(i)),
+      |st AS (SELECT gram, count(*) AS occ, min(id * 1000000 + pos) AS fk
+      |       FROM g GROUP BY gram),
+      |m AS (SELECT g.id, g.pos FROM g JOIN st USING (gram)
+      |      WHERE st.occ > 1 AND g.id * 1000000 + g.pos <> st.fk),
+      |i AS (SELECT id, pos,
+      |        CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+      |              OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + 1
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM m),
+      |isl AS (SELECT id, pos,
+      |          sum(brk) OVER (PARTITION BY id ORDER BY pos) AS isl
+      |        FROM i)
+      |SELECT CAST(id AS BIGINT) AS id,
+      |  CAST(min(pos) AS BIGINT) AS start_tok,
+      |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
+      |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
+      |FROM isl GROUP BY id, isl
+      |ORDER BY id, start_tok""".stripMargin
+
   /** d_line_dedup: replay the 3-word line shaping, the corpus-wide
     * normalized-line doc counts, the keep rule (unique line, or the
     * minimum-id owner), and the in-order reassembly
@@ -2253,6 +2284,7 @@ object OracleSql {
     "d_decontam_report" -> decontamSql,
     "d_bloom_prefilter" -> bloomPrefilterSql,
     "d_line_dedup" -> lineDedupSql,
+    "d_dup_spans" -> dupSpansSql,
     "t_cms_freq" -> cmsFreqSql,
     "d_incremental_dedup" -> incrementalDedupSql,
     "a_hll_distinct" -> hllDistinctSql,

@@ -1834,6 +1834,9 @@ object SparkEntry {
     "d_decontam_report" -> decontamReport,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,
+    "d_dup_spans" -> ((s, d) =>
+      graft.operators.Dedup.duplicateSpans(t(s, d, "documents"), minTokens = 8)
+        .orderBy("id", "start_tok")),
     "t_cms_freq" -> cmsFreqQ,
     "d_incremental_dedup" -> incrementalDedupQ,
     "a_hll_distinct" -> hllDistinctQ,

@@ -108,6 +108,58 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Exact duplicated-SUBSTRING spans (the "deduplicating training data"
+    * substring-level pass, Lee et al. 2021, arXiv:2107.06499 — there via
+    * corpus suffix arrays), expressed relationally: any duplicated token
+    * run of length ≥ `minTokens` is a maximal island of duplicated
+    * `minTokens`-grams, so (1) explode every token position's L-gram,
+    * (2) one corpus-wide groupBy on the gram hash finds grams occurring
+    * more than once (keeping the lexicographic-first (id, pos) occurrence
+    * as the canonical copy), (3) a per-doc gaps-and-islands window merges
+    * the surviving positions into maximal spans.
+    *
+    * Scale posture: the gram relation shuffles ONCE on the gram hash
+    * (map-side combine collapses per-partition duplicates); the stats
+    * join is co-partitioned on the same hash, so the stage-1 exchange is
+    * reused, not re-scanned; the island window partitions by doc — never
+    * more rows in one partition than one document's tokens. Docs shorter
+    * than `minTokens` carry no L-gram and are skipped by construction.
+    *
+    * Output: one row per (id, span): token offsets [start_tok, end_tok]
+    * (0-based, inclusive) and the span's token count. The canonical first
+    * occurrence of each gram is NOT marked, so one copy of every
+    * duplicated run survives — removal semantics, not just detection.
+    */
+  def duplicateSpans(docs: DataFrame, minTokens: Int = 8,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val grams = docs.filter(trim(col(textCol)) =!= "")
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= minTokens)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(word_shingles(col(textCol), minTokens)).as(Seq("pos", "gram")))
+      // engine-internal collision key (the oracle groups by the gram TEXT,
+      // so the hash choice is free): xxhash64 keeps the shuffle key at 8
+      // bytes and codegen'd, vs a 32-char md5 hex string
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val stats = grams.groupBy("gh").agg(count(lit(1)).as("occ"),
+      min(struct(col("id"), col("pos"))).as("first"))
+    val dupPos = grams.join(stats, "gh")
+      .filter(col("occ") > 1 &&
+        !(col("id") === col("first.id") && col("pos") === col("first.pos")))
+      .select("id", "pos")
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      .withColumn("brk", when(col("prev").isNull || col("pos") > col("prev") + 1, 1L)
+        .otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(wDoc))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + minTokens - 1).cast("long").as("end_tok"))
+      .withColumn("span_tokens", col("end_tok") - col("start_tok") + 1)
+      .select("id", "start_tok", "end_tok", "span_tokens")
+  }
+
   /** Exact word-n-gram Jaccard over a candidate pair relation — the
     * verification stage (and a standalone small-scale dedup). `pairs` must
     * have (id_a, id_b); fully SQL-expressible for the oracle.

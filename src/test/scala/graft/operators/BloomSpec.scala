@@ -113,3 +113,36 @@ class LineDedupSpec extends SparkSpec {
     assert(out(3L) == "unique third body")
   }
 }
+
+/** Exact duplicated-substring spans (relational substring dedup). */
+class DuplicateSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spans(docs: org.apache.spark.sql.DataFrame, l: Int) =
+    Dedup.duplicateSpans(docs, minTokens = l).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok"), r.getAs[Long]("span_tokens"))).sorted
+
+  test("cross-doc shared run: only the non-canonical copy is spanned") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d z")).toDF("doc_id", "text")
+    // shared 4-token run "a b c d": doc1 holds the canonical first grams
+    assert(spans(docs, 3).toSeq == Seq((2L, 2L, 5L, 4L)))
+  }
+
+  test("within-doc repetition keeps exactly one copy") {
+    val docs = Seq((7L, "p q r p q r p q r")).toDF("doc_id", "text")
+    // grams at pos 0..2 are the canonical copies; pos 3..6 form one island
+    // covering tokens 3..8 = the 2nd and 3rd "p q r"
+    assert(spans(docs, 3).toSeq == Seq((7L, 3L, 8L, 6L)))
+  }
+
+  test("short docs and unique docs produce no spans") {
+    val docs = Seq(
+      (1L, "too short"),
+      (2L, "all tokens here are completely unique today"),
+      (3L, "other words without any overlap whatsoever now")).toDF("doc_id", "text")
+    assert(spans(docs, 3).isEmpty)
+  }
+}
