@@ -1214,9 +1214,10 @@ object OracleSql {
     * lexicographic-first (id, pos) canonical copy (encoded as
     * id·1e6 + pos, safe: doc ids and positions are far below 1e6),
     * gaps-and-islands merge of the surviving positions. */
-  private def dupSpansSql: String =
-    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-      |           FROM documents WHERE trim(text) <> ''),
+  private def dupSpanCtes: String =
+    """d AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |        ELSE string_split_regex(trim(text), '\s+') END AS w
+      |      FROM documents),
       |e AS (SELECT * FROM d WHERE len(w) >= 8),
       |g AS (SELECT doc_id AS id, i - 1 AS pos,
       |        array_to_string(w[i:i+7], ' ') AS gram
@@ -1232,13 +1233,37 @@ object OracleSql {
       |      FROM m),
       |isl AS (SELECT id, pos,
       |          sum(brk) OVER (PARTITION BY id ORDER BY pos) AS isl
-      |        FROM i)
+      |        FROM i)""".stripMargin
+
+  private def dupSpansSql: String =
+    s"""WITH $dupSpanCtes
       |SELECT CAST(id AS BIGINT) AS id,
       |  CAST(min(pos) AS BIGINT) AS start_tok,
       |  CAST(max(pos) + 7 AS BIGINT) AS end_tok,
       |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
       |FROM isl GROUP BY id, isl
       |ORDER BY id, start_tok""".stripMargin
+
+  /** d_substring_dedup: the removal companion — every token covered by a
+    * duplicated span is excised, remaining tokens reassemble in order. */
+  private def removeSpansSql: String =
+    s"""WITH $dupSpanCtes,
+      |sp AS (SELECT id, min(pos) AS s, max(pos) + 7 AS e2
+      |       FROM isl GROUP BY id, isl),
+      |tok AS (SELECT doc_id AS id, gi - 1 AS pos, w[gi] AS tok
+      |        FROM d, unnest(range(1, len(w) + 1)) AS t(gi)),
+      |kept AS (SELECT t.id, t.pos, t.tok FROM tok t
+      |         WHERE NOT EXISTS (SELECT 1 FROM sp
+      |           WHERE sp.id = t.id AND t.pos BETWEEN sp.s AND sp.e2)),
+      |ka AS (SELECT id, count(*) AS n_kept,
+      |         string_agg(tok, ' ' ORDER BY pos) AS text
+      |       FROM kept GROUP BY id)
+      |SELECT CAST(d.doc_id AS BIGINT) AS id,
+      |  CAST(len(d.w) AS BIGINT) AS n_tokens,
+      |  CAST(len(d.w) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(ka.text, '') AS text
+      |FROM d LEFT JOIN ka ON ka.id = d.doc_id
+      |ORDER BY id""".stripMargin
 
   /** d_line_dedup: replay the 3-word line shaping, the corpus-wide
     * normalized-line doc counts, the keep rule (unique line, or the
@@ -2285,6 +2310,7 @@ object OracleSql {
     "d_bloom_prefilter" -> bloomPrefilterSql,
     "d_line_dedup" -> lineDedupSql,
     "d_dup_spans" -> dupSpansSql,
+    "d_substring_dedup" -> removeSpansSql,
     "t_cms_freq" -> cmsFreqSql,
     "d_incremental_dedup" -> incrementalDedupSql,
     "a_hll_distinct" -> hllDistinctSql,

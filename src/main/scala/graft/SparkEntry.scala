@@ -1837,6 +1837,9 @@ object SparkEntry {
     "d_dup_spans" -> ((s, d) =>
       graft.operators.Dedup.duplicateSpans(t(s, d, "documents"), minTokens = 8)
         .orderBy("id", "start_tok")),
+    "d_substring_dedup" -> ((s, d) =>
+      graft.operators.Dedup.removeDuplicateSpans(t(s, d, "documents"), minTokens = 8)
+        .orderBy("id")),
     "t_cms_freq" -> cmsFreqQ,
     "d_incremental_dedup" -> incrementalDedupQ,
     "a_hll_distinct" -> hllDistinctQ,

@@ -160,6 +160,36 @@ object Dedup {
       .select("id", "start_tok", "end_tok", "span_tokens")
   }
 
+  /** Removal companion of [[duplicateSpans]]: excise every duplicated
+    * span from each document and reassemble the remaining tokens in
+    * order. Per-doc spans ride as an array column, so the keep test is a
+    * row-local `filter(toks, (t, i) => !exists(spans, …))` — no token-
+    * level join; the only shuffles are duplicateSpans' own plus one
+    * per-doc span collect.
+    */
+  def removeDuplicateSpans(docs: DataFrame, minTokens: Int = 8,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(docs, minTokens, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("spans"))
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol))
+      .join(spans, Seq("id"), "left")
+      .withColumn("__toks",
+        when(trim(col(textCol)) === "", array().cast("array<string>"))
+          .otherwise(split(trim(col(textCol)), "\\s+")))
+      .withColumn("__spans", coalesce(col("spans"),
+        array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__spans"), s =>
+          i.cast("long") >= s.getField("start_tok") &&
+            i.cast("long") <= s.getField("end_tok"))))
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(col("__kept"), " ").as(textCol))
+  }
+
   /** Exact word-n-gram Jaccard over a candidate pair relation — the
     * verification stage (and a standalone small-scale dedup). `pairs` must
     * have (id_a, id_b); fully SQL-expressible for the oracle.

@@ -146,3 +146,22 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(spans(docs, 3).isEmpty)
   }
 }
+
+class RemoveDuplicateSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("removal keeps exactly one copy of every duplicated run") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d z"),
+      (7L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, minTokens = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("text") == "a b c d e") // canonical, untouched
+    assert(out(1L).getAs[Long]("n_removed") == 0)
+    assert(out(2L).getAs[String]("text") == "x y z")
+    assert(out(2L).getAs[Long]("n_tokens") == 7 && out(2L).getAs[Long]("n_removed") == 4)
+    assert(out(7L).getAs[String]("text") == "p q r")
+    assert(out(7L).getAs[Long]("n_removed") == 6)
+  }
+}
