@@ -853,16 +853,24 @@ object OracleSql {
     * corpus→nearest cell, queries→2 nearest cells, full-precision
     * cosine within probed cells, top-5.
     */
-  private def annKmeansIvfSql: String = {
-    val (iters, kCells, nProbe, k, dim) = (3, 8, 2, 5, 64)
-    def argmin(src: String, filter: String, rnCond: String) =
-      s"""  SELECT vec_id, cell FROM (
-         |    SELECT v.vec_id, c.cell,
-         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |        list_sum([(v.qv[d] - c.cq[d]) * (v.qv[d] - c.cq[d])
-         |                  FOR d IN range(1, ${dim + 1})]), c.cell) AS rn
-         |    FROM qvs v, $src c$filter)
-         |  WHERE $rnCond""".stripMargin
+  /** Nearest-cell argmin CTE body over `qvs` × the `src` centroid
+    * relation (BIGINT micro-space distances, ties to the lowest cell) —
+    * shared by the kmeans replays. */
+  private def kmeansArgmin(src: String, filter: String, rnCond: String,
+                           dim: Int): String =
+    s"""  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_sum([(v.qv[d] - c.cq[d]) * (v.qv[d] - c.cq[d])
+       |                  FOR d IN range(1, ${dim + 1})]), c.cell) AS rn
+       |    FROM qvs v, $src c$filter)
+       |  WHERE $rnCond""".stripMargin
+
+  /** Deterministic Lloyd's replay CTEs: `qvs` (micro-quantized
+    * embeddings), `c0` (k lowest-id seeds), and per-iteration
+    * assign/sum/mean/carry rounds ending at `c$iters` — shared by
+    * ann_kmeans_ivf and d_semdedup. */
+  private def kmeansCascade(iters: Int, kCells: Int, dim: Int): String = {
     val base =
       s"""qvs AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -873,7 +881,7 @@ object OracleSql {
          |  FROM (SELECT vec_id, qv FROM qvs ORDER BY vec_id LIMIT $kCells))""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""a$i AS (
-         |${argmin(s"c${i - 1}", "", "rn = 1")}),
+         |${kmeansArgmin(s"c${i - 1}", "", "rn = 1", dim)}),
          |s$i AS (
          |  SELECT a.cell, d, sum(v.qv[d]) AS s, count(*) AS n
          |  FROM (SELECT vec_id, cell, unnest(range(1, ${dim + 1})) AS d FROM a$i) a
@@ -887,7 +895,14 @@ object OracleSql {
          |  SELECT o.cell, coalesce(nn.cq, o.cq) AS cq
          |  FROM c${i - 1} o LEFT JOIN n$i nn USING (cell))""".stripMargin
     }
-    s"""WITH ${(base +: rounds).mkString(",\n")},
+    (base +: rounds).mkString(",\n")
+  }
+
+  private def annKmeansIvfSql: String = {
+    val (iters, kCells, nProbe, k, dim) = (3, 8, 2, 5, 64)
+    def argmin(src: String, filter: String, rnCond: String) =
+      kmeansArgmin(src, filter, rnCond, dim)
+    s"""WITH ${kmeansCascade(iters, kCells, dim)},
        |ca AS (
        |${argmin(s"c$iters", "", "rn = 1")}),
        |qp AS (
@@ -905,6 +920,81 @@ object OracleSql {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
        |FROM scored QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** d_semdedup: replay SemDeDup — the shared Lloyd's cascade assigns
+    * every vector to its final cell; within a cell a vector is removed
+    * iff an earlier-id member has cosine ≥ 0.35 (upper-triangular
+    * rule); the reported dominator is the lowest such id with its
+    * cosine. */
+  private def semDedupSql: String = {
+    val (iters, kCells, dim, tau) = (3, 8, 64, "0.35")
+    s"""WITH ${kmeansCascade(iters, kCells, dim)},
+       |ca AS (
+       |${kmeansArgmin(s"c$iters", "", "rn = 1", dim)}),
+       |f AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM qvs),
+       |pr AS (
+       |  SELECT b.vec_id AS vec_id, a.cell AS cell, a.vec_id AS dup_of,
+       |    CASE WHEN fa.nrm * fb.nrm = 0 THEN 0.0
+       |         ELSE round(list_dot_product(fa.e, fb.e) / (fa.nrm * fb.nrm), 6) END AS cosine
+       |  FROM ca a JOIN ca b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN f fa ON fa.vec_id = a.vec_id
+       |  JOIN f fb ON fb.vec_id = b.vec_id)
+       |SELECT vec_id, cell, min(dup_of) AS dup_of,
+       |  arg_min(cosine, dup_of) AS cosine
+       |FROM pr WHERE cosine >= $tau
+       |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin
+  }
+
+  /** d_dsir_sample: replay DSIR importance resampling — hashed
+    * unigram+bigram buckets (md5_low32(feat) % 1024), add-1-smoothed
+    * log-ratio of target (lang='en') vs raw bucket distributions in
+    * floor/ceil-half-away micro-units, exact BIGINT per-doc sums,
+    * salted-hash Gumbel top-20. */
+  private def dsirSampleSql: String = {
+    val (m, n, salt) = (1024, 20, "dsir0")
+    val rhaSql = (e: String) =>
+      s"CAST(CASE WHEN $e >= 0 THEN floor($e + 0.5) ELSE ceil($e - 0.5) END AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    [x FOR x IN string_split_regex(lower(trim(text)), '\\s+') IF x <> ''] AS w
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, unnest(
+       |    [('u:' || x) FOR x IN w] ||
+       |    CASE WHEN len(w) >= 2
+       |         THEN [('b:' || w[i] || ' ' || w[i + 1]) FOR i IN range(1, len(w))]
+       |         ELSE [] END) AS feat
+       |  FROM d),
+       |fb AS (
+       |  SELECT doc_id, lang,
+       |    CAST((md5_number_lower(feat) & 4294967295) % $m AS BIGINT) AS bucket,
+       |    count(*) AS n
+       |  FROM f GROUP BY doc_id, lang, bucket),
+       |cr AS (SELECT bucket, sum(n) AS c FROM fb GROUP BY bucket),
+       |ct AS (SELECT bucket, sum(n) AS c FROM fb WHERE lang = 'en' GROUP BY bucket),
+       |tr AS (SELECT sum(n) AS t FROM fb),
+       |tt AS (SELECT sum(n) AS t FROM fb WHERE lang = 'en'),
+       |lam AS (
+       |  SELECT bucket, ${rhaSql("l")} AS lw
+       |  FROM (
+       |    SELECT r.bucket,
+       |      ln(CAST((coalesce(t2.c, 0) + 1) * (tr.t + $m) AS DOUBLE) /
+       |         CAST((r.c + 1) * (tt.t + $m) AS DOUBLE)) * 1000000 AS l
+       |    FROM cr r LEFT JOIN ct t2 USING (bucket), tr, tt)),
+       |sc AS (SELECT doc_id, sum(n * lw) AS s FROM fb JOIN lam USING (bucket) GROUP BY doc_id),
+       |ky AS (
+       |  SELECT doc_id, s, s + ${rhaSql("g")} AS key
+       |  FROM (
+       |    SELECT dd.doc_id, coalesce(sc.s, 0) AS s,
+       |      -ln(-ln((CAST((md5_number_lower(CAST(dd.doc_id AS VARCHAR) || ':$salt')
+       |                     & 4294967295) AS DOUBLE) + 0.5) / 4294967296.0)) * 1000000 AS g
+       |    FROM documents dd LEFT JOIN sc USING (doc_id)))
+       |SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, CAST(s AS DOUBLE) / 1000000.0 AS logw_r,
+       |  CAST(key AS DOUBLE) / 1000000.0 AS key_r
+       |FROM (SELECT * FROM ky ORDER BY key DESC, doc_id LIMIT $n)
+       |ORDER BY rank""".stripMargin
   }
 
   /** t2_bpe_train: replay BPE training as an UNROLLED 8-round CTE
@@ -2299,6 +2389,8 @@ object OracleSql {
     "w_domain_cap" -> domainCapSql,
     "t2_bpe_train" -> bpeTrainSql,
     "ann_kmeans_ivf" -> annKmeansIvfSql,
+    "d_semdedup" -> semDedupSql,
+    "d_dsir_sample" -> dsirSampleSql,
     "st_stream_quantiles" -> quantileSketchSql("lineitem"),
     "x_zorder" -> zorderSql,
     "t2_bpe_encode" -> bpeEncodeSql,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.profile.Profiler
 import graft.search.Discovery
-import graft.operators.{Ann, Dedup, TextAnalysis}
+import graft.operators.{Ann, Dedup, Importance, TextAnalysis}
 import graft.functions.SketchFunctions._
 import graft.functions.TextFunctions._
 import graft.functions.DateFunctions._
@@ -1078,6 +1078,21 @@ object SparkEntry {
     Ann.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.35)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup (Abbas et al. 2023): kmeans-cluster-scoped semantic
+    * near-duplicate removal over the embeddings table. */
+  private def semDedupQ(s: SparkSession, dir: String): DataFrame =
+    Ann.semDedup(t(s, dir, "embeddings"), threshold = 0.35)
+      .orderBy("vec_id")
+
+  /** DSIR (Xie et al. 2023): Gumbel top-20 importance resample of the
+    * document corpus toward its English subset's hashed-bigram
+    * distribution. */
+  private def dsirSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Importance.resample(docs, docs.filter(col("lang") === "en"), n = 20)
+      .orderBy("rank")
+  }
+
   /** A16: distinct-value head for small-domain columns — deterministic via
     * full sort (domains ≤ ~100 values), string-joined for the oracle. */
   private def valueHeads(s: SparkSession, dir: String): DataFrame = {
@@ -1792,6 +1807,8 @@ object SparkEntry {
     "t_lang_quality" -> langQuality,
     "type_inference" -> typeInference,
     "d_emb_neardups" -> embNearDups,
+    "d_semdedup" -> semDedupQ,
+    "d_dsir_sample" -> dsirSampleQ,
     "a16_value_heads" -> valueHeads,
     "a9_corr_probe" -> corrProbe,
     "a15_content_hash" -> contentHashes,

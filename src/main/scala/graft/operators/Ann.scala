@@ -406,6 +406,55 @@ object Ann {
     topKByScore(scored, "cosine", k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): embedding-space near-duplicate removal that only
+    * compares WITHIN k-means clusters, never across. Clustering is
+    * [[kmeansCentroids]] (deterministic exact-integer Lloyd's), so the
+    * removed set is a pure function of the data and a DuckDB oracle
+    * replays it bit-for-bit. Within a cluster the paper's
+    * upper-triangular rule applies under id order: a member is a
+    * semantic duplicate iff an EARLIER-id member of the same cluster
+    * has cosine ≥ `threshold` — the dominating member need not itself
+    * survive, exactly the paper's triangular max-similarity matrix rule
+    * (reference corpus analog: the embedding-search pipeline of
+    * `extract_embeddings.py` / `embedding_search.py` supplies the
+    * vectors; dedup on them is the training-corpus extension).
+    *
+    * Output: one row per REMOVED vector — `(vec_id, cell, dup_of,
+    * cosine)` with `dup_of` = the lowest dominating id and `cosine` =
+    * cosine(vec, dup_of) rounded to 6dp.
+    *
+    * Scale shape: centroids broadcast; assignment map-side; the
+    * within-cell self-join shuffles once on cell and scores Σ|cell|²/2
+    * pairs — the SemDeDup design point: cluster count is the cost dial
+    * (kCells grows with the corpus so cells stay bounded), and cells
+    * partition the corpus so no pair is scored twice. The dominating-id
+    * reduction is a plain aggregation (no window).
+    */
+  def semDedup(embs: DataFrame, threshold: Double = 0.35, kCells: Int = 8,
+               iters: Int = 3, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(embs, kCells, iters, idCol, vecCol)
+    val base = graft.sources.Lake.balance(embs)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"),
+        microVec(col(vecCol)).as("qv"))
+    val assigned = assignCells(base, cents)
+      .withColumn("nrm", norm(col("v")))
+    val dom = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        safeCosine(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("b.id").as("vec_id"), col("a.cell").as("cell"),
+        col("a.id").as("dup_of"), col("cosine"))
+    dom.groupBy("vec_id", "cell")
+      .agg(min(struct(col("dup_of"), col("cosine"))).as("m"))
+      .select(col("vec_id"), col("cell"),
+        col("m.dup_of").as("dup_of"), col("m.cosine").as("cosine"))
+  }
+
   /** IVF-style bucketed top-k: assign each vector to its nearest of
     * `nCells` hash-derived centroid buckets (by signature prefix), search
     * only within the query's bucket. Approximate; the scale path when the
