@@ -440,8 +440,11 @@ object Ann {
       .select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("v"),
         microVec(col(vecCol)).as("qv"))
+    // both sides of the self-join read the assignment subtree (kmeans
+    // crossjoin + per-id argmin window) — materialize it once
     val assigned = assignCells(base, cents)
       .withColumn("nrm", norm(col("v")))
+      .persist()
     val dom = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cosine",

@@ -73,9 +73,16 @@ object Importance {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
-                        mBuckets: Int = 1024): DataFrame = {
-    val fr = hashedFeatures(raw, idCol, textCol, mBuckets)
-      .groupBy("bucket").agg(sum(col("n")).as("cr"))
+                        mBuckets: Int = 1024): DataFrame =
+    weightsFromFeatures(hashedFeatures(raw, idCol, textCol, mBuckets),
+      target, idCol, textCol, mBuckets)
+
+  /** [[importanceWeights]] from an already-materialized raw feature
+    * relation (so [[resample]] hashes the raw corpus once, not twice). */
+  private def weightsFromFeatures(rawFeats: DataFrame, target: DataFrame,
+                                  idCol: String, textCol: String,
+                                  mBuckets: Int): DataFrame = {
+    val fr = rawFeats.groupBy("bucket").agg(sum(col("n")).as("cr"))
     val ft = hashedFeatures(target, idCol, textCol, mBuckets)
       .groupBy("bucket").agg(sum(col("n")).as("ct"))
     val tot = fr.agg(sum(col("cr")).as("tr"))
@@ -99,8 +106,11 @@ object Importance {
   def resample(raw: DataFrame, target: DataFrame, n: Int,
                idCol: String = "doc_id", textCol: String = "text",
                mBuckets: Int = 1024, salt: String = "dsir0"): DataFrame = {
-    val lam = importanceWeights(raw, target, idCol, textCol, mBuckets)
-    val scores = hashedFeatures(raw, idCol, textCol, mBuckets)
+    // one md5 pass over the raw corpus: the feature relation feeds both
+    // the bucket-distribution estimate and the per-doc scoring
+    val rawFeats = hashedFeatures(raw, idCol, textCol, mBuckets).persist()
+    val lam = weightsFromFeatures(rawFeats, target, idCol, textCol, mBuckets)
+    val scores = rawFeats
       .join(broadcast(lam), Seq("bucket"))
       .groupBy("doc_id").agg(sum(col("n") * col("lw_micro")).as("s"))
     val u = (md5l(concat(col("doc_id").cast("string"), lit(":" + salt)))
