@@ -922,6 +922,72 @@ object OracleSql {
        |FROM scored QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ann_pq_adc: replay product quantization — per-subspace Lloyd's
+    * (2 unrolled iterations over the grouped (sub, code) codebooks,
+    * BIGINT micro-space distances, trunc-division means, empty codes
+    * carry), corpus PQ-encoding, and Asymmetric Distance Computation:
+    * per-query (sub, code) distance tables, neighbor distance = exact
+    * BIGINT sum of 8 table lookups, top-5. */
+  private def annPqAdcSql: String = {
+    val (iters, nSub, kCodes, subDim, kNb) = (2, 8, 16, 8, 5)
+    def argmin(src: String, filter: String) =
+      s"""  SELECT vec_id, sub, code FROM (
+         |    SELECT v.vec_id, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+         |        list_sum([(v.sq[d] - c.cq[d]) * (v.sq[d] - c.cq[d])
+         |                  FOR d IN range(1, ${subDim + 1})]), c.code) AS rn
+         |    FROM sv v JOIN $src c ON v.sub = c.sub$filter)
+         |  WHERE rn = 1""".stripMargin
+    val base =
+      s"""qvs AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(x * 1e6) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])] AS qv
+         |  FROM embeddings),
+         |sv AS (
+         |  SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+         |    list_slice(qv, sub * $subDim + 1, sub * $subDim + $subDim) AS sq
+         |  FROM qvs, (SELECT unnest(range(0, $nSub)) AS sub)),
+         |sd AS (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS code
+         |  FROM (SELECT DISTINCT vec_id FROM qvs ORDER BY vec_id LIMIT $kCodes)),
+         |pc0 AS (SELECT v.sub, s.code, v.sq AS cq FROM sv v JOIN sd s USING (vec_id))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pa$i AS (
+         |${argmin(s"pc${i - 1}", "")}),
+         |ps$i AS (
+         |  SELECT a.sub, a.code, d, sum(v.sq[d]) AS s, count(*) AS n
+         |  FROM (SELECT vec_id, sub, code, unnest(range(1, ${subDim + 1})) AS d FROM pa$i) a
+         |  JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+         |  GROUP BY a.sub, a.code, d),
+         |pn$i AS (
+         |  SELECT sub, code,
+         |    list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END ORDER BY d) AS cq
+         |  FROM ps$i GROUP BY sub, code),
+         |pc$i AS (
+         |  SELECT o.sub, o.code, coalesce(nn.cq, o.cq) AS cq
+         |  FROM pc${i - 1} o LEFT JOIN pn$i nn ON nn.sub = o.sub AND nn.code = o.code)""".stripMargin
+    }
+    s"""WITH ${(base +: rounds).mkString(",\n")},
+       |paf AS (
+       |${argmin(s"pc$iters", "")}),
+       |dtb AS (
+       |  SELECT v.vec_id AS query_id, v.sub, c.code,
+       |    list_sum([(v.sq[d] - c.cq[d]) * (v.sq[d] - c.cq[d])
+       |              FOR d IN range(1, ${subDim + 1})]) AS d
+       |  FROM sv v JOIN pc$iters c ON v.sub = c.sub
+       |  WHERE v.vec_id <= 10),
+       |sc AS (
+       |  SELECT dtb.query_id, a.vec_id AS neighbor_id,
+       |    CAST(sum(dtb.d) AS BIGINT) AS adc_dist
+       |  FROM paf a JOIN dtb ON a.sub = dtb.sub AND a.code = dtb.code
+       |  WHERE a.vec_id <> dtb.query_id
+       |  GROUP BY dtb.query_id, a.vec_id)
+       |SELECT query_id, neighbor_id, adc_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |FROM sc QUALIFY rank <= $kNb ORDER BY query_id, rank""".stripMargin
+  }
+
   /** d_semdedup: replay SemDeDup — the shared Lloyd's cascade assigns
     * every vector to its final cell; within a cell a vector is removed
     * iff an earlier-id member has cosine ≥ 0.35 (upper-triangular
@@ -2390,6 +2456,7 @@ object OracleSql {
     "t2_bpe_train" -> bpeTrainSql,
     "ann_kmeans_ivf" -> annKmeansIvfSql,
     "d_semdedup" -> semDedupSql,
+    "ann_pq_adc" -> annPqAdcSql,
     "d_dsir_sample" -> dsirSampleSql,
     "st_stream_quantiles" -> quantileSketchSql("lineitem"),
     "x_zorder" -> zorderSql,

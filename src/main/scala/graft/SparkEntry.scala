@@ -1078,6 +1078,13 @@ object SparkEntry {
     Ann.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.35)
       .orderBy("id_a", "id_b")
 
+  /** PQ-ADC top-k (Jégou et al. 2011): product-quantized corpus,
+    * asymmetric-distance search — all-integer, oracle-exact. */
+  private def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Ann.pqTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+  }
+
   /** SemDeDup (Abbas et al. 2023): kmeans-cluster-scoped semantic
     * near-duplicate removal over the embeddings table. */
   private def semDedupQ(s: SparkSession, dir: String): DataFrame =
@@ -1808,6 +1815,7 @@ object SparkEntry {
     "type_inference" -> typeInference,
     "d_emb_neardups" -> embNearDups,
     "d_semdedup" -> semDedupQ,
+    "ann_pq_adc" -> annPqAdc,
     "d_dsir_sample" -> dsirSampleQ,
     "a16_value_heads" -> valueHeads,
     "a9_corr_probe" -> corrProbe,

@@ -458,6 +458,126 @@ object Ann {
         col("m.dup_of").as("dup_of"), col("m.cosine").as("cosine"))
   }
 
+  /** Micro-quantized subvector relation `(id, sub, sq)`: vector split
+    * into `nSub` contiguous `subDim`-wide pieces — the PQ decomposition.
+    */
+  private def subVecs(embs: DataFrame, idCol: String, vecCol: String,
+                      nSub: Int, subDim: Int): DataFrame =
+    graft.sources.Lake.balance(embs)
+      .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
+      .select(col("id"), explode(array((0 until nSub).map(s =>
+        struct(lit(s.toLong).as("sub"),
+          slice(col("qv"), s * subDim + 1, subDim).as("sq"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sq").as("sq"))
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): an
+    * independent `k`-codeword codebook per subspace, trained by the
+    * same deterministic exact-integer Lloyd's as [[kmeansCentroids]] —
+    * micro components, BIGINT distances, argmin ties to the lowest
+    * code, truncating-division means, empty codes carry — but GROUPED:
+    * all `nSub` subspaces train in the same jobs (seeds are the `k`
+    * lowest-id vectors' subvectors; each iteration pays ONE
+    * (sub, code, dim) integer-sum shuffle — 1024 groups at 8×16×8,
+    * independent of corpus size). Output: `(sub, code, cq)`.
+    */
+  def pqCodebooks(embs: DataFrame, nSub: Int = 8, k: Int = 16,
+                  iters: Int = 2, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val dim = embs.select(size(col(vecCol))).first().getInt(0)
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    pqCodebooksFromSubVecs(subVecs(embs, idCol, vecCol, nSub, dim / nSub), k, iters)
+  }
+
+  /** [[pqCodebooks]] over an already-built (possibly persisted)
+    * subvector relation — lets [[pqTopK]] share one corpus pass between
+    * training and encoding. */
+  private def pqCodebooksFromSubVecs(vecs: DataFrame, k: Int,
+                                     iters: Int): DataFrame = {
+    val seeds = Ranking.withPosition(
+      vecs.select(col("id")).distinct().orderBy(col("id")).limit(k), "code")
+    var cents = vecs.join(seeds, Seq("id"))
+      .select(col("sub"), col("code"), col("sq").as("cq"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val assigned = assignCodes(vecs, cents).select(col("sub"), col("code"), col("sq"))
+      val newC = assigned
+        .select(col("sub"), col("code"), posexplode(col("sq")).as(Seq("d", "x")))
+        .groupBy("sub", "code", "d")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr(truncMean))
+        .groupBy("sub", "code")
+        .agg(collect_list(struct(col("d"), col("cv"))).as("l"))
+        .select(col("sub"), col("code"),
+          transform(array_sort(col("l")), _.getField("cv")).as("cq"))
+      cents = cents.as("o").join(newC.as("nw"), Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("nw.cq"), col("o.cq")).as("cq"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Nearest-codeword assignment per (id, sub) under broadcast
+    * codebooks: exact integer argmin, ties to the lowest code. */
+  private def assignCodes(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("sub")).orderBy(col("dist"), col("code"))
+    vecs.join(broadcast(cents), Seq("sub"))
+      .withColumn("dist", sqDistMicro(col("sq"), col("cq")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("dist", "rn", "cq")
+  }
+
+  /** PQ-encode: each corpus vector as `nSub` code ids (long form
+    * `(id, sub, code)` — 8 codes replace 64 floats; the resident index
+    * at 100 TB). */
+  def pqEncode(embs: DataFrame, cents: DataFrame, nSub: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = embs.select(size(col(vecCol))).first().getInt(0)
+    assignCodes(subVecs(embs, idCol, vecCol, nSub, dim / nSub), cents)
+      .select(col("id"), col("sub"), col("code"))
+  }
+
+  /** PQ top-k by Asymmetric Distance Computation: per query, a
+    * `(nSub × k)` table of exact BIGINT squared distances from the
+    * query's subvectors to every codeword; a corpus vector's distance
+    * is the SUM of `nSub` table lookups — query time never touches
+    * full-precision corpus vectors, and the whole score is integer
+    * arithmetic (no rounding anywhere, so the oracle replay is exact).
+    *
+    * Scale shape: codebooks and the per-query distance tables broadcast
+    * (|Q|·nSub·k tiny rows); the scoring join streams the 8-codes-long
+    * encoded corpus — the classic PQ trade: O(|corpus|·nSub) integer
+    * adds against an index 32× smaller than the raw vectors. Top-k
+    * ranks within each query's bounded candidate set.
+    * Output: `(query_id, neighbor_id, adc_dist, rank)`.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             nSub: Int = 8, nCodes: Int = 16, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    // one corpus subvector pass feeds both codebook training and encoding
+    val sv = subVecs(corpus, idCol, vecCol, nSub, dim / nSub).persist()
+    val cents = pqCodebooksFromSubVecs(sv, nCodes, iters)
+    val enc = assignCodes(sv, cents)
+      .select(col("id").as("neighbor_id"), col("sub"), col("code"))
+    val dt = subVecs(queries, idCol, vecCol, nSub, dim / nSub)
+      .withColumnRenamed("id", "query_id")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        sqDistMicro(col("sq"), col("cq")).as("d"))
+    val scored = enc.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-style bucketed top-k: assign each vector to its nearest of
     * `nCells` hash-derived centroid buckets (by signature prefix), search
     * only within the query's bucket. Approximate; the scale path when the

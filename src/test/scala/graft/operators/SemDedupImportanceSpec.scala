@@ -46,6 +46,39 @@ class SemDedupImportanceSpec extends SparkSpec {
       Seq((3L, 1L), (4L, 2L)))
   }
 
+  test("pqTopK: exact duplicates are each other's top hit, symmetrically") {
+    // 3 exact-dup pairs in distinct directions + noise vectors; dim 8,
+    // 2 subspaces, 4 codewords
+    val base = Seq(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 0f, 0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f))
+    val df = embs(
+      (base.zipWithIndex.flatMap { case (v, i) =>
+        Seq((i * 2 + 1).toLong -> v, (i * 2 + 2).toLong -> v)
+      } ++ Seq(7L -> Seq(.3f, .4f, .5f, .6f, .1f, .2f, .3f, .4f),
+        8L -> Seq(.9f, .8f, .7f, .6f, .5f, .4f, .3f, .2f))): _*)
+    val out = Ann.pqTopK(df, df, k = 1, nSub = 2, nCodes = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // twins share codes, so each is the other's rank-1 ADC neighbor; the
+    // distance is to the RECONSTRUCTION (identical dist tables → equal
+    // both ways), not 0 unless the codeword equals the subvector
+    for (Seq(a, b) <- (1L to 6L).grouped(2)) {
+      assert(out(a)._1 == b, s"$a -> ${out(a)}")
+      assert(out(b)._1 == a, s"$b -> ${out(b)}")
+      assert(out(a)._2 == out(b)._2, s"asymmetric ADC: ${out(a)} vs ${out(b)}")
+    }
+  }
+
+  test("pqEncode: every vector gets one code per subspace") {
+    val df = embs((1L to 10L).map(i =>
+      i -> Seq.tabulate(8)(d => (i * d % 5).toFloat)): _*)
+    val cents = Ann.pqCodebooks(df, nSub = 4, k = 3, iters = 1)
+    assert(cents.count() == 12) // 4 subspaces × 3 codewords
+    val enc = Ann.pqEncode(df, cents, nSub = 4)
+    assert(enc.groupBy("id").count().filter($"count" =!= 4).isEmpty)
+    assert(enc.filter($"code" < 1 || $"code" > 3).isEmpty)
+  }
+
   private val docs = Seq(
     (1L, "alpha alpha beta", "en"), (2L, "alpha beta gamma", "en"),
     (3L, "omega psi chi", "fr"), (4L, "omega omega psi", "fr"),
