@@ -2539,6 +2539,30 @@ object OracleSql {
          |ORDER BY e.file, e.id""".stripMargin
     },
 
+    // JSONL ingest replay: DuckDB parses the same shards (gz transparent)
+    // with ignore_errors, so parsed values come from the FILES, not from
+    // the engine; the corrupt counts are stated as literals the way the
+    // charset fixture states its expected rows (shard0 carries exactly
+    // one corrupt line by construction, shard1 none).
+    "s_jsonl_scan" -> {
+      val jcols = "columns={'id': 'BIGINT', 'Title': 'VARCHAR', " +
+        "'meta': 'STRUCT(lang VARCHAR, score BIGINT)'}"
+      s"""WITH u AS (
+         |  SELECT 'shard0.jsonl' AS file, 1 AS n_corrupt, id, "Title" AS title,
+         |    meta.lang AS lang, meta.score AS score
+         |  FROM read_json('/tmp/graft_fixtures/jsonl/shard0.jsonl',
+         |    format='newline_delimited', ignore_errors=true, $jcols)
+         |  UNION ALL
+         |  SELECT 'shard1.jsonl.gz', 0, id, "Title", meta.lang, meta.score
+         |  FROM read_json('/tmp/graft_fixtures/jsonl/shard1.jsonl.gz',
+         |    format='newline_delimited', ignore_errors=true, $jcols))
+         |SELECT file, CAST(n_corrupt AS BIGINT) AS n_corrupt, id, title, lang, score
+         |FROM u
+         |WHERE id IS NOT NULL OR title IS NOT NULL OR lang IS NOT NULL
+         |   OR score IS NOT NULL -- ignore_errors renders a skipped line all-NULL
+         |ORDER BY file, id""".stripMargin
+    },
+
     // WordPiece replay: the greedy longest-match choice at each (word,
     // position) does not depend on segmentation history, so `best`
     // precomputes it per position and `walk` just follows the path.

@@ -909,6 +909,50 @@ object SparkEntry {
     zos.close()
   }
 
+  /** Fixture rows for `s_jsonl_scan` — stated once, shared with the
+    * oracle-SQL generator (the charset-fixture pattern): (id, Title,
+    * meta.lang, meta.score). Row 4 has no meta object (null flattening),
+    * row 6's title carries an escaped quote + non-ASCII.
+    */
+  val JsonlFixtureRows: Seq[(Long, String, Option[(String, Long)])] = Seq(
+    (1L, "alpha doc", Some(("en", 90L))),
+    (2L, "beta \\\"quoted\\\"", Some(("de", 75L))),
+    (3L, "gamma søk", Some(("no", 60L))),
+    (4L, "delta bare", None),
+    (5L, "epsilon doc", Some(("en", 40L))),
+    (6L, "zeta doc", Some(("fr", 85L))))
+
+  /** JSONL corpus ingest, oracle-verified: a plain shard (with one corrupt
+    * line and one meta-less row) plus a gzipped shard of the same logical
+    * stream. The robust reader must parse both, flatten `meta.*`,
+    * lowercase the `Title` key, and account for the corrupt line instead
+    * of failing — DuckDB replays with `read_json(ignore_errors)` and
+    * literal expected counts. */
+  private def jsonlScanQ(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val fixDir = Paths.get("/tmp/graft_fixtures/jsonl")
+    Files.createDirectories(fixDir)
+    def line(r: (Long, String, Option[(String, Long)])): String = r match {
+      case (id, title, meta) =>
+        val m = meta.map { case (l, sc) => s""","meta":{"lang":"$l","score":$sc}""" }.getOrElse("")
+        s"""{"id":$id,"Title":"$title"$m}"""
+    }
+    val (head, tail) = JsonlFixtureRows.splitAt(4)
+    val plain = (head.map(line) :+ """{"id":999,"Title": broken""").mkString("\n") + "\n"
+    Files.write(fixDir.resolve("shard0.jsonl"), plain.getBytes("UTF-8"))
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(fixDir.resolve("shard1.jsonl.gz")))
+    gz.write((tail.map(line).mkString("\n") + "\n").getBytes("UTF-8")); gz.close()
+    val docs = graft.ingest.JsonlRead.read(s, fixDir.toString)
+    val report = graft.ingest.JsonlRead.ingestReport(s, fixDir.toString)
+    docs.filter(col("corrupt_line").isNull)
+      .join(report, Seq("src_file"))
+      .select(col("src_file").as("file"), col("n_corrupt"),
+        col("id").cast("long").as("id"), col("title"),
+        col("meta_lang").as("lang"), col("meta_score").cast("long").as("score"))
+      .orderBy("file", "id")
+  }
+
   /** Winnowing fingerprints (rolling-hash document fingerprinting):
     * per-doc fingerprint count + checksum — DuckDB replays the k-gram
     * hashes and the window minima exactly. */
@@ -1840,6 +1884,7 @@ object SparkEntry {
     "s5_sidecar_merge" -> sidecarMerge,
     "o7_seeded_shuffle" -> seededShuffleQ,
     "s12_excel_charset" -> excelCharsetQ,
+    "s_jsonl_scan" -> jsonlScanQ,
     "t2_wordpiece" -> wordpieceQ,
     "mm_decode_probe" -> decodeProbe,
     "t_fingerprint" -> fingerprintQ,
