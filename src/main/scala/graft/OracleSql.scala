@@ -615,6 +615,34 @@ object OracleSql {
        |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** d_cluster_canonical: same verified pairs → transitive closure as
+    * d_dedup_corpus, then each cluster's best member by (n_chars desc,
+    * id asc) — the quality-aware keep policy. All-integer output. */
+  private def clusterCanonicalSql: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |vp AS (SELECT id_a, id_b FROM pairs WHERE nb > 0 AND jaccard >= 0.05),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+       |          UNION SELECT id_b, id_a FROM vp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+       |           FROM reach GROUP BY src),
+       |members AS (SELECT l.id, l.cluster, d.n_chars
+       |            FROM labels l JOIN documents d ON d.doc_id = l.id),
+       |canon AS (SELECT id, cluster, n_chars,
+       |            row_number() OVER (PARTITION BY cluster
+       |              ORDER BY n_chars DESC, id) AS rn
+       |          FROM members)
+       |SELECT m.cluster, count(*) AS n_members,
+       |  CAST(min(c.id) AS BIGINT) AS canonical_id,
+       |  CAST(min(c.n_chars) AS BIGINT) AS canonical_quality,
+       |  CAST(sum(m.id) - min(c.id) AS BIGINT) AS dropped_id_sum
+       |FROM members m JOIN (SELECT * FROM canon WHERE rn = 1) c
+       |  ON c.cluster = m.cluster
+       |GROUP BY m.cluster ORDER BY m.cluster""".stripMargin
+
   /** d_simhash_pairs: 64-bit SimHash (md5Low64 token hash) + Hamming. */
   private def simhashPairsSql: String =
     s"""WITH toks AS (
@@ -2463,6 +2491,7 @@ object OracleSql {
     "t2_bpe_encode" -> bpeEncodeSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
+    "d_cluster_canonical" -> clusterCanonicalSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,

@@ -1489,6 +1489,16 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** LLM-pipeline: quality-aware canonical selection per near-dup
+    * cluster — keep the longest member (n_chars, tie → min id) instead
+    * of an arbitrary representative. */
+  private def clusterCanonicalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05)
+    Dedup.canonicalPerCluster(docs, pairs, "n_chars")
+      .orderBy("cluster")
+  }
+
   /** LLM-pipeline: PII scrub over deterministic synthetic contact text
     * (the lake has no real PII; both engines synthesize the same strings
     * from customer keys, then redact independently). */
@@ -1899,6 +1909,7 @@ object SparkEntry {
     "t2_bpe_encode" -> bpeEncodeQ,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
+    "d_cluster_canonical" -> clusterCanonicalQ,
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,

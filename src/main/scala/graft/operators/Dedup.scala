@@ -341,6 +341,41 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware cluster canonicalization: instead of the min-id
+    * representative [[dropNearDuplicates]] keeps, pick each duplicate
+    * cluster's BEST member by a quality column (ties → min id). This is
+    * the production dedup policy — near-dup clusters mix truncated,
+    * boilerplate-wrapped, and clean copies of a page, and keeping an
+    * arbitrary one throws quality away (CCNet/RefinedWeb keep longest or
+    * highest-scoring).
+    *
+    * Scale posture: only (id, quality) rides into the cluster shuffle —
+    * the corpus text never moves. One groupBy(cluster) argmax via a
+    * struct-max (quality desc, id asc through sign flip), then the tiny
+    * (cluster, members, canonical) relation joins back wherever needed.
+    * Output: one row per multi-member cluster —
+    * (cluster, n_members, canonical_id, canonical_quality,
+    * dropped_id_sum), exact integers only.
+    */
+  def canonicalPerCluster(docs: DataFrame, pairs: DataFrame,
+                          qualityCol: String,
+                          idCol: String = "doc_id"): DataFrame = {
+    val labels = resolveClusters(pairs) // (id, cluster) — paired docs only
+    val members = labels.join(
+      docs.select(col(idCol).cast("long").as("id"),
+        col(qualityCol).cast("long").as("quality")),
+      Seq("id"))
+    members.groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("id")).as("neg_id"))).as("best"),
+        sum(col("id")).as("id_sum"))
+      .select(col("cluster"), col("n_members"),
+        (-col("best.neg_id")).as("canonical_id"),
+        col("best.quality").as("canonical_quality"),
+        (col("id_sum") + col("best.neg_id")).as("dropped_id_sum"))
+  }
+
   /** Per-doc sketch catalog row: (id, fingerprint, mh) — what a corpus
     * persists (via [[graft.store.SketchStore]]) so later batches dedup
     * against it without rescanning the corpus.

@@ -132,6 +132,21 @@ class DedupSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 4L, 5L, 7L, 8L, 9L, 10L))
   }
+
+  test("canonicalPerCluster keeps best-quality member, min-id tiebreak") {
+    val corpus = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // cluster 1: quality tie at 50 → id 2
+      (5L, 70L), (6L, 30L),            // cluster 5: id 5 wins on quality
+      (9L, 99L)                        // unpaired — absent from output
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.canonicalPerCluster(corpus, pairs, "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 5L))
+    assert(out(1L) == ((3L, 2L, 50L, 4L))) // 3 members, canon 2 @50, dropped 1+3
+    assert(out(5L) == ((2L, 5L, 70L, 6L)))
+  }
 }
 
 class AnnSpec extends SparkSpec {
