@@ -615,6 +615,34 @@ object OracleSql {
        |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** t_token_budget: replay tokenBudgetPlan — whitespace token counts,
+    * per-(source,lang) totals, isq = floor(sqrt(n)·10⁶) temperature
+    * quantization, integer grand sums, then the same single-division
+    * ratios (round 6) and floor(budget·isq/sisq) allocation with the
+    * identical operation order so the doubles agree bitwise. */
+  private def tokenBudgetSql: String =
+    """WITH toks AS (
+      |  SELECT source, lang,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+      |  FROM documents),
+      |tot AS (SELECT source, lang, count(*) AS n_docs,
+      |          CAST(sum(nt) AS BIGINT) AS n_tokens
+      |        FROM toks GROUP BY source, lang),
+      |q AS (SELECT *,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS isq
+      |      FROM tot),
+      |g AS (SELECT CAST(sum(isq) AS BIGINT) AS sisq,
+      |             CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM q)
+      |SELECT source, lang, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS share,
+      |  round(CAST(isq AS DOUBLE) / sisq, 6) AS weight,
+      |  CAST(floor(CAST(100000 AS DOUBLE) * isq / sisq) AS BIGINT) AS planned_tokens,
+      |  round(CAST(floor(CAST(100000 AS DOUBLE) * isq / sisq) AS DOUBLE) / n_tokens, 6)
+      |    AS oversample
+      |FROM q CROSS JOIN g
+      |ORDER BY source, lang""".stripMargin
+
   /** d_cluster_canonical: same verified pairs → transitive closure as
     * d_dedup_corpus, then each cluster's best member by (n_chars desc,
     * id asc) — the quality-aware keep policy. All-integer output. */
@@ -2492,6 +2520,7 @@ object OracleSql {
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "d_cluster_canonical" -> clusterCanonicalSql,
+    "t_token_budget" -> tokenBudgetSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,

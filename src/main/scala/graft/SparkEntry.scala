@@ -1489,6 +1489,14 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** LLM-pipeline: token-budget accounting per (source, lang) — corpus
+    * shares, τ=0.5 temperature weights and the planned allocation of a
+    * 100k-token budget. Counts exact; each ratio one IEEE division. */
+  private def tokenBudgetQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetPlan(t(s, dir, "documents"),
+      Seq("source", "lang"), token_count(col("text")), budget = 100000L)
+      .orderBy("source", "lang")
+
   /** LLM-pipeline: quality-aware canonical selection per near-dup
     * cluster — keep the longest member (n_chars, tie → min id) instead
     * of an arbitrary representative. */
@@ -1910,6 +1918,7 @@ object SparkEntry {
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "d_cluster_canonical" -> clusterCanonicalQ,
+    "t_token_budget" -> tokenBudgetQ,
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,

@@ -89,4 +89,40 @@ object Sampling {
         md5Low32Col(concat_ws(":", col(s"`$idCol`").cast("string"), lit(salt)))
           < floor(col("mix_rate") * lit(4294967296.0)).cast("long"))
   }
+
+  /** Token-budget accounting — the report a mixture planner reads before
+    * committing a pretraining run: per bucket (source × language is the
+    * usual grain), document/token counts, corpus share, the τ=0.5
+    * temperature weight ([[temperatureMixture]]'s isq quantization, so
+    * the normalizer is an order-independent integer sum), the token count
+    * the budget allocates to the bucket, and the implied oversampling
+    * factor (>1 = the bucket repeats epochs, the "4 epochs of Wikipedia"
+    * signal planners watch for).
+    *
+    * Determinism: counts and isq are exact integers; every ratio is ONE
+    * IEEE-754 division of exact operands (identical in any engine) — no
+    * order-dependent float summation anywhere. One groupBy over the tiny
+    * bucket key set + one broadcast of the two grand totals: at 100 TB
+    * this is a single map-side-combined aggregation.
+    */
+  def tokenBudgetPlan(df: DataFrame, bucketCols: Seq[String],
+                      tokenCol: Column, budget: Long): DataFrame = {
+    val k = bucketCols.map(c => col(s"`$c`"))
+    val totals = df.groupBy(k: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("__isq",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    val grand = totals.agg(sum(col("__isq")).as("__sisq"),
+      sum(col("n_tokens")).as("__tot"))
+    val planned = lit(budget).cast("double") * col("__isq") / col("__sisq")
+    totals.crossJoin(broadcast(grand))
+      .withColumn("share", round(col("n_tokens").cast("double") / col("__tot"), 6))
+      .withColumn("weight", round(col("__isq").cast("double") / col("__sisq"), 6))
+      .withColumn("planned_tokens", floor(planned).cast("long"))
+      .withColumn("oversample",
+        round(col("planned_tokens").cast("double") / col("n_tokens"), 6))
+      .select(k ++ Seq(col("n_docs"), col("n_tokens"), col("share"),
+        col("weight"), col("planned_tokens"), col("oversample")): _*)
+  }
 }

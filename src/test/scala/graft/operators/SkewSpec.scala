@@ -87,6 +87,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
+
+  test("tokenBudgetPlan: exact counts, flattened weights, budget allocation") {
+    val docs = ((1L to 100L).map(i => (i, "head", "en")) ++
+      (101L to 104L).map(i => (i, "tail", "de")))
+      .toDF("id", "src", "lang")
+      .withColumn("text", lit("a b c d")) // 4 tokens each
+    val out = Sampling.tokenBudgetPlan(docs, Seq("src", "lang"),
+      graft.functions.TextFunctions.token_count(col("text")), budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val (headTok, headShare, headW, headPlan) = out("head")
+    val (tailTok, _, tailW, tailPlan) = out("tail")
+    assert(headTok == 400L && tailTok == 16L)
+    assert(math.abs(headShare - 400.0 / 416) < 1e-5)
+    // τ=0.5 flattening: weight ratio = sqrt(400/16) = 5, not 25
+    assert(math.abs(headW / tailW - 5.0) < 0.01)
+    // allocation sums to ≤ budget and splits by weight
+    assert(headPlan + tailPlan <= 1000L && math.abs(headPlan - 833) <= 1)
+  }
 }
 
 class DecontaminationSpec extends SparkSpec {
