@@ -615,6 +615,40 @@ object OracleSql {
        |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** w_url_dedup: replay the canonicalizer — same regex surgery (scheme/
+    * host/path/query extraction, www+port+userinfo strip, tracking-param
+    * filter, param sort) over the same synthesized variant URLs. */
+  private def urlDedupSql: String =
+    """WITH urls AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'https://shop.example.com/item/' || CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2'
+      |       WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.Shop.Example.COM:443/item/' || CAST(doc_id % 97 AS VARCHAR) || '?b=2&a=1'
+      |       WHEN doc_id % 4 = 2 THEN 'https://shop.example.com/item/' || CAST(doc_id % 97 AS VARCHAR) || '/?a=1&utm_source=news&b=2#top'
+      |       ELSE 'https://user@shop.example.com:443/item/' || CAST(doc_id % 97 AS VARCHAR) || '?fbclid=xyz&a=1&b=2' END AS url
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |  lower(nullif(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), '')) AS scheme,
+      |  regexp_replace(lower(nullif(regexp_extract(url,
+      |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]+)', 1), '')), '^www\.', '') AS host,
+      |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path0,
+      |  regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS rawq
+      |  FROM urls),
+      |p AS (SELECT doc_id, scheme, host,
+      |  CASE WHEN path0 = '' OR path0 = '/' THEN '' ELSE regexp_replace(path0, '/$', '') END AS path,
+      |  array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |    x -> x <> '' AND NOT regexp_matches(x,
+      |      '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)='))), '&') AS q
+      |  FROM c),
+      |canon AS (SELECT doc_id,
+      |  CASE WHEN scheme IS NULL OR host IS NULL THEN NULL
+      |       ELSE scheme || '://' || host || path ||
+      |            CASE WHEN q = '' THEN '' ELSE '?' || q END END AS url_canon
+      |  FROM p)
+      |SELECT url_canon, count(*) AS n_variants,
+      |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM canon WHERE url_canon IS NOT NULL
+      |GROUP BY url_canon ORDER BY url_canon""".stripMargin
+
   /** t_token_budget: replay tokenBudgetPlan — whitespace token counts,
     * per-(source,lang) totals, isq = floor(sqrt(n)·10⁶) temperature
     * quantization, integer grand sums, then the same single-division
@@ -2521,6 +2555,7 @@ object OracleSql {
     "d_dedup_corpus" -> dedupCorpusSql,
     "d_cluster_canonical" -> clusterCanonicalSql,
     "t_token_budget" -> tokenBudgetSql,
+    "w_url_dedup" -> urlDedupSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,

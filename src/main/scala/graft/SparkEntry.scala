@@ -1615,6 +1615,27 @@ object SparkEntry {
       .orderBy("url_domain")
   }
 
+  /** LLM-pipeline: URL canonicalization + dedup — four surface forms of
+    * the same logical URL (case, www, default port, userinfo, tracking
+    * params, param order, trailing slash, fragment) collapse to one
+    * canonical key; documents sharing an item collapse across rows. */
+  private def urlDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Web
+    val item = (col("doc_id") % 97).cast("string")
+    val docs = t(s, dir, "documents").withColumn("url",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://shop.example.com/item/"), item, lit("?a=1&b=2")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://WWW.Shop.Example.COM:443/item/"), item, lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://shop.example.com/item/"), item,
+          lit("/?a=1&utm_source=news&b=2#top")))
+      .otherwise(
+        concat(lit("https://user@shop.example.com:443/item/"), item,
+          lit("?fbclid=xyz&a=1&b=2"))))
+    Web.urlDedup(docs, "url", "doc_id").orderBy("url_canon")
+  }
+
   /** LLM-pipeline: deterministic stratified sample (training mix). The
     * id checksum pins the exact selected set — membership is a pure
     * function of (doc_id, salt), so DuckDB selects the same rows. */
@@ -1910,6 +1931,7 @@ object SparkEntry {
     "inc_profile_merge" -> incrementalMerge,
     "inc_quantile_sketch" -> quantileSketchQ,
     "w_domain_cap" -> domainCapQ,
+    "w_url_dedup" -> urlDedupQ,
     "t2_bpe_train" -> bpeTrainQ,
     "ann_kmeans_ivf" -> annKmeansIvf,
     "st_stream_quantiles" -> streamingQuantilesQ,

@@ -92,4 +92,48 @@ object Web {
     df.groupBy(col("url_domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(nCharsCol)).cast("long").as("total_chars"))
+
+  /** Query parameters that never change page content — the standard
+    * tracking families a crawl dedup strips before comparing URLs. */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+  private val QueryRe = "^[^?#]*\\?([^#]*)"
+
+  /** Canonical URL — the crawl-frontier/dedup key. Normalizations, each
+    * one the industry-standard safe subset (never changes the fetched
+    * resource): lowercase scheme+host, strip userinfo and default port,
+    * strip a leading `www.`, drop the fragment, drop a trailing path
+    * slash, remove [[TrackingParamRe]] query params and SORT the rest
+    * (param order is transport noise). Malformed URLs (no scheme://host)
+    * canonicalize to null. Pure regex/array expressions — codegen'd in
+    * Spark, replayable in the oracle.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(nullif(regexp_extract(u, SchemeRe, 1), lit("")))
+    val host0 = lower(nullif(regexp_extract(u, HostRe, 1), lit("")))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val path0 = regexp_extract(u, PathRe, 1)
+    val path = when(path0 === "" || path0 === "/", lit(""))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val rawQ = regexp_extract(u, QueryRe, 1)
+    val kept = array_sort(filter(split(rawQ, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe)))
+    val q = array_join(kept, "&")
+    when(scheme.isNull || host.isNull, lit(null))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
+  /** URL-level dedup report: canonicalize, group, keep the min-id row as
+    * representative. One shuffle on the canonical key; ids-only payload.
+    * Output: (url_canon, n_variants, keep_id, id_sum).
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(canonicalUrl(col(s"`$urlCol`")).as("url_canon"),
+        col(s"`$idCol`").cast("long").as("__id"))
+      .filter(col("url_canon").isNotNull)
+      .groupBy(col("url_canon"))
+      .agg(count(lit(1)).as("n_variants"),
+        min(col("__id")).as("keep_id"),
+        sum(col("__id")).as("id_sum"))
 }

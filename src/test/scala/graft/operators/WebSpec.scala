@@ -64,4 +64,35 @@ class WebSpec extends SparkSpec {
     val capped = Web.perDomainCap(Web.withUrlParts(docs, "url"), 100, "id", "s")
     assert(capped.count() == 7)
   }
+
+  test("canonicalUrl: safe normalizations collapse surface variants") {
+    val variants = Seq(
+      "https://shop.example.com/item/7?a=1&b=2",
+      "HTTPS://WWW.Shop.Example.COM:443/item/7?b=2&a=1",
+      "https://shop.example.com/item/7/?a=1&utm_source=x&b=2#frag",
+      "https://user@shop.example.com/item/7?fbclid=z&a=1&b=2")
+    val out = variants.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(Web.canonicalUrl(col("url")).as("c")).as[String].collect()
+    assert(out.toSet == Set("https://shop.example.com/item/7?a=1&b=2"))
+    // root path and empty query stay minimal; malformed → null
+    val edge = Seq((1L, "http://a.example.com/"), (2L, "http://a.example.com"),
+      (3L, "not a url"))
+      .toDF("id", "url")
+      .select(Web.canonicalUrl(col("url")).as("c")).collect().map(r => Option(r.getString(0)))
+    assert(edge(0) == Some("http://a.example.com") && edge(0) == edge(1))
+    assert(edge(2).isEmpty)
+  }
+
+  test("urlDedup groups variants under one canonical key, min-id keeper") {
+    val docs = Seq(
+      (10L, "https://x.example.com/p?b=2&a=1"),
+      (11L, "https://WWW.X.example.com/p/?a=1&b=2#f"),
+      (12L, "https://x.example.com/q"))
+      .toDF("id", "url")
+    val out = Web.urlDedup(docs, "url", "id").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("https://x.example.com/p?a=1&b=2") == ((2L, 10L, 21L)))
+    assert(out("https://x.example.com/q") == ((1L, 12L, 12L)))
+  }
 }
