@@ -615,6 +615,41 @@ object OracleSql {
        |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** mm_dhash_neardup: replay the perceptual hash from the pixel formula
+    * — the engine decodes real PNGs to these exact samples, so the
+    * formula-side 9×8 integer average-pool, adjacent-compare bits, and
+    * all-pairs Hamming reproduce its banded output (banding is
+    * exact-recall at ≤ maxHamming). */
+  private def dhashNearDupSql: String =
+    """WITH imgs(id, w, h, seed, bright, nx, ny) AS (VALUES
+      |  (100, 18, 12,   5,  0, -1, -1),
+      |  (101, 18, 12,   5, 20, -1, -1),
+      |  (102, 18, 12,   5,  0,  5,  3),
+      |  (110, 27, 16,  60,  0, -1, -1),
+      |  (111, 27, 16,  60, 20, -1, -1),
+      |  (120, 11,  9, 140,  0, -1, -1),
+      |  (121, 11,  9, 140, 20, -1, -1)),
+      |px AS (
+      |  SELECT id, w, h, x, y,
+      |    ((x*3 + y*7 + seed) % 200) + bright +
+      |      CASE WHEN x = nx AND y = ny THEN 40 ELSE 0 END AS luma
+      |  FROM imgs, unnest(range(0, w)) t1(x), unnest(range(0, h)) t2(y)),
+      |cells AS (
+      |  SELECT id, (x*9) // w AS cx, (y*8) // h AS cy,
+      |    CAST(sum(luma) AS BIGINT) // count(*) AS v
+      |  FROM px GROUP BY id, (x*9) // w, (y*8) // h),
+      |bits AS (
+      |  SELECT a.id,
+      |    CASE WHEN a.v > b.v THEN 1::BIGINT << (a.cy*8 + a.cx) ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1),
+      |hashes AS (SELECT id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY id)
+      |SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.id < b.id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** w_url_dedup: replay the canonicalizer — same regex surgery (scheme/
     * host/path/query extraction, www+port+userinfo strip, tracking-param
     * filter, param sort) over the same synthesized variant URLs. */
@@ -2556,6 +2591,7 @@ object OracleSql {
     "d_cluster_canonical" -> clusterCanonicalSql,
     "t_token_budget" -> tokenBudgetSql,
     "w_url_dedup" -> urlDedupSql,
+    "mm_dhash_neardup" -> dhashNearDupSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,

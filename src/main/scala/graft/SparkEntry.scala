@@ -550,6 +550,34 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Perceptual-hash image near-dup: grayscale PNGs from the integer
+    * formula `((x*3 + y*7 + seed) % 200) + bright (+40 noise pixel)` —
+    * real PNG encode/decode on the engine side, formula replay on the
+    * oracle side. Brightness-shifted members hash identically (dHash is
+    * gradient-based); the noise member differs in ≤2 bits; distinct
+    * seeds land far apart. */
+  private def dhashNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def png(w: Int, h: Int, seed: Int, bright: Int, noise: Option[(Int, Int)]) =
+      graft.multimodal.SyntheticMedia.pngOf(w, h, 1, Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((x * 3 + y * 7 + seed) % 200) + bright +
+          (if (noise.contains((x, y))) 40 else 0)).toByte
+      })
+    val media = Seq(
+      (100L, png(18, 12, 5, 0, None)),
+      (101L, png(18, 12, 5, 20, None)),          // +brightness → hamming 0
+      (102L, png(18, 12, 5, 0, Some((5, 3)))),   // 1-px edit → ≤2 bits
+      (110L, png(27, 16, 60, 0, None)),
+      (111L, png(27, 16, 60, 20, None)),
+      (120L, png(11, 9, 140, 0, None)),
+      (121L, png(11, 9, 140, 20, None))
+    ).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.dhashNearDups(media, maxHamming = 8)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** FULL audio decode, the WAV leg of multimodal: real RIFF/PCM
     * containers built from an integer sample formula, decoded
     * DISTRIBUTED by the pure-JVM `WavCodec` (chunk walk, PCM sample
@@ -1886,6 +1914,7 @@ object SparkEntry {
     "mm_audio_decode" -> mmAudioDecode,
     "mm_video_probe" -> mmVideoProbe,
     "d_media_dedup" -> mediaDedup,
+    "mm_dhash_neardup" -> dhashNearDupQ,
     "t_chunk_windows" -> chunkWindows,
     "t_pack_sequences" -> packSeqs,
     "content_snapshots" -> contentSnapshots,

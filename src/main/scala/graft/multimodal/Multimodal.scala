@@ -163,6 +163,83 @@ object Multimodal {
     * `textCol = "pixel_fp"` for cross-format media dedup — one hash
     * shuffle, the standard exact-dedup scale shape.
     */
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual near-dup key for image corpora (aHash/dHash/pHash
+    * family; dHash is the gradient variant). The image average-pools to
+    * a 9×8 luma grid and each bit records whether a cell outshines its
+    * right neighbor — so re-encodes, format changes, and UNIFORM
+    * brightness shifts hash identically, while content edits flip only
+    * the bits whose cells they touch.
+    *
+    * Integer-exact pipeline (oracle-replayable): luma =
+    * `(299R + 587G + 114B) / 1000` truncated (channel 0 for gray),
+    * cell of pixel x = `x*9/w` (y analogous), cell value =
+    * `floor(sum/count)`. Images narrower than the grid (w<9 or h<8)
+    * yield null. */
+  def dhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val h = PngCodec.decode(payload).orElse(GifCodec.decode(payload))
+            .orElse(JpegCodec.decode(payload)).flatMap(dhashOf)
+          (id, h)
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  private[multimodal] def dhashOf(img: PngCodec.Image): Option[Long] = {
+    if (img.width < 9 || img.height < 8) return None
+    val (w, h, ch) = (img.width, img.height, img.channels)
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * ch
+        val luma =
+          if (ch >= 3)
+            (299L * (img.pixels(base) & 0xff) + 587L * (img.pixels(base + 1) & 0xff) +
+              114L * (img.pixels(base + 2) & 0xff)) / 1000L
+          else (img.pixels(base) & 0xff).toLong
+        val cx = x * 9 / w
+        sums(cy)(cx) += luma
+        counts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val l = sums(cy)(cx) / counts(cy)(cx)
+        val r = sums(cy)(cx + 1) / counts(cy)(cx + 1)
+        if (l > r) bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(bits)
+  }
+
+  /** Perceptual near-dup pairs over an image corpus: [[dhash]] then the
+    * banded Hamming join shared with SimHash
+    * ([[graft.operators.Dedup.hamming64Pairs]] — exact recall at
+    * distance ≤ maxHamming, candidates shuffle ids+hashes only).
+    */
+  def dhashNearDups(media: DataFrame, maxHamming: Int = 8): DataFrame =
+    graft.operators.Dedup.hamming64Pairs(
+      dhash(media).filter(col("dhash").isNotNull)
+        .select(col("media_id").as("id"), col("dhash").as("sh")),
+      maxHamming)
+
   def pixelFingerprints(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -83,12 +83,23 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = graft.sources.Lake.balance(docs)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    hamming64Pairs(sh, maxHamming)
+  }
+
+  /** Banded Hamming-distance pair search over any 64-bit hash relation
+    * `(id, sh)` — the shared engine under [[simhashNearDups]] and
+    * [[graft.multimodal.Multimodal.dhashNearDups]]. Splitting the hash
+    * into `maxHamming + 1` chunks guarantees exact recall at distance ≤
+    * maxHamming (pigeonhole: some chunk must match), and the candidate
+    * join shuffles only (id, hash, chunk) rows.
+    */
+  def hamming64Pairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, "maxHamming must be in [0, 31]")
     val nChunks = maxHamming + 1
     val bounds = (0 to nChunks).map(i => i * 64 / nChunks) // even-ish bit ranges
-    val sh = graft.sources.Lake.balance(docs)
-      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val chunked = sh.select(col("id"), col("sh"),
+    val chunked = hashes.select(col("id"), col("sh"),
       explode(array((0 until nChunks).map { i =>
         val width = bounds(i + 1) - bounds(i)
         struct(lit(i).as("chunk_idx"),

@@ -183,6 +183,36 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(6L).isEmpty)
   }
 
+  test("dhash: brightness-invariant, edit-local, format-independent") {
+    import spark.implicits._
+    def gray(w: Int, h: Int, seed: Int, bright: Int, noise: Option[(Int, Int)]) =
+      SyntheticMedia.pngOf(w, h, 1, Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (((x * 3 + y * 7 + seed) % 200) + bright +
+          (if (noise.contains((x, y))) 40 else 0)).toByte
+      })
+    val media = Seq(
+      (1L, gray(18, 12, 5, 0, None)),
+      (2L, gray(18, 12, 5, 30, None)),          // uniform brightness shift
+      (3L, gray(18, 12, 5, 0, Some((5, 3)))),   // one-pixel edit
+      (4L, SyntheticMedia.gifFull(18, 12, 77)), // different content, GIF
+      (5L, SyntheticMedia.png(8, 6)),           // header-only → undecodable
+      (6L, gray(8, 6, 5, 0, None)))             // smaller than the 9×8 grid
+      .toDF("media_id", "payload")
+    val hs = Multimodal.dhash(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hs(1L).isDefined && hs(1L) == hs(2L)) // gradients unchanged by +30
+    val d13 = java.lang.Long.bitCount(hs(1L).get ^ hs(3L).get)
+    assert(d13 >= 1 && d13 <= 2, s"one-pixel edit flipped $d13 bits")
+    assert(hs(4L).isDefined)
+    assert(hs(5L).isEmpty && hs(6L).isEmpty)
+    // pair search returns the near members, not the stranger
+    val pairs = Multimodal.dhashNearDups(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("fuzz: PNG/GIF bit flips and truncations never throw, only None/valid") {
     val rnd = new scala.util.Random(23)
     val png = SyntheticMedia.pngFull(14, 11, 3)
