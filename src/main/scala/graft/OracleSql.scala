@@ -640,14 +640,47 @@ object OracleSql {
       |  FROM px GROUP BY id, (x*9) // w, (y*8) // h),
       |bits AS (
       |  SELECT a.id,
-      |    CASE WHEN a.v > b.v THEN 1::BIGINT << (a.cy*8 + a.cx) ELSE 0 END AS bit
+      |    CASE WHEN a.v > b.v THEN CAST(1 AS UBIGINT) << (a.cy*8 + a.cx)
+      |         ELSE CAST(0 AS UBIGINT) END AS bit
       |  FROM cells a JOIN cells b
       |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1),
-      |hashes AS (SELECT id, CAST(sum(bit) AS BIGINT) AS sh FROM bits GROUP BY id)
+      |hashes AS (SELECT id, bit_or(bit) AS sh FROM bits GROUP BY id)
       |SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
       |FROM hashes a JOIN hashes b ON a.id < b.id
       |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** mm_audio_fingerprint: replay the windowed-energy gradient hash from
+    * the PCM sample formula — 65 windows of mean energy (integer floor
+    * division), adjacent-compare bits, all-pairs Hamming. */
+  private def audioFpSql: String =
+    """WITH clips(id, frames, seed, scale, nf) AS (VALUES
+      |  (200, 800,  11, 1,  -1),
+      |  (201, 800,  11, 2,  -1),
+      |  (202, 800,  11, 1, 100),
+      |  (210, 650, 400, 1,  -1),
+      |  (211, 650, 400, 2,  -1),
+      |  (220, 800, 999, 1,  -1)),
+      |sm AS (
+      |  SELECT id, frames, f,
+      |    (((f*37 + seed) % 4096) - 2048) * scale +
+      |      CASE WHEN f = nf THEN 500 ELSE 0 END AS s
+      |  FROM clips, unnest(range(0, frames)) t(f)),
+      |wn AS (
+      |  SELECT id, (f*65) // frames AS w,
+      |    CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) // count(*) AS e
+      |  FROM sm GROUP BY id, (f*65) // frames),
+      |bits AS (
+      |  SELECT a.id,
+      |    CASE WHEN a.e > b.e THEN CAST(1 AS UBIGINT) << a.w
+      |         ELSE CAST(0 AS UBIGINT) END AS bit
+      |  FROM wn a JOIN wn b ON a.id = b.id AND b.w = a.w + 1),
+      |hashes AS (SELECT id, bit_or(bit) AS sh FROM bits GROUP BY id)
+      |SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.id < b.id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 6
       |ORDER BY id_a, id_b""".stripMargin
 
   /** w_url_dedup: replay the canonicalizer — same regex surgery (scheme/
@@ -2592,6 +2625,7 @@ object OracleSql {
     "t_token_budget" -> tokenBudgetSql,
     "w_url_dedup" -> urlDedupSql,
     "mm_dhash_neardup" -> dhashNearDupSql,
+    "mm_audio_fingerprint" -> audioFpSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,

@@ -578,6 +578,31 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Acoustic near-dup fingerprinting: real 16-bit PCM WAV containers
+    * from the integer sawtooth `((f·37+seed)%4096)−2048`, scaled (gain)
+    * and locally perturbed — decode on the engine side, formula replay
+    * on the oracle side. Gain-doubled members hash identically; the
+    * one-frame edit flips ≤2 bits. */
+  private def audioFpQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def wav(frames: Int, seed: Int, scale: Int, noiseF: Int) =
+      graft.multimodal.SyntheticAudio.wavPcm(8000, 1, 16, Array.tabulate(frames) { f =>
+        (((f * 37 + seed) % 4096) - 2048) * scale +
+          (if (f == noiseF) 500 else 0)
+      })
+    val media = Seq(
+      (200L, wav(800, 11, 1, -1)),
+      (201L, wav(800, 11, 2, -1)),   // 2× gain → hamming 0
+      (202L, wav(800, 11, 1, 100)),  // one-frame edit → ≤2 bits
+      (210L, wav(650, 400, 1, -1)),
+      (211L, wav(650, 400, 2, -1)),
+      (220L, wav(800, 999, 1, -1))
+    ).toDF("media_id", "payload")
+    graft.multimodal.Multimodal.audioNearDups(media, maxHamming = 6)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** FULL audio decode, the WAV leg of multimodal: real RIFF/PCM
     * containers built from an integer sample formula, decoded
     * DISTRIBUTED by the pure-JVM `WavCodec` (chunk walk, PCM sample
@@ -1915,6 +1940,7 @@ object SparkEntry {
     "mm_video_probe" -> mmVideoProbe,
     "d_media_dedup" -> mediaDedup,
     "mm_dhash_neardup" -> dhashNearDupQ,
+    "mm_audio_fingerprint" -> audioFpQ,
     "t_chunk_windows" -> chunkWindows,
     "t_pack_sequences" -> packSeqs,
     "content_snapshots" -> contentSnapshots,

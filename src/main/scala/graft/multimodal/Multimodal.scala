@@ -240,6 +240,60 @@ object Multimodal {
         .select(col("media_id").as("id"), col("dhash").as("sh")),
       maxHamming)
 
+  /** 64-bit audio fingerprint — the [[dhash]] idea over PCM: the clip's
+    * first channel partitions into 65 equal-ish windows, each window's
+    * mean energy (`floor(Σs²/n)`, exact integers) compares against its
+    * successor, one bit per comparison. Gradient bits are invariant to
+    * uniform GAIN (energy scales by the square of the factor on every
+    * window) and to container re-encodes, while localized edits flip
+    * only the bits whose windows they touch — the same robustness
+    * profile acoustic fingerprinters (Chromaprint family) build on,
+    * reduced to an integer-exact, oracle-replayable core. Clips shorter
+    * than 65 frames (or undecodable payloads) yield null.
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          (id, WavCodec.decode(payload).flatMap(afpOf))
+        }
+      }
+      .toDF("media_id", "afp")
+  }
+
+  private[multimodal] def afpOf(a: WavCodec.Audio): Option[Long] = {
+    val frames = a.frames
+    if (frames < 65 || a.channels < 1) return None
+    val e = new Array[Long](65)
+    val n = new Array[Long](65)
+    var f = 0
+    while (f < frames) {
+      val s = a.samples(f * a.channels).toLong // first channel
+      val w = (f.toLong * 65 / frames).toInt
+      e(w) += s * s
+      n(w) += 1
+      f += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (e(b) / n(b) > e(b + 1) / n(b + 1)) bits |= 1L << b
+      b += 1
+    }
+    Some(bits)
+  }
+
+  /** Audio near-dup pairs: [[audioFingerprint]] + the shared banded
+    * Hamming join ([[graft.operators.Dedup.hamming64Pairs]]). */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    graft.operators.Dedup.hamming64Pairs(
+      audioFingerprint(media).filter(col("afp").isNotNull)
+        .select(col("media_id").as("id"), col("afp").as("sh")),
+      maxHamming)
+
   def pixelFingerprints(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

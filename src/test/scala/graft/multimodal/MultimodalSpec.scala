@@ -213,6 +213,29 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("audioFingerprint: gain-invariant, null below 65 frames, pairs found") {
+    import spark.implicits._
+    def wav(frames: Int, seed: Int, scale: Int) =
+      SyntheticAudio.wavPcm(8000, 1, 16, Array.tabulate(frames) { f =>
+        (((f * 37 + seed) % 4096) - 2048) * scale
+      })
+    val media = Seq(
+      (1L, wav(800, 11, 1)),
+      (2L, wav(800, 11, 2)),    // 2× gain — all window energies ×4
+      (3L, wav(800, 2999, 1)),  // different phase/content
+      (4L, wav(64, 11, 1)),     // too short for the 65-window grid
+      (5L, Array[Byte](1, 2, 3))) // not a WAV
+      .toDF("media_id", "payload")
+    val hs = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hs(1L).isDefined && hs(1L) == hs(2L))
+    assert(hs(3L).isDefined && hs(3L) != hs(1L))
+    assert(hs(4L).isEmpty && hs(5L).isEmpty)
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("fuzz: PNG/GIF bit flips and truncations never throw, only None/valid") {
     val rnd = new scala.util.Random(23)
     val png = SyntheticMedia.pngFull(14, 11, 3)
