@@ -651,6 +651,18 @@ object OracleSql {
       |WHERE bit_count(xor(a.sh, b.sh)) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** s_corpus_sink: recompute the deterministic shard assignment
+    * (md5_low32(doc_id:corpus0) % 4) and the per-(lang, shard) manifest
+    * stats straight from the documents table — the engine's value must
+    * have survived write → files → read-back → reconcile intact. */
+  private def corpusSinkSql: String =
+    """SELECT lang,
+      |  CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':corpus0')
+      |        & 4294967295) % 4 AS BIGINT) AS shard,
+      |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM documents
+      |GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
   /** mm_audio_fingerprint: replay the windowed-energy gradient hash from
     * the PCM sample formula — 65 windows of mean energy (integer floor
     * division), adjacent-compare bits, all-pairs Hamming. */
@@ -2626,6 +2638,7 @@ object OracleSql {
     "w_url_dedup" -> urlDedupSql,
     "mm_dhash_neardup" -> dhashNearDupSql,
     "mm_audio_fingerprint" -> audioFpSql,
+    "s_corpus_sink" -> corpusSinkSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,

@@ -1689,6 +1689,26 @@ object SparkEntry {
     Web.urlDedup(docs, "url", "doc_id").orderBy("url_canon")
   }
 
+  /** Corpus sink roundtrip: write documents hive-partitioned by lang
+    * into 4 deterministic hash shards with a manifest, read the files
+    * back, reconcile against the manifest, and report only shards whose
+    * counts AND checksums agree — any write/manifest drift drops rows
+    * and fails the compare. The oracle recomputes the shard assignment
+    * from the hash formula. */
+  private def corpusSinkQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.CorpusSink
+    val out = "/tmp/graft_fixtures/corpus_sink"
+    CorpusSink.write(
+      t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+      out, Seq("lang"), "doc_id", nShards = 4)
+    CorpusSink.reconcile(s, out, Seq("lang"), "doc_id")
+      .filter(col("ok"))
+      .select(col("lang"), col("shard").cast("long").as("shard"),
+        col("rows_manifest").as("n_rows"),
+        col("checksum_manifest").as("id_checksum"))
+      .orderBy("lang", "shard")
+  }
+
   /** LLM-pipeline: deterministic stratified sample (training mix). The
     * id checksum pins the exact selected set — membership is a pure
     * function of (doc_id, salt), so DuckDB selects the same rows. */
@@ -1987,6 +2007,7 @@ object SparkEntry {
     "inc_quantile_sketch" -> quantileSketchQ,
     "w_domain_cap" -> domainCapQ,
     "w_url_dedup" -> urlDedupQ,
+    "s_corpus_sink" -> corpusSinkQ,
     "t2_bpe_train" -> bpeTrainQ,
     "ann_kmeans_ivf" -> annKmeansIvf,
     "st_stream_quantiles" -> streamingQuantilesQ,
