@@ -651,6 +651,14 @@ object OracleSql {
       |WHERE bit_count(xor(a.sh, b.sh)) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** st_stream_rate: the streamed watermarked hourly rollup must equal
+    * the batch date_trunc rollup (epoch-hour-aligned windows, additive
+    * counts). */
+  private def streamRateSql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      |FROM events GROUP BY event_type, h
+      |ORDER BY event_type, h""".stripMargin
+
   /** s_corpus_sink: recompute the deterministic shard assignment
     * (md5_low32(doc_id:corpus0) % 4) and the per-(lang, shard) manifest
     * stats straight from the documents table — the engine's value must
@@ -2639,6 +2647,7 @@ object OracleSql {
     "mm_dhash_neardup" -> dhashNearDupSql,
     "mm_audio_fingerprint" -> audioFpSql,
     "s_corpus_sink" -> corpusSinkSql,
+    "st_stream_rate" -> streamRateSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
     "d_decontam_report" -> decontamSql,

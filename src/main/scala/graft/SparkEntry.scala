@@ -1420,6 +1420,27 @@ object SparkEntry {
     * the same rows, so this streaming query has an exact DuckDB oracle —
     * the strongest possible evidence the incremental path is lossless.
     */
+  /** Streaming watermarked hourly rollup (the canonical readStream →
+    * window agg → sink shape): the streamed per-hour event counts must
+    * equal the batch date_trunc rollup — window(ts, 1h) is epoch-hour
+    * aligned, counts are additive, so streamed == batch exactly. */
+  private def streamingRateQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_rate_${streamSeq.incrementAndGet()}"
+    val schema = t(s, dir, "events").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // micros-NTZ → session-TZ (UTC) timestamp for the watermark clock
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = graft.streaming.StreamingProfile.hourlyEventCounts(stream)
+      // back to NTZ so the parquet dump compares as a wall-clock hour
+      .select(col("event_type"), col("h").cast("timestamp_ntz").as("h"), col("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("event_type", "h")
+  }
+
   private def streamingProfile(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.StringType
@@ -1986,6 +2007,7 @@ object SparkEntry {
     "mm_media_stats" -> mediaStats,
     "mm_frame_plan" -> framePlan,
     "st_stream_profile" -> streamingProfile,
+    "st_stream_rate" -> streamingRateQ,
     "st_stream_dedup" -> streamingDedupQ,
     "s2_compressed_roundtrip" -> compressedRoundtrip,
     "j3_search_eval" -> searchEval,
