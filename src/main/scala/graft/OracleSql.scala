@@ -2361,6 +2361,25 @@ object OracleSql {
         |  FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // q_hard_negatives: same cosine+rank replay as ann_cosine_topk with
+    // the [0.10, 0.30) band filter applied before ranking.
+    "q_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+        |         ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END AS cosine
+        |  FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored WHERE cosine >= 0.10 AND cosine < 0.30)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "o4_search_exact" -> searchExactSql,
 
     "a16_value_heads" -> Seq(

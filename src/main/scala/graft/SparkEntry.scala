@@ -315,6 +315,16 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Retrieval-training hard negatives: per query, top-3 corpus vectors
+    * inside the [0.10, 0.30) cosine band — similar enough to be hard,
+    * below the near-dup band where they would be false negatives. */
+  private def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Ann.hardNegatives(embs, embs.filter(col("vec_id") <= 10), k = 3,
+        tauLo = 0.10, tauHi = 0.30)
+      .orderBy("query_id", "rank")
+  }
+
   /** Q2/Q3 memory-bound scale path: int8 scalar-quantized top-k — 4×
     * smaller resident corpus, exact-integer dots (DuckDB replays the
     * quantization + ranking bit-for-bit). */
@@ -1965,6 +1975,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> ngramJaccard,
     "emb_stats" -> embStats,
     "ann_cosine_topk" -> annTopK,
+    "q_hard_negatives" -> hardNegativesQ,
     "ann_ivf_topk" -> annIvf,
     "ann_quantized_topk" -> annQuantized,
     "ann_rerank_topk" -> annRerank,

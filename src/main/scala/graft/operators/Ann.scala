@@ -60,6 +60,30 @@ object Ann {
     topKByScore(scored, "cosine", k)
   }
 
+  /** Hard-negative mining — the retrieval-training data op: for each
+    * query vector, the top-k corpus neighbors inside the similarity band
+    * `[tauLo, tauHi)` — similar enough to be HARD negatives, below the
+    * near-duplicate band where they'd be false negatives (contrastive /
+    * dense-retrieval training mines exactly this band; DPR's BM25
+    * negatives are the classic precedent). Same broadcast-queries /
+    * streaming-corpus shape and the same scoring+rank tail as
+    * [[bruteForceTopK]], so ranks can't diverge between paths; swap the
+    * scorer for [[rerankTopK]]'s quantized prefilter when the corpus
+    * outgrows brute force.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                    tauLo: Double = 0.1, tauHi: Double = 0.5,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(tauLo < tauHi, "band must be non-empty: tauLo < tauHi")
+    val c = withNorm(graft.sources.Lake.balance(corpus), idCol, vecCol, "neighbor_id", "nv", "nn")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", safeCosine(dot(col("qv"), col("nv")), col("qn") * col("nn")))
+      .filter(col("cosine") >= tauLo && col("cosine") < tauHi)
+    topKByScore(scored, "cosine", k)
+  }
+
   /** Shared ranking tail of every ANN path: per-query row_number over
     * (score desc, neighbor_id) — ONE definition of the tie-break and rank
     * semantics, so the exact/quantized/bucketed paths cannot diverge. */

@@ -170,6 +170,18 @@ class AnnSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("neighbor_id") == 5L)
   }
 
+  test("hardNegatives keeps only the band: no near-dups, no unrelated") {
+    // v1's candidates: v2 cos≈0.995 (too similar), v5 cos≈0.707 (hard),
+    // v3/v4 cos 0 (unrelated) — a [0.3, 0.9) band must return exactly v5
+    val res = Ann.hardNegatives(embs, embs.filter($"vec_id" === 1), k = 5,
+      tauLo = 0.3, tauHi = 0.9).collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Long]("neighbor_id") == 5L)
+    assert(res.head.getAs[Long]("rank") == 1L)
+    val c = res.head.getAs[Double]("cosine")
+    assert(c >= 0.3 && c < 0.9)
+  }
+
   test("quantizedTopK matches brute-force ranking on well-separated vectors") {
     val res = Ann.quantizedTopK(embs, embs.filter($"vec_id" === 1), k = 2)
     val rows = res.collect().sortBy(_.getAs[Long]("rank"))
