@@ -765,6 +765,52 @@ object OracleSql {
       |FROM q CROSS JOIN g
       |ORDER BY source, lang""".stripMargin
 
+  /** d_corpus_diff: the expected status of every id follows from the
+    * snapshot-membership and edit predicates — a broken fingerprint
+    * compare (or broken whitespace normalization: ids%11 carry a
+    * whitespace-only edit and must be unchanged) shifts the counts. */
+  private def corpusDiffSql: String =
+    """WITH st AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 0 THEN 'added'
+      |         WHEN doc_id % 7 <> 0 AND doc_id % 3 = 0 THEN 'removed'
+      |         WHEN doc_id % 7 <> 0 AND doc_id % 3 <> 0 AND doc_id % 5 = 0 THEN 'changed'
+      |         WHEN doc_id % 7 <> 0 AND doc_id % 3 <> 0 THEN 'unchanged'
+      |         ELSE NULL END AS status
+      |  FROM documents)
+      |SELECT status, count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS id_checksum
+      |FROM st WHERE status IS NOT NULL
+      |GROUP BY status ORDER BY status""".stripMargin
+
+  /** d_leakage_split: replay closure labels (cluster = component min id,
+    * singletons = own id), then the salted cluster-hash thresholds —
+    * every duplicate-cluster member lands in the same split by
+    * construction. */
+  private def leakageSplitSql: String = {
+    def thr(f: Double) = math.floor(f * 4294967296.0).toLong
+    s"""WITH RECURSIVE $minhashPairCtes,
+       |vp AS (SELECT id_a, id_b FROM pairs WHERE nb > 0 AND jaccard >= 0.05),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+       |          UNION SELECT id_b, id_a FROM vp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+       |           FROM reach GROUP BY src),
+       |assign AS (
+       |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster,
+       |    (md5_number_lower(CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)
+       |       || ':split0') & 4294967295) AS h
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+       |SELECT CASE WHEN h < ${thr(0.8)} THEN 'train'
+       |            WHEN h < ${thr(0.9)} THEN 'valid'
+       |            ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+       |FROM assign GROUP BY split ORDER BY split""".stripMargin
+  }
+
   /** d_cluster_canonical: same verified pairs → transitive closure as
     * d_dedup_corpus, then each cluster's best member by (n_chars desc,
     * id asc) — the quality-aware keep policy. All-integer output. */
@@ -2661,6 +2707,8 @@ object OracleSql {
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "d_cluster_canonical" -> clusterCanonicalSql,
+    "d_corpus_diff" -> corpusDiffSql,
+    "d_leakage_split" -> leakageSplitSql,
     "t_token_budget" -> tokenBudgetSql,
     "w_url_dedup" -> urlDedupSql,
     "mm_dhash_neardup" -> dhashNearDupSql,

@@ -1581,6 +1581,38 @@ object SparkEntry {
       Seq("source", "lang"), token_count(col("text")), budget = 100000L)
       .orderBy("source", "lang")
 
+  /** Corpus snapshot diff: old = ids not divisible by 7, new = ids not
+    * divisible by 3 with a real edit on ids%5==0 and a WHITESPACE-ONLY
+    * edit on ids%11==0 — the latter must compare unchanged (normalized
+    * fingerprints), which the oracle states from the predicates. */
+  private def corpusDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 3 =!= 0).withColumn("text",
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+        .when(col("doc_id") % 11 === 0, regexp_replace(col("text"), " ", "  "))
+        .otherwise(col("text")))
+    Dedup.corpusDiff(oldSnap, newSnap)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("id_checksum"))
+      .orderBy("status")
+  }
+
+  /** Leakage-safe splits: split assignment hashes the near-dup CLUSTER,
+    * so no duplicate pair can cross a split boundary. The checksum pins
+    * the exact assignment; DuckDB replays closure + hash. */
+  private def leakageSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05)
+    graft.sources.Splits.leakageSafeSplit(docs, pairs,
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_checksum"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .orderBy("split")
+  }
+
   /** LLM-pipeline: quality-aware canonical selection per near-dup
     * cluster — keep the longest member (n_chars, tie → min id) instead
     * of an arbitrary representative. */
@@ -2049,6 +2081,8 @@ object SparkEntry {
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "d_cluster_canonical" -> clusterCanonicalQ,
+    "d_corpus_diff" -> corpusDiffQ,
+    "d_leakage_split" -> leakageSplitQ,
     "t_token_budget" -> tokenBudgetQ,
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,

@@ -387,6 +387,32 @@ object Dedup {
         (col("id_sum") + col("best.neg_id")).as("dropped_id_sum"))
   }
 
+  /** Snapshot diff between two corpus versions — the audit step before
+    * shipping an updated training set: which documents were added,
+    * removed, changed (normalized-content fingerprint differs), or
+    * carried over unchanged. Whitespace-only edits compare as unchanged
+    * because [[graft.functions.TextFunctions.doc_fingerprint]] collapses
+    * runs — the same normalization exact dedup keys on, so diff and
+    * dedup agree on what "same document" means.
+    *
+    * Scale: both snapshots reduce to (id, 32-byte fingerprint) before
+    * the one full-outer id join — document text never shuffles.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol).cast("long").as("id"),
+      doc_fingerprint(col(textCol)).as("fp_old"))
+    val n = newDocs.select(col(idCol).cast("long").as("id"),
+      doc_fingerprint(col(textCol)).as("fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select("id", "status")
+  }
+
   /** Per-doc sketch catalog row: (id, fingerprint, mh) — what a corpus
     * persists (via [[graft.store.SketchStore]]) so later batches dedup
     * against it without rescanning the corpus.

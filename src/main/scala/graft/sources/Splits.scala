@@ -85,4 +85,44 @@ object Splits {
     val keys = keyCols.map(c => col(s"`$c`"))
     df.orderBy(shuffleKey(seed, keys) +: keys: _*)
   }
+
+  /** Leakage-safe train/valid/test assignment: the split of a document
+    * is a salted hash of its near-dup CLUSTER, not of the document — so
+    * every member of a duplicate cluster lands in the SAME split and an
+    * eval set can never contain a near-copy of a training document (the
+    * standard contamination failure of naive per-row splitting; eval
+    * decontamination papers flag exactly this). Unpaired docs are their
+    * own singleton cluster.
+    *
+    * `cuts` are (name, fraction) in order, fractions summing to 1;
+    * membership is `md5_low32(cluster:salt)` against cumulative
+    * thresholds — a pure function of (cluster, salt), reproducible on
+    * any engine/partitioning, same discipline as
+    * [[graft.operators.Sampling]]. Scale: only (id, cluster) joins the
+    * corpus; the hash is row-local.
+    * Output: input rows + (cluster, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       cuts: Seq[(String, Double)],
+                       idCol: String = "doc_id",
+                       salt: String = "split0"): DataFrame = {
+    require(cuts.nonEmpty && math.abs(cuts.map(_._2).sum - 1.0) < 1e-9,
+      "cut fractions must sum to 1")
+    val labels = graft.operators.Dedup.resolveClusters(pairs)
+      .withColumnRenamed("id", "__lid")
+    val withCluster = docs
+      .join(labels, col(s"`$idCol`").cast("long") === col("__lid"), "left")
+      .withColumn("cluster",
+        coalesce(col("cluster"), col(s"`$idCol`").cast("long")))
+      .drop("__lid")
+    val h = graft.functions.SketchFunctions.md5_low32(
+      concat_ws(":", col("cluster").cast("string"), lit(salt)))
+    val cum = cuts.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cum.map(f => math.floor(f * 4294967296.0).toLong)
+    val split = cuts.init.zip(thresholds.init).foldRight(
+      lit(cuts.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), thr), acc) => when(h < thr, lit(name)).otherwise(acc)
+    }
+    withCluster.withColumn("split", split)
+  }
 }

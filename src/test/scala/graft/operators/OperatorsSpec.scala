@@ -133,6 +133,36 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 7L, 8L, 9L, 10L))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged; whitespace = unchanged") {
+    val oldSnap = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "alpha   beta"), // whitespace-only → unchanged
+      (2L, "gamma v2"),                     // changed
+      (4L, "new doc"))                      // added; 3 removed
+      .toDF("doc_id", "text")
+    val st = Dedup.corpusDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("leakageSafeSplit: cluster members share a split; fractions roughly hold") {
+    val docs = (1L to 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val pairs = (1L to 99L by 3).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.sources.Splits.leakageSafeSplit(docs, pairs,
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val byId = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every pair lands together
+    (1L to 99L by 3).foreach(i => assert(byId(i) == byId(i + 1), s"pair ($i,${i + 1}) split"))
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 200 && counts.getOrElse("valid", 0) > 0)
+    // reproducible across partitionings
+    val again = graft.sources.Splits.leakageSafeSplit(docs.repartition(7), pairs,
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == byId)
+  }
+
   test("canonicalPerCluster keeps best-quality member, min-id tiebreak") {
     val corpus = Seq(
       (1L, 10L), (2L, 50L), (3L, 50L), // cluster 1: quality tie at 50 → id 2
