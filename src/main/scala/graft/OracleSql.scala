@@ -765,6 +765,36 @@ object OracleSql {
       |FROM q CROSS JOIN g
       |ORDER BY source, lang""".stripMargin
 
+  /** w_page_rank: replay integer-ppm PageRank by unrolling the 3
+    * iterations — every op is exact integral arithmetic (floor division
+    * on positives via //), so ranks match bit-for-bit. */
+  private def pageRankSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""i_$out AS (
+         |  SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) AS insum
+         |  FROM edges e JOIN $prev r ON r.node = e.src
+         |  JOIN deg g ON g.src = e.src GROUP BY e.dst),
+         |$out AS (
+         |  SELECT nd.node,
+         |    CAST(150000 + (coalesce(i.insum, 0) * 850000) // 1000000 AS BIGINT) AS r
+         |  FROM nodes nd LEFT JOIN i_$out i ON i.node = nd.node)"""
+        .stripMargin
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id*7 + 3) % (SELECT c FROM nn) AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id, doc_id % 31 FROM documents),
+       |edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, r AS rank_ppm FROM r3
+       |ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin
+  }
+
   /** d_corpus_diff: the expected status of every id follows from the
     * snapshot-membership and edit predicates — a broken fingerprint
     * compare (or broken whitespace normalization: ids%11 carry a
@@ -2708,6 +2738,7 @@ object OracleSql {
     "d_dedup_corpus" -> dedupCorpusSql,
     "d_cluster_canonical" -> clusterCanonicalSql,
     "d_corpus_diff" -> corpusDiffSql,
+    "w_page_rank" -> pageRankSql,
     "d_leakage_split" -> leakageSplitSql,
     "t_token_budget" -> tokenBudgetSql,
     "w_url_dedup" -> urlDedupSql,

@@ -1581,6 +1581,22 @@ object SparkEntry {
       Seq("source", "lang"), token_count(col("text")), budget = 100000L)
       .orderBy("source", "lang")
 
+  /** Link-centrality weighting (integer PageRank): a deterministic
+    * heterogeneous graph over document ids — a permutation-ish family
+    * ((7i+3)%N) plus a hub family (i%31, ~N/31 in-degree each), so
+    * ranks genuinely differentiate. 3 iterations in exact ppm space —
+    * DuckDB replays the unrolled loop; top-20 pins exact rank values. */
+  private def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).as("dst"))
+      .union(docs.select(col("doc_id"), col("doc_id") % 31))
+    graft.operators.Graph.pagerankInt(e, nIter = 3)
+      .orderBy(col("rank_ppm").desc, col("node")).limit(20)
+  }
+
   /** Corpus snapshot diff: old = ids not divisible by 7, new = ids not
     * divisible by 3 with a real edit on ids%5==0 and a WHITESPACE-ONLY
     * edit on ids%11==0 — the latter must compare unchanged (normalized
@@ -2082,6 +2098,7 @@ object SparkEntry {
     "d_dedup_corpus" -> dedupCorpus,
     "d_cluster_canonical" -> clusterCanonicalQ,
     "d_corpus_diff" -> corpusDiffQ,
+    "w_page_rank" -> pageRankQ,
     "d_leakage_split" -> leakageSplitQ,
     "t_token_budget" -> tokenBudgetQ,
     "t_pii_scrub" -> piiScrub,

@@ -133,6 +133,23 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L, 7L, 8L, 9L, 10L))
   }
 
+  test("pagerankInt: exact integer ranks match hand-computed star graph") {
+    import graft.operators.Graph
+    // 1..5 -> 0, 0 -> 1; two iterations by hand in ppm space:
+    // i1: r(0)=150000+850000*5 = 4_400_000; r(1)=1_000_000; rest 150000
+    // i2: r(0)=150000+0.85*(1e6+4*150000) = 1_510_000
+    //     r(1)=150000+0.85*4_400_000     = 3_890_000
+    val edges = ((1L to 5L).map(i => (i, 0L)) :+ ((0L, 1L))).toDF("src", "dst")
+    val r = Graph.pagerankInt(edges, nIter = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) == 1510000L && r(1L) == 3890000L)
+    assert((2L to 5L).forall(r(_) == 150000L))
+    // partition-layout invariant (exact integers, no float summation)
+    val again = Graph.pagerankInt(edges.repartition(5), nIter = 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == r)
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged; whitespace = unchanged") {
     val oldSnap = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"))
       .toDF("doc_id", "text")
