@@ -765,6 +765,26 @@ object OracleSql {
       |FROM q CROSS JOIN g
       |ORDER BY source, lang""".stripMargin
 
+  /** t_ngram_novelty: replay per-doc distinct 3-gram doc frequencies —
+    * same shingle convention as the HLL oracle (short docs contribute
+    * the whole text as one gram). */
+  private def ngramNoveltySql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |      FROM d),
+      |gd AS (SELECT DISTINCT doc_id, gram FROM
+      |        (SELECT doc_id, unnest(sh) AS gram FROM g)),
+      |f AS (SELECT gram, count(*) AS df FROM gd GROUP BY gram),
+      |agg AS (SELECT doc_id, count(*) AS n_grams,
+      |          sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+      |        FROM gd JOIN f USING (gram) GROUP BY doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_grams,
+      |  CAST(n_novel AS BIGINT) AS n_novel,
+      |  round(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+      |FROM agg WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+
   /** w_page_rank: replay integer-ppm PageRank by unrolling the 3
     * iterations — every op is exact integral arithmetic (floor division
     * on positives via //), so ranks match bit-for-bit. */
@@ -2739,6 +2759,7 @@ object OracleSql {
     "d_cluster_canonical" -> clusterCanonicalSql,
     "d_corpus_diff" -> corpusDiffSql,
     "w_page_rank" -> pageRankSql,
+    "t_ngram_novelty" -> ngramNoveltySql,
     "d_leakage_split" -> leakageSplitSql,
     "t_token_budget" -> tokenBudgetSql,
     "w_url_dedup" -> urlDedupSql,

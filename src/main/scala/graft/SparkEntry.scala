@@ -1918,6 +1918,14 @@ object SparkEntry {
     graft.search.TextSearch.tfidfTopTerms(t(s, dir, "documents"), topK = 5)
       .orderBy("doc_id", "rank")
 
+  /** LLM-pipeline: n-gram novelty — fraction of each doc's distinct
+    * 3-grams unique to it corpus-wide (df == 1). */
+  private def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(t(s, dir, "documents"), n = 3)
+      .filter(col("id") <= 100)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+      .orderBy("doc_id")
+
   /** LLM-pipeline: per-doc repetition metrics (Gopher rule family). */
   private def repetitionMetricsQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionMetrics(
@@ -2118,6 +2126,7 @@ object SparkEntry {
     "d_temperature_mix" -> temperatureMixQ,
     "t_tfidf_terms" -> tfidfTermsQ,
     "t_repetition" -> repetitionMetricsQ,
+    "t_ngram_novelty" -> ngramNoveltyQ,
     "x_asof_join" -> asofEnrich,
     "x_range_join" -> rangeJoinQ,
     "x_rollup_agg" -> rollupAgg,

@@ -56,6 +56,32 @@ object TextAnalysis {
       .withColumn("keep", col("ok_tokens") && col("ok_word_len") && col("ok_punct"))
   }
 
+  /** N-gram novelty — the diversity/memorization probe corpus reports
+    * lean on: for each document, the fraction of its DISTINCT word
+    * n-grams that occur in no other document (corpus doc-frequency 1).
+    * Low novelty marks boilerplate/templated text; high novelty marks
+    * unique content worth keeping at full weight.
+    *
+    * Scale: per-doc distinct grams shuffle ONCE on the gram key
+    * (map-side combine collapses in-partition repeats); the df join is
+    * co-partitioned on the same key, so the exchange is reused. Short
+    * docs (< n tokens) contribute their whole text as one gram, the
+    * [[graft.functions.TextFunctions.word_shingles]] convention.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val grams = graft.sources.Lake.balance(docs)
+      .select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(word_shingles(col(textCol), n))).as("gram"))
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   /** Repetition metrics (the rest of the Gopher rule family): duplicate
     * word fraction and the share of bigrams taken by the most frequent
     * one. Pure array expressions per row — codegen'd, shuffle-free; the

@@ -307,6 +307,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Double]("quality") > 0)
   }
 
+  test("ngramNovelty: shared template scores 0, unique doc scores 1") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),  // identical to doc 2 → all df 2
+      (2L, "the quick brown fox jumps"),
+      (3L, "completely different words entirely here")) // unique → all df 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)) && out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    // repeated gram WITHIN one doc counts once (distinct per doc)
+    val rep = TextAnalysis.ngramNovelty(
+      Seq((9L, "x y z x y z")).toDF("doc_id", "text"), n = 3).collect().head
+    assert(rep.getLong(1) == 3L) // "x y z","y z x","z x y" — not 4
+  }
+
   test("bigramLogProb: in-domain text outscores unseen bigrams; counts and floor are exact") {
     val train = Seq(
       (1L, "a b a b a b"),
