@@ -765,6 +765,23 @@ object OracleSql {
       |FROM q CROSS JOIN g
       |ORDER BY source, lang""".stripMargin
 
+  /** t_length_histogram: replay token counts, 16-token bins, and
+    * padding waste at max_len 64 — all integer floor division. */
+  private def lengthHistogramSql: String =
+    """WITH tk AS (
+      |  SELECT CASE WHEN trim(text) = '' THEN 0
+      |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |  FROM documents),
+      |w AS (SELECT CAST(n AS BIGINT) AS n, n // 16 AS bin,
+      |        ((n + 63) // 64) * 64 - n AS waste FROM tk)
+      |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  CAST(sum(waste) AS BIGINT) AS padding_tokens,
+      |  CASE WHEN sum(n) + sum(waste) = 0 THEN 0.0
+      |       ELSE round(CAST(sum(waste) AS DOUBLE) / (sum(n) + sum(waste)), 6)
+      |  END AS waste_ratio
+      |FROM w GROUP BY bin ORDER BY bin""".stripMargin
+
   /** t_ngram_novelty: replay per-doc distinct 3-gram doc frequencies —
     * same shingle convention as the HLL oracle (short docs contribute
     * the whole text as one gram). */
@@ -2760,6 +2777,7 @@ object OracleSql {
     "d_corpus_diff" -> corpusDiffSql,
     "w_page_rank" -> pageRankSql,
     "t_ngram_novelty" -> ngramNoveltySql,
+    "t_length_histogram" -> lengthHistogramSql,
     "d_leakage_split" -> leakageSplitSql,
     "t_token_budget" -> tokenBudgetSql,
     "w_url_dedup" -> urlDedupSql,

@@ -1918,6 +1918,13 @@ object SparkEntry {
     graft.search.TextSearch.tfidfTopTerms(t(s, dir, "documents"), topK = 5)
       .orderBy("doc_id", "rank")
 
+  /** LLM-pipeline: sequence-length histogram + padding waste at
+    * max_len 64, 16-token bins — the packing-planning report. */
+  private def lengthHistogramQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lengthHistogram(t(s, dir, "documents"),
+        binTokens = 16, maxLen = 64)
+      .orderBy("bin")
+
   /** LLM-pipeline: n-gram novelty — fraction of each doc's distinct
     * 3-grams unique to it corpus-wide (df == 1). */
   private def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
@@ -2127,6 +2134,7 @@ object SparkEntry {
     "t_tfidf_terms" -> tfidfTermsQ,
     "t_repetition" -> repetitionMetricsQ,
     "t_ngram_novelty" -> ngramNoveltyQ,
+    "t_length_histogram" -> lengthHistogramQ,
     "x_asof_join" -> asofEnrich,
     "x_range_join" -> rangeJoinQ,
     "x_rollup_agg" -> rollupAgg,

@@ -56,6 +56,33 @@ object TextAnalysis {
       .withColumn("keep", col("ok_tokens") && col("ok_word_len") && col("ok_punct"))
   }
 
+  /** Sequence-length histogram + padding-waste report — what a training
+    * run reads before choosing max_len and deciding whether
+    * [[packSequences]] is worth its shuffle: token-count distribution in
+    * `binTokens`-wide bins, plus the tokens a naive one-doc-per-sequence
+    * loader would PAD at `maxLen` (each doc occupies
+    * `ceil(n/maxLen)` sequences; the remainder of the last one is
+    * padding). Exact integers throughout; the waste ratio is one
+    * rounded division. One map-side-combined aggregation.
+    */
+  def lengthHistogram(docs: DataFrame, binTokens: Int = 64,
+                      maxLen: Int = 512, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(binTokens >= 1 && maxLen >= 1, "binTokens and maxLen must be >= 1")
+    docs.select(token_count(col(textCol)).cast("long").as("n"))
+      .select(col("n"),
+        expr(s"n div $binTokens").as("bin"),
+        (expr(s"(n + ${maxLen - 1}) div $maxLen") * maxLen - col("n")).as("waste"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("waste")).as("padding_tokens"))
+      .withColumn("waste_ratio",
+        when(col("total_tokens") + col("padding_tokens") === 0, lit(0.0))
+          .otherwise(round(col("padding_tokens").cast("double") /
+            (col("total_tokens") + col("padding_tokens")), 6)))
+  }
+
   /** N-gram novelty — the diversity/memorization probe corpus reports
     * lean on: for each document, the fraction of its DISTINCT word
     * n-grams that occur in no other document (corpus doc-frequency 1).

@@ -307,6 +307,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Double]("quality") > 0)
   }
 
+  test("lengthHistogram: exact bins and padding waste at maxLen") {
+    // 3 tokens → bin 0, waste 8-3=5; 10 tokens → bin 2, waste 16-10=6;
+    // 17 tokens → bin 4, ceil(17/8)*8=24, waste 7
+    val docs = Seq((1L, "a b c"), (2L, ("x " * 10).trim), (3L, ("y " * 17).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthHistogram(docs, binTokens = 4, maxLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((1L, 3L, 5L, 0.625)))
+    assert(out(2L) == ((1L, 10L, 6L, 0.375)))
+    assert(out(4L)._3 == 7L)
+  }
+
   test("ngramNovelty: shared template scores 0, unique doc scores 1") {
     val docs = Seq(
       (1L, "the quick brown fox jumps"),  // identical to doc 2 → all df 2
