@@ -521,6 +521,73 @@ object OracleSql {
       |SELECT exact.lang, exact.exact_distinct, round(est.e, 4) AS hll_estimate
       |FROM exact JOIN est USING (lang) ORDER BY lang""".stripMargin
 
+  /** a_kmv_distinct: replay the k=256 KMV sketch — distinct low-32 md5
+    * hashes, the 256 smallest per lang, then the one fixed-shape
+    * (k-1)·2^32 / (kth+1) estimate double. The numerator literal is
+    * written as the same two-factor product the JVM computes. */
+  private def kmvDistinctSql: String =
+    s"""$kmvShingleCte,
+      |k AS (SELECT lang, hv FROM h
+      |      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hv) <= 256),
+      |agg AS (SELECT lang, count(*) AS n, max(hv) AS kth FROM k GROUP BY 1),
+      |est AS (SELECT lang,
+      |    CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+      |         ELSE (255.0 * 4294967296.0) / (CAST(kth AS DOUBLE) + 1.0)
+      |    END AS e FROM agg),
+      |exact AS (SELECT lang, count(DISTINCT s) AS exact_distinct FROM sv GROUP BY lang)
+      |SELECT exact.lang, exact.exact_distinct, round(est.e, 4) AS kmv_estimate
+      |FROM exact JOIN est USING (lang) ORDER BY lang""".stripMargin
+
+  /** a_kmv_setops: replay the theta-style set algebra — combined
+    * 256-smallest of each lang pair's retained hashes with membership
+    * flags, union estimate from the pair's kth hash, jaccard from the
+    * both-flag fraction, intersection = jaccard × union. */
+  private def kmvSetOpsSql: String =
+    s"""$kmvShingleCte,
+      |k AS (SELECT lang, hv FROM h
+      |      QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hv) <= 256),
+      |pairs AS (SELECT a.lang AS ga, b.lang AS gb
+      |          FROM (SELECT DISTINCT lang FROM k) a, (SELECT DISTINCT lang FROM k) b
+      |          WHERE a.lang < b.lang),
+      |members AS (
+      |  SELECT ga, gb, hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+      |    SELECT p.ga, p.gb, k.hv, 1 AS in_a, 0 AS in_b
+      |    FROM pairs p JOIN k ON k.lang = p.ga
+      |    UNION ALL
+      |    SELECT p.ga, p.gb, k.hv, 0, 1
+      |    FROM pairs p JOIN k ON k.lang = p.gb)
+      |  GROUP BY 1, 2, 3),
+      |comb AS (SELECT * FROM members
+      |         QUALIFY row_number() OVER (PARTITION BY ga, gb ORDER BY hv) <= 256),
+      |agg AS (SELECT ga, gb, count(*) AS n_l, max(hv) AS lth,
+      |          sum(in_a * in_b) AS n_both FROM comb GROUP BY 1, 2),
+      |est AS (SELECT ga, gb,
+      |    CASE WHEN n_l < 256 THEN CAST(n_l AS DOUBLE)
+      |         ELSE (255.0 * 4294967296.0) / (CAST(lth AS DOUBLE) + 1.0)
+      |    END AS u,
+      |    CAST(n_both AS DOUBLE) / CAST(n_l AS DOUBLE) AS j
+      |  FROM agg),
+      |dsv AS (SELECT DISTINCT lang, s FROM sv),
+      |exact AS (SELECT a.lang AS ga, b.lang AS gb, count(*) AS exact_intersect
+      |          FROM dsv a JOIN dsv b ON a.s = b.s AND a.lang < b.lang
+      |          GROUP BY 1, 2)
+      |SELECT est.ga, est.gb, round(u, 4) AS union_est,
+      |  round(j * u, 4) AS intersect_est, round(j, 6) AS jaccard_est,
+      |  coalesce(exact.exact_intersect, 0) AS exact_intersect
+      |FROM est LEFT JOIN exact USING (ga, gb) ORDER BY ga, gb""".stripMargin
+
+  /** Shared CTE prefix for the KMV replays: the per-lang shingle values
+    * (per-doc-deduped, as the Spark side's array_distinct) and their
+    * DISTINCT low-32 md5 hashes. */
+  private def kmvShingleCte: String =
+    """WITH d AS (SELECT lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT lang,
+      |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |      FROM d),
+      |sv AS (SELECT lang, unnest(sh) AS s FROM g),
+      |h AS (SELECT DISTINCT lang, (md5_number_lower(s) & 4294967295) AS hv FROM sv)""".stripMargin
+
   /** t_tfidf_terms: smooth-idf TF-IDF with the BM25 determinism
     * discipline — the ln is rounded to 6 dp BEFORE the multiply. */
   private def tfidfTermsSql: String =
@@ -2795,6 +2862,8 @@ object OracleSql {
     "t_cms_freq" -> cmsFreqSql,
     "d_incremental_dedup" -> incrementalDedupSql,
     "a_hll_distinct" -> hllDistinctSql,
+    "a_kmv_distinct" -> kmvDistinctSql,
+    "a_kmv_setops" -> kmvSetOpsSql,
     "d_temperature_mix" -> temperatureMixSql,
     "t_tfidf_terms" -> tfidfTermsSql,
     "t_repetition" -> repetitionSql,

@@ -1897,6 +1897,42 @@ object SparkEntry {
     exact.join(est, "lang").orderBy("lang")
   }
 
+  /** Profile: KMV (k-minimum-values) distinct estimate vs exact, per
+    * lang, over the same 3-word shingles as [[hllDistinctQ]] — the
+    * retained-hash sketch is oracle-replayed hash by hash.
+    */
+  private def kmvDistinctQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.profile.Kmv
+    val sh = t(s, dir, "documents").select(col("lang"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("text"), 3))).as("sh"))
+    val spec = Kmv.KmvSpec(k = 256)
+    val est = Kmv.estimate(Kmv.sketch(sh, "sh", spec, Seq("lang")), spec, Seq("lang"))
+    val exact = sh.distinct().groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+    exact.join(est, "lang").orderBy("lang")
+  }
+
+  /** Profile: KMV set algebra — union / intersection / Jaccard estimates
+    * between every lang pair's shingle sets, from the sketches alone
+    * (the capability HLL registers cannot offer), vs the exact values.
+    */
+  private def kmvSetOpsQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.profile.Kmv
+    val sh = t(s, dir, "documents").select(col("lang"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("text"), 3))).as("sh"))
+    val spec = Kmv.KmvSpec(k = 256)
+    val est = Kmv.setEstimates(Kmv.sketch(sh, "sh", spec, Seq("lang")), "lang", spec)
+    val d = sh.distinct()
+    val exact = d.select(col("lang").as("ga"), col("sh"))
+      .join(d.select(col("lang").as("gb"), col("sh")), "sh")
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("exact_intersect"))
+    est.join(exact, Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("exact_intersect"))
+      .orderBy("ga", "gb")
+  }
+
   /** LLM-pipeline: temperature-flattened (τ=0.5) mixture sampling across
     * the 20 sources at a 30% token budget; checksums pin the exact
     * sampled set per source.
@@ -2130,6 +2166,8 @@ object SparkEntry {
     "t_cms_freq" -> cmsFreqQ,
     "d_incremental_dedup" -> incrementalDedupQ,
     "a_hll_distinct" -> hllDistinctQ,
+    "a_kmv_distinct" -> kmvDistinctQ,
+    "a_kmv_setops" -> kmvSetOpsQ,
     "d_temperature_mix" -> temperatureMixQ,
     "t_tfidf_terms" -> tfidfTermsQ,
     "t_repetition" -> repetitionMetricsQ,
