@@ -2526,6 +2526,27 @@ object OracleSql {
         |      FROM embeddings)
         |GROUP BY label ORDER BY label""".stripMargin,
 
+    // d_semantic_decontam: per corpus vector (vec_id > 50) the
+    // best-cosine eval match (vec_id <= 50); argmax replayed as
+    // rank-1 of (cosine DESC, bench_id ASC) — the same deterministic
+    // tie-break as the Spark max(struct(cosine, -bench_id)).
+    "d_semantic_decontam" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT c.vec_id AS id, b.vec_id AS bench_id,
+        |    CASE WHEN c.nrm * b.nrm = 0 THEN 0.0
+        |         ELSE round(list_dot_product(c.e, b.e) / (c.nrm * b.nrm), 6) END AS cosine
+        |  FROM n c JOIN n b ON c.vec_id > 50 AND b.vec_id <= 50),
+        |best AS (SELECT id, bench_id, cosine,
+        |           row_number() OVER (PARTITION BY id ORDER BY cosine DESC, bench_id) AS rn
+        |         FROM s)
+        |SELECT id, CAST(bench_id AS BIGINT) AS best_match, cosine AS best_cosine,
+        |  cosine >= 0.35 AS contaminated
+        |FROM best WHERE rn = 1 ORDER BY id""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -1811,6 +1811,19 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** LLM-pipeline: semantic decontamination — per corpus embedding, the
+    * best-cosine benchmark match (eval set = vec_id <= 50, broadcast)
+    * and the leakage flag at 0.35; catches paraphrase-level leakage the
+    * n-gram guard in `d_decontam_report` cannot.
+    */
+  private def semanticDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    graft.operators.Decontamination.semanticOverlapReport(
+      embs.filter(col("vec_id") > 50), embs.filter(col("vec_id") <= 50),
+      threshold = 0.35)
+      .orderBy("id")
+  }
+
   /** LLM-pipeline: decontamination with the Bloom-bitmap prefilter —
     * same exact overlap columns as `d_decontam_report` (no false
     * negatives), plus the candidate band the bitmap let through. Small
@@ -2155,6 +2168,7 @@ object SparkEntry {
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,
+    "d_semantic_decontam" -> semanticDecontamQ,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,
     "d_dup_spans" -> ((s, d) =>

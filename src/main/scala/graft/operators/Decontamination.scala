@@ -40,6 +40,40 @@ object Decontamination {
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
 
+  /** Semantic decontamination — embedding-cosine leakage the n-gram
+    * guard cannot see (paraphrases, translations, reformatted copies).
+    * Per corpus vector: the best-matching benchmark vector, its cosine,
+    * and a `contaminated` flag at `threshold`.
+    *
+    * Shape at scale: the benchmark side is the (small) eval set —
+    * explicitly broadcast; the corpus streams through one
+    * broadcast-nested-loop score + one groupBy on the corpus id. Max
+    * and argmax come from a single `max(struct(cosine, -match_id))`, so
+    * ties break toward the smallest benchmark id deterministically —
+    * no non-deterministic `max_by`. Cosines are 6-dp-rounded before
+    * the comparison (the engine-wide FP discipline).
+    */
+  def semanticOverlapReport(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    import graft.operators.Ann.{dot, norm}
+    def withNorm(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+        .withColumn(n, norm(col(v)))
+    val c = withNorm(corpus, "id", "cv", "cn")
+    val b = withNorm(benchmark, "bench_id", "bv", "bn")
+    val cosine = when(col("cn") * col("bn") === 0, lit(0.0))
+      .otherwise(round(dot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6))
+    c.crossJoin(broadcast(b))
+      .select(col("id"), col("bench_id"), cosine.as("cosine"))
+      .groupBy("id")
+      .agg(max(struct(col("cosine"), (-col("bench_id")).as("neg_id"))).as("best"))
+      .select(col("id"),
+        (-col("best.neg_id")).cast("long").as("best_match"),
+        col("best.cosine").as("best_cosine"),
+        (col("best.cosine") >= threshold).as("contaminated"))
+  }
+
   /** Drop contaminated documents (anti-join on the tiny flagged set). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05,

@@ -134,6 +134,28 @@ class DecontaminationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(2L, 3L))
   }
+
+  test("semanticOverlapReport flags the cosine-duplicate, ties break to smallest bench id") {
+    val benchE = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0f, 0.0f, 0.0f)), // identical to 10 — tie on cosine
+      (12L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val corpusE = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),  // parallel to bench 10/11 → cosine 1.0
+      (2L, Array(0.0f, 0.0f, 3.0f)),  // orthogonal to all → cosine 0.0
+      (3L, Array(1.0f, 1.0f, 0.0f))   // 45° to 10/11/12 → ~0.7071
+    ).toDF("vec_id", "embedding")
+    val rep = Decontamination.semanticOverlapReport(corpusE, benchE, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getAs[Boolean]("contaminated"))
+    assert(rep(1L).getAs[Long]("best_match") == 10L) // not 11: smallest id wins the tie
+    assert(rep(1L).getAs[Double]("best_cosine") == 1.0)
+    assert(!rep(2L).getAs[Boolean]("contaminated"))
+    assert(rep(2L).getAs[Double]("best_cosine") == 0.0)
+    assert(!rep(3L).getAs[Boolean]("contaminated"))
+    assert(math.abs(rep(3L).getAs[Double]("best_cosine") - 0.707107) < 1e-6)
+  }
 }
 
 class RepetitionSpec extends SparkSpec {
