@@ -2875,6 +2875,19 @@ object OracleSql {
     "st_stream_rate" -> streamRateSql,
     "t_pii_scrub" -> piiScrubSql,
     "d_stratified_sample" -> stratifiedSampleSql,
+
+    // d_weighted_sample: Efraimidis–Spirakis keys — u from the salted id
+    // hash, ln(u) rounded to 6 dp BEFORE the divide by weight (the BM25
+    // transcendental discipline), top-5 per lang by key desc, id asc.
+    "d_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    round(ln((CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':ws0') & 4294967295) AS DOUBLE) + 1.0)
+        |             / 4294967296.0), 6) / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT lang, doc_id, n_chars, round(key, 6) AS sample_key FROM k
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "d_decontam_report" -> decontamSql,
     "d_bloom_prefilter" -> bloomPrefilterSql,
     "d_line_dedup" -> lineDedupSql,

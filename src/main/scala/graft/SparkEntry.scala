@@ -1811,6 +1811,18 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** LLM-pipeline: Efraimidis–Spirakis weighted sampling without
+    * replacement — 5 docs per lang, weight = n_chars; the exponential
+    * keys are pure functions of (salt, doc_id), so the drawn set is
+    * engine-replayable.
+    */
+  private def weightedSampleQ(s: SparkSession, dir: String): DataFrame = {
+    graft.operators.Sampling.weightedSample(
+      t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+      idCol = "doc_id", weightCol = "n_chars", k = 5, groupCols = Seq("lang"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** LLM-pipeline: semantic decontamination — per corpus embedding, the
     * best-cosine benchmark match (eval set = vec_id <= 50, broadcast)
     * and the leakage flag at 0.35; catches paraphrase-level leakage the
@@ -2169,6 +2181,7 @@ object SparkEntry {
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,
     "d_semantic_decontam" -> semanticDecontamQ,
+    "d_weighted_sample" -> weightedSampleQ,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,
     "d_dup_spans" -> ((s, d) =>

@@ -125,4 +125,44 @@ object Sampling {
       .select(k ++ Seq(col("n_docs"), col("n_tokens"), col("share"),
         col("weight"), col("planned_tokens"), col("oversample")): _*)
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows per group —
+    * Efraimidis–Spirakis (IPL 2006) exponential keys: each row draws
+    * u ∈ (0,1] from its salted id hash and ranks by u^(1/w), i.e. by
+    * `ln(u)/w` descending. Deterministic like everything here: u is a
+    * pure function of (salt, id), so the sample is reproducible on any
+    * partitioning and replayable by the oracle.
+    *
+    * FP discipline (the BM25 precedent): the one transcendental, ln(u),
+    * is rounded to 6 dp BEFORE the divide; the key is then a single
+    * IEEE-754 division of identical doubles in every engine. Ties (same
+    * rounded key) break on id ascending.
+    *
+    * Scale shape: hash + key are row-local; ranking is a window
+    * PARTITIONED by the group columns; non-positive weights are
+    * excluded (sampling mass zero).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, groupCols: Seq[String] = Nil,
+                     salt: String = "ws0"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (md5Low32Col(concat_ws(":", col(s"`$idCol`").cast("string"), lit(salt)))
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    val key = round(log(u), 6) / col(s"`$weightCol`").cast("double")
+    val keyed = df.filter(col(s"`$weightCol`") > 0)
+      .withColumn("__key", key)
+    if (groupCols.isEmpty) {
+      // TakeOrdered path — no global window
+      keyed.orderBy(col("__key").desc, col(s"`$idCol`")).limit(k)
+        .withColumn("sample_key", round(col("__key"), 6)).drop("__key")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(c => col(s"`$c`")): _*)
+        .orderBy(col("__key").desc, col(s"`$idCol`"))
+      keyed.withColumn("__pos", row_number().over(w))
+        .filter(col("__pos") <= k)
+        .withColumn("sample_key", round(col("__key"), 6))
+        .drop("__key", "__pos")
+    }
+  }
 }

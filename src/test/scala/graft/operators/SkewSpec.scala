@@ -88,6 +88,39 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSample: k per group, weight-biased, partition-invariant") {
+    // one heavy row per group (w=100000) among 500 light rows (w=1)
+    val rows = (1L to 1000L).map { i =>
+      val grp = if (i % 2 == 0) "a" else "b"
+      val w = if (i <= 2) 100000L else 1L
+      (i, grp, w)
+    }
+    val wdf = rows.toDF("id", "grp", "w")
+    val out = Sampling.weightedSample(wdf, "id", "w", k = 5, Seq("grp"))
+    val byGrp = out.collect().groupBy(_.getString(1))
+    assert(byGrp("a").length == 5 && byGrp("b").length == 5)
+    // the 1e5-weight rows are near-certain picks (P(miss) < 1e-20)
+    assert(byGrp("b").exists(_.getLong(0) == 1L))
+    assert(byGrp("a").exists(_.getLong(0) == 2L))
+    // partition-invariant draw
+    val again = Sampling.weightedSample(wdf.repartition(7), "id", "w", k = 5, Seq("grp"))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+    // a different salt draws a different light-row set
+    val other = Sampling.weightedSample(wdf, "id", "w", k = 5, Seq("grp"), salt = "ws1")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != again)
+    // ungrouped TakeOrdered path: exactly k rows, includes both heavies
+    val flat = Sampling.weightedSample(wdf, "id", "w", k = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(flat.size == 4 && flat.contains(1L) && flat.contains(2L))
+    // zero/negative weights never sampled
+    val withZero = Sampling.weightedSample(
+      wdf.withColumn("w", when(col("id") === 1L, lit(0L)).otherwise(col("w"))),
+      "id", "w", k = 5, Seq("grp")).collect().map(_.getLong(0)).toSet
+    assert(!withZero.contains(1L))
+  }
+
   test("tokenBudgetPlan: exact counts, flattened weights, budget allocation") {
     val docs = ((1L to 100L).map(i => (i, "head", "en")) ++
       (101L to 104L).map(i => (i, "tail", "de")))
