@@ -521,6 +521,52 @@ object OracleSql {
       |SELECT exact.lang, exact.exact_distinct, round(est.e, 4) AS hll_estimate
       |FROM exact JOIN est USING (lang) ORDER BY lang""".stripMargin
 
+  /** One column's entropy row: integer micro-nat terms
+    * floor(c · round(ln(n/c), 6) · 1e6), integer-summed. */
+  private def entropyColSql(c: String): String =
+    s"""SELECT '$c' AS col_name,
+       |  CAST(any_value(n) AS BIGINT) AS n_rows,
+       |  count(*) AS n_distinct,
+       |  round(CAST(sum(tm) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) / 1000000.0, 6) AS entropy
+       |FROM (
+       |  SELECT cnt, CAST(sum(cnt) OVER () AS BIGINT) AS n,
+       |    CAST(floor(CAST(cnt AS DOUBLE) * round(ln(CAST(sum(cnt) OVER () AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) * 1000000.0) AS BIGINT) AS tm
+       |  FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY CAST($c AS VARCHAR)))""".stripMargin
+
+  /** a_col_entropy: per-column Shannon entropy in nats, replayed with
+    * the integer micro-nat sum (no FP summation order). */
+  private def colEntropySql: String =
+    Seq("l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate")
+      .map(entropyColSql).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** a_entropy_mi: MI(returnflag, linestatus) with the same micro-nat
+    * discipline; nmi = mi / min(h_a, h_b) of the already-rounded
+    * entropies. */
+  private def entropyMiSql: String = {
+    def h(c: String) =
+      s"""(SELECT round(CAST(sum(tm) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) / 1000000.0, 6)
+         | FROM (SELECT cnt, CAST(sum(cnt) OVER () AS BIGINT) AS n,
+         |         CAST(floor(CAST(cnt AS DOUBLE) * round(ln(CAST(sum(cnt) OVER () AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) * 1000000.0) AS BIGINT) AS tm
+         |       FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY CAST($c AS VARCHAR))))""".stripMargin
+    s"""WITH p AS (SELECT CAST(l_returnflag AS VARCHAR) AS a, CAST(l_linestatus AS VARCHAR) AS b FROM lineitem),
+       |j AS (SELECT a, b, count(*) AS cab FROM p GROUP BY 1, 2),
+       |ma AS (SELECT a, count(*) AS ca FROM p GROUP BY 1),
+       |mb AS (SELECT b, count(*) AS cb FROM p GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM p),
+       |mi AS (SELECT CAST(any_value(nn.n) AS BIGINT) AS n,
+       |         sum(CAST(floor(CAST(cab AS DOUBLE)
+       |           * round(ln(CAST(nn.n * cab AS DOUBLE) / CAST(ca * cb AS DOUBLE)), 6)
+       |           * 1000000.0) AS BIGINT)) AS s
+       |       FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+       |vals AS (SELECT ${h("l_returnflag")} AS h_a, ${h("l_linestatus")} AS h_b,
+       |           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mi
+       |         FROM mi)
+       |SELECT h_a, h_b, mi,
+       |  CASE WHEN least(h_a, h_b) = 0 THEN 0.0
+       |       ELSE round(mi / least(h_a, h_b), 6) END AS nmi
+       |FROM vals""".stripMargin
+  }
+
   /** a_kmv_distinct: replay the k=256 KMV sketch — distinct low-32 md5
     * hashes, the 256 smallest per lang, then the one fixed-shape
     * (k-1)·2^32 / (kth+1) estimate double. The numerator literal is
@@ -2897,6 +2943,8 @@ object OracleSql {
     "d_incremental_dedup" -> incrementalDedupSql,
     "a_hll_distinct" -> hllDistinctSql,
     "a_kmv_distinct" -> kmvDistinctSql,
+    "a_col_entropy" -> colEntropySql,
+    "a_entropy_mi" -> entropyMiSql,
     "a_kmv_setops" -> kmvSetOpsSql,
     "d_temperature_mix" -> temperatureMixSql,
     "t_tfidf_terms" -> tfidfTermsSql,

@@ -1811,6 +1811,23 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Profile: per-column Shannon entropy (key-likeness signal) over a
+    * low-card flag, a mid-card dimension, and the near-key orderkey —
+    * integer micro-nat sums, so the oracle replays bit-for-bit.
+    */
+  private def colEntropyQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.InfoTheory.columnEntropy(t(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey"))
+      .orderBy("col_name")
+
+  /** Profile: mutual information between the classic correlated TPC-H
+    * pair (returnflag, linestatus) — the soft-functional-dependency
+    * probe a join planner reads.
+    */
+  private def entropyMiQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.InfoTheory.mutualInformation(
+      t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+
   /** LLM-pipeline: Efraimidis–Spirakis weighted sampling without
     * replacement — 5 docs per lang, weight = n_chars; the exponential
     * keys are pure functions of (salt, doc_id), so the drawn set is
@@ -2182,6 +2199,8 @@ object SparkEntry {
     "d_decontam_report" -> decontamReport,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
+    "a_col_entropy" -> colEntropyQ,
+    "a_entropy_mi" -> entropyMiQ,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,
     "d_dup_spans" -> ((s, d) =>

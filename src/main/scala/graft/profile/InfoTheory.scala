@@ -1,0 +1,79 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic column profiling: Shannon entropy per column
+  * and pairwise mutual information — the signals a profiler uses to
+  * rank join-key candidates (high entropy ≈ key-like) and detect
+  * soft functional dependencies / correlated dimensions (high
+  * normalized MI) before committing a join order.
+  *
+  * Determinism discipline (engine-wide): every probability is a single
+  * IEEE-754 division of exact integer counts; the one transcendental
+  * (ln of that ratio) is rounded to 6 dp; each value's term is then
+  * quantized to integer micro-nats and SUMMED IN INTEGER SPACE, so no
+  * floating-summation order can split Spark from the oracle.
+  *
+  * Scale shape: entropy is one groupBy per column over its distinct
+  * values; MI is one groupBy over the joint (a, b) cells plus two
+  * marginal aggregates equi-joined back on the value — shuffles are
+  * bounded by distinct counts, never by row count.
+  */
+object InfoTheory {
+
+  /** Per-value entropy term in integer micro-nats:
+    * floor(c · round(ln(n/c), 6) · 1e6). */
+  private def termMicro(c: Column, lnRatio: Column): Column =
+    floor(c.cast("double") * lnRatio * lit(1000000.0)).cast("long")
+
+  /** Shannon entropy (nats, 6 dp) of each listed column:
+    * (col_name, n_rows, n_distinct, entropy). Nulls count as a value.
+    */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      val counts = df.groupBy(col(s"`$c`").cast("string").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val withN = counts.crossJoin(
+        broadcast(counts.agg(sum(col("__c")).as("__n"))))
+      val lnr = round(log(col("__n").cast("double") / col("__c").cast("double")), 6)
+      withN
+        .select(col("__c"), col("__n"), termMicro(col("__c"), lnr).as("__tm"))
+        .agg(first(col("__n")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("__tm")).as("__s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          round(col("__s").cast("double") / col("n_rows").cast("double")
+            / lit(1000000.0), 6).as("entropy"))
+    }.reduce(_ unionByName _)
+
+  /** Mutual information between two columns, one output row:
+    * (h_a, h_b, mi, nmi) in nats (6 dp), nmi = mi / min(h_a, h_b)
+    * (0 when either column is constant). Nulls count as values.
+    */
+  def mutualInformation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val pairs = df.select(col(s"`$colA`").cast("string").as("__a"),
+      col(s"`$colB`").cast("string").as("__b"))
+    val joint = pairs.groupBy("__a", "__b").agg(count(lit(1)).as("__cab"))
+    val ma = pairs.groupBy("__a").agg(count(lit(1)).as("__ca"))
+    val mb = pairs.groupBy("__b").agg(count(lit(1)).as("__cb"))
+    val n = pairs.agg(count(lit(1)).as("__n"))
+    // ln((n·c_ab) / (c_a·c_b)) — both operands exact integers, one divide
+    val lnr = round(log(
+      (col("__n") * col("__cab")).cast("double") /
+        (col("__ca") * col("__cb")).cast("double")), 6)
+    val miMicro = joint.join(ma, "__a").join(mb, "__b").crossJoin(broadcast(n))
+      .select(col("__n"), termMicro(col("__cab"), lnr).as("__tm"))
+      .agg(first(col("__n")).as("__n"), sum(col("__tm")).as("__s"))
+      .select(col("__n"),
+        round(col("__s").cast("double") / col("__n").cast("double")
+          / lit(1000000.0), 6).as("mi"))
+    val ha = columnEntropy(df, Seq(colA)).select(col("entropy").as("h_a"))
+    val hb = columnEntropy(df, Seq(colB)).select(col("entropy").as("h_b"))
+    miMicro.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("h_a"), col("h_b"), col("mi"),
+        when(least(col("h_a"), col("h_b")) === 0, lit(0.0))
+          .otherwise(round(col("mi") / least(col("h_a"), col("h_b")), 6))
+          .as("nmi"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.profile
+
+import graft.SparkSpec
+
+class InfoTheorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val EPS = 1e-4 // micro-nat quantization + 6-dp ln rounding
+
+  test("entropy: uniform ln(k), constant 0, key-like ln(n)") {
+    val df = (0 until 64).map(i => (i, i % 4, 7)).toDF("id", "quad", "const")
+    val h = InfoTheory.columnEntropy(df, Seq("id", "quad", "const"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(h("id").getAs[Double]("entropy") - math.log(64)) < EPS)
+    assert(h("id").getAs[Long]("n_distinct") == 64L)
+    assert(math.abs(h("quad").getAs[Double]("entropy") - math.log(4)) < EPS)
+    assert(h("const").getAs[Double]("entropy") == 0.0)
+    assert(h("const").getAs[Long]("n_rows") == 64L)
+  }
+
+  test("MI: identical columns give mi = h and nmi = 1") {
+    val df = (0 until 60).map(i => (i % 3, i % 3)).toDF("a", "b")
+    val r = InfoTheory.mutualInformation(df, "a", "b").collect().head
+    val hA = r.getAs[Double]("h_a")
+    assert(math.abs(hA - math.log(3)) < EPS)
+    assert(math.abs(r.getAs[Double]("mi") - hA) < EPS)
+    assert(math.abs(r.getAs[Double]("nmi") - 1.0) < EPS)
+  }
+
+  test("MI: independent columns give mi ~ 0") {
+    // i%2 and i%3 are independent over a full 6-cycle
+    val df = (0 until 60).map(i => (i % 2, i % 3)).toDF("a", "b")
+    val r = InfoTheory.mutualInformation(df, "a", "b").collect().head
+    assert(math.abs(r.getAs[Double]("mi")) < EPS)
+    assert(math.abs(r.getAs[Double]("nmi")) < EPS)
+  }
+
+  test("MI against a constant column is 0 with nmi pinned to 0") {
+    val df = (0 until 20).map(i => (i % 4, 1)).toDF("a", "b")
+    val r = InfoTheory.mutualInformation(df, "a", "b").collect().head
+    assert(r.getAs[Double]("h_b") == 0.0)
+    assert(r.getAs[Double]("mi") == 0.0)
+    assert(r.getAs[Double]("nmi") == 0.0)
+  }
+
+  test("nulls count as a value") {
+    val df = Seq[(Integer, Integer)]((1, 1), (null, 1), (null, 1), (2, 1))
+      .toDF("a", "b")
+    val h = InfoTheory.columnEntropy(df, Seq("a")).collect().head
+    assert(h.getAs[Long]("n_distinct") == 3L) // 1, 2, null
+    // p = (1/4, 1/4, 1/2) → H = 1.5 ln 2... in nats: 0.25ln4+0.25ln4+0.5ln2
+    val expected = 0.5 * math.log(4) + 0.5 * math.log(2)
+    assert(math.abs(h.getAs[Double]("entropy") - expected) < EPS)
+  }
+}
