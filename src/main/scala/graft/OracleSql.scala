@@ -1911,6 +1911,41 @@ object OracleSql {
       |FROM exp_c e LEFT JOIN hits h USING (query_id)
       |ORDER BY query""".stripMargin
 
+  /** j3_ndcg: nDCG@5 of the brute-force search vs label-mates truth —
+    * integer micro-gains floor(1e6 / round(log2(pos+1), 6)) summed per
+    * query; one final double division. */
+  private def searchNdcgSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |res AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |truth AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS nid
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <= 10 AND b.vec_id <> a.vec_id),
+      |dcg AS (
+      |  SELECT r.query_id,
+      |    sum(CAST(floor(1000000.0 / round(log2(CAST(r.rank AS DOUBLE) + 1.0), 6)) AS BIGINT)) AS dcg_micro
+      |  FROM res r JOIN truth t ON r.query_id = t.query_id AND r.neighbor_id = t.nid
+      |  GROUP BY 1),
+      |ideal AS (
+      |  SELECT query_id, row_number() OVER (PARTITION BY query_id ORDER BY nid) AS pos
+      |  FROM truth),
+      |idcg AS (
+      |  SELECT query_id,
+      |    sum(CAST(floor(1000000.0 / round(log2(CAST(pos AS DOUBLE) + 1.0), 6)) AS BIGINT)) AS idcg_micro
+      |  FROM ideal WHERE pos <= 5 GROUP BY 1)
+      |SELECT CAST(i.query_id AS VARCHAR) AS query,
+      |  round(CAST(coalesce(d.dcg_micro, 0) AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6) AS ndcg_at_k
+      |FROM idcg i LEFT JOIN dcg d USING (query_id)
+      |ORDER BY query""".stripMargin
+
   /** q5_table_search: top tables by content-snapshot slot agreement with
     * `nation` (mirrors Discovery.searchTables over the A13 snapshots). */
   private def tableSearchSql: String = {
@@ -2894,6 +2929,7 @@ object OracleSql {
     "s3_ingest_hygiene" -> ingestHygieneSql,
     "j2_missing_pairs" -> missingPairsSql,
     "j3_search_eval" -> searchEvalSql,
+    "j3_ndcg" -> searchNdcgSql,
     "inc_profile_merge" -> incProfileMergeSql,
     "inc_quantile_sketch" -> quantileSketchSql,
     "w_domain_cap" -> domainCapSql,

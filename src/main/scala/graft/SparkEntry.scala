@@ -1120,6 +1120,25 @@ object SparkEntry {
     graft.search.Evaluation.precisionAtK(results, truth, 5).orderBy("query")
   }
 
+  /** J3 ranking-quality extension: nDCG@5 of the same brute-force search
+    * vs label-mates ground truth as `j3_search_eval` — position-aware
+    * where precision@k is not; integer micro-gain sums keep it
+    * engine-replayable.
+    */
+  private def searchNdcgQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val results = Ann.bruteForceTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+      .select(col("query_id").cast("string").as("query"),
+        col("neighbor_id").cast("string").as("candidate"), col("rank"))
+    val truth = embs.filter(col("vec_id") <= 10)
+      .select(col("vec_id"), col("label"))
+      .join(embs.select(col("label"), col("vec_id").as("nid")), "label")
+      .filter(col("vec_id") =!= col("nid"))
+      .groupBy(col("vec_id").cast("string").as("query"))
+      .agg(collect_list(col("nid").cast("string")).as("expected"))
+    graft.search.Evaluation.ndcgAtK(results, truth, 5).orderBy("query")
+  }
+
   /** Q5: whole-table near-duplicate search by content-snapshot Jaccard. */
   private def tableSearch(s: SparkSession, dir: String): DataFrame =
     Discovery.searchTables(lakeSnapshots(s, dir), "nation", k = 10)
@@ -2163,6 +2182,7 @@ object SparkEntry {
     "st_stream_dedup" -> streamingDedupQ,
     "s2_compressed_roundtrip" -> compressedRoundtrip,
     "j3_search_eval" -> searchEval,
+    "j3_ndcg" -> searchNdcgQ,
     "q5_table_search" -> tableSearch,
     "s7s8_sketch_roundtrip" -> sketchRoundtrip,
     "s7_json_roundtrip" -> jsonSketchRoundtrip,

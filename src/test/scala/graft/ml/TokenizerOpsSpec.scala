@@ -59,4 +59,20 @@ class EvaluationSpec extends SparkSpec {
       graft.search.Evaluation.precisionAtK(results, gt, 3)).collect()(0)
     assert(macroRow.getAs[Long]("n_queries") == 2)
   }
+
+  test("ndcgAtK: perfect ranking 1.0, miss 0.0, late hit discounted") {
+    val results = Seq(
+      ("q1", "a", 1L), ("q1", "b", 2L), ("q1", "x", 3L), // both rels up top
+      ("q2", "m", 1L), ("q2", "n", 2L), ("q2", "o", 3L), // no rels at all
+      ("q3", "u", 1L), ("q3", "v", 2L), ("q3", "c", 3L)) // one rel at pos 3
+      .toDF("query", "candidate", "rank")
+    val gt = Seq(("q1", Seq("a", "b")), ("q2", Seq("zz")), ("q3", Seq("c")))
+      .toDF("query", "expected")
+    val per = graft.search.Evaluation.ndcgAtK(results, gt, k = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(per("q1") == 1.0)
+    assert(per("q2") == 0.0)
+    // DCG = 1/log2(4), IDCG = 1/log2(2) = 1 → ndcg = 0.5
+    assert(math.abs(per("q3") - 0.5) < 1e-5)
+  }
 }
