@@ -567,6 +567,23 @@ object OracleSql {
        |FROM vals""".stripMargin
   }
 
+  /** a_fd_scan: TANE g3 error per directed orders-column pair —
+    * 1 − (Σ_a max_b c_ab)/n, exact integers until the one division. */
+  private def fdScanSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val pairSqls = for { a <- cols; b <- cols if a != b } yield
+      s"""SELECT '$a' AS lhs, '$b' AS rhs, count(*) AS n_lhs_groups,
+         |  round(1.0 - CAST(sum(m) AS DOUBLE)
+         |    / CAST((SELECT count(*) FROM orders) AS DOUBLE), 6) AS g3_error
+         |FROM (SELECT a, max(c) AS m
+         |      FROM (SELECT CAST($a AS VARCHAR) AS a, CAST($b AS VARCHAR) AS b, count(*) AS c
+         |            FROM orders GROUP BY 1, 2)
+         |      GROUP BY a)""".stripMargin
+    s"""SELECT lhs, rhs, n_lhs_groups, g3_error, g3_error <= 0.01 AS holds
+       |FROM (${pairSqls.mkString("\n", "\nUNION ALL\n", "\n")})
+       |ORDER BY lhs, rhs""".stripMargin
+  }
+
   /** a_kmv_distinct: replay the k=256 KMV sketch — distinct low-32 md5
     * hashes, the 256 smallest per lang, then the one fixed-shape
     * (k-1)·2^32 / (kth+1) estimate double. The numerator literal is
@@ -2980,6 +2997,7 @@ object OracleSql {
     "a_hll_distinct" -> hllDistinctSql,
     "a_kmv_distinct" -> kmvDistinctSql,
     "a_col_entropy" -> colEntropySql,
+    "a_fd_scan" -> fdScanSql,
     "a_entropy_mi" -> entropyMiSql,
     "a_kmv_setops" -> kmvSetOpsSql,
     "d_temperature_mix" -> temperatureMixSql,

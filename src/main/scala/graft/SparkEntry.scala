@@ -1839,6 +1839,15 @@ object SparkEntry {
       Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey"))
       .orderBy("col_name")
 
+  /** Profile: approximate functional-dependency scan (TANE g3 error)
+    * over orders — the key column proves exact FDs, custkey/status/
+    * priority give the approximate spectrum.
+    */
+  private def fdScanQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.InfoTheory.fdScan(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("lhs", "rhs")
+
   /** Profile: mutual information between the classic correlated TPC-H
     * pair (returnflag, linestatus) — the soft-functional-dependency
     * probe a join planner reads.
@@ -2220,6 +2229,7 @@ object SparkEntry {
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,
+    "a_fd_scan" -> fdScanQ,
     "a_entropy_mi" -> entropyMiQ,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,

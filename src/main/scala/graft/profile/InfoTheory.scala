@@ -47,6 +47,39 @@ object InfoTheory {
             / lit(1000000.0), 6).as("entropy"))
     }.reduce(_ unionByName _)
 
+  /** Approximate functional-dependency scan (the TANE g3 error, public
+    * algorithm — Huhtala et al., Comput. J. 1999): for each directed
+    * column pair A→B, the minimum fraction of rows whose removal makes
+    * the FD exact: `g3 = 1 − (Σ_a max_b c_ab) / n`. Exact FDs score 0;
+    * a key column on the left scores 0 against everything.
+    *
+    * All counts are exact integers; the single division happens once
+    * per pair — fully oracle-replayable. Per pair the plan is one
+    * groupBy(A, B) + one groupBy(A) max + one sum: shuffles bounded by
+    * distinct counts. Output: (lhs, rhs, n_lhs_groups, g3_error,
+    * holds) for every ordered pair of `cols`, `holds` at `epsilon`.
+    */
+  def fdScan(df: DataFrame, cols: Seq[String],
+             epsilon: Double = 0.01): DataFrame = {
+    val n = df.agg(count(lit(1)).as("__n"))
+    val pairs = for {
+      a <- cols; b <- cols if a != b
+    } yield {
+      val joint = df
+        .groupBy(col(s"`$a`").cast("string").as("__a"),
+          col(s"`$b`").cast("string").as("__b"))
+        .agg(count(lit(1)).as("__c"))
+      joint.groupBy("__a").agg(max(col("__c")).as("__m"))
+        .agg(count(lit(1)).as("n_lhs_groups"), sum(col("__m")).as("__keep"))
+        .crossJoin(broadcast(n))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"), col("n_lhs_groups"),
+          round(lit(1.0) - col("__keep").cast("double") / col("__n").cast("double"), 6)
+            .as("g3_error"))
+    }
+    pairs.reduce(_ unionByName _)
+      .withColumn("holds", col("g3_error") <= epsilon)
+  }
+
   /** Mutual information between two columns, one output row:
     * (h_a, h_b, mi, nmi) in nats (6 dp), nmi = mi / min(h_a, h_b)
     * (0 when either column is constant). Nulls count as values.

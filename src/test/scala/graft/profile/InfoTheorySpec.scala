@@ -43,6 +43,28 @@ class InfoTheorySpec extends SparkSpec {
     assert(r.getAs[Double]("nmi") == 0.0)
   }
 
+  test("fdScan: exact FD scores 0, violations score the removal fraction") {
+    // id → grp exact; grp → flag holds except one violating row of 10
+    val df = Seq(
+      (1, "a", "x"), (2, "a", "x"), (3, "a", "x"), (4, "a", "x"), (5, "a", "y"),
+      (6, "b", "z"), (7, "b", "z"), (8, "b", "z"), (9, "b", "z"), (10, "b", "z")
+    ).toDF("id", "grp", "flag")
+    val out = InfoTheory.fdScan(df, Seq("id", "grp", "flag"), epsilon = 0.15)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("id", "grp")).getAs[Double]("g3_error") == 0.0)
+    assert(out(("id", "grp")).getAs[Boolean]("holds"))
+    assert(out(("id", "grp")).getAs[Long]("n_lhs_groups") == 10L)
+    // grp→flag: keep max per grp = 4 ('x') + 5 ('z') = 9 → error 0.1
+    assert(out(("grp", "flag")).getAs[Double]("g3_error") == 0.1)
+    assert(out(("grp", "flag")).getAs[Boolean]("holds")) // 0.1 <= 0.15
+    // flag→grp: 'x'(4)+'y'(1)+'z'(5) all single-grp → exact
+    assert(out(("flag", "grp")).getAs[Double]("g3_error") == 0.0)
+    // grp→id: max 1 per grp → error 1 - 2/10 = 0.8
+    assert(out(("grp", "id")).getAs[Double]("g3_error") == 0.8)
+    assert(!out(("grp", "id")).getAs[Boolean]("holds"))
+    assert(out.size == 6)
+  }
+
   test("nulls count as a value") {
     val df = Seq[(Integer, Integer)]((1, 1), (null, 1), (null, 1), (2, 1))
       .toDF("a", "b")
