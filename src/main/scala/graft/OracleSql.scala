@@ -2691,6 +2691,59 @@ object OracleSql {
            |FROM $tbl""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_ref"),
 
+    // e_funnel: staged min-ts chain — each stage joins the previous
+    // stage's completion time and requires a strictly later event.
+    "e_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+        |      UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT step_idx, step, n_users,
+        |  round(CAST(n_users AS DOUBLE)
+        |    / CAST((SELECT n_users FROM c WHERE step_idx = 1) AS DOUBLE), 6) AS conv_total,
+        |  round(CAST(n_users AS DOUBLE)
+        |    / CAST(coalesce((SELECT c2.n_users FROM c c2 WHERE c2.step_idx = c.step_idx - 1),
+        |                    n_users) AS DOUBLE), 6) AS conv_prev
+        |FROM c ORDER BY step_idx""".stripMargin,
+
+    // e_cohort_retention: ISO-week cohorts; week offsets are exact
+    // multiples of 7 days, so the /7 division is exact in both engines.
+    "e_cohort_retention" ->
+      """WITH fw AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |            FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |c AS (SELECT cohort_week, CAST((w - cohort_week) / 7 AS INTEGER) AS week_offset,
+        |        count(*) AS n_active
+        |      FROM act JOIN fw USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, n_active AS size FROM c WHERE week_offset = 0)
+        |SELECT c.cohort_week, c.week_offset, c.n_active,
+        |  round(CAST(c.n_active AS DOUBLE) / CAST(sz.size AS DOUBLE), 6) AS retention
+        |FROM c JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // e_resample_locf: hourly grid per user via generate_series, carry
+    // via native ASOF LEFT JOIN (ties-at-grid-point count, >= semantics,
+    // matching AsOf.join's right-before-left tag order).
+    "e_resample_locf" ->
+      """WITH obs AS (SELECT user_id, ts, max(value) AS value FROM events
+        |             WHERE user_id < 8 GROUP BY 1, 2),
+        |spans AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+        |            date_trunc('hour', max(ts)) AS hi
+        |          FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+        |         FROM spans)
+        |SELECT g.user_id, g.ts, round(o.value, 6) AS asof_value
+        |FROM grid g ASOF LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND g.ts >= o.ts
+        |ORDER BY g.user_id, g.ts""".stripMargin,
+
     "x_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),

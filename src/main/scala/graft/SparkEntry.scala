@@ -2062,6 +2062,31 @@ object SparkEntry {
 
   /** Engine extension: as-of join — each click enriched with the user's
     * latest prior purchase value (DuckDB's native ASOF JOIN verifies). */
+  /** Event analytics: ordered view→click→purchase funnel — each stage's
+    * clock starts at the user's earliest completion of the previous
+    * stage. */
+  private def funnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.funnel(t(s, dir, "events"),
+      Seq("view", "click", "purchase")).orderBy("step_idx")
+
+  /** Event analytics: weekly cohort retention matrix over the 30-day
+    * event stream (5 ISO-week cohorts). */
+  private def cohortRetentionQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.cohortRetention(t(s, dir, "events"))
+      .orderBy("cohort_week", "week_offset")
+
+  /** Event analytics: hourly LOCF resample of 8 users' value series —
+    * grid via sequence(), carry via the as-of join (one key shuffle,
+    * no range explosion). */
+  private def resampleLocfQ(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events").filter(col("user_id") < 8)
+      .groupBy("user_id", "ts").agg(max(col("value")).as("value"))
+    graft.operators.Events.resampleLocf(obs, "user_id", "ts", "value")
+      .select(col("user_id"), col("ts"),
+        round(col("asof_value"), 6).as("asof_value"))
+      .orderBy("user_id", "ts")
+  }
+
   private def asofEnrich(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
@@ -2250,6 +2275,9 @@ object SparkEntry {
     "t_ngram_novelty" -> ngramNoveltyQ,
     "t_length_histogram" -> lengthHistogramQ,
     "x_asof_join" -> asofEnrich,
+    "e_funnel" -> funnelQ,
+    "e_cohort_retention" -> cohortRetentionQ,
+    "e_resample_locf" -> resampleLocfQ,
     "x_range_join" -> rangeJoinQ,
     "x_rollup_agg" -> rollupAgg,
     "x_semi_anti_join" -> semiAntiJoin

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: ordered funnels, cohort retention, and
+  * regular-grid resampling with last-observation-carried-forward —
+  * the product-analytics layer over the `events` stream, built from
+  * the same shuffle-disciplined primitives as the rest of the engine.
+  */
+object Events {
+
+  /** Ordered funnel: how many users reach step 1, then step 2 STRICTLY
+    * AFTER their step-1 time, and so on (the standard product funnel —
+    * each stage's clock starts at the user's earliest completion of the
+    * previous stage).
+    *
+    * Shape at scale: stage k is one filter + one groupBy(min) joined to
+    * stage k−1's (id, t) relation — every shuffle is on the user key,
+    * so AQE/co-partitioning reuses one exchange; nothing is windowed
+    * over the full stream. Output: (step_idx, step, n_users,
+    * conv_total, conv_prev), rates 6-dp of one integer division each.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             idCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(s"`$idCol`").as("id"),
+      col(s"`$tsCol`").as("ts"), col(s"`$typeCol`").as("et"))
+    val stages = steps.tail.scanLeft(
+      base.filter(col("et") === steps.head).groupBy("id").agg(min(col("ts")).as("t"))
+    ) { (prev, s) =>
+      base.filter(col("et") === s)
+        .join(prev.select(col("id"), col("t").as("__prev")), "id")
+        .filter(col("ts") > col("__prev"))
+        .groupBy("id").agg(min(col("ts")).as("t"))
+    }
+    val summary = stages.zip(steps).zipWithIndex.map { case ((df, s), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(s).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val first = summary.filter(col("step_idx") === 1)
+      .select(col("n_users").as("__n1"))
+    val prev = summary.select((col("step_idx") + 1).as("step_idx"),
+      col("n_users").as("__np"))
+    summary.crossJoin(broadcast(first))
+      .join(broadcast(prev), Seq("step_idx"), "left")
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("__n1").cast("double"), 6)
+          .as("conv_total"),
+        round(col("n_users").cast("double")
+          / coalesce(col("__np"), col("n_users")).cast("double"), 6)
+          .as("conv_prev"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of
+    * their first event; retention at offset w = active users of that
+    * cohort in cohort_week + w weeks, over the cohort's size.
+    * Two user-keyed shuffles (first-week, distinct activity) and one
+    * tiny (cohort, offset) aggregation — stream-size-proportional work
+    * only in the distinct.
+    */
+  def cohortRetention(events: DataFrame, idCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val firstWeek = events.groupBy(col(s"`$idCol`").as("id"))
+      .agg(date_trunc("week", min(col(s"`$tsCol`"))).cast("date").as("cohort_week"))
+    val activity = events.select(col(s"`$idCol`").as("id"),
+      date_trunc("week", col(s"`$tsCol`")).cast("date").as("w")).distinct()
+    val counts = activity.join(firstWeek, "id")
+      .withColumn("week_offset", (datediff(col("w"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = counts.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("__size"))
+    counts.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("__size").cast("double"), 6)
+          .as("retention"))
+  }
+
+  /** Regular-grid resample with LOCF: per key, an hourly (or any
+    * `stepExpr`) grid spanning that key's observed range; each grid
+    * point carries the value of the latest observation at-or-before it
+    * ([[AsOf.join]] — one key shuffle, no range explosion).
+    * Output: (key, grid_ts, asof_<valCol>).
+    */
+  def resampleLocf(obs: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, stepExpr: String = "interval 1 hour",
+                   truncUnit: String = "hour"): DataFrame = {
+    val spans = obs.groupBy(col(s"`$keyCol`"))
+      .agg(date_trunc(truncUnit, min(col(s"`$tsCol`"))).as("__lo"),
+        date_trunc(truncUnit, max(col(s"`$tsCol`"))).as("__hi"))
+    val grid = spans.select(col(s"`$keyCol`"),
+      explode(expr(s"sequence(__lo, __hi, $stepExpr)")).as(tsCol))
+    AsOf.join(grid, obs.select(col(s"`$keyCol`"), col(s"`$tsCol`"), col(s"`$valCol`")),
+      Seq(keyCol), tsCol, Seq(valCol))
+  }
+}
