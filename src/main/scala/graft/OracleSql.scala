@@ -567,6 +567,32 @@ object OracleSql {
        |FROM vals""".stripMargin
   }
 
+  /** a_ind_scan: containment of every directed candidate-column pair
+    * from the unified distinct (src, v) relation; ≥ 0.95 kept. */
+  private def indScanSql: String = {
+    val cands = Seq(
+      ("nation", "n_nationkey"), ("nation", "n_regionkey"),
+      ("region", "r_regionkey"),
+      ("customer", "c_custkey"), ("customer", "c_nationkey"),
+      ("supplier", "s_suppkey"), ("supplier", "s_nationkey"),
+      ("orders", "o_orderkey"), ("orders", "o_custkey"),
+      ("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"))
+    val arms = cands.map { case (t, c) =>
+      s"SELECT DISTINCT '$t.$c' AS src, CAST($c AS VARCHAR) AS v FROM $t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vals AS ($arms),
+       |sizes AS (SELECT src, count(*) AS n_src FROM vals GROUP BY 1),
+       |common AS (
+       |  SELECT a.src, b.src AS dst, count(*) AS n_common
+       |  FROM vals a JOIN vals b ON a.v = b.v AND a.src <> b.src
+       |  GROUP BY 1, 2)
+       |SELECT c.src, c.dst, s.n_src, c.n_common,
+       |  round(CAST(c.n_common AS DOUBLE) / CAST(s.n_src AS DOUBLE), 6) AS containment
+       |FROM common c JOIN sizes s USING (src)
+       |WHERE round(CAST(c.n_common AS DOUBLE) / CAST(s.n_src AS DOUBLE), 6) >= 0.95
+       |ORDER BY src, dst""".stripMargin
+  }
+
   /** a_fd_scan: TANE g3 error per directed orders-column pair —
     * 1 − (Σ_a max_b c_ab)/n, exact integers until the one division. */
   private def fdScanSql: String = {
@@ -2691,6 +2717,27 @@ object OracleSql {
            |FROM $tbl""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_ref"),
 
+    // x_pivot: static conditional-count pivot, 0 for absent combos.
+    "x_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x_unpivot: melt three measures; totals as exact DECIMAL sums cast
+    // back to DOUBLE (no FP summation order).
+    "x_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT metric, count(*) AS n,
+        |  CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
+
     // e_funnel: staged min-ts chain — each stage joins the previous
     // stage's completion time and requires a strictly later event.
     "e_funnel" ->
@@ -3051,6 +3098,7 @@ object OracleSql {
     "a_kmv_distinct" -> kmvDistinctSql,
     "a_col_entropy" -> colEntropySql,
     "a_fd_scan" -> fdScanSql,
+    "a_ind_scan" -> indScanSql,
     "a_entropy_mi" -> entropyMiSql,
     "a_kmv_setops" -> kmvSetOpsSql,
     "d_temperature_mix" -> temperatureMixSql,

@@ -1839,6 +1839,23 @@ object SparkEntry {
       Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey"))
       .orderBy("col_name")
 
+  /** Profile: inclusion-dependency scan over the TPC-H key/FK columns —
+    * the foreign-key discovery pass; every true FK⊆PK edge surfaces at
+    * containment 1.0.
+    */
+  private def indScanQ(s: SparkSession, dir: String): DataFrame = {
+    val cands = Seq(
+      ("nation", "n_nationkey"), ("nation", "n_regionkey"),
+      ("region", "r_regionkey"),
+      ("customer", "c_custkey"), ("customer", "c_nationkey"),
+      ("supplier", "s_suppkey"), ("supplier", "s_nationkey"),
+      ("orders", "o_orderkey"), ("orders", "o_custkey"),
+      ("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"))
+      .map { case (tbl, c) => (tbl, t(s, dir, tbl), c) }
+    graft.profile.InfoTheory.indScan(cands, minContainment = 0.95)
+      .orderBy("src", "dst")
+  }
+
   /** Profile: approximate functional-dependency scan (TANE g3 error)
     * over orders — the key column proves exact FDs, custkey/status/
     * priority give the approximate spectrum.
@@ -2062,6 +2079,31 @@ object SparkEntry {
 
   /** Engine extension: as-of join — each click enriched with the user's
     * latest prior purchase value (DuckDB's native ASOF JOIN verifies). */
+  /** §2.6 reshaping: status × priority pivot matrix (explicit value
+    * list, so the plan is static); absent combinations are 0. */
+  private def pivotQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderstatus")
+
+  /** §2.6 reshaping: unpivot (melt) of three lineitem measures into
+    * (metric, n, total) — totals summed as exact decimals, so no FP
+    * summation order. */
+  private def unpivotQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        sum(col("val").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy("metric")
+
   /** Event analytics: ordered view→click→purchase funnel — each stage's
     * clock starts at the user's earliest completion of the previous
     * stage. */
@@ -2255,6 +2297,7 @@ object SparkEntry {
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,
     "a_fd_scan" -> fdScanQ,
+    "a_ind_scan" -> indScanQ,
     "a_entropy_mi" -> entropyMiQ,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,
@@ -2276,6 +2319,8 @@ object SparkEntry {
     "t_length_histogram" -> lengthHistogramQ,
     "x_asof_join" -> asofEnrich,
     "e_funnel" -> funnelQ,
+    "x_pivot" -> pivotQ,
+    "x_unpivot" -> unpivotQ,
     "e_cohort_retention" -> cohortRetentionQ,
     "e_resample_locf" -> resampleLocfQ,
     "x_range_join" -> rangeJoinQ,

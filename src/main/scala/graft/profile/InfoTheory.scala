@@ -47,6 +47,42 @@ object InfoTheory {
             / lit(1000000.0), 6).as("entropy"))
     }.reduce(_ unionByName _)
 
+  /** Inclusion-dependency scan — the foreign-key discovery pass of a
+    * lake profiler: for each directed candidate pair, the containment
+    * `|distinct(src) ∩ distinct(dst)| / |distinct(src)|`; a src fully
+    * contained in dst (containment 1.0) is an FK⊆PK candidate.
+    *
+    * One unified (src, v) distinct relation, one self-equi-join on the
+    * value, one pair aggregation — shuffles bounded by distinct counts,
+    * O(pairs) only in the final tiny aggregate. Ubiquitous values (an
+    * id appearing in every key column) fan out in the value join; at
+    * production scale pre-hash values and salt the join
+    * ([[graft.operators.Skew]]) — the candidate lists a profiler feeds
+    * here are key-like, so fan-out is bounded by the candidate count.
+    * Exact integers + one division per pair.
+    *
+    * `candidates`: (label, df, column). Output: (src, dst, n_src,
+    * n_common, containment ≥ `minContainment`).
+    */
+  def indScan(candidates: Seq[(String, DataFrame, String)],
+              minContainment: Double = 0.5): DataFrame = {
+    val vals = candidates.map { case (t, df, c) =>
+      df.select(lit(s"$t.$c").as("src"), col(s"`$c`").cast("string").as("v"))
+        .distinct()
+    }.reduce(_ unionByName _)
+    val sizes = vals.groupBy("src").agg(count(lit(1)).as("n_src"))
+    val common = vals
+      .join(vals.select(col("src").as("dst"), col("v")), "v")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_common"))
+    common.join(broadcast(sizes), "src")
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("n_src").cast("double"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("src"), col("dst"), col("n_src"), col("n_common"),
+        col("containment"))
+  }
+
   /** Approximate functional-dependency scan (the TANE g3 error, public
     * algorithm — Huhtala et al., Comput. J. 1999): for each directed
     * column pair A→B, the minimum fraction of rows whose removal makes

@@ -65,6 +65,24 @@ class InfoTheorySpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("indScan: FK fully contained in PK scores 1.0, reverse is partial") {
+    val pk = (1 to 10).map(i => i).toDF("id")
+    val fk = Seq(1, 2, 3, 1, 2).toDF("ref") // 3 distinct, all in pk
+    val out = InfoTheory.indScan(
+      Seq(("dim", pk, "id"), ("fact", fk, "ref")), minContainment = 0.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val fwd = out(("fact.ref", "dim.id"))
+    assert(fwd.getAs[Long]("n_src") == 3L)
+    assert(fwd.getAs[Long]("n_common") == 3L)
+    assert(fwd.getAs[Double]("containment") == 1.0)
+    assert(out(("dim.id", "fact.ref")).getAs[Double]("containment") == 0.3)
+    // threshold filters the weak direction
+    val strict = InfoTheory.indScan(
+      Seq(("dim", pk, "id"), ("fact", fk, "ref")), minContainment = 0.95)
+      .collect()
+    assert(strict.length == 1 && strict.head.getString(0) == "fact.ref")
+  }
+
   test("nulls count as a value") {
     val df = Seq[(Integer, Integer)]((1, 1), (null, 1), (null, 1), (2, 1))
       .toDF("a", "b")
