@@ -567,6 +567,21 @@ object OracleSql {
        |FROM vals""".stripMargin
   }
 
+  /** d_fuzzy_pairs: last-token-blocked Levenshtein pairs over distinct
+    * part names (exact-integer distance), with member counts. */
+  private def fuzzyPairsSql: String =
+    """WITH d AS (SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part),
+      |pairs AS (
+      |  SELECT a.p_name AS val_a, b.p_name AS val_b,
+      |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |  FROM d a JOIN d b ON a.blk = b.blk AND a.p_name < b.p_name
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      |c AS (SELECT p_name, count(*) AS n FROM part GROUP BY 1)
+      |SELECT val_a, val_b, dist, ca.n AS n_a, cb.n AS n_b
+      |FROM pairs JOIN c ca ON ca.p_name = pairs.val_a
+      |           JOIN c cb ON cb.p_name = pairs.val_b
+      |ORDER BY val_a, val_b""".stripMargin
+
   /** a_ind_scan: containment of every directed candidate-column pair
     * from the unified distinct (src, v) relation; ≥ 0.95 kept. */
   private def indScanSql: String = {
@@ -3099,6 +3114,7 @@ object OracleSql {
     "a_col_entropy" -> colEntropySql,
     "a_fd_scan" -> fdScanSql,
     "a_ind_scan" -> indScanSql,
+    "d_fuzzy_pairs" -> fuzzyPairsSql,
     "a_entropy_mi" -> entropyMiSql,
     "a_kmv_setops" -> kmvSetOpsSql,
     "d_temperature_mix" -> temperatureMixSql,

@@ -1839,6 +1839,22 @@ object SparkEntry {
       Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey"))
       .orderBy("col_name")
 
+  /** LLM-pipeline: blocked fuzzy matching — distinct part names blocked
+    * by their last token, Levenshtein ≤ 3 verified in-block only, with
+    * per-name member counts (the record-linkage primitive).
+    */
+  private def fuzzyPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+    val pairs = graft.operators.Dedup.editDistancePairs(parts, "p_name",
+      element_at(split(col("p_name"), " "), -1), maxDist = 3)
+    val counts = parts.groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(counts.select(col("p_name").as("val_a"), col("n").as("n_a")), "val_a")
+      .join(counts.select(col("p_name").as("val_b"), col("n").as("n_b")), "val_b")
+      .select("val_a", "val_b", "dist", "n_a", "n_b")
+      .orderBy("val_a", "val_b")
+  }
+
   /** Profile: inclusion-dependency scan over the TPC-H key/FK columns —
     * the foreign-key discovery pass; every true FK⊆PK edge surfaces at
     * containment 1.0.
@@ -2298,6 +2314,7 @@ object SparkEntry {
     "a_col_entropy" -> colEntropyQ,
     "a_fd_scan" -> fdScanQ,
     "a_ind_scan" -> indScanQ,
+    "d_fuzzy_pairs" -> fuzzyPairsQ,
     "a_entropy_mi" -> entropyMiQ,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,

@@ -216,6 +216,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Blocked edit-distance pairs — the record-linkage / fuzzy-dedup
+    * primitive: candidates share a blocking key (a cheap deterministic
+    * expression of the string — last token, prefix, phonetic code…),
+    * and only in-block pairs pay the Levenshtein verify. Spark's
+    * codegen'd `levenshtein` is exact-integer, so the oracle replays
+    * bit-for-bit.
+    *
+    * Scale posture: the join is an equi-join on the block key — no
+    * cross product; work is Σ block², so pick blocking granularity to
+    * bound block sizes (and salt genuinely hot blocks). Each value
+    * string rides the shuffle once. Output: (val_a, val_b, dist ≤
+    * `maxDist`), val_a < val_b.
+    */
+  def editDistancePairs(values: DataFrame, valCol: String,
+                        blockExpr: org.apache.spark.sql.Column,
+                        maxDist: Int): DataFrame = {
+    val v = values.select(col(s"`$valCol`").as("val_a"), blockExpr.as("__blk"))
+      .distinct()
+    v.join(v.select(col("val_a").as("val_b"), col("__blk")), "__blk")
+      .filter(col("val_a") < col("val_b"))
+      .withColumn("dist", levenshtein(col("val_a"), col("val_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("val_a", "val_b", "dist")
+  }
+
   /** Embedding near-dups: cosine ≥ threshold via the ANN banding in
     * [[Ann.cosineNearDups]] — re-exported here for the dedup surface.
     */

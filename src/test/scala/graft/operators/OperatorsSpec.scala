@@ -29,6 +29,20 @@ class DedupSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L)))
   }
 
+  test("editDistancePairs: blocked Levenshtein, no cross-block pairs") {
+    import org.apache.spark.sql.functions.{split, element_at, col}
+    val names = Seq("red gear", "red bear", "bed gear", "red widget", "big widget")
+      .toDF("name")
+    val out = Dedup.editDistancePairs(names, "name",
+      element_at(split(col("name"), " "), -1), maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("bed gear", "red gear")) == 1L)
+    // "red bear" blocks under 'bear' — never compared with the gears
+    assert(!out.contains(("red bear", "red gear")))
+    assert(out(("big widget", "red widget")) == 3L)
+    assert(out.size == 2)
+  }
+
   test("minhashNearDups finds near pair but not unrelated") {
     val pairs = Dedup.minhashNearDups(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
