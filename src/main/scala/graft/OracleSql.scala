@@ -2753,6 +2753,24 @@ object OracleSql {
         |  CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
 
+    // e_mad_outliers: integer-cent medians (every interpolation an
+    // exact multiple of 0.5 → bitwise engine parity), Hampel rule at
+    // (3.0 * 1.4826) computed as the same double product Spark folds.
+    "e_mad_outliers" ->
+      """WITH q AS (SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS u FROM events),
+        |med AS (SELECT event_type, quantile_cont(u, 0.5) AS med, count(*) AS n
+        |        FROM q GROUP BY 1),
+        |d AS (SELECT q.event_type, abs(CAST(u AS DOUBLE) - med) AS dev, med, n
+        |      FROM q JOIN med USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad_u FROM d GROUP BY 1)
+        |SELECT d.event_type, any_value(d.n) AS n,
+        |  any_value(d.med) / 100.0 AS median,
+        |  any_value(md.mad_u) / 100.0 AS mad,
+        |  CAST(sum(CASE WHEN d.dev > (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * md.mad_u
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // e_funnel: staged min-ts chain — each stage joins the previous
     // stage's completion time and requires a strictly later event.
     "e_funnel" ->

@@ -2120,6 +2120,15 @@ object SparkEntry {
         sum(col("val").cast("decimal(18,4)")).cast("double").as("total"))
       .orderBy("metric")
 
+  /** Event analytics: robust median/MAD outlier report (Hampel k=3) per
+    * event_type over `value` — medians taken in exact integer cent
+    * space, so interpolation is bitwise engine-identical.
+    */
+  private def madOutliersQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.madOutlierReport(
+      t(s, dir, "events"), "value", Seq("event_type"))
+      .orderBy("event_type")
+
   /** Event analytics: ordered view→click→purchase funnel — each stage's
     * clock starts at the user's earliest completion of the previous
     * stage. */
@@ -2336,6 +2345,7 @@ object SparkEntry {
     "t_length_histogram" -> lengthHistogramQ,
     "x_asof_join" -> asofEnrich,
     "e_funnel" -> funnelQ,
+    "e_mad_outliers" -> madOutliersQ,
     "x_pivot" -> pivotQ,
     "x_unpivot" -> unpivotQ,
     "e_cohort_retention" -> cohortRetentionQ,
