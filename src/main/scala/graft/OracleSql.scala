@@ -567,6 +567,67 @@ object OracleSql {
        |FROM vals""".stripMargin
   }
 
+  /** p_quality_checks: one row per declarative rule, exact counts. */
+  private def qualityChecksSql: String =
+    """WITH n AS (SELECT count(*) AS n_rows FROM orders),
+      |r AS (
+      |  SELECT 'in_range' AS rule, 'o_totalprice' AS "column", n.n_rows,
+      |    (SELECT count(*) FROM orders
+      |     WHERE o_totalprice IS NOT NULL
+      |       AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)) AS n_violations FROM n
+      |  UNION ALL SELECT 'in_set', 'o_orderstatus', n.n_rows,
+      |    (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+      |       AND CAST(o_orderstatus AS VARCHAR) NOT IN ('F', 'O', 'P')) FROM n
+      |  UNION ALL SELECT 'matches_regex', 'o_orderpriority', n.n_rows,
+      |    (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL
+      |       AND NOT regexp_matches(CAST(o_orderpriority AS VARCHAR), '^[1-5]-.*')) FROM n
+      |  UNION ALL SELECT 'not_null', 'o_orderkey', n.n_rows,
+      |    (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) FROM n
+      |  UNION ALL SELECT 'ref_integrity', 'o_custkey', n.n_rows,
+      |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+      |       AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) FROM n
+      |  UNION ALL SELECT 'unique', 'o_orderkey', n.n_rows,
+      |    (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+      |      (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+      |       HAVING count(*) > 1)) FROM n)
+      |SELECT rule, "column", n_rows, n_violations, n_violations = 0 AS pass
+      |FROM r ORDER BY rule, "column"""".stripMargin
+
+  /** a_psi_drift: 10 fixed-width cent buckets from the baseline range,
+    * Laplace-smoothed shares, ln of one exact-integer-product ratio
+    * (6 dp), terms in integer nano-units. */
+  private def psiDriftSql: String =
+    """WITH b AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS u FROM events
+      |           WHERE event_type = 'view'),
+      |c AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS u FROM events
+      |      WHERE event_type = 'click'),
+      |bounds AS (SELECT min(u) AS lo,
+      |    greatest(1, CAST(ceil(CAST(max(u) - min(u) + 1 AS DOUBLE) / 10.0) AS BIGINT)) AS w
+      |  FROM b),
+      |bb AS (SELECT least(9, greatest(0,
+      |         CAST(floor(CAST(u - lo AS DOUBLE) / CAST(w AS DOUBLE)) AS BIGINT))) AS bkt,
+      |         count(*) AS cnt
+      |       FROM b, bounds GROUP BY 1),
+      |cc2 AS (SELECT least(9, greatest(0,
+      |          CAST(floor(CAST(u - lo AS DOUBLE) / CAST(w AS DOUBLE)) AS BIGINT))) AS bkt,
+      |          count(*) AS cnt
+      |        FROM c, bounds GROUP BY 1),
+      |bk AS (SELECT unnest(range(0, 10)) AS bkt),
+      |j AS (SELECT bk.bkt, coalesce(bb.cnt, 0) AS cb, coalesce(cc2.cnt, 0) AS cc,
+      |        (SELECT count(*) FROM b) AS nb, (SELECT count(*) FROM c) AS nc
+      |      FROM bk LEFT JOIN bb USING (bkt) LEFT JOIN cc2 USING (bkt)),
+      |t AS (SELECT nb, nc,
+      |        CAST(floor((CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)
+      |                  - CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+      |          * round(ln(CAST((cb + 1) * (nc + 10) AS DOUBLE)
+      |                   / CAST((cc + 1) * (nb + 10) AS DOUBLE)), 6)
+      |          * 1000000000.0) AS BIGINT) AS tn
+      |      FROM j),
+      |agg AS (SELECT any_value(nb) AS n_base, any_value(nc) AS n_current,
+      |          round(CAST(sum(tn) AS DOUBLE) / 1000000000.0, 6) AS psi
+      |        FROM t)
+      |SELECT n_base, n_current, psi, psi > 0.2 AS drifted FROM agg""".stripMargin
+
   /** d_fuzzy_pairs: last-token-blocked Levenshtein pairs over distinct
     * part names (exact-integer distance), with member counts. */
   private def fuzzyPairsSql: String =
@@ -3133,6 +3194,8 @@ object OracleSql {
     "a_fd_scan" -> fdScanSql,
     "a_ind_scan" -> indScanSql,
     "d_fuzzy_pairs" -> fuzzyPairsSql,
+    "p_quality_checks" -> qualityChecksSql,
+    "a_psi_drift" -> psiDriftSql,
     "a_entropy_mi" -> entropyMiSql,
     "a_kmv_setops" -> kmvSetOpsSql,
     "d_temperature_mix" -> temperatureMixSql,

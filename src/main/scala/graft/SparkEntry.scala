@@ -1855,6 +1855,35 @@ object SparkEntry {
       .orderBy("val_a", "val_b")
   }
 
+  /** Profile: declarative data-quality checks over orders — one pass
+    * for all row-local rules, plus uniqueness and FK integrity; the
+    * in_range rule is tuned to catch real violations (prices above
+    * 400k exist).
+    */
+  private def qualityChecksQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.profile.Checks
+    import graft.profile.Checks._
+    Checks.run(t(s, dir, "orders"), Seq(
+      NotNull("o_orderkey"), Unique("o_orderkey"),
+      InRange("o_totalprice", 0.0, 400000.0),
+      InSet("o_orderstatus", Seq("F", "O", "P")),
+      MatchesRegex("o_orderpriority", "^[1-5]-.*"),
+      RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+      .orderBy("rule", "column")
+  }
+
+  /** Profile: PSI distribution drift of event `value` — purchase-type
+    * traffic (current) vs view-type (baseline), 10 fixed-width cent
+    * buckets from the baseline's range, Laplace-smoothed shares.
+    */
+  private def psiDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.profile.Drift.psiReport(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"),
+      "value")
+  }
+
   /** Profile: inclusion-dependency scan over the TPC-H key/FK columns —
     * the foreign-key discovery pass; every true FK⊆PK edge surfaces at
     * containment 1.0.
@@ -2324,6 +2353,8 @@ object SparkEntry {
     "a_fd_scan" -> fdScanQ,
     "a_ind_scan" -> indScanQ,
     "d_fuzzy_pairs" -> fuzzyPairsQ,
+    "p_quality_checks" -> qualityChecksQ,
+    "a_psi_drift" -> psiDriftQ,
     "a_entropy_mi" -> entropyMiQ,
     "d_bloom_prefilter" -> bloomPrefilterQ,
     "d_line_dedup" -> lineDedupQ,

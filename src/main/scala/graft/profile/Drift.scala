@@ -1,0 +1,64 @@
+package graft.profile
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection between a baseline and a current
+  * snapshot of a numeric column — the Population Stability Index
+  * (PSI), the standard drift gate run before a model or mixture
+  * recipe trained on the baseline is applied to new data.
+  *
+  * PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i), with Laplace-smoothed
+  * shares p_i = (c_i + 1)/(n + B) so empty buckets stay finite.
+  * Conventional reading: < 0.1 stable, 0.1–0.2 moderate, > 0.2 drifted.
+  *
+  * Determinism discipline: values quantize to integer micro-units;
+  * buckets are fixed-width integer ranges from the BASELINE's min/max
+  * (current values clamp into the edge buckets); the ln argument is
+  * one division of exact integer products; ln is 6-dp-rounded; each
+  * bucket's term is quantized to integer nano-units and summed in
+  * integer space. One aggregation per side + a B-row join.
+  */
+object Drift {
+
+  /** One-row report: (n_base, n_current, psi, drifted at `threshold`).
+    */
+  def psiReport(base: DataFrame, current: DataFrame, valueCol: String,
+                nBuckets: Int = 10, scale: Long = 100L,
+                threshold: Double = 0.2): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val u = (df: DataFrame) => df.select(
+      round(col(s"`$valueCol`") * lit(scale.toDouble)).cast("long").as("__u"))
+    val b = u(base)
+    val bounds = b.agg(min(col("__u")).as("__lo"), max(col("__u")).as("__hi"))
+      .withColumn("__w",
+        greatest(lit(1L), ceil((col("__hi") - col("__lo") + 1).cast("double")
+          / lit(nBuckets.toDouble)).cast("long")))
+    def bucketed(df: DataFrame) = df.crossJoin(broadcast(bounds))
+      .withColumn("__bkt", least(lit(nBuckets - 1L), greatest(lit(0L),
+        floor((col("__u") - col("__lo")).cast("double") / col("__w").cast("double"))
+          .cast("long"))))
+      .groupBy("__bkt").agg(count(lit(1)).as("c"))
+    val allB = base.sparkSession.range(nBuckets).select(col("id").as("__bkt"))
+    val pc = allB.join(bucketed(b), Seq("__bkt"), "left").na.fill(0L, Seq("c"))
+      .select(col("__bkt"), col("c").as("cb"))
+    val qc = allB.join(bucketed(u(current)), Seq("__bkt"), "left")
+      .na.fill(0L, Seq("c")).select(col("__bkt"), col("c").as("cc"))
+    val nB = lit(nBuckets.toLong)
+    val joined = pc.join(qc, "__bkt")
+      .crossJoin(broadcast(pc.agg(sum(col("cb")).as("nb"))))
+      .crossJoin(broadcast(qc.agg(sum(col("cc")).as("nc"))))
+    // p/q = (cb+1)(nc+B) / ((cc+1)(nb+B)) — one division of exact products
+    val lnr = round(log(
+      ((col("cb") + 1) * (col("nc") + nB)).cast("double") /
+        ((col("cc") + 1) * (col("nb") + nB)).cast("double")), 6)
+    val p = (col("cb") + 1).cast("double") / (col("nb") + nB).cast("double")
+    val q = (col("cc") + 1).cast("double") / (col("nc") + nB).cast("double")
+    val termNano = floor((p - q) * lnr * lit(1000000000.0)).cast("long")
+    joined.select(col("nb"), col("nc"), termNano.as("__t"))
+      .groupBy("nb", "nc").agg(sum(col("__t")).as("__s"))
+      .select(col("nb").as("n_base"), col("nc").as("n_current"),
+        round(col("__s").cast("double") / lit(1000000000.0), 6).as("psi"))
+      .withColumn("drifted", col("psi") > threshold)
+  }
+}
