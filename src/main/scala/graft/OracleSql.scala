@@ -567,6 +567,37 @@ object OracleSql {
        |FROM vals""".stripMargin
   }
 
+  /** d_ppjoin_pairs: prefix-filtered exact Jaccard self-join replay —
+    * same rare-first prefix, length filter, and rounded-jaccard gate. */
+  private def ppjoinPairsSql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |      FROM d),
+      |toks AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS tok FROM g),
+      |freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY 1),
+      |sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY 1),
+      |pref AS (SELECT id, tok, sz FROM (
+      |    SELECT t.id, t.tok, s.sz,
+      |      row_number() OVER (PARTITION BY t.id ORDER BY f.f, t.tok) AS pos
+      |    FROM toks t JOIN freq f USING (tok) JOIN sizes s USING (id))
+      |  WHERE pos <= sz - CAST(ceil(0.7 * CAST(sz AS DOUBLE)) AS BIGINT) + 1),
+      |cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id
+      |  WHERE CAST(b.sz AS DOUBLE) >= 0.7 * CAST(a.sz AS DOUBLE)
+      |    AND CAST(a.sz AS DOUBLE) >= 0.7 * CAST(b.sz AS DOUBLE)),
+      |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+      |  FROM cands c JOIN toks ta ON ta.id = c.id_a
+      |               JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+      |  GROUP BY 1, 2),
+      |j AS (SELECT i.id_a, i.id_b,
+      |        round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
+      |      FROM inter i JOIN sizes sa ON sa.id = i.id_a
+      |                   JOIN sizes sb ON sb.id = i.id_b)
+      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** p_quality_checks: one row per declarative rule, exact counts. */
   private def qualityChecksSql: String =
     """WITH n AS (SELECT count(*) AS n_rows FROM orders),
@@ -3194,6 +3225,7 @@ object OracleSql {
     "a_fd_scan" -> fdScanSql,
     "a_ind_scan" -> indScanSql,
     "d_fuzzy_pairs" -> fuzzyPairsSql,
+    "d_ppjoin_pairs" -> ppjoinPairsSql,
     "p_quality_checks" -> qualityChecksSql,
     "a_psi_drift" -> psiDriftSql,
     "a_entropy_mi" -> entropyMiSql,

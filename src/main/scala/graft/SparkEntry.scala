@@ -1839,6 +1839,15 @@ object SparkEntry {
       Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_orderkey"))
       .orderBy("col_name")
 
+  /** LLM-pipeline: EXACT Jaccard ≥ 0.7 near-dup pairs over 3-shingles —
+    * PPJoin-style prefix filtering, no LSH, nothing missed; candidates
+    * shuffle on rare prefix tokens only.
+    */
+  private def ppjoinPairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.exactJaccardSelfJoin(
+      t(s, dir, "documents"), threshold = 0.7, n = 3)
+      .orderBy("id_a", "id_b")
+
   /** LLM-pipeline: blocked fuzzy matching — distinct part names blocked
     * by their last token, Levenshtein ≤ 3 verified in-block only, with
     * per-name member counts (the record-linkage primitive).
@@ -2353,6 +2362,7 @@ object SparkEntry {
     "a_fd_scan" -> fdScanQ,
     "a_ind_scan" -> indScanQ,
     "d_fuzzy_pairs" -> fuzzyPairsQ,
+    "d_ppjoin_pairs" -> ppjoinPairsQ,
     "p_quality_checks" -> qualityChecksQ,
     "a_psi_drift" -> psiDriftQ,
     "a_entropy_mi" -> entropyMiQ,

@@ -29,6 +29,40 @@ class DedupSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L)))
   }
 
+  test("exactJaccardSelfJoin equals brute force exactly (recall AND precision)") {
+    import org.apache.spark.sql.functions.{col, explode, array_distinct, round, count, lit}
+    import graft.functions.TextFunctions.word_shingles
+    // 40 docs built from overlapping word windows → a spread of true Jaccards
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val ws = words.split(" ")
+    val corpus = (0 until 40).map { i =>
+      val start = i % 10
+      val len = 6 + (i % 5)
+      (i.toLong, ws.slice(start, math.min(start + len, ws.length)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val tau = 0.5
+    val fast = Dedup.exactJaccardSelfJoin(corpus, tau, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force: all-pairs exact jaccard over the same 2-shingles
+    val toks = corpus.select(col("doc_id").as("id"),
+      explode(array_distinct(word_shingles(col("text"), 2))).as("tok"))
+    val sizes = toks.groupBy("id").count()
+    val brute = toks.join(toks.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id") < col("id_b"))
+      .groupBy(col("id").as("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("id").as("id_a"), col("count").as("sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("count").as("sb")), "id_b")
+      .withColumn("j", round(col("i").cast("double") /
+        (col("sa") + col("sb") - col("i")).cast("double"), 6))
+      .filter(col("j") >= tau)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("j"))
+      .toMap
+    assert(brute.nonEmpty, "test corpus must contain qualifying pairs")
+    assert(fast == brute, s"fast=${fast.size} brute=${brute.size} pairs")
+  }
+
   test("editDistancePairs: blocked Levenshtein, no cross-block pairs") {
     import org.apache.spark.sql.functions.{split, element_at, col}
     val names = Seq("red gear", "red bear", "bed gear", "red widget", "big widget")
