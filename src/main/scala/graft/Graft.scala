@@ -320,4 +320,85 @@ object Graft {
   def rangeJoin(points: DataFrame, pCol: String, intervals: DataFrame,
                 loCol: String, hiCol: String, bucketWidth: Double): DataFrame =
     operators.RangeJoin.pointInInterval(points, pCol, intervals, loCol, hiCol, bucketWidth)
+
+  // ---- profiling extensions: information theory, quality, drift ----
+
+  /** Shannon entropy per column (key-likeness signal). */
+  def columnEntropy(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile.InfoTheory.columnEntropy(df, cols)
+
+  /** Pairwise mutual information (soft-FD / correlated-dim probe). */
+  def mutualInformation(df: DataFrame, a: String, b: String): DataFrame =
+    profile.InfoTheory.mutualInformation(df, a, b)
+
+  /** TANE g3 approximate-FD scan over the listed columns. */
+  def fdScan(df: DataFrame, cols: Seq[String], epsilon: Double = 0.01): DataFrame =
+    profile.InfoTheory.fdScan(df, cols, epsilon)
+
+  /** Inclusion-dependency (FK-discovery) scan across labeled columns. */
+  def indScan(candidates: Seq[(String, DataFrame, String)],
+              minContainment: Double = 0.5): DataFrame =
+    profile.InfoTheory.indScan(candidates, minContainment)
+
+  /** Declarative data-quality checks (not-null/unique/range/set/regex/FK). */
+  def qualityChecks(df: DataFrame, rules: Seq[profile.Checks.Rule]): DataFrame =
+    profile.Checks.run(df, rules)
+
+  /** PSI distribution drift between a baseline and a current snapshot. */
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+               nBuckets: Int = 10): DataFrame =
+    profile.Drift.psiReport(base, current, valueCol, nBuckets)
+
+  /** KMV distinct sketch; merge with [[profile.Kmv.merge]]; set algebra
+    * (union/intersection/Jaccard across groups) via
+    * [[profile.Kmv.setEstimates]]. */
+  def kmvSketch(df: DataFrame, valueCol: String,
+                groupCols: Seq[String] = Nil): DataFrame =
+    profile.Kmv.sketch(df, valueCol, profile.Kmv.KmvSpec(), groupCols)
+
+  /** Robust median/MAD outlier report (Hampel rule, exact cent space). */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Double = 3.0): DataFrame =
+    operators.Anomaly.madOutlierReport(df, valueCol, groupCols, k)
+
+  // ---- dedup / sampling / evaluation extensions ----
+
+  /** EXACT Jaccard ≥ τ self-join via prefix filtering (no LSH, exact
+    * recall). */
+  def exactNearDupPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
+    operators.Dedup.exactJaccardSelfJoin(docs, threshold, n)
+
+  /** Blocked-Levenshtein record-linkage pairs. */
+  def fuzzyPairs(values: DataFrame, valCol: String,
+                 blockExpr: org.apache.spark.sql.Column, maxDist: Int): DataFrame =
+    operators.Dedup.editDistancePairs(values, valCol, blockExpr, maxDist)
+
+  /** Embedding-cosine leakage report vs a broadcast eval set. */
+  def semanticDecontamReport(corpus: DataFrame, benchmark: DataFrame,
+                             threshold: Double): DataFrame =
+    operators.Decontamination.semanticOverlapReport(corpus, benchmark, threshold)
+
+  /** Efraimidis–Spirakis weighted sampling without replacement. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     groupCols: Seq[String] = Nil): DataFrame =
+    operators.Sampling.weightedSample(df, idCol, weightCol, k, groupCols)
+
+  /** Position-aware ranking quality (nDCG@k). */
+  def ndcgAtK(results: DataFrame, groundTruth: DataFrame, k: Int): DataFrame =
+    search.Evaluation.ndcgAtK(results, groundTruth, k)
+
+  // ---- event analytics ----
+
+  /** Ordered funnel with per-stage clock chaining. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame =
+    operators.Events.funnel(events, steps)
+
+  /** Weekly cohort retention matrix. */
+  def cohortRetention(events: DataFrame): DataFrame =
+    operators.Events.cohortRetention(events)
+
+  /** Regular-grid LOCF resample riding the as-of join. */
+  def resampleLocf(obs: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String): DataFrame =
+    operators.Events.resampleLocf(obs, keyCol, tsCol, valCol)
 }
