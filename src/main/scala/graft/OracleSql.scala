@@ -2934,6 +2934,24 @@ object OracleSql {
         |  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal <= s.s_acctbal + 100.0
         |GROUP BY s.s_suppkey ORDER BY s_suppkey""".stripMargin,
 
+    "x_cube_agg" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    // w_window_suite: every ordering totalized by event_id, so
+    // lag/lead/ntile/percent_rank/cume_dist are engine-exact.
+    "w_window_suite" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+        |  lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS tile4,
+        |  round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6) AS cume
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "x_rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

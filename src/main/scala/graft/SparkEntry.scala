@@ -2230,6 +2230,36 @@ object SparkEntry {
         sum(dec(col("o_totalprice"))).cast("double").as("total"))
       .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
 
+  /** §2.6 multidim aggregate: full CUBE over (priority, status). */
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** §2.8 window-function suite: lag/lead on the time axis, ntile /
+    * percent_rank / cume_dist on the value axis, per user — every
+    * ordering is total (ties broken by event_id), so ranks are
+    * engine-exact.
+    */
+  private def windowSuiteQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").filter(col("user_id") < 20)
+      .select("user_id", "event_id", "ts", "value")
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("value"),
+      lag(col("value"), 1).over(byTime).as("prev_v"),
+      lead(col("value"), 1).over(byTime).as("next_v"),
+      ntile(4).over(byValue).cast("long").as("tile4"),
+      round(percent_rank().over(byValue), 6).as("pct_rank"),
+      round(cume_dist().over(byValue), 6).as("cume"))
+      .orderBy("user_id", "event_id")
+  }
+
   private def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
@@ -2393,6 +2423,8 @@ object SparkEntry {
     "e_resample_locf" -> resampleLocfQ,
     "x_range_join" -> rangeJoinQ,
     "x_rollup_agg" -> rollupAgg,
+    "x_cube_agg" -> cubeAgg,
+    "w_window_suite" -> windowSuiteQ,
     "x_semi_anti_join" -> semiAntiJoin
   )
 
