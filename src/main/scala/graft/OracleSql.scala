@@ -3236,6 +3236,8 @@ object OracleSql {
     "d_dup_spans" -> dupSpansSql,
     "d_substring_dedup" -> removeSpansSql,
     "t_cms_freq" -> cmsFreqSql,
+    // streamed CMS must converge to the batch sketch — same oracle.
+    "st_stream_cms" -> cmsFreqSql,
     "d_incremental_dedup" -> incrementalDedupSql,
     "a_hll_distinct" -> hllDistinctSql,
     "a_kmv_distinct" -> kmvDistinctSql,

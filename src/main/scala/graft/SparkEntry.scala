@@ -2008,6 +2008,33 @@ object SparkEntry {
       .orderBy("tok")
   }
 
+  /** §2.12 streaming heavy-hitters: the Count-Min cells maintained as a
+    * plain streaming aggregation (additive counts → streamed == batch by
+    * merge algebra), read back against the exact batch counts — same
+    * output and oracle as `t_cms_freq`, proving the streamed sketch
+    * converged to the batch sketch.
+    */
+  private def streamingCmsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.profile.CountMin
+    val name = s"st_cms_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val toks = stream.select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val spec = CountMin.CmsSpec(depth = 3, width = 16)
+    val q = graft.streaming.StreamingProfile.cmsStream(toks, "tok", spec)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val cms = s.table(name)
+    val exact = t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    exact.join(CountMin.estimate(cms, exact.select("tok"), "tok", spec), "tok")
+      .orderBy("tok")
+  }
+
   /** LLM-pipeline: incremental dedup — the 10% of docs with
     * doc_id % 10 = 9 arrive as a "new batch" and are flagged against the
     * sketch catalog of the other 90% (exact fingerprint + banded MinHash
@@ -2374,6 +2401,7 @@ object SparkEntry {
     "t2_bpe_train" -> bpeTrainQ,
     "ann_kmeans_ivf" -> annKmeansIvf,
     "st_stream_quantiles" -> streamingQuantilesQ,
+    "st_stream_cms" -> streamingCmsQ,
     "x_zorder" -> zorderQ,
     "t2_bpe_encode" -> bpeEncodeQ,
     "t_quality_filter" -> qualityFilterStats,
