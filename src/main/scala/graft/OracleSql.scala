@@ -567,6 +567,24 @@ object OracleSql {
        |FROM vals""".stripMargin
   }
 
+  /** a_key_discovery: distinct-count uniqueness per single/pair combo. */
+  private def keyDiscoverySql: String = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+    val combos = cols.map(Seq(_)) ++
+      (for { i <- cols.indices; j <- i + 1 until cols.size }
+        yield Seq(cols(i), cols(j)))
+    val arms = combos.map { combo =>
+      s"""SELECT '${combo.mkString("+")}' AS key_cols,
+         |  (SELECT count(*) FROM (SELECT DISTINCT ${combo.mkString(", ")} FROM orders)) AS n_distinct,
+         |  (SELECT count(*) FROM orders) AS n_rows""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT key_cols, n_distinct, n_rows,
+       |  round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS uniqueness,
+       |  n_distinct = n_rows AS is_key
+       |FROM ($arms)
+       |ORDER BY key_cols""".stripMargin
+  }
+
   /** d_ppjoin_pairs: prefix-filtered exact Jaccard self-join replay —
     * same rare-first prefix, length filter, and rounded-jaccard gate. */
   private def ppjoinPairsSql: String =
@@ -3244,6 +3262,7 @@ object OracleSql {
     "a_col_entropy" -> colEntropySql,
     "a_fd_scan" -> fdScanSql,
     "a_ind_scan" -> indScanSql,
+    "a_key_discovery" -> keyDiscoverySql,
     "d_fuzzy_pairs" -> fuzzyPairsSql,
     "d_ppjoin_pairs" -> ppjoinPairsSql,
     "p_quality_checks" -> qualityChecksSql,

@@ -1864,6 +1864,14 @@ object SparkEntry {
       .orderBy("val_a", "val_b")
   }
 
+  /** Profile: candidate-key discovery over orders' non-key columns —
+    * uniqueness ratio of every single and pair combo.
+    */
+  private def keyDiscoveryQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.InfoTheory.keyDiscovery(t(s, dir, "orders"),
+      Seq("o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"))
+      .orderBy("key_cols")
+
   /** Profile: declarative data-quality checks over orders — one pass
     * for all row-local rules, plus uniqueness and FK integrity; the
     * in_range rule is tuned to catch real violations (prices above
@@ -2419,6 +2427,7 @@ object SparkEntry {
     "a_col_entropy" -> colEntropyQ,
     "a_fd_scan" -> fdScanQ,
     "a_ind_scan" -> indScanQ,
+    "a_key_discovery" -> keyDiscoveryQ,
     "d_fuzzy_pairs" -> fuzzyPairsQ,
     "d_ppjoin_pairs" -> ppjoinPairsQ,
     "p_quality_checks" -> qualityChecksQ,

@@ -47,6 +47,32 @@ object InfoTheory {
             / lit(1000000.0), 6).as("entropy"))
     }.reduce(_ unionByName _)
 
+  /** Candidate-key discovery: uniqueness ratio of every single column
+    * and every column pair from `cols` — the key-inference pass of a
+    * table profiler (a combo with ratio 1.0 is a candidate key; near-1
+    * ratios flag soft keys with dirty rows). Null-bearing rows count as
+    * values (a distinct group), matching a GROUP BY's view of keyness.
+    * One distinct-count aggregation per combo, shuffles bounded by
+    * distinct counts; exact integers + one division.
+    * Output: (key_cols, n_distinct, n_rows, uniqueness, is_key).
+    */
+  def keyDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val n = df.agg(count(lit(1)).as("n_rows"))
+    val combos = cols.map(Seq(_)) ++
+      (for { i <- cols.indices; j <- i + 1 until cols.size }
+        yield Seq(cols(i), cols(j)))
+    combos.map { combo =>
+      df.select(combo.map(c => col(s"`$c`")): _*).distinct()
+        .agg(count(lit(1)).as("n_distinct"))
+        .crossJoin(broadcast(n))
+        .select(lit(combo.mkString("+")).as("key_cols"),
+          col("n_distinct"), col("n_rows"),
+          round(col("n_distinct").cast("double") / col("n_rows").cast("double"), 6)
+            .as("uniqueness"),
+          (col("n_distinct") === col("n_rows")).as("is_key"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Inclusion-dependency scan — the foreign-key discovery pass of a
     * lake profiler: for each directed candidate pair, the containment
     * `|distinct(src) ∩ distinct(dst)| / |distinct(src)|`; a src fully

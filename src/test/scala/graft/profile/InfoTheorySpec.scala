@@ -65,6 +65,20 @@ class InfoTheorySpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("keyDiscovery: singles and pairs, exact uniqueness, null rows count") {
+    val df = Seq[(Integer, String)]((1, "x"), (2, "x"), (2, "y"), (null, "y"))
+      .toDF("a", "b")
+    val out = InfoTheory.keyDiscovery(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3) // a, b, a+b
+    assert(out("a").getAs[Long]("n_distinct") == 3L) // 1, 2, null
+    assert(out("a").getAs[Double]("uniqueness") == 0.75)
+    assert(!out("a").getAs[Boolean]("is_key"))
+    assert(out("b").getAs[Long]("n_distinct") == 2L)
+    assert(out("a+b").getAs[Long]("n_distinct") == 4L)
+    assert(out("a+b").getAs[Boolean]("is_key"))
+  }
+
   test("indScan: FK fully contained in PK scores 1.0, reverse is partial") {
     val pk = (1 to 10).map(i => i).toDF("id")
     val fk = Seq(1, 2, 3, 1, 2).toDF("ref") // 3 distinct, all in pk
