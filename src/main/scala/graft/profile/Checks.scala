@@ -61,10 +61,16 @@ object Checks {
           sum(v.cast("long")).as(s"__v$i")
         } :+ count(lit(1)).as("__n")
         val one = df.agg(aggs.head, aggs.tail: _*)
-        Some(local.zipWithIndex.map { case ((r, _), i) =>
-          one.select(lit(r.rule).as("rule"), lit(r.column).as("column"),
-            col("__n").as("n_rows"), col(s"__v$i").as("n_violations"))
-        }.reduce(_ unionByName _))
+        // ONE aggregated row exploded into per-rule report rows — a
+        // union of per-rule selects would re-plan (and re-scan) the
+        // aggregate once per rule (guarded by PlanShapeR8bSpec)
+        Some(one.select(explode(array(local.zipWithIndex.map { case ((r, _), i) =>
+            struct(lit(r.rule).as("rule"), lit(r.column).as("column"),
+              col("__n").as("n_rows"), col(s"__v$i").as("n_violations"))
+          }: _*)).as("__r"))
+          .select(col("__r.rule").as("rule"), col("__r.column").as("column"),
+            col("__r.n_rows").as("n_rows"),
+            col("__r.n_violations").as("n_violations")))
       }
     val heavies = rules.collect {
       case Unique(c) =>
