@@ -2863,6 +2863,20 @@ object OracleSql {
         |  CAST(sum(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
 
+    // w_range_window: RANGE frame on integer epoch seconds; decimal
+    // sums so the sliding aggregation is FP-order-free.
+    "w_range_window" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |           FROM events WHERE user_id < 20)
+        |SELECT user_id, event_id,
+        |  count(*) OVER w AS n_last_hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY es
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // e_mad_outliers: integer-cent medians (every interpolation an
     // exact multiple of 0.5 → bitwise engine parity), Hampel rule at
     // (3.0 * 1.4826) computed as the same double product Spark folds.

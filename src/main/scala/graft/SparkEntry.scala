@@ -184,6 +184,22 @@ object SparkEntry {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** §2.8 time-RANGE sliding window: per user, events and decimal-exact
+    * value sum over the trailing hour (RANGE frame on epoch seconds —
+    * peers by time value, not row position).
+    */
+  private def rangeWindowQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    t(s, dir, "events").filter(col("user_id") < 20)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum(dec(col("value"))).over(w).cast("double").as("v_last_hour"))
+      .orderBy("user_id", "event_id")
+  }
+
   private def setOps(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("k")).distinct()
     val su = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("k")).distinct()
@@ -2325,6 +2341,7 @@ object SparkEntry {
     "j_star_join" -> starJoin,
     "o_topk_window" -> topkWindow,
     "w_running_agg" -> runningAgg,
+    "w_range_window" -> rangeWindowQ,
     "set_ops" -> setOps,
     "j5_exact_jaccard" -> exactJaccardPairs,
     "f_lenient_dates" -> lenientDates,
