@@ -588,7 +588,33 @@ object OracleSql {
   /** d_ppjoin_pairs: prefix-filtered exact Jaccard self-join replay —
     * same rare-first prefix, length filter, and rounded-jaccard gate. */
   private def ppjoinPairsSql: String =
-    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    s"""WITH $ppjoinCtes
+      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** d_exact_dedup_corpus: the PPJoin pairs feed the same recursive
+    * connected-components replay as the LSH corpus dedup. */
+  private def exactDedupCorpusSql: String =
+    s"""WITH RECURSIVE $ppjoinCtes,
+      |vp AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.7),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+      |          UNION SELECT id_b, id_a FROM vp),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+      |           FROM reach GROUP BY src),
+      |losers AS (SELECT id FROM labels WHERE id <> cluster)
+      |SELECT lang, count(*) AS n_docs_kept,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Shared CTE list of the PPJoin replay (ends at `j`, the rounded
+    * pairwise jaccard relation). */
+  private def ppjoinCtes: String =
+    """d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
       |g AS (SELECT doc_id,
       |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
       |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
@@ -612,9 +638,7 @@ object OracleSql {
       |j AS (SELECT i.id_a, i.id_b,
       |        round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) AS jaccard
       |      FROM inter i JOIN sizes sa ON sa.id = i.id_a
-      |                   JOIN sizes sb ON sb.id = i.id_b)
-      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
-      |ORDER BY id_a, id_b""".stripMargin
+      |                   JOIN sizes sb ON sb.id = i.id_b)""".stripMargin
 
   /** p_quality_checks: one row per declarative rule, exact counts. */
   private def qualityChecksSql: String =
@@ -3279,6 +3303,7 @@ object OracleSql {
     "a_key_discovery" -> keyDiscoverySql,
     "d_fuzzy_pairs" -> fuzzyPairsSql,
     "d_ppjoin_pairs" -> ppjoinPairsSql,
+    "d_exact_dedup_corpus" -> exactDedupCorpusSql,
     "p_quality_checks" -> qualityChecksSql,
     "a_psi_drift" -> psiDriftSql,
     "a_entropy_mi" -> entropyMiSql,

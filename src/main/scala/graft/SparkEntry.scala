@@ -1864,6 +1864,21 @@ object SparkEntry {
       t(s, dir, "documents"), threshold = 0.7, n = 3)
       .orderBy("id_a", "id_b")
 
+  /** LLM-pipeline: EXACT-recall corpus dedup end-to-end — PPJoin exact
+    * Jaccard ≥ 0.7 pairs → connected components → min-id canonical kept;
+    * the no-LSH counterpart of `d_dedup_corpus`, with nothing missed by
+    * banding.
+    */
+  private def exactDedupCorpusQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.operators.Dedup.exactJaccardSelfJoin(docs, 0.7, n = 3)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.Dedup.dropNearDuplicates(docs, pairs)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("lang")
+  }
+
   /** LLM-pipeline: blocked fuzzy matching — distinct part names blocked
     * by their last token, Levenshtein ≤ 3 verified in-block only, with
     * per-name member counts (the record-linkage primitive).
@@ -2447,6 +2462,7 @@ object SparkEntry {
     "a_key_discovery" -> keyDiscoveryQ,
     "d_fuzzy_pairs" -> fuzzyPairsQ,
     "d_ppjoin_pairs" -> ppjoinPairsQ,
+    "d_exact_dedup_corpus" -> exactDedupCorpusQ,
     "p_quality_checks" -> qualityChecksQ,
     "a_psi_drift" -> psiDriftQ,
     "a_entropy_mi" -> entropyMiQ,
