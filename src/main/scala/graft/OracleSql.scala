@@ -640,6 +640,31 @@ object OracleSql {
       |      FROM inter i JOIN sizes sa ON sa.id = i.id_a
       |                   JOIN sizes sb ON sb.id = i.id_b)""".stripMargin
 
+  /** t_collocations: top-20 bigrams by PMI — exact counts, one integer-
+    * product ratio, 6-dp ln, (pmi DESC, w1, w2) total order. */
+  private def collocationsSql: String =
+    """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+      |uni AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+      |big AS (SELECT w1, w2, count(*) AS n_pair FROM (
+      |    SELECT w[i] AS w1, w[i + 1] AS w2
+      |    FROM w, unnest(range(1, len(w))) AS t(i))
+      |  GROUP BY 1, 2 HAVING count(*) >= 5),
+      |n AS (SELECT sum(c) AS n_tok FROM uni)
+      |SELECT b.w1, b.w2, b.n_pair,
+      |  round(ln(CAST(n.n_tok * b.n_pair AS DOUBLE)
+      |         / CAST(u1.c * u2.c AS DOUBLE)), 6) AS pmi
+      |FROM big b JOIN uni u1 ON u1.t = b.w1 JOIN uni u2 ON u2.t = b.w2
+      |CROSS JOIN n
+      |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin
+
+  /** q_class_weights: per-class counts + balanced weights n/(k·n_c). */
+  private def classWeightsSql: String =
+    """WITH c AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_label) AS BIGINT) AS n, count(*) AS k FROM c)
+      |SELECT c.label, c.n_label,
+      |  round(CAST(t.n AS DOUBLE) / CAST(t.k * c.n_label AS DOUBLE), 6) AS weight
+      |FROM c CROSS JOIN t ORDER BY label""".stripMargin
+
   /** p_quality_checks: one row per declarative rule, exact counts. */
   private def qualityChecksSql: String =
     """WITH n AS (SELECT count(*) AS n_rows FROM orders),
@@ -3304,6 +3329,8 @@ object OracleSql {
     "d_fuzzy_pairs" -> fuzzyPairsSql,
     "d_ppjoin_pairs" -> ppjoinPairsSql,
     "d_exact_dedup_corpus" -> exactDedupCorpusSql,
+    "t_collocations" -> collocationsSql,
+    "q_class_weights" -> classWeightsSql,
     "p_quality_checks" -> qualityChecksSql,
     "a_psi_drift" -> psiDriftSql,
     "a_entropy_mi" -> entropyMiSql,

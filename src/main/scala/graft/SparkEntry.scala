@@ -1864,6 +1864,27 @@ object SparkEntry {
       t(s, dir, "documents"), threshold = 0.7, n = 3)
       .orderBy("id_a", "id_b")
 
+  /** LLM-pipeline: collocation mining — top-20 adjacent-word pairs by
+    * PMI over the corpus (6-dp ln of one exact-integer-product ratio).
+    */
+  private def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.collocations(t(s, dir, "documents"), k = 20)
+
+  /** ML-pipeline: class-balance report over the embedding labels —
+    * per-class counts and sklearn-style balanced weights n/(k·n_c).
+    */
+  private def classWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val tot = counts.agg(sum(col("n_label")).as("n"),
+      count(lit(1)).as("k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_label"),
+        round(col("n").cast("double") /
+          (col("k") * col("n_label")).cast("double"), 6).as("weight"))
+      .orderBy("label")
+  }
+
   /** LLM-pipeline: EXACT-recall corpus dedup end-to-end — PPJoin exact
     * Jaccard ≥ 0.7 pairs → connected components → min-id canonical kept;
     * the no-LSH counterpart of `d_dedup_corpus`, with nothing missed by
@@ -2463,6 +2484,8 @@ object SparkEntry {
     "d_fuzzy_pairs" -> fuzzyPairsQ,
     "d_ppjoin_pairs" -> ppjoinPairsQ,
     "d_exact_dedup_corpus" -> exactDedupCorpusQ,
+    "t_collocations" -> collocationsQ,
+    "q_class_weights" -> classWeightsQ,
     "p_quality_checks" -> qualityChecksQ,
     "a_psi_drift" -> psiDriftQ,
     "a_entropy_mi" -> entropyMiQ,

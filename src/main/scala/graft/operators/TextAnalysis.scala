@@ -12,6 +12,45 @@ import graft.functions.SketchFunctions._
   * language scorer.
   */
 object TextAnalysis {
+
+  /** Collocation mining — adjacent-word pairs ranked by pointwise mutual
+    * information `ln(n·c_xy / (c_x·c_y))`, the standard collocation
+    * statistic: high-PMI bigrams are phrases, not chance co-occurrence.
+    * Counts are corpus-wide exact integers; the ln argument is one
+    * division of exact integer products and the ln is 6-dp-rounded, so
+    * the ranking replays engine-exactly. Pairs below `minCount` are
+    * noise-filtered (classic PMI degenerates at count 1).
+    *
+    * Scale: one bigram shuffle + one unigram shuffle, join keyed on the
+    * words; top-k via a single ordered limit. Output: (w1, w2, n_pair,
+    * pmi), k rows.
+    */
+  def collocations(docs: DataFrame, k: Int = 20, minCount: Int = 5,
+                   textCol: String = "text"): DataFrame = {
+    val words = docs.select(
+      split(lower(trim(col(s"`$textCol`"))), "\\s+").as("w"))
+    val uni = words.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val big = words
+      .select(explode(zip_with(col("w"),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val n = uni.agg(sum(col("c")).as("n_tok"))
+    big
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(
+        (col("n_tok") * col("n_pair")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val t = col(textCol)
