@@ -657,6 +657,28 @@ object OracleSql {
       |CROSS JOIN n
       |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20""".stripMargin
 
+  /** q_calibration: decile reliability bins over the [0,1]-rescaled
+    * pair cosine vs same-label outcomes; per-bin mean score summed as
+    * DECIMAL(18,7) (scores carry ≤7 decimals after the 6-dp cosine). */
+  private def calibrationSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT q.label AS ql, c.label AS cl,
+      |    CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |         ELSE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) END AS cos
+      |  FROM e q JOIN e c ON q.vec_id <= 30 AND q.vec_id < c.vec_id),
+      |b AS (SELECT least(9, CAST(floor(((cos + 1) / 2) * 10) AS BIGINT)) AS bin,
+      |        (cos + 1) / 2 AS score,
+      |        CASE WHEN ql = cl THEN 1 ELSE 0 END AS hit
+      |      FROM s)
+      |SELECT bin, count(*) AS n_pairs,
+      |  round(CAST(sum(CAST(score AS DECIMAL(18,7))) AS DOUBLE) / count(*), 6) AS avg_score,
+      |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS match_rate
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   /** q_class_weights: per-class counts + balanced weights n/(k·n_c). */
   private def classWeightsSql: String =
     """WITH c AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
@@ -3331,6 +3353,7 @@ object OracleSql {
     "d_exact_dedup_corpus" -> exactDedupCorpusSql,
     "t_collocations" -> collocationsSql,
     "q_class_weights" -> classWeightsSql,
+    "q_calibration" -> calibrationSql,
     "p_quality_checks" -> qualityChecksSql,
     "a_psi_drift" -> psiDriftSql,
     "a_entropy_mi" -> entropyMiSql,

@@ -1870,6 +1870,34 @@ object SparkEntry {
   private def collocationsQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextAnalysis.collocations(t(s, dir, "documents"), k = 20)
 
+  /** ML-pipeline: calibration (reliability) report — cosine similarity
+    * rescaled to [0,1] as a "same-label" score, binned into deciles;
+    * per bin the mean score (decimal-exact) vs the empirical match
+    * rate. A calibrated scorer tracks the diagonal.
+    */
+  private def calibrationQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ann.{dot, norm}
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.select(col("vec_id").as("qid"), col("label").as("ql"),
+      col("v").as("qv"), col("nrm").as("qn")).filter(col("qid") <= 30)
+    val scored = q.join(e, col("qid") < col("vec_id"))
+      .withColumn("cos", when(col("qn") * col("nrm") === 0, lit(0.0))
+        .otherwise(round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)))
+      .withColumn("score", (col("cos") + 1) / 2)
+      .withColumn("bin", least(lit(9L), floor(col("score") * 10).cast("long")))
+      .withColumn("hit", (col("ql") === col("label")).cast("long"))
+    scored.groupBy("bin").agg(
+      count(lit(1)).as("n_pairs"),
+      (sum(col("score").cast("decimal(18,7)")).cast("double") /
+        count(lit(1))).as("avg_score"),
+      round(sum(col("hit")).cast("double") / count(lit(1)), 6).as("match_rate"))
+      .withColumn("avg_score", round(col("avg_score"), 6))
+      .orderBy("bin")
+  }
+
   /** ML-pipeline: class-balance report over the embedding labels —
     * per-class counts and sklearn-style balanced weights n/(k·n_c).
     */
@@ -2486,6 +2514,7 @@ object SparkEntry {
     "d_exact_dedup_corpus" -> exactDedupCorpusQ,
     "t_collocations" -> collocationsQ,
     "q_class_weights" -> classWeightsQ,
+    "q_calibration" -> calibrationQ,
     "p_quality_checks" -> qualityChecksQ,
     "a_psi_drift" -> psiDriftQ,
     "a_entropy_mi" -> entropyMiQ,
