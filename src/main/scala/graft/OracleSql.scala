@@ -679,6 +679,21 @@ object OracleSql {
       |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS match_rate
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** w_graph_stats: in-degree distribution of the synthetic link graph
+    * (cleaned like pagerank: self-edges and duplicate edges dropped,
+    * isolated-direction nodes report 0). */
+  private def graphStatsSql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents, nn
+      |       UNION ALL SELECT doc_id, doc_id % 31 FROM documents),
+      |e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+      |      FROM e0 WHERE src <> dst),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |ind AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1),
+      |d AS (SELECT n.node, coalesce(ind.in_deg, 0) AS in_deg
+      |      FROM nodes n LEFT JOIN ind USING (node))
+      |SELECT in_deg, count(*) AS n_nodes FROM d GROUP BY 1 ORDER BY in_deg""".stripMargin
+
   /** q_class_weights: per-class counts + balanced weights n/(k·n_c). */
   private def classWeightsSql: String =
     """WITH c AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
@@ -3354,6 +3369,7 @@ object OracleSql {
     "t_collocations" -> collocationsSql,
     "q_class_weights" -> classWeightsSql,
     "q_calibration" -> calibrationSql,
+    "w_graph_stats" -> graphStatsSql,
     "p_quality_checks" -> qualityChecksSql,
     "a_psi_drift" -> psiDriftSql,
     "a_entropy_mi" -> entropyMiSql,

@@ -1632,6 +1632,21 @@ object SparkEntry {
       .orderBy(col("rank_ppm").desc, col("node")).limit(20)
   }
 
+  /** Web-graph shape: in-degree distribution of the same synthetic link
+    * graph `w_page_rank` ranks — the power-law fingerprint a curation
+    * pipeline checks before trusting link-centrality weights.
+    */
+  private def graphStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).as("dst"))
+      .union(docs.select(col("doc_id"), col("doc_id") % 31))
+    graft.operators.Graph.inDegreeDistribution(e)
+      .orderBy("in_deg")
+  }
+
   /** Corpus snapshot diff: old = ids not divisible by 7, new = ids not
     * divisible by 3 with a real edit on ids%5==0 and a WHITESPACE-ONLY
     * edit on ids%11==0 — the latter must compare unchanged (normalized
@@ -2515,6 +2530,7 @@ object SparkEntry {
     "t_collocations" -> collocationsQ,
     "q_class_weights" -> classWeightsQ,
     "q_calibration" -> calibrationQ,
+    "w_graph_stats" -> graphStatsQ,
     "p_quality_checks" -> qualityChecksQ,
     "a_psi_drift" -> psiDriftQ,
     "a_entropy_mi" -> entropyMiQ,

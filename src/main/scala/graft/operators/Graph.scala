@@ -58,4 +58,25 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node degrees of the cleaned edge relation (self-edges and
+    * duplicates dropped, as [[pagerankInt]]): (node, out_deg, in_deg).
+    * Two key shuffles; nodes with no edges in a direction report 0.
+    */
+  def degreeReport(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outD = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    val inD = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
+    nodes.join(outD, Seq("node"), "left").join(inD, Seq("node"), "left")
+      .na.fill(0L, Seq("out_deg", "in_deg"))
+  }
+
+  /** In-degree distribution — the power-law fingerprint of a link
+    * graph: (in_deg, n_nodes). */
+  def inDegreeDistribution(edges: DataFrame): DataFrame =
+    degreeReport(edges).groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
 }

@@ -198,6 +198,20 @@ class DedupSpec extends SparkSpec {
     assert(again == r)
   }
 
+  test("degreeReport: exact in/out degrees on the star graph, dupes/self-edges dropped") {
+    import graft.operators.Graph
+    val edges = ((1L to 5L).map(i => (i, 0L)) ++
+      Seq((0L, 1L), (0L, 1L), (3L, 3L))).toDF("src", "dst") // dup + self-edge
+    val d = Graph.degreeReport(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(d(0L) == (1L, 5L)) // out: 0->1; in: 1..5 -> 0
+    assert(d(1L) == (1L, 1L))
+    assert(d(3L) == (1L, 0L)) // self-edge dropped
+    val dist = Graph.inDegreeDistribution(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist(0L) == 4L && dist(1L) == 1L && dist(5L) == 1L)
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged; whitespace = unchanged") {
     val oldSnap = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"))
       .toDF("doc_id", "text")
