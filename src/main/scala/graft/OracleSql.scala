@@ -2963,6 +2963,21 @@ object OracleSql {
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
 
+    // e_decayed_engagement: 2^(-age_days) rounded 6 dp per event, terms
+    // integer-micro summed; top-20 with (value DESC, user) tie-break.
+    "e_decayed_engagement" ->
+      """WITH ev AS (SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |mx AS (SELECT max(es) AS max_es FROM ev),
+        |t AS (SELECT user_id,
+        |        CAST(floor(value * round(pow(0.5, CAST(mx.max_es - es AS DOUBLE) / 86400.0), 6)
+        |                   * 1000000.0) AS BIGINT) AS tm
+        |      FROM ev CROSS JOIN mx),
+        |agg AS (SELECT user_id, count(*) AS n_events,
+        |          round(CAST(sum(tm) AS DOUBLE) / 1000000.0, 6) AS decayed_value
+        |        FROM t GROUP BY 1)
+        |SELECT user_id, n_events, decayed_value FROM agg
+        |ORDER BY decayed_value DESC, user_id LIMIT 20""".stripMargin,
+
     // e_mad_outliers: integer-cent medians (every interpolation an
     // exact multiple of 0.5 → bitwise engine parity), Hampel rule at
     // (3.0 * 1.4826) computed as the same double product Spark folds.

@@ -2288,6 +2288,27 @@ object SparkEntry {
         sum(col("val").cast("decimal(18,4)")).cast("double").as("total"))
       .orderBy("metric")
 
+  /** Event analytics: time-decayed engagement — per user
+    * Σ value·2^(−age_days) (1-day half-life) as of the stream's end;
+    * the one transcendental (pow) is 6-dp-rounded per event and terms
+    * are integer-micro summed, so the ranking replays engine-exactly.
+    * Top-20 users via TakeOrdered.
+    */
+  private def decayedEngagementQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("es", unix_timestamp(col("ts")))
+    val maxE = ev.agg(max(col("es")).as("max_es"))
+    ev.crossJoin(broadcast(maxE))
+      .withColumn("decay",
+        round(pow(lit(0.5), (col("max_es") - col("es")).cast("double") / lit(86400.0)), 6))
+      .withColumn("tm", floor(col("value") * col("decay") * lit(1000000.0)).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("tm")).cast("double") / lit(1000000.0), 6).as("decayed_value"))
+      .orderBy(col("decayed_value").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** Event analytics: robust median/MAD outlier report (Hampel k=3) per
     * event_type over `value` — medians taken in exact integer cent
     * space, so interpolation is bitwise engine-identical.
@@ -2555,6 +2576,7 @@ object SparkEntry {
     "x_asof_join" -> asofEnrich,
     "e_funnel" -> funnelQ,
     "e_mad_outliers" -> madOutliersQ,
+    "e_decayed_engagement" -> decayedEngagementQ,
     "x_pivot" -> pivotQ,
     "x_unpivot" -> unpivotQ,
     "e_cohort_retention" -> cohortRetentionQ,
