@@ -369,6 +369,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Double]("quality") > 0)
   }
 
+  test("collocations: the planted phrase tops PMI; loose pairs rank below") {
+    // "neural network" always adjacent; "data" pairs with many partners
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"neural network data item$i data model$i filler$i words here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, k = 5, minCount = 5)
+      .collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getString(0) == "neural" && top.getString(1) == "network")
+    assert(top.getAs[Long]("n_pair") == 10L)
+    // pmi monotone non-increasing down the list
+    val pmis = out.map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sortBy(-_))
+  }
+
   test("lengthHistogram: exact bins and padding waste at maxLen") {
     // 3 tokens → bin 0, waste 8-3=5; 10 tokens → bin 2, waste 16-10=6;
     // 17 tokens → bin 4, ceil(17/8)*8=24, waste 7
