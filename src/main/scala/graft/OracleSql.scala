@@ -2705,6 +2705,127 @@ object OracleSql {
 
   private val stopList = "'the','a','an','of','to','and','in','is','it','on','for','with','as','at','by','or','be','this','that'"
 
+  /** e_change_history: SCD2-style interval compression — per-user runs
+    * of equal event_type, versioned in time order, effective-dated. */
+  private def changeHistorySql: String =
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+      |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |            IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events),
+      |r AS (SELECT user_id, event_type, ts,
+      |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM o),
+      |g AS (SELECT user_id, version, min(event_type) AS event_type,
+      |  min(ts) AS eff_from, count(*) AS n_events
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, CAST(version AS BIGINT) AS version, event_type, eff_from,
+      |  lead(eff_from) OVER (PARTITION BY user_id ORDER BY version) AS eff_to,
+      |  n_events
+      |FROM g ORDER BY user_id, version""".stripMargin
+
+  /** t_vocab_coverage: per-language OOV rate vs the corpus' top-10
+    * tokens (freq desc, token asc tie-break — same vocab cut). */
+  private def vocabCoverageSql: String =
+    """WITH toks AS (SELECT lang, t AS tok FROM (
+      |    SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+      |    FROM documents) WHERE t <> ''),
+      |vocab AS (SELECT tok FROM (
+      |  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+      |  ORDER BY c DESC, tok LIMIT 10)),
+      |f AS (SELECT lang,
+      |  CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END AS oov
+      |  FROM toks)
+      |SELECT lang, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** a_key_skew: top-15 l_suppkey frequencies with corpus share —
+    * mirror of Skew.keySkewProfile's one-agg + broadcast-total plan. */
+  private def keySkewSql: String =
+    """WITH g AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM g)
+      |SELECT g.l_suppkey, g.n, round(CAST(g.n AS DOUBLE) / t.tot, 6) AS share
+      |FROM g, t ORDER BY g.n DESC, g.l_suppkey LIMIT 15""".stripMargin
+
+  /** st_stream_sessions: batch replay of gap-based sessionization at
+    * MICROSECOND precision (a gap >= 30 min opens a new session —
+    * `session_window`'s strict-overlap merge rule), checksummed on
+    * session starts so every boundary is pinned. */
+  private def streamSessionsSql: String =
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |f AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN prev_ts IS NULL
+      |       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM o),
+      |r AS (SELECT user_id, ts,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM f),
+      |g AS (SELECT user_id, sess, min(ts) AS session_start, count(*) AS n
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(max(n) AS BIGINT) AS max_session_events,
+      |  CAST(sum(epoch_us(session_start)) AS BIGINT) AS start_checksum
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** ann_mmr_rerank: the greedy MMR selection UNROLLED per rank (k=5,
+    * λ=0.7, top-20 cosine candidates for queries 0..2). Each step:
+    * anti-join out the selected, max-sim against the selected set,
+    * argmax of the EXACT INTEGER score `7·rel_u − 3·ms_u` in 10⁻⁷ units
+    * with id tie-break — the arithmetic `Mmr.rerank` runs inside each
+    * group. Integer units because a double `0.7·rel − 0.3·ms` over 6-dp
+    * inputs lands on a 7th-decimal HALF for every candidate, exactly
+    * where Spark's decimal HALF_UP and DuckDB's binary-nearest round
+    * disagree; micro-quantizing the round-6 cosines (×1e6 is within
+    * ~1e-4 of an integer, so both engines agree) removes the boundary. */
+  private def mmrRerankSql: String = {
+    def step(i: Int): String = {
+      val p = i - 1
+      s"""rem$p AS (SELECT c.* FROM cand c ANTI JOIN sel$p s ON s.qid = c.qid AND s.cid = c.cid),
+         |ms$p AS (SELECT r.qid, r.cid, r.rel, max(s.s_u) AS ms_u
+         |  FROM rem$p r JOIN sim s ON s.qid = r.qid AND s.ia = r.cid
+         |  JOIN sel$p t ON t.qid = s.qid AND t.cid = s.ib
+         |  GROUP BY 1, 2, 3),
+         |p$i AS (SELECT qid, cid, m.rel, 7 * cand.rel_u - 3 * m.ms_u AS mmr_u
+         |  FROM ms$p m JOIN cand USING (qid, cid)
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY 7 * cand.rel_u - 3 * m.ms_u DESC, cid) = 1),
+         |sel$i AS (SELECT qid, cid FROM sel$p UNION ALL SELECT qid, cid FROM p$i),""".stripMargin
+    }
+    val steps = (2 to 5).map(step).mkString("\n")
+    val unions = (1 to 5).map(i =>
+      s"SELECT qid AS query_id, CAST($i AS BIGINT) AS rank, cid AS vec_id, rel, CAST(mmr_u AS DOUBLE) / 10000000.0 AS mmr FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id <= 2),
+       |cand AS (SELECT qid, cid, rel, CAST(round(rel * 1000000, 0) AS BIGINT) AS rel_u, cv, cn FROM (
+       |  SELECT qid, cid, rel, cv, cn FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |      CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |           ELSE round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) END AS rel,
+       |      c.v AS cv, c.nrm AS cn
+       |    FROM q JOIN e c ON q.vec_id <> c.vec_id)
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) <= 20)),
+       |sim AS (SELECT qid, ia, ib, CAST(round(s * 1000000, 0) AS BIGINT) AS s_u FROM (
+       |  SELECT a.qid, a.cid AS ia, b.cid AS ib,
+       |    CASE WHEN a.cn * b.cn = 0 THEN 0.0
+       |         ELSE round(list_dot_product(a.cv, b.cv) / (a.cn * b.cn), 6) END AS s
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid)),
+       |p1 AS (SELECT qid, cid, rel, 7 * rel_u AS mmr_u FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY 7 * rel_u DESC, cid) = 1),
+       |sel1 AS (SELECT qid, cid FROM p1),
+       |$steps
+       |final AS ($unions)
+       |SELECT query_id, rank, vec_id, rel, mmr FROM final
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3393,6 +3514,13 @@ object OracleSql {
     "t_tfidf_terms" -> tfidfTermsSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,
+    "e_change_history" -> changeHistorySql,
+    "t_vocab_coverage" -> vocabCoverageSql,
+    "a_key_skew" -> keySkewSql,
+    // streamed session windows must equal the batch islands — the
+    // oracle replays them relationally at micros precision.
+    "st_stream_sessions" -> streamSessionsSql,
+    "ann_mmr_rerank" -> mmrRerankSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

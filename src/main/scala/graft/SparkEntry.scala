@@ -1557,6 +1557,99 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept")).orderBy("event_type")
   }
 
+  /** §2.12 streaming sessionization: gap-based `session_window` over the
+    * events stream — the streamed sessions must equal the batch islands
+    * (`e_sessionize` semantics at microsecond precision: a gap ≥ 30 min
+    * closes the session). Append mode emits a session only when the
+    * watermark passes its close, and a finite file stream's watermark
+    * stops at max(ts) − delay — so the staged input carries a far-future
+    * SENTINEL row that pushes the final watermark past every real
+    * session; the sentinel's own session is filtered out by user_id.
+    * The oracle recomputes the same sessions relationally from the full
+    * table — green iff incremental session merging is indistinguishable
+    * from batch. Checksum pins every session BOUNDARY (sum of session
+    * start micros), not just counts.
+    */
+  private def streamingSessionsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val name = s"st_sess_${streamSeq.incrementAndGet()}"
+    val stage = Paths.get(s"/tmp/graft_fixtures/st_sessions_${math.abs(dir.hashCode)}")
+    Files.createDirectories(stage)
+    Files.copy(Paths.get(dir, "events.parquet"),
+      stage.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batch = s.read.parquet(s"$dir/events.parquet")
+    val sentinelOut = s"/tmp/graft_fixtures/st_sessions_sentinel_${math.abs(dir.hashCode)}"
+    batch.agg(max(col("ts")).as("__mx"))
+      .select(lit(-1L).as("event_id"),
+        (col("__mx") + expr("interval 30 days")).as("ts"),
+        lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(sentinelOut)
+    val part = Files.list(Paths.get(sentinelOut)).iterator()
+    var copied = false
+    while (part.hasNext && !copied) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        Files.copy(p, stage.resolve("zz_sentinel.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        copied = true
+      }
+    }
+    require(copied, "sentinel parquet part not found")
+    val stream = s.readStream.schema(batch.schema)
+      .option("pathGlobFilter", "*.parquet").parquet(stage.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val sess = graft.streaming.StreamingProfile.sessionWindows(
+      stream, "30 minutes", "1 hour")
+    val q = sess.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        sum(unix_micros(col("session_start"))).as("start_checksum"))
+      .orderBy("user_id")
+  }
+
+  /** SCD2 change history over the event stream: each user's consecutive
+    * runs of an equal event_type compressed to effective-dated versions
+    * ([[graft.operators.Events.changeHistory]]) — eff_to NULL marks the
+    * open current version; n_events counts the run.
+    */
+  private def changeHistoryQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.changeHistory(t(s, dir, "events"),
+      "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "version")
+
+  /** Tokenizer-vocab coverage: per-language OOV rate against the
+    * corpus' top-10 token vocabulary
+    * ([[graft.operators.TextAnalysis.vocabCoverage]]).
+    */
+  private def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.vocabCoverage(t(s, dir, "documents"), 10)
+      .orderBy("lang")
+
+  /** Join-key skew diagnosis on the fact table's supplier key — the
+    * report that decides whether a salted join / AQE skew split is
+    * needed and with what factor ([[graft.operators.Skew.keySkewProfile]]).
+    */
+  private def keySkewQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.keySkewProfile(t(s, dir, "lineitem"), "l_suppkey", topN = 15)
+      .orderBy(col("n").desc, col("l_suppkey"))
+
+  /** MMR-diversified retrieval: greedy λ-tradeoff re-rank of each
+    * query's cosine top-20 down to 5 diverse hits ([[graft.search.Mmr]]).
+    */
+  private def mmrRerankQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    graft.search.Mmr.rerank(embs, embs.filter(col("vec_id") <= 2),
+        nCandidates = 20, k = 5, lambda = 0.7)
+      .orderBy("query_id", "rank")
+  }
+
   /** Incremental-maintenance path: profile supplier in two key-parity
     * chunks, merge, emit the mergeable fields. The oracle computes the
     * same profile from the FULL table — green iff chunked profiling is
@@ -2585,7 +2678,12 @@ object SparkEntry {
     "x_rollup_agg" -> rollupAgg,
     "x_cube_agg" -> cubeAgg,
     "w_window_suite" -> windowSuiteQ,
-    "x_semi_anti_join" -> semiAntiJoin
+    "x_semi_anti_join" -> semiAntiJoin,
+    "st_stream_sessions" -> streamingSessionsQ,
+    "e_change_history" -> changeHistoryQ,
+    "t_vocab_coverage" -> vocabCoverageQ,
+    "a_key_skew" -> keySkewQ,
+    "ann_mmr_rerank" -> mmrRerankQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

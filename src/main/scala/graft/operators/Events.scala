@@ -78,6 +78,43 @@ object Events {
           .as("retention"))
   }
 
+  /** SCD2-style change history: collapse each key's consecutive runs of
+    * an equal tracked value into effective-dated versions — the
+    * slowly-changing-dimension builder (and its inverse view: an event
+    * log compressed to intervals). A key whose value never changes
+    * yields one open-ended version; every change closes the previous
+    * version at the next run's `eff_from` (`eff_to` NULL = current).
+    *
+    * Shape at scale: the lag, the run-id cumulative sum, and the final
+    * lead are ALL windowed over `partitionBy(keyCol)` with the same
+    * (tsCol, tieCol) sort, so one exchange + one sort serve the whole
+    * plan; the run groupBy re-keys on (key, version) — no global window,
+    * no self-join, state linear in run count.
+    * Output: (key, version, value, eff_from, eff_to, n_events),
+    * version 1..n per key in time order.
+    */
+  def changeHistory(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$keyCol`"))
+      .orderBy(col(s"`$tsCol`"), col(s"`$tieCol`"))
+    val runs = events
+      .withColumn("__prev", lag(col(s"`$valueCol`"), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNull || col("__prev") =!= col(s"`$valueCol`"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(s"`$keyCol`"), col("version"))
+      .agg(min(col(s"`$valueCol`")).as(valueCol), // constant within a run
+        min(col(s"`$tsCol`")).as("eff_from"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy(col(s"`$keyCol`")).orderBy(col("version"))
+    runs.withColumn("eff_to", lead(col("eff_from"), 1).over(byVersion))
+      .select(col(s"`$keyCol`"), col("version"), col(s"`$valueCol`"),
+        col("eff_from"), col("eff_to"), col("n_events"))
+  }
+
   /** Regular-grid resample with LOCF: per key, an hourly (or any
     * `stepExpr`) grid spanning that key's observed range; each grid
     * point carries the value of the latest observation at-or-before it

@@ -61,7 +61,9 @@ object Skew {
     grouped.crossJoin(broadcast(total))
       .withColumn("share", round(col("n") / col("__total"), 6))
       .drop("__total")
-      .orderBy(col("n").desc)
+      // key tie-break: count ties at the cut would otherwise make the
+      // kept SET run-dependent (limit under a non-total order)
+      .orderBy(col("n").desc, col(key))
       .limit(topN)
   }
 }

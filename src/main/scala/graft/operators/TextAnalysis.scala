@@ -51,6 +51,36 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+  /** Tokenizer-vocabulary coverage: per-language OOV rate against the
+    * corpus' own top-`vocabSize` tokens — the go/no-go report before
+    * committing a tokenizer vocab to a pretraining mix (a language whose
+    * OOV rate spikes is under-served by the vocab and will fragment into
+    * bytes/unk at training time).
+    *
+    * Scale: the token explosion carries (lang, token) only; the vocab is
+    * a `vocabSize`-row relation cut by a distributed ordered limit
+    * (TakeOrdered — no global window) and BROADCAST to the membership
+    * join, so the wide side shuffles once for the per-language rollup.
+    * Ties at the frequency cut resolve lexicographically, so the vocab —
+    * and the whole report — is deterministic. Output: (lang, n_tokens,
+    * n_oov, oov_rate).
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 10,
+                    langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(s"`$langCol`").as("lang"),
+        explode(split(lower(trim(col(s"`$textCol`"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val t = col(textCol)
