@@ -401,4 +401,43 @@ object Graft {
   def resampleLocf(obs: DataFrame, keyCol: String, tsCol: String,
                    valCol: String): DataFrame =
     operators.Events.resampleLocf(obs, keyCol, tsCol, valCol)
+
+  /** MMR-diversified retrieval re-rank over an embedding corpus. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, nCandidates: Int = 20,
+                k: Int = 5, lambda: Double = 0.7): DataFrame =
+    search.Mmr.rerank(corpus, queries, nCandidates, k, lambda)
+
+  /** SCD2 change history: consecutive equal-value runs per key as
+    * effective-dated versions. */
+  def changeHistory(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, tieCol: String): DataFrame =
+    operators.Events.changeHistory(events, keyCol, tsCol, valueCol, tieCol)
+
+  /** Per-language OOV rate against the corpus' top-k token vocab. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 10): DataFrame =
+    operators.TextAnalysis.vocabCoverage(docs, vocabSize)
+
+  /** Join-key skew diagnostic: top-N key frequencies with shares. */
+  def keySkew(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    operators.Skew.keySkewProfile(df, key, topN)
+
+  /** Exact heavy hitters via the Misra–Gries two-pass pipeline. */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int,
+                   num: Long = 1, den: Long = 100): DataFrame =
+    profile.HeavyHitters.exact(df, valueCol, k, num, den)
+
+  /** WOE / information-value feature screen against a binary label. */
+  def woeReport(df: DataFrame, valueCol: String,
+                badLabel: org.apache.spark.sql.Column,
+                buckets: Int = 10): DataFrame =
+    profile.Woe.report(df, valueCol, badLabel, buckets)
+
+  /** Chi-square association + Cramér's V between two categoricals. */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame =
+    profile.InfoTheory.chiSquareAssociation(df, a, b)
+
+  /** Mann–Kendall monotone-trend test over daily counts per key. */
+  def mannKendall(events: DataFrame, keyCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame =
+    operators.Events.mannKendall(events, keyCol, tsCol)
 }

@@ -2826,6 +2826,87 @@ object OracleSql {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** t_heavy_hitters: the exact >1%-of-rows suppliers — what the
+    * MG-candidate + exact-count two-pass must reproduce verbatim. */
+  private def heavyHittersSql: String =
+    """WITH t AS (SELECT count(*) AS n FROM lineitem),
+      |g AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS n
+      |      FROM lineitem GROUP BY 1)
+      |SELECT g.key, g.n, round(CAST(g.n AS DOUBLE) / t.n, 6) AS share
+      |FROM g, t WHERE g.n * 100 > t.n * 1
+      |ORDER BY g.n DESC, g.key""".stripMargin
+
+  /** a_woe_iv: WOE/IV of o_totalprice (10 fixed-width cent buckets) vs
+    * the F-status label — integer-exact buckets and ln arguments,
+    * micro-summed IV total. */
+  private def woeIvSql: String =
+    """WITH base AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad FROM orders),
+      |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM base),
+      |bk AS (SELECT least(9, CAST(floor((c - lo) * 10 / (hi - lo + 1)) AS BIGINT)) AS bucket, bad
+      |  FROM base, bounds),
+      |g AS (SELECT bucket, CAST(sum(1 - bad) AS BIGINT) AS n_good,
+      |    CAST(sum(bad) AS BIGINT) AS n_bad FROM bk GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n_good) AS BIGINT) AS gt, CAST(sum(n_bad) AS BIGINT) AS bt FROM g),
+      |s AS (SELECT bucket, n_good, n_bad,
+      |  round(ln(CAST((n_good + 1) * (bt + 10) AS DOUBLE)
+      |         / CAST((n_bad + 1) * (gt + 10) AS DOUBLE)), 6) AS woe
+      |  FROM g, tt),
+      |s2 AS (SELECT bucket, n_good, n_bad, woe,
+      |  round((CAST(n_good + 1 AS DOUBLE) / (gt + 10)
+      |       - CAST(n_bad + 1 AS DOUBLE) / (bt + 10)) * woe, 6) AS iv_contrib
+      |  FROM s, tt),
+      |u AS (SELECT *, CAST(round(iv_contrib * 1000000, 0) AS BIGINT) AS ivu FROM s2),
+      |tot AS (SELECT CAST(sum(ivu) AS BIGINT) AS ivt FROM u)
+      |SELECT bucket, n_good, n_bad, woe, iv_contrib,
+      |  CAST(tot.ivt AS DOUBLE) / 1000000.0 AS iv_total
+      |FROM u, tot ORDER BY bucket""".stripMargin
+
+  /** a_chi2_assoc: Pearson chi-square of lang × source — integer
+    * (o·n − r·c) deviations, round-6 per-cell contributions, micro-sum
+    * total, Cramér's V. */
+  private def chi2AssocSql: String =
+    """WITH p AS (SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b FROM documents),
+      |cells AS (SELECT a, b, count(*) AS observed FROM p GROUP BY 1, 2),
+      |ra AS (SELECT a, CAST(sum(observed) AS BIGINT) AS rtot FROM cells GROUP BY 1),
+      |cb AS (SELECT b, CAST(sum(observed) AS BIGINT) AS ctot FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n,
+      |    count(DISTINCT a) AS nr, count(DISTINCT b) AS nc FROM cells),
+      |grid AS (SELECT ra.a, cb.b, coalesce(c.observed, 0) AS observed, ra.rtot, cb.ctot
+      |  FROM ra CROSS JOIN cb LEFT JOIN cells c ON c.a = ra.a AND c.b = cb.b),
+      |sc AS (SELECT g.a, g.b, g.observed,
+      |    round(CAST(g.observed * t.n - g.rtot * g.ctot AS DOUBLE)
+      |        * CAST(g.observed * t.n - g.rtot * g.ctot AS DOUBLE)
+      |        / CAST(t.n * g.rtot * g.ctot AS DOUBLE), 6) AS contrib,
+      |    t.n, t.nr, t.nc
+      |  FROM grid g CROSS JOIN tot t),
+      |u AS (SELECT *, CAST(round(contrib * 1000000, 0) AS BIGINT) AS cu FROM sc),
+      |agg AS (SELECT CAST(sum(cu) AS BIGINT) AS chi2u, first(n) AS n,
+      |    first(nr) AS nr, first(nc) AS nc FROM u)
+      |SELECT u.a, u.b, u.observed, u.contrib,
+      |  CAST(agg.chi2u AS DOUBLE) / 1000000.0 AS chi2,
+      |  CAST((agg.nr - 1) * (agg.nc - 1) AS BIGINT) AS dof,
+      |  CASE WHEN least(agg.nr, agg.nc) = 1 THEN 0.0
+      |       ELSE round(sqrt(CAST(agg.chi2u AS DOUBLE) / 1000000.0
+      |            / CAST(agg.n * least(agg.nr - 1, agg.nc - 1) AS DOUBLE)), 6) END AS cramers_v,
+      |  agg.n AS n
+      |FROM u, agg ORDER BY u.a, u.b""".stripMargin
+
+  /** e_trend_mk: Mann–Kendall S and τ per event_type over daily counts
+    * — exact integer pairwise sign sum. */
+  private def trendMkSql: String =
+    """WITH daily AS (SELECT event_type AS key,
+      |    CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |pr AS (SELECT a.key, sign(b.x - a.x) AS sg
+      |  FROM daily a JOIN daily b ON a.key = b.key AND a.d < b.d),
+      |nd AS (SELECT key, count(*) AS n_days FROM daily GROUP BY 1),
+      |st AS (SELECT key, CAST(sum(sg) AS BIGINT) AS s_stat FROM pr GROUP BY 1)
+      |SELECT st.key, nd.n_days, st.s_stat,
+      |  round(CAST(st.s_stat AS DOUBLE)
+      |      / CAST(nd.n_days * (nd.n_days - 1) / 2 AS DOUBLE), 6) AS tau
+      |FROM st JOIN nd USING (key) ORDER BY key""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3521,6 +3602,10 @@ object OracleSql {
     // oracle replays them relationally at micros precision.
     "st_stream_sessions" -> streamSessionsSql,
     "ann_mmr_rerank" -> mmrRerankSql,
+    "t_heavy_hitters" -> heavyHittersSql,
+    "a_woe_iv" -> woeIvSql,
+    "a_chi2_assoc" -> chi2AssocSql,
+    "e_trend_mk" -> trendMkSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -1650,6 +1650,41 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact heavy hitters via the two-pass Misra–Gries pipeline
+    * ([[graft.profile.HeavyHitters]]): suppliers carrying strictly more
+    * than 1% of lineitem rows — candidate-pruned by a capacity-99 MG
+    * summary, then exactly counted, so the output is deterministic
+    * whatever the partitioning.
+    */
+  private def heavyHittersQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.HeavyHitters.exact(t(s, dir, "lineitem"), "l_suppkey",
+      k = 99, num = 1, den = 100)
+
+  /** WOE / information value of order price against the F-status label
+    * ([[graft.profile.Woe]]): 10 fixed-width cent buckets, add-one
+    * smoothing, micro-exact IV total.
+    */
+  private def woeIvQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.Woe.report(t(s, dir, "orders"), "o_totalprice",
+      col("o_orderstatus") === "F", buckets = 10)
+      .orderBy("bucket")
+
+  /** Chi-square association between document language and source
+    * ([[graft.profile.InfoTheory.chiSquareAssociation]]) — per-cell
+    * contributions plus Cramér's V.
+    */
+  private def chi2AssocQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.InfoTheory.chiSquareAssociation(
+      t(s, dir, "documents"), "lang", "source")
+      .orderBy("a", "b")
+
+  /** Mann–Kendall monotone-trend test on daily event volume per type
+    * ([[graft.operators.Events.mannKendall]]) — exact integer S, 6-dp τ.
+    */
+  private def trendMkQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.mannKendall(t(s, dir, "events"))
+      .orderBy("key")
+
   /** Incremental-maintenance path: profile supplier in two key-parity
     * chunks, merge, emit the mergeable fields. The oracle computes the
     * same profile from the FULL table — green iff chunked profiling is
@@ -2683,7 +2718,11 @@ object SparkEntry {
     "e_change_history" -> changeHistoryQ,
     "t_vocab_coverage" -> vocabCoverageQ,
     "a_key_skew" -> keySkewQ,
-    "ann_mmr_rerank" -> mmrRerankQ
+    "ann_mmr_rerank" -> mmrRerankQ,
+    "t_heavy_hitters" -> heavyHittersQ,
+    "a_woe_iv" -> woeIvQ,
+    "a_chi2_assoc" -> chi2AssocQ,
+    "e_trend_mk" -> trendMkQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -115,6 +115,34 @@ object Events {
         col("eff_from"), col("eff_to"), col("n_events"))
   }
 
+  /** Mann–Kendall trend test per key over a daily-count series: the
+    * rank-based monotone-trend statistic `S = Σ_{i<j} sign(x_j − x_i)`
+    * and Kendall's `τ = S / (n(n−1)/2)` — is a stream's volume trending
+    * up or down, robust to outliers and with an EXACT integer statistic
+    * (no distributional assumption replayed in floating point).
+    *
+    * Shape at scale: the raw stream collapses to (key, day, count)
+    * first — one shuffle proportional to key×days, not events — and the
+    * pairwise self-join runs on that bounded aggregate (n days per key,
+    * n² pairs of TINY rows). τ is one integer division, 6 dp.
+    * Output: (key, n_days, s_stat, tau).
+    */
+  def mannKendall(events: DataFrame, keyCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    val daily = events.select(col(s"`$keyCol`").as("key"),
+        date_trunc("day", col(s"`$tsCol`")).cast("date").as("d"))
+      .groupBy("key", "d").agg(count(lit(1)).as("x"))
+    val a = daily.select(col("key"), col("d").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("key"), col("d").as("d2"), col("x").as("x2"))
+    a.join(b, Seq("key")).filter(col("d1") < col("d2"))
+      .groupBy("key")
+      .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"),
+        (countDistinct(col("d1")) + 1).as("n_days")) // d_max never appears as d1
+      .withColumn("tau", round(col("s_stat").cast("double") /
+        (col("n_days") * (col("n_days") - 1) / 2).cast("double"), 6))
+      .select(col("key"), col("n_days"), col("s_stat"), col("tau"))
+  }
+
   /** Regular-grid resample with LOCF: per key, an hourly (or any
     * `stepExpr`) grid spanning that key's observed range; each grid
     * point carries the value of the latest observation at-or-before it

@@ -171,4 +171,60 @@ object InfoTheory {
           .otherwise(round(col("mi") / least(col("h_a"), col("h_b")), 6))
           .as("nmi"))
   }
+
+  /** Pearson chi-square test of association between two categorical
+    * columns, with per-cell contributions and Cramér's V — the
+    * contingency-table complement to [[mutualInformation]] (MI measures
+    * shared information; chi-square measures deviation from
+    * independence, and V normalizes it to [0,1] across table shapes).
+    *
+    * Exactness: each cell's `(o·n − r·c)` is exact INTEGER before the
+    * one double square-and-divide, contributions are round-6 then
+    * re-quantized to integer micros, and the chi-square total is their
+    * commutative integer sum — partitioning-independent. At extreme
+    * counts (o·n beyond ~9·10¹⁸) the integer product would overflow;
+    * cells are counts of DISTINCT category pairs, so that needs an
+    * n×max(o) above 10¹⁸ — far past any contingency table this report
+    * is meant for (guard with a pre-aggregation sample if ever needed).
+    *
+    * Shape at scale: one (a,b) aggregation; margins and the total are
+    * re-aggregations of that tiny grouped relation, broadcast back.
+    * Output: one row per cell (a, b, observed, contrib) + constant
+    * (chi2, dof, cramers_v, n) columns.
+    */
+  def chiSquareAssociation(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val pairs = df.select(col(s"`$colA`").cast("string").as("a"),
+      col(s"`$colB`").cast("string").as("b"))
+    val cells = pairs.groupBy("a", "b").agg(count(lit(1)).as("observed"))
+    val ra = cells.groupBy("a").agg(sum(col("observed")).as("__ra"))
+    val cb = cells.groupBy("b").agg(sum(col("observed")).as("__cb"))
+    val tot = cells.agg(sum(col("observed")).as("__n"),
+      countDistinct(col("a")).as("__nr"), countDistinct(col("b")).as("__nc"))
+    val dev = (col("observed") * col("__n") - col("__ra") * col("__cb"))
+      .cast("double")
+    // the FULL margin grid, not just observed cells: a zero cell with
+    // non-zero expected count still contributes (0−e)²/e — dropping
+    // empty cells systematically understates association
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+    val scored = grid.crossJoin(broadcast(tot))
+      .withColumn("contrib", round(dev * dev /
+        (col("__n") * col("__ra") * col("__cb")).cast("double"), 6))
+      .withColumn("__cu", round(col("contrib") * 1000000, 0).cast("long"))
+    val chi2 = scored.agg(sum(col("__cu")).as("__chi2u"),
+      first(col("__n")).as("__n"), first(col("__nr")).as("__nr"),
+      first(col("__nc")).as("__nc"))
+      .select(col("__chi2u"), col("__n"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"),
+        when(least(col("__nr"), col("__nc")) === 1, lit(0.0)) // degenerate 1×C
+          .otherwise(round(sqrt(col("__chi2u").cast("double") / 1000000.0 /
+            (col("__n") * least(col("__nr") - 1, col("__nc") - 1)).cast("double")), 6))
+          .as("cramers_v"))
+    scored.select(col("a"), col("b"), col("observed"), col("contrib"))
+      .crossJoin(broadcast(chi2))
+      .select(col("a"), col("b"), col("observed"), col("contrib"),
+        (col("__chi2u").cast("double") / 1000000.0).as("chi2"),
+        col("dof"), col("cramers_v"), col("__n").as("n"))
+  }
 }
