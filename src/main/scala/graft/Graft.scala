@@ -440,4 +440,16 @@ object Graft {
   def mannKendall(events: DataFrame, keyCol: String = "event_type",
                   tsCol: String = "ts"): DataFrame =
     operators.Events.mannKendall(events, keyCol, tsCol)
+
+  /** Lag-k autocorrelation of daily counts per key (seasonality probe). */
+  def autocorrelation(events: DataFrame, maxLag: Int = 3): DataFrame =
+    operators.Events.autocorrelation(events, maxLag)
+
+  /** Theil–Sen robust trend slope of daily counts per key. */
+  def theilSen(events: DataFrame): DataFrame =
+    operators.Events.theilSen(events)
+
+  /** Benford first-digit conformance screen for a numeric column. */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame =
+    profile.Drift.benfordReport(df, valueCol)
 }

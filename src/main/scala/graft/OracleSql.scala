@@ -2907,6 +2907,79 @@ object OracleSql {
       |      / CAST(nd.n_days * (nd.n_days - 1) / 2 AS DOUBLE), 6) AS tau
       |FROM st JOIN nd USING (key) ORDER BY key""".stripMargin
 
+  /** e_acf: lag-k autocorrelation over daily counts — exact integer
+    * (n·x − S) deviation products, one final division per (key, lag). */
+  private def acfSql: String =
+    """WITH daily AS (SELECT event_type AS key,
+      |    CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT key, count(*) AS n, CAST(sum(x) AS BIGINT) AS s, min(d) AS d0
+      |  FROM daily GROUP BY 1),
+      |dev AS (SELECT daily.key, date_diff('day', st.d0, daily.d) AS t,
+      |    CAST(st.n * daily.x - st.s AS BIGINT) AS dv, st.n AS n_days
+      |  FROM daily JOIN st USING (key)),
+      |den AS (SELECT key, CAST(sum(dv * dv) AS BIGINT) AS den,
+      |    first(n_days) AS n_days FROM dev GROUP BY 1),
+      |lg AS (SELECT * FROM (VALUES (1), (2), (3)) l(lag)),
+      |num AS (SELECT a.key, l.lag, CAST(sum(a.dv * b.dv) AS BIGINT) AS num
+      |  FROM dev a CROSS JOIN lg l
+      |  JOIN dev b ON b.key = a.key AND b.t = a.t + l.lag
+      |  GROUP BY 1, 2)
+      |SELECT num.key, CAST(num.lag AS BIGINT) AS lag, den.n_days,
+      |  CASE WHEN den.den = 0 THEN 0.0
+      |       ELSE round(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) END AS acf
+      |FROM num JOIN den USING (key) ORDER BY key, lag""".stripMargin
+
+  /** e_theil_sen: median pairwise day-slope per key — the two central
+    * sorted positions averaged, 6 dp; n_days recovered from the exact
+    * pair-count inversion. */
+  private def theilSenSql: String =
+    """WITH daily AS (SELECT event_type AS key,
+      |    CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.key,
+      |    CAST(b.x - a.x AS DOUBLE) / date_diff('day', a.d, b.d) AS slope
+      |  FROM daily a JOIN daily b ON a.key = b.key AND a.d < b.d),
+      |r AS (SELECT key, slope,
+      |    row_number() OVER (PARTITION BY key ORDER BY slope) AS rn,
+      |    count(*) OVER (PARTITION BY key) AS m FROM p),
+      |sel AS (SELECT key, slope, m FROM r
+      |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1),
+      |ag AS (SELECT key, round(avg(slope), 6) AS slope,
+      |    CAST(first(m) AS BIGINT) AS n_pairs FROM sel GROUP BY 1)
+      |SELECT key,
+      |  CAST((1 + sqrt(1 + 8 * CAST(n_pairs AS DOUBLE))) / 2 AS BIGINT) AS n_days,
+      |  n_pairs, slope
+      |FROM ag ORDER BY key""".stripMargin
+
+  /** a_benford: first-digit shares of integer-cent amounts vs
+    * log10(1 + 1/d), MAD in exact micro space. Digits come from the
+    * decimal STRING — no float log10 at power-of-ten boundaries. */
+  private def benfordSql: String =
+    """WITH base AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |cnt AS (SELECT CASE WHEN c > 0
+      |      THEN CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) END AS digit,
+      |    count(*) AS n
+      |  FROM base GROUP BY 1),
+      |tot AS (SELECT
+      |    CAST(sum(CASE WHEN digit IS NOT NULL THEN n ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN digit IS NULL THEN n ELSE 0 END) AS BIGINT) AS nn
+      |  FROM cnt),
+      |digits AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(digit)),
+      |sc AS (SELECT CAST(d.digit AS BIGINT) AS digit,
+      |    CAST(coalesce(c.n, 0) AS BIGINT) AS n, tot.np, tot.nn,
+      |    round(CAST(coalesce(c.n, 0) AS DOUBLE) / tot.np, 6) AS share,
+      |    round(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / d.digit), 6) AS expected
+      |  FROM digits d LEFT JOIN cnt c ON c.digit = d.digit CROSS JOIN tot),
+      |u AS (SELECT *, abs(CAST(round(share * 1000000, 0) AS BIGINT)
+      |    - CAST(round(expected * 1000000, 0) AS BIGINT)) AS du FROM sc),
+      |m AS (SELECT CAST(sum(du) AS BIGINT) AS madu FROM u)
+      |SELECT u.digit, u.n, u.share, u.expected,
+      |  round(CAST(m.madu AS DOUBLE) / 9000000.0, 6) AS mad,
+      |  u.np AS n_pos, u.nn AS n_nonpos
+      |FROM u, m ORDER BY u.digit""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3606,6 +3679,9 @@ object OracleSql {
     "a_woe_iv" -> woeIvSql,
     "a_chi2_assoc" -> chi2AssocSql,
     "e_trend_mk" -> trendMkSql,
+    "e_acf" -> acfSql,
+    "e_theil_sen" -> theilSenSql,
+    "a_benford" -> benfordSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -1685,6 +1685,29 @@ object SparkEntry {
     graft.operators.Events.mannKendall(t(s, dir, "events"))
       .orderBy("key")
 
+  /** Lag-1..3 autocorrelation of daily event volume per type
+    * ([[graft.operators.Events.autocorrelation]]) — integer-exact
+    * deviation sums, one final division.
+    */
+  private def acfQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.autocorrelation(t(s, dir, "events"), maxLag = 3)
+      .orderBy("key", "lag")
+
+  /** Theil–Sen robust daily-volume trend slope per type
+    * ([[graft.operators.Events.theilSen]]).
+    */
+  private def theilSenQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.theilSen(t(s, dir, "events"))
+      .orderBy("key")
+
+  /** Benford first-digit conformance of order amounts
+    * ([[graft.profile.Drift.benfordReport]]) — string-derived digits,
+    * micro-exact MAD statistic.
+    */
+  private def benfordQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.Drift.benfordReport(t(s, dir, "orders"), "o_totalprice")
+      .orderBy("digit")
+
   /** Incremental-maintenance path: profile supplier in two key-parity
     * chunks, merge, emit the mergeable fields. The oracle computes the
     * same profile from the FULL table — green iff chunked profiling is
@@ -2722,7 +2745,10 @@ object SparkEntry {
     "t_heavy_hitters" -> heavyHittersQ,
     "a_woe_iv" -> woeIvQ,
     "a_chi2_assoc" -> chi2AssocQ,
-    "e_trend_mk" -> trendMkQ
+    "e_trend_mk" -> trendMkQ,
+    "e_acf" -> acfQ,
+    "e_theil_sen" -> theilSenQ,
+    "a_benford" -> benfordQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

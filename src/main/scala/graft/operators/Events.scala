@@ -143,6 +143,91 @@ object Events {
       .select(col("key"), col("n_days"), col("s_stat"), col("tau"))
   }
 
+  /** Lag-k autocorrelation of the daily-count series per key — the
+    * seasonality probe companion to [[mannKendall]] (MK asks "is volume
+    * trending"; ACF asks "does it repeat on a cycle").
+    *
+    * EXACT integer arithmetic end to end: with n days and day-sum S,
+    * `acf_k = Σ(n·x_t − S)(n·x_{t+k} − S) / Σ(n·x_t − S)²` — both sums
+    * of integer products (the n² scaling cancels), so every engine
+    * agrees bit-for-bit before the one final division. Day offsets join
+    * on an integer index from `datediff(min day)`, so calendar gaps
+    * simply produce no pair.
+    *
+    * Shape at scale: raw events collapse to (key, t, x) first; the lag
+    * join and the deviation sums run on that bounded aggregate. Output:
+    * (key, lag, n_days, acf), one row per key × lag 1..maxLag.
+    */
+  def autocorrelation(events: DataFrame, maxLag: Int = 3,
+                      keyCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    require(maxLag > 0, "maxLag must be positive")
+    val daily = events.select(col(s"`$keyCol`").as("key"),
+        date_trunc("day", col(s"`$tsCol`")).cast("date").as("d"))
+      .groupBy("key", "d").agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy("key")
+      .agg(count(lit(1)).as("__n"), sum(col("x")).as("__s"))
+    val dev = daily.join(broadcast(stats), "key")
+      .join(broadcast(daily.groupBy("key").agg(min(col("d")).as("__d0"))), "key")
+      .select(col("key"), col("__n"), col("__s"),
+        datediff(col("d"), col("__d0")).cast("long").as("t"),
+        (col("__n") * col("x") - col("__s")).as("dv"))
+    val den = dev.groupBy("key")
+      .agg(sum(col("dv") * col("dv")).as("__den"), first(col("__n")).as("n_days"))
+    val lags = dev.select(col("key"), col("t"), col("dv"))
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+    val num = lags.join(dev.select(col("key").as("__k2"), col("t").as("t2"),
+        col("dv").as("dv2")),
+        col("__k2") === col("key") && col("t2") === col("t") + col("lag"))
+      .groupBy("key", "lag").agg(sum(col("dv") * col("dv2")).as("__num"))
+    num.join(broadcast(den), "key")
+      .select(col("key"), col("lag").cast("long").as("lag"), col("n_days"),
+        when(col("__den") === 0, lit(0.0)) // constant series: no variance
+          .otherwise(round(col("__num").cast("double") /
+            col("__den").cast("double"), 6)).as("acf"))
+  }
+
+  /** Theil–Sen robust trend slope per key: the MEDIAN of all pairwise
+    * day-slopes of the daily-count series — the magnitude companion to
+    * [[mannKendall]]'s direction, immune to outlier days.
+    *
+    * Determinism: each slope is ONE integer/integer IEEE division
+    * (identical in any engine); the median picks sorted positions
+    * ⌈m/2⌉ and ⌊m/2⌋+1 by value order (duplicate slope VALUES make the
+    * position tie-break irrelevant to the median value) and averages
+    * them, 6 dp. The rank window runs per key over the bounded
+    * n(n−1)/2 pair relation of the DAILY aggregate, never raw events.
+    * Output: (key, n_days, n_pairs, slope).
+    */
+  def theilSen(events: DataFrame, keyCol: String = "event_type",
+               tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(col(s"`$keyCol`").as("key"),
+        date_trunc("day", col(s"`$tsCol`")).cast("date").as("d"))
+      .groupBy("key", "d").agg(count(lit(1)).as("x"))
+    val a = daily.select(col("key"), col("d").as("d1"), col("x").as("x1"))
+    val b = daily.select(col("key"), col("d").as("d2"), col("x").as("x2"))
+    val slopes = a.join(b, Seq("key")).filter(col("d1") < col("d2"))
+      .select(col("key"),
+        ((col("x2") - col("x1")).cast("double") /
+          datediff(col("d2"), col("d1")).cast("double")).as("slope"))
+    val w = Window.partitionBy(col("key")).orderBy(col("slope"))
+    slopes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col("key"))))
+      // Spark `/` on longs is DOUBLE division — floor() makes the two
+      // median positions ⌊(m+1)/2⌋ and ⌊m/2⌋+1 true integer ranks
+      .filter(col("__rn") === floor((col("__m") + 1) / 2) ||
+        col("__rn") === floor(col("__m") / 2) + 1)
+      .groupBy("key")
+      .agg(round(avg(col("slope")), 6).as("slope"),
+        first(col("__m")).as("n_pairs"))
+      .withColumn("n_days",
+        ((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("n_pairs").cast("double"))) / 2)
+          .cast("long")) // m = n(n−1)/2 inverted, exact for integer n
+      .select(col("key"), col("n_days"), col("n_pairs"), col("slope"))
+  }
+
   /** Regular-grid resample with LOCF: per key, an hourly (or any
     * `stepExpr`) grid spanning that key's observed range; each grid
     * point carries the value of the latest observation at-or-before it

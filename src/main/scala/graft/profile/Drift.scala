@@ -61,4 +61,48 @@ object Drift {
         round(col("__s").cast("double") / lit(1000000000.0), 6).as("psi"))
       .withColumn("drifted", col("psi") > threshold)
   }
+
+  /** Benford first-digit conformance: the leading significant digit of
+    * naturally-occurring amounts follows `P(d) = log10(1 + 1/d)` —
+    * synthetic, capped, or manipulated columns deviate, making this a
+    * one-pass data-forensics screen (which generated columns look
+    * organic and which are uniform artifacts).
+    *
+    * The digit is taken from the DECIMAL STRING of the integer cent
+    * value — no float log10 near power-of-ten boundaries — and the MAD
+    * statistic (mean |observed − expected| share, Nigrini's measure)
+    * sums |round-6| differences as exact integer micros. Nonpositive
+    * values have no leading significant digit and are excluded (their
+    * count is reported). Output: one row per digit 1..9
+    * (digit, n, share, expected) + constant (mad, n_pos, n_nonpos).
+    */
+  def benfordReport(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(s"`$valueCol`") * 100, 0).cast("long")
+    val base = df.select(cents.as("c")).filter(col("c").isNotNull)
+    val counts = base
+      .select(when(col("c") > 0,
+        substring(col("c").cast("string"), 1, 1).cast("long")).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n")) // null group = nonpositives
+    val tot = counts.agg(
+      sum(when(col("digit").isNotNull, col("n")).otherwise(0L)).as("__np"),
+      sum(when(col("digit").isNull, col("n")).otherwise(0L)).as("__nn"))
+    // all 9 digits, zero-filled — a missing digit is itself a signal
+    val digits = base.sparkSession.range(1, 10).toDF("digit")
+    val scored = digits
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("share",
+        round(col("n").cast("double") / col("__np").cast("double"), 6))
+      .withColumn("expected",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+      .withColumn("__du", abs(
+        round(col("share") * 1000000, 0).cast("long") -
+          round(col("expected") * 1000000, 0).cast("long")))
+    val mad = scored.agg(sum(col("__du")).as("__madu"))
+    scored.crossJoin(broadcast(mad))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        round(col("__madu").cast("double") / 9000000.0, 6).as("mad"),
+        col("__np").as("n_pos"), col("__nn").as("n_nonpos"))
+  }
 }
