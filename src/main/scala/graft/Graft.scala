@@ -452,4 +452,17 @@ object Graft {
   /** Benford first-digit conformance screen for a numeric column. */
   def benfordReport(df: DataFrame, valueCol: String): DataFrame =
     profile.Drift.benfordReport(df, valueCol)
+
+  /** Triangle census + global clustering coefficient of a link graph. */
+  def triangleStats(edges: DataFrame): DataFrame =
+    operators.Graph.triangleStats(edges)
+
+  /** Single changepoint per key of the daily-count series. */
+  def changepoint(events: DataFrame): DataFrame =
+    operators.Events.changepoint(events)
+
+  /** Deterministic k-fold cross-validation assignment. */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+            salt: String = "fold0"): DataFrame =
+    sources.Splits.kFold(df, idCol, k, salt)
 }

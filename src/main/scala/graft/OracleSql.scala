@@ -2980,6 +2980,63 @@ object OracleSql {
       |  u.np AS n_pos, u.nn AS n_nonpos
       |FROM u, m ORDER BY u.digit""".stripMargin
 
+  /** w_triangles: exact triangle census of the synthetic link graph —
+    * canonical u<v edges, wedges around the middle vertex, EXISTS-closed
+    * (a,c); wedge total from Σd(d−1)/2 in integer space. */
+  private def trianglesSql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents, nn
+      |       UNION ALL SELECT doc_id, doc_id % 31 FROM documents),
+      |und AS (SELECT DISTINCT least(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS u,
+      |        greatest(CAST(src AS BIGINT), CAST(dst AS BIGINT)) AS v
+      |        FROM e0 WHERE src <> dst),
+      |w AS (SELECT a.u AS a, a.v AS b, b2.v AS c FROM und a JOIN und b2 ON b2.u = a.v),
+      |tri AS (SELECT count(*) AS n_triangles FROM w
+      |        WHERE EXISTS (SELECT 1 FROM und x WHERE x.u = w.a AND x.v = w.c)),
+      |deg AS (SELECT node, count(*) AS d FROM (
+      |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+      |ds AS (SELECT count(*) AS n_nodes,
+      |    CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+      |ec AS (SELECT count(*) AS n_edges FROM und)
+      |SELECT ds.n_nodes, ec.n_edges, tri.n_triangles, ds.n_wedges,
+      |  CASE WHEN ds.n_wedges = 0 THEN 0.0
+      |       ELSE round(CAST(3 AS DOUBLE) * tri.n_triangles / ds.n_wedges, 6) END AS clustering
+      |FROM ds, ec, tri""".stripMargin
+
+  /** e_changepoint: argmax of the between-segment variance gain over
+    * every split of the daily series — integer prefix-sum deviations,
+    * one round-6 division, earlier-day tie-break. */
+  private def changepointSql: String =
+    """WITH daily AS (SELECT event_type AS key,
+      |    CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT key, count(*) AS n, CAST(sum(x) AS BIGINT) AS s
+      |  FROM daily GROUP BY 1),
+      |pre AS (SELECT key, d,
+      |    CAST(row_number() OVER (PARTITION BY key ORDER BY d) AS BIGINT) AS p,
+      |    CAST(sum(x) OVER (PARTITION BY key ORDER BY d
+      |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lsum
+      |  FROM daily),
+      |sc AS (SELECT pre.key, pre.d, pre.p, pre.lsum, st.n, st.s,
+      |    round(CAST(pre.lsum * st.n - pre.p * st.s AS DOUBLE)
+      |        * CAST(pre.lsum * st.n - pre.p * st.s AS DOUBLE)
+      |        / CAST(st.n * pre.p * (st.n - pre.p) AS DOUBLE), 6) AS gain
+      |  FROM pre JOIN st USING (key) WHERE pre.p < st.n),
+      |best AS (SELECT * FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY gain DESC, p) = 1)
+      |SELECT key, n AS n_days, d AS cp_day, gain,
+      |  round(CAST(lsum AS DOUBLE) / p, 6) AS mean_left,
+      |  round(CAST(s - lsum AS DOUBLE) / (n - p), 6) AS mean_right
+      |FROM best ORDER BY key""".stripMargin
+
+  /** d_kfold: deterministic md5-mod-k fold assignment, pinned by the
+    * per-(fold, lang) id checksum. */
+  private def kFoldSql: String =
+    """SELECT CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':fold0')
+      |    & 4294967295) % 5 AS BIGINT) AS fold,
+      |  lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3682,6 +3739,9 @@ object OracleSql {
     "e_acf" -> acfSql,
     "e_theil_sen" -> theilSenSql,
     "a_benford" -> benfordSql,
+    "w_triangles" -> trianglesSql,
+    "e_changepoint" -> changepointSql,
+    "d_kfold" -> kFoldSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -1708,6 +1708,37 @@ object SparkEntry {
     graft.profile.Drift.benfordReport(t(s, dir, "orders"), "o_totalprice")
       .orderBy("digit")
 
+  /** Triangle census + clustering coefficient of the synthetic link
+    * graph ([[graft.operators.Graph.triangleStats]]) — same edge
+    * construction as `w_page_rank` / `w_graph_stats`.
+    */
+  private def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).as("dst"))
+      .union(docs.select(col("doc_id"), col("doc_id") % 31))
+    graft.operators.Graph.triangleStats(e)
+  }
+
+  /** Binary-segmentation changepoint of daily event volume per type
+    * ([[graft.operators.Events.changepoint]]).
+    */
+  private def changepointQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.changepoint(t(s, dir, "events"))
+      .orderBy("key")
+
+  /** Deterministic 5-fold cross-validation assignment over documents
+    * ([[graft.sources.Splits.kFold]]) — per (fold, lang) counts with an
+    * id checksum pinning the exact assignment.
+    */
+  private def kFoldQ(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Splits.kFold(t(s, dir, "documents"), "doc_id", 5)
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_checksum"))
+      .orderBy("fold", "lang")
+
   /** Incremental-maintenance path: profile supplier in two key-parity
     * chunks, merge, emit the mergeable fields. The oracle computes the
     * same profile from the FULL table — green iff chunked profiling is
@@ -2748,7 +2779,10 @@ object SparkEntry {
     "e_trend_mk" -> trendMkQ,
     "e_acf" -> acfQ,
     "e_theil_sen" -> theilSenQ,
-    "a_benford" -> benfordQ
+    "a_benford" -> benfordQ,
+    "w_triangles" -> trianglesQ,
+    "e_changepoint" -> changepointQ,
+    "d_kfold" -> kFoldQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -228,6 +228,49 @@ object Events {
       .select(col("key"), col("n_days"), col("n_pairs"), col("slope"))
   }
 
+  /** Single changepoint per key by binary segmentation on the daily
+    * mean: the split position maximizing the between-segment variance
+    * gain `(L_p·n − p·S)² / (n·p·(n−p))` (prefix sum L_p, total S) —
+    * "when did this stream's volume regime change", the alerting
+    * companion to [[mannKendall]]'s "is it drifting".
+    *
+    * The deviation `L_p·n − p·S` is an exact integer from one prefix-sum
+    * window over the bounded daily aggregate; the gain is one round-6
+    * division and the argmax tie-breaks on the earlier day — fully
+    * deterministic. Output: (key, n_days, cp_day (last day of the left
+    * segment), gain, mean_left, mean_right). Keys need ≥ 2 days.
+    */
+  def changepoint(events: DataFrame, keyCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.select(col(s"`$keyCol`").as("key"),
+        date_trunc("day", col(s"`$tsCol`")).cast("date").as("d"))
+      .groupBy("key", "d").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("key")).orderBy(col("d"))
+    val pre = daily
+      .withColumn("p", row_number().over(w).cast("long"))
+      .withColumn("lsum", sum(col("x"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stats = daily.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val scored = pre.join(broadcast(stats), "key")
+      .filter(col("p") < col("n")) // a split needs a non-empty right side
+      .withColumn("__dev", (col("lsum") * col("n") - col("p") * col("s"))
+        .cast("double"))
+      .withColumn("gain", round(col("__dev") * col("__dev") /
+        (col("n") * col("p") * (col("n") - col("p"))).cast("double"), 6))
+    val best = Window.partitionBy(col("key"))
+      .orderBy(col("gain").desc, col("p"))
+    scored.withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("n").as("n_days"), col("d").as("cp_day"),
+        col("gain"),
+        round(col("lsum").cast("double") / col("p").cast("double"), 6)
+          .as("mean_left"),
+        round((col("s") - col("lsum")).cast("double") /
+          (col("n") - col("p")).cast("double"), 6).as("mean_right"))
+  }
+
   /** Regular-grid resample with LOCF: per key, an hourly (or any
     * `stepExpr`) grid spanning that key's observed range; each grid
     * point carries the value of the latest observation at-or-before it

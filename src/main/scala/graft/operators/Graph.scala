@@ -63,6 +63,48 @@ object Graph {
     * duplicates dropped, as [[pagerankInt]]): (node, out_deg, in_deg).
     * Two key shuffles; nodes with no edges in a direction report 0.
     */
+  /** Undirected triangle census + global clustering coefficient — the
+    * "is this link graph tissue or hairball" summary a curation pipeline
+    * reads next to the degree distribution (spam farms show near-zero
+    * clustering at high degree; organic link neighborhoods close
+    * triangles).
+    *
+    * Compact-forward shape: edges canonicalize to u < v once, wedges
+    * enumerate around the MIDDLE vertex (one shuffle on it), and each
+    * triangle a < b < c is counted exactly once by closing (a, c). Wedge
+    * volume is Σ deg² of the canonical graph — the standard bound; for
+    * power-law webs cap or sample the few super-hubs before calling.
+    * All counts exact integers; the coefficient is one round-6 division.
+    * Output: one row (n_nodes, n_edges, n_triangles, n_wedges,
+    * clustering) with clustering = 3·triangles / wedges.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val wedges = und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("b"), col("v").as("c")), "b")
+      .select("a", "b", "c") // a < b < c by canonical ordering
+    val tri = wedges.join(und.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c"), "left_semi")
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      // sum the (always even) d(d−1) in exact LONG space; halve once
+      sum(col("d") * (col("d") - 1)).as("__s2"))
+      .select(col("n_nodes"), floor(col("__s2") / 2).cast("long").as("n_wedges"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    degStats.crossJoin(counts)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering"))
+  }
+
   def degreeReport(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))

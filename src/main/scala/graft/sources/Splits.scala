@@ -125,4 +125,19 @@ object Splits {
     }
     withCluster.withColumn("split", split)
   }
+
+  /** Deterministic k-fold assignment for cross-validation: `fold =
+    * md5_low32(id:salt) mod k` — a pure function of (id, salt), so the
+    * same row lands in the same fold on any engine, partitioning, or
+    * re-run (the [[leakageSafeSplit]] hash discipline, modular instead
+    * of thresholded because folds are equal-sized by construction).
+    * Row-local — no shuffle. Output: input rows + `fold` in [0, k).
+    */
+  def kFold(df: org.apache.spark.sql.DataFrame, idCol: String, k: Int,
+            salt: String = "fold0"): org.apache.spark.sql.DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    df.withColumn("fold", pmod(graft.functions.SketchFunctions.md5_low32(
+      concat_ws(":", col(s"`$idCol`").cast("string"), lit(salt))),
+      lit(k.toLong)))
+  }
 }

@@ -49,4 +49,22 @@ class TimeSeriesSpec extends SparkSpec {
     val out = Events.theilSen(toDf(series("d", Seq(9, 7, 5, 3)))).collect()
     assert(out.head.getAs[Double]("slope") == -2.0)
   }
+
+  test("changepoint lands on a clean level shift with exact means") {
+    // 1,1,1,9,9,9 → split after day 3: gain (18−90)²/(6·3·3) = 96
+    val out = Events.changepoint(toDf(series("s", Seq(1, 1, 1, 9, 9, 9))))
+      .collect().head
+    assert(out.getAs[java.sql.Date]("cp_day").toString == "2024-01-03")
+    assert(out.getAs[Double]("gain") == 96.0)
+    assert(out.getAs[Double]("mean_left") == 1.0)
+    assert(out.getAs[Double]("mean_right") == 9.0)
+    assert(out.getAs[Long]("n_days") == 6L)
+  }
+
+  test("changepoint ties break on the earlier day") {
+    // symmetric 2,8,2: splits p=1 and p=2 tie on gain → day 1 wins
+    val out = Events.changepoint(toDf(series("t", Seq(2, 8, 2))))
+      .collect().head
+    assert(out.getAs[java.sql.Date]("cp_day").toString == "2024-01-01")
+  }
 }

@@ -54,4 +54,21 @@ class SplitsSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(keys(0) != keys(1), "null position lost in shuffle key")
   }
+
+  test("kFold: deterministic assignment, full coverage, rough balance") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("id")
+    val a = Splits.kFold(ids, "id", 5).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("fold")).toMap
+    val b = Splits.kFold(ids.repartition(13), "id", 5).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("fold")).toMap
+    assert(a == b, "fold assignment must not depend on partitioning")
+    assert(a.values.forall(f => f >= 0 && f < 5))
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(s => s > 50 && s < 150))
+    // a different salt reshuffles
+    val c = Splits.kFold(ids, "id", 5, salt = "fold1").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("fold")).toMap
+    assert(a != c)
+  }
 }
