@@ -465,4 +465,17 @@ object Graft {
   def kFold(df: DataFrame, idCol: String, k: Int,
             salt: String = "fold0"): DataFrame =
     sources.Splits.kFold(df, idCol, k, salt)
+
+  /** First-order event-type Markov transition matrix. */
+  def transitionMatrix(events: DataFrame): DataFrame =
+    operators.Events.transitionMatrix(events)
+
+  /** Two-proportion A/B z-test of user-level conversion. */
+  def abTest(events: DataFrame, successType: String = "purchase"): DataFrame =
+    operators.Events.abTest(events, successType)
+
+  /** Spearman rank correlation between two scoring views of items. */
+  def spearman(items: DataFrame, idCol: String,
+               scoreA: String, scoreB: String): DataFrame =
+    search.Evaluation.spearman(items, idCol, scoreA, scoreB)
 }

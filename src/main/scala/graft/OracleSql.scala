@@ -3037,6 +3037,61 @@ object OracleSql {
       |  lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_checksum
       |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin
 
+  /** e_transitions: corpus-wide event-type Markov transitions — one
+    * lead window per user, row-normalized probabilities. */
+  private def transitionsSql: String =
+    """WITH p AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  round(CAST(c.n AS DOUBLE) / rt.rt, 6) AS p
+      |FROM c JOIN rt USING (from_type) ORDER BY from_type, to_type""".stripMargin
+
+  /** e_ab_test: pooled-variance two-proportion z over user-level
+    * conversion, variants by user-id parity. */
+  private def abTestSql: String =
+    """WITH pu AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1),
+      |arms AS (SELECT user_id % 2 AS variant, count(*) AS n,
+      |    CAST(sum(converted) AS BIGINT) AS conv FROM pu GROUP BY 1),
+      |a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE variant = 0),
+      |b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE variant = 1),
+      |k AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+      |  FROM a, b)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  round(round(CAST(conv_b AS DOUBLE) / n_b, 6)
+      |      - round(CAST(conv_a AS DOUBLE) / n_a, 6), 6) AS lift,
+      |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+      |       ELSE round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+      |         / sqrt(pp * (CAST(1 AS DOUBLE) - pp)
+      |              * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6) END AS z
+      |FROM k""".stripMargin
+
+  /** j3_rank_corr: Spearman ρ between supplier revenue and volume
+    * rankings — id-tie-broken total orders, exact integer Σd². */
+  private def rankCorrSql: String =
+    """WITH g AS (SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+      |    count(*) AS volume
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT l_suppkey,
+      |    CAST(row_number() OVER (ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS ra,
+      |    CAST(row_number() OVER (ORDER BY volume DESC, l_suppkey) AS BIGINT) AS rb
+      |  FROM g)
+      |SELECT count(*) AS n_items,
+      |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+      |  CASE WHEN count(*) < 2 THEN 0.0
+      |       ELSE round(CAST(1 AS DOUBLE)
+      |         - CAST(6 AS DOUBLE) * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE)
+      |           / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE), 6) END AS rho
+      |FROM r""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3742,6 +3797,9 @@ object OracleSql {
     "w_triangles" -> trianglesSql,
     "e_changepoint" -> changepointSql,
     "d_kfold" -> kFoldSql,
+    "e_transitions" -> transitionsSql,
+    "e_ab_test" -> abTestSql,
+    "j3_rank_corr" -> rankCorrSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -1729,6 +1729,29 @@ object SparkEntry {
     graft.operators.Events.changepoint(t(s, dir, "events"))
       .orderBy("key")
 
+  /** First-order event-type transition matrix
+    * ([[graft.operators.Events.transitionMatrix]]).
+    */
+  private def transitionsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.transitionMatrix(t(s, dir, "events"))
+      .orderBy("from_type", "to_type")
+
+  /** Two-proportion A/B z-test: purchase conversion of even- vs
+    * odd-numbered users ([[graft.operators.Events.abTest]]).
+    */
+  private def abTestQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.abTest(t(s, dir, "events"))
+
+  /** Spearman rank agreement between two supplier rankings — revenue
+    * vs order volume ([[graft.search.Evaluation.spearman]]).
+    */
+  private def rankCorrQ(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+        count(lit(1)).as("volume"))
+    graft.search.Evaluation.spearman(items, "l_suppkey", "revenue", "volume")
+  }
+
   /** Deterministic 5-fold cross-validation assignment over documents
     * ([[graft.sources.Splits.kFold]]) — per (fold, lang) counts with an
     * id checksum pinning the exact assignment.
@@ -2782,7 +2805,10 @@ object SparkEntry {
     "a_benford" -> benfordQ,
     "w_triangles" -> trianglesQ,
     "e_changepoint" -> changepointQ,
-    "d_kfold" -> kFoldQ
+    "d_kfold" -> kFoldQ,
+    "e_transitions" -> transitionsQ,
+    "e_ab_test" -> abTestQ,
+    "j3_rank_corr" -> rankCorrQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -271,6 +271,78 @@ object Events {
           (col("n") - col("p")).cast("double"), 6).as("mean_right"))
   }
 
+  /** First-order Markov transition matrix of the event stream: per
+    * user, each event's type paired with the NEXT type in time order;
+    * corpus-wide transition counts and row-normalized probabilities —
+    * the behavioral fingerprint behind funnels ("after a click, what
+    * actually happens next").
+    *
+    * One key-partitioned lead window (same exchange discipline as
+    * [[changeHistory]]), one (from, to) aggregation, probabilities as a
+    * single round-6 division against the broadcast row totals.
+    * Output: (from_type, to_type, n, p) — p sums to 1 per from_type.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$keyCol`"))
+      .orderBy(col(s"`$tsCol`"), col(s"`$tieCol`"))
+    val pairs = events
+      .withColumn("__next", lead(col(s"`$typeCol`"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(s"`$typeCol`").as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy("from_type").agg(sum(col("n")).as("__rt"))
+    pairs.join(broadcast(rowTot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__rt").cast("double"), 6).as("p"))
+  }
+
+  /** Two-proportion z-test for an A/B experiment read off the event
+    * stream: users split by a deterministic variant function, success =
+    * "user emitted at least one `successType` event". Pooled-variance
+    * z statistic and absolute lift, all from exact integer user counts
+    * through one deterministic double expression chain (round-6).
+    * Output: one row (n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift, z).
+    *
+    * Shape: one distinct-users aggregation (success flag via max over
+    * the per-user group), one tiny two-row rollup — no windows.
+    */
+  def abTest(events: DataFrame, successType: String = "purchase",
+             idCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+    val perUser = events.groupBy(col(s"`$idCol`").as("uid"))
+      .agg(max(when(col(s"`$typeCol`") === successType, 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("variant", pmod(col("uid"), lit(2L)))
+    val arms = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = arms.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("rate_a",
+        round(col("conv_a").cast("double") / col("n_a").cast("double"), 6))
+      .withColumn("rate_b",
+        round(col("conv_b").cast("double") / col("n_b").cast("double"), 6))
+      .withColumn("lift", round(col("rate_b") - col("rate_a"), 6))
+      .withColumn("__pp", (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z",
+        // all-convert / none-convert pools have zero variance: z := 0
+        when(col("conv_a") + col("conv_b") === 0 ||
+            col("conv_a") + col("conv_b") === col("n_a") + col("n_b"), lit(0.0))
+          .otherwise(round(
+            (col("conv_b").cast("double") / col("n_b").cast("double") -
+              col("conv_a").cast("double") / col("n_a").cast("double")) /
+              sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double"))), 6)))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("rate_a"), col("rate_b"), col("lift"), col("z"))
+  }
+
   /** Regular-grid resample with LOCF: per key, an hourly (or any
     * `stepExpr`) grid spanning that key's observed range; each grid
     * point carries the value of the latest observation at-or-before it

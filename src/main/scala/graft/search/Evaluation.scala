@@ -62,4 +62,37 @@ object Evaluation {
     perQuery.agg(round(avg(col("precision_at_k")), 6).as("macro_precision"),
       round(avg(col("recall_at_k")), 6).as("macro_recall"),
       count(lit(1)).as("n_queries"))
+
+  /** Spearman rank correlation between two scoring views of the same
+    * items: `ρ = 1 − 6·Σd² / (n(n²−1))` — do two ranking functions
+    * (e.g. BM25 vs TF-IDF, revenue vs volume) agree on item order?
+    *
+    * Both rankings are made TOTAL orders by the id tie-break, so Σd² is
+    * an exact integer (the textbook no-ties formula applied to the
+    * tie-broken rankings — documented semantics rather than fractional
+    * average-ranks, which would reintroduce float sums). ρ is one
+    * round-6 division. Two rank windows over the joined per-item
+    * relation; at many-item scale swap the global windows for
+    * `zipWithIndex`-style ranking — item-level eval relations are
+    * bounded in practice. Output: one row (n_items, sum_d2, rho).
+    */
+  def spearman(items: DataFrame, idCol: String,
+               scoreA: String, scoreB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ra = Window.orderBy(col(s"`$scoreA`").desc, col(s"`$idCol`"))
+    val rb = Window.orderBy(col(s"`$scoreB`").desc, col(s"`$idCol`"))
+    val ranked = items
+      .withColumn("__ra", row_number().over(ra).cast("long"))
+      .withColumn("__rb", row_number().over(rb).cast("long"))
+      .withColumn("__d", col("__ra") - col("__rb"))
+    ranked.agg(count(lit(1)).as("n_items"),
+        sum(col("__d") * col("__d")).as("sum_d2"))
+      .select(col("n_items"), col("sum_d2"),
+        when(col("n_items") < 2, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            lit(6.0) * col("sum_d2").cast("double") /
+              (col("n_items") * (col("n_items") * col("n_items") - 1))
+                .cast("double"), 6))
+          .as("rho"))
+  }
 }
