@@ -478,4 +478,21 @@ object Graft {
   def spearman(items: DataFrame, idCol: String,
                scoreA: String, scoreB: String): DataFrame =
     search.Evaluation.spearman(items, idCol, scoreA, scoreB)
+
+  /** Stream-static enrichment join with per-dimension-key rollup. */
+  def streamEnrichedCounts(stream: DataFrame, dim: DataFrame,
+                           streamKeyCol: String, dimKeyCol: String,
+                           labelCol: String, amountCol: String): DataFrame =
+    streaming.StreamingProfile.enrichedCounts(
+      stream, dim, streamKeyCol, dimKeyCol, labelCol, amountCol)
+
+  /** Stream-stream attribution join inside a bounded horizon. */
+  def streamAttributionJoin(events: DataFrame, triggerType: String,
+                            convType: String, horizon: String = "1 hour"): DataFrame =
+    streaming.StreamingProfile.attributionJoin(events, triggerType, convType, horizon)
+
+  /** Funnel latency distribution with exact positional percentiles. */
+  def timeToConvert(events: DataFrame, fromType: String = "view",
+                    toType: String = "purchase"): DataFrame =
+    operators.Events.timeToConvert(events, fromType, toType)
 }

@@ -3092,6 +3092,46 @@ object OracleSql {
       |           / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE), 6) END AS rho
       |FROM r""".stripMargin
 
+  /** st_stream_enrich: the batch replay of the stream-static dimension
+    * join + per-segment decimal rollup. */
+  private def streamEnrichSql: String =
+    """SELECT c.c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** st_stream_attrib: batch replay of the click→purchase interval
+    * join — per-user pair counts and both id checksums pin the exact
+    * matched set. */
+  private def streamAttribSql: String =
+    """WITH t AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT t.user_id, count(*) AS n_pairs,
+      |  CAST(sum(t.event_id) AS BIGINT) AS trig_checksum,
+      |  CAST(sum(c.event_id) AS BIGINT) AS conv_checksum
+      |FROM t JOIN c ON t.user_id = c.user_id AND t.ts <= c.ts
+      |  AND t.ts >= c.ts - INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** e_time_to_convert: exact-microsecond latency order statistics —
+    * median as the mean of the two central ranks, p90 at ⌈9n/10⌉. */
+  private def timeToConvertSql: String =
+    """WITH f AS (SELECT user_id AS uid, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |l AS (SELECT e.user_id AS uid, f.t0, min(e.ts) AS t1
+      |  FROM events e JOIN f ON f.uid = e.user_id AND e.ts > f.t0
+      |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      |lat AS (SELECT uid, epoch_us(t1) - epoch_us(t0) AS lat_us FROM l),
+      |r AS (SELECT uid, lat_us,
+      |    CAST(row_number() OVER (ORDER BY lat_us, uid) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM lat)
+      |SELECT max(m) AS n_users, min(lat_us) AS min_us, max(lat_us) AS max_us,
+      |  avg(CASE WHEN rn = (m + 1) // 2 OR rn = m // 2 + 1
+      |      THEN lat_us END) AS median_us,
+      |  max(CASE WHEN rn = (m * 9 + 9) // 10 THEN lat_us END) AS p90_us
+      |FROM r""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3800,6 +3840,9 @@ object OracleSql {
     "e_transitions" -> transitionsSql,
     "e_ab_test" -> abTestSql,
     "j3_rank_corr" -> rankCorrSql,
+    "st_stream_enrich" -> streamEnrichSql,
+    "st_stream_attrib" -> streamAttribSql,
+    "e_time_to_convert" -> timeToConvertSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

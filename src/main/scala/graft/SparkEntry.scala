@@ -1614,6 +1614,65 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** §2.12 stream-static enrichment: the events stream broadcast-joined
+    * to the customer dimension per micro-batch, rolled up per market
+    * segment in Complete mode
+    * ([[graft.streaming.StreamingProfile.enrichedCounts]]). The oracle
+    * replays the join as plain SQL — green iff the incremental join
+    * + decimal rollup equals batch.
+    */
+  private def streamingEnrichQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_enrich_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+    val q = graft.streaming.StreamingProfile.enrichedCounts(
+        stream, dim, "user_id", "c_custkey", "c_mktsegment", "value")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("c_mktsegment"), col("n"),
+        col("amount").cast("double").as("amount"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** §2.12 stream-stream attribution join: clicks matched to the same
+    * user's purchases within the preceding hour, both sides watermarked
+    * ([[graft.streaming.StreamingProfile.attributionJoin]]) — the
+    * canonical bounded-state interval join. The memory sink collects the
+    * appended pairs; the result pins per-user pair counts AND both id
+    * checksums, so the exact matched SET must equal the batch interval
+    * join the oracle runs.
+    */
+  private def streamingAttribQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_attrib_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = graft.streaming.StreamingProfile.attributionJoin(
+        stream, "click", "purchase", "1 hour", "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).groupBy(col("t_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("t_id")).as("trig_checksum"),
+        sum(col("c_id")).as("conv_checksum"))
+      .orderBy("user_id")
+  }
+
+  /** Funnel latency distribution: first view → first subsequent
+    * purchase per user, exact-microsecond order statistics
+    * ([[graft.operators.Events.timeToConvert]]).
+    */
+  private def timeToConvertQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.timeToConvert(t(s, dir, "events"))
+
   /** SCD2 change history over the event stream: each user's consecutive
     * runs of an equal event_type compressed to effective-dated versions
     * ([[graft.operators.Events.changeHistory]]) — eff_to NULL marks the
@@ -2808,7 +2867,10 @@ object SparkEntry {
     "d_kfold" -> kFoldQ,
     "e_transitions" -> transitionsQ,
     "e_ab_test" -> abTestQ,
-    "j3_rank_corr" -> rankCorrQ
+    "j3_rank_corr" -> rankCorrQ,
+    "st_stream_enrich" -> streamingEnrichQ,
+    "st_stream_attrib" -> streamingAttribQ,
+    "e_time_to_convert" -> timeToConvertQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -343,6 +343,46 @@ object Events {
         col("rate_a"), col("rate_b"), col("lift"), col("z"))
   }
 
+  /** Time-to-convert distribution: per user, the latency from the FIRST
+    * `fromType` event to the first `toType` event strictly after it,
+    * summarized as exact-microsecond order statistics — the "how long
+    * does the funnel actually take" report beside [[funnel]]'s "how
+    * many make it".
+    *
+    * Percentiles are POSITIONS in the sorted bounded per-user relation
+    * (median = mean of the two central ranks, p90 = rank ⌈9n/10⌉ by
+    * integer arithmetic) — no float percentile estimator, so every
+    * engine lands on the same microsecond. The rank window runs over
+    * one row per converting user, not events. Output: one row
+    * (n_users, min_us, max_us, median_us, p90_us).
+    */
+  def timeToConvert(events: DataFrame, fromType: String = "view",
+                    toType: String = "purchase", idCol: String = "user_id",
+                    tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = events.filter(col(s"`$typeCol`") === fromType)
+      .groupBy(col(s"`$idCol`").as("uid"))
+      .agg(min(col(s"`$tsCol`")).as("t0"))
+    val lat = events.filter(col(s"`$typeCol`") === toType)
+      .select(col(s"`$idCol`").as("uid"), col(s"`$tsCol`").as("t1"))
+      .join(first, "uid").filter(col("t1") > col("t0"))
+      .groupBy("uid", "t0").agg(min(col("t1")).as("t1"))
+      .select(col("uid"),
+        (unix_micros(col("t1").cast("timestamp")) -
+          unix_micros(col("t0").cast("timestamp"))).as("lat_us"))
+    val w = Window.orderBy(col("lat_us"), col("uid"))
+    lat.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
+      .agg(max(col("__m")).as("n_users"),
+        min(col("lat_us")).as("min_us"),
+        max(col("lat_us")).as("max_us"),
+        avg(when(col("__rn") === floor((col("__m") + 1) / 2) ||
+          col("__rn") === floor(col("__m") / 2) + 1, col("lat_us")))
+          .as("median_us"),
+        max(when(col("__rn") === floor((col("__m") * 9 + 9) / 10),
+          col("lat_us"))).as("p90_us"))
+  }
+
   /** Regular-grid resample with LOCF: per key, an hourly (or any
     * `stepExpr`) grid spanning that key's observed range; each grid
     * point carries the value of the latest observation at-or-before it

@@ -103,4 +103,45 @@ object StreamingProfile {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("n_types"))
+
+  /** Stream-static enrichment: the streaming fact joined to a broadcast
+    * dimension, rolled up per dimension key — Structured Streaming's
+    * "dimension lookup on the hot path". The static side re-resolves per
+    * micro-batch (dimension updates are picked up) and never shuffles
+    * the stream: each micro-batch does a broadcast hash join. Money sums
+    * in DECIMAL so the streamed total is order-insensitively exact.
+    * Output (Complete mode): one row per `dimKeyCol` value.
+    */
+  def enrichedCounts(stream: DataFrame, dim: DataFrame,
+                     streamKeyCol: String, dimKeyCol: String,
+                     labelCol: String, amountCol: String): DataFrame =
+    stream.join(broadcast(dim),
+        col(s"`$streamKeyCol`") === col(s"`$dimKeyCol`"))
+      .groupBy(col(s"`$labelCol`"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(s"`$amountCol`").cast("decimal(18,2)")).as("amount"))
+
+  /** Stream-stream attribution join: each conversion event matched to
+    * the SAME user's trigger events inside the preceding `horizon` —
+    * the canonical ad-attribution shape. Both sides are watermarked so
+    * the join state is bounded: a trigger can be dropped once the
+    * conversion-side watermark passes `its ts + horizon`. Inner join,
+    * Append mode; emits one row per (trigger, conversion) pair.
+    */
+  def attributionJoin(events: DataFrame, triggerType: String,
+                      convType: String, horizon: String = "1 hour",
+                      watermark: String = "1 hour"): DataFrame = {
+    val trig = events.filter(col("event_type") === triggerType)
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"))
+      .withWatermark("t_ts", watermark)
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", watermark)
+    trig.join(conv,
+      col("t_user") === col("c_user") &&
+        col("t_ts") <= col("c_ts") &&
+        col("t_ts") >= col("c_ts") - expr(s"interval $horizon"))
+  }
 }
