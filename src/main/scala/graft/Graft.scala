@@ -495,4 +495,8 @@ object Graft {
   def timeToConvert(events: DataFrame, fromType: String = "view",
                     toType: String = "purchase"): DataFrame =
     operators.Events.timeToConvert(events, fromType, toType)
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic (exact ECDFs). */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    profile.Drift.ksTest(a, b, valueCol)
 }

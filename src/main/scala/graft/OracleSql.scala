@@ -3132,6 +3132,53 @@ object OracleSql {
       |  max(CASE WHEN rn = (m * 9 + 9) // 10 THEN lat_us END) AS p90_us
       |FROM r""".stripMargin
 
+  /** a_ks_test: two-sample KS over integer-cent values — exact integer
+    * ECDF cross-products, one final division, min-value tie-break. */
+  private def ksTestSql: String =
+    """WITH av AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |bv AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+      |  WHERE event_type = 'view' AND value IS NOT NULL),
+      |m AS (SELECT c, CAST(sum(na) AS BIGINT) AS na, CAST(sum(nb) AS BIGINT) AS nb
+      |  FROM (SELECT c, 1 AS na, 0 AS nb FROM av
+      |        UNION ALL SELECT c, 0, 1 FROM bv) GROUP BY 1),
+      |cum AS (SELECT c,
+      |    CAST(sum(na) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+      |    CAST(sum(nb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      |  FROM m),
+      |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b FROM m)
+      |SELECT tot.n_a, tot.n_b,
+      |  round(CAST(abs(cum_a * tot.n_b - cum_b * tot.n_a) AS DOUBLE)
+      |      / CAST(tot.n_a * tot.n_b AS DOUBLE), 6) AS d_stat,
+      |  c AS at_cents
+      |FROM cum, tot
+      |ORDER BY abs(cum_a * tot.n_b - cum_b * tot.n_a) DESC, c LIMIT 1""".stripMargin
+
+  /** x_grouping_sets: explicit multi-granularity aggregate with
+    * per-column grouping flags. */
+  private def groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  /** j_revenue_share: per-nation decimal revenue with double-space
+    * shares against the broadcast total. */
+  private def revenueShareSql: String =
+    """WITH rev AS (SELECT n_name,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(revenue) AS t FROM rev)
+      |SELECT n_name, CAST(revenue AS DOUBLE) AS revenue,
+      |  round(CAST(revenue AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS share
+      |FROM rev, tot ORDER BY n_name""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3843,6 +3890,9 @@ object OracleSql {
     "st_stream_enrich" -> streamEnrichSql,
     "st_stream_attrib" -> streamAttribSql,
     "e_time_to_convert" -> timeToConvertSql,
+    "a_ks_test" -> ksTestSql,
+    "x_grouping_sets" -> groupingSetsSql,
+    "j_revenue_share" -> revenueShareSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

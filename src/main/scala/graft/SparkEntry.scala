@@ -1673,6 +1673,58 @@ object SparkEntry {
   private def timeToConvertQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Events.timeToConvert(t(s, dir, "events"))
 
+  /** Two-sample KS drift: purchase-event values vs view-event values
+    * ([[graft.profile.Drift.ksTest]]) — the nonparametric complement to
+    * `a_psi_drift` over the same split.
+    */
+  private def ksTestQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.profile.Drift.ksTest(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"), "value")
+  }
+
+  /** §2.8 GROUPING SETS: the explicit multi-granularity aggregate
+    * (finest, one-dim, grand total) with per-column grouping flags —
+    * rollup/cube's general form, decimal-exact sums.
+    */
+  private def groupingSetsQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+
+  /** Revenue share per nation: decimal-exact revenue, one broadcast
+    * total, 6-dp shares — the percent-of-total report without a global
+    * window.
+    */
+  private def revenueShareQ(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      // decimal-space discount product (the q1_agg discipline): cast
+      // operands FIRST so the multiply is exact, not a rounded double
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .as("revenue"))
+    val tot = rev.agg(sum(col("revenue")).as("__t"))
+    rev.crossJoin(broadcast(tot))
+      // divide in DOUBLE, not decimal: decimal-division result scales
+      // are engine-specific; double-from-decimal conversion is not
+      .select(col("n_name"), col("revenue").cast("double").as("revenue"),
+        round(col("revenue").cast("double") / col("__t").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n_name"))
+  }
+
   /** SCD2 change history over the event stream: each user's consecutive
     * runs of an equal event_type compressed to effective-dated versions
     * ([[graft.operators.Events.changeHistory]]) — eff_to NULL marks the
@@ -2870,7 +2922,10 @@ object SparkEntry {
     "j3_rank_corr" -> rankCorrQ,
     "st_stream_enrich" -> streamingEnrichQ,
     "st_stream_attrib" -> streamingAttribQ,
-    "e_time_to_convert" -> timeToConvertQ
+    "e_time_to_convert" -> timeToConvertQ,
+    "a_ks_test" -> ksTestQ,
+    "x_grouping_sets" -> groupingSetsQ,
+    "j_revenue_share" -> revenueShareQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -62,6 +62,46 @@ object Drift {
       .withColumn("drifted", col("psi") > threshold)
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the NONPARAMETRIC drift
+    * companion to [[psiReport]] (PSI needs buckets and smoothing; KS
+    * compares the raw empirical CDFs and needs neither):
+    * `D = max_v |F_a(v) − F_b(v)|`, here computed as the exact integer
+    * `max |cum_a·n_b − cum_b·n_a|` over the merged value domain,
+    * divided once at the end. The argmax value is reported (smallest
+    * value on ties) — where the distributions pull apart.
+    *
+    * Shape at scale: both sides quantize to integer cents and collapse
+    * to ONE distinct-value relation first (the decile-histogram
+    * discipline) — the ordered prefix-sum window runs over the bounded
+    * value domain, never raw rows. Output: one row (n_a, n_b, d_stat,
+    * at_cents).
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String,
+             scale: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cents(df: DataFrame, sideA: Long) = df
+      .select(round(col(s"`$valueCol`") * scale, 0).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("c"), lit(sideA).as("ca"), lit(1L - sideA).as("cb"))
+    val merged = cents(a, 1L).unionByName(cents(b, 0L))
+      .groupBy("c").agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cum_a", sum(col("na")).over(w))
+      .withColumn("cum_b", sum(col("nb")).over(w))
+    val tot = merged.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__dev",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .orderBy(col("__dev").desc, col("c"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"),
+        round(col("__dev").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d_stat"),
+        col("c").as("at_cents"))
+  }
+
   /** Benford first-digit conformance: the leading significant digit of
     * naturally-occurring amounts follows `P(d) = log10(1 + 1/d)` —
     * synthetic, capped, or manipulated columns deviate, making this a
