@@ -499,4 +499,8 @@ object Graft {
   /** Two-sample Kolmogorov–Smirnov drift statistic (exact ECDFs). */
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
     profile.Drift.ksTest(a, b, valueCol)
+
+  /** HITS hubs/authorities in exact integer ppm space. */
+  def hits(edges: DataFrame, nIter: Int = 2): DataFrame =
+    operators.Graph.hitsInt(edges, nIter)
 }

@@ -3179,6 +3179,56 @@ object OracleSql {
       |  round(CAST(revenue AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS share
       |FROM rev, tot ORDER BY n_name""".stripMargin
 
+  /** w_components: component-size histogram of the functional link
+    * graph, recomputed by recursive transitive closure. */
+  private def componentsSql: String =
+    """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+      |       FROM documents, nn),
+      |ed AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+      |       FROM e0 WHERE src <> dst),
+      |edges AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (SELECT src AS id, least(src, min(dst)) AS cluster
+      |           FROM reach GROUP BY src),
+      |cs AS (SELECT cluster, count(*) AS size FROM labels GROUP BY 1)
+      |SELECT size, count(*) AS n_components FROM cs
+      |GROUP BY 1 ORDER BY size""".stripMargin
+
+  /** w_hits: two unrolled integer-ppm HITS iterations — sum along
+    * edges, exact `//` rescale to max 10⁶ per half-step. */
+  private def hitsSql: String = {
+    def half(scoreRel: String, scoreCol: String, joinOn: String,
+             groupAs: String, rawOut: String, out: String, outCol: String): String =
+      s"""${rawOut}_r AS (SELECT e.$groupAs AS node, CAST(sum(s.$scoreCol) AS BIGINT) AS raw
+         |  FROM edges e JOIN $scoreRel s ON s.node = e.$joinOn GROUP BY 1),
+         |${rawOut}_a AS (SELECT nd.node, coalesce(r.raw, 0) AS raw
+         |  FROM nodes nd LEFT JOIN ${rawOut}_r r ON r.node = nd.node),
+         |${rawOut}_m AS (SELECT max(raw) AS m FROM ${rawOut}_a),
+         |$out AS (SELECT a.node,
+         |    CAST(CASE WHEN m.m = 0 THEN 0 ELSE (a.raw * 1000000) // m.m END AS BIGINT) AS $outCol
+         |  FROM ${rawOut}_a a, ${rawOut}_m m)""".stripMargin
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT c FROM nn) AS dst FROM documents
+       |  UNION
+       |  SELECT doc_id, doc_id % 31 FROM documents),
+       |edges AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |          FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |${half("h0", "h", "src", "dst", "a1", "auth1", "a")},
+       |${half("auth1", "a", "dst", "src", "h1", "hub1", "h")},
+       |${half("hub1", "h", "src", "dst", "a2", "auth2", "a")},
+       |${half("auth2", "a", "dst", "src", "h2", "hub2", "h")}
+       |SELECT a.node, a.a AS auth_ppm, h.h AS hub_ppm
+       |FROM auth2 a JOIN hub2 h ON h.node = a.node
+       |ORDER BY auth_ppm DESC, a.node LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3893,6 +3943,8 @@ object OracleSql {
     "a_ks_test" -> ksTestSql,
     "x_grouping_sets" -> groupingSetsSql,
     "j_revenue_share" -> revenueShareSql,
+    "w_components" -> componentsSql,
+    "w_hits" -> hitsSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

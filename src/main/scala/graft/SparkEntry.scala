@@ -1833,6 +1833,42 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** Connected-component SIZE distribution of the sparse functional
+    * link graph (x → 7x+3 mod n is a permutation: pure cycles, several
+    * components) — [[graft.operators.Dedup.resolveClusters]]'
+    * pointer-jumping labels, histogrammed. The oracle recomputes
+    * components by recursive transitive closure.
+    */
+  private def componentsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").cast("long").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val pairs = e.select(least(col("src"), col("dst")).as("id_a"),
+      greatest(col("src"), col("dst")).as("id_b")).distinct()
+    graft.operators.Dedup.resolveClusters(pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+  }
+
+  /** HITS hubs/authorities over the synthetic link graph
+    * ([[graft.operators.Graph.hitsInt]]) — integer-ppm, 2 iterations,
+    * top 20 authorities.
+    */
+  private def hitsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).as("dst"))
+      .union(docs.select(col("doc_id"), col("doc_id") % 31))
+    graft.operators.Graph.hitsInt(e, nIter = 2)
+      .orderBy(col("auth_ppm").desc, col("node")).limit(20)
+  }
+
   /** Binary-segmentation changepoint of daily event volume per type
     * ([[graft.operators.Events.changepoint]]).
     */
@@ -2925,7 +2961,9 @@ object SparkEntry {
     "e_time_to_convert" -> timeToConvertQ,
     "a_ks_test" -> ksTestQ,
     "x_grouping_sets" -> groupingSetsQ,
-    "j_revenue_share" -> revenueShareQ
+    "j_revenue_share" -> revenueShareQ,
+    "w_components" -> componentsQ,
+    "w_hits" -> hitsQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

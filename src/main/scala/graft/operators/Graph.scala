@@ -105,6 +105,50 @@ object Graph {
           .as("clustering"))
   }
 
+  /** HITS hubs/authorities (Kleinberg '99) in exact integer ppm space —
+    * the bipartite complement to [[pagerankInt]]: a good HUB links to
+    * many good authorities, a good AUTHORITY is linked from many good
+    * hubs (directories vs destinations — PageRank conflates the two).
+    *
+    * Same determinism contract as pagerank: scores live in integer ppm,
+    * each half-step is an integer sum along edges followed by an exact
+    * integer-division rescale to max = 10⁶ (`div`, not float `/` — a
+    * float division's 1-ulp rounding could cross the floor boundary),
+    * so a fixed iteration count is bit-identical on any engine and an
+    * SQL oracle replays it by unrolling. One shuffle per half-step.
+    * Output: (node, auth_ppm, hub_ppm) for every node.
+    */
+  def hitsInt(edges: DataFrame, nIter: Int = 2): DataFrame = {
+    require(nIter > 0, "need at least one iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var hub = nodes.select(col("node"), lit(OnePpm).as("h"))
+    var auth = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 1 to nIter) {
+      val rawA = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
+      val aAll = nodes.join(rawA, Seq("node"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+      val maxA = aAll.agg(max(col("ar")).as("__ma"))
+      auth = aAll.crossJoin(broadcast(maxA))
+        .select(col("node"), when(col("__ma") === 0, lit(0L))
+          .otherwise(expr("(ar * 1000000) div __ma")).as("a"))
+      val rawH = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr"))
+      val hAll = nodes.join(rawH, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+      val maxH = hAll.agg(max(col("hr")).as("__mh"))
+      hub = hAll.crossJoin(broadcast(maxH))
+        .select(col("node"), when(col("__mh") === 0, lit(0L))
+          .otherwise(expr("(hr * 1000000) div __mh")).as("h"))
+    }
+    auth.join(hub, "node")
+      .select(col("node"), col("a").as("auth_ppm"), col("h").as("hub_ppm"))
+  }
+
   def degreeReport(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
