@@ -3229,6 +3229,44 @@ object OracleSql {
        |ORDER BY auth_ppm DESC, a.node LIMIT 20""".stripMargin
   }
 
+  /** a_eqfreq_bins: replay the HDR quantization + decile-bucket cuts,
+    * then bin every row by integer bucket comparison. */
+  private def eqfreqBinsSql: String =
+    """WITH qv AS (SELECT least(greatest(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e6) AS BIGINT),
+      |    -4611686018427387904), 4611686018427387904) AS q
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |bi AS (SELECT q, abs(q) AS a, length(bin(abs(q))) - 1 AS e FROM qv),
+      |bk AS (SELECT (CASE WHEN q < 0 THEN -1 ELSE 1 END) *
+      |    (CASE WHEN a < 32 THEN a
+      |          ELSE (CAST(e AS BIGINT) - 4) * 32 + (a >> (e - 5)) - 32 END) AS bucket
+      |  FROM bi),
+      |counts AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY 1),
+      |cum AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum,
+      |    sum(cnt) OVER () AS n FROM counts),
+      |dk AS (SELECT bucket FROM cum CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+      |  WHERE cum >= greatest((n * k + 9) // 10, 1)
+      |    AND cum - cnt < greatest((n * k + 9) // 10, 1)),
+      |binned AS (SELECT (SELECT count(*) FROM dk c WHERE b.bucket > c.bucket) AS bin
+      |  FROM bk b),
+      |g AS (SELECT bin, count(*) AS n_rows FROM binned GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM g)
+      |SELECT CAST(g.bin AS BIGINT) AS bin, g.n_rows,
+      |  round(CAST(g.n_rows AS DOUBLE) / t.n, 6) AS share
+      |FROM g, t ORDER BY bin""".stripMargin
+
+  /** a_join_estimate: the uniform-key join-size estimate vs exact. */
+  private def joinEstimateSql: String =
+    """WITH a AS (SELECT count(*) AS n_a, count(DISTINCT l_orderkey) AS d_a FROM lineitem),
+      |b AS (SELECT count(*) AS n_b, count(DISTINCT o_orderkey) AS d_b FROM orders),
+      |e AS (SELECT count(*) AS exact_rows FROM lineitem
+      |      JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT n_a, n_b, d_a, d_b,
+      |  CAST((n_a * n_b) // greatest(d_a, d_b) AS BIGINT) AS est_rows,
+      |  exact_rows,
+      |  round(CAST(abs(CAST((n_a * n_b) // greatest(d_a, d_b) AS BIGINT)
+      |      - exact_rows) AS DOUBLE) / exact_rows, 6) AS rel_err
+      |FROM a, b, e""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3945,6 +3983,8 @@ object OracleSql {
     "j_revenue_share" -> revenueShareSql,
     "w_components" -> componentsSql,
     "w_hits" -> hitsSql,
+    "a_eqfreq_bins" -> eqfreqBinsSql,
+    "a_join_estimate" -> joinEstimateSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

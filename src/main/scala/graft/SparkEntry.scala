@@ -1833,6 +1833,38 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** Sketch-driven equi-depth binning of order totals
+    * ([[graft.profile.QuantileSketch.equiDepthBins]]) — deciles from
+    * the mergeable HDR sketch as cut points, realized bin populations
+    * as the sketch-accuracy report.
+    */
+  private def eqfreqBinsQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.QuantileSketch.equiDepthBins(
+      t(s, dir, "orders"), "o_totalprice").orderBy("bin")
+
+  /** Join-size estimation report: the System-R uniform-key estimate
+    * `|A|·|B| / max(dA, dB)` vs the exact join cardinality — the
+    * planner diagnostic behind broadcast/shuffle decisions, all in
+    * exact integer space.
+    */
+  private def joinEstimateQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val a = li.agg(count(lit(1)).as("n_a"),
+      countDistinct(col("l_orderkey")).as("d_a"))
+    val b = o.agg(count(lit(1)).as("n_b"),
+      countDistinct(col("o_orderkey")).as("d_b"))
+    val exact = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    a.crossJoin(b).crossJoin(exact)
+      .withColumn("est_rows", expr("(n_a * n_b) div greatest(d_a, d_b)"))
+      .withColumn("rel_err", round(
+        abs(col("est_rows") - col("exact_rows")).cast("double") /
+          col("exact_rows").cast("double"), 6))
+      .select(col("n_a"), col("n_b"), col("d_a"), col("d_b"),
+        col("est_rows"), col("exact_rows"), col("rel_err"))
+  }
+
   /** Connected-component SIZE distribution of the sparse functional
     * link graph (x → 7x+3 mod n is a permutation: pure cycles, several
     * components) — [[graft.operators.Dedup.resolveClusters]]'
@@ -2963,7 +2995,9 @@ object SparkEntry {
     "x_grouping_sets" -> groupingSetsQ,
     "j_revenue_share" -> revenueShareQ,
     "w_components" -> componentsQ,
-    "w_hits" -> hitsQ
+    "w_hits" -> hitsQ,
+    "a_eqfreq_bins" -> eqfreqBinsQ,
+    "a_join_estimate" -> joinEstimateQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

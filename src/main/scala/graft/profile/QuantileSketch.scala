@@ -98,7 +98,11 @@ object QuantileSketch {
     * ceil(n·k/10)-th smallest non-null value, reported as its midpoint.
     * Output: (table_name, col_idx, decile, est).
     */
-  def deciles(sketch: DataFrame): DataFrame = {
+  /** The decile CUT BUCKETS of a sketch — the raw integer bucket ids
+    * holding ranks ⌈n·k/10⌉, k = 1..9 (a bucket spanning several
+    * deciles appears once per k). [[deciles]] adds the midpoint
+    * estimate; [[equiDepthBins]] uses the buckets directly. */
+  def decileBuckets(sketch: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("table_name", "col_idx").orderBy("bucket")
     sketch
@@ -113,8 +117,42 @@ object QuantileSketch {
       .withColumn("rank",
         greatest(expr("(n * decile + 9) div 10"), lit(1L)))
       .filter(col("cum") >= col("rank") && col("cum") - col("cnt") < col("rank"))
+      .select(col("table_name"), col("col_idx"), col("decile"), col("bucket"))
+  }
+
+  def deciles(sketch: DataFrame): DataFrame =
+    decileBuckets(sketch)
       .withColumn("est", bucketEstimate(col("bucket")))
       .select(col("table_name"), col("col_idx"), col("decile"), col("est"))
+
+  /** Sketch-DRIVEN equi-depth binning: bucket every row by the HDR
+    * quantization, cut at the sketch's nine decile buckets, and report
+    * the realized per-bin population — the feature-discretization use
+    * of the mergeable sketch, and simultaneously its accuracy report
+    * (perfect cuts would put n/10 in every bin; the deviation IS the
+    * sketch's bucket-resolution error, visible and verifiable).
+    *
+    * `bin = Σ_k [bucket(v) > cut_k]` — pure integer comparisons against
+    * the broadcast 9-element cut array, so both engines agree exactly.
+    * Output: (bin, n_rows, share), bins that received rows only.
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String): DataFrame = {
+    val long = df.select(col(s"`$valueCol`").cast("double").as("value_num"))
+      .filter(col("value_num").isNotNull)
+      .withColumn("table_name", lit("t"))
+      .withColumn("col_idx", lit(0L))
+    val cuts = decileBuckets(sketchLong(long))
+      .agg(sort_array(collect_list(col("bucket"))).as("cuts"))
+    val binned = withBucket(long, col("value_num"), "bucket")
+      .crossJoin(broadcast(cuts))
+      .withColumn("bin", expr(
+        "aggregate(cuts, 0L, (acc, c) -> acc + CASE WHEN bucket > c THEN 1L ELSE 0L END)"))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+    val tot = binned.agg(sum(col("n_rows")).as("__n"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__n").cast("double"), 6)
+          .as("share"))
   }
 
   /** Midpoint estimate (original value units) of a `bucket` attribute.
