@@ -3267,6 +3267,64 @@ object OracleSql {
       |      - exact_rows) AS DOUBLE) / exact_rows, 6) AS rel_err
       |FROM a, b, e""".stripMargin
 
+  /** d_lsh_quality: banded-MinHash predictions (digest replay) vs
+    * all-pairs exact-Jaccard truth on the SAME ≤200-doc sample and
+    * shingles — precision/recall/F1 in exact integer counts. */
+  private def lshQualitySql: String = {
+    val dig = docDigCtes.replace("FROM documents)",
+      "FROM documents WHERE doc_id < 200)")
+    s"""WITH $dig,
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${digCompare("a", "b")}
+       |  FROM dig a JOIN dig b ON a.doc_id < b.doc_id),
+       |pred AS (SELECT id_a, id_b FROM pairs WHERE nb > 0 AND jaccard >= 0.05),
+       |toks2 AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS tok FROM g),
+       |sizes2 AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY 1),
+       |inter2 AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+       |  FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT i.id_a, i.id_b FROM inter2 i
+       |  JOIN sizes2 sa ON sa.id = i.id_a JOIN sizes2 sb ON sb.id = i.id_b
+       |  WHERE round(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE), 6) >= 0.05),
+       |hit AS (SELECT id_a, id_b FROM pred INTERSECT SELECT id_a, id_b FROM truth),
+       |c AS (SELECT (SELECT count(*) FROM pred) AS n_pred,
+       |             (SELECT count(*) FROM truth) AS n_true,
+       |             (SELECT count(*) FROM hit) AS n_hit)
+       |SELECT CAST(n_pred AS BIGINT) AS n_pred, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  CASE WHEN n_pred = 0 THEN 0.0
+       |       ELSE round(CAST(n_hit AS DOUBLE) / n_pred, 6) END AS prec,
+       |  CASE WHEN n_true = 0 THEN 0.0
+       |       ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+       |  CASE WHEN n_pred + n_true = 0 THEN 0.0
+       |       ELSE round(CAST(2 AS DOUBLE) * n_hit / (n_pred + n_true), 6) END AS f1
+       |FROM c""".stripMargin
+  }
+
+  /** t_zipf: OLS of micro-quantized round-6 logs — exact integer
+    * moments, two closing double divisions. */
+  private def zipfSql: String =
+    """WITH f AS (SELECT tok, count(*) AS f FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |    FROM documents) WHERE tok <> '' GROUP BY 1),
+      |r AS (SELECT
+      |    CAST(round(round(ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS lx,
+      |    CAST(round(round(ln(CAST(f AS DOUBLE)), 6) * 1000000, 0) AS BIGINT) AS ly
+      |  FROM f),
+      |a AS (SELECT count(*) AS n, CAST(sum(lx) AS BIGINT) AS sx,
+      |    CAST(sum(ly) AS BIGINT) AS sy, CAST(sum(lx * ly) AS BIGINT) AS sxy,
+      |    CAST(sum(lx * lx) AS BIGINT) AS sxx, CAST(sum(ly * ly) AS BIGINT) AS syy
+      |  FROM r)
+      |SELECT n AS n_terms,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+      |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+      |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+      |FROM a""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -3985,6 +4043,8 @@ object OracleSql {
     "w_hits" -> hitsSql,
     "a_eqfreq_bins" -> eqfreqBinsSql,
     "a_join_estimate" -> joinEstimateSql,
+    "d_lsh_quality" -> lshQualitySql,
+    "t_zipf" -> zipfSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

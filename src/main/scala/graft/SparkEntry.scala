@@ -1833,6 +1833,20 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** LSH quality audit on a bounded 200-doc sample: banded-MinHash
+    * pairs vs exact-Jaccard truth at the same τ=0.05 / 3-gram shingles
+    * ([[graft.operators.Dedup.lshQualityReport]]).
+    */
+  private def lshQualityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.lshQualityReport(
+      t(s, dir, "documents").filter(col("doc_id") < 200), threshold = 0.05)
+
+  /** Zipf-law conformance of the token frequency distribution
+    * ([[graft.operators.TextAnalysis.zipfFit]]) — integer micro-log OLS.
+    */
+  private def zipfQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.zipfFit(t(s, dir, "documents"))
+
   /** Sketch-driven equi-depth binning of order totals
     * ([[graft.profile.QuantileSketch.equiDepthBins]]) — deciles from
     * the mergeable HDR sketch as cut points, realized bin populations
@@ -2997,7 +3011,9 @@ object SparkEntry {
     "w_components" -> componentsQ,
     "w_hits" -> hitsQ,
     "a_eqfreq_bins" -> eqfreqBinsQ,
-    "a_join_estimate" -> joinEstimateQ
+    "a_join_estimate" -> joinEstimateQ,
+    "d_lsh_quality" -> lshQualityQ,
+    "t_zipf" -> zipfQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -581,4 +581,36 @@ object Dedup {
         Seq("id"), "left")
       .na.fill(0L, Seq("n_kept")).na.fill("", Seq("text"))
   }
+
+  /** LSH quality audit: precision/recall of [[minhashNearDups]]' banded
+    * MinHash pairs against [[exactJaccardSelfJoin]]'s exact-recall truth
+    * at the SAME threshold and shingle size — the engine measuring its
+    * own approximation before anyone trusts it on a corpus. Run it on a
+    * bounded sample (both sides see identical docs): exact all-pairs
+    * truth at a permissive threshold is quadratic, which is exactly why
+    * the audit exists — and why production uses the LSH path it audits.
+    * Output: one row (n_pred, n_true, n_hit, prec, recall, f1).
+    */
+  def lshQualityReport(docs: DataFrame, threshold: Double,
+                       shingleSize: Int = 3, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val pred = minhashNearDups(docs, threshold, idCol, textCol, shingleSize)
+      .select("id_a", "id_b")
+    val truth = exactJaccardSelfJoin(docs, threshold, shingleSize, idCol, textCol)
+      .select("id_a", "id_b")
+    val hit = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+    pred.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_pred"), col("n_true"), col("n_hit"),
+        when(col("n_pred") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_pred").cast("double"), 6)).as("prec"),
+        when(col("n_true") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_true").cast("double"), 6)).as("recall"),
+        when(col("n_pred") + col("n_true") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * col("n_hit").cast("double") /
+            (col("n_pred") + col("n_true")).cast("double"), 6)).as("f1"))
+  }
 }

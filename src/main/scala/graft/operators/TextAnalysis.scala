@@ -81,6 +81,51 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
   }
 
+  /** Zipf-law fit of the token frequency distribution: OLS of
+    * `ln(freq)` on `ln(rank)` — a natural corpus has slope ≈ −1; a
+    * synthetic or templated one is flat (slope ≈ 0). The conformance
+    * check that catches machine-generated filler before it enters a mix.
+    *
+    * Exactness: both logs are 6-dp-rounded then micro-quantized, so the
+    * OLS moment sums are EXACT integers (the micro-nat discipline);
+    * slope is one double division of integer moments, and r² squares
+    * the same integer moments in double (they exceed long range only
+    * when squared). The rank window runs over the bounded distinct-token
+    * relation. Output: one row (n_terms, slope, r2).
+    */
+  def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.select(
+        explode(split(lower(trim(col(s"`$textCol`"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("tok"))).cast("long"))
+      .select(
+        round(round(log(col("r").cast("double")), 6) * 1000000, 0)
+          .cast("long").as("lx"),
+        round(round(log(col("f").cast("double")), 6) * 1000000, 0)
+          .cast("long").as("ly"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("ly") * col("ly")).as("syy"))
+      .withColumn("__num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("__dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("n").as("n_terms"),
+        when(col("__dx") === 0, lit(0.0))
+          .otherwise(round(col("__num").cast("double") /
+            col("__dx").cast("double"), 6)).as("slope"),
+        when(col("__dx") === 0 || col("__dy") === 0, lit(0.0))
+          .otherwise(round(
+            col("__num").cast("double") * col("__num").cast("double") /
+              (col("__dx").cast("double") * col("__dy").cast("double")), 6))
+          .as("r2"))
+  }
+
   def analyze(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val t = col(textCol)
