@@ -3325,6 +3325,43 @@ object OracleSql {
       |            / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
       |FROM a""".stripMargin
 
+  /** emb_centroids: per-(label, dim) integer micro sums, dim-ordered
+    * arrays, pairwise centroid cosines (counts cancel). */
+  private def embCentroidsSql: String =
+    """WITH comps AS (SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS u
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |cent AS (SELECT label, dim, CAST(sum(u) AS BIGINT) AS s
+      |  FROM comps GROUP BY 1, 2),
+      |arrs AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY dim) AS sv
+      |  FROM cent GROUP BY 1),
+      |cnts AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+      |  FROM embeddings GROUP BY 1),
+      |j AS (SELECT a.label AS label_a, b.label AS label_b,
+      |    ca.n AS n_a, cb.n AS n_b,
+      |    sqrt(list_dot_product(a.sv, a.sv)) AS na,
+      |    sqrt(list_dot_product(b.sv, b.sv)) AS nb,
+      |    list_dot_product(a.sv, b.sv) AS dp
+      |  FROM arrs a JOIN arrs b ON a.label < b.label
+      |  JOIN cnts ca ON ca.label = a.label JOIN cnts cb ON cb.label = b.label)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  CASE WHEN na * nb = 0 THEN 0.0 ELSE round(dp / (na * nb), 6) END AS cosine
+      |FROM j ORDER BY label_a, label_b""".stripMargin
+
+  /** q_contrastive_pairs: deterministic every-5th-token drop, md5 pair
+    * hashes (DuckDB list lambda indexes are 1-based; Spark's are
+    * 0-based — the predicates below are the same positions). */
+  private def contrastivePairsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS w
+      |  FROM documents WHERE doc_id < 50),
+      |k AS (SELECT doc_id, w, list_filter(w, (x, i) -> i % 5 != 0) AS kept FROM d)
+      |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  md5(array_to_string(w, ' ')) AS anchor_hash,
+      |  md5(array_to_string(kept, ' ')) AS positive_hash
+      |FROM k ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -4045,6 +4082,8 @@ object OracleSql {
     "a_join_estimate" -> joinEstimateSql,
     "d_lsh_quality" -> lshQualitySql,
     "t_zipf" -> zipfSql,
+    "emb_centroids" -> embCentroidsSql,
+    "q_contrastive_pairs" -> contrastivePairsSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -1833,6 +1833,22 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** Per-label embedding centroid cosines in exact integer micro space
+    * ([[graft.operators.Ann.labelCentroidCosines]]) — the
+    * cluster-separation report.
+    */
+  private def embCentroidsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.labelCentroidCosines(t(s, dir, "embeddings"))
+      .orderBy("label_a", "label_b")
+
+  /** Deterministic contrastive (anchor, positive) pair generation over
+    * the first 50 docs ([[graft.ingest.Augment.contrastivePairs]]).
+    */
+  private def contrastivePairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.ingest.Augment.contrastivePairs(
+      t(s, dir, "documents").filter(col("doc_id") < 50))
+      .orderBy("doc_id")
+
   /** LSH quality audit on a bounded 200-doc sample: banded-MinHash
     * pairs vs exact-Jaccard truth at the same τ=0.05 / 3-gram shingles
     * ([[graft.operators.Dedup.lshQualityReport]]).
@@ -3013,7 +3029,9 @@ object SparkEntry {
     "a_eqfreq_bins" -> eqfreqBinsQ,
     "a_join_estimate" -> joinEstimateQ,
     "d_lsh_quality" -> lshQualityQ,
-    "t_zipf" -> zipfQ
+    "t_zipf" -> zipfQ,
+    "emb_centroids" -> embCentroidsQ,
+    "q_contrastive_pairs" -> contrastivePairsQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -83,4 +83,29 @@ object Augment {
       case 1 => 1 -> obscureColumns(df)
       case i => i -> shuffleColumns(df, seed + i)
     }
+
+  /** Contrastive (anchor, positive) views for representation training:
+    * the positive drops every `dropEvery`-th token — a DETERMINISTIC
+    * augmentation (pure function of the text), so pair generation is
+    * reproducible on any engine or partitioning, unlike RNG word
+    * dropout. Hashes stand in for the texts (the training writer would
+    * keep the strings); kept-token counts expose the augmentation
+    * strength. Row-local — no shuffle. Output: input keys +
+    * (n_tokens, n_kept, anchor_hash, positive_hash).
+    */
+  def contrastivePairs(docs: DataFrame, dropEvery: Int = 5,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(dropEvery > 1, "dropEvery must be at least 2")
+    val w = split(lower(trim(col(s"`$textCol`"))), "\\s+")
+    docs.select(col(s"`$idCol`"),
+        w.as("__w"))
+      .withColumn("__kept", expr(
+        s"filter(__w, (x, i) -> (i + 1) % $dropEvery != 0)"))
+      .select(col(s"`$idCol`"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        md5(array_join(col("__w"), " ")).as("anchor_hash"),
+        md5(array_join(col("__kept"), " ")).as("positive_hash"))
+  }
 }

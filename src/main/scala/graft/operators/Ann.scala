@@ -292,6 +292,45 @@ object Ann {
     * holds the corpus) but still O(n²) FLOPs — that cost is inherent to an
     * exact answer at a threshold where banding has no recall.
     */
+  /** Per-label centroid geometry in exact integer micro space — do the
+    * label clusters actually separate, and which labels confuse? Each
+    * component micro-quantizes to a long, per-(label, dim) SUMS are
+    * exact integers (the count cancels out of cosine, so centroids
+    * never materialize as floats), the 64 sums assemble into a
+    * dim-sorted array, and pairwise centroid cosines run the engine's
+    * ONE sequential-fold formula, round-6. Fully deterministic on any
+    * partitioning. Output: (label_a, label_b, n_a, n_b, cosine) for
+    * label_a < label_b.
+    */
+  def labelCentroidCosines(embs: DataFrame, vecCol: String = "embedding",
+                           labelCol: String = "label"): DataFrame = {
+    val comps = embs.select(col(s"`$labelCol`").cast("long").as("label"),
+        posexplode(transform(col(s"`$vecCol`"), _.cast("double"))))
+      .select(col("label"), col("pos").as("dim"),
+        round(col("col") * 1000000, 0).cast("long").as("u"))
+    val cent = comps.groupBy("label", "dim")
+      .agg(sum(col("u")).as("s"))
+    val counts = embs.groupBy(col(s"`$labelCol`").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val arrs = cent.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("s")))).as("ds"))
+      .select(col("label"),
+        transform(col("ds"), _.getField("s").cast("double")).as("sv"))
+      .join(counts, "label")
+    val a = arrs.select(col("label").as("label_a"), col("sv").as("va"),
+      col("n").as("n_a"))
+    val b = arrs.select(col("label").as("label_b"), col("sv").as("vb"),
+      col("n").as("n_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("cosine", {
+        val np = norm(col("va")) * norm(col("vb"))
+        when(np === 0, lit(0.0))
+          .otherwise(round(dot(col("va"), col("vb")) / np, 6))
+      })
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("cosine"))
+  }
+
   def cosineNearDups(embs: DataFrame, threshold: Double = 0.95,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      nBits: Int = 32, recallTarget: Double = 0.95): DataFrame = {
