@@ -3362,6 +3362,45 @@ object OracleSql {
       |  md5(array_to_string(kept, ' ')) AS positive_hash
       |FROM k ORDER BY doc_id""".stripMargin
 
+  /** x_groupby_ols: per-group OLS from the same exact integer moments
+    * (n·Σy² taken in double — it alone exceeds long range). */
+  private def groupedOlsSql: String =
+    """WITH b AS (SELECT l_returnflag AS grp,
+      |    CAST(round(l_quantity, 0) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+      |  FROM lineitem),
+      |a AS (SELECT grp, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM b GROUP BY 1)
+      |SELECT grp AS "group", n,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+      |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+      |       ELSE round((CAST(sy AS DOUBLE)
+      |            - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) END AS intercept,
+      |  CASE WHEN n * sxx - sx * sx = 0
+      |         OR CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0 THEN 0.0
+      |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS r2
+      |FROM a ORDER BY grp""".stripMargin
+
+  /** e_top_paths: corpus-wide counts of per-user 3-event type paths. */
+  private def topPathsSql: String =
+    """WITH p AS (SELECT event_type AS e0,
+      |    lead(event_type, 1) OVER w AS e1,
+      |    lead(event_type, 2) OVER w AS e2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n
+      |FROM p WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 5""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -4084,6 +4123,8 @@ object OracleSql {
     "t_zipf" -> zipfSql,
     "emb_centroids" -> embCentroidsSql,
     "q_contrastive_pairs" -> contrastivePairsSql,
+    "x_groupby_ols" -> groupedOlsSql,
+    "e_top_paths" -> topPathsSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -1833,6 +1833,19 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** Per-returnflag OLS of price-cents on quantity
+    * ([[graft.profile.Regression.groupedOls]]) — exact integer moments.
+    */
+  private def groupedOlsQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.Regression.groupedOls(t(s, dir, "lineitem"),
+      "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("group")
+
+  /** Top-5 three-event user paths ([[graft.operators.Events.topPaths]]).
+    */
+  private def topPathsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.topPaths(t(s, dir, "events"), k = 5)
+
   /** Per-label embedding centroid cosines in exact integer micro space
     * ([[graft.operators.Ann.labelCentroidCosines]]) — the
     * cluster-separation report.
@@ -3031,7 +3044,9 @@ object SparkEntry {
     "d_lsh_quality" -> lshQualityQ,
     "t_zipf" -> zipfQ,
     "emb_centroids" -> embCentroidsQ,
-    "q_contrastive_pairs" -> contrastivePairsQ
+    "q_contrastive_pairs" -> contrastivePairsQ,
+    "x_groupby_ols" -> groupedOlsQ,
+    "e_top_paths" -> topPathsQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -299,6 +299,29 @@ object Events {
         round(col("n").cast("double") / col("__rt").cast("double"), 6).as("p"))
   }
 
+  /** Top event PATHS: the most common length-3 type sequences per user
+    * stream — [[transitionMatrix]]'s higher-order sibling (transitions
+    * say "what follows a click"; paths say "which whole journeys
+    * dominate"). Two lead offsets on the one user-keyed window, a
+    * corpus-wide count, a distributed ordered limit. Output: (path, n),
+    * top `k` by (n desc, path).
+    */
+  def topPaths(events: DataFrame, k: Int = 5, len3Sep: String = ">",
+               keyCol: String = "user_id", tsCol: String = "ts",
+               typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(s"`$keyCol`"))
+      .orderBy(col(s"`$tsCol`"), col(s"`$tieCol`"))
+    events
+      .withColumn("__n1", lead(col(s"`$typeCol`"), 1).over(w))
+      .withColumn("__n2", lead(col(s"`$typeCol`"), 2).over(w))
+      .filter(col("__n1").isNotNull && col("__n2").isNotNull)
+      .select(concat_ws(len3Sep, col(s"`$typeCol`"), col("__n1"), col("__n2"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** Two-proportion z-test for an A/B experiment read off the event
     * stream: users split by a deterministic variant function, success =
     * "user emitted at least one `successType` event". Pooled-variance
