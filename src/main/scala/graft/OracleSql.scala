@@ -3401,6 +3401,54 @@ object OracleSql {
       |FROM p WHERE e1 IS NOT NULL AND e2 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 5""".stripMargin
 
+  /** a_info_gain: MI(col; o_orderstatus) per candidate column over
+    * orders — one micro-nat MI block per arm, ranked. */
+  private def infoGainSql: String = {
+    def h(c: String) =
+      s"""(SELECT round(CAST(sum(tm) AS DOUBLE) / CAST(any_value(n) AS DOUBLE) / 1000000.0, 6)
+         | FROM (SELECT cnt, CAST(sum(cnt) OVER () AS BIGINT) AS n,
+         |         CAST(floor(CAST(cnt AS DOUBLE) * round(ln(CAST(sum(cnt) OVER () AS DOUBLE) / CAST(cnt AS DOUBLE)), 6) * 1000000.0) AS BIGINT) AS tm
+         |       FROM (SELECT count(*) AS cnt FROM orders GROUP BY CAST($c AS VARCHAR))))""".stripMargin
+    def arm(c: String) =
+      s"""SELECT '$c' AS col_name, mi AS info_gain,
+         |  CASE WHEN least(h_a, h_b) = 0 THEN 0.0
+         |       ELSE round(mi / least(h_a, h_b), 6) END AS nmi
+         |FROM (
+         |  WITH p AS (SELECT CAST($c AS VARCHAR) AS a, CAST(o_orderstatus AS VARCHAR) AS b FROM orders),
+         |  j AS (SELECT a, b, count(*) AS cab FROM p GROUP BY 1, 2),
+         |  ma AS (SELECT a, count(*) AS ca FROM p GROUP BY 1),
+         |  mb AS (SELECT b, count(*) AS cb FROM p GROUP BY 1),
+         |  nn AS (SELECT count(*) AS n FROM p),
+         |  mi AS (SELECT CAST(any_value(nn.n) AS BIGINT) AS n,
+         |           sum(CAST(floor(CAST(cab AS DOUBLE)
+         |             * round(ln(CAST(nn.n * cab AS DOUBLE) / CAST(ca * cb AS DOUBLE)), 6)
+         |             * 1000000.0) AS BIGINT)) AS s
+         |         FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn)
+         |  SELECT ${h(c)} AS h_a, ${h("o_orderstatus")} AS h_b,
+         |    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mi
+         |  FROM mi)""".stripMargin
+    val arms = Seq("o_custkey", "o_orderdate", "o_orderpriority")
+      .map(arm).mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$arms
+       |) ORDER BY info_gain DESC, col_name""".stripMargin
+  }
+
+  /** w_reciprocity: fraction of directed edges with a reverse edge. */
+  private def reciprocitySql: String =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents, nn
+      |       UNION ALL SELECT doc_id, doc_id % 31 FROM documents),
+      |ed AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+      |       FROM e0 WHERE src <> dst),
+      |r AS (SELECT count(*) AS n_rec FROM ed a
+      |      WHERE EXISTS (SELECT 1 FROM ed b WHERE b.src = a.dst AND b.dst = a.src)),
+      |t AS (SELECT count(*) AS n_edges FROM ed)
+      |SELECT t.n_edges, r.n_rec AS n_reciprocal,
+      |  CASE WHEN t.n_edges = 0 THEN 0.0
+      |       ELSE round(CAST(r.n_rec AS DOUBLE) / t.n_edges, 6) END AS reciprocity
+      |FROM t, r""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -4125,6 +4173,8 @@ object OracleSql {
     "q_contrastive_pairs" -> contrastivePairsSql,
     "x_groupby_ols" -> groupedOlsSql,
     "e_top_paths" -> topPathsSql,
+    "a_info_gain" -> infoGainSql,
+    "w_reciprocity" -> reciprocitySql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

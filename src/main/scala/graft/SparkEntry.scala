@@ -1833,6 +1833,27 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** Information-gain ranking of orders columns vs the status label
+    * ([[graft.profile.InfoTheory.infoGainRanking]]) — float columns
+    * excluded (double→string casts format differently across engines).
+    */
+  private def infoGainQ(s: SparkSession, dir: String): DataFrame =
+    graft.profile.InfoTheory.infoGainRanking(t(s, dir, "orders"),
+      Seq("o_custkey", "o_orderdate", "o_orderpriority"), "o_orderstatus")
+
+  /** Edge reciprocity of the synthetic link graph
+    * ([[graft.operators.Graph.reciprocity]]).
+    */
+  private def reciprocityQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).as("dst"))
+      .union(docs.select(col("doc_id"), col("doc_id") % 31))
+    graft.operators.Graph.reciprocity(e)
+  }
+
   /** Per-returnflag OLS of price-cents on quantity
     * ([[graft.profile.Regression.groupedOls]]) — exact integer moments.
     */
@@ -3046,7 +3067,9 @@ object SparkEntry {
     "emb_centroids" -> embCentroidsQ,
     "q_contrastive_pairs" -> contrastivePairsQ,
     "x_groupby_ols" -> groupedOlsQ,
-    "e_top_paths" -> topPathsQ
+    "e_top_paths" -> topPathsQ,
+    "a_info_gain" -> infoGainQ,
+    "w_reciprocity" -> reciprocityQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -149,6 +149,27 @@ object Graph {
       .select(col("node"), col("a").as("auth_ppm"), col("h").as("hub_ppm"))
   }
 
+  /** Edge reciprocity: the fraction of directed edges whose reverse
+    * also exists — organic link neighborhoods reciprocate, scraped or
+    * generated ones rarely do. One self-semi-join on the deduped edge
+    * relation; exact integer counts, one round-6 division.
+    * Output: one row (n_edges, n_reciprocal, reciprocity).
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+      .select(col("n_edges"), col("n_reciprocal"),
+        when(col("n_edges") === 0, lit(0.0))
+          .otherwise(round(col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double"), 6)).as("reciprocity"))
+  }
+
   def degreeReport(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))

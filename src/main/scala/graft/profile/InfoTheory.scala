@@ -172,6 +172,21 @@ object InfoTheory {
           .as("nmi"))
   }
 
+  /** Information-gain feature ranking: `IG(col; label) = MI(col, label)`
+    * for every candidate column, ranked — which features are worth a
+    * model's attention, measured before any training. Rides the same
+    * integer micro-nat MI machinery; `nmi` normalizes by the smaller
+    * entropy so high-cardinality columns don't win by noise alone.
+    * Output: (col_name, info_gain, nmi), info_gain desc.
+    */
+  def infoGainRanking(df: DataFrame, cols: Seq[String],
+                      labelCol: String): DataFrame =
+    cols.map { c =>
+      mutualInformation(df, c, labelCol)
+        .select(lit(c).as("col_name"), col("mi").as("info_gain"), col("nmi"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("info_gain").desc, col("col_name"))
+
   /** Pearson chi-square test of association between two categorical
     * columns, with per-cell contributions and Cramér's V — the
     * contingency-table complement to [[mutualInformation]] (MI measures
