@@ -3449,6 +3449,43 @@ object OracleSql {
       |       ELSE round(CAST(r.n_rec AS DOUBLE) / t.n_edges, 6) END AS reciprocity
       |FROM t, r""".stripMargin
 
+  /** a_boxplot: per-group positional quartiles in integer cents and
+    * Tukey fences doubled into integer space. */
+  private def boxplotSql: String =
+    """WITH b AS (SELECT l_returnflag AS grp,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |r AS (SELECT grp, c,
+      |    CAST(row_number() OVER (PARTITION BY grp ORDER BY c, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+      |  FROM b),
+      |q AS (SELECT grp, max(m) AS n,
+      |    max(CASE WHEN rn = (m + 3) // 4 THEN c END) AS q1,
+      |    avg(CASE WHEN rn = (m + 1) // 2 OR rn = m // 2 + 1 THEN c END) AS median,
+      |    max(CASE WHEN rn = (m * 3 + 3) // 4 THEN c END) AS q3
+      |  FROM r GROUP BY 1),
+      |o AS (SELECT b.grp, count(*) AS n_outliers
+      |  FROM b JOIN q ON q.grp = b.grp
+      |  WHERE b.c * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
+      |     OR b.c * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3
+      |  GROUP BY 1)
+      |SELECT q.grp, q.n, q.q1, q.median, q.q3, q.q3 - q.q1 AS iqr,
+      |  coalesce(o.n_outliers, 0) AS n_outliers
+      |FROM q LEFT JOIN o ON o.grp = q.grp ORDER BY q.grp""".stripMargin
+
+  /** e_last_touch: latest click at-or-before each purchase, exact gap
+    * micro sum. */
+  private def lastTouchSql: String =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      |lt AS (SELECT p.event_id, p.ts, max(c.ts) AS ct
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+      |  GROUP BY p.event_id, p.ts)
+      |SELECT count(*) AS n_purchases, count(ct) AS n_attributed,
+      |  CAST(sum(epoch_us(ts) - epoch_us(ct)) AS BIGINT) AS gap_us_sum
+      |FROM lt""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_topn" ->
       s"SELECT * FROM lineitem ORDER BY ${graft.sources.Lake.TableKeys("lineitem").mkString(", ")} LIMIT 100",
@@ -4175,6 +4212,8 @@ object OracleSql {
     "e_top_paths" -> topPathsSql,
     "a_info_gain" -> infoGainSql,
     "w_reciprocity" -> reciprocitySql,
+    "a_boxplot" -> boxplotSql,
+    "e_last_touch" -> lastTouchSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -1833,6 +1833,57 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** Box-plot profile per returnflag: positional quartiles in exact
+    * integer cents, IQR, and Tukey-fence outlier counts (the 1.5·IQR
+    * comparison doubled into integer space — no float fence). The rank
+    * window is PARTITIONED by the group, so each group sorts
+    * independently — the scale-safe per-group order-statistics shape.
+    */
+  private def boxplotQ(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("c"),
+      col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = b.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val quart = ranked.groupBy("grp").agg(
+      max(col("m")).as("n"),
+      max(when(col("rn") === floor((col("m") + 3) / 4), col("c"))).as("q1"),
+      avg(when(col("rn") === floor((col("m") + 1) / 2) ||
+        col("rn") === floor(col("m") / 2) + 1, col("c"))).as("median"),
+      max(when(col("rn") === floor((col("m") * 3 + 3) / 4), col("c"))).as("q3"))
+    val outs = b.join(broadcast(quart.select(col("grp"), col("q1"), col("q3"))), "grp")
+      .filter(col("c") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3 ||
+        col("c") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3)
+      .groupBy("grp").agg(count(lit(1)).as("n_outliers"))
+    quart.join(outs, Seq("grp"), "left")
+      .na.fill(0L, Seq("n_outliers"))
+      .select(col("grp"), col("n"), col("q1"), col("median"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"), col("n_outliers"))
+      .orderBy("grp")
+  }
+
+  /** Last-touch attribution via the as-of join: each purchase matched
+    * to the same user's latest click at-or-before it
+    * ([[graft.operators.AsOf.join]]); gap micros summed exactly.
+    */
+  private def lastTouchQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.operators.AsOf.join(purchases, clicks, Seq("user_id"), "ts",
+        Seq("click_id", "click_ts"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("asof_click_id")).as("n_attributed"),
+        sum(unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("asof_click_ts").cast("timestamp")))
+          .as("gap_us_sum"))
+  }
+
   /** Information-gain ranking of orders columns vs the status label
     * ([[graft.profile.InfoTheory.infoGainRanking]]) — float columns
     * excluded (double→string casts format differently across engines).
@@ -3069,7 +3120,9 @@ object SparkEntry {
     "x_groupby_ols" -> groupedOlsQ,
     "e_top_paths" -> topPathsQ,
     "a_info_gain" -> infoGainQ,
-    "w_reciprocity" -> reciprocityQ
+    "w_reciprocity" -> reciprocityQ,
+    "a_boxplot" -> boxplotQ,
+    "e_last_touch" -> lastTouchQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
