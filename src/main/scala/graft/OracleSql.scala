@@ -1312,6 +1312,38 @@ object OracleSql {
     * top-5 cosine within the query's bucket. Spark j is 0-based,
     * DuckDB list index is 1-based: seeds align as (1009h + j_duck).
     */
+  private def annCosineSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)
+      |SELECT query_id, neighbor_id, cosine, rank FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |         ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END AS cosine,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |        ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC, c.vec_id) AS rank
+      |  FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_recall_audit: recall@5 of the sign-LSH bucketed search against
+    * the exact top-5 — BOTH pipelines replayed as nested subqueries of
+    * their own oracle SQL, counts exact. */
+  private def annRecallSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annCosineSql)),
+       |approx AS (SELECT query_id, neighbor_id FROM (${annIvfSql})),
+       |hit AS (SELECT query_id, neighbor_id FROM approx
+       |        INTERSECT SELECT query_id, neighbor_id FROM exact),
+       |c AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+       |             (SELECT count(*) FROM approx) AS n_approx,
+       |             (SELECT count(*) FROM hit) AS n_hit)
+       |SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       |  CAST(n_approx AS BIGINT) AS n_approx, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CASE WHEN n_exact = 0 THEN 0.0
+       |       ELSE round(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall
+       |FROM c""".stripMargin
+
   private def annIvfSql: String = {
     def wExpr(h: Int) =
       s"((((($h*1009 + j) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647) - 1073741823"
@@ -3449,6 +3481,27 @@ object OracleSql {
       |       ELSE round(CAST(r.n_rec AS DOUBLE) / t.n_edges, 6) END AS reciprocity
       |FROM t, r""".stripMargin
 
+  /** t_corpus_card: one-row corpus KPI card — documents, tokens,
+    * languages, exact-dup share via the normalized-content fingerprint,
+    * mean length. */
+  private def corpusCardSql: String =
+    """WITH d AS (SELECT doc_id, lang, text,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+      |  FROM documents),
+      |fpc AS (SELECT fp, count(*) AS c FROM d GROUP BY 1),
+      |dup AS (SELECT CAST(sum(c) AS BIGINT) AS n_dup FROM fpc WHERE c > 1)
+      |SELECT (SELECT count(*) FROM d) AS n_docs,
+      |  (SELECT CAST(sum(n_tok) AS BIGINT) FROM d) AS n_tokens,
+      |  (SELECT count(DISTINCT lang) FROM d) AS n_langs,
+      |  coalesce(dup.n_dup, 0) AS n_dup_docs,
+      |  round(CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+      |      / (SELECT count(*) FROM d), 6) AS dup_rate,
+      |  round(CAST((SELECT sum(n_tok) FROM d) AS DOUBLE)
+      |      / (SELECT count(*) FROM d), 6) AS mean_tokens
+      |FROM dup""".stripMargin
+
   /** a_boxplot: per-group positional quartiles in integer cents and
     * Tukey fences doubled into integer space. */
   private def boxplotSql: String =
@@ -3663,20 +3716,7 @@ object OracleSql {
         |  cosine >= 0.35 AS contaminated
         |FROM best WHERE rn = 1 ORDER BY id""".stripMargin,
 
-    "ann_cosine_topk" ->
-      """WITH n AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings)
-        |SELECT query_id, neighbor_id, cosine, rank FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
-        |         ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END AS cosine,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
-        |        ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC, c.vec_id) AS rank
-        |  FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_cosine_topk" -> annCosineSql,
 
     // q_hard_negatives: same cosine+rank replay as ann_cosine_topk with
     // the [0.10, 0.30) band filter applied before ranking.
@@ -4214,6 +4254,8 @@ object OracleSql {
     "w_reciprocity" -> reciprocitySql,
     "a_boxplot" -> boxplotSql,
     "e_last_touch" -> lastTouchSql,
+    "ann_recall_audit" -> annRecallSql,
+    "t_corpus_card" -> corpusCardSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

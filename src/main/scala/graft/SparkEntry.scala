@@ -1833,6 +1833,46 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** ANN recall audit: the sign-LSH bucketed search scored against the
+    * exact cosine top-5 — the engine measuring its own index, like
+    * `d_lsh_quality` does for MinHash.
+    */
+  private def annRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val q = embs.filter(col("vec_id") <= 10)
+    val exact = Ann.bruteForceTopK(embs, q, 5).select("query_id", "neighbor_id")
+    val approx = Ann.bucketedTopK(embs, q, 5).select("query_id", "neighbor_id")
+    val hit = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        when(col("n_exact") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_exact").cast("double"), 6)).as("recall"))
+  }
+
+  /** Corpus KPI card: one row a curation run reads first — volume,
+    * language spread, exact-dup share via the normalized fingerprint.
+    */
+  private def corpusCardQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val d = t(s, dir, "documents").select(col("lang"),
+      doc_fingerprint(col("text")).as("fp"),
+      token_count(col("text")).cast("long").as("n_tok"))
+    val dup = d.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).agg(sum(col("c")).as("__d"))
+      .select(coalesce(col("__d"), lit(0L)).as("n_dup_docs"))
+    d.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .crossJoin(dup)
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_tokens"))
+  }
+
   /** Box-plot profile per returnflag: positional quartiles in exact
     * integer cents, IQR, and Tukey-fence outlier counts (the 1.5·IQR
     * comparison doubled into integer space — no float fence). The rank
@@ -3122,7 +3162,9 @@ object SparkEntry {
     "a_info_gain" -> infoGainQ,
     "w_reciprocity" -> reciprocityQ,
     "a_boxplot" -> boxplotQ,
-    "e_last_touch" -> lastTouchQ
+    "e_last_touch" -> lastTouchQ,
+    "ann_recall_audit" -> annRecallQ,
+    "t_corpus_card" -> corpusCardQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
