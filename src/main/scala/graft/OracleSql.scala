@@ -3502,6 +3502,35 @@ object OracleSql {
       |      / (SELECT count(*) FROM d), 6) AS mean_tokens
       |FROM dup""".stripMargin
 
+  /** emb_dim_variance: per-dim scaled variance n·Σu² − (Σu)² from
+    * integer micro components; anisotropy = max·n_dims / Σ. */
+  private def dimVarianceSql: String =
+    """WITH comps AS (SELECT i - 1 AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS u
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |pd AS (SELECT dim, count(*) AS n, CAST(sum(u) AS BIGINT) AS su,
+      |    CAST(sum(u * u) AS BIGINT) AS suu FROM comps GROUP BY 1),
+      |v AS (SELECT dim, n, CAST(n * suu - su * su AS BIGINT) AS vu2 FROM pd),
+      |tot AS (SELECT CAST(sum(vu2) AS BIGINT) AS sv, CAST(max(vu2) AS BIGINT) AS mv,
+      |    count(*) AS n_dims FROM v)
+      |SELECT CAST(v.dim AS BIGINT) AS dim,
+      |  round(CAST(v.vu2 AS DOUBLE) / CAST(v.n * v.n AS DOUBLE) / 1e12, 6) AS variance,
+      |  CASE WHEN tot.sv = 0 THEN 0.0
+      |       ELSE round(CAST(v.vu2 AS DOUBLE) / tot.sv, 6) END AS var_share,
+      |  tot.n_dims,
+      |  CASE WHEN tot.sv = 0 THEN 0.0
+      |       ELSE round(CAST(tot.mv AS DOUBLE) * tot.n_dims / tot.sv, 6) END AS anisotropy
+      |FROM v, tot ORDER BY dim""".stripMargin
+
+  /** e_rolling_wau: trailing 7-day distinct users per observed day. */
+  private def rollingWauSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM ud)
+      |SELECT days.day, count(DISTINCT ud.user_id) AS wau
+      |FROM ud JOIN days ON days.day BETWEEN ud.d AND ud.d + 6
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   /** a_boxplot: per-group positional quartiles in integer cents and
     * Tukey fences doubled into integer space. */
   private def boxplotSql: String =
@@ -4256,6 +4285,8 @@ object OracleSql {
     "e_last_touch" -> lastTouchSql,
     "ann_recall_audit" -> annRecallSql,
     "t_corpus_card" -> corpusCardSql,
+    "emb_dim_variance" -> dimVarianceSql,
+    "e_rolling_wau" -> rollingWauSql,
 
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),

@@ -1833,6 +1833,30 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** Per-dimension embedding variance + anisotropy
+    * ([[graft.operators.Ann.dimVariance]]).
+    */
+  private def dimVarianceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.dimVariance(t(s, dir, "embeddings"))
+      .orderBy("dim")
+
+  /** Rolling 7-day active users: each user-day contributes to the 7
+    * trailing windows via an explode (the scale shape — equi-join on
+    * the day, no range join), exact distinct per reported day.
+    */
+  private def rollingWauQ(s: SparkSession, dir: String): DataFrame = {
+    val ud = t(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("d"))
+      .distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    ud.select(col("user_id"),
+        explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+      .join(days, "day")
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("day")
+  }
+
   /** ANN recall audit: the sign-LSH bucketed search scored against the
     * exact cosine top-5 — the engine measuring its own index, like
     * `d_lsh_quality` does for MinHash.
@@ -3164,7 +3188,9 @@ object SparkEntry {
     "a_boxplot" -> boxplotQ,
     "e_last_touch" -> lastTouchQ,
     "ann_recall_audit" -> annRecallQ,
-    "t_corpus_card" -> corpusCardQ
+    "t_corpus_card" -> corpusCardQ,
+    "emb_dim_variance" -> dimVarianceQ,
+    "e_rolling_wau" -> rollingWauQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -331,6 +331,40 @@ object Ann {
         col("cosine"))
   }
 
+  /** Per-dimension variance of an embedding corpus — the dead-dimension
+    * / dominant-dimension report (a collapsed dim carries no signal; one
+    * dim hoarding the variance breaks cosine geometry). Components
+    * micro-quantize to integers so the moment sums are exact; each dim's
+    * scaled variance `n·Σu² − (Σu)²` is an exact long, and the
+    * anisotropy summary (max over mean of those longs) is one integer
+    * ratio — partitioning-invariant throughout.
+    * Output: one row per dim (dim, variance, var_share) + constant
+    * (n_dims, anisotropy) columns; variance in original units².
+    */
+  def dimVariance(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val comps = embs.select(
+        posexplode(transform(col(s"`$vecCol`"), _.cast("double"))))
+      .select(col("pos").as("dim"),
+        round(col("col") * 1000000, 0).cast("long").as("u"))
+    val perDim = comps.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("su"),
+        sum(col("u") * col("u")).as("suu"))
+      .withColumn("vu2", col("n") * col("suu") - col("su") * col("su"))
+    val tot = perDim.agg(sum(col("vu2")).as("__sv"), max(col("vu2")).as("__mv"),
+      count(lit(1)).as("n_dims"))
+    perDim.crossJoin(broadcast(tot))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("vu2").cast("double") /
+          (col("n") * col("n")).cast("double") / 1e12, 6).as("variance"),
+        when(col("__sv") === 0, lit(0.0))
+          .otherwise(round(col("vu2").cast("double") /
+            col("__sv").cast("double"), 6)).as("var_share"),
+        col("n_dims"),
+        when(col("__sv") === 0, lit(0.0))
+          .otherwise(round(col("__mv").cast("double") * col("n_dims").cast("double") /
+            col("__sv").cast("double"), 6)).as("anisotropy"))
+  }
+
   def cosineNearDups(embs: DataFrame, threshold: Double = 0.95,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      nBits: Int = 32, recallTarget: Double = 0.95): DataFrame = {
