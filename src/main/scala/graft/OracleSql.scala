@@ -4288,6 +4288,24 @@ object OracleSql {
     "emb_dim_variance" -> dimVarianceSql,
     "e_rolling_wau" -> rollingWauSql,
 
+    // x_latest_by_key: the compacted current-state view — latest row
+    // per key by (ts, event_id), replayed with a rank window.
+    "x_latest_by_key" ->
+      """SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+        |  CAST(value AS DOUBLE) AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // s_csv_write_roundtrip: the writer must round-trip losslessly —
+    // the oracle checksums the SOURCE table directly.
+    "s_csv_write_roundtrip" ->
+      """SELECT count(*) AS n_rows, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(length(n_name)) AS BIGINT) AS name_len_sum,
+        |  CAST(sum(n_regionkey) AS BIGINT) AS region_sum
+        |FROM nation""".stripMargin,
+
     "s10_split_roundtrip" ->
       """WITH raw AS (SELECT * FROM read_json_auto('/tmp/graft_fixtures/pair_labels.json')),
         |x AS (

@@ -1833,6 +1833,38 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(e)
   }
 
+  /** Changelog compaction: the LATEST row per (user, event_type) — the
+    * SCD1 / upsert-view primitive. Shape matters: ONE struct-max
+    * aggregation (ts then event_id orders the struct lexicographically),
+    * not a row_number window — a single map-side-combining shuffle
+    * replaces the sort-the-world pattern at 100 TB.
+    */
+  private def latestByKeyQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("__m"))
+      .select(col("user_id"), col("event_type"),
+        col("__m.ts").as("last_ts"), col("__m.event_id").as("last_event_id"),
+        col("__m.value").cast("double").as("last_value"))
+      .orderBy("user_id", "event_type")
+
+  /** CSV WRITER round-trip: nation written with full quoting and read
+    * back through the robust reader path — checksums must equal the
+    * source exactly (the export side of the ingest contract).
+    */
+  private def csvWriteRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/csv_write_${math.abs(dir.hashCode)}"
+    val src = t(s, dir, "nation")
+    src.coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").csv(out)
+    s.read.option("header", "true")
+      .schema(src.schema).csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"),
+        sum(length(col("n_name"))).cast("long").as("name_len_sum"),
+        sum(col("n_regionkey")).cast("long").as("region_sum"))
+  }
+
   /** Per-dimension embedding variance + anisotropy
     * ([[graft.operators.Ann.dimVariance]]).
     */
@@ -3190,7 +3222,9 @@ object SparkEntry {
     "ann_recall_audit" -> annRecallQ,
     "t_corpus_card" -> corpusCardQ,
     "emb_dim_variance" -> dimVarianceQ,
-    "e_rolling_wau" -> rollingWauQ
+    "e_rolling_wau" -> rollingWauQ,
+    "x_latest_by_key" -> latestByKeyQ,
+    "s_csv_write_roundtrip" -> csvWriteRoundtripQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
