@@ -1916,8 +1916,10 @@ object OracleSql {
     * 6 dp on both sides (the one transcendental), per-term contributions
     * rounded then summed as exact DECIMAL(18,6) so aggregation order
     * cannot perturb the score, ties on ascending doc_id. */
-  private def bm25SearchSql: String =
-    """WITH d AS (
+  private def bm25SearchSql: String = bm25TopSql(15)
+
+  private def bm25TopSql(k: Int): String =
+    raw"""WITH d AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
       |  FROM documents),
@@ -1939,7 +1941,7 @@ object OracleSql {
       |  CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DOUBLE) AS score_r,
       |  row_number() OVER (ORDER BY CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id) AS rank
       |FROM contrib GROUP BY doc_id
-      |QUALIFY rank <= 15 ORDER BY rank""".stripMargin
+      |QUALIFY rank <= $k ORDER BY rank""".stripMargin
 
   /** t_lm_quality: replay the add-1 bigram LM — word_shingles(2)
     * bigrams, train counts from ≥2-token docs ONLY (sub-2-token docs
@@ -3916,6 +3918,53 @@ object OracleSql {
         |FROM supplier s JOIN customer c
         |  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal <= s.s_acctbal + 100.0
         |GROUP BY s.s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "x_interval_overlap" ->
+      """SELECT s.s_suppkey, count(*) AS n_overlaps,
+        |  CAST(sum(c.c_custkey) AS BIGINT) AS cust_checksum
+        |FROM supplier s JOIN customer c
+        |  ON c.c_acctbal <= s.s_acctbal + 100.0
+        | AND s.s_acctbal <= c.c_acctbal + 50.0
+        |GROUP BY s.s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    // x_salted_join: the oracle is the PLAIN equi-join — salting must be
+    // result-invisible.
+    "x_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // j_hybrid_rrf: both retrieval lists replayed by their own oracle
+    // pipelines (BM25 top-20, exact cosine top-20 for query vec 1), then
+    // RRF-fused — reciprocal contributions rounded to 6 dp and summed as
+    // exact DECIMAL(18,6), ties on ascending doc_id.
+    "j_hybrid_rrf" ->
+      s"""WITH sparse AS (SELECT doc_id, rank FROM (${bm25TopSql(20)})),
+         |nrm AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |dense AS (
+         |  SELECT neighbor_id AS doc_id, rank FROM (
+         |    SELECT c.vec_id AS neighbor_id,
+         |      row_number() OVER (ORDER BY
+         |        CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+         |             ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC,
+         |        c.vec_id) AS rank
+         |    FROM nrm q JOIN nrm c ON q.vec_id = 1 AND c.vec_id <> 1)
+         |  WHERE rank <= 20),
+         |u AS (
+         |  SELECT doc_id, round(1.0 / (60 + rank), 6) AS c FROM sparse
+         |  UNION ALL
+         |  SELECT doc_id, round(1.0 / (60 + rank), 6) AS c FROM dense),
+         |f AS (
+         |  SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS rrf_r,
+         |    count(*) AS n_lists
+         |  FROM u GROUP BY doc_id)
+         |SELECT doc_id, rrf_r, n_lists,
+         |  row_number() OVER (ORDER BY rrf_r DESC, doc_id) AS rank
+         |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
 
     "x_cube_agg" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,

@@ -2968,6 +2968,56 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  /** Engine extension: interval-overlap join — customer [acctbal,
+    * acctbal+50] brackets intersecting supplier [acctbal, acctbal+100]
+    * brackets, via the bucketized equi-join with left-edge dedup (no
+    * cross product, no distinct). */
+  private def intervalOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val custs = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal").as("c_lo"),
+        (col("c_acctbal") + 50.0).as("c_hi"))
+    val sups = t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal").as("s_lo"),
+        (col("s_acctbal") + 100.0).as("s_hi"))
+    graft.operators.RangeJoin.intervalOverlap(
+      custs, "c_lo", "c_hi", sups, "s_lo", "s_hi", bucketWidth = 200.0)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("c_custkey")).cast("long").as("cust_checksum"))
+      .orderBy("s_suppkey")
+  }
+
+  /** §4 skew tactics as a QUERY: the lineitem→orders equi-join run
+    * through `Skew.saltedJoin` (hot keys spread over 8 salt buckets),
+    * aggregated per priority. The oracle is the PLAIN join — the whole
+    * point is that salting is result-invisible. */
+  private def saltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val ords = t(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(li, ords, "okey", factor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Hybrid retrieval: BM25 keyword list + dense cosine list fused by
+    * Reciprocal Rank Fusion (K=60) — the standard RAG first-stage
+    * combiner. Both inputs are the engine's own top-20 retrievals; only
+    * ranks cross the fusion boundary. */
+  private def hybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    val sparse = graft.search.TextSearch.bm25TopK(t(s, dir, "documents"),
+      Seq("dup", "vector", "join", "window"), k = 20)
+    val embs = t(s, dir, "embeddings")
+    val dense = graft.operators.Ann
+      .bruteForceTopK(embs, embs.filter(col("vec_id") === 1), k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    graft.search.Fusion.rrf(Seq(sparse.select("doc_id", "rank"), dense),
+      kConst = 60, topK = 10)
+  }
+
   /** Engine extensions beyond the reference: multi-level aggregation. */
   private def rollupAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -3177,6 +3227,9 @@ object SparkEntry {
     "e_cohort_retention" -> cohortRetentionQ,
     "e_resample_locf" -> resampleLocfQ,
     "x_range_join" -> rangeJoinQ,
+    "x_interval_overlap" -> intervalOverlapQ,
+    "x_salted_join" -> saltedJoinQ,
+    "j_hybrid_rrf" -> hybridRrfQ,
     "x_rollup_agg" -> rollupAgg,
     "x_cube_agg" -> cubeAgg,
     "w_window_suite" -> windowSuiteQ,

@@ -47,4 +47,43 @@ object RangeJoin {
         col(s"`$pCol`") <= col(s"`$hiCol`"))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join: every left interval [`lLo`,`lHi`] paired with
+    * every right interval [`rLo`,`rHi`] it intersects (inclusive ends:
+    * overlap ⇔ lLo ≤ rHi ∧ rLo ≤ lHi). Column names must be disjoint
+    * across the two sides.
+    *
+    * Same bucketization as [[pointInInterval]] — both sides explode into
+    * the coarse buckets they cover and equi-join on the bucket key — plus
+    * the standard dedup trick: a pair sharing several buckets is emitted
+    * ONLY from the bucket containing max(lLo, rLo) (the left edge of the
+    * intersection), so no distinct/shuffle is needed to de-duplicate.
+    * Both interval sides must respect the 1000-bucket width guard.
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def explodeBuckets(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val b = df
+        .withColumn("__blo", floor(col(s"`$lo`") / bucketWidth).cast("long"))
+        .withColumn("__bhi", floor(col(s"`$hi`") / bucketWidth).cast("long"))
+      val widestRow = b.agg(max(col("__bhi") - col("__blo"))).first()
+      val widest = if (widestRow.isNullAt(0)) 0L else widestRow.getLong(0)
+      require(widest <= 1000,
+        s"an interval spans $widest buckets; raise bucketWidth")
+      b.withColumn("__bucket", explode(sequence(col("__blo"), col("__bhi"))))
+        .drop("__blo", "__bhi")
+    }
+    val l = explodeBuckets(left, lLo, lHi)
+    val r = explodeBuckets(right, rLo, rHi)
+    l.join(r, "__bucket")
+      .filter(col(s"`$lLo`") <= col(s"`$rHi`") &&
+        col(s"`$rLo`") <= col(s"`$lHi`"))
+      // emit each overlapping pair exactly once: from the bucket holding
+      // the intersection's left edge
+      .filter(col("__bucket") ===
+        floor(greatest(col(s"`$lLo`"), col(s"`$rLo`")) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
 }

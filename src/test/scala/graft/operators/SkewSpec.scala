@@ -288,4 +288,30 @@ class RangeJoinSpec extends SparkSpec {
       .select("pid").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(1L, 2L))
   }
+
+  test("intervalOverlap equals the naive theta-join, each pair exactly once") {
+    val left = (1 to 200).map(i => (i.toLong, i * 1.3, i * 1.3 + 7.0))
+      .toDF("lid", "llo", "lhi")
+    val right = (1 to 60).map(i => (i.toLong, i * 4.0, i * 4.0 + 11.0))
+      .toDF("rid", "rlo", "rhi")
+    val fast = RangeJoin.intervalOverlap(left, "llo", "lhi", right, "rlo", "rhi", 8.0)
+      .select("lid", "rid")
+    val naive = left.join(right,
+      col("llo") <= col("rhi") && col("rlo") <= col("lhi")).select("lid", "rid")
+    assert(fast.count() == naive.count() && fast.count() > 0)
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "bucketized overlap join must emit exactly the theta-join pairs, no dups")
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a cross product:\n$plan")
+  }
+
+  test("intervalOverlap: touching endpoints overlap; disjoint do not") {
+    val left = Seq((1L, 0.0, 10.0), (2L, 30.0, 40.0)).toDF("lid", "llo", "lhi")
+    val right = Seq((7L, 10.0, 20.0), (8L, 41.0, 50.0)).toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(left, "llo", "lhi", right, "rlo", "rhi", 5.0)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 7L)),
+      "inclusive ends: [0,10]×[10,20] touch → overlap; [30,40]×[41,50] disjoint")
+  }
 }
