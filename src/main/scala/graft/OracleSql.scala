@@ -3966,6 +3966,71 @@ object OracleSql {
          |  row_number() OVER (ORDER BY rrf_r DESC, doc_id) AS rank
          |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
 
+    // e_multi_touch: linear attribution — each purchase's credit split
+    // 1/n over the preceding hour's same-user clicks, shares rounded to
+    // 6 dp and summed as exact DECIMAL(18,6), rolled up by click hour.
+    "e_multi_touch" ->
+      """WITH t AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT t.ts AS t_ts, c.event_id AS c_id
+        |  FROM t JOIN c ON t.user_id = c.user_id AND t.ts <= c.ts
+        |    AND t.ts >= c.ts - INTERVAL 1 HOUR),
+        |w AS (SELECT t_ts, count(*) OVER (PARTITION BY c_id) AS n_trig FROM pairs)
+        |SELECT CAST(hour(t_ts) AS BIGINT) AS click_hour, count(*) AS n_touches,
+        |  CAST(sum(CAST(round(1.0 / n_trig, 6) AS DECIMAL(18,6))) AS DOUBLE) AS credit
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a_schema_diff: per-side column stats replayed with the engine's
+    // profile semantics (unique counts the null group; strings P2
+    // empty→null), full-outer joined, status by the same CASE ladder.
+    "a_schema_diff" ->
+      """WITH a AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |           FROM orders WHERE o_orderkey % 3 < 2),
+        |b AS (SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |      FROM orders WHERE o_orderkey % 3 > 0),
+        |pa AS (
+        |  SELECT 'o_orderkey' AS col_name, 'integer' AS type_a, count(*) AS rows_a,
+        |    count(*) - count(o_orderkey) AS nulls_a,
+        |    count(DISTINCT o_orderkey) + CAST(count(*) > count(o_orderkey) AS BIGINT) AS uniq_a
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'integer', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey) + CAST(count(*) > count(o_custkey) AS BIGINT) FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', 'string', count(*),
+        |    count(*) - count(NULLIF(o_orderstatus, '')),
+        |    count(DISTINCT NULLIF(o_orderstatus, ''))
+        |      + CAST(count(*) > count(NULLIF(o_orderstatus, '')) AS BIGINT) FROM a
+        |  UNION ALL
+        |  SELECT 'o_totalprice', 'float', count(*), count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice) + CAST(count(*) > count(o_totalprice) AS BIGINT) FROM a),
+        |pb AS (
+        |  SELECT 'o_orderkey' AS col_name, 'integer' AS type_b, count(*) AS rows_b,
+        |    count(*) - count(o_orderkey) AS nulls_b,
+        |    count(DISTINCT o_orderkey) + CAST(count(*) > count(o_orderkey) AS BIGINT) AS uniq_b
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'integer', count(*), count(*) - count(o_custkey),
+        |    count(DISTINCT o_custkey) + CAST(count(*) > count(o_custkey) AS BIGINT) FROM b
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', 'string', count(*),
+        |    count(*) - count(NULLIF(o_orderpriority, '')),
+        |    count(DISTINCT NULLIF(o_orderpriority, ''))
+        |      + CAST(count(*) > count(NULLIF(o_orderpriority, '')) AS BIGINT) FROM b
+        |  UNION ALL
+        |  SELECT 'o_totalprice', 'float', count(*), count(*) - count(o_totalprice),
+        |    count(DISTINCT o_totalprice) + CAST(count(*) > count(o_totalprice) AS BIGINT) FROM b)
+        |SELECT col_name,
+        |  CASE WHEN type_a IS NULL THEN 'added'
+        |       WHEN type_b IS NULL THEN 'removed'
+        |       WHEN type_a <> type_b THEN 'type_changed'
+        |       WHEN rows_a <> rows_b OR nulls_a <> nulls_b OR uniq_a <> uniq_b THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  type_a, type_b, rows_a, nulls_a, uniq_a, rows_b, nulls_b, uniq_b
+        |FROM pa FULL OUTER JOIN pb USING (col_name)
+        |ORDER BY col_name""".stripMargin,
+
     "x_cube_agg" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -1673,6 +1673,26 @@ object SparkEntry {
   private def timeToConvertQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Events.timeToConvert(t(s, dir, "events"))
 
+  /** Linear multi-touch attribution: each purchase's credit split
+    * equally over the same user's clicks in the preceding hour, rolled
+    * up by click hour-of-day ([[graft.operators.Events.linearAttribution]]).
+    */
+  private def multiTouchQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.linearAttribution(t(s, dir, "events"))
+
+  /** Snapshot schema/profile drift: two column-subset snapshots of
+    * `orders` with disjoint filters — one column removed, one added, the
+    * shared ones stat-shifted ([[graft.profile.SnapshotDiff.diff]]).
+    */
+  private def schemaDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val snapA = o.filter(col("o_orderkey") % 3 < 2)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val snapB = o.filter(col("o_orderkey") % 3 > 0)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    graft.profile.SnapshotDiff.diff(snapA, snapB)
+  }
+
   /** Two-sample KS drift: purchase-event values vs view-event values
     * ([[graft.profile.Drift.ksTest]]) — the nonparametric complement to
     * `a_psi_drift` over the same split.
@@ -3230,6 +3250,8 @@ object SparkEntry {
     "x_interval_overlap" -> intervalOverlapQ,
     "x_salted_join" -> saltedJoinQ,
     "j_hybrid_rrf" -> hybridRrfQ,
+    "e_multi_touch" -> multiTouchQ,
+    "a_schema_diff" -> schemaDiffQ,
     "x_rollup_agg" -> rollupAgg,
     "x_cube_agg" -> cubeAgg,
     "w_window_suite" -> windowSuiteQ,

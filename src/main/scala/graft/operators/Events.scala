@@ -406,6 +406,48 @@ object Events {
           col("lat_us"))).as("p90_us"))
   }
 
+  /** Linear multi-touch attribution — the share-the-credit complement
+    * to last-touch (`x_asof_join` / `e_last_touch`): every trigger event
+    * inside the `horizon` before a conversion by the same user receives
+    * an equal 1/n share of that conversion's credit, rolled up by the
+    * trigger's hour of day (which hours' touches actually drive
+    * conversions).
+    *
+    * Scale shape: the pair relation is the batch twin of
+    * `StreamingProfile.attributionJoin` — ONE user-keyed equi-join with
+    * the interval predicate applied inside, never a cross product. The
+    * per-conversion touch count is a window partitioned by conversion id
+    * (bounded by touches-per-conversion, never corpus-global). Credit
+    * shares round to 6 dp and sum as exact DECIMAL(18,6), so the total
+    * is independent of aggregation order.
+    * Output: (click_hour, n_touches, credit), ordered by hour.
+    */
+  def linearAttribution(events: DataFrame, triggerType: String = "click",
+                        convType: String = "purchase", horizon: String = "1 hour",
+                        idCol: String = "user_id", tsCol: String = "ts",
+                        typeCol: String = "event_type",
+                        eventIdCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val trig = events.filter(col(s"`$typeCol`") === triggerType)
+      .select(col(s"`$idCol`").as("t_user"), col(s"`$tsCol`").as("t_ts"),
+        col(s"`$eventIdCol`").as("t_id"))
+    val conv = events.filter(col(s"`$typeCol`") === convType)
+      .select(col(s"`$idCol`").as("c_user"), col(s"`$tsCol`").as("c_ts"),
+        col(s"`$eventIdCol`").as("c_id"))
+    val pairs = trig.join(conv,
+      col("t_user") === col("c_user") &&
+        col("t_ts") <= col("c_ts") &&
+        col("t_ts") >= col("c_ts") - expr(s"interval $horizon"))
+    val perConv = Window.partitionBy(col("c_id"))
+    pairs.withColumn("n_trig", count(lit(1)).over(perConv))
+      .withColumn("share", round(lit(1.0) / col("n_trig"), 6))
+      .groupBy(hour(col("t_ts")).cast("long").as("click_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("share").cast(DecimalType(18, 6))).cast("double").as("credit"))
+      .orderBy("click_hour")
+  }
+
   /** Regular-grid resample with LOCF: per key, an hourly (or any
     * `stepExpr`) grid spanning that key's observed range; each grid
     * point carries the value of the latest observation at-or-before it

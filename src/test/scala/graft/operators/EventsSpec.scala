@@ -70,4 +70,27 @@ class EventsSpec extends SparkSpec {
     assert(out(1).getAs[Double]("asof_value") == 1.0) // carried
     assert(out(2).getAs[Double]("asof_value") == 1.0) // 02:30 obs is later
   }
+
+  test("linearAttribution: credit splits 1/n over in-horizon clicks only") {
+    val events = Seq(
+      // user 1: two clicks inside the hour before the purchase → 0.5 each
+      (1L, "2024-01-01 08:10:00", "click", 10L),
+      (1L, "2024-01-01 08:50:00", "click", 11L),
+      (1L, "2024-01-01 09:05:00", "purchase", 12L),
+      // user 1: click >1h before the purchase → no credit
+      (1L, "2024-01-01 07:00:00", "click", 13L),
+      // user 2: click AFTER the purchase → no credit
+      (2L, "2024-01-01 10:30:00", "purchase", 20L),
+      (2L, "2024-01-01 10:40:00", "click", 21L),
+      // user 3: single click, full credit at hour 11
+      (3L, "2024-01-01 11:00:00", "click", 30L),
+      (3L, "2024-01-01 11:30:00", "purchase", 31L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Events.linearAttribution(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((8L, 2L, 1.0), (11L, 1L, 1.0)),
+      "hours 8 (two half-credits) and 11 (one full) only; out-of-horizon " +
+        "and post-purchase clicks earn nothing")
+  }
 }
