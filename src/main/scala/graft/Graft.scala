@@ -321,6 +321,17 @@ object Graft {
                 loCol: String, hiCol: String, bucketWidth: Double): DataFrame =
     operators.RangeJoin.pointInInterval(points, pCol, intervals, loCol, hiCol, bucketWidth)
 
+  /** Interval×interval overlap pairs, bucketized, each pair once. */
+  def intervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+                          right: DataFrame, rLo: String, rHi: String,
+                          bucketWidth: Double): DataFrame =
+    operators.RangeJoin.intervalOverlap(left, lLo, lHi, right, rLo, rHi, bucketWidth)
+
+  /** Hot-key-safe equi-join: left load spread over `factor` salt buckets. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 factor: Int = 16): DataFrame =
+    operators.Skew.saltedJoin(left, right, key, factor)
+
   // ---- profiling extensions: information theory, quality, drift ----
 
   /** Shannon entropy per column (key-likeness signal). */
@@ -503,4 +514,20 @@ object Graft {
   /** HITS hubs/authorities in exact integer ppm space. */
   def hits(edges: DataFrame, nIter: Int = 2): DataFrame =
     operators.Graph.hitsInt(edges, nIter)
+
+  /** Reciprocal Rank Fusion of per-query top-k rank lists (hybrid
+    * retrieval: BM25 + dense + sketch lists fuse on ranks alone). */
+  def rrfFusion(lists: Seq[DataFrame], idCol: String = "doc_id",
+                kConst: Int = 60, topK: Int = 10): DataFrame =
+    search.Fusion.rrf(lists, idCol, kConst = kConst, topK = topK)
+
+  /** Column-level schema/profile drift between two table snapshots. */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame =
+    profile.SnapshotDiff.diff(a, b)
+
+  /** Linear multi-touch attribution: 1/n credit per in-horizon touch. */
+  def linearAttribution(events: DataFrame, triggerType: String = "click",
+                        convType: String = "purchase",
+                        horizon: String = "1 hour"): DataFrame =
+    operators.Events.linearAttribution(events, triggerType, convType, horizon)
 }
