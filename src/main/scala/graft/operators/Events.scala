@@ -375,14 +375,16 @@ object Events {
     * Percentiles are POSITIONS in the sorted bounded per-user relation
     * (median = mean of the two central ranks, p90 = rank ⌈9n/10⌉ by
     * integer arithmetic) — no float percentile estimator, so every
-    * engine lands on the same microsecond. The rank window runs over
-    * one row per converting user, not events. Output: one row
+    * engine lands on the same microsecond. Ranks come from a window-free
+    * distributed position pass over the latency-sorted per-user relation
+    * ([[Ranking.withPosition]] — one row per converting user, range-
+    * partitioned by the sort, no single-reducer funnel even at billions
+    * of users). Output: one row
     * (n_users, min_us, max_us, median_us, p90_us).
     */
   def timeToConvert(events: DataFrame, fromType: String = "view",
                     toType: String = "purchase", idCol: String = "user_id",
                     tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val first = events.filter(col(s"`$typeCol`") === fromType)
       .groupBy(col(s"`$idCol`").as("uid"))
       .agg(min(col(s"`$tsCol`")).as("t0"))
@@ -393,9 +395,9 @@ object Events {
       .select(col("uid"),
         (unix_micros(col("t1").cast("timestamp")) -
           unix_micros(col("t0").cast("timestamp"))).as("lat_us"))
-    val w = Window.orderBy(col("lat_us"), col("uid"))
-    lat.withColumn("__rn", row_number().over(w).cast("long"))
-      .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
+    val n = lat.agg(count(lit(1)).as("__m"))
+    Ranking.withPosition(lat.orderBy(col("lat_us"), col("uid")), "__rn")
+      .crossJoin(broadcast(n))
       .agg(max(col("__m")).as("n_users"),
         min(col("lat_us")).as("min_us"),
         max(col("lat_us")).as("max_us"),

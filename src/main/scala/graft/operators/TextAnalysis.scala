@@ -90,18 +90,20 @@ object TextAnalysis {
     * OLS moment sums are EXACT integers (the micro-nat discipline);
     * slope is one double division of integer moments, and r² squares
     * the same integer moments in double (they exceed long range only
-    * when squared). The rank window runs over the bounded distinct-token
-    * relation. Output: one row (n_terms, slope, r2).
+    * when squared). Ranks come from a window-free distributed position
+    * pass over the (f desc, tok)-sorted vocabulary
+    * ([[graft.operators.Ranking.withPosition]]) — a web-corpus vocab
+    * runs to hundreds of millions of terms, far past what a global
+    * single-reducer rank window tolerates. Output: one row
+    * (n_terms, slope, r2).
     */
   def zipfFit(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = docs.select(
         explode(split(lower(trim(col(s"`$textCol`"))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("f"))
-    val ranked = freq
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("f").desc, col("tok"))).cast("long"))
+    val ranked = Ranking
+      .withPosition(freq.orderBy(col("f").desc, col("tok")), "r")
       .select(
         round(round(log(col("r").cast("double")), 6) * 1000000, 0)
           .cast("long").as("lx"),

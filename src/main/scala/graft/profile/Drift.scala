@@ -72,24 +72,24 @@ object Drift {
     *
     * Shape at scale: both sides quantize to integer cents and collapse
     * to ONE distinct-value relation first (the decile-histogram
-    * discipline) — the ordered prefix-sum window runs over the bounded
-    * value domain, never raw rows. Output: one row (n_a, n_b, d_stat,
-    * at_cents).
+    * discipline), and the CDF prefix sums run as a distributed scan over
+    * the value-ordered relation ([[graft.operators.Ranking
+    * .withRunningSums]] — a global sort range-partitions in order; per-
+    * partition offsets come from one bounded count pass), never through a
+    * single-reducer window. Output: one row (n_a, n_b, d_stat, at_cents).
     */
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String,
              scale: Long = 100L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def cents(df: DataFrame, sideA: Long) = df
       .select(round(col(s"`$valueCol`") * scale, 0).cast("long").as("c"))
       .filter(col("c").isNotNull)
       .select(col("c"), lit(sideA).as("ca"), lit(1L - sideA).as("cb"))
     val merged = cents(a, 1L).unionByName(cents(b, 0L))
       .groupBy("c").agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val w = Window.orderBy(col("c"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = merged
-      .withColumn("cum_a", sum(col("na")).over(w))
-      .withColumn("cum_b", sum(col("nb")).over(w))
+    val cum = graft.operators.Ranking
+      .withRunningSums(merged.orderBy(col("c")), Seq("na", "nb"))
+      .withColumnRenamed("cum_na", "cum_a")
+      .withColumnRenamed("cum_nb", "cum_b")
     val tot = merged.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
     cum.crossJoin(broadcast(tot))
       .withColumn("__dev",

@@ -101,24 +101,37 @@ object QuantileSketch {
   /** The decile CUT BUCKETS of a sketch — the raw integer bucket ids
     * holding ranks ⌈n·k/10⌉, k = 1..9 (a bucket spanning several
     * deciles appears once per k). [[deciles]] adds the midpoint
-    * estimate; [[equiDepthBins]] uses the buckets directly. */
-  def decileBuckets(sketch: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("table_name", "col_idx").orderBy("bucket")
-    sketch
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n", sum(col("cnt")).over(
-        Window.partitionBy("table_name", "col_idx")))
-      .select(col("table_name"), col("col_idx"), col("bucket"), col("cnt"),
-        col("cum"), col("n"),
+    * estimate; [[equiDepthBins]] uses the buckets directly.
+    *
+    * Window-free by design: a column's sketch is BOUNDED
+    * (O(octaves × 2^SubBits) ≈ 2k rows), so the cumulative walk runs as
+    * one hash aggregate collecting the sorted (bucket, cnt) array plus a
+    * higher-order `aggregate` scan per decile — no per-group sort window.
+    * A window would also silently degenerate when the keys are literals
+    * (single-column use, [[equiDepthBins]]): Catalyst constant-folds the
+    * partition spec to empty and the "No Partition Defined" single-
+    * reducer plan appears. The hash-agg shape can't.
+    */
+  def decileBuckets(sketch: DataFrame): DataFrame =
+    sketch.groupBy("table_name", "col_idx")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("bs"),
+        sum(col("cnt")).as("n"))
+      .select(col("table_name"), col("col_idx"), col("n"), col("bs"),
         explode(sequence(lit(1), lit(9))).as("decile"))
       .withColumn("decile", col("decile").cast("long"))
       // integer rank: ceil(n*k/10) = (n*k + 9) div 10, clamped >= 1
       .withColumn("rank",
         greatest(expr("(n * decile + 9) div 10"), lit(1L)))
-      .filter(col("cum") >= col("rank") && col("cum") - col("cnt") < col("rank"))
+      // first bucket (ascending) whose cumulative count reaches the rank
+      .withColumn("bucket", expr(
+        """aggregate(bs,
+          |  named_struct('cum', 0L, 'b', CAST(NULL AS BIGINT)),
+          |  (acc, x) -> IF(acc.b IS NOT NULL, acc,
+          |    named_struct('cum', acc.cum + x.cnt,
+          |      'b', IF(acc.cum + x.cnt >= rank, x.bucket,
+          |        CAST(NULL AS BIGINT)))),
+          |  acc -> acc.b)""".stripMargin))
       .select(col("table_name"), col("col_idx"), col("decile"), col("bucket"))
-  }
 
   def deciles(sketch: DataFrame): DataFrame =
     decileBuckets(sketch)

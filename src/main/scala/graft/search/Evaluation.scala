@@ -71,19 +71,20 @@ object Evaluation {
     * an exact integer (the textbook no-ties formula applied to the
     * tie-broken rankings — documented semantics rather than fractional
     * average-ranks, which would reintroduce float sums). ρ is one
-    * round-6 division. Two rank windows over the joined per-item
-    * relation; at many-item scale swap the global windows for
-    * `zipWithIndex`-style ranking — item-level eval relations are
-    * bounded in practice. Output: one row (n_items, sum_d2, rho).
+    * round-6 division. Ranks come from two chained window-free position
+    * passes over the sorted item relation — scale-safe even when the
+    * "items" are a whole corpus. Output: one row (n_items, sum_d2, rho).
     */
   def spearman(items: DataFrame, idCol: String,
                scoreA: String, scoreB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ra = Window.orderBy(col(s"`$scoreA`").desc, col(s"`$idCol`"))
-    val rb = Window.orderBy(col(s"`$scoreB`").desc, col(s"`$idCol`"))
-    val ranked = items
-      .withColumn("__ra", row_number().over(ra).cast("long"))
-      .withColumn("__rb", row_number().over(rb).cast("long"))
+    // Window-free global ranks: two chained sorted position passes
+    // (graft.operators.Ranking) — each global orderBy range-partitions
+    // in rank order, so neither ranking funnels the item relation
+    // through one reducer the way an unpartitioned rank window would.
+    val withRa = graft.operators.Ranking.withPosition(
+      items.orderBy(col(s"`$scoreA`").desc, col(s"`$idCol`")), "__ra")
+    val ranked = graft.operators.Ranking.withPosition(
+        withRa.orderBy(col(s"`$scoreB`").desc, col(s"`$idCol`")), "__rb")
       .withColumn("__d", col("__ra") - col("__rb"))
     ranked.agg(count(lit(1)).as("n_items"),
         sum(col("__d") * col("__d")).as("sum_d2"))
