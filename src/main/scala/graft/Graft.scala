@@ -530,4 +530,14 @@ object Graft {
                         convType: String = "purchase",
                         horizon: String = "1 hour"): DataFrame =
     operators.Events.linearAttribution(events, triggerType, convType, horizon)
+
+  /** Canonical text cleaning (NFC → control/format strip → whitespace
+    * collapse) — run before any fingerprint/sketch/dedup. */
+  def cleanText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.NormalizeFunctions.clean_text(c)
+
+  /** k-anonymity / l-diversity re-identification audit. */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+                       sensitiveCol: String, k: Long = 10L): DataFrame =
+    operators.Privacy.kAnonymityReport(df, quasiCols, sensitiveCol, k)
 }

@@ -13,6 +13,14 @@ package graft
   */
 object OracleSql {
 
+  /** Synthetic denormalized tail appended to every doc by
+    * `t_clean_normalize` so each cleaning stage provably fires:
+    * double spaces, decomposed e+COMBINING ACUTE (NFC composes),
+    * zero-width space (Cf strip),  (C0 strip), tab + space runs.
+    * Shared verbatim with the DuckDB oracle literal.
+    */
+  val CleanTail: String = "  Cafe\u0301 \u200Bok\u0001!\t fin  "
+
   // ---------- sketch-oracle building blocks ----------
 
   private val MersenneP = "2305843009213693951" // 2^61 - 1, MinHash.MersennePrime
@@ -4626,6 +4634,37 @@ object OracleSql {
          |  $rows) v(table_name, col_name, canon_pos)
          |ORDER BY table_name, canon_pos""".stripMargin
     },
+
+    // cleaned bytes pinned per doc via md5 — utf8proc NFC + RE2 replay
+    // of the Java-Normalizer + Java-regex chain (shared dialect subset)
+    "t_clean_normalize" ->
+      s"""WITH c AS (SELECT doc_id, text || '$CleanTail' AS raw FROM documents),
+         |d AS (SELECT doc_id, raw,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+         |    '[\\x00-\\x08\\x0e-\\x1f\\x7f\\p{Cf}]', '', 'g'),
+         |    '\\s+', ' ', 'g')) AS cleaned FROM c)
+         |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+         |  CAST(length(cleaned) AS BIGINT) AS len_clean,
+         |  md5(cleaned) AS clean_md5
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "p_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |    count(DISTINCT c_acctbal) AS l_div
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  CAST(min(class_size) AS BIGINT) AS k_anonymity,
+        |  CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons,
+        |  CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS rows_below_k,
+        |  round(CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(class_size) AS DOUBLE), 6) AS share_below_k,
+        |  CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+        |  CAST(10 AS BIGINT) AS k
+        |FROM cls""".stripMargin,
 
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),

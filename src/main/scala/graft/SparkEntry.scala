@@ -3086,6 +3086,34 @@ object SparkEntry {
     semi.unionByName(anti).orderBy("kind")
   }
 
+  /** Deterministic corpus text cleaning (NFC → control/format strip →
+    * whitespace collapse, [[graft.functions.NormalizeFunctions]]) — each
+    * doc gets a synthetic denormalized tail ([[OracleSql.CleanTail]]:
+    * decomposed accent, zero-width space, C0 control, whitespace runs)
+    * so all three stages fire on every row; the per-doc md5 of the
+    * cleaned text pins the exact output bytes against DuckDB's
+    * utf8proc-NFC + RE2 replay.
+    */
+  private def cleanNormalizeQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit(OracleSql.CleanTail))
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(raw).cast("long").as("len_raw"),
+        graft.functions.NormalizeFunctions.clean_text(raw).as("cleaned"))
+      .select(col("doc_id"), col("len_raw"),
+        length(col("cleaned")).cast("long").as("len_clean"),
+        md5(col("cleaned")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** k-anonymity / l-diversity release audit of `customer` under the
+    * (nation, segment) quasi-identifier with account balance as the
+    * sensitive attribute ([[graft.operators.Privacy.kAnonymityReport]]).
+    */
+  private def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymityReport(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+      "c_acctbal", k = 10L)
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3299,7 +3327,9 @@ object SparkEntry {
     "emb_dim_variance" -> dimVarianceQ,
     "e_rolling_wau" -> rollingWauQ,
     "x_latest_by_key" -> latestByKeyQ,
-    "s_csv_write_roundtrip" -> csvWriteRoundtripQ
+    "s_csv_write_roundtrip" -> csvWriteRoundtripQ,
+    "t_clean_normalize" -> cleanNormalizeQ,
+    "p_k_anonymity" -> kAnonymityQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
