@@ -536,6 +536,12 @@ object Graft {
   def cleanText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     functions.NormalizeFunctions.clean_text(c)
 
+  /** Exact TF-IDF cosine threshold self-join (Bayardo prefix filter). */
+  def cosineSelfJoin(docs: DataFrame, threshold: Double,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    search.TextSearch.cosineSelfJoin(docs, threshold, idCol, textCol)
+
   /** k-anonymity / l-diversity re-identification audit. */
   def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
                        sensitiveCol: String, k: Long = 10L): DataFrame =

@@ -3114,6 +3114,15 @@ object SparkEntry {
       t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
       "c_acctbal", k = 10L)
 
+  /** Exact all-pairs TF-IDF cosine self-join at τ=0.9 with the Bayardo
+    * L2-norm prefix filter ([[graft.search.TextSearch.cosineSelfJoin]]);
+    * the oracle runs the FULL quadratic join, so a hash-match certifies
+    * the prefix filter lossless on this corpus.
+    */
+  private def cosinePairsQ(s: SparkSession, dir: String): DataFrame =
+    graft.search.TextSearch.cosineSelfJoin(t(s, dir, "documents"), 0.9)
+      .orderBy("id_a", "id_b")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3329,7 +3338,8 @@ object SparkEntry {
     "x_latest_by_key" -> latestByKeyQ,
     "s_csv_write_roundtrip" -> csvWriteRoundtripQ,
     "t_clean_normalize" -> cleanNormalizeQ,
-    "p_k_anonymity" -> kAnonymityQ
+    "p_k_anonymity" -> kAnonymityQ,
+    "d_cosine_pairs" -> cosinePairsQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -63,6 +63,73 @@ object TextSearch {
       .select("doc_id", "term", "tf", "score_r", "rank")
   }
 
+  /** EXACT all-pairs cosine similarity self-join over TF-IDF vectors at
+    * threshold τ, with the L2-norm prefix filter of Bayardo et al.,
+    * WWW'07 ("Scaling Up All Pairs Similarity Search") — the WEIGHTED
+    * companion to `Dedup.exactJaccardSelfJoin`'s set-overlap PPJoin.
+    *
+    * Determinism: term weights are integer micro-units
+    * (tf · round(idf·1e6), smooth idf `ln((N+1)/(df+1))+1` as in
+    * [[tfidfTopTerms]]); dot products and squared norms are exact
+    * integer sums in DECIMAL(38,0), so the only float ops are the
+    * closing sqrt/divide, rounded to 6 dp. The DuckDB oracle runs the
+    * FULL quadratic join — an exact match also certifies the prefix
+    * filter lossless on the data.
+    *
+    * Prefix bound: sort a doc's terms by weight desc (term asc ties); a
+    * term is prefix while the EXCLUSIVE cumulative energy satisfies
+    * cum < (1 − τ²)·‖d‖² — if a pair shares no prefix term of doc a,
+    * cos(a,b) ≤ ‖suffix(a)‖/‖a‖ < τ. Candidates join prefix(a) against
+    * the FULL posting relation (id_a < id_b), which is lossless
+    * one-sidedly; prefix terms are by construction the high-idf (rare)
+    * ones, so the candidate shuffle rides short posting lists. The
+    * verify join is candidate-scoped; nothing is ever all-pairs.
+    */
+  def cosineSelfJoin(docs: DataFrame, threshold: Double,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = docs.select(col(s"`$idCol`").as("id"), toks(col(s"`$textCol`")).as("w"))
+    val consts = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = base.select(col("id"), explode(col("w")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val wtd = tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(consts))
+      .withColumn("wq", (col("tf") *
+          round((log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0) * 1e6, 0))
+        .cast("long"))
+      .select("id", "term", "wq")
+    val energy = (col("wq").cast(dec) * col("wq").cast(dec)).cast(dec)
+    val norms = wtd.groupBy("id").agg(sum(energy).as("n2"))
+    // τ² in pico-units keeps the prefix comparison pure integer
+    val tauSqPico = math.round(threshold * threshold * 1e12)
+    val wPre = Window.partitionBy(col("id")).orderBy(col("wq").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = wtd
+      .withColumn("cum", coalesce(sum(energy).over(wPre), lit(0).cast(dec)))
+      .join(norms, "id")
+      .filter(col("cum") * lit(1000000000000L) <
+        col("n2") * lit(1000000000000L - tauSqPico))
+      .select(col("id"), col("term"))
+    val cands = prefix
+      .join(wtd.select(col("id").as("id_b"), col("term")), "term")
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    val dots = cands
+      .join(wtd.select(col("id").as("id_a"), col("term"), col("wq").as("wa")), "id_a")
+      .join(wtd.select(col("id").as("id_b"), col("term"), col("wq").as("wb")),
+        Seq("id_b", "term"))
+      .groupBy("id_a", "id_b")
+      .agg(sum((col("wa").cast(dec) * col("wb").cast(dec)).cast(dec)).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("n2a")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("n2b")), "id_b")
+      .withColumn("cosine", round(col("dot").cast("double") /
+        sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Top-k documents for a bag-of-words query. Ties break on ascending id.
     * Output: (doc_id, score_r, rank).
     */

@@ -1,0 +1,58 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CosineSelfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha beta gamma delta"),      // exact dup of 1
+    (3L, "alpha beta gamma epsilon"),    // near dup
+    (4L, "zeta eta theta iota"),         // disjoint
+    (5L, "alpha alpha alpha beta")       // skewed weights
+  ).toDF("doc_id", "text")
+
+  test("identical documents meet any threshold with cosine 1.0") {
+    val out = TextSearch.cosineSelfJoin(docs, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("prefix-filtered result equals the unfiltered quadratic ground truth") {
+    // τ low enough that several pairs qualify and the prefix bound is
+    // actually exercised (suffixes get dropped from candidate gen)
+    val got = TextSearch.cosineSelfJoin(docs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: same weighting, brute force in Scala
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty) }
+    val n = toks.length.toDouble
+    val dfs = toks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val vecs = toks.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (term, occ) =>
+        term -> (occ.length *
+          math.round((math.log((n + 1.0) / (dfs(term) + 1.0)) + 1.0) * 1e6))
+      }
+    }.toMap
+    val ids = vecs.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      dot = vecs(a).keySet.intersect(vecs(b).keySet).toSeq
+        .map(t => BigInt(vecs(a)(t)) * BigInt(vecs(b)(t))).sum
+      n2a = vecs(a).values.map(w => BigInt(w) * BigInt(w)).sum
+      n2b = vecs(b).values.map(w => BigInt(w) * BigInt(w)).sum
+      cos = BigDecimal(dot.toDouble / math.sqrt(n2a.toDouble * n2b.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= 0.3
+    } yield (a, b, cos)).toSet
+    assert(got == want)
+  }
+
+  test("disjoint documents never pair") {
+    val out = TextSearch.cosineSelfJoin(docs, 0.01).collect()
+    assert(!out.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
+  }
+}
