@@ -542,6 +542,13 @@ object Graft {
                      textCol: String = "text"): DataFrame =
     search.TextSearch.cosineSelfJoin(docs, threshold, idCol, textCol)
 
+  /** Small-file compaction plan (next-fit-decreasing per partition). */
+  def compactionPlan(files: DataFrame, partCol: String, idCol: String,
+                     bytesCol: String, targetBytes: Long,
+                     keepBytes: Long): DataFrame =
+    sources.Layout.compactionPlan(files, partCol, idCol, bytesCol,
+      targetBytes, keepBytes)
+
   /** k-anonymity / l-diversity re-identification audit. */
   def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
                        sensitiveCol: String, k: Long = 10L): DataFrame =

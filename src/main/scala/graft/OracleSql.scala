@@ -4694,6 +4694,33 @@ object OracleSql {
         |            JOIN norms nb ON dots.id_b = nb.id)
         |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
+    // exact replay of the next-fit-decreasing greedy fold (linear
+    // recursion, the packSequences oracle discipline)
+    "x_compaction_plan" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT source AS part, doc_id AS id, n_chars AS b,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents WHERE n_chars < 400),
+        |rec AS (
+        |  SELECT part, rn, id, b, CAST(0 AS BIGINT) AS bin,
+        |         CAST(CASE WHEN 1000 - b > 0 THEN 1000 - b ELSE 0 END AS BIGINT) AS rem
+        |  FROM f WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.part, f.rn, f.id, f.b,
+        |    CASE WHEN f.b <= r.rem THEN r.bin ELSE r.bin + 1 END,
+        |    CAST(CASE WHEN f.b <= r.rem THEN r.rem - f.b
+        |         WHEN 1000 - f.b > 0 THEN 1000 - f.b ELSE 0 END AS BIGINT)
+        |  FROM f JOIN rec r ON f.part = r.part AND f.rn = r.rn + 1),
+        |allrows AS (
+        |  SELECT part, bin, id, b FROM rec
+        |  UNION ALL
+        |  SELECT source, CAST(-1 AS BIGINT), doc_id, n_chars
+        |  FROM documents WHERE n_chars >= 400)
+        |SELECT part, bin, count(*) AS n_files, CAST(sum(b) AS BIGINT) AS bin_bytes,
+        |  CAST(min(id) AS BIGINT) AS first_file, CAST(max(id) AS BIGINT) AS last_file
+        |FROM allrows GROUP BY 1, 2 ORDER BY part, bin""".stripMargin,
+
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),
       ("orders", "o_orderkey", "o_totalprice"),

@@ -3123,6 +3123,21 @@ object SparkEntry {
     graft.search.TextSearch.cosineSelfJoin(t(s, dir, "documents"), 0.9)
       .orderBy("id_a", "id_b")
 
+  /** Small-file compaction plan over a synthetic per-source "file"
+    * listing (docs as files, n_chars as bytes) —
+    * [[graft.sources.Layout.compactionPlan]], next-fit-decreasing at
+    * target 1000 / keep 400, aggregated per rewrite group. The oracle
+    * replays the exact greedy fold with a linear recursive CTE.
+    */
+  private def compactionPlanQ(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.compactionPlan(
+        t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars", targetBytes = 1000L, keepBytes = 400L)
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .orderBy("part", "bin")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3339,7 +3354,8 @@ object SparkEntry {
     "s_csv_write_roundtrip" -> csvWriteRoundtripQ,
     "t_clean_normalize" -> cleanNormalizeQ,
     "p_k_anonymity" -> kAnonymityQ,
-    "d_cosine_pairs" -> cosinePairsQ
+    "d_cosine_pairs" -> cosinePairsQ,
+    "x_compaction_plan" -> compactionPlanQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -68,4 +68,52 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file COMPACTION PLAN — the table-maintenance primitive that
+    * keeps a 100 TB lake scannable: a partition fragmented into
+    * thousands of sub-target files turns every scan into a scheduling
+    * storm and starves parquet row-group pruning. Given a file listing
+    * (partition key, file id, bytes), files at/above `keepBytes` are
+    * left alone (bin −1); smaller ones pack NEXT-FIT-DECREASING
+    * (bytes desc, id asc — deterministic total order) into rewrite
+    * groups of ≤ `targetBytes`.
+    *
+    * Why next-fit, not first-fit: the running state is one (bin,
+    * remaining) pair, so the exact plan is replayable by any engine
+    * with a linear recursion (the packSequences oracle discipline) —
+    * first-fit's open-bin list is not. NFD wastes at most one target of
+    * slack per bin versus FFD, irrelevant against rewrite IO.
+    *
+    * Scale shape: one `groupByKey(partition)` — plans for different
+    * partitions build in parallel, each a bounded sequential fold over
+    * that partition's file list (file counts per partition are
+    * scheduler-bounded long before they stress one task).
+    * Output: (part, bin, file_id, bytes); bin −1 = keep as-is.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, idCol: String,
+                     bytesCol: String, targetBytes: Long,
+                     keepBytes: Long): DataFrame = {
+    require(targetBytes > 0 && keepBytes > 0,
+      s"need positive target/keep bytes, got $targetBytes/$keepBytes")
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(s"`$partCol`").cast("string"),
+        col(s"`$idCol`").cast("long"), col(s"`$bytesCol`").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (p, it) =>
+        val all = it.toArray
+        val (keep, small) = all.partition(_._3 >= keepBytes)
+        val kept = keep.sortBy(_._2).map { case (_, id, b) => (p, -1L, id, b) }
+        var bin = -1L
+        var rem = 0L
+        val packed = small.sortBy(f => (-f._3, f._2)).map { case (_, id, b) =>
+          if (bin < 0 || b > rem) { bin += 1; rem = math.max(0L, targetBytes - b) }
+          else rem -= b
+          (p, bin, id, b)
+        }
+        (kept ++ packed).iterator
+      }
+      .toDF("part", "bin", "file_id", "bytes")
+  }
 }
