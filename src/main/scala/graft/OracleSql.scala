@@ -4721,6 +4721,23 @@ object OracleSql {
         |  CAST(min(id) AS BIGINT) AS first_file, CAST(max(id) AS BIGINT) AS last_file
         |FROM allrows GROUP BY 1, 2 ORDER BY part, bin""".stripMargin,
 
+    // RE2 \p{Script} mirrors Java \p{IsScript} (same Unicode property)
+    "t_script_mix" ->
+      """WITH per AS (SELECT lang AS grp, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS latin,
+        |  CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS han,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
+        |  CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS ws
+        |  FROM documents)
+        |SELECT grp, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(latin) AS DOUBLE) / sum(n_chars), 6) AS latin_share,
+        |  round(CAST(sum(han) AS DOUBLE) / sum(n_chars), 6) AS han_share,
+        |  round(CAST(sum(digit) AS DOUBLE) / sum(n_chars), 6) AS digit_share,
+        |  round(CAST(sum(ws) AS DOUBLE) / sum(n_chars), 6) AS ws_share,
+        |  round(CAST(sum(n_chars) - sum(latin) - sum(han) - sum(digit)
+        |    - sum(ws) AS DOUBLE) / sum(n_chars), 6) AS other_share
+        |FROM per GROUP BY grp ORDER BY grp""".stripMargin,
+
     "a9_corr_probe" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),
       ("orders", "o_orderkey", "o_totalprice"),

@@ -3138,6 +3138,13 @@ object SparkEntry {
         min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
       .orderBy("part", "bin")
 
+  /** Unicode script-mix composition audit per claimed lang label
+    * ([[graft.operators.TextAnalysis.scriptMix]]).
+    */
+  private def scriptMixQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.scriptMix(t(s, dir, "documents"))
+      .orderBy("grp")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3355,7 +3362,8 @@ object SparkEntry {
     "t_clean_normalize" -> cleanNormalizeQ,
     "p_k_anonymity" -> kAnonymityQ,
     "d_cosine_pairs" -> cosinePairsQ,
-    "x_compaction_plan" -> compactionPlanQ
+    "x_compaction_plan" -> compactionPlanQ,
+    "t_script_mix" -> scriptMixQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

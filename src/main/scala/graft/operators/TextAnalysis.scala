@@ -230,6 +230,40 @@ object TextAnalysis {
     * one. Pure array expressions per row — codegen'd, shuffle-free; the
     * O(distinct·n) inner count is bounded by document length.
     */
+  /** Unicode SCRIPT-MIX audit — the cheap pre-language-ID signal and
+    * corpus-composition report: per group (default: the claimed lang
+    * label), exact codepoint counts by script class (Latin, Han, ASCII
+    * digit, whitespace, other) and their 6-dp shares. A "en" shard with
+    * 30% Han, or a "zh" shard that is mostly Latin, is mislabeled or
+    * polluted — catch it BEFORE tokenizer/LID cost.
+    *
+    * Per-row `regexp_count` projections (codegen'd, no explode of the
+    * character stream) → one integer-sum aggregate; shares are one
+    * closing division. Java `\p{IsX}` and RE2 `\p{X}` both key off the
+    * Unicode Script property, so a DuckDB oracle lands on the same
+    * counts.
+    */
+  def scriptMix(docs: DataFrame, groupCol: String = "lang",
+                textCol: String = "text"): DataFrame = {
+    def cnt(re: String) =
+      regexp_count(col(s"`$textCol`"), lit(re)).cast("long")
+    val perDoc = docs.select(col(s"`$groupCol`").as("grp"),
+      length(col(s"`$textCol`")).cast("long").as("n_chars"),
+      cnt("\\p{IsLatin}").as("latin"), cnt("\\p{IsHan}").as("han"),
+      cnt("[0-9]").as("digit"), cnt("\\s").as("ws"))
+    perDoc.groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("latin")).as("latin"), sum(col("han")).as("han"),
+        sum(col("digit")).as("digit"), sum(col("ws")).as("ws"))
+      .select(col("grp"), col("n_docs"), col("n_chars"),
+        round(col("latin").cast("double") / col("n_chars"), 6).as("latin_share"),
+        round(col("han").cast("double") / col("n_chars"), 6).as("han_share"),
+        round(col("digit").cast("double") / col("n_chars"), 6).as("digit_share"),
+        round(col("ws").cast("double") / col("n_chars"), 6).as("ws_share"),
+        round((col("n_chars") - col("latin") - col("han") - col("digit") -
+          col("ws")).cast("double") / col("n_chars"), 6).as("other_share"))
+  }
+
   def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     // materialize token/bigram arrays as real columns FIRST: lambda
