@@ -4721,6 +4721,38 @@ object OracleSql {
         |  CAST(min(id) AS BIGINT) AS first_file, CAST(max(id) AS BIGINT) AS last_file
         |FROM allrows GROUP BY 1, 2 ORDER BY part, bin""".stripMargin,
 
+    // ORC sink round-trip: the oracle aggregates the ORIGINAL parquet —
+    // green iff the ORC write+read preserved every id and text char —
+    // and replays the shard hash to count the reconciled shards
+    "s_orc_roundtrip" ->
+      """WITH base AS (SELECT lang,
+        |    CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':orc0')
+        |          & 4294967295) % 2 AS BIGINT) AS shard,
+        |    doc_id, length(text) AS tc FROM documents),
+        |ok AS (SELECT count(*) AS n_ok_shards
+        |       FROM (SELECT DISTINCT lang, shard FROM base))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(tc) AS BIGINT) AS text_chars,
+        |  (SELECT n_ok_shards FROM ok) AS n_ok_shards
+        |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // pow/round(…,6) replay: both engines evaluate IEEE-754 pow on the
+    // same exactly-representable inputs (1/b with b a power of two,
+    // i·5/100); 6-dp rounding absorbs any last-ULP libm divergence
+    "d_lsh_plan" ->
+      """WITH b AS (SELECT CAST(x AS BIGINT) AS bands,
+        |    CAST(128 // x AS BIGINT) AS rows_per_band
+        |  FROM generate_series(1, 128) t(x) WHERE 128 % x = 0),
+        |g AS (SELECT CAST(x * 5 AS BIGINT) AS sim_pct
+        |  FROM generate_series(1, 19) t(x))
+        |SELECT bands, rows_per_band,
+        |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold_star,
+        |  sim_pct,
+        |  round(1.0 - pow(1.0 - pow(CAST(sim_pct AS DOUBLE) / 100.0,
+        |    rows_per_band), bands), 6) AS p_candidate
+        |FROM b CROSS JOIN g ORDER BY bands, sim_pct""".stripMargin,
+
     // RE2 \p{Script} mirrors Java \p{IsScript} (same Unicode property)
     "t_script_mix" ->
       """WITH per AS (SELECT lang AS grp, CAST(length(text) AS BIGINT) AS n_chars,

@@ -2453,6 +2453,28 @@ object SparkEntry {
       .orderBy("lang", "shard")
   }
 
+  /** S7-family, ORC arm: the corpus sink writing ORC instead of parquet
+    * — same hive-partitioned, hash-sharded, manifested layout, different
+    * columnar codec. The read-back aggregation proves ORC data fidelity
+    * (ids, text bytes) and the reconcile count proves the manifest
+    * matches what the ORC files actually hold. */
+  private def orcRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.CorpusSink
+    val out = "/tmp/graft_fixtures/corpus_sink_orc"
+    CorpusSink.write(
+      t(s, dir, "documents").select("doc_id", "lang", "text"),
+      out, Seq("lang"), "doc_id", nShards = 2, salt = "orc0", format = "orc")
+    val ok = CorpusSink.reconcile(s, out, Seq("lang"), "doc_id", format = "orc")
+      .filter(col("ok")).agg(count(lit(1)).as("n_ok_shards"))
+    s.read.orc(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_checksum"),
+        sum(length(col("text"))).cast("long").as("text_chars"))
+      .crossJoin(broadcast(ok))
+      .orderBy("lang")
+  }
+
   /** LLM-pipeline: deterministic stratified sample (training mix). The
     * id checksum pins the exact selected set — membership is a pure
     * function of (doc_id, salt), so DuckDB selects the same rows. */
@@ -3145,6 +3167,13 @@ object SparkEntry {
     graft.operators.TextAnalysis.scriptMix(t(s, dir, "documents"))
       .orderBy("grp")
 
+  /** LSH banding planner s-curve table ([[graft.operators.Dedup.lshBandPlan]])
+    * — closed-form, no data scan; the pre-flight for every near-dup pass.
+    */
+  private def lshPlanQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.lshBandPlan(s, nHashes = 128)
+      .orderBy("bands", "sim_pct")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3363,7 +3392,9 @@ object SparkEntry {
     "p_k_anonymity" -> kAnonymityQ,
     "d_cosine_pairs" -> cosinePairsQ,
     "x_compaction_plan" -> compactionPlanQ,
-    "t_script_mix" -> scriptMixQ
+    "t_script_mix" -> scriptMixQ,
+    "d_lsh_plan" -> lshPlanQ,
+    "s_orc_roundtrip" -> orcRoundtripQ
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

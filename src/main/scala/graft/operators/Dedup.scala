@@ -613,4 +613,40 @@ object Dedup {
           .otherwise(round(lit(2.0) * col("n_hit").cast("double") /
             (col("n_pred") + col("n_true")).cast("double"), 6)).as("f1"))
   }
+
+  /** LSH banding PLANNER — the s-curve tuning table consulted BEFORE a
+    * 100 TB near-dup pass, when (bands, rowsPerBand) must be fixed and a
+    * wrong pick either floods the band shuffle with false candidates
+    * (threshold* too low) or silently misses true near-dups (too high).
+    *
+    * For every way to split `nHashes` MinHash components into b bands of
+    * r rows (b·r = nHashes), emits the standard banding analysis (Mining
+    * of Massive Datasets §3.4.3, public): `threshold_star` = (1/b)^(1/r),
+    * the similarity where candidate probability crosses ~1/2, and — per
+    * `simGrid` point s — `p_candidate` = 1 − (1 − s^r)^b, the chance a
+    * pair at Jaccard s shares ≥1 band. Pick the row whose threshold_star
+    * brackets the dedup threshold and whose p@low-sim bounds shuffle
+    * inflation.
+    *
+    * Pure closed-form math over a divisors×grid local relation (≤ a few
+    * hundred rows) — no data scanned; codegen'd `pow`, 6-dp rounding for
+    * cross-engine replay.
+    */
+  def lshBandPlan(spark: org.apache.spark.sql.SparkSession, nHashes: Int = 128,
+                  simGrid: Seq[Int] = (1 to 19).map(_ * 5)): DataFrame = {
+    require(nHashes > 0, "nHashes must be positive")
+    val divisors = (1 to nHashes).filter(nHashes % _ == 0)
+    val plans = spark.createDataFrame(divisors.map(b => (b, nHashes / b)))
+      .toDF("bands", "rows_per_band")
+    val grid = spark.createDataFrame(simGrid.map(Tuple1(_))).toDF("sim_pct")
+    plans.crossJoin(grid)
+      .select(col("bands").cast("long").as("bands"),
+        col("rows_per_band").cast("long").as("rows_per_band"),
+        round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 6).as("threshold_star"),
+        col("sim_pct").cast("long").as("sim_pct"),
+        round(lit(1.0) - pow(lit(1.0) -
+            pow(col("sim_pct").cast("double") / lit(100.0), col("rows_per_band")),
+          col("bands")), 6).as("p_candidate"))
+  }
 }

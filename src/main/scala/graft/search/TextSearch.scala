@@ -175,4 +175,59 @@ object TextSearch {
     graft.operators.Ranking.withPosition(top, "rank")
       .select("doc_id", "score_r", "rank")
   }
+
+  /** Character-trigram posting lists — the substring-search ("corpus
+    * grep") index. One row per DISTINCT (gram, doc): per-doc trigrams are
+    * deduped inside the array expression BEFORE the explode, so the
+    * posting shuffle carries ≤ text-length rows per doc and the index
+    * size is Σ distinct grams, independent of repetition.
+    *
+    * All codegen'd array expressions (`sequence` → `transform` →
+    * `array_distinct`), no UDF. At 100 TB the index is built once,
+    * bucketed by gram (hot grams salt naturally: postings are
+    * id-sorted), and persisted next to the corpus.
+    */
+  def trigramIndex(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val t = col(s"`$textCol`")
+    docs.select(col(s"`$idCol`").as("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(t) - 2, lit(0))),
+          i => t.substr(i, lit(3))))).as("gram"))
+      .filter(length(col("gram")) === 3)
+  }
+
+  /** Exact substring search driven by the trigram index: candidates are
+    * docs whose posting lists contain EVERY query trigram (an equi-join
+    * on ≤ |q| grams + a count-match — never a corpus scan), then the
+    * `instr` verify runs on candidates only, so the result is exactly
+    * `contains(text, query)` with no false positives and — because any
+    * matching doc necessarily indexes all of the query's trigrams — no
+    * false negatives. Output: (doc_id, first_pos, n_hits) for
+    * non-overlapping occurrence count via length arithmetic.
+    *
+    * Pass a pre-built (persisted) `index` to skip the build; omit it for
+    * one-shot search.
+    */
+  def substringSearch(docs: DataFrame, query: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      index: Option[DataFrame] = None): DataFrame = {
+    require(query.length >= 3, "substringSearch needs a query of >= 3 chars")
+    val qGrams = query.sliding(3).toSeq.distinct
+    val idx = index.getOrElse(trigramIndex(docs, idCol, textCol))
+    val cands = idx.filter(col("gram").isInCollection(qGrams))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__ng"))
+      .filter(col("__ng") === qGrams.size)
+      .select("doc_id")
+    val t = col(s"`$textCol`")
+    val q = lit(query)
+    docs.select(col(s"`$idCol`").as("doc_id"), t.as("__text"))
+      .join(cands, Seq("doc_id"), "left_semi")
+      .filter(instr(col("__text"), query) > 0)
+      .select(col("doc_id"),
+        instr(col("__text"), query).cast("long").as("first_pos"),
+        ((length(col("__text")) - length(replace(col("__text"), q, lit("")))) /
+          query.length).cast("long").as("n_hits"))
+  }
 }

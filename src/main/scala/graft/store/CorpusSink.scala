@@ -31,11 +31,21 @@ object CorpusSink {
     pmod(graft.functions.SketchFunctions.md5_low32(
       concat_ws(":", col(s"`$idCol`").cast("string"), lit(salt))), lit(nShards))
 
+  /** Data-file formats the sink writes. Parquet is the default
+    * interchange; ORC is the drop-in columnar alternative (both are
+    * Spark-native — predicate pushdown, column pruning, and the
+    * partition layout behave identically). The `_manifest` is always
+    * parquet: it is the sink's own metadata, not corpus data.
+    */
+  val Formats: Set[String] = Set("parquet", "orc")
+
   /** Write `df` under `dir`, returning nothing; read the manifest back
     * with [[manifest]] or reconcile with [[reconcile]]. */
   def write(df: DataFrame, dir: String, partitionCols: Seq[String],
-            idCol: String, nShards: Int, salt: String = "corpus0"): Unit = {
+            idCol: String, nShards: Int, salt: String = "corpus0",
+            format: String = "parquet"): Unit = {
     require(nShards >= 1, "nShards must be >= 1")
+    require(Formats.contains(format), s"unsupported sink format: $format")
     val keyed = df.withColumn(ShardCol, shardOf(idCol, nShards, salt))
     val partCols = partitionCols :+ ShardCol
     keyed
@@ -43,7 +53,7 @@ object CorpusSink {
       .sortWithinPartitions(col(s"`$idCol`"))
       .write.mode("overwrite")
       .partitionBy(partCols: _*)
-      .parquet(dir)
+      .format(format).save(dir)
     keyed.groupBy(partCols.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("n_rows"),
         sum(col(s"`$idCol`").cast("long")).as("id_checksum"))
@@ -60,9 +70,10 @@ object CorpusSink {
     * count/checksum drift surfaces as a row with `ok = false`.
     */
   def reconcile(spark: SparkSession, dir: String, partitionCols: Seq[String],
-                idCol: String): DataFrame = {
+                idCol: String, format: String = "parquet"): DataFrame = {
+    require(Formats.contains(format), s"unsupported sink format: $format")
     val partCols = partitionCols :+ ShardCol
-    val actual = spark.read.parquet(dir)
+    val actual = spark.read.format(format).load(dir)
       .groupBy(partCols.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("rows_read"),
         sum(col(s"`$idCol`").cast("long")).as("checksum_read"))

@@ -26,6 +26,29 @@ class CorpusSinkSpec extends SparkSpec {
     assert(m1 == m2)
   }
 
+  test("orc format: identical layout and manifest, data survives byte-for-byte") {
+    val dir = Files.createTempDirectory("graft_sink_orc").toString
+    CorpusSink.write(corpus, dir, Seq("lang"), "id", nShards = 3, salt = "s",
+      format = "orc")
+    val rec = CorpusSink.reconcile(spark, dir, Seq("lang"), "id", format = "orc")
+      .collect()
+    assert(rec.nonEmpty && rec.forall(_.getAs[Boolean]("ok")))
+    val back = spark.read.orc(dir)
+    assert(back.count() == 200)
+    // same rows, same shard assignment as the parquet sink (salt-keyed,
+    // format-independent)
+    val pdir = Files.createTempDirectory("graft_sink_orc_ref").toString
+    CorpusSink.write(corpus, pdir, Seq("lang"), "id", nShards = 3, salt = "s")
+    val a = back.select("id", "lang", "text", "shard")
+      .orderBy("id").collect().toSeq
+    val b = spark.read.parquet(pdir).select("id", "lang", "text", "shard")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      CorpusSink.write(corpus, dir, Seq("lang"), "id", nShards = 1, format = "csv")
+    }
+  }
+
   test("reconcile flags loss: deleting a shard directory surfaces ok=false") {
     val dir = Files.createTempDirectory("graft_sink3").toString
     CorpusSink.write(corpus, dir, Seq("lang"), "id", nShards = 2, salt = "s")
