@@ -367,13 +367,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
-  private def searchExact(s: SparkSession, dir: String): DataFrame = {
-    val values = SearchLake.map { name =>
-      Profiler.longFormat(t(s, dir, name)).withColumn("table_name", lit(name))
-    }.reduce(_ unionByName _)
+  /** Session-cached DISTINCT (table_name, col_idx, value_str) value index
+    * over the exact-search lake — the materialize-once analogue of
+    * [[lakeCatalog]] for the value-level (non-sketch) search path. Every
+    * exact-search query shares it instead of re-exploding and
+    * re-distincting the lake; on a real cluster it would persist next to
+    * the SketchStore catalog, bucketed by value_str.
+    */
+  private def searchValueIndex(s: SparkSession, dir: String): DataFrame =
+    catalogCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir#values",
+      SearchLake.map { name =>
+        Profiler.longFormat(t(s, dir, name)).withColumn("table_name", lit(name))
+      }.reduce(_ unionByName _)
+        .filter(col("value_str").isNotNull)
+        .select(col("table_name"), col("col_idx"), col("value_str")).distinct()
+        .localCheckpoint(eager = true))
+
+  private def searchExact(s: SparkSession, dir: String): DataFrame =
     Discovery.columnVoteRank(
-      Discovery.columnDistancesExact(values, "supplier"), k = 10)
-  }
+      Discovery.columnDistancesExact(searchValueIndex(s, dir), "supplier",
+        valuesDistinct = true), k = 10)
 
   // ---- sketch-pipeline operators ----
   // The MD5-derived base hash (MinHash.md5Low32 == DuckDB md5_number_lower)

@@ -117,7 +117,8 @@ object Discovery {
     * for the flagship semantics. `values` is the long-format (table_name,
     * col_idx, col_name, value_str) relation.
     */
-  def columnDistancesExact(values: DataFrame, queryTable: String): DataFrame = {
+  def columnDistancesExact(values: DataFrame, queryTable: String,
+                           valuesDistinct: Boolean = false): DataFrame = {
     // Per-column distinct sizes come from a two-column aggregate over the
     // distinct-values relation — one row per (table, col), tiny at any
     // lake size — broadcast-joined onto the intersection AFTER its
@@ -125,8 +126,14 @@ object Discovery {
     // `count().over(partitionBy(table, col))`, windowing millions of
     // value rows at scale; the aggregate's stage-1 exchange is shared
     // with `cv`'s distinct (ReuseExchange), so no extra scan is paid.
-    val cv = values.filter(col("value_str").isNotNull)
-      .select(col("table_name"), col("col_idx"), col("value_str")).distinct()
+    // `valuesDistinct = true` declares the caller already distincted
+    // (table_name, col_idx, value_str) — e.g. a session-cached / persisted
+    // value index shared across queries, the reference's materialize-once
+    // discipline — so the per-query distinct shuffle is skipped entirely.
+    val cv =
+      if (valuesDistinct) values.select("table_name", "col_idx", "value_str")
+      else values.filter(col("value_str").isNotNull)
+        .select(col("table_name"), col("col_idx"), col("value_str")).distinct()
     val sizes = cv.groupBy(col("table_name"), col("col_idx"))
       .agg(count(lit(1)).as("n_distinct"))
     val q = cv.filter(col("table_name") === queryTable)

@@ -1,9 +1,10 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StructField, StructType}
 
 /** Relational BM25 keyword search over a document corpus — the text-search
   * modality next to sketch search (`Discovery`) and embedding search
@@ -63,56 +64,70 @@ object TextSearch {
       .select("doc_id", "term", "tf", "score_r", "rank")
   }
 
-  /** EXACT all-pairs cosine similarity self-join over TF-IDF vectors at
-    * threshold τ, with the L2-norm prefix filter of Bayardo et al.,
-    * WWW'07 ("Scaling Up All Pairs Similarity Search") — the WEIGHTED
-    * companion to `Dedup.exactJaccardSelfJoin`'s set-overlap PPJoin.
-    *
-    * Determinism: term weights are integer micro-units
-    * (tf · round(idf·1e6), smooth idf `ln((N+1)/(df+1))+1` as in
-    * [[tfidfTopTerms]]); dot products and squared norms are exact
-    * integer sums in DECIMAL(38,0), so the only float ops are the
-    * closing sqrt/divide, rounded to 6 dp. The DuckDB oracle runs the
-    * FULL quadratic join — an exact match also certifies the prefix
-    * filter lossless on the data.
-    *
-    * Prefix bound: sort a doc's terms by weight desc (term asc ties); a
-    * term is prefix while the EXCLUSIVE cumulative energy satisfies
-    * cum < (1 − τ²)·‖d‖² — if a pair shares no prefix term of doc a,
-    * cos(a,b) ≤ ‖suffix(a)‖/‖a‖ < τ. Candidates join prefix(a) against
-    * the FULL posting relation (id_a < id_b), which is lossless
-    * one-sidedly; prefix terms are by construction the high-idf (rare)
-    * ones, so the candidate shuffle rides short posting lists. The
-    * verify join is candidate-scoped; nothing is ever all-pairs.
-    */
-  def cosineSelfJoin(docs: DataFrame, threshold: Double,
-                     idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
-    val dec = DecimalType(38, 0)
+  /** Shared TF-IDF prep for the cosine self-joins: (id, term, wq, df)
+    * with wq = tf · round(idf·1e6) integer micro-units. */
+  private def tfidfMicro(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(s"`$idCol`").as("id"), toks(col(s"`$textCol`")).as("w"))
     val consts = base.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = base.select(col("id"), explode(col("w")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val wtd = tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(consts))
+    tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(consts))
       .withColumn("wq", (col("tf") *
           round((log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0) * 1e6, 0))
         .cast("long"))
-      .select("id", "term", "wq")
+      .select("id", "term", "wq", "df")
+  }
+
+  /** Posting-list (All-Pairs/L2AP) variant of [[cosineSelfJoin]] — the
+    * right plan for HIGH-vocabulary Zipf corpora, where the two-sided
+    * ℓ2 prefix filter (Bayardo et al., WWW'07; Anastasiu & Karypis,
+    * ICDE'14) keeps hot terms out of the candidate shuffle. On a
+    * LOW-vocabulary corpus (every term in most docs) nothing can prune
+    * term-sharing and this degenerates to all-pairs with join overhead —
+    * use the default blocked kernel there.
+    *
+    * Prefix bound (two-sided, so candidates are prefix × prefix — never
+    * prefix × full postings): fix ONE global term order, ascending
+    * document frequency with term-asc ties, so the earliest terms are the
+    * rare ones with the SHORTEST posting lists. For doc d let cum(t) be
+    * the energy (Σ wq²) of d's terms strictly before t in that order;
+    * t is in d's prefix iff the inclusive suffix energy ‖d_{≥t}‖² =
+    * ‖d‖² − cum(t) ≥ τ'²·‖d‖². If a pair (a,b) shares no term that is in
+    * BOTH prefixes, take t* = the first shared term in the global order:
+    * every shared term is ≥ t*, so by Cauchy–Schwarz
+    * cos(a,b) ≤ (‖a_{≥t*}‖/‖a‖)·(‖b_{≥t*}‖/‖b‖), and t* outside either
+    * prefix makes that factor < τ' — the pair cannot reach the threshold.
+    * τ' = τ − 1e-6 so the candidate set also covers the inclusive
+    * round(cosine,6) ≥ τ final filter (a true cosine down to τ − 5e-7
+    * still rounds in). Dots and norms are exact integer sums in
+    * DECIMAL(38,0); the only float ops are the closing sqrt/divide,
+    * rounded to 6 dp.
+    */
+  def cosineSelfJoinPostings(docs: DataFrame, threshold: Double,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val wtd = tfidfMicro(docs, idCol, textCol)
     val energy = (col("wq").cast(dec) * col("wq").cast(dec)).cast(dec)
     val norms = wtd.groupBy("id").agg(sum(energy).as("n2"))
-    // τ² in pico-units keeps the prefix comparison pure integer
-    val tauSqPico = math.round(threshold * threshold * 1e12)
-    val wPre = Window.partitionBy(col("id")).orderBy(col("wq").desc, col("term"))
+    // τ'² in pico-units keeps the prefix comparison pure integer; τ' is
+    // nudged below τ so pairs kept by the INCLUSIVE rounded final filter
+    // (true cosine ≥ τ − 5e-7) are always generated as candidates
+    val tauP = math.max(threshold - 1e-6, 0.0)
+    val tauSqPico = math.round(tauP * tauP * 1e12)
+    // global term order: ascending df (rare first), term-asc ties — the
+    // same order for every doc, which the two-sided bound requires
+    val wPre = Window.partitionBy(col("id")).orderBy(col("df").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = wtd
       .withColumn("cum", coalesce(sum(energy).over(wPre), lit(0).cast(dec)))
       .join(norms, "id")
-      .filter(col("cum") * lit(1000000000000L) <
+      .filter(col("cum") * lit(1000000000000L) <=
         col("n2") * lit(1000000000000L - tauSqPico))
       .select(col("id"), col("term"))
     val cands = prefix
-      .join(wtd.select(col("id").as("id_b"), col("term")), "term")
+      .join(prefix.select(col("id").as("id_b"), col("term")), "term")
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b")).distinct()
     val dots = cands
@@ -128,6 +143,78 @@ object TextSearch {
         sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** EXACT all-pairs cosine similarity self-join over TF-IDF vectors at
+    * threshold τ — the blocked-matrix kernel, correct on ANY corpus and
+    * the default. (The posting-join variant [[cosineSelfJoinPostings]]
+    * wins on high-vocabulary Zipf corpora where prefixes prune; on a
+    * low-vocabulary corpus — the hard case — every doc pair shares hot
+    * terms, candidate generation cannot prune, and a posting join
+    * materializes Σ_t df(t)² intermediate rows. This kernel never
+    * materializes pair rows in a shuffle at all.)
+    *
+    * Plan shape (the standard distributed exact all-pairs blocking):
+    * docs aggregate to per-doc sparse vectors (term, wq) with
+    * wq = tf · round(idf·1e6) integer micro-units as in
+    * [[tfidfTopTerms]]; vectors hash-assign to `numBlocks` blocks, ONE
+    * row per block; the B(B+1)/2 upper-triangle block pairs come from a
+    * tiny local relation equi-joined to the block rows (so each block
+    * row is shuffled, not broadcast — corpus×B bytes total, never
+    * |pairs| rows); each block-pair task merge-joins its sorted sparse
+    * vectors and emits only pairs with round(cosine, 6) ≥ τ. Dots and
+    * norms are exact integer sums (overflow-checked, BigInt fallback),
+    * so the only float ops are the closing sqrt/divide/round — the same
+    * arithmetic the relational variant and the DuckDB full-quadratic
+    * oracle perform, making all three hash-identical.
+    *
+    * At 100× docs the block count scales as ~N/rowsPerBlock: tasks grow
+    * quadratically (inherent to EXACT all-pairs output guarantees) but
+    * each task stays constant-size and the shuffle stays linear×B. For
+    * sub-quadratic near-dup at scale use `Dedup.minhashNearDups` /
+    * `semDedup` — this operator is the exact verifier of that family.
+    */
+  def cosineSelfJoin(docs: DataFrame, threshold: Double,
+                     idCol: String = "doc_id",
+                     textCol: String = "text",
+                     numBlocks: Int = 16): DataFrame = {
+    require(numBlocks >= 1, "cosineSelfJoin needs numBlocks >= 1")
+    val spark = docs.sparkSession
+    val idType = docs.schema(idCol).dataType
+    val wtd = tfidfMicro(docs, idCol, textCol)
+    val docsVec = wtd
+      .withColumn("bid", pmod(xxhash64(col("id")), lit(numBlocks.toLong)))
+      .groupBy("bid", "id")
+      .agg(collect_list(struct(col("term"), col("wq"))).as("tw"))
+    val blocks = docsVec.groupBy("bid")
+      .agg(collect_list(struct(col("id"), col("tw"))).as("docs"))
+    // tiny (bx, by) upper-triangle pair relation: equi-joining the block
+    // rows to it replicates each block ≤B times through a plain shuffle —
+    // never a broadcast of the corpus, never a pair-row explosion
+    val pairIdx = for { i <- 0 until numBlocks; j <- i until numBlocks }
+      yield (i.toLong, j.toLong)
+    import spark.implicits._
+    val pairRel = pairIdx.toDF("bx", "by")
+    // explicit numPartitions: block-pair rows are BYTE-small but
+    // COMPUTE-heavy, so AQE's byte-based coalescing would serialize the
+    // kernel onto a couple of tasks; one task per block pair is the unit
+    // of parallelism here
+    val joined = pairRel
+      .join(blocks.select(col("bid").as("bx"), col("docs").as("dx")), "bx")
+      .join(blocks.select(col("bid").as("by"), col("docs").as("dy")), "by")
+      .select("bx", "by", "dx", "dy")
+      .repartition(pairIdx.size)
+    val outSchema = StructType(Seq(
+      StructField("id_a", idType), StructField("id_b", idType),
+      StructField("cosine", DoubleType)))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val tau = threshold
+    joined.flatMap { r =>
+      val sameBlock = r.getLong(0) == r.getLong(1)
+      val xs = CosineKernel.parseBlock(r.getSeq[Row](2))
+      val ys = if (sameBlock) xs else CosineKernel.parseBlock(r.getSeq[Row](3))
+      CosineKernel.blockPairs(xs, ys, sameBlock, tau)
+    }(enc)
   }
 
   /** Top-k documents for a bag-of-words query. Ties break on ascending id.
@@ -229,5 +316,113 @@ object TextSearch {
         instr(col("__text"), query).cast("long").as("first_pos"),
         ((length(col("__text")) - length(replace(col("__text"), q, lit("")))) /
           query.length).cast("long").as("n_hits"))
+  }
+}
+
+/** Executor-side kernel for [[TextSearch.cosineSelfJoin]]'s block-pair
+  * tasks: sorted-sparse-vector merge dots in EXACT integer arithmetic
+  * (overflow-checked long, BigInt fallback), closing sqrt/divide/round in
+  * double — the identical arithmetic the DuckDB full-quadratic oracle
+  * performs, so results are hash-identical. Term order inside a vector
+  * only needs to be CONSISTENT across docs (any total order works for the
+  * merge), so both sides sort with the same String comparator here rather
+  * than relying on engine-specific collations upstream.
+  */
+private[search] object CosineKernel {
+
+  final case class DocVec(id: Any, terms: Array[String], wqs: Array[Long],
+                          n2d: Double)
+
+  /** One block row → parsed per-doc sparse vectors with exact ‖d‖². */
+  def parseBlock(docs: Seq[Row]): Array[DocVec] =
+    docs.iterator.map { d =>
+      val tw = d.getSeq[Row](1)
+      val idx = tw.indices.sortBy(i => tw(i).getString(0))
+      val terms = new Array[String](idx.length)
+      val wqs = new Array[Long](idx.length)
+      var k = 0
+      while (k < idx.length) {
+        val r = tw(idx(k)); terms(k) = r.getString(0); wqs(k) = r.getLong(1)
+        k += 1
+      }
+      DocVec(d.get(0), terms, wqs, norm2(wqs))
+    }.toArray
+
+  /** Exact Σwq² converted once to double (the only use is inside the
+    * closing sqrt, where the oracle converts its exact HUGEINT the same
+    * correctly-rounded way). */
+  private def norm2(wqs: Array[Long]): Double = {
+    try {
+      var acc = 0L
+      var i = 0
+      while (i < wqs.length) {
+        acc = Math.addExact(acc, Math.multiplyExact(wqs(i), wqs(i))); i += 1
+      }
+      acc.toDouble
+    } catch { case _: ArithmeticException =>
+      wqs.foldLeft(BigInt(0))((s, w) => s + BigInt(w) * BigInt(w)).toDouble
+    }
+  }
+
+  /** Exact sparse merge dot over term-sorted vectors. */
+  private def dot(a: DocVec, b: DocVec): Double = {
+    try {
+      var acc = 0L
+      var i = 0; var j = 0
+      while (i < a.terms.length && j < b.terms.length) {
+        val c = a.terms(i).compareTo(b.terms(j))
+        if (c < 0) i += 1
+        else if (c > 0) j += 1
+        else {
+          acc = Math.addExact(acc, Math.multiplyExact(a.wqs(i), b.wqs(j)))
+          i += 1; j += 1
+        }
+      }
+      acc.toDouble
+    } catch { case _: ArithmeticException =>
+      var acc = BigInt(0)
+      var i = 0; var j = 0
+      while (i < a.terms.length && j < b.terms.length) {
+        val c = a.terms(i).compareTo(b.terms(j))
+        if (c < 0) i += 1
+        else if (c > 0) j += 1
+        else { acc += BigInt(a.wqs(i)) * BigInt(b.wqs(j)); i += 1; j += 1 }
+      }
+      acc.toDouble
+    }
+  }
+
+  /** Spark round(x, 6) semantics (HALF_UP via BigDecimal.valueOf). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** id_a < id_b with the boxed types Row carries (numeric/string ids). */
+  private def lt(a: Any, b: Any): Boolean =
+    a.asInstanceOf[Comparable[Any]].compareTo(b.asInstanceOf[Comparable[Any]]) < 0
+
+  /** All qualifying pairs of one block pair. `sameBlock` iterates the
+    * strict upper triangle by index so each unordered pair is computed
+    * exactly once; output ids are always emitted in ascending order.
+    */
+  def blockPairs(xs: Array[DocVec], ys: Array[DocVec], sameBlock: Boolean,
+                 tau: Double): Iterator[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var i = 0
+    while (i < xs.length) {
+      val a = xs(i)
+      var j = if (sameBlock) i + 1 else 0
+      while (j < ys.length) {
+        val b = ys(j)
+        val cos = round6(dot(a, b) / math.sqrt(a.n2d * b.n2d))
+        if (cos >= tau) {
+          if (lt(a.id, b.id)) out += Row(a.id, b.id, cos)
+          else out += Row(b.id, a.id, cos)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
   }
 }

@@ -55,4 +55,30 @@ class CosineSelfJoinSpec extends SparkSpec {
     val out = TextSearch.cosineSelfJoin(docs, 0.01).collect()
     assert(!out.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
   }
+
+  test("blocked kernel is block-count invariant") {
+    val one = TextSearch.cosineSelfJoin(docs, 0.3, numBlocks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val many = TextSearch.cosineSelfJoin(docs, 0.3, numBlocks = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one == many)
+  }
+
+  test("postings (prefix-filtered) variant equals the blocked kernel") {
+    for (tau <- Seq(0.3, 0.7, 0.9, 0.99)) {
+      val blocked = TextSearch.cosineSelfJoin(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val postings = TextSearch.cosineSelfJoinPostings(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(postings == blocked, s"tau=$tau")
+    }
+  }
+
+  test("string doc ids work and order lexicographically") {
+    val sdocs = Seq(("dA", "alpha beta gamma"), ("dB", "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = TextSearch.cosineSelfJoin(sdocs, 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("dA", "dB", 1.0)))
+  }
 }
