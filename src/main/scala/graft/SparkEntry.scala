@@ -544,7 +544,13 @@ object SparkEntry {
     * (each piece is separately green; this pins the seams). */
   private def e2eLakeSearch(s: SparkSession, dir: String): DataFrame = {
     val store = "/tmp/graft_fixtures/e2e_store"
-    val catalog = Profiler.profileLakeUnified(s, dir, LakeTables, rowCap = Some(RowCap))
+    // withQuantiles = false: the search path consumes sketches + col
+    // metadata only — computing the decile subtree (the profiler's most
+    // expensive branch) to immediately discard it would be plan waste.
+    // The quantile columns stay pinned by a4_quantiles (compute) and
+    // s7s8_sketch_roundtrip (store layout).
+    val catalog = Profiler.profileLakeUnified(s, dir, LakeTables,
+      rowCap = Some(RowCap), withQuantiles = false)
     graft.store.SketchStore.writeParquet(catalog, store)
     Discovery.searchUnionable(
       graft.store.SketchStore.readParquet(s, store), "supplier", k = 10)
