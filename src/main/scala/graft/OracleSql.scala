@@ -194,6 +194,131 @@ object OracleSql {
   private[graft] def q1Weight(i: Int, j: Int): Double = ((i + 1) * (j + 2) % 5) * 0.5 - 1.0
   private[graft] def q1Bias(j: Int): Double = 0.1 * (j + 1)
 
+  // ---- q7_transformer_score fixture: a 1-layer 2-head toy encoder whose
+  // weights AND inputs come from these closed-form exact-binary-fraction
+  // formulas, shared with SparkEntry (which exports them as a real ONNX
+  // graph and scores through OnnxSession). The oracle below replays the
+  // forward pass as fully UNROLLED SQL with the session's exact
+  // summation orders, so every double op except libm exp/tanh is
+  // bit-identical (the q7_onnx_score sigmoid precedent). ----------------
+  private[graft] val TeN = 12  // batch rows
+  private[graft] val TeS = 4   // sequence length
+  private[graft] val TeD = 4   // model width
+  private[graft] val TeH = 2   // heads
+  private[graft] val TeF = 8   // FFN width
+  private[graft] def teX(s: Int, d: Int): String = // per-id input expr (SQL `i`)
+    s"CAST((i * 13 + ${s * 7 + d * 3}) % 17 AS DOUBLE) * 0.125 - 1.0"
+  private[graft] def teWq(h: Int, i: Int, j: Int): Double =
+    ((h * 5 + i * 3 + j * 7) % 9 - 4) * 0.125
+  private[graft] def teWk(h: Int, i: Int, j: Int): Double =
+    ((h * 7 + i * 5 + j * 3) % 9 - 4) * 0.125
+  private[graft] def teWv(h: Int, i: Int, j: Int): Double =
+    ((h * 3 + i * 7 + j * 5) % 9 - 4) * 0.125
+  private[graft] def teWo(i: Int, j: Int): Double = ((i * 7 + j * 5 + 1) % 9 - 4) * 0.125
+  private[graft] def teBo(j: Int): Double = (j * 5 % 7 - 3) * 0.0625
+  private[graft] def teG1(j: Int): Double = 1.0 + (j % 3 - 1) * 0.125
+  private[graft] def teB1(j: Int): Double = (j * 3 % 5 - 2) * 0.0625
+  private[graft] def teW1(i: Int, j: Int): Double = ((i * 11 + j * 3) % 9 - 4) * 0.125
+  private[graft] def teBf1(j: Int): Double = (j * 3 % 5 - 2) * 0.125
+  private[graft] def teW2(i: Int, j: Int): Double = ((i * 7 + j * 5 + 2) % 9 - 4) * 0.0625
+  private[graft] def teBf2(j: Int): Double = (j * 7 % 5 - 2) * 0.0625
+  private[graft] def teG2(j: Int): Double = 1.0 + (j % 2 * 2 - 1) * 0.0625
+  private[graft] def teB2(j: Int): Double = ((j * 5 + 1) % 7 - 3) * 0.0625
+  private[graft] def teWh(j: Int): Double = ((j * 3 + 1) % 5 - 2) * 0.25
+  private[graft] val TeBh = 0.125
+  private[graft] val TeScale = 0.707107      // round(1/sqrt(dHead), 6)
+  private[graft] val TeEps = 0.0009765625    // 2^-10: float32-exact epsilon
+
+  /** Unrolled SQL replay of the mini-encoder forward pass. Generated, not
+    * hand-written: every matrix product is a left-associated sum in the
+    * session kernels' ascending index order; softmax uses GREATEST +
+    * exp(x−max)/Σ; LayerNorm is ((x−mean)/sqrt(var+eps))·g+b with
+    * population variance; pooling averages positions ascending. */
+  private def q7TransformerScoreSql: String = {
+    val (s_, d_, h_, f_) = (TeS, TeD, TeH, TeF)
+    val dh = d_ / h_
+    def f(v: Double): String = { // shortest round-trip double literal
+      val t = v.toString
+      if (t.contains('E') || t.contains('e')) s"CAST($t AS DOUBLE)" else t
+    }
+    def sum(ts: Seq[String]): String = ts.mkString("(", " + ", ")")
+    val xsCols = for (si <- 0 until s_; di <- 0 until d_)
+      yield s"${teX(si, di)} AS x_${si}_$di"
+    // q/k/v per head: [S,dh] = x[S,D] · W[D,dh], d ascending
+    val qkv = for {
+      (nm, w) <- Seq(("q", teWq _), ("k", teWk _), ("v", teWv _))
+      hi <- 0 until h_; si <- 0 until s_; e <- 0 until dh
+    } yield sum((0 until d_).map(di => s"x_${si}_$di * ${f(w(hi, di, e))}")) +
+      s" AS ${nm}_${hi}_${si}_$e"
+    // scaled attention logits: scl[i][j] = (Σ_e q[i][e]·k[j][e]) · scale
+    val scl = for (hi <- 0 until h_; i <- 0 until s_; j <- 0 until s_)
+      yield sum((0 until dh).map(e => s"q_${hi}_${i}_$e * k_${hi}_${j}_$e")) +
+        s" * $TeScale AS scl_${hi}_${i}_$j"
+    val mx = for (hi <- 0 until h_; i <- 0 until s_)
+      yield s"GREATEST(${(0 until s_).map(j => s"scl_${hi}_${i}_$j").mkString(", ")})" +
+        s" AS m_${hi}_$i"
+    val ex = for (hi <- 0 until h_; i <- 0 until s_; j <- 0 until s_)
+      yield s"exp(scl_${hi}_${i}_$j - m_${hi}_$i) AS e_${hi}_${i}_$j"
+    val sm = for (hi <- 0 until h_; i <- 0 until s_)
+      yield sum((0 until s_).map(j => s"e_${hi}_${i}_$j")) + s" AS s_${hi}_$i"
+    // heads: hd[i][e] = Σ_j (e/s)·v[j][e], j ascending
+    val hd = for (hi <- 0 until h_; i <- 0 until s_; e <- 0 until dh)
+      yield sum((0 until s_).map(j =>
+        s"(e_${hi}_${i}_$j / s_${hi}_$i) * v_${hi}_${j}_$e")) +
+        s" AS hd_${hi}_${i}_$e"
+    // r1[i][d] = ((Σ_c ctx[i][c]·wo[c][d]) + bo[d]) + x[i][d]
+    def ctx(i: Int, c: Int) = s"hd_${c / dh}_${i}_${c % dh}"
+    val r1 = for (i <- 0 until s_; di <- 0 until d_)
+      yield sum((0 until d_).map(c => s"${ctx(i, c)} * ${f(teWo(c, di))}")) +
+        s" + ${f(teBo(di))} + x_${i}_$di AS r1_${i}_$di"
+    def lnCols(src: String, out: String, g: Int => Double, b: Int => Double) = {
+      val mean = for (i <- 0 until s_)
+        yield sum((0 until d_).map(di => s"${src}_${i}_$di")) +
+          s" / ${d_}.0 AS mean_${out}_$i"
+      val vr = for (i <- 0 until s_)
+        yield sum((0 until d_).map(di =>
+          s"(${src}_${i}_$di - mean_${out}_$i) * (${src}_${i}_$di - mean_${out}_$i)")) +
+          s" / ${d_}.0 AS var_${out}_$i"
+      val ln = for (i <- 0 until s_; di <- 0 until d_)
+        yield s"((${src}_${i}_$di - mean_${out}_$i) / sqrt(var_${out}_$i + $TeEps))" +
+          s" * ${f(g(di))} + ${f(b(di))} AS ${out}_${i}_$di"
+      (mean ++ vr, ln)
+    }
+    val (ln1mv, ln1) = lnCols("r1", "l1", teG1, teB1)
+    // Sigmoid FFN activation: same 1/(1+exp(−z)) formula as the session
+    // (DuckDB 1.0 ships no tanh/erf; exp is the only diverging libm call)
+    val ff2 = for (i <- 0 until s_; fi <- 0 until f_)
+      yield s"1.0 / (1.0 + exp(-(" +
+        sum((0 until d_).map(di => s"l1_${i}_$di * ${f(teW1(di, fi))}")) +
+        s" + ${f(teBf1(fi))}))) AS f2_${i}_$fi"
+    val r2 = for (i <- 0 until s_; di <- 0 until d_)
+      yield sum((0 until f_).map(fi => s"f2_${i}_$fi * ${f(teW2(fi, di))}")) +
+        s" + ${f(teBf2(di))} + l1_${i}_$di AS r2_${i}_$di"
+    val (ln2mv, ln2) = lnCols("r2", "l2", teG2, teB2)
+    val pooled = for (di <- 0 until d_)
+      yield sum((0 until s_).map(i => s"l2_${i}_$di")) + s" / ${s_}.0 AS pooled_$di"
+    val z = sum((0 until d_).map(di => s"pooled_$di * ${f(teWh(di))}")) + s" + $TeBh"
+    Seq(
+      s"WITH c0 AS (SELECT i AS id, ${xsCols.mkString(", ")} FROM generate_series(1, $TeN) t(i))",
+      s"c1 AS (SELECT *, ${qkv.mkString(", ")} FROM c0)",
+      s"c2 AS (SELECT *, ${scl.mkString(", ")} FROM c1)",
+      s"c3 AS (SELECT *, ${mx.mkString(", ")} FROM c2)",
+      s"c4 AS (SELECT *, ${ex.mkString(", ")} FROM c3)",
+      s"c5 AS (SELECT *, ${sm.mkString(", ")} FROM c4)",
+      s"c6 AS (SELECT *, ${hd.mkString(", ")} FROM c5)",
+      s"c7 AS (SELECT *, ${r1.mkString(", ")} FROM c6)",
+      s"c8 AS (SELECT *, ${ln1mv.mkString(", ")} FROM c7)",
+      s"c9 AS (SELECT *, ${ln1.mkString(", ")} FROM c8)",
+      s"c10 AS (SELECT *, ${ff2.mkString(", ")} FROM c9)",
+      s"c11 AS (SELECT *, ${r2.mkString(", ")} FROM c10)",
+      s"c12 AS (SELECT *, ${ln2mv.mkString(", ")} FROM c11)",
+      s"c13 AS (SELECT *, ${ln2.mkString(", ")} FROM c12)",
+      s"c14 AS (SELECT id, ${pooled.mkString(", ")} FROM c13)"
+    ).mkString("", ", ", "\n") +
+      s"SELECT CAST(id AS BIGINT) AS id, round(1.0 / (1.0 + exp(-($z))), 6) AS score_r " +
+      "FROM c14 ORDER BY id"
+  }
+
   /** q7_onnx_score: recompute sigmoid(coef·x + b) from the exported JSON
     * twin of the ONNX head over the same feature formulas. The engine
     * side scores through the parsed ONNX ModelProto, so a wire-format,
@@ -4078,6 +4203,7 @@ object OracleSql {
     "lake_profile_unified" -> lakeProfileUnifiedSql,
     "lake_csv_unified" -> lakeCsvUnifiedSql,
     "q7_onnx_score" -> q7OnnxScoreSql,
+    "q7_transformer_score" -> q7TransformerScoreSql,
     "q1_embed_extract" -> q1EmbedExtractSql,
     // full-frame decode: per-channel means recomputed from the generative
     // pixel formulas (SparkEntry.mmPixelDecode encodes the same formulas

@@ -510,6 +510,47 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** E4 with a REAL (toy-sized) transformer: a 1-layer 2-head encoder —
+    * per-head scaled-dot attention with Softmax, residual + LayerNorm,
+    * Sigmoid FFN, mean-pool, sigmoid head — exported as an ONNX graph
+    * ([[graft.ml.OnnxExport.exportMiniEncoder]]) and executed DISTRIBUTED
+    * by the pure-JVM [[graft.ml.OnnxSession]] through the same
+    * per-partition/batched `ExternalModelScorer` seam a JNI onnxruntime
+    * would use. Weights and inputs come from `OracleSql`'s closed-form
+    * exact-binary-fraction formulas; the oracle replays the whole forward
+    * pass as unrolled SQL in the session kernels' summation orders
+    * (reference: `transformer_bert.py:88-224`, `extract_embeddings.py:
+    * 16-117` — checkpoint-driven encoder inference in the engine). */
+  private def q7TransformerScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (sq, d, h, f) = (OracleSql.TeS, OracleSql.TeD, OracleSql.TeH, OracleSql.TeF)
+    val dh = d / h
+    val w = graft.ml.OnnxExport.MiniEncoderWeights(
+      seqLen = sq, dModel = d, nHeads = h, dFf = f,
+      wq = Array.tabulate(h, d, dh)(OracleSql.teWq),
+      wk = Array.tabulate(h, d, dh)(OracleSql.teWk),
+      wv = Array.tabulate(h, d, dh)(OracleSql.teWv),
+      wo = Array.tabulate(d, d)(OracleSql.teWo), bo = Array.tabulate(d)(OracleSql.teBo),
+      g1 = Array.tabulate(d)(OracleSql.teG1), b1 = Array.tabulate(d)(OracleSql.teB1),
+      w1 = Array.tabulate(d, f)(OracleSql.teW1), bf1 = Array.tabulate(f)(OracleSql.teBf1),
+      w2 = Array.tabulate(f, d)(OracleSql.teW2), bf2 = Array.tabulate(d)(OracleSql.teBf2),
+      g2 = Array.tabulate(d)(OracleSql.teG2), b2 = Array.tabulate(d)(OracleSql.teB2),
+      wHead = Array.tabulate(d)(OracleSql.teWh), bHead = OracleSql.TeBh,
+      attScale = OracleSql.TeScale, lnEps = OracleSql.TeEps)
+    val path = "/tmp/graft_fixtures/q7_encoder.onnx"
+    graft.ml.OnnxExport.exportMiniEncoder(w, path)
+    val featCols = for (si <- 0 until sq; di <- 0 until d) yield s"x_${si}_$di"
+    val feats = (1 to OracleSql.TeN).map(_.toLong).toDF("id").select(
+      col("id") +: (for (si <- 0 until sq; di <- 0 until d) yield
+        (((col("id") * 13 + lit(si * 7 + di * 3)) % 17).cast("double") * 0.125 - 1.0)
+          .as(s"x_${si}_$di")): _*)
+    new graft.ml.Scorer.ExternalModelScorer(
+        graft.ml.Scorer.onnxModelFactory(path), featCols)
+      .score(feats)
+      .select(col("id"), round(col("score"), 6).as("score_r"))
+      .orderBy("id")
+  }
+
   /** Q1 embedding extraction through the ONNX linear-map head: literal
     * token-state vectors → `Pooling.meanPool` per column →
     * `ExternalEmbedder` over `OnnxExport.exportLinearMap` weights. All
@@ -3238,6 +3279,7 @@ object SparkEntry {
     "lake_profile_unified" -> lakeProfileUnifiedQ,
     "lake_csv_unified" -> lakeCsvUnifiedQ,
     "q7_onnx_score" -> q7OnnxScore,
+    "q7_transformer_score" -> q7TransformerScore,
     "q1_embed_extract" -> q1EmbedExtract,
     "e2e_lake_search" -> e2eLakeSearch,
     "mm_pixel_decode" -> mmPixelDecode,

@@ -20,15 +20,35 @@ object OnnxExport {
   import Proto._
 
   val OpsetVersion = 13L
+  /** Opset for graphs using LayerNormalization (an official op since 17). */
+  val OpsetVersionLn = 17L
   val DataTypeDouble = 11 // TensorProto.DataType.DOUBLE
+  val DataTypeInt64 = 7   // TensorProto.DataType.INT64
 
   // ---- shared protobuf constructors (one definition for all exporters) ----
   private def tensorMsg(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] = {
     concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeDouble),
       lenDelim(10, packedDoubles(data)), stringField(8, name))
   }
-  private def nodeMsg(op: String, ins: Seq[String], out: String): Array[Byte] = {
-    concat(ins.map(stringField(1, _)) :+ stringField(2, out) :+ stringField(4, op): _*)
+  /** INT64 tensor (Reshape shape inputs, axis lists carried as tensors). */
+  private def tensorMsgI64(name: String, dims: Seq[Long], data: Seq[Long]): Array[Byte] = {
+    concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeInt64),
+      lenDelim(7, packedVarints(data)), stringField(8, name))
+  }
+  // AttributeProto: name=1, f=2(float), i=3(int64), ints=8, type=20
+  // (FLOAT=1, INT=2, INTS=7 per the public onnx.proto enum)
+  private def attrI(name: String, v: Long): Array[Byte] =
+    concat(stringField(1, name), varintField(20, 2L), varintField(3, v))
+  private def attrF(name: String, v: Float): Array[Byte] =
+    concat(stringField(1, name), varintField(20, 1L),
+      fixed32Field(2, java.lang.Float.floatToIntBits(v)))
+  private def attrInts(name: String, vs: Seq[Long]): Array[Byte] =
+    concat(stringField(1, name), varintField(20, 7L),
+      lenDelim(8, packedVarints(vs)))
+  private def nodeMsg(op: String, ins: Seq[String], out: String,
+                      attrs: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    concat((ins.map(stringField(1, _)) :+ stringField(2, out) :+
+      stringField(4, op)) ++ attrs.map(lenDelim(5, _)): _*)
   }
   private def valueInfoMsg(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
     val shape = concat(dims.map {
@@ -45,7 +65,8 @@ object OnnxExport {
                          nodes: Seq[Array[Byte]], inits: Seq[Array[Byte]],
                          input: (String, Seq[Either[String, Long]]),
                          output: (String, Seq[Either[String, Long]]),
-                         features: Seq[String]): Unit = {
+                         features: Seq[String],
+                         opset: Long = OpsetVersion): Unit = {
     val graph = concat(
       (nodes.map(lenDelim(1, _)) ++ Seq(stringField(2, graphName)) ++
         inits.map(lenDelim(5, _)) ++ Seq(
@@ -53,7 +74,7 @@ object OnnxExport {
         lenDelim(12, valueInfoMsg(output._1, output._2)))): _*)
     val modelBytes = concat(
       varintField(1, 8L), stringField(2, "graft"), lenDelim(7, graph),
-      lenDelim(8, varintField(2, OpsetVersion)),
+      lenDelim(8, varintField(2, opset)),
       lenDelim(14, concat(stringField(1, "features"),
         stringField(2, features.mkString(",")))))
     val p = java.nio.file.Paths.get(path)
@@ -165,6 +186,106 @@ object OnnxExport {
       output = ("embedding", Seq(Left("N"), Right(k.toLong))),
       features = features)
   }
+
+  /** All weights of the 1-layer multi-head transformer encoder +
+    * sigmoid classification head [[exportMiniEncoder]] writes — the E4
+    * shape (`/root/reference/tabsketchfm/transformer_bert.py:88-224`
+    * encoder layer; `extract_embeddings.py:16-117` checkpoint-driven
+    * scoring) at toy dimensions. `wq/wk/wv(h)(d)(e)` are per-head
+    * projections `[dModel][dHead]`; `wo` the output projection
+    * `[dModel][dModel]`; `w1/w2` the FFN (Sigmoid activation); g1/b1 and
+    * g2/b2 the two LayerNorm scale/bias pairs; `wHead`/`bHead` the
+    * pooled classifier. */
+  final case class MiniEncoderWeights(
+      seqLen: Int, dModel: Int, nHeads: Int, dFf: Int,
+      wq: Array[Array[Array[Double]]], wk: Array[Array[Array[Double]]],
+      wv: Array[Array[Array[Double]]],
+      wo: Array[Array[Double]], bo: Array[Double],
+      g1: Array[Double], b1: Array[Double],
+      w1: Array[Array[Double]], bf1: Array[Double],
+      w2: Array[Array[Double]], bf2: Array[Double],
+      g2: Array[Double], b2: Array[Double],
+      wHead: Array[Double], bHead: Double,
+      attScale: Double, lnEps: Double)
+
+  /** Export a REAL (toy-sized) transformer encoder as ONNX, opset 17:
+    * Reshape [N, S·D] → [N, S, D]; per-head Q/K/V MatMuls, K transpose,
+    * scaled QKᵀ, Softmax over keys, attention-weighted V; head Concat;
+    * output projection + residual + LayerNormalization; Sigmoid FFN +
+    * residual + LayerNormalization; mean-pool over positions; linear +
+    * Sigmoid score. Every op here executes in [[OnnxSession]] — the
+    * demonstration that the pure-JVM session runs ENCODER-shaped graphs
+    * (3-D tensors, attention MatMuls, Softmax, LayerNorm), not just the
+    * linear/MLP heads. Input column order is the flattened
+    * `x_{s}_{d}` (position-major) feature list.
+    */
+  def exportMiniEncoder(w: MiniEncoderWeights, path: String): Unit = {
+    val (s, d, h, f) = (w.seqLen, w.dModel, w.nHeads, w.dFf)
+    require(h > 0 && d % h == 0, s"dModel $d must divide into $h heads")
+    val dh = d / h
+    val features = for (i <- 0 until s; j <- 0 until d) yield s"x_${i}_$j"
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val inits = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    inits += tensorMsgI64("shape_sd", Seq(3L), Seq(-1L, s.toLong, d.toLong))
+    inits += tensorMsg("att_scale", Seq(1L), Array(w.attScale))
+    nodes += nodeMsg("Reshape", Seq("features", "shape_sd"), "x")
+    val headOuts = (0 until h).map { hi =>
+      inits += tensorMsg(s"wq$hi", Seq(d.toLong, dh.toLong), w.wq(hi).flatten)
+      inits += tensorMsg(s"wk$hi", Seq(d.toLong, dh.toLong), w.wk(hi).flatten)
+      inits += tensorMsg(s"wv$hi", Seq(d.toLong, dh.toLong), w.wv(hi).flatten)
+      nodes += nodeMsg("MatMul", Seq("x", s"wq$hi"), s"q$hi")
+      nodes += nodeMsg("MatMul", Seq("x", s"wk$hi"), s"k$hi")
+      nodes += nodeMsg("MatMul", Seq("x", s"wv$hi"), s"v$hi")
+      nodes += nodeMsg("Transpose", Seq(s"k$hi"), s"kT$hi",
+        Seq(attrInts("perm", Seq(0L, 2L, 1L))))
+      nodes += nodeMsg("MatMul", Seq(s"q$hi", s"kT$hi"), s"sc$hi")
+      nodes += nodeMsg("Mul", Seq(s"sc$hi", "att_scale"), s"scl$hi")
+      nodes += nodeMsg("Softmax", Seq(s"scl$hi"), s"at$hi",
+        Seq(attrI("axis", -1L)))
+      nodes += nodeMsg("MatMul", Seq(s"at$hi", s"v$hi"), s"hd$hi")
+      s"hd$hi"
+    }
+    nodes += nodeMsg("Concat", headOuts, "ctx", Seq(attrI("axis", -1L)))
+    inits += tensorMsg("wo", Seq(d.toLong, d.toLong), w.wo.flatten)
+    inits += tensorMsg("bo", Seq(d.toLong), w.bo)
+    nodes += nodeMsg("MatMul", Seq("ctx", "wo"), "pj0")
+    nodes += nodeMsg("Add", Seq("pj0", "bo"), "pj")
+    nodes += nodeMsg("Add", Seq("pj", "x"), "r1")
+    inits += tensorMsg("g1", Seq(d.toLong), w.g1)
+    inits += tensorMsg("b1", Seq(d.toLong), w.b1)
+    nodes += nodeMsg("LayerNormalization", Seq("r1", "g1", "b1"), "l1",
+      Seq(attrI("axis", -1L), attrF("epsilon", w.lnEps.toFloat)))
+    inits += tensorMsg("w1", Seq(d.toLong, f.toLong), w.w1.flatten)
+    inits += tensorMsg("bf1", Seq(f.toLong), w.bf1)
+    inits += tensorMsg("w2", Seq(f.toLong, d.toLong), w.w2.flatten)
+    inits += tensorMsg("bf2", Seq(d.toLong), w.bf2)
+    // Sigmoid FFN activation (not Tanh/Gelu): the DuckDB oracle has no
+    // tanh/erf builtin, and sigmoid keeps BOTH engines on the literal
+    // formula 1/(1+exp(−z)) — exp is then the only libm call in the whole
+    // graph whose rounding differs across engines. Tanh/Erf remain
+    // executable session ops (spec-pinned) for graphs that need them.
+    nodes += nodeMsg("MatMul", Seq("l1", "w1"), "f0")
+    nodes += nodeMsg("Add", Seq("f0", "bf1"), "f1")
+    nodes += nodeMsg("Sigmoid", Seq("f1"), "f2")
+    nodes += nodeMsg("MatMul", Seq("f2", "w2"), "f3")
+    nodes += nodeMsg("Add", Seq("f3", "bf2"), "f4")
+    nodes += nodeMsg("Add", Seq("f4", "l1"), "r2")
+    inits += tensorMsg("g2", Seq(d.toLong), w.g2)
+    inits += tensorMsg("b2", Seq(d.toLong), w.b2)
+    nodes += nodeMsg("LayerNormalization", Seq("r2", "g2", "b2"), "l2",
+      Seq(attrI("axis", -1L), attrF("epsilon", w.lnEps.toFloat)))
+    nodes += nodeMsg("ReduceMean", Seq("l2"), "pooled",
+      Seq(attrInts("axes", Seq(1L)), attrI("keepdims", 0L)))
+    inits += tensorMsg("w_head", Seq(d.toLong, 1L), w.wHead)
+    inits += tensorMsg("b_head", Seq(1L), Array(w.bHead))
+    nodes += nodeMsg("MatMul", Seq("pooled", "w_head"), "z0")
+    nodes += nodeMsg("Add", Seq("z0", "b_head"), "z1")
+    nodes += nodeMsg("Sigmoid", Seq("z1"), "score")
+    writeModel(path, "graft_mini_encoder", nodes.toSeq, inits.toSeq,
+      input = ("features", Seq(Left("N"), Right((s * d).toLong))),
+      output = ("score", Seq(Left("N"), Right(1L))),
+      features = features, opset = OpsetVersionLn)
+  }
 }
 
 /** Minimal ONNX session: parses a `ModelProto` and executes its graph —
@@ -196,20 +317,42 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     if (stringAt(m, 1) == "features") stringAt(m, 2).split(',').toSeq else Nil
   }
 
-  private case class Tensor(dims: Array[Int], data: Array[Double])
+  private case class Tensor(dims: Array[Int], data: Array[Double]) {
+    def rank: Int = dims.length
+  }
 
   private val initializers: Map[String, Tensor] = allBytes(graph, 5).map { t =>
     val m = parsed("initializer", t)
     val dims = packedVarintsAt(m, 1).map(_.toInt)
-    require(varintAt(m, 2) == OnnxExport.DataTypeDouble,
-      s"OnnxSession executes DOUBLE tensors; got data_type ${varintAt(m, 2)}")
-    stringAt(m, 8) -> Tensor(dims.toArray, packedDoublesAt(m, 10))
+    val dt = varintAt(m, 2)
+    val data = dt match {
+      case OnnxExport.DataTypeDouble => packedDoublesAt(m, 10)
+      // INT64 tensors (Reshape shapes, axis lists): small integers, held
+      // losslessly in the double array — shape consumers read them back
+      // with .toLong
+      case OnnxExport.DataTypeInt64 => packedVarintsAt(m, 7).map(_.toDouble).toArray
+      case other => throw new IllegalArgumentException(
+        s"OnnxSession executes DOUBLE/INT64 tensors; got data_type $other")
+    }
+    stringAt(m, 8) -> Tensor(dims.toArray, data)
   }.toMap
 
-  private case class Node(op: String, ins: Seq[String], out: String)
+  /** The attribute subset the executed op set uses: single int (axis,
+    * keepdims), single float (epsilon), int list (perm, axes). */
+  private case class Attr(i: Long, f: Float, ints: Seq[Long])
+  private case class Node(op: String, ins: Seq[String], out: String,
+                          attrs: Map[String, Attr])
   private val nodes: Seq[Node] = allBytes(graph, 1).map { n =>
     val m = parsed("node", n)
-    Node(stringAt(m, 4), allBytes(m, 1).map(new String(_, "UTF-8")), stringAt(m, 2))
+    val attrs = allBytes(m, 5).map { a =>
+      val am = parsed("attribute", a)
+      val fBits = am.getOrElse(2, Nil).collectFirst { case Fixed32V(v) => v }
+      stringAt(am, 1) -> Attr(varintAt(am, 3),
+        java.lang.Float.intBitsToFloat(fBits.getOrElse(0)),
+        packedVarintsAt(am, 8))
+    }.toMap
+    Node(stringAt(m, 4), allBytes(m, 1).map(new String(_, "UTF-8")),
+      stringAt(m, 2), attrs)
   }
   private val inputName: String = stringAt(parsed("input", bytesAt(graph, 11)), 1)
   private val outputName: String = stringAt(parsed("output", bytesAt(graph, 12)), 1)
@@ -234,6 +377,198 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     Array.tabulate(n)(i => java.util.Arrays.copyOfRange(out.data, i * k, (i + 1) * k))
   }
 
+  // ---- rank-general op kernels -------------------------------------
+  // Summation/iteration orders are FIXED (k ascending in MatMul, the
+  // reduced axis ascending in ReduceMean/LayerNorm, lanes ascending in
+  // Softmax) so an unrolled SQL replay of the same graph is
+  // FP-bit-identical up to libm's exp/tanh (the q7 oracle discipline).
+
+  /** [m,k]·[k,p] with k-ascending accumulation. */
+  private def mm2(a: Array[Double], b: Array[Double],
+                  m: Int, k: Int, p: Int, r: Array[Double], ro: Int,
+                  ao: Int, bo: Int): Unit = {
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < p) {
+        var s = 0.0; var t = 0
+        while (t < k) { s += a(ao + i * k + t) * b(bo + t * p + j); t += 1 }
+        r(ro + i * p + j) = s; j += 1
+      }
+      i += 1
+    }
+  }
+
+  /** MatMul: 2-D×2-D, batched 3-D×2-D (shared weights), and 3-D×3-D
+    * (attention QKᵀ / attn·V). */
+  private def matmul(a: Tensor, b: Tensor): Tensor = (a.rank, b.rank) match {
+    case (2, 2) =>
+      require(a.dims(1) == b.dims(0), s"MatMul [${a.dims.mkString(",")}]x[${b.dims.mkString(",")}]")
+      val r = new Array[Double](a.dims(0) * b.dims(1))
+      mm2(a.data, b.data, a.dims(0), a.dims(1), b.dims(1), r, 0, 0, 0)
+      Tensor(Array(a.dims(0), b.dims(1)), r)
+    case (3, 2) =>
+      require(a.dims(2) == b.dims(0), s"MatMul [${a.dims.mkString(",")}]x[${b.dims.mkString(",")}]")
+      val (n, m, k, p) = (a.dims(0), a.dims(1), a.dims(2), b.dims(1))
+      val r = new Array[Double](n * m * p)
+      var bi = 0
+      while (bi < n) {
+        mm2(a.data, b.data, m, k, p, r, bi * m * p, bi * m * k, 0); bi += 1
+      }
+      Tensor(Array(n, m, p), r)
+    case (3, 3) =>
+      require(a.dims(0) == b.dims(0) && a.dims(2) == b.dims(1),
+        s"MatMul [${a.dims.mkString(",")}]x[${b.dims.mkString(",")}]")
+      val (n, m, k, p) = (a.dims(0), a.dims(1), a.dims(2), b.dims(2))
+      val r = new Array[Double](n * m * p)
+      var bi = 0
+      while (bi < n) {
+        mm2(a.data, b.data, m, k, p, r, bi * m * p, bi * m * k, bi * k * p)
+        bi += 1
+      }
+      Tensor(Array(n, m, p), r)
+    case (ra, rb) => throw new UnsupportedOperationException(
+      s"MatMul ranks ${ra}x$rb")
+  }
+
+  private def strides(dims: Array[Int]): Array[Int] = {
+    val s = new Array[Int](dims.length)
+    var acc = 1
+    var i = dims.length - 1
+    while (i >= 0) { s(i) = acc; acc *= dims(i); i -= 1 }
+    s
+  }
+
+  private def transpose(a: Tensor, perm: Array[Int]): Tensor = {
+    require(perm.length == a.rank && perm.sorted.sameElements(0 until a.rank),
+      s"Transpose perm ${perm.mkString(",")} for rank ${a.rank}")
+    val od = perm.map(a.dims)
+    val inS = strides(a.dims)
+    val outS = strides(od)
+    val r = new Array[Double](a.data.length)
+    val idx = new Array[Int](a.rank)
+    var flat = 0
+    while (flat < a.data.length) {
+      // decompose flat input index, scatter to permuted output position
+      var rem = flat; var k = 0
+      while (k < a.rank) { idx(k) = rem / inS(k); rem %= inS(k); k += 1 }
+      var o = 0; k = 0
+      while (k < a.rank) { o += idx(perm(k)) * outS(k); k += 1 }
+      r(o) = a.data(flat)
+      flat += 1
+    }
+    Tensor(od, r)
+  }
+
+  /** Numerically-stable Softmax over the LAST axis (the only axis the
+    * encoder graphs use): exp(x − rowmax) / Σ, lanes ascending. */
+  private def softmaxLast(a: Tensor): Tensor = {
+    val lane = a.dims(a.rank - 1)
+    val rows = a.data.length / lane
+    val r = new Array[Double](a.data.length)
+    var row = 0
+    while (row < rows) {
+      val off = row * lane
+      var m = a.data(off)
+      var i = 1
+      while (i < lane) { if (a.data(off + i) > m) m = a.data(off + i); i += 1 }
+      var s = 0.0
+      i = 0
+      while (i < lane) { r(off + i) = math.exp(a.data(off + i) - m); s += r(off + i); i += 1 }
+      i = 0
+      while (i < lane) { r(off + i) /= s; i += 1 }
+      row += 1
+    }
+    Tensor(a.dims, r)
+  }
+
+  /** Concat over the LAST axis. */
+  private def concatLast(ts: Seq[Tensor]): Tensor = {
+    val lead = ts.head.dims.dropRight(1)
+    require(ts.forall(_.dims.dropRight(1).sameElements(lead)),
+      "Concat: leading dims differ")
+    val lanes = ts.map(_.dims.last)
+    val outLane = lanes.sum
+    val rows = ts.head.data.length / ts.head.dims.last
+    val r = new Array[Double](rows * outLane)
+    var row = 0
+    while (row < rows) {
+      var o = row * outLane
+      var ti = 0
+      while (ti < ts.length) {
+        val t = ts(ti); val l = lanes(ti)
+        System.arraycopy(t.data, row * l, r, o, l)
+        o += l; ti += 1
+      }
+      row += 1
+    }
+    Tensor((lead :+ outLane).toArray, r)
+  }
+
+  /** LayerNormalization over the last axis: for each lane vector x,
+    * out = ((x − mean) / sqrt(var + eps)) · scale + bias, with mean and
+    * population variance accumulated lanes-ascending. */
+  private def layerNorm(x: Tensor, scale: Tensor, bias: Tensor,
+                        eps: Double): Tensor = {
+    val lane = x.dims(x.rank - 1)
+    require(scale.data.length == lane && bias.data.length == lane,
+      s"LayerNormalization lane $lane vs scale ${scale.data.length}")
+    val rows = x.data.length / lane
+    val r = new Array[Double](x.data.length)
+    var row = 0
+    while (row < rows) {
+      val off = row * lane
+      var s = 0.0; var i = 0
+      while (i < lane) { s += x.data(off + i); i += 1 }
+      val mean = s / lane
+      var v = 0.0; i = 0
+      while (i < lane) {
+        val d = x.data(off + i) - mean; v += d * d; i += 1
+      }
+      val varp = v / lane
+      val inv = math.sqrt(varp + eps)
+      i = 0
+      while (i < lane) {
+        r(off + i) = ((x.data(off + i) - mean) / inv) * scale.data(i) + bias.data(i)
+        i += 1
+      }
+      row += 1
+    }
+    Tensor(x.dims, r)
+  }
+
+  /** ReduceMean over ONE axis, keepdims=0, axis ascending accumulation. */
+  private def reduceMean(a: Tensor, axis: Int): Tensor = {
+    val ax = if (axis < 0) a.rank + axis else axis
+    val n = a.dims(ax)
+    val outer = a.dims.take(ax).product
+    val inner = a.dims.drop(ax + 1).product
+    val r = new Array[Double](outer * inner)
+    var o = 0
+    while (o < outer) {
+      var in = 0
+      while (in < inner) {
+        var s = 0.0; var k = 0
+        while (k < n) { s += a.data((o * n + k) * inner + in); k += 1 }
+        r(o * inner + in) = s / n
+        in += 1
+      }
+      o += 1
+    }
+    Tensor((a.dims.take(ax) ++ a.dims.drop(ax + 1)), r)
+  }
+
+  /** erf(x), Abramowitz & Stegun 7.1.26 (|err| ≤ 1.5e-7) — the Gelu
+    * building block; precision documented, spec-tested against known
+    * values (not used by the oracle-verified encoder, which runs Sigmoid).
+    */
+  private def erf(x: Double): Double = {
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) *
+      t - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    if (x >= 0) y else -y
+  }
+
   private def forward(batch: Array[Array[Double]]): Tensor = {
     val n = batch.length
     if (n == 0) return Tensor(Array(0, 0), Array.empty)
@@ -244,33 +579,68 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
       values.getOrElse(name, initializers.getOrElse(name,
         throw new IllegalStateException(s"unbound tensor '$name'")))
     nodes.foreach { node =>
+      def attr(name: String): Attr = node.attrs.getOrElse(name,
+        throw new IllegalArgumentException(s"${node.op}: missing attr '$name'"))
       val out = node.op match {
-        case "MatMul" =>
-          val (a, b) = (get(node.ins(0)), get(node.ins(1)))
-          val (m, k, p) = (a.dims(0), a.dims(1), b.dims(1))
-          require(b.dims(0) == k, s"MatMul shape [$m,$k]x[${b.dims(0)},$p]")
-          val r = new Array[Double](m * p)
-          var i = 0
-          while (i < m) {
-            var j = 0
-            while (j < p) {
-              var s = 0.0; var t = 0
-              while (t < k) { s += a.data(i * k + t) * b.data(t * p + j); t += 1 }
-              r(i * p + j) = s; j += 1
-            }
-            i += 1
-          }
-          Tensor(Array(m, p), r)
-        case "Add" => // right side broadcast (bias)
+        case "MatMul" => matmul(get(node.ins(0)), get(node.ins(1)))
+        case "Add" => // right side trailing-broadcast (bias) or same-shape
           val (a, b) = (get(node.ins(0)), get(node.ins(1)))
           Tensor(a.dims, a.data.zipWithIndex.map { case (v, i) =>
             v + b.data(i % b.data.length) })
+        case "Mul" => // same-shape or trailing/scalar broadcast
+          val (a, b) = (get(node.ins(0)), get(node.ins(1)))
+          Tensor(a.dims, a.data.zipWithIndex.map { case (v, i) =>
+            v * b.data(i % b.data.length) })
+        case "Reshape" =>
+          val a = get(node.ins(0))
+          val spec = get(node.ins(1)).data.map(_.toLong)
+          val fixed = spec.filter(_ > 0).product
+          val dims = spec.map { s =>
+            if (s > 0) s.toInt
+            else (a.data.length / math.max(fixed, 1L)).toInt // the one -1
+          }
+          require(dims.product == a.data.length,
+            s"Reshape ${spec.mkString(",")} on ${a.data.length} values")
+          Tensor(dims, a.data)
+        case "Transpose" =>
+          transpose(get(node.ins(0)), attr("perm").ints.map(_.toInt).toArray)
+        case "Softmax" =>
+          val a = get(node.ins(0))
+          val ax = node.attrs.get("axis").map(_.i).getOrElse(-1L)
+          require(ax == -1L || ax == a.rank - 1,
+            s"Softmax: only the last axis is supported, got $ax")
+          softmaxLast(a)
+        case "Concat" =>
+          val ts = node.ins.map(get)
+          val ax = attr("axis").i
+          require(ax == -1L || ax == ts.head.rank - 1,
+            s"Concat: only the last axis is supported, got $ax")
+          concatLast(ts)
+        case "LayerNormalization" =>
+          val ax = node.attrs.get("axis").map(_.i).getOrElse(-1L)
+          val x = get(node.ins(0))
+          require(ax == -1L || ax == x.rank - 1,
+            s"LayerNormalization: only the last axis is supported, got $ax")
+          val eps = node.attrs.get("epsilon").map(_.f.toDouble).getOrElse(1e-5)
+          layerNorm(x, get(node.ins(1)), get(node.ins(2)), eps)
+        case "ReduceMean" =>
+          require(node.attrs.get("keepdims").forall(_.i == 0L),
+            "ReduceMean: only keepdims=0 is supported")
+          val axes = attr("axes").ints
+          require(axes.length == 1, "ReduceMean: exactly one axis")
+          reduceMean(get(node.ins(0)), axes.head.toInt)
         case "Sigmoid" =>
           val a = get(node.ins(0))
           Tensor(a.dims, a.data.map(z => 1.0 / (1.0 + math.exp(-z))))
         case "Relu" =>
           val a = get(node.ins(0))
           Tensor(a.dims, a.data.map(z => if (z > 0) z else 0.0))
+        case "Tanh" =>
+          val a = get(node.ins(0))
+          Tensor(a.dims, a.data.map(math.tanh))
+        case "Erf" =>
+          val a = get(node.ins(0))
+          Tensor(a.dims, a.data.map(erf))
         case op => throw new UnsupportedOperationException(s"op '$op'")
       }
       values += node.out -> out
@@ -300,6 +670,9 @@ private[ml] object Proto {
   }
   private def tag(field: Int, wire: Int) = varint((field.toLong << 3) | wire)
   def varintField(field: Int, v: Long): Array[Byte] = tag(field, 0) ++ varint(v)
+  def fixed32Field(field: Int, bits: Int): Array[Byte] =
+    tag(field, 5) ++ Array[Byte](bits.toByte, (bits >> 8).toByte,
+      (bits >> 16).toByte, (bits >> 24).toByte)
   def lenDelim(field: Int, bytes: Array[Byte]): Array[Byte] =
     tag(field, 2) ++ varint(bytes.length.toLong) ++ bytes
   def stringField(field: Int, s: String): Array[Byte] = lenDelim(field, s.getBytes("UTF-8"))
