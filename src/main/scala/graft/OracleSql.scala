@@ -229,6 +229,36 @@ object OracleSql {
   private[graft] val TeScale = 0.707107      // round(1/sqrt(dHead), 6)
   private[graft] val TeEps = 0.0009765625    // 2^-10: float32-exact epsilon
 
+  /** Full-quadratic TF-IDF cosine self-join oracle over `docsRel` (a
+    * table name or parenthesized subquery) — shared by d_cosine_pairs
+    * (blocked kernel, whole corpus) and d_cosine_postings (L2AP prefix
+    * plan, bounded slice). */
+  private def cosinePairsSqlFor(docsRel: String): String =
+    s"""WITH tk AS (SELECT doc_id AS id,
+       |        unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |          t -> t <> '')) AS term
+       |      FROM $docsRel),
+       |tf AS (SELECT id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM $docsRel),
+       |w AS (SELECT tf.id, tf.term,
+       |        CAST(tf.tf * round((ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+       |          * 1e6, 0) AS BIGINT) AS wq
+       |      FROM tf JOIN dfq USING (term), n),
+       |norms AS (SELECT id, sum(CAST(wq AS HUGEINT) * CAST(wq AS HUGEINT)) AS n2
+       |          FROM w GROUP BY 1),
+       |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+       |           sum(CAST(a.wq AS HUGEINT) * CAST(b.wq AS HUGEINT)) AS dot
+       |         FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+       |         GROUP BY 1, 2)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT id_a, id_b,
+       |    round(CAST(dot AS DOUBLE) /
+       |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
+       |  FROM dots JOIN norms na ON dots.id_a = na.id
+       |            JOIN norms nb ON dots.id_b = nb.id)
+       |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
   /** Unrolled SQL replay of the mini-encoder forward pass. Generated, not
     * hand-written: every matrix product is a left-associated sum in the
     * session kernels' ascending index order; softmax uses GREATEST +
@@ -4792,33 +4822,13 @@ object OracleSql {
         |  CAST(10 AS BIGINT) AS k
         |FROM cls""".stripMargin,
 
-    // FULL quadratic cosine join — matching the engine's prefix-filtered
-    // plan certifies the Bayardo filter lossless on this corpus
-    "d_cosine_pairs" ->
-      """WITH tk AS (SELECT doc_id AS id,
-        |        unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |          t -> t <> '')) AS term
-        |      FROM documents),
-        |tf AS (SELECT id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
-        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
-        |w AS (SELECT tf.id, tf.term,
-        |        CAST(tf.tf * round((ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
-        |          * 1e6, 0) AS BIGINT) AS wq
-        |      FROM tf JOIN dfq USING (term), n),
-        |norms AS (SELECT id, sum(CAST(wq AS HUGEINT) * CAST(wq AS HUGEINT)) AS n2
-        |          FROM w GROUP BY 1),
-        |dots AS (SELECT a.id AS id_a, b.id AS id_b,
-        |           sum(CAST(a.wq AS HUGEINT) * CAST(b.wq AS HUGEINT)) AS dot
-        |         FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
-        |         GROUP BY 1, 2)
-        |SELECT id_a, id_b, cosine FROM (
-        |  SELECT id_a, id_b,
-        |    round(CAST(dot AS DOUBLE) /
-        |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cosine
-        |  FROM dots JOIN norms na ON dots.id_a = na.id
-        |            JOIN norms nb ON dots.id_b = nb.id)
-        |WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // FULL quadratic cosine join — matching the engine's blocked exact
+    // kernel certifies the blocking + integer dot arithmetic on this
+    // corpus; the _postings entry certifies the L2AP prefix filter
+    // lossless on a bounded slice with the same quadratic oracle
+    "d_cosine_pairs" -> cosinePairsSqlFor("documents"),
+    "d_cosine_postings" ->
+      cosinePairsSqlFor("(SELECT * FROM documents WHERE doc_id <= 600)"),
 
     // exact replay of the next-fit-decreasing greedy fold (linear
     // recursion, the packSequences oracle discipline)

@@ -3197,12 +3197,25 @@ object SparkEntry {
       "c_acctbal", k = 10L)
 
   /** Exact all-pairs TF-IDF cosine self-join at τ=0.9 with the Bayardo
-    * L2-norm prefix filter ([[graft.search.TextSearch.cosineSelfJoin]]);
+    * blocked exact kernel ([[graft.search.TextSearch.cosineSelfJoin]]);
     * the oracle runs the FULL quadratic join, so a hash-match certifies
-    * the prefix filter lossless on this corpus.
+    * the blocking + integer merge-dot arithmetic exact on this corpus.
     */
   private def cosinePairsQ(s: SparkSession, dir: String): DataFrame =
     graft.search.TextSearch.cosineSelfJoin(t(s, dir, "documents"), 0.9)
+      .orderBy("id_a", "id_b")
+
+  /** The posting-join (two-sided L2AP prefix-filter) plan of the same
+    * operator, against a full-quadratic oracle — certifies the prefix
+    * bound lossless, independently of the blocked kernel. Scoped to a
+    * 600-doc slice: the synthetic corpus's 31-term vocabulary is the
+    * posting plan's documented degenerate case (nothing prunes when
+    * every pair shares hot terms), and the slice keeps the bench honest
+    * about the plan without benching its worst case at sf0.1 — the
+    * blocked kernel above is the full-corpus plan. */
+  private def cosinePostingsQ(s: SparkSession, dir: String): DataFrame =
+    graft.search.TextSearch.cosineSelfJoinPostings(
+        t(s, dir, "documents").filter(col("doc_id") <= 600), 0.9)
       .orderBy("id_a", "id_b")
 
   /** Small-file compaction plan over a synthetic per-source "file"
@@ -3452,6 +3465,7 @@ object SparkEntry {
     "t_clean_normalize" -> cleanNormalizeQ,
     "p_k_anonymity" -> kAnonymityQ,
     "d_cosine_pairs" -> cosinePairsQ,
+    "d_cosine_postings" -> cosinePostingsQ,
     "x_compaction_plan" -> compactionPlanQ,
     "t_script_mix" -> scriptMixQ,
     "d_lsh_plan" -> lshPlanQ,
