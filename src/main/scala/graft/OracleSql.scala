@@ -264,7 +264,11 @@ object OracleSql {
     * session kernels' ascending index order; softmax uses GREATEST +
     * exp(x−max)/Σ; LayerNorm is ((x−mean)/sqrt(var+eps))·g+b with
     * population variance; pooling averages positions ascending. */
-  private def q7TransformerScoreSql: String = {
+  /** The c1..c14 encoder CTE chain over any `c0` that provides columns
+    * `id` and `x_{s}_{d}` — shared by the q7 (classifier head) and q6
+    * (embedding output) oracles. c14 exposes (id, pooled_0..pooled_{D−1}).
+    */
+  private def teEncoderCtes: String = {
     val (s_, d_, h_, f_) = (TeS, TeD, TeH, TeF)
     val dh = d_ / h_
     def f(v: Double): String = { // shortest round-trip double literal
@@ -272,8 +276,6 @@ object OracleSql {
       if (t.contains('E') || t.contains('e')) s"CAST($t AS DOUBLE)" else t
     }
     def sum(ts: Seq[String]): String = ts.mkString("(", " + ", ")")
-    val xsCols = for (si <- 0 until s_; di <- 0 until d_)
-      yield s"${teX(si, di)} AS x_${si}_$di"
     // q/k/v per head: [S,dh] = x[S,D] · W[D,dh], d ascending
     val qkv = for {
       (nm, w) <- Seq(("q", teWq _), ("k", teWk _), ("v", teWv _))
@@ -327,9 +329,7 @@ object OracleSql {
     val (ln2mv, ln2) = lnCols("r2", "l2", teG2, teB2)
     val pooled = for (di <- 0 until d_)
       yield sum((0 until s_).map(i => s"l2_${i}_$di")) + s" / ${s_}.0 AS pooled_$di"
-    val z = sum((0 until d_).map(di => s"pooled_$di * ${f(teWh(di))}")) + s" + $TeBh"
     Seq(
-      s"WITH c0 AS (SELECT i AS id, ${xsCols.mkString(", ")} FROM generate_series(1, $TeN) t(i))",
       s"c1 AS (SELECT *, ${qkv.mkString(", ")} FROM c0)",
       s"c2 AS (SELECT *, ${scl.mkString(", ")} FROM c1)",
       s"c3 AS (SELECT *, ${mx.mkString(", ")} FROM c2)",
@@ -344,9 +344,41 @@ object OracleSql {
       s"c12 AS (SELECT *, ${ln2mv.mkString(", ")} FROM c11)",
       s"c13 AS (SELECT *, ${ln2.mkString(", ")} FROM c12)",
       s"c14 AS (SELECT id, ${pooled.mkString(", ")} FROM c13)"
-    ).mkString("", ", ", "\n") +
+    ).mkString(", ")
+  }
+
+  private def q7TransformerScoreSql: String = {
+    def f(v: Double): String = v.toString
+    val xsCols = for (si <- 0 until TeS; di <- 0 until TeD)
+      yield s"${teX(si, di)} AS x_${si}_$di"
+    val z = (0 until TeD).map(di => s"pooled_$di * ${f(teWh(di))}")
+      .mkString("(", " + ", ")") + s" + $TeBh"
+    s"WITH c0 AS (SELECT i AS id, ${xsCols.mkString(", ")} " +
+      s"FROM generate_series(1, $TeN) t(i)), " + teEncoderCtes + "\n" +
       s"SELECT CAST(id AS BIGINT) AS id, round(1.0 / (1.0 + exp(-($z))), 6) AS score_r " +
       "FROM c14 ORDER BY id"
+  }
+
+  /** q6_value_embed oracle: token ids from the md5-low32 hash family
+    * (`md5_number_lower`, the engine's proven-parity hash), a closed-form
+    * embedding table, the shared unrolled encoder, pooled output
+    * float-narrowed exactly like `ExternalEmbedder`. */
+  private def q6ValueEmbedSql: String = {
+    val toks = (0 until TeS).map { si =>
+      s"COALESCE((md5_number_lower(list_extract(w, ${si + 1})) & 4294967295) % 64, 0)" +
+        s" AS tid_$si"
+    }
+    val xs = for (si <- 0 until TeS; di <- 0 until TeD)
+      yield s"CAST((tid_$si * 7 + ${di * 3}) % 17 AS DOUBLE) * 0.125 - 1.0 AS x_${si}_$di"
+    val outs = (0 until TeD).map(di =>
+      s"round(CAST(CAST(pooled_$di AS REAL) AS DOUBLE), 6) AS e${di}_r")
+    s"""WITH dv AS (SELECT doc_id AS id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+       |  FROM documents WHERE doc_id <= 48),
+       |tids AS (SELECT id, ${toks.mkString(", ")} FROM dv),
+       |c0 AS (SELECT id, ${xs.mkString(", ")} FROM tids), """.stripMargin +
+      teEncoderCtes + "\n" +
+      s"SELECT CAST(id AS BIGINT) AS doc_id, ${outs.mkString(", ")} FROM c14 ORDER BY doc_id"
   }
 
   /** q7_onnx_score: recompute sigmoid(coef·x + b) from the exported JSON
@@ -4234,6 +4266,7 @@ object OracleSql {
     "lake_csv_unified" -> lakeCsvUnifiedSql,
     "q7_onnx_score" -> q7OnnxScoreSql,
     "q7_transformer_score" -> q7TransformerScoreSql,
+    "q6_value_embed" -> q6ValueEmbedSql,
     "q1_embed_extract" -> q1EmbedExtractSql,
     // full-frame decode: per-channel means recomputed from the generative
     // pixel formulas (SparkEntry.mmPixelDecode encodes the same formulas

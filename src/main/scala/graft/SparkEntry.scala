@@ -551,6 +551,54 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Q6 IN-ENGINE value/sentence embeddings (`embedding_search.py:25-42`
+    * — the sentence-transformer value-vector path): each document's
+    * first 4 tokens hash to ids through the proven-parity md5-low32
+    * family, look up a closed-form embedding table, and run through the
+    * HEADLESS mini-encoder (attention + LayerNorm + FFN + mean-pool) —
+    * a real neural embedding computed distributed by the pure-JVM ONNX
+    * session behind the `ExternalEmbedder` seam. The oracle replays
+    * tokenization (split + md5_number_lower), the embedding lookup, and
+    * the whole encoder as unrolled SQL, then float-narrows exactly like
+    * the embedder. */
+  private def q6ValueEmbed(s: SparkSession, dir: String): DataFrame = {
+    val (sq, d, h, f) = (OracleSql.TeS, OracleSql.TeD, OracleSql.TeH, OracleSql.TeF)
+    val dh = d / h
+    val w = graft.ml.OnnxExport.MiniEncoderWeights(
+      seqLen = sq, dModel = d, nHeads = h, dFf = f,
+      wq = Array.tabulate(h, d, dh)(OracleSql.teWq),
+      wk = Array.tabulate(h, d, dh)(OracleSql.teWk),
+      wv = Array.tabulate(h, d, dh)(OracleSql.teWv),
+      wo = Array.tabulate(d, d)(OracleSql.teWo), bo = Array.tabulate(d)(OracleSql.teBo),
+      g1 = Array.tabulate(d)(OracleSql.teG1), b1 = Array.tabulate(d)(OracleSql.teB1),
+      w1 = Array.tabulate(d, f)(OracleSql.teW1), bf1 = Array.tabulate(f)(OracleSql.teBf1),
+      w2 = Array.tabulate(f, d)(OracleSql.teW2), bf2 = Array.tabulate(d)(OracleSql.teBf2),
+      g2 = Array.tabulate(d)(OracleSql.teG2), b2 = Array.tabulate(d)(OracleSql.teB2),
+      wHead = Array.tabulate(d)(OracleSql.teWh), bHead = OracleSql.TeBh,
+      attScale = OracleSql.TeScale, lnEps = OracleSql.TeEps)
+    val path = "/tmp/graft_fixtures/q6_encoder.onnx"
+    graft.ml.OnnxExport.exportMiniEncoder(w, path, withHead = false)
+    val toks = t(s, dir, "documents").filter(col("doc_id") <= 48)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), v => v =!= "").as("w"))
+    val tids = toks.select(col("doc_id") +: (0 until sq).map { si =>
+      coalesce(when(size(col("w")) > si,
+          graft.functions.SketchFunctions.md5_low32(col("w")(si)) % 64),
+        lit(0L)).as(s"tid_$si")
+    }: _*)
+    val featCols = for (si <- 0 until sq; di <- 0 until d) yield s"x_${si}_$di"
+    val feats = tids.select(col("doc_id") +:
+      (for (si <- 0 until sq; di <- 0 until d) yield
+        (((col(s"tid_$si") * 7 + lit(di * 3)) % 17).cast("double") * 0.125 - 1.0)
+          .as(s"x_${si}_$di")): _*)
+    new graft.ml.Scorer.ExternalEmbedder(
+        graft.ml.Scorer.onnxEmbedderFactory(path), featCols, dim = d)
+      .score(feats)
+      .select(col("doc_id") +: (0 until d).map(di =>
+        round(col("embedding")(di).cast("double"), 6).as(s"e${di}_r")): _*)
+      .orderBy("doc_id")
+  }
+
   /** Q1 embedding extraction through the ONNX linear-map head: literal
     * token-state vectors → `Pooling.meanPool` per column →
     * `ExternalEmbedder` over `OnnxExport.exportLinearMap` weights. All
@@ -3293,6 +3341,7 @@ object SparkEntry {
     "lake_csv_unified" -> lakeCsvUnifiedQ,
     "q7_onnx_score" -> q7OnnxScore,
     "q7_transformer_score" -> q7TransformerScore,
+    "q6_value_embed" -> q6ValueEmbed,
     "q1_embed_extract" -> q1EmbedExtract,
     "e2e_lake_search" -> e2eLakeSearch,
     "mm_pixel_decode" -> mmPixelDecode,

@@ -219,7 +219,14 @@ object OnnxExport {
     * linear/MLP heads. Input column order is the flattened
     * `x_{s}_{d}` (position-major) feature list.
     */
-  def exportMiniEncoder(w: MiniEncoderWeights, path: String): Unit = {
+  /** @param withHead true → sigmoid classifier output `score [N,1]`
+    *                  (Q7 pair scoring); false → the graph STOPS at the
+    *                  mean-pooled encoder state `pooled [N,dModel]` — the
+    *                  sentence/value EMBEDDING shape (Q6,
+    *                  `embedding_search.py:25-42`), consumed through
+    *                  [[Scorer.onnxEmbedderFactory]]. */
+  def exportMiniEncoder(w: MiniEncoderWeights, path: String,
+                        withHead: Boolean = true): Unit = {
     val (s, d, h, f) = (w.seqLen, w.dModel, w.nHeads, w.dFf)
     require(h > 0 && d % h == 0, s"dModel $d must divide into $h heads")
     val dh = d / h
@@ -276,14 +283,18 @@ object OnnxExport {
       Seq(attrI("axis", -1L), attrF("epsilon", w.lnEps.toFloat)))
     nodes += nodeMsg("ReduceMean", Seq("l2"), "pooled",
       Seq(attrInts("axes", Seq(1L)), attrI("keepdims", 0L)))
-    inits += tensorMsg("w_head", Seq(d.toLong, 1L), w.wHead)
-    inits += tensorMsg("b_head", Seq(1L), Array(w.bHead))
-    nodes += nodeMsg("MatMul", Seq("pooled", "w_head"), "z0")
-    nodes += nodeMsg("Add", Seq("z0", "b_head"), "z1")
-    nodes += nodeMsg("Sigmoid", Seq("z1"), "score")
+    if (withHead) {
+      inits += tensorMsg("w_head", Seq(d.toLong, 1L), w.wHead)
+      inits += tensorMsg("b_head", Seq(1L), Array(w.bHead))
+      nodes += nodeMsg("MatMul", Seq("pooled", "w_head"), "z0")
+      nodes += nodeMsg("Add", Seq("z0", "b_head"), "z1")
+      nodes += nodeMsg("Sigmoid", Seq("z1"), "score")
+    }
+    val out = if (withHead) ("score", Seq(Left("N"): Either[String, Long], Right(1L)))
+      else ("pooled", Seq(Left("N"): Either[String, Long], Right(d.toLong)))
     writeModel(path, "graft_mini_encoder", nodes.toSeq, inits.toSeq,
       input = ("features", Seq(Left("N"), Right((s * d).toLong))),
-      output = ("score", Seq(Left("N"), Right(1L))),
+      output = out,
       features = features, opset = OpsetVersionLn)
   }
 }
@@ -583,6 +594,22 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
         throw new IllegalArgumentException(s"${node.op}: missing attr '$name'"))
       val out = node.op match {
         case "MatMul" => matmul(get(node.ins(0)), get(node.ins(1)))
+        case "Gemm" => // alpha·op(A)·op(B) + beta·C — the linear-layer op
+          // torch-exported checkpoints emit (MatMul+Add is our writers')
+          val trA = node.attrs.get("transA").exists(_.i == 1L)
+          val trB = node.attrs.get("transB").exists(_.i == 1L)
+          val a = { val t = get(node.ins(0)); if (trA) transpose(t, Array(1, 0)) else t }
+          val b = { val t = get(node.ins(1)); if (trB) transpose(t, Array(1, 0)) else t }
+          require(a.rank == 2 && b.rank == 2, "Gemm: rank-2 inputs only")
+          val alpha = node.attrs.get("alpha").map(_.f.toDouble).getOrElse(1.0)
+          val beta = node.attrs.get("beta").map(_.f.toDouble).getOrElse(1.0)
+          val mm = matmul(a, b)
+          if (node.ins.length > 2 && node.ins(2).nonEmpty) {
+            val c = get(node.ins(2))
+            Tensor(mm.dims, mm.data.zipWithIndex.map { case (v, i) =>
+              alpha * v + beta * c.data(i % c.data.length) })
+          } else if (alpha == 1.0) mm
+          else Tensor(mm.dims, mm.data.map(alpha * _))
         case "Add" => // right side trailing-broadcast (bias) or same-shape
           val (a, b) = (get(node.ins(0)), get(node.ins(1)))
           Tensor(a.dims, a.data.zipWithIndex.map { case (v, i) =>

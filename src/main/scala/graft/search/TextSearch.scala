@@ -108,7 +108,11 @@ object TextSearch {
                              idCol: String = "doc_id",
                              textCol: String = "text"): DataFrame = {
     val dec = DecimalType(38, 0)
-    val wtd = tfidfMicro(docs, idCol, textCol)
+    // All-Pairs is a multi-pass algorithm over ONE weighted posting
+    // relation (norms, prefix, both sides of the candidate self-join, and
+    // the verify join all read it): materialize it once, or the
+    // scan→explode→tf→df subtree replays ~6× inside a single query
+    val wtd = tfidfMicro(docs, idCol, textCol).localCheckpoint(eager = true)
     val energy = (col("wq").cast(dec) * col("wq").cast(dec)).cast(dec)
     val norms = wtd.groupBy("id").agg(sum(energy).as("n2"))
     // τ'² in pico-units keeps the prefix comparison pure integer; τ' is
@@ -120,12 +124,14 @@ object TextSearch {
     // same order for every doc, which the two-sided bound requires
     val wPre = Window.partitionBy(col("id")).orderBy(col("df").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // materialized: the candidate join reads BOTH sides of it
     val prefix = wtd
       .withColumn("cum", coalesce(sum(energy).over(wPre), lit(0).cast(dec)))
       .join(norms, "id")
       .filter(col("cum") * lit(1000000000000L) <=
         col("n2") * lit(1000000000000L - tauSqPico))
       .select(col("id"), col("term"))
+      .localCheckpoint(eager = true)
     val cands = prefix
       .join(prefix.select(col("id").as("id_b"), col("term")), "term")
       .filter(col("id") < col("id_b"))

@@ -119,4 +119,34 @@ class MiniEncoderSpec extends SparkSpec {
     assert(math.abs(got(1) - 0.7185451) < 1e-5)
     assert(math.abs(got(1) + got(2)) < 1e-12) // odd symmetry
   }
+
+  test("Gemm executes with transB, alpha/beta, and C bias (torch linear-layer shape)") {
+    import Proto._
+    // out = 0.5·(features · Wᵀ) + 2·c, W [2,3] stored transposed, c [2]
+    def attrI(name: String, v: Long) =
+      concat(stringField(1, name), varintField(20, 2L), varintField(3, v))
+    def attrF(name: String, v: Float) =
+      concat(stringField(1, name), varintField(20, 1L),
+        fixed32Field(2, java.lang.Float.floatToIntBits(v)))
+    val node = concat(stringField(1, "features"), stringField(1, "w"),
+      stringField(1, "c"), stringField(2, "out"), stringField(4, "Gemm"),
+      lenDelim(5, attrI("transB", 1L)), lenDelim(5, attrF("alpha", 0.5f)),
+      lenDelim(5, attrF("beta", 2.0f)))
+    def tens(name: String, dims: Seq[Long], d: Array[Double]) =
+      concat(lenDelim(1, packedVarints(dims)), varintField(2, 11L),
+        lenDelim(10, packedDoubles(d)), stringField(8, name))
+    def vi(name: String, w: Long) = concat(stringField(1, name),
+      lenDelim(2, lenDelim(1, concat(varintField(1, 11L),
+        lenDelim(2, lenDelim(1, varintField(1, w)))))))
+    val graph = concat(
+      lenDelim(1, node), stringField(2, "spec_gemm"),
+      lenDelim(5, tens("w", Seq(2L, 3L), Array(1, 2, 3, 4, 5, 6))),
+      lenDelim(5, tens("c", Seq(2L), Array(10, 20))),
+      lenDelim(11, vi("features", 3L)), lenDelim(12, vi("out", 2L)))
+    val model = concat(varintField(1, 8L), stringField(2, "graft"),
+      lenDelim(7, graph), lenDelim(8, varintField(2, 13L)))
+    val got = new OnnxSession(model).runMatrix(Array(Array(1.0, 1.0, 1.0)))
+    // row·Wᵀ = (1+2+3, 4+5+6) = (6, 15); 0.5·that + 2·c = (23, 47.5)
+    assert(got(0).toSeq == Seq(23.0, 47.5))
+  }
 }
