@@ -174,7 +174,8 @@ object TextSearch {
     * arithmetic the relational variant and the DuckDB full-quadratic
     * oracle perform, making all three hash-identical.
     *
-    * At 100× docs the block count scales as ~N/rowsPerBlock: tasks grow
+    * At 100× docs the block count scales as ~N/rowsPerBlock (the default
+    * `numBlocks = 0` auto-sizes from a cheap count): tasks grow
     * quadratically (inherent to EXACT all-pairs output guarantees) but
     * each task stays constant-size and the shuffle stays linear×B. For
     * sub-quadratic near-dup at scale use `Dedup.minhashNearDups` /
@@ -183,13 +184,20 @@ object TextSearch {
   def cosineSelfJoin(docs: DataFrame, threshold: Double,
                      idCol: String = "doc_id",
                      textCol: String = "text",
-                     numBlocks: Int = 16): DataFrame = {
-    require(numBlocks >= 1, "cosineSelfJoin needs numBlocks >= 1")
+                     numBlocks: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     val idType = docs.schema(idCol).dataType
+    // auto block count: ~2k docs per block keeps a block-pair task's
+    // merge work bounded (~4M pair-merges) regardless of corpus size;
+    // floor 16 keeps small corpora using every local core, cap 1024
+    // bounds the pair relation at ~525k rows
+    val nBlocks =
+      if (numBlocks >= 1) numBlocks
+      else math.max(16, math.min(1024,
+        math.ceil(docs.select(col(s"`$idCol`")).count() / 2000.0).toInt))
     val wtd = tfidfMicro(docs, idCol, textCol)
     val docsVec = wtd
-      .withColumn("bid", pmod(xxhash64(col("id")), lit(numBlocks.toLong)))
+      .withColumn("bid", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
       .groupBy("bid", "id")
       .agg(collect_list(struct(col("term"), col("wq"))).as("tw"))
     val blocks = docsVec.groupBy("bid")
@@ -197,7 +205,7 @@ object TextSearch {
     // tiny (bx, by) upper-triangle pair relation: equi-joining the block
     // rows to it replicates each block ≤B times through a plain shuffle —
     // never a broadcast of the corpus, never a pair-row explosion
-    val pairIdx = for { i <- 0 until numBlocks; j <- i until numBlocks }
+    val pairIdx = for { i <- 0 until nBlocks; j <- i until nBlocks }
       yield (i.toLong, j.toLong)
     import spark.implicits._
     val pairRel = pairIdx.toDF("bx", "by")
