@@ -92,10 +92,13 @@ object InfoTheory {
     */
   def indScan(candidates: Seq[(String, DataFrame, String)],
               minContainment: Double = 0.5): DataFrame = {
+    // materialized once: BOTH sides of the value self-join and the sizes
+    // aggregate read it — without the checkpoint the 2×|candidates|
+    // distinct subtrees (scan + shuffle each) replay inside one query
     val vals = candidates.map { case (t, df, c) =>
       df.select(lit(s"$t.$c").as("src"), col(s"`$c`").cast("string").as("v"))
         .distinct()
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _).localCheckpoint(eager = true)
     val sizes = vals.groupBy("src").agg(count(lit(1)).as("n_src"))
     val common = vals
       .join(vals.select(col("src").as("dst"), col("v")), "v")
@@ -123,6 +126,9 @@ object InfoTheory {
     */
   def fdScan(df: DataFrame, cols: Seq[String],
              epsilon: Double = 0.01): DataFrame = {
+    // deliberately NOT checkpointed (unlike indScan): each pair re-reads
+    // a column-pruned scan, which is CHEAPER here than materializing the
+    // projection — the replayed subtree is a plain scan, not a shuffle
     val n = df.agg(count(lit(1)).as("__n"))
     val pairs = for {
       a <- cols; b <- cols if a != b
