@@ -234,6 +234,58 @@ class LakeScanSpec extends SparkSpec {
     assertParity(prof.filter(col("table_name") === "money"), direct)
   }
 
+  test("columnar decode survives multi-row-group files and the 64k chunk boundary") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rgs").toString
+    // 150k rows (crosses two 65,536-row decode chunks) written with a
+    // tiny parquet block size so the file carries MANY row groups — the
+    // per-group reader/cap state machine must hand over cleanly, with
+    // nulls striding every 7th row to exercise def-levels in every group
+    val n = 150000
+    (1 to n).map { i =>
+      (i.toLong, if (i % 7 == 0) null else s"v$i",
+        if (i % 11 == 0) Option.empty[Double] else Some(i * 0.5))
+    }.toDF("id", "s", "x")
+      .coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024)
+      .mode("overwrite").parquet(s"$tmp/big.parquet")
+    val nGroups = {
+      val f = new java.io.File(s"$tmp/big.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration))
+      try r.getRowGroups.size finally r.close()
+    }
+    assert(nGroups > 3, s"fixture must span several row groups, got $nGroups")
+    // uncapped: every cell must round-trip (counts + null counts + sum)
+    val cells = LakeScan.renderLong(
+      LakeScan.rawCells(spark, tmp, Seq("big"), None))
+    val got = cells.filter(col("present") && col("col_name") === "x")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value_str").isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(col("value_num")).as("s"))
+      .collect()(0)
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == n / 11)
+    val expectedSum = (1 to n).filter(_ % 11 != 0).map(_ * 0.5).sum
+    assert(math.abs(got.getDouble(2) - expectedSum) < 1e-3)
+    // keyed cap across groups == ORDER BY key LIMIT cap
+    val capped = LakeScan.renderLong(
+        LakeScan.rawCells(spark, tmp, Seq("big"), Some(1000)))
+      .filter(col("present") && col("col_name") === "id")
+    assert(capped.count() == 1000)
+    // "big" has no TableKeys entry → unkeyed first-N file-order cap;
+    // with one part file that is ids 1..1000 exactly
+    val maxId = capped.agg(max(col("value_num"))).collect()(0).getDouble(0)
+    assert(maxId == 1000.0, s"unkeyed cap must take the first rows, got max $maxId")
+    // string nulls stride groups too
+    val sNulls = cells.filter(col("present") && col("col_name") === "s" &&
+      col("value_str").isNull).count()
+    assert(sNulls == n / 7)
+  }
+
   test("unsupported parquet types fail loudly, pointing at the per-table path") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_unsup").toString
