@@ -208,22 +208,41 @@ object OracleSql {
   private[graft] val TeF = 8   // FFN width
   private[graft] def teX(s: Int, d: Int): String = // per-id input expr (SQL `i`)
     s"CAST((i * 13 + ${s * 7 + d * 3}) % 17 AS DOUBLE) * 0.125 - 1.0"
-  private[graft] def teWq(h: Int, i: Int, j: Int): Double =
-    ((h * 5 + i * 3 + j * 7) % 9 - 4) * 0.125
-  private[graft] def teWk(h: Int, i: Int, j: Int): Double =
-    ((h * 7 + i * 5 + j * 3) % 9 - 4) * 0.125
-  private[graft] def teWv(h: Int, i: Int, j: Int): Double =
-    ((h * 3 + i * 7 + j * 5) % 9 - 4) * 0.125
-  private[graft] def teWo(i: Int, j: Int): Double = ((i * 7 + j * 5 + 1) % 9 - 4) * 0.125
-  private[graft] def teBo(j: Int): Double = (j * 5 % 7 - 3) * 0.0625
-  private[graft] def teG1(j: Int): Double = 1.0 + (j % 3 - 1) * 0.125
-  private[graft] def teB1(j: Int): Double = (j * 3 % 5 - 2) * 0.0625
-  private[graft] def teW1(i: Int, j: Int): Double = ((i * 11 + j * 3) % 9 - 4) * 0.125
-  private[graft] def teBf1(j: Int): Double = (j * 3 % 5 - 2) * 0.125
-  private[graft] def teW2(i: Int, j: Int): Double = ((i * 7 + j * 5 + 2) % 9 - 4) * 0.0625
-  private[graft] def teBf2(j: Int): Double = (j * 7 % 5 - 2) * 0.0625
-  private[graft] def teG2(j: Int): Double = 1.0 + (j % 2 * 2 - 1) * 0.0625
-  private[graft] def teB2(j: Int): Double = ((j * 5 + 1) % 7 - 3) * 0.0625
+  // layer-indexed weight formulas (l = encoder layer); at l = 0 they
+  // coincide with the original single-layer fixture, so the existing
+  // q7/q6 hashes are layer-0 slices of the same family
+  private[graft] def teWqL(l: Int, h: Int, i: Int, j: Int): Double =
+    ((l * 13 + h * 5 + i * 3 + j * 7) % 9 - 4) * 0.125
+  private[graft] def teWkL(l: Int, h: Int, i: Int, j: Int): Double =
+    ((l * 11 + h * 7 + i * 5 + j * 3) % 9 - 4) * 0.125
+  private[graft] def teWvL(l: Int, h: Int, i: Int, j: Int): Double =
+    ((l * 7 + h * 3 + i * 7 + j * 5) % 9 - 4) * 0.125
+  private[graft] def teWoL(l: Int, i: Int, j: Int): Double =
+    ((l * 5 + i * 7 + j * 5 + 1) % 9 - 4) * 0.125
+  private[graft] def teBoL(l: Int, j: Int): Double = ((l * 3 + j * 5) % 7 - 3) * 0.0625
+  private[graft] def teG1L(l: Int, j: Int): Double = 1.0 + ((l + j) % 3 - 1) * 0.125
+  private[graft] def teB1L(l: Int, j: Int): Double = ((l * 2 + j * 3) % 5 - 2) * 0.0625
+  private[graft] def teW1L(l: Int, i: Int, j: Int): Double =
+    ((l * 7 + i * 11 + j * 3) % 9 - 4) * 0.125
+  private[graft] def teBf1L(l: Int, j: Int): Double = ((l + j * 3) % 5 - 2) * 0.125
+  private[graft] def teW2L(l: Int, i: Int, j: Int): Double =
+    ((l * 3 + i * 7 + j * 5 + 2) % 9 - 4) * 0.0625
+  private[graft] def teBf2L(l: Int, j: Int): Double = ((l * 2 + j * 7) % 5 - 2) * 0.0625
+  private[graft] def teG2L(l: Int, j: Int): Double = 1.0 + ((l + j) % 2 * 2 - 1) * 0.0625
+  private[graft] def teB2L(l: Int, j: Int): Double = ((l * 3 + j * 5 + 1) % 7 - 3) * 0.0625
+  private[graft] def teWq(h: Int, i: Int, j: Int): Double = teWqL(0, h, i, j)
+  private[graft] def teWk(h: Int, i: Int, j: Int): Double = teWkL(0, h, i, j)
+  private[graft] def teWv(h: Int, i: Int, j: Int): Double = teWvL(0, h, i, j)
+  private[graft] def teWo(i: Int, j: Int): Double = teWoL(0, i, j)
+  private[graft] def teBo(j: Int): Double = teBoL(0, j)
+  private[graft] def teG1(j: Int): Double = teG1L(0, j)
+  private[graft] def teB1(j: Int): Double = teB1L(0, j)
+  private[graft] def teW1(i: Int, j: Int): Double = teW1L(0, i, j)
+  private[graft] def teBf1(j: Int): Double = teBf1L(0, j)
+  private[graft] def teW2(i: Int, j: Int): Double = teW2L(0, i, j)
+  private[graft] def teBf2(j: Int): Double = teBf2L(0, j)
+  private[graft] def teG2(j: Int): Double = teG2L(0, j)
+  private[graft] def teB2(j: Int): Double = teB2L(0, j)
   private[graft] def teWh(j: Int): Double = ((j * 3 + 1) % 5 - 2) * 0.25
   private[graft] val TeBh = 0.125
   private[graft] val TeScale = 0.707107      // round(1/sqrt(dHead), 6)
@@ -264,11 +283,14 @@ object OracleSql {
     * session kernels' ascending index order; softmax uses GREATEST +
     * exp(x−max)/Σ; LayerNorm is ((x−mean)/sqrt(var+eps))·g+b with
     * population variance; pooling averages positions ascending. */
-  /** The c1..c14 encoder CTE chain over any `c0` that provides columns
-    * `id` and `x_{s}_{d}` — shared by the q7 (classifier head) and q6
-    * (embedding output) oracles. c14 exposes (id, pooled_0..pooled_{D−1}).
+  /** The encoder CTE chain over any `c0` that provides columns `id` and
+    * `x0_{s}_{d}` — shared by the q7 oracles (classifier head, 1 and
+    * `layers` deep) and q6 (embedding output). Each layer l reads
+    * `x{l}_*`, emits `L{l}_`-prefixed scratch columns, and writes its
+    * LayerNorm output as `x{l+1}_*`; the final CTE `cP` exposes
+    * (id, pooled_0..pooled_{D−1}) mean-pooled over the LAST layer.
     */
-  private def teEncoderCtes: String = {
+  private def teEncoderCtes(layers: Int): String = {
     val (s_, d_, h_, f_) = (TeS, TeD, TeH, TeF)
     val dh = d_ / h_
     def f(v: Double): String = { // shortest round-trip double literal
@@ -276,88 +298,92 @@ object OracleSql {
       if (t.contains('E') || t.contains('e')) s"CAST($t AS DOUBLE)" else t
     }
     def sum(ts: Seq[String]): String = ts.mkString("(", " + ", ")")
-    // q/k/v per head: [S,dh] = x[S,D] · W[D,dh], d ascending
-    val qkv = for {
-      (nm, w) <- Seq(("q", teWq _), ("k", teWk _), ("v", teWv _))
-      hi <- 0 until h_; si <- 0 until s_; e <- 0 until dh
-    } yield sum((0 until d_).map(di => s"x_${si}_$di * ${f(w(hi, di, e))}")) +
-      s" AS ${nm}_${hi}_${si}_$e"
-    // scaled attention logits: scl[i][j] = (Σ_e q[i][e]·k[j][e]) · scale
-    val scl = for (hi <- 0 until h_; i <- 0 until s_; j <- 0 until s_)
-      yield sum((0 until dh).map(e => s"q_${hi}_${i}_$e * k_${hi}_${j}_$e")) +
-        s" * $TeScale AS scl_${hi}_${i}_$j"
-    val mx = for (hi <- 0 until h_; i <- 0 until s_)
-      yield s"GREATEST(${(0 until s_).map(j => s"scl_${hi}_${i}_$j").mkString(", ")})" +
-        s" AS m_${hi}_$i"
-    val ex = for (hi <- 0 until h_; i <- 0 until s_; j <- 0 until s_)
-      yield s"exp(scl_${hi}_${i}_$j - m_${hi}_$i) AS e_${hi}_${i}_$j"
-    val sm = for (hi <- 0 until h_; i <- 0 until s_)
-      yield sum((0 until s_).map(j => s"e_${hi}_${i}_$j")) + s" AS s_${hi}_$i"
-    // heads: hd[i][e] = Σ_j (e/s)·v[j][e], j ascending
-    val hd = for (hi <- 0 until h_; i <- 0 until s_; e <- 0 until dh)
-      yield sum((0 until s_).map(j =>
-        s"(e_${hi}_${i}_$j / s_${hi}_$i) * v_${hi}_${j}_$e")) +
-        s" AS hd_${hi}_${i}_$e"
-    // r1[i][d] = ((Σ_c ctx[i][c]·wo[c][d]) + bo[d]) + x[i][d]
-    def ctx(i: Int, c: Int) = s"hd_${c / dh}_${i}_${c % dh}"
-    val r1 = for (i <- 0 until s_; di <- 0 until d_)
-      yield sum((0 until d_).map(c => s"${ctx(i, c)} * ${f(teWo(c, di))}")) +
-        s" + ${f(teBo(di))} + x_${i}_$di AS r1_${i}_$di"
-    def lnCols(src: String, out: String, g: Int => Double, b: Int => Double) = {
-      val mean = for (i <- 0 until s_)
-        yield sum((0 until d_).map(di => s"${src}_${i}_$di")) +
-          s" / ${d_}.0 AS mean_${out}_$i"
-      val vr = for (i <- 0 until s_)
-        yield sum((0 until d_).map(di =>
-          s"(${src}_${i}_$di - mean_${out}_$i) * (${src}_${i}_$di - mean_${out}_$i)")) +
-          s" / ${d_}.0 AS var_${out}_$i"
-      val ln = for (i <- 0 until s_; di <- 0 until d_)
-        yield s"((${src}_${i}_$di - mean_${out}_$i) / sqrt(var_${out}_$i + $TeEps))" +
-          s" * ${f(g(di))} + ${f(b(di))} AS ${out}_${i}_$di"
-      (mean ++ vr, ln)
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = "c0"
+    var n = 0
+    def cte(cols: Seq[String]): Unit = {
+      n += 1
+      ctes += s"c$n AS (SELECT *, ${cols.mkString(", ")} FROM $prev)"
+      prev = s"c$n"
     }
-    val (ln1mv, ln1) = lnCols("r1", "l1", teG1, teB1)
-    // Sigmoid FFN activation: same 1/(1+exp(−z)) formula as the session
-    // (DuckDB 1.0 ships no tanh/erf; exp is the only diverging libm call)
-    val ff2 = for (i <- 0 until s_; fi <- 0 until f_)
-      yield s"1.0 / (1.0 + exp(-(" +
-        sum((0 until d_).map(di => s"l1_${i}_$di * ${f(teW1(di, fi))}")) +
-        s" + ${f(teBf1(fi))}))) AS f2_${i}_$fi"
-    val r2 = for (i <- 0 until s_; di <- 0 until d_)
-      yield sum((0 until f_).map(fi => s"f2_${i}_$fi * ${f(teW2(fi, di))}")) +
-        s" + ${f(teBf2(di))} + l1_${i}_$di AS r2_${i}_$di"
-    val (ln2mv, ln2) = lnCols("r2", "l2", teG2, teB2)
+    for (l <- 0 until layers) {
+      val X = s"x${l}_"
+      val P = s"L${l}_"
+      val O = s"x${l + 1}_"
+      // q/k/v per head: [S,dh] = x[S,D] · W[D,dh], d ascending
+      val qkv = for {
+        (nm, w) <- Seq[(String, (Int, Int, Int) => Double)](
+          ("q", teWqL(l, _, _, _)), ("k", teWkL(l, _, _, _)), ("v", teWvL(l, _, _, _)))
+        hi <- 0 until h_; si <- 0 until s_; e <- 0 until dh
+      } yield sum((0 until d_).map(di => s"$X${si}_$di * ${f(w(hi, di, e))}")) +
+        s" AS $P${nm}_${hi}_${si}_$e"
+      cte(qkv)
+      // scaled attention logits: scl[i][j] = (Σ_e q[i][e]·k[j][e]) · scale
+      cte(for (hi <- 0 until h_; i <- 0 until s_; j <- 0 until s_)
+        yield sum((0 until dh).map(e => s"${P}q_${hi}_${i}_$e * ${P}k_${hi}_${j}_$e")) +
+          s" * $TeScale AS ${P}scl_${hi}_${i}_$j")
+      cte(for (hi <- 0 until h_; i <- 0 until s_)
+        yield s"GREATEST(${(0 until s_).map(j => s"${P}scl_${hi}_${i}_$j").mkString(", ")})" +
+          s" AS ${P}m_${hi}_$i")
+      cte(for (hi <- 0 until h_; i <- 0 until s_; j <- 0 until s_)
+        yield s"exp(${P}scl_${hi}_${i}_$j - ${P}m_${hi}_$i) AS ${P}e_${hi}_${i}_$j")
+      cte(for (hi <- 0 until h_; i <- 0 until s_)
+        yield sum((0 until s_).map(j => s"${P}e_${hi}_${i}_$j")) + s" AS ${P}s_${hi}_$i")
+      // heads: hd[i][e] = Σ_j (e/s)·v[j][e], j ascending
+      cte(for (hi <- 0 until h_; i <- 0 until s_; e <- 0 until dh)
+        yield sum((0 until s_).map(j =>
+          s"(${P}e_${hi}_${i}_$j / ${P}s_${hi}_$i) * ${P}v_${hi}_${j}_$e")) +
+          s" AS ${P}hd_${hi}_${i}_$e")
+      // r1[i][d] = ((Σ_c ctx[i][c]·wo[c][d]) + bo[d]) + x[i][d]
+      def ctx(i: Int, c: Int) = s"${P}hd_${c / dh}_${i}_${c % dh}"
+      cte(for (i <- 0 until s_; di <- 0 until d_)
+        yield sum((0 until d_).map(c => s"${ctx(i, c)} * ${f(teWoL(l, c, di))}")) +
+          s" + ${f(teBoL(l, di))} + $X${i}_$di AS ${P}r1_${i}_$di")
+      def lnCols(src: String, out: String, g: Int => Double, b: Int => Double): Unit = {
+        val tag = s"${P}mv${out.replace(P, "")}"
+        cte((for (i <- 0 until s_)
+          yield sum((0 until d_).map(di => s"${src}_${i}_$di")) +
+            s" / ${d_}.0 AS mean_${tag}_$i") ++
+          (for (i <- 0 until s_)
+            yield sum((0 until d_).map(di =>
+              s"(${src}_${i}_$di - mean_${tag}_$i) * (${src}_${i}_$di - mean_${tag}_$i)")) +
+              s" / ${d_}.0 AS var_${tag}_$i"))
+        cte(for (i <- 0 until s_; di <- 0 until d_)
+          yield s"((${src}_${i}_$di - mean_${tag}_$i) / sqrt(var_${tag}_$i + $TeEps))" +
+            s" * ${f(g(di))} + ${f(b(di))} AS ${out}${i}_$di")
+      }
+      lnCols(s"${P}r1", s"${P}l1_", teG1L(l, _), teB1L(l, _))
+      // Sigmoid FFN activation: same 1/(1+exp(−z)) formula as the session
+      // (DuckDB 1.0 ships no tanh/erf; exp is the only diverging libm call)
+      cte(for (i <- 0 until s_; fi <- 0 until f_)
+        yield s"1.0 / (1.0 + exp(-(" +
+          sum((0 until d_).map(di => s"${P}l1_${i}_$di * ${f(teW1L(l, di, fi))}")) +
+          s" + ${f(teBf1L(l, fi))}))) AS ${P}f2_${i}_$fi")
+      cte(for (i <- 0 until s_; di <- 0 until d_)
+        yield sum((0 until f_).map(fi => s"${P}f2_${i}_$fi * ${f(teW2L(l, fi, di))}")) +
+          s" + ${f(teBf2L(l, di))} + ${P}l1_${i}_$di AS ${P}r2_${i}_$di")
+      lnCols(s"${P}r2", O, teG2L(l, _), teB2L(l, _))
+    }
     val pooled = for (di <- 0 until d_)
-      yield sum((0 until s_).map(i => s"l2_${i}_$di")) + s" / ${s_}.0 AS pooled_$di"
-    Seq(
-      s"c1 AS (SELECT *, ${qkv.mkString(", ")} FROM c0)",
-      s"c2 AS (SELECT *, ${scl.mkString(", ")} FROM c1)",
-      s"c3 AS (SELECT *, ${mx.mkString(", ")} FROM c2)",
-      s"c4 AS (SELECT *, ${ex.mkString(", ")} FROM c3)",
-      s"c5 AS (SELECT *, ${sm.mkString(", ")} FROM c4)",
-      s"c6 AS (SELECT *, ${hd.mkString(", ")} FROM c5)",
-      s"c7 AS (SELECT *, ${r1.mkString(", ")} FROM c6)",
-      s"c8 AS (SELECT *, ${ln1mv.mkString(", ")} FROM c7)",
-      s"c9 AS (SELECT *, ${ln1.mkString(", ")} FROM c8)",
-      s"c10 AS (SELECT *, ${ff2.mkString(", ")} FROM c9)",
-      s"c11 AS (SELECT *, ${r2.mkString(", ")} FROM c10)",
-      s"c12 AS (SELECT *, ${ln2mv.mkString(", ")} FROM c11)",
-      s"c13 AS (SELECT *, ${ln2.mkString(", ")} FROM c12)",
-      s"c14 AS (SELECT id, ${pooled.mkString(", ")} FROM c13)"
-    ).mkString(", ")
+      yield sum((0 until s_).map(i => s"x${layers}_${i}_$di")) +
+        s" / ${s_}.0 AS pooled_$di"
+    ctes += s"cP AS (SELECT id, ${pooled.mkString(", ")} FROM $prev)"
+    ctes.mkString(", ")
   }
 
-  private def q7TransformerScoreSql: String = {
+  private def q7TransformerSql(layers: Int): String = {
     def f(v: Double): String = v.toString
     val xsCols = for (si <- 0 until TeS; di <- 0 until TeD)
-      yield s"${teX(si, di)} AS x_${si}_$di"
+      yield s"${teX(si, di)} AS x0_${si}_$di"
     val z = (0 until TeD).map(di => s"pooled_$di * ${f(teWh(di))}")
       .mkString("(", " + ", ")") + s" + $TeBh"
     s"WITH c0 AS (SELECT i AS id, ${xsCols.mkString(", ")} " +
-      s"FROM generate_series(1, $TeN) t(i)), " + teEncoderCtes + "\n" +
+      s"FROM generate_series(1, $TeN) t(i)), " + teEncoderCtes(layers) + "\n" +
       s"SELECT CAST(id AS BIGINT) AS id, round(1.0 / (1.0 + exp(-($z))), 6) AS score_r " +
-      "FROM c14 ORDER BY id"
+      "FROM cP ORDER BY id"
   }
+
+  private def q7TransformerScoreSql: String = q7TransformerSql(1)
 
   /** q6_value_embed oracle: token ids from the md5-low32 hash family
     * (`md5_number_lower`, the engine's proven-parity hash), a closed-form
@@ -369,7 +395,7 @@ object OracleSql {
         s" AS tid_$si"
     }
     val xs = for (si <- 0 until TeS; di <- 0 until TeD)
-      yield s"CAST((tid_$si * 7 + ${di * 3}) % 17 AS DOUBLE) * 0.125 - 1.0 AS x_${si}_$di"
+      yield s"CAST((tid_$si * 7 + ${di * 3}) % 17 AS DOUBLE) * 0.125 - 1.0 AS x0_${si}_$di"
     val outs = (0 until TeD).map(di =>
       s"round(CAST(CAST(pooled_$di AS REAL) AS DOUBLE), 6) AS e${di}_r")
     s"""WITH dv AS (SELECT doc_id AS id,
@@ -377,8 +403,8 @@ object OracleSql {
        |  FROM documents WHERE doc_id <= 48),
        |tids AS (SELECT id, ${toks.mkString(", ")} FROM dv),
        |c0 AS (SELECT id, ${xs.mkString(", ")} FROM tids), """.stripMargin +
-      teEncoderCtes + "\n" +
-      s"SELECT CAST(id AS BIGINT) AS doc_id, ${outs.mkString(", ")} FROM c14 ORDER BY doc_id"
+      teEncoderCtes(1) + "\n" +
+      s"SELECT CAST(id AS BIGINT) AS doc_id, ${outs.mkString(", ")} FROM cP ORDER BY doc_id"
   }
 
   /** q7_onnx_score: recompute sigmoid(coef·x + b) from the exported JSON
@@ -4266,6 +4292,7 @@ object OracleSql {
     "lake_csv_unified" -> lakeCsvUnifiedSql,
     "q7_onnx_score" -> q7OnnxScoreSql,
     "q7_transformer_score" -> q7TransformerScoreSql,
+    "q7_encoder_stack" -> q7TransformerSql(3),
     "q6_value_embed" -> q6ValueEmbedSql,
     "q1_embed_extract" -> q1EmbedExtractSql,
     // full-frame decode: per-channel means recomputed from the generative

@@ -521,29 +521,66 @@ object SparkEntry {
     * pass as unrolled SQL in the session kernels' summation orders
     * (reference: `transformer_bert.py:88-224`, `extract_embeddings.py:
     * 16-117` — checkpoint-driven encoder inference in the engine). */
-  private def q7TransformerScore(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val (sq, d, h, f) = (OracleSql.TeS, OracleSql.TeD, OracleSql.TeH, OracleSql.TeF)
+  /** One fixture encoder layer from `OracleSql`'s layer-indexed
+    * closed-form formulas (layer 0 == the original 1-layer fixture). */
+  private def teLayer(l: Int): graft.ml.OnnxExport.EncoderLayer = {
+    val (d, h, f) = (OracleSql.TeD, OracleSql.TeH, OracleSql.TeF)
     val dh = d / h
-    val w = graft.ml.OnnxExport.MiniEncoderWeights(
-      seqLen = sq, dModel = d, nHeads = h, dFf = f,
-      wq = Array.tabulate(h, d, dh)(OracleSql.teWq),
-      wk = Array.tabulate(h, d, dh)(OracleSql.teWk),
-      wv = Array.tabulate(h, d, dh)(OracleSql.teWv),
-      wo = Array.tabulate(d, d)(OracleSql.teWo), bo = Array.tabulate(d)(OracleSql.teBo),
-      g1 = Array.tabulate(d)(OracleSql.teG1), b1 = Array.tabulate(d)(OracleSql.teB1),
-      w1 = Array.tabulate(d, f)(OracleSql.teW1), bf1 = Array.tabulate(f)(OracleSql.teBf1),
-      w2 = Array.tabulate(f, d)(OracleSql.teW2), bf2 = Array.tabulate(d)(OracleSql.teBf2),
-      g2 = Array.tabulate(d)(OracleSql.teG2), b2 = Array.tabulate(d)(OracleSql.teB2),
-      wHead = Array.tabulate(d)(OracleSql.teWh), bHead = OracleSql.TeBh,
+    graft.ml.OnnxExport.EncoderLayer(
+      wq = Array.tabulate(h, d, dh)(OracleSql.teWqL(l, _, _, _)),
+      wk = Array.tabulate(h, d, dh)(OracleSql.teWkL(l, _, _, _)),
+      wv = Array.tabulate(h, d, dh)(OracleSql.teWvL(l, _, _, _)),
+      wo = Array.tabulate(d, d)(OracleSql.teWoL(l, _, _)),
+      bo = Array.tabulate(d)(OracleSql.teBoL(l, _)),
+      g1 = Array.tabulate(d)(OracleSql.teG1L(l, _)),
+      b1 = Array.tabulate(d)(OracleSql.teB1L(l, _)),
+      w1 = Array.tabulate(d, f)(OracleSql.teW1L(l, _, _)),
+      bf1 = Array.tabulate(f)(OracleSql.teBf1L(l, _)),
+      w2 = Array.tabulate(f, d)(OracleSql.teW2L(l, _, _)),
+      bf2 = Array.tabulate(d)(OracleSql.teBf2L(l, _)),
+      g2 = Array.tabulate(d)(OracleSql.teG2L(l, _)),
+      b2 = Array.tabulate(d)(OracleSql.teB2L(l, _)))
+  }
+
+  private def teStack(layers: Int): graft.ml.OnnxExport.EncoderStack =
+    graft.ml.OnnxExport.EncoderStack(
+      OracleSql.TeS, OracleSql.TeD, OracleSql.TeH, OracleSql.TeF,
+      (0 until layers).map(teLayer),
+      wHead = Array.tabulate(OracleSql.TeD)(OracleSql.teWh),
+      bHead = OracleSql.TeBh,
       attScale = OracleSql.TeScale, lnEps = OracleSql.TeEps)
-    val path = "/tmp/graft_fixtures/q7_encoder.onnx"
-    graft.ml.OnnxExport.exportMiniEncoder(w, path)
+
+  /** The q7 fixture input batch: (id, x_{s}_{d} …) from the shared
+    * closed-form formulas. */
+  private def teFeats(s: SparkSession): (DataFrame, Seq[String]) = {
+    import s.implicits._
+    val (sq, d) = (OracleSql.TeS, OracleSql.TeD)
     val featCols = for (si <- 0 until sq; di <- 0 until d) yield s"x_${si}_$di"
     val feats = (1 to OracleSql.TeN).map(_.toLong).toDF("id").select(
       col("id") +: (for (si <- 0 until sq; di <- 0 until d) yield
         (((col("id") * 13 + lit(si * 7 + di * 3)) % 17).cast("double") * 0.125 - 1.0)
           .as(s"x_${si}_$di")): _*)
+    (feats, featCols)
+  }
+
+  private def q7TransformerScore(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/q7_encoder.onnx"
+    graft.ml.OnnxExport.exportEncoderStack(teStack(1), path)
+    val (feats, featCols) = teFeats(s)
+    new graft.ml.Scorer.ExternalModelScorer(
+        graft.ml.Scorer.onnxModelFactory(path), featCols)
+      .score(feats)
+      .select(col("id"), round(col("score"), 6).as("score_r"))
+      .orderBy("id")
+  }
+
+  /** The DEEP variant: a 3-layer stack of the same encoder block (the
+    * reference's BERT is 12 stacked copies of this block) through the
+    * same session — the oracle unrolls all three layers in SQL. */
+  private def q7EncoderStack(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/q7_encoder_stack.onnx"
+    graft.ml.OnnxExport.exportEncoderStack(teStack(3), path)
+    val (feats, featCols) = teFeats(s)
     new graft.ml.Scorer.ExternalModelScorer(
         graft.ml.Scorer.onnxModelFactory(path), featCols)
       .score(feats)
@@ -562,22 +599,9 @@ object SparkEntry {
     * the whole encoder as unrolled SQL, then float-narrows exactly like
     * the embedder. */
   private def q6ValueEmbed(s: SparkSession, dir: String): DataFrame = {
-    val (sq, d, h, f) = (OracleSql.TeS, OracleSql.TeD, OracleSql.TeH, OracleSql.TeF)
-    val dh = d / h
-    val w = graft.ml.OnnxExport.MiniEncoderWeights(
-      seqLen = sq, dModel = d, nHeads = h, dFf = f,
-      wq = Array.tabulate(h, d, dh)(OracleSql.teWq),
-      wk = Array.tabulate(h, d, dh)(OracleSql.teWk),
-      wv = Array.tabulate(h, d, dh)(OracleSql.teWv),
-      wo = Array.tabulate(d, d)(OracleSql.teWo), bo = Array.tabulate(d)(OracleSql.teBo),
-      g1 = Array.tabulate(d)(OracleSql.teG1), b1 = Array.tabulate(d)(OracleSql.teB1),
-      w1 = Array.tabulate(d, f)(OracleSql.teW1), bf1 = Array.tabulate(f)(OracleSql.teBf1),
-      w2 = Array.tabulate(f, d)(OracleSql.teW2), bf2 = Array.tabulate(d)(OracleSql.teBf2),
-      g2 = Array.tabulate(d)(OracleSql.teG2), b2 = Array.tabulate(d)(OracleSql.teB2),
-      wHead = Array.tabulate(d)(OracleSql.teWh), bHead = OracleSql.TeBh,
-      attScale = OracleSql.TeScale, lnEps = OracleSql.TeEps)
+    val (sq, d) = (OracleSql.TeS, OracleSql.TeD)
     val path = "/tmp/graft_fixtures/q6_encoder.onnx"
-    graft.ml.OnnxExport.exportMiniEncoder(w, path, withHead = false)
+    graft.ml.OnnxExport.exportEncoderStack(teStack(1), path, withHead = false)
     val toks = t(s, dir, "documents").filter(col("doc_id") <= 48)
       .select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), v => v =!= "").as("w"))
@@ -3341,6 +3365,7 @@ object SparkEntry {
     "lake_csv_unified" -> lakeCsvUnifiedQ,
     "q7_onnx_score" -> q7OnnxScore,
     "q7_transformer_score" -> q7TransformerScore,
+    "q7_encoder_stack" -> q7EncoderStack,
     "q6_value_embed" -> q6ValueEmbed,
     "q1_embed_extract" -> q1EmbedExtract,
     "e2e_lake_search" -> e2eLakeSearch,

@@ -219,6 +219,26 @@ object OnnxExport {
     * linear/MLP heads. Input column order is the flattened
     * `x_{s}_{d}` (position-major) feature list.
     */
+  /** One encoder layer's weights for [[exportEncoderStack]] — same field
+    * semantics as [[MiniEncoderWeights]] minus the stack-level head. */
+  final case class EncoderLayer(
+      wq: Array[Array[Array[Double]]], wk: Array[Array[Array[Double]]],
+      wv: Array[Array[Array[Double]]],
+      wo: Array[Array[Double]], bo: Array[Double],
+      g1: Array[Double], b1: Array[Double],
+      w1: Array[Array[Double]], bf1: Array[Double],
+      w2: Array[Array[Double]], bf2: Array[Double],
+      g2: Array[Double], b2: Array[Double])
+
+  /** A DEEP encoder: `layers` stacked attention+FFN blocks (the
+    * reference's BERT runs 12 of exactly this block,
+    * `transformer_bert.py:88-224`) + the pooled head. */
+  final case class EncoderStack(
+      seqLen: Int, dModel: Int, nHeads: Int, dFf: Int,
+      layers: Seq[EncoderLayer],
+      wHead: Array[Double], bHead: Double,
+      attScale: Double, lnEps: Double)
+
   /** @param withHead true → sigmoid classifier output `score [N,1]`
     *                  (Q7 pair scoring); false → the graph STOPS at the
     *                  mean-pooled encoder state `pooled [N,dModel]` — the
@@ -226,62 +246,87 @@ object OnnxExport {
     *                  `embedding_search.py:25-42`), consumed through
     *                  [[Scorer.onnxEmbedderFactory]]. */
   def exportMiniEncoder(w: MiniEncoderWeights, path: String,
-                        withHead: Boolean = true): Unit = {
+                        withHead: Boolean = true): Unit =
+    exportEncoderStack(EncoderStack(w.seqLen, w.dModel, w.nHeads, w.dFf,
+      Seq(EncoderLayer(w.wq, w.wk, w.wv, w.wo, w.bo, w.g1, w.b1,
+        w.w1, w.bf1, w.w2, w.bf2, w.g2, w.b2)),
+      w.wHead, w.bHead, w.attScale, w.lnEps), path, withHead)
+
+  /** Export a REAL (toy-sized, arbitrarily DEEP) transformer encoder as
+    * ONNX, opset 17: Reshape [N, S·D] → [N, S, D]; per layer — per-head
+    * Q/K/V MatMuls, K transpose, scaled QKᵀ, Softmax over keys,
+    * attention-weighted V, head Concat, output projection + residual +
+    * LayerNormalization, Sigmoid FFN + residual + LayerNormalization —
+    * then mean-pool over positions and (optionally) linear + Sigmoid
+    * score. Every op executes in [[OnnxSession]]; node/initializer names
+    * are layer-prefixed so the graph is plainly N stacked copies of the
+    * reference block. */
+  def exportEncoderStack(w: EncoderStack, path: String,
+                         withHead: Boolean = true): Unit = {
     val (s, d, h, f) = (w.seqLen, w.dModel, w.nHeads, w.dFf)
     require(h > 0 && d % h == 0, s"dModel $d must divide into $h heads")
+    require(w.layers.nonEmpty, "exportEncoderStack: at least one layer")
     val dh = d / h
     val features = for (i <- 0 until s; j <- 0 until d) yield s"x_${i}_$j"
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     val inits = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     inits += tensorMsgI64("shape_sd", Seq(3L), Seq(-1L, s.toLong, d.toLong))
     inits += tensorMsg("att_scale", Seq(1L), Array(w.attScale))
-    nodes += nodeMsg("Reshape", Seq("features", "shape_sd"), "x")
-    val headOuts = (0 until h).map { hi =>
-      inits += tensorMsg(s"wq$hi", Seq(d.toLong, dh.toLong), w.wq(hi).flatten)
-      inits += tensorMsg(s"wk$hi", Seq(d.toLong, dh.toLong), w.wk(hi).flatten)
-      inits += tensorMsg(s"wv$hi", Seq(d.toLong, dh.toLong), w.wv(hi).flatten)
-      nodes += nodeMsg("MatMul", Seq("x", s"wq$hi"), s"q$hi")
-      nodes += nodeMsg("MatMul", Seq("x", s"wk$hi"), s"k$hi")
-      nodes += nodeMsg("MatMul", Seq("x", s"wv$hi"), s"v$hi")
-      nodes += nodeMsg("Transpose", Seq(s"k$hi"), s"kT$hi",
-        Seq(attrInts("perm", Seq(0L, 2L, 1L))))
-      nodes += nodeMsg("MatMul", Seq(s"q$hi", s"kT$hi"), s"sc$hi")
-      nodes += nodeMsg("Mul", Seq(s"sc$hi", "att_scale"), s"scl$hi")
-      nodes += nodeMsg("Softmax", Seq(s"scl$hi"), s"at$hi",
-        Seq(attrI("axis", -1L)))
-      nodes += nodeMsg("MatMul", Seq(s"at$hi", s"v$hi"), s"hd$hi")
-      s"hd$hi"
+    nodes += nodeMsg("Reshape", Seq("features", "shape_sd"), "x0")
+    var cur = "x0"
+    w.layers.zipWithIndex.foreach { case (lw, l) =>
+      val P = s"L$l"
+      val headOuts = (0 until h).map { hi =>
+        inits += tensorMsg(s"${P}wq$hi", Seq(d.toLong, dh.toLong), lw.wq(hi).flatten)
+        inits += tensorMsg(s"${P}wk$hi", Seq(d.toLong, dh.toLong), lw.wk(hi).flatten)
+        inits += tensorMsg(s"${P}wv$hi", Seq(d.toLong, dh.toLong), lw.wv(hi).flatten)
+        nodes += nodeMsg("MatMul", Seq(cur, s"${P}wq$hi"), s"${P}q$hi")
+        nodes += nodeMsg("MatMul", Seq(cur, s"${P}wk$hi"), s"${P}k$hi")
+        nodes += nodeMsg("MatMul", Seq(cur, s"${P}wv$hi"), s"${P}v$hi")
+        nodes += nodeMsg("Transpose", Seq(s"${P}k$hi"), s"${P}kT$hi",
+          Seq(attrInts("perm", Seq(0L, 2L, 1L))))
+        nodes += nodeMsg("MatMul", Seq(s"${P}q$hi", s"${P}kT$hi"), s"${P}sc$hi")
+        nodes += nodeMsg("Mul", Seq(s"${P}sc$hi", "att_scale"), s"${P}scl$hi")
+        nodes += nodeMsg("Softmax", Seq(s"${P}scl$hi"), s"${P}at$hi",
+          Seq(attrI("axis", -1L)))
+        nodes += nodeMsg("MatMul", Seq(s"${P}at$hi", s"${P}v$hi"), s"${P}hd$hi")
+        s"${P}hd$hi"
+      }
+      nodes += nodeMsg("Concat", headOuts, s"${P}ctx", Seq(attrI("axis", -1L)))
+      inits += tensorMsg(s"${P}wo", Seq(d.toLong, d.toLong), lw.wo.flatten)
+      inits += tensorMsg(s"${P}bo", Seq(d.toLong), lw.bo)
+      nodes += nodeMsg("MatMul", Seq(s"${P}ctx", s"${P}wo"), s"${P}pj0")
+      nodes += nodeMsg("Add", Seq(s"${P}pj0", s"${P}bo"), s"${P}pj")
+      nodes += nodeMsg("Add", Seq(s"${P}pj", cur), s"${P}r1")
+      inits += tensorMsg(s"${P}g1", Seq(d.toLong), lw.g1)
+      inits += tensorMsg(s"${P}b1", Seq(d.toLong), lw.b1)
+      nodes += nodeMsg("LayerNormalization",
+        Seq(s"${P}r1", s"${P}g1", s"${P}b1"), s"${P}l1",
+        Seq(attrI("axis", -1L), attrF("epsilon", w.lnEps.toFloat)))
+      inits += tensorMsg(s"${P}w1", Seq(d.toLong, f.toLong), lw.w1.flatten)
+      inits += tensorMsg(s"${P}bf1", Seq(f.toLong), lw.bf1)
+      inits += tensorMsg(s"${P}w2", Seq(f.toLong, d.toLong), lw.w2.flatten)
+      inits += tensorMsg(s"${P}bf2", Seq(d.toLong), lw.bf2)
+      // Sigmoid FFN activation (not Tanh/Gelu): the DuckDB oracle has no
+      // tanh/erf builtin, and sigmoid keeps BOTH engines on the literal
+      // formula 1/(1+exp(−z)) — exp is then the only libm call in the
+      // whole graph whose rounding differs across engines. Tanh/Erf
+      // remain executable session ops (spec-pinned) for graphs needing
+      // them.
+      nodes += nodeMsg("MatMul", Seq(s"${P}l1", s"${P}w1"), s"${P}f0")
+      nodes += nodeMsg("Add", Seq(s"${P}f0", s"${P}bf1"), s"${P}f1")
+      nodes += nodeMsg("Sigmoid", Seq(s"${P}f1"), s"${P}f2")
+      nodes += nodeMsg("MatMul", Seq(s"${P}f2", s"${P}w2"), s"${P}f3")
+      nodes += nodeMsg("Add", Seq(s"${P}f3", s"${P}bf2"), s"${P}f4")
+      nodes += nodeMsg("Add", Seq(s"${P}f4", s"${P}l1"), s"${P}r2")
+      inits += tensorMsg(s"${P}g2", Seq(d.toLong), lw.g2)
+      inits += tensorMsg(s"${P}b2", Seq(d.toLong), lw.b2)
+      nodes += nodeMsg("LayerNormalization",
+        Seq(s"${P}r2", s"${P}g2", s"${P}b2"), s"x${l + 1}",
+        Seq(attrI("axis", -1L), attrF("epsilon", w.lnEps.toFloat)))
+      cur = s"x${l + 1}"
     }
-    nodes += nodeMsg("Concat", headOuts, "ctx", Seq(attrI("axis", -1L)))
-    inits += tensorMsg("wo", Seq(d.toLong, d.toLong), w.wo.flatten)
-    inits += tensorMsg("bo", Seq(d.toLong), w.bo)
-    nodes += nodeMsg("MatMul", Seq("ctx", "wo"), "pj0")
-    nodes += nodeMsg("Add", Seq("pj0", "bo"), "pj")
-    nodes += nodeMsg("Add", Seq("pj", "x"), "r1")
-    inits += tensorMsg("g1", Seq(d.toLong), w.g1)
-    inits += tensorMsg("b1", Seq(d.toLong), w.b1)
-    nodes += nodeMsg("LayerNormalization", Seq("r1", "g1", "b1"), "l1",
-      Seq(attrI("axis", -1L), attrF("epsilon", w.lnEps.toFloat)))
-    inits += tensorMsg("w1", Seq(d.toLong, f.toLong), w.w1.flatten)
-    inits += tensorMsg("bf1", Seq(f.toLong), w.bf1)
-    inits += tensorMsg("w2", Seq(f.toLong, d.toLong), w.w2.flatten)
-    inits += tensorMsg("bf2", Seq(d.toLong), w.bf2)
-    // Sigmoid FFN activation (not Tanh/Gelu): the DuckDB oracle has no
-    // tanh/erf builtin, and sigmoid keeps BOTH engines on the literal
-    // formula 1/(1+exp(−z)) — exp is then the only libm call in the whole
-    // graph whose rounding differs across engines. Tanh/Erf remain
-    // executable session ops (spec-pinned) for graphs that need them.
-    nodes += nodeMsg("MatMul", Seq("l1", "w1"), "f0")
-    nodes += nodeMsg("Add", Seq("f0", "bf1"), "f1")
-    nodes += nodeMsg("Sigmoid", Seq("f1"), "f2")
-    nodes += nodeMsg("MatMul", Seq("f2", "w2"), "f3")
-    nodes += nodeMsg("Add", Seq("f3", "bf2"), "f4")
-    nodes += nodeMsg("Add", Seq("f4", "l1"), "r2")
-    inits += tensorMsg("g2", Seq(d.toLong), w.g2)
-    inits += tensorMsg("b2", Seq(d.toLong), w.b2)
-    nodes += nodeMsg("LayerNormalization", Seq("r2", "g2", "b2"), "l2",
-      Seq(attrI("axis", -1L), attrF("epsilon", w.lnEps.toFloat)))
-    nodes += nodeMsg("ReduceMean", Seq("l2"), "pooled",
+    nodes += nodeMsg("ReduceMean", Seq(cur), "pooled",
       Seq(attrInts("axes", Seq(1L)), attrI("keepdims", 0L)))
     if (withHead) {
       inits += tensorMsg("w_head", Seq(d.toLong, 1L), w.wHead)

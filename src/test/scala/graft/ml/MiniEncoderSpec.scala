@@ -27,6 +27,61 @@ class MiniEncoderSpec extends SparkSpec {
     wHead = Array.tabulate(d_)(OracleSql.teWh), bHead = OracleSql.TeBh,
     attScale = OracleSql.TeScale, lnEps = OracleSql.TeEps)
 
+  private def layer(l: Int): OnnxExport.EncoderLayer = OnnxExport.EncoderLayer(
+    wq = Array.tabulate(h_, d_, dh)(OracleSql.teWqL(l, _, _, _)),
+    wk = Array.tabulate(h_, d_, dh)(OracleSql.teWkL(l, _, _, _)),
+    wv = Array.tabulate(h_, d_, dh)(OracleSql.teWvL(l, _, _, _)),
+    wo = Array.tabulate(d_, d_)(OracleSql.teWoL(l, _, _)),
+    bo = Array.tabulate(d_)(OracleSql.teBoL(l, _)),
+    g1 = Array.tabulate(d_)(OracleSql.teG1L(l, _)),
+    b1 = Array.tabulate(d_)(OracleSql.teB1L(l, _)),
+    w1 = Array.tabulate(d_, f_)(OracleSql.teW1L(l, _, _)),
+    bf1 = Array.tabulate(f_)(OracleSql.teBf1L(l, _)),
+    w2 = Array.tabulate(f_, d_)(OracleSql.teW2L(l, _, _)),
+    bf2 = Array.tabulate(d_)(OracleSql.teBf2L(l, _)),
+    g2 = Array.tabulate(d_)(OracleSql.teG2L(l, _)),
+    b2 = Array.tabulate(d_)(OracleSql.teB2L(l, _)))
+
+  private def stack(n: Int): OnnxExport.EncoderStack = OnnxExport.EncoderStack(
+    s_, d_, h_, f_, (0 until n).map(layer),
+    wHead = Array.tabulate(d_)(OracleSql.teWh), bHead = OracleSql.TeBh,
+    attScale = OracleSql.TeScale, lnEps = OracleSql.TeEps)
+
+  /** Independent reference: one encoder BLOCK with plain nested loops. */
+  private def refBlock(x: Array[Array[Double]], lw: OnnxExport.EncoderLayer,
+                       eps: Double, scale: Double): Array[Array[Double]] = {
+    def mm(a: Array[Array[Double]], b: Array[Array[Double]]) =
+      Array.tabulate(a.length, b(0).length)((i, j) =>
+        (0 until b.length).foldLeft(0.0)((acc, k) => acc + a(i)(k) * b(k)(j)))
+    def ln(v: Array[Array[Double]], g: Array[Double], b: Array[Double]) =
+      v.map { row =>
+        val m = row.sum / row.length
+        val va = row.map(e => (e - m) * (e - m)).sum / row.length
+        row.indices.map(j => ((row(j) - m) / math.sqrt(va + eps)) * g(j) + b(j)).toArray
+      }
+    val heads = (0 until h_).map { hi =>
+      val q = mm(x, lw.wq(hi)); val k = mm(x, lw.wk(hi)); val v = mm(x, lw.wv(hi))
+      val att = Array.tabulate(s_, s_)((i, j) =>
+        (0 until dh).map(e => q(i)(e) * k(j)(e)).sum * scale)
+      val soft = att.map { row =>
+        val m = row.max
+        val es = row.map(z => math.exp(z - m))
+        val sm = es.sum
+        es.map(_ / sm)
+      }
+      Array.tabulate(s_, dh)((i, e) => (0 until s_).map(j => soft(i)(j) * v(j)(e)).sum)
+    }
+    val ctx = Array.tabulate(s_, d_)((i, c) => heads(c / dh)(i)(c % dh))
+    val pj = mm(ctx, lw.wo).zipWithIndex.map { case (row, i) =>
+      row.indices.map(j => row(j) + lw.bo(j) + x(i)(j)).toArray }
+    val l1 = ln(pj, lw.g1, lw.b1)
+    val ff = mm(l1, lw.w1).map(row => row.indices.map(j =>
+      1.0 / (1.0 + math.exp(-(row(j) + lw.bf1(j))))).toArray)
+    val r2 = mm(ff, lw.w2).zipWithIndex.map { case (row, i) =>
+      row.indices.map(j => row(j) + lw.bf2(j) + l1(i)(j)).toArray }
+    ln(r2, lw.g2, lw.b2)
+  }
+
   /** Independent reference forward pass for one [S][D] input. */
   private def reference(x: Array[Array[Double]], w: OnnxExport.MiniEncoderWeights): Double = {
     def mm(a: Array[Array[Double]], b: Array[Array[Double]]) =
@@ -85,6 +140,34 @@ class MiniEncoderSpec extends SparkSpec {
     // scores must be non-degenerate (not all equal) for the fixture to
     // actually exercise attention mixing
     assert(got.distinct.length > OracleSql.TeN / 2)
+  }
+
+  test("a 3-layer stacked export executes and matches three chained reference blocks") {
+    val path = "/tmp/graft_fixtures/spec_encoder_stack.onnx"
+    val st = stack(3)
+    OnnxExport.exportEncoderStack(st, path)
+    val session = OnnxSession.load(path)
+    val batch = (1 to 6).map { n =>
+      Array.tabulate(s_ * d_) { k =>
+        ((n * 13 + (k / d_) * 7 + (k % d_) * 3) % 17) * 0.125 - 1.0
+      }
+    }.toArray
+    val got = session.run(batch)
+    val want = batch.map { flat =>
+      var x = Array.tabulate(s_, d_)((i, j) => flat(i * d_ + j))
+      st.layers.foreach { lw => x = refBlock(x, lw, st.lnEps, st.attScale) }
+      val pooled = (0 until d_).map(j => (0 until s_).map(i => x(i)(j)).sum / s_)
+      val z = (0 until d_).map(j => pooled(j) * st.wHead(j)).sum + st.bHead
+      1.0 / (1.0 + math.exp(-z))
+    }
+    got.lazyZip(want).foreach { (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"got $g want $e")
+    }
+    // depth must actually matter: 3 layers != 1 layer on the same inputs
+    val p1 = "/tmp/graft_fixtures/spec_encoder_stack1.onnx"
+    OnnxExport.exportEncoderStack(stack(1), p1)
+    val one = OnnxSession.load(p1).run(batch)
+    assert(got.toSeq != one.toSeq)
   }
 
   test("feature metadata carries the flattened position-major column order") {
