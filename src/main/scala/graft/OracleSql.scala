@@ -248,6 +248,59 @@ object OracleSql {
   private[graft] val TeScale = 0.707107      // round(1/sqrt(dHead), 6)
   private[graft] val TeEps = 0.0009765625    // 2^-10: float32-exact epsilon
 
+  // ---- the realistic tabular-BERT checkpoint fixture (E4 end-to-end:
+  // WordPiece ids → 6-way TabularBertEmbeddings sum → 4-layer encoder →
+  // masked mean pool → k-NN). Every weight is a small binary fraction —
+  // float32-exact, so the FLOAT32 checkpoint file, the session's double
+  // execution, and the oracle's SQL literals all see identical values.
+  // Layer internals (wo/g1/w1/…) reuse the teW*L layer-indexed family;
+  // the fused QKV below arranges the same per-head projections in the
+  // torch [Q|K|V] column layout. --------------------------------------
+  private[graft] val TbS = 6    // sequence length ([CLS] + 4 body + [SEP])
+  private[graft] val TbD = 4    // model width
+  private[graft] val TbH = 2    // heads
+  private[graft] val TbF = 8    // FFN width
+  private[graft] val TbM = 3    // minhash input width
+  private[graft] val TbL = 4    // encoder layers (the "N≥4-layer" stack)
+  private[graft] val TbT = 4    // token-type embedding rows
+  private[graft] val TbP = 4    // token-position embedding rows
+  private[graft] val TbSnip = 18      // snippet chars tokenized per doc
+  private[graft] val TbVocabDocs = 20 // vocab built over doc_id ≤ this
+  private[graft] val TbVocabMax = 120 // vocab size (whole words stay whole)
+  private[graft] val TbDocs = 32     // encoded corpus: doc_id < this
+  private[graft] val TbQueries = 4   // k-NN query docs: doc_id < this
+  private[graft] val TbTopK = 3
+  private[graft] val TbScale = 0.70703125 // 181/256: float32-exact ≈ 1/√dHead
+  private[graft] val TbEps = 0.0009765625
+  private[graft] def tbWordE(v: Long, d: Int): Double =
+    ((v * 7 + d * 3) % 17) * 0.125 - 1.0
+  private[graft] def tbTypeE(t: Long, d: Int): Double =
+    ((t * 5 + d * 7) % 13) * 0.0625 - 0.375
+  private[graft] def tbTokposE(p: Int, d: Int): Double =
+    ((p * 3 + d * 5) % 11) * 0.125 - 0.625
+  private[graft] def tbPosE(p: Int, d: Int): Double =
+    ((p * 7 + d) % 9) * 0.25 - 1.0
+  private[graft] def tbWVal(i: Int, j: Int): Double = ((i * 5 + j * 3 + 1) % 9 - 4) * 0.125
+  private[graft] def tbBVal(j: Int): Double = ((j * 3) % 5 - 2) * 0.0625
+  private[graft] def tbWMin(i: Int, j: Int): Double = ((i * 7 + j * 5 + 2) % 9 - 4) * 0.125
+  private[graft] def tbBMin(j: Int): Double = ((j * 5 + 1) % 5 - 2) * 0.0625
+  private[graft] def tbGEmb(d: Int): Double = 1.0 + (d % 3 - 1) * 0.125
+  private[graft] def tbBEmb(d: Int): Double = ((d * 3) % 5 - 2) * 0.0625
+  /** Fused QKV weight [D, 3D] in the torch [Q|K|V] column layout; each
+    * block's column (h·dHead + e) is the teW{q,k,v}L per-head entry. */
+  private[graft] def tbWqkv(l: Int, i: Int, j: Int): Double = {
+    val dh = TbD / TbH
+    if (j < TbD) teWqL(l, j / dh, i, j % dh)
+    else if (j < 2 * TbD) teWkL(l, (j - TbD) / dh, i, (j - TbD) % dh)
+    else teWvL(l, (j - 2 * TbD) / dh, i, (j - 2 * TbD) % dh)
+  }
+  private[graft] def tbBqkv(l: Int, j: Int): Double = ((l * 5 + j * 3) % 7 - 3) * 0.0625
+  // per-token input-vector formulas (functions of the token id/position)
+  private[graft] def tbVal(tid: Long, e: Int): Double =
+    ((tid * 5 + e * 3) % 13) * 0.125 - 0.75
+  private[graft] def tbMh(tid: Long, s: Int, j: Int): Double =
+    ((tid * 7 + j * 5 + s) % 11) * 0.25 - 1.25
+
   /** Full-quadratic TF-IDF cosine self-join oracle over `docsRel` (a
     * table name or parenthesized subquery) — shared by d_cosine_pairs
     * (blocked kernel, whole corpus) and d_cosine_postings (L2AP prefix
@@ -405,6 +458,231 @@ object OracleSql {
        |c0 AS (SELECT id, ${xs.mkString(", ")} FROM tids), """.stripMargin +
       teEncoderCtes(1) + "\n" +
       s"SELECT CAST(id AS BIGINT) AS doc_id, ${outs.mkString(", ")} FROM cP ORDER BY doc_id"
+  }
+
+  /** Unrolled SQL replay of the realistic-checkpoint encoder stack: like
+    * [[teEncoderCtes]] but with (a) FUSED-QKV biases on q/k/v, (b) the
+    * additive attention mask `em_j` on every logit before the softmax
+    * max-subtraction, (c) Tb dimensions (S=6, 4 layers), and (d) a
+    * MASKED mean pool. Expects a CTE `c0` exposing `id`, `x0_{i}_{d}`,
+    * `m_0..m_{S−1}` and `em_0..em_{S−1}`; emits `cP` with
+    * (id, pooled_0..pooled_{D−1}). Summation orders mirror the session
+    * kernels exactly (k ascending, lanes ascending). */
+  private def tbEncoderCtes: String = {
+    val (s_, d_, h_, f_, layers) = (TbS, TbD, TbH, TbF, TbL)
+    val dh = d_ / h_
+    def f(v: Double): String = {
+      val t = v.toString
+      if (t.contains('E') || t.contains('e')) s"CAST($t AS DOUBLE)" else t
+    }
+    def sum(ts: Seq[String]): String = ts.mkString("(", " + ", ")")
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = "c0"
+    var n = 0
+    def cte(cols: Seq[String]): Unit = {
+      n += 1
+      ctes += s"t$n AS (SELECT *, ${cols.mkString(", ")} FROM $prev)"
+      prev = s"t$n"
+    }
+    for (l <- 0 until layers) {
+      val X = s"x${l}_"
+      val P = s"L${l}_"
+      val O = s"x${l + 1}_"
+      // fused-QKV projections WITH bias: the torch Linear layout
+      // [Q|K|V]; block column (h·dh + e) of block `off`
+      val qkv = for {
+        (nm, off) <- Seq(("q", 0), ("k", d_), ("v", 2 * d_))
+        hi <- 0 until h_; si <- 0 until s_; e <- 0 until dh
+      } yield sum((0 until d_).map(di =>
+          s"$X${si}_$di * ${f(tbWqkv(l, di, off + hi * dh + e))}")) +
+        s" + ${f(tbBqkv(l, off + hi * dh + e))} AS $P${nm}_${hi}_${si}_$e"
+      cte(qkv)
+      // masked scaled logits: (Σ_e q·k)·scale + em_j (pad keys → −10000)
+      cte(for (hi <- 0 until h_; i <- 0 until s_; j <- 0 until s_)
+        yield sum((0 until dh).map(e => s"${P}q_${hi}_${i}_$e * ${P}k_${hi}_${j}_$e")) +
+          s" * $TbScale + em_$j AS ${P}scl_${hi}_${i}_$j")
+      cte(for (hi <- 0 until h_; i <- 0 until s_)
+        yield s"GREATEST(${(0 until s_).map(j => s"${P}scl_${hi}_${i}_$j").mkString(", ")})" +
+          s" AS ${P}m_${hi}_$i")
+      cte(for (hi <- 0 until h_; i <- 0 until s_; j <- 0 until s_)
+        yield s"exp(${P}scl_${hi}_${i}_$j - ${P}m_${hi}_$i) AS ${P}e_${hi}_${i}_$j")
+      cte(for (hi <- 0 until h_; i <- 0 until s_)
+        yield sum((0 until s_).map(j => s"${P}e_${hi}_${i}_$j")) + s" AS ${P}s_${hi}_$i")
+      cte(for (hi <- 0 until h_; i <- 0 until s_; e <- 0 until dh)
+        yield sum((0 until s_).map(j =>
+          s"(${P}e_${hi}_${i}_$j / ${P}s_${hi}_$i) * ${P}v_${hi}_${j}_$e")) +
+          s" AS ${P}hd_${hi}_${i}_$e")
+      def ctx(i: Int, c: Int) = s"${P}hd_${c / dh}_${i}_${c % dh}"
+      cte(for (i <- 0 until s_; di <- 0 until d_)
+        yield sum((0 until d_).map(c => s"${ctx(i, c)} * ${f(teWoL(l, c, di))}")) +
+          s" + ${f(teBoL(l, di))} + $X${i}_$di AS ${P}r1_${i}_$di")
+      def lnCols(src: String, out: String, g: Int => Double, b: Int => Double): Unit = {
+        val tag = s"${P}mv${out.replace(P, "")}"
+        cte((for (i <- 0 until s_)
+          yield sum((0 until d_).map(di => s"${src}_${i}_$di")) +
+            s" / ${d_}.0 AS mean_${tag}_$i") ++
+          (for (i <- 0 until s_)
+            yield sum((0 until d_).map(di =>
+              s"(${src}_${i}_$di - mean_${tag}_$i) * (${src}_${i}_$di - mean_${tag}_$i)")) +
+              s" / ${d_}.0 AS var_${tag}_$i"))
+        cte(for (i <- 0 until s_; di <- 0 until d_)
+          yield s"((${src}_${i}_$di - mean_${tag}_$i) / sqrt(var_${tag}_$i + $TbEps))" +
+            s" * ${f(g(di))} + ${f(b(di))} AS ${out}${i}_$di")
+      }
+      lnCols(s"${P}r1", s"${P}l1_", teG1L(l, _), teB1L(l, _))
+      // Sigmoid FFN (the shared-exp-formula oracle discipline)
+      cte(for (i <- 0 until s_; fi <- 0 until f_)
+        yield s"1.0 / (1.0 + exp(-(" +
+          sum((0 until d_).map(di => s"${P}l1_${i}_$di * ${f(teW1L(l, di, fi))}")) +
+          s" + ${f(teBf1L(l, fi))}))) AS ${P}f2_${i}_$fi")
+      cte(for (i <- 0 until s_; di <- 0 until d_)
+        yield sum((0 until f_).map(fi => s"${P}f2_${i}_$fi * ${f(teW2L(l, fi, di))}")) +
+          s" + ${f(teBf2L(l, di))} + ${P}l1_${i}_$di AS ${P}r2_${i}_$di")
+      lnCols(s"${P}r2", O, teG2L(l, _), teB2L(l, _))
+    }
+    // masked mean pool: Σ_i x·m_i / Σ_i m_i, both ascending
+    val cnt = sum((0 until s_).map(i => s"m_$i"))
+    val pooled = for (di <- 0 until d_)
+      yield sum((0 until s_).map(i => s"x${layers}_${i}_$di * m_$i")) +
+        s" / $cnt AS pooled_$di"
+    ctes += s"cP AS (SELECT id, ${pooled.mkString(", ")} FROM $prev)"
+    ctes.mkString(", ")
+  }
+
+  /** e2e_encode_search oracle: replay the WHOLE product loop in SQL —
+    * recursive-CTE WordPiece (vocab build + greedy segmentation, the
+    * t2_wordpiece machinery over 18-char snippets), the 6-way
+    * TabularBertEmbeddings sum with the graph's exact add association,
+    * the embedding LayerNorm, four masked encoder layers
+    * ([[tbEncoderCtes]]), the masked mean pool, the float32 narrow, and
+    * the ranked cosine top-k. */
+  private def e2eEncodeSearchSql: String = {
+    val (s_, d_) = (TbS, TbD)
+    def f(v: Double): String = {
+      val t = v.toString
+      if (t.contains('E') || t.contains('e')) s"CAST($t AS DOUBLE)" else t
+    }
+    def sum(ts: Seq[String]): String = ts.mkString("(", " + ", ")")
+    val bodySlots = s_ - 2
+    val tidCols = (0 until s_).map(i => s"COALESCE(e.ids[${i + 1}], 0) AS tid_$i")
+    val mCols = (0 until s_).map(i =>
+      s"CASE WHEN $i < ntok THEN 1.0 ELSE 0.0 END AS m_$i")
+    val emCols = (0 until s_).map(i => s"(m_$i - 1.0) * 10000.0 AS em_$i")
+    // the graph's association: ((((we+te)+tpe)+pp)+(v·W+bV))+(m·W+bM)
+    val pCols = for (i <- 0 until s_; dd <- 0 until d_) yield {
+      val wE = s"(((tid_$i * 7 + ${dd * 3}) % 17) * 0.125 - 1.0)"
+      val tyE = s"(((ty * 5 + ${dd * 7}) % 13) * 0.0625 - 0.375)"
+      val tpE = f(tbTokposE(i % TbP, dd))
+      val pE = f(tbPosE(i, dd))
+      val vdot = sum((0 until d_).map(e =>
+        s"(((tid_$i * 5 + ${e * 3}) % 13) * 0.125 - 0.75) * ${f(tbWVal(e, dd))}"))
+      val mdot = sum((0 until TbM).map(j =>
+        s"(((tid_$i * 7 + ${j * 5 + i}) % 11) * 0.25 - 1.25) * ${f(tbWMin(j, dd))}"))
+      s"(((($wE + $tyE) + $tpE) + $pE) + ($vdot + ${f(tbBVal(dd))}))" +
+        s" + ($mdot + ${f(tbBMin(dd))}) AS p_${i}_$dd"
+    }
+    val meanCols = (0 until s_).map(i =>
+      sum((0 until d_).map(dd => s"p_${i}_$dd")) + s" / ${d_}.0 AS meanE_$i")
+    val varCols = (0 until s_).map(i =>
+      sum((0 until d_).map(dd =>
+        s"(p_${i}_$dd - meanE_$i) * (p_${i}_$dd - meanE_$i)")) +
+        s" / ${d_}.0 AS varE_$i")
+    val x0Cols = for (i <- 0 until s_; dd <- 0 until d_) yield
+      s"((p_${i}_$dd - meanE_$i) / sqrt(varE_$i + $TbEps))" +
+        s" * ${f(tbGEmb(dd))} + ${f(tbBEmb(dd))} AS x0_${i}_$dd"
+    val embCols = (0 until d_).map(dd =>
+      s"CAST(CAST(pooled_$dd AS REAL) AS DOUBLE) AS e$dd")
+    val dot = sum((0 until d_).map(k => s"a.e$k * b.e$k"))
+    val na = sum((0 until d_).map(k => s"a.e$k * a.e$k"))
+    val nb = sum((0 until d_).map(k => s"b.e$k * b.e$k"))
+    s"""WITH RECURSIVE
+       |sn AS (SELECT doc_id, lower(substr(text, 1, $TbSnip)) AS sniptext
+       |       FROM documents WHERE doc_id < $TbDocs),
+       |words AS (
+       |  SELECT w FROM (
+       |    SELECT unnest(regexp_split_to_array(sniptext, '\\s+')) AS w
+       |    FROM sn WHERE doc_id <= $TbVocabDocs) WHERE w <> ''),
+       |chars AS (
+       |  SELECT DISTINCT c AS piece FROM (
+       |    SELECT unnest(string_split(w, '')) AS c
+       |    FROM (SELECT DISTINCT w FROM words)) WHERE c <> ''),
+       |cand AS (
+       |  SELECT piece, 9223372036854775807 AS freq FROM chars
+       |  UNION ALL SELECT '##' || piece, 9223372036854775807 FROM chars
+       |  UNION ALL SELECT w AS piece, count(*) AS freq FROM words GROUP BY w),
+       |lim AS (
+       |  SELECT piece, max(freq) AS freq FROM cand GROUP BY piece
+       |  ORDER BY max(freq) DESC, piece LIMIT ${TbVocabMax - 4}),
+       |vocab AS (
+       |  SELECT piece, CAST(id AS BIGINT) AS id FROM (VALUES
+       |    ('[PAD]', 0), ('[UNK]', 1), ('[CLS]', 2), ('[SEP]', 3)) sp(piece, id)
+       |  UNION ALL
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY freq DESC, piece) + 3 AS BIGINT)
+       |  FROM lim),
+       |dw AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(regexp_split_to_array(sniptext, '\\s+')) AS w
+       |    FROM sn) WHERE w <> ''),
+       |pieces AS (
+       |  SELECT id, piece LIKE '##%' AS cont,
+       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS core
+       |  FROM vocab WHERE piece NOT LIKE '[%'),
+       |wp AS (SELECT w, unnest(generate_series(1, length(w))) AS pos FROM dw),
+       |best AS (
+       |  SELECT wp.w, wp.pos, arg_max(p.id, length(p.core)) AS pid,
+       |    max(length(p.core)) AS plen
+       |  FROM wp JOIN pieces p
+       |    ON p.cont = (wp.pos > 1)
+       |   AND substr(wp.w, wp.pos, length(p.core)) = p.core
+       |  GROUP BY wp.w, wp.pos),
+       |walk(w, pos, ids) AS (
+       |  SELECT w, 1, CAST([] AS BIGINT[]) FROM dw
+       |  UNION ALL
+       |  SELECT x.w, x.pos + b.plen, list_append(x.ids, b.pid)
+       |  FROM walk x JOIN best b ON b.w = x.w AND b.pos = x.pos),
+       |wseg AS (
+       |  SELECT d.w,
+       |    coalesce(t.ids, list_value((SELECT id FROM vocab WHERE piece = '[UNK]'))) AS ids
+       |  FROM dw d LEFT JOIN
+       |    (SELECT w, ids FROM walk WHERE pos = length(w) + 1) t ON t.w = d.w),
+       |toks AS (
+       |  SELECT doc_id, w, o FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(sniptext, '\\s+')) AS w,
+       |      unnest(generate_series(1, len(regexp_split_to_array(sniptext, '\\s+')))) AS o
+       |    FROM sn) WHERE w <> ''),
+       |enc AS (
+       |  SELECT t.doc_id,
+       |    list_concat(
+       |      list_value((SELECT id FROM vocab WHERE piece = '[CLS]')),
+       |      list_append(
+       |        list_slice(flatten(list(s.ids ORDER BY t.o)), 1, $bodySlots),
+       |        (SELECT id FROM vocab WHERE piece = '[SEP]'))) AS ids
+       |  FROM toks t JOIN wseg s ON s.w = t.w GROUP BY t.doc_id),
+       |seq AS (
+       |  SELECT e.doc_id AS id, len(e.ids) AS ntok,
+       |    ascii(substr(d.lang, 1, 1)) % $TbT AS ty,
+       |    ${tidCols.mkString(", ")}
+       |  FROM enc e JOIN documents d ON d.doc_id = e.doc_id),
+       |cm AS (SELECT *, ${mCols.mkString(", ")} FROM seq),
+       |cmm AS (SELECT *, ${emCols.mkString(", ")} FROM cm),
+       |ce AS (SELECT *, ${pCols.mkString(", ")} FROM cmm),
+       |cv AS (SELECT *, ${meanCols.mkString(", ")}, ${varCols.mkString(", ")} FROM ce),
+       |c0 AS (SELECT *, ${x0Cols.mkString(", ")} FROM cv),
+       |""".stripMargin + tbEncoderCtes + s""",
+       |emb AS (SELECT id AS doc_id, ${embCols.mkString(", ")} FROM cP),
+       |pr AS (
+       |  SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+       |    round($dot / sqrt($na * $nb), 6) AS sim_r
+       |  FROM emb a JOIN emb b ON b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < $TbQueries),
+       |rk AS (
+       |  SELECT query_id, doc_id, sim_r,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, doc_id) AS rnk
+       |  FROM pr)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |  CAST(doc_id AS BIGINT) AS doc_id, sim_r
+       |FROM rk WHERE rnk <= $TbTopK ORDER BY query_id, rnk""".stripMargin
   }
 
   /** q7_onnx_score: recompute sigmoid(coef·x + b) from the exported JSON
@@ -4291,6 +4569,7 @@ object OracleSql {
     "lake_profile_unified" -> lakeProfileUnifiedSql,
     "lake_csv_unified" -> lakeCsvUnifiedSql,
     "q7_onnx_score" -> q7OnnxScoreSql,
+    "e2e_encode_search" -> e2eEncodeSearchSql,
     "q7_transformer_score" -> q7TransformerScoreSql,
     "q7_encoder_stack" -> q7TransformerSql(3),
     "q6_value_embed" -> q6ValueEmbedSql,

@@ -550,6 +550,45 @@ object SparkEntry {
       bHead = OracleSql.TeBh,
       attScale = OracleSql.TeScale, lnEps = OracleSql.TeEps)
 
+  /** The realistic-checkpoint fixture (E4 end-to-end): fused-QKV layers
+    * from the shared layer-indexed formula family + the 6-way
+    * TabularBertEmbeddings tables. Word-embedding rows cover the whole
+    * `TbVocabMax` id range regardless of the actual trained vocab size. */
+  private[graft] def tbLayer(l: Int): graft.ml.OnnxExport.CheckpointLayer = {
+    val (d, f) = (OracleSql.TbD, OracleSql.TbF)
+    graft.ml.OnnxExport.CheckpointLayer(
+      wqkv = Array.tabulate(d, 3 * d)(OracleSql.tbWqkv(l, _, _)),
+      bqkv = Array.tabulate(3 * d)(OracleSql.tbBqkv(l, _)),
+      wo = Array.tabulate(d, d)(OracleSql.teWoL(l, _, _)),
+      bo = Array.tabulate(d)(OracleSql.teBoL(l, _)),
+      g1 = Array.tabulate(d)(OracleSql.teG1L(l, _)),
+      b1 = Array.tabulate(d)(OracleSql.teB1L(l, _)),
+      w1 = Array.tabulate(d, f)(OracleSql.teW1L(l, _, _)),
+      bf1 = Array.tabulate(f)(OracleSql.teBf1L(l, _)),
+      w2 = Array.tabulate(f, d)(OracleSql.teW2L(l, _, _)),
+      bf2 = Array.tabulate(d)(OracleSql.teBf2L(l, _)),
+      g2 = Array.tabulate(d)(OracleSql.teG2L(l, _)),
+      b2 = Array.tabulate(d)(OracleSql.teB2L(l, _)))
+  }
+
+  private[graft] def tbCheckpoint: graft.ml.OnnxExport.TabularCheckpoint = {
+    import OracleSql._
+    graft.ml.OnnxExport.TabularCheckpoint(
+      TbS, TbD, TbH, TbF, TbM,
+      wordEmb = Array.tabulate(TbVocabMax, TbD)((v, dd) => tbWordE(v.toLong, dd)),
+      typeEmb = Array.tabulate(TbT, TbD)((t, dd) => tbTypeE(t.toLong, dd)),
+      tokposEmb = Array.tabulate(TbP, TbD)(tbTokposE),
+      posEmb = Array.tabulate(TbS, TbD)(tbPosE),
+      wVal = Array.tabulate(TbD, TbD)(tbWVal),
+      bVal = Array.tabulate(TbD)(tbBVal),
+      wMin = Array.tabulate(TbM, TbD)(tbWMin),
+      bMin = Array.tabulate(TbD)(tbBMin),
+      gEmb = Array.tabulate(TbD)(tbGEmb),
+      bEmb = Array.tabulate(TbD)(tbBEmb),
+      layers = (0 until TbL).map(tbLayer),
+      attScale = TbScale, lnEps = TbEps)
+  }
+
   /** The q7 fixture input batch: (id, x_{s}_{d} …) from the shared
     * closed-form formulas. */
   private def teFeats(s: SparkSession): (DataFrame, Seq[String]) = {
@@ -621,6 +660,78 @@ object SparkEntry {
       .select(col("doc_id") +: (0 until d).map(di =>
         round(col("embedding")(di).cast("double"), 6).as(s"e${di}_r")): _*)
       .orderBy("doc_id")
+  }
+
+  /** E4 END-TO-END — the reference's actual product loop run in-engine:
+    * WordPiece ids from the trained vocab RELATION → the 6-way
+    * `TabularBertEmbeddings` input sum (word / token-type /
+    * token-position / position Gathers + value & minhash Linears +
+    * LayerNorm, `transformer_bert.py:24-87`) → a 4-LAYER encoder stack
+    * behind a REAL additive attention mask (pad positions vary per doc)
+    * → masked mean-pooled float32 embeddings → ranked k-NN cosine
+    * search (`extract_embeddings.py:16-117` → `embedding_search.py:
+    * 94-190`). The whole forward pass executes through the FLOAT32
+    * multi-input checkpoint file ([[graft.ml.OnnxExport
+    * .exportTabularCheckpoint]]: Gather/Cast/Split/Slice/Unsqueeze,
+    * decomposed LayerNorm) in the pure-JVM session, distributed via the
+    * per-partition `ExternalMultiEmbedder` seam. The oracle replays the
+    * tokenizer (recursive-CTE WordPiece), the embedding sum, all four
+    * layers, the mask, the pool, the float narrowing, and the ranked
+    * search as ONE SQL statement. */
+  private def e2eEncodeSearch(s: SparkSession, dir: String): DataFrame = {
+    import OracleSql._
+    val path = "/tmp/graft_fixtures/e2e_checkpoint.onnx"
+    graft.ml.OnnxExport.exportTabularCheckpoint(tbCheckpoint, path)
+    val docs = t(s, dir, "documents").filter(col("doc_id") < TbDocs)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, TbSnip).as("snip"))
+    val vocab = graft.ml.WordPiece.buildVocab(
+      docs.filter(col("doc_id") <= TbVocabDocs), "snip", maxSize = TbVocabMax)
+    val enc = graft.ml.WordPiece.encode(docs, "snip", vocab, maxLen = TbS)
+    val idCols = (0 until TbS).map(i =>
+      col("input_ids")(i).cast("double").as(s"id_$i"))
+    val tyCols = (0 until TbS).map(i =>
+      (ascii(substring(col("lang"), 1, 1)) % TbT).cast("double").as(s"ty_$i"))
+    val tpCols = (0 until TbS).map(i => lit((i % TbP).toDouble).as(s"tp_$i"))
+    val mkCols = (0 until TbS).map(i =>
+      col("attention_mask")(i).cast("double").as(s"mk_$i"))
+    val vvCols = for (i <- 0 until TbS; e <- 0 until TbD) yield
+      (((col("input_ids")(i) * 5 + lit(e * 3)) % 13).cast("double") * 0.125 - 0.75)
+        .as(s"vv_${i}_$e")
+    val mhCols = for (i <- 0 until TbS; j <- 0 until TbM) yield
+      (((col("input_ids")(i) * 7 + lit(j * 5 + i)) % 11).cast("double") * 0.25 - 1.25)
+        .as(s"mh_${i}_$j")
+    val feats = enc.select(col("doc_id") +:
+      (idCols ++ tyCols ++ tpCols ++ mkCols ++ vvCols ++ mhCols): _*)
+    val embedded = new graft.ml.Scorer.ExternalMultiEmbedder(
+        graft.ml.Scorer.onnxMultiEmbedderFactory(path),
+        Seq(
+          "input_ids" -> (0 until TbS).map(i => s"id_$i"),
+          "type_ids" -> (0 until TbS).map(i => s"ty_$i"),
+          "tokpos_ids" -> (0 until TbS).map(i => s"tp_$i"),
+          "attention_mask" -> (0 until TbS).map(i => s"mk_$i"),
+          "value_vals" -> (for (i <- 0 until TbS; e <- 0 until TbD) yield s"vv_${i}_$e"),
+          "minhash_vals" -> (for (i <- 0 until TbS; j <- 0 until TbM) yield s"mh_${i}_$j")),
+        dim = TbD).score(feats)
+    val emb = embedded.select(col("doc_id") +:
+      (0 until TbD).map(k => col("embedding")(k).cast("double").as(s"e$k")): _*)
+    val q = emb.filter(col("doc_id") < TbQueries)
+      .select(col("doc_id").as("query_id") +:
+        (0 until TbD).map(k => col(s"e$k").as(s"q$k")): _*)
+    // index-ascending left-associated sums — the oracle writes the same
+    // literal expression, so the doubles (over identical float-narrowed
+    // embeddings) are bit-equal before the 6-dp round
+    val dot = (0 until TbD).map(k => col(s"q$k") * col(s"e$k")).reduce(_ + _)
+    val na = (0 until TbD).map(k => col(s"q$k") * col(s"q$k")).reduce(_ + _)
+    val nb = (0 until TbD).map(k => col(s"e$k") * col(s"e$k")).reduce(_ + _)
+    val sims = q.join(emb, col("query_id") =!= col("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(dot / sqrt(na * nb), 6).as("sim_r"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("doc_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TbTopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("sim_r"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Q1 embedding extraction through the ONNX linear-map head: literal
@@ -3367,6 +3478,7 @@ object SparkEntry {
     "q7_transformer_score" -> q7TransformerScore,
     "q7_encoder_stack" -> q7EncoderStack,
     "q6_value_embed" -> q6ValueEmbed,
+    "e2e_encode_search" -> e2eEncodeSearch,
     "q1_embed_extract" -> q1EmbedExtract,
     "e2e_lake_search" -> e2eLakeSearch,
     "mm_pixel_decode" -> mmPixelDecode,

@@ -22,6 +22,7 @@ object OnnxExport {
   val OpsetVersion = 13L
   /** Opset for graphs using LayerNormalization (an official op since 17). */
   val OpsetVersionLn = 17L
+  val DataTypeFloat = 1   // TensorProto.DataType.FLOAT (torch's default export dtype)
   val DataTypeDouble = 11 // TensorProto.DataType.DOUBLE
   val DataTypeInt64 = 7   // TensorProto.DataType.INT64
 
@@ -35,6 +36,19 @@ object OnnxExport {
     concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeInt64),
       lenDelim(7, packedVarints(data)), stringField(8, name))
   }
+  /** FLOAT (float32) tensor serialized through `raw_data` (field 9,
+    * little-endian) — the layout torch's `onnx.export` writes. Weights
+    * must be float32-representable exactly (the fixture families are
+    * binary fractions), so the JVM double replay and the oracle's
+    * literals stay bit-identical after the narrow. */
+  private def tensorMsgF32(name: String, dims: Seq[Long], data: Array[Double]): Array[Byte] = {
+    data.foreach { v =>
+      require(v.toFloat.toDouble == v,
+        s"tensorMsgF32 '$name': $v is not float32-exact — widen the fixture grid")
+    }
+    concat(lenDelim(1, packedVarints(dims)), varintField(2, DataTypeFloat),
+      lenDelim(9, rawFloats(data)), stringField(8, name))
+  }
   // AttributeProto: name=1, f=2(float), i=3(int64), ints=8, type=20
   // (FLOAT=1, INT=2, INTS=7 per the public onnx.proto enum)
   private def attrI(name: String, v: Long): Array[Byte] =
@@ -46,17 +60,22 @@ object OnnxExport {
     concat(stringField(1, name), varintField(20, 7L),
       lenDelim(8, packedVarints(vs)))
   private def nodeMsg(op: String, ins: Seq[String], out: String,
-                      attrs: Seq[Array[Byte]] = Nil): Array[Byte] = {
-    concat((ins.map(stringField(1, _)) :+ stringField(2, out) :+
+                      attrs: Seq[Array[Byte]] = Nil): Array[Byte] =
+    nodeMsgMulti(op, ins, Seq(out), attrs)
+  /** Node with several outputs (Split). */
+  private def nodeMsgMulti(op: String, ins: Seq[String], outs: Seq[String],
+                           attrs: Seq[Array[Byte]] = Nil): Array[Byte] = {
+    concat((ins.map(stringField(1, _)) ++ outs.map(stringField(2, _)) :+
       stringField(4, op)) ++ attrs.map(lenDelim(5, _)): _*)
   }
-  private def valueInfoMsg(name: String, dims: Seq[Either[String, Long]]): Array[Byte] = {
+  private def valueInfoMsg(name: String, dims: Seq[Either[String, Long]],
+                           dtype: Int = DataTypeDouble): Array[Byte] = {
     val shape = concat(dims.map {
       case Left(param) => lenDelim(1, stringField(2, param))
       case Right(v)    => lenDelim(1, varintField(1, v))
     }: _*)
     concat(stringField(1, name),
-      lenDelim(2, lenDelim(1, concat(varintField(1, DataTypeDouble), lenDelim(2, shape)))))
+      lenDelim(2, lenDelim(1, concat(varintField(1, dtype.toLong), lenDelim(2, shape)))))
   }
 
   /** Assemble + write one ModelProto: ir_version 8, producer "graft",
@@ -66,11 +85,23 @@ object OnnxExport {
                          input: (String, Seq[Either[String, Long]]),
                          output: (String, Seq[Either[String, Long]]),
                          features: Seq[String],
-                         opset: Long = OpsetVersion): Unit = {
+                         opset: Long = OpsetVersion): Unit =
+    writeModelMulti(path, graphName, nodes, inits,
+      Seq((input._1, input._2, DataTypeDouble)), output, features, opset)
+
+  /** [[writeModel]] with several graph inputs, each carrying its own
+    * element dtype in the ValueInfo (int64 id tensors vs float features —
+    * the multi-input signature a torch-exported tabular BERT has). */
+  private def writeModelMulti(path: String, graphName: String,
+                              nodes: Seq[Array[Byte]], inits: Seq[Array[Byte]],
+                              inputs: Seq[(String, Seq[Either[String, Long]], Int)],
+                              output: (String, Seq[Either[String, Long]]),
+                              features: Seq[String],
+                              opset: Long = OpsetVersion): Unit = {
     val graph = concat(
       (nodes.map(lenDelim(1, _)) ++ Seq(stringField(2, graphName)) ++
-        inits.map(lenDelim(5, _)) ++ Seq(
-        lenDelim(11, valueInfoMsg(input._1, input._2)),
+        inits.map(lenDelim(5, _)) ++
+        inputs.map { case (n, dm, dt) => lenDelim(11, valueInfoMsg(n, dm, dt)) } ++ Seq(
         lenDelim(12, valueInfoMsg(output._1, output._2)))): _*)
     val modelBytes = concat(
       varintField(1, 8L), stringField(2, "graft"), lenDelim(7, graph),
@@ -342,6 +373,208 @@ object OnnxExport {
       output = out,
       features = features, opset = OpsetVersionLn)
   }
+
+  // ---- the realistic-checkpoint export (E4 parity) -------------------
+
+  /** One encoder layer of a torch-export-style checkpoint: FUSED QKV
+    * projection `[dModel, 3·dModel]` (split + per-head sliced at
+    * runtime, the way real exports carve attention heads), otherwise
+    * the [[EncoderLayer]] field semantics. */
+  final case class CheckpointLayer(
+      wqkv: Array[Array[Double]], bqkv: Array[Double],
+      wo: Array[Array[Double]], bo: Array[Double],
+      g1: Array[Double], b1: Array[Double],
+      w1: Array[Array[Double]], bf1: Array[Double],
+      w2: Array[Array[Double]], bf2: Array[Double],
+      g2: Array[Double], b2: Array[Double])
+
+  /** A REALISTIC (toy-dimensioned) tabular-BERT checkpoint — the
+    * reference's `TabularBertEmbeddings` 6-way input sum
+    * (`/root/reference/tabsketchfm/models/transformer_bert.py:24-87`:
+    * word + token-type + token-position + position Gathers, value and
+    * minhash Linears, LayerNorm) feeding a stack of encoder blocks and a
+    * masked mean-pool. All float tensors serialize as FLOAT32 raw_data,
+    * ids as INT64 — the dtypes a torch `onnx.export` writes. */
+  final case class TabularCheckpoint(
+      seqLen: Int, dModel: Int, nHeads: Int, dFf: Int, mWidth: Int,
+      wordEmb: Array[Array[Double]],    // [V, D]
+      typeEmb: Array[Array[Double]],    // [T, D]
+      tokposEmb: Array[Array[Double]],  // [P, D]
+      posEmb: Array[Array[Double]],     // [S, D]
+      wVal: Array[Array[Double]], bVal: Array[Double],  // [D, D], [D]
+      wMin: Array[Array[Double]], bMin: Array[Double],  // [M, D], [D]
+      gEmb: Array[Double], bEmb: Array[Double],
+      layers: Seq[CheckpointLayer],
+      attScale: Double, lnEps: Double)
+
+  /** Export [[TabularCheckpoint]] as the graph a torch export would
+    * produce, opset 13 (NO LayerNormalization op — every LayerNorm is
+    * the decomposed ReduceMean/Sub/Pow/Add/Sqrt/Div/Mul/Add chain, with
+    * keepdims left to its spec DEFAULT of 1):
+    * Cast→Gather embedding lookups from int64 id inputs, value/minhash
+    * Linear adds, the additive attention mask `(1−mask)·(−10000)`
+    * unsqueezed onto the logits, fused-QKV Split + per-head Slice
+    * attention, Sigmoid FFN, and a masked mean-pool
+    * (Mul/ReduceSum/Div). Inputs: `input_ids`, `type_ids`,
+    * `tokpos_ids` (int64 [N,S]); `attention_mask` (float [N,S]);
+    * `value_vals` (float [N,S·D]); `minhash_vals` (float [N,S·M]).
+    * Output: `pooled` [N, dModel]. */
+  def exportTabularCheckpoint(w: TabularCheckpoint, path: String): Unit = {
+    val (s, d, h, f, mW) = (w.seqLen, w.dModel, w.nHeads, w.dFf, w.mWidth)
+    require(h > 0 && d % h == 0, s"dModel $d must divide into $h heads")
+    require(w.layers.nonEmpty, "exportTabularCheckpoint: at least one layer")
+    require(w.posEmb.length == s, s"posEmb rows ${w.posEmb.length} != seqLen $s")
+    val dh = d / h
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val inits = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    // aux tensors (int64 shapes/axes, float32 scalars)
+    inits += tensorMsgI64("pos_ids", Seq(s.toLong), (0L until s.toLong))
+    inits += tensorMsgI64("shape_sd", Seq(3L), Seq(-1L, s.toLong, d.toLong))
+    inits += tensorMsgI64("shape_sm", Seq(3L), Seq(-1L, s.toLong, mW.toLong))
+    inits += tensorMsgI64("ax1", Seq(1L), Seq(1L))
+    inits += tensorMsgI64("ax2", Seq(1L), Seq(2L))
+    inits += tensorMsgI64("ax_last", Seq(1L), Seq(2L))
+    inits += tensorMsgI64("split_ddd", Seq(3L), Seq(d.toLong, d.toLong, d.toLong))
+    (0 until h).foreach { hi =>
+      inits += tensorMsgI64(s"hs$hi", Seq(1L), Seq((hi * dh).toLong))
+      inits += tensorMsgI64(s"he$hi", Seq(1L), Seq(((hi + 1) * dh).toLong))
+    }
+    inits += tensorMsgF32("two", Seq(1L), Array(2.0))
+    inits += tensorMsgF32("one", Seq(1L), Array(1.0))
+    inits += tensorMsgF32("neg_big", Seq(1L), Array(-10000.0))
+    inits += tensorMsgF32("eps", Seq(1L), Array(w.lnEps))
+    inits += tensorMsgF32("att_scale", Seq(1L), Array(w.attScale))
+
+    // decomposed LayerNorm: the opset-13 chain torch emits
+    def ln(src: String, g: String, b: String, out: String, pfx: String): Unit = {
+      nodes += nodeMsg("ReduceMean", Seq(src), s"${pfx}mu",
+        Seq(attrInts("axes", Seq(-1L)))) // keepdims omitted → spec default 1
+      nodes += nodeMsg("Sub", Seq(src, s"${pfx}mu"), s"${pfx}xc")
+      nodes += nodeMsg("Pow", Seq(s"${pfx}xc", "two"), s"${pfx}x2")
+      nodes += nodeMsg("ReduceMean", Seq(s"${pfx}x2"), s"${pfx}vr",
+        Seq(attrInts("axes", Seq(-1L))))
+      nodes += nodeMsg("Add", Seq(s"${pfx}vr", "eps"), s"${pfx}ve")
+      nodes += nodeMsg("Sqrt", Seq(s"${pfx}ve"), s"${pfx}sd")
+      nodes += nodeMsg("Div", Seq(s"${pfx}xc", s"${pfx}sd"), s"${pfx}xn")
+      nodes += nodeMsg("Mul", Seq(s"${pfx}xn", g), s"${pfx}xg")
+      nodes += nodeMsg("Add", Seq(s"${pfx}xg", b), out)
+    }
+
+    // ---- TabularBertEmbeddings: the 6-way input sum ----
+    inits += tensorMsgF32("word_emb",
+      Seq(w.wordEmb.length.toLong, d.toLong), w.wordEmb.flatten)
+    inits += tensorMsgF32("type_emb",
+      Seq(w.typeEmb.length.toLong, d.toLong), w.typeEmb.flatten)
+    inits += tensorMsgF32("tokpos_emb",
+      Seq(w.tokposEmb.length.toLong, d.toLong), w.tokposEmb.flatten)
+    inits += tensorMsgF32("pos_emb", Seq(s.toLong, d.toLong), w.posEmb.flatten)
+    inits += tensorMsgF32("w_val", Seq(d.toLong, d.toLong), w.wVal.flatten)
+    inits += tensorMsgF32("b_val", Seq(d.toLong), w.bVal)
+    inits += tensorMsgF32("w_min", Seq(mW.toLong, d.toLong), w.wMin.flatten)
+    inits += tensorMsgF32("b_min", Seq(d.toLong), w.bMin)
+    inits += tensorMsgF32("g_emb", Seq(d.toLong), w.gEmb)
+    inits += tensorMsgF32("b_emb", Seq(d.toLong), w.bEmb)
+    nodes += nodeMsg("Cast", Seq("input_ids"), "ids64", Seq(attrI("to", 7L)))
+    nodes += nodeMsg("Gather", Seq("word_emb", "ids64"), "we")
+    nodes += nodeMsg("Cast", Seq("type_ids"), "ty64", Seq(attrI("to", 7L)))
+    nodes += nodeMsg("Gather", Seq("type_emb", "ty64"), "te")
+    nodes += nodeMsg("Add", Seq("we", "te"), "s1")
+    nodes += nodeMsg("Cast", Seq("tokpos_ids"), "tp64", Seq(attrI("to", 7L)))
+    nodes += nodeMsg("Gather", Seq("tokpos_emb", "tp64"), "tpe")
+    nodes += nodeMsg("Add", Seq("s1", "tpe"), "s2")
+    nodes += nodeMsg("Gather", Seq("pos_emb", "pos_ids"), "pp")
+    nodes += nodeMsg("Add", Seq("s2", "pp"), "s3") // [S,D] broadcast onto [N,S,D]
+    nodes += nodeMsg("Reshape", Seq("value_vals", "shape_sd"), "vv")
+    nodes += nodeMsg("MatMul", Seq("vv", "w_val"), "vw")
+    nodes += nodeMsg("Add", Seq("vw", "b_val"), "ve_")
+    nodes += nodeMsg("Add", Seq("s3", "ve_"), "s4")
+    nodes += nodeMsg("Reshape", Seq("minhash_vals", "shape_sm"), "mv")
+    nodes += nodeMsg("MatMul", Seq("mv", "w_min"), "mw")
+    nodes += nodeMsg("Add", Seq("mw", "b_min"), "me")
+    nodes += nodeMsg("Add", Seq("s4", "me"), "s5")
+    ln("s5", "g_emb", "b_emb", "x0", "E")
+
+    // additive attention mask: (1 − mask) · (−10000), [N,1,S]
+    nodes += nodeMsg("Sub", Seq("one", "attention_mask"), "im")
+    nodes += nodeMsg("Mul", Seq("im", "neg_big"), "em")
+    nodes += nodeMsg("Unsqueeze", Seq("em", "ax1"), "em3")
+
+    var cur = "x0"
+    w.layers.zipWithIndex.foreach { case (lw, l) =>
+      val P = s"L$l"
+      require(lw.wqkv.length == d && lw.wqkv.head.length == 3 * d,
+        s"layer $l: fused QKV must be [$d, ${3 * d}]")
+      inits += tensorMsgF32(s"${P}wqkv", Seq(d.toLong, (3 * d).toLong), lw.wqkv.flatten)
+      inits += tensorMsgF32(s"${P}bqkv", Seq((3 * d).toLong), lw.bqkv)
+      nodes += nodeMsg("MatMul", Seq(cur, s"${P}wqkv"), s"${P}qkv0")
+      nodes += nodeMsg("Add", Seq(s"${P}qkv0", s"${P}bqkv"), s"${P}qkv")
+      nodes += nodeMsgMulti("Split", Seq(s"${P}qkv", "split_ddd"),
+        Seq(s"${P}q", s"${P}k", s"${P}v"), Seq(attrI("axis", -1L)))
+      val headOuts = (0 until h).map { hi =>
+        Seq("q", "k", "v").foreach { nm =>
+          nodes += nodeMsg("Slice",
+            Seq(s"$P$nm", s"hs$hi", s"he$hi", "ax_last"), s"$P$nm$hi")
+        }
+        nodes += nodeMsg("Transpose", Seq(s"${P}k$hi"), s"${P}kT$hi",
+          Seq(attrInts("perm", Seq(0L, 2L, 1L))))
+        nodes += nodeMsg("MatMul", Seq(s"${P}q$hi", s"${P}kT$hi"), s"${P}sc$hi")
+        nodes += nodeMsg("Mul", Seq(s"${P}sc$hi", "att_scale"), s"${P}scl$hi")
+        nodes += nodeMsg("Add", Seq(s"${P}scl$hi", "em3"), s"${P}sclm$hi")
+        nodes += nodeMsg("Softmax", Seq(s"${P}sclm$hi"), s"${P}at$hi",
+          Seq(attrI("axis", -1L)))
+        nodes += nodeMsg("MatMul", Seq(s"${P}at$hi", s"${P}v$hi"), s"${P}hd$hi")
+        s"${P}hd$hi"
+      }
+      nodes += nodeMsg("Concat", headOuts, s"${P}ctx", Seq(attrI("axis", -1L)))
+      inits += tensorMsgF32(s"${P}wo", Seq(d.toLong, d.toLong), lw.wo.flatten)
+      inits += tensorMsgF32(s"${P}bo", Seq(d.toLong), lw.bo)
+      nodes += nodeMsg("MatMul", Seq(s"${P}ctx", s"${P}wo"), s"${P}pj0")
+      nodes += nodeMsg("Add", Seq(s"${P}pj0", s"${P}bo"), s"${P}pj")
+      nodes += nodeMsg("Add", Seq(s"${P}pj", cur), s"${P}r1")
+      inits += tensorMsgF32(s"${P}g1", Seq(d.toLong), lw.g1)
+      inits += tensorMsgF32(s"${P}b1", Seq(d.toLong), lw.b1)
+      ln(s"${P}r1", s"${P}g1", s"${P}b1", s"${P}l1", s"${P}n1")
+      inits += tensorMsgF32(s"${P}w1", Seq(d.toLong, f.toLong), lw.w1.flatten)
+      inits += tensorMsgF32(s"${P}bf1", Seq(f.toLong), lw.bf1)
+      inits += tensorMsgF32(s"${P}w2", Seq(f.toLong, d.toLong), lw.w2.flatten)
+      inits += tensorMsgF32(s"${P}bf2", Seq(d.toLong), lw.bf2)
+      // Sigmoid FFN activation — the shared-exp-formula oracle discipline
+      // (see exportEncoderStack's note; DuckDB 1.0 has no tanh/erf)
+      nodes += nodeMsg("MatMul", Seq(s"${P}l1", s"${P}w1"), s"${P}f0")
+      nodes += nodeMsg("Add", Seq(s"${P}f0", s"${P}bf1"), s"${P}f1")
+      nodes += nodeMsg("Sigmoid", Seq(s"${P}f1"), s"${P}f2")
+      nodes += nodeMsg("MatMul", Seq(s"${P}f2", s"${P}w2"), s"${P}f3")
+      nodes += nodeMsg("Add", Seq(s"${P}f3", s"${P}bf2"), s"${P}f4")
+      nodes += nodeMsg("Add", Seq(s"${P}f4", s"${P}l1"), s"${P}r2")
+      inits += tensorMsgF32(s"${P}g2", Seq(d.toLong), lw.g2)
+      inits += tensorMsgF32(s"${P}b2", Seq(d.toLong), lw.b2)
+      ln(s"${P}r2", s"${P}g2", s"${P}b2", s"x${l + 1}", s"${P}n2")
+      cur = s"x${l + 1}"
+    }
+
+    // masked mean pool: Σ_i x_i·mask_i / Σ_i mask_i
+    nodes += nodeMsg("Unsqueeze", Seq("attention_mask", "ax2"), "masku")
+    nodes += nodeMsg("Mul", Seq(cur, "masku"), "xm")
+    nodes += nodeMsg("ReduceSum", Seq("xm", "ax1"), "psum",
+      Seq(attrI("keepdims", 0L)))
+    nodes += nodeMsg("ReduceSum", Seq("attention_mask", "ax1"), "pcnt",
+      Seq(attrI("keepdims", 1L)))
+    nodes += nodeMsg("Div", Seq("psum", "pcnt"), "pooled")
+
+    val n = Left("N"): Either[String, Long]
+    writeModelMulti(path, "graft_tabular_checkpoint", nodes.toSeq, inits.toSeq,
+      inputs = Seq(
+        ("input_ids", Seq(n, Right(s.toLong)), DataTypeInt64),
+        ("type_ids", Seq(n, Right(s.toLong)), DataTypeInt64),
+        ("tokpos_ids", Seq(n, Right(s.toLong)), DataTypeInt64),
+        ("attention_mask", Seq(n, Right(s.toLong)), DataTypeFloat),
+        ("value_vals", Seq(n, Right((s * d).toLong)), DataTypeFloat),
+        ("minhash_vals", Seq(n, Right((s * mW).toLong)), DataTypeFloat)),
+      output = ("pooled", Seq(n, Right(d.toLong))),
+      features = Seq("input_ids", "type_ids", "tokpos_ids",
+        "attention_mask", "value_vals", "minhash_vals"))
+  }
 }
 
 /** Minimal ONNX session: parses a `ModelProto` and executes its graph —
@@ -381,23 +614,27 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     val m = parsed("initializer", t)
     val dims = packedVarintsAt(m, 1).map(_.toInt)
     val dt = varintAt(m, 2)
-    val data = dt match {
+    // raw_data (field 9, torch's layout) wins when present; otherwise the
+    // typed repeated field. All dtypes widen to double — float32 weights
+    // execute in double (lossless widening), int64 ids/shapes are small
+    // integers held losslessly.
+    val data = rawDataAt(m, dt).getOrElse(dt match {
       case OnnxExport.DataTypeDouble => packedDoublesAt(m, 10)
-      // INT64 tensors (Reshape shapes, axis lists): small integers, held
-      // losslessly in the double array — shape consumers read them back
-      // with .toLong
-      case OnnxExport.DataTypeInt64 => packedVarintsAt(m, 7).map(_.toDouble).toArray
+      case OnnxExport.DataTypeFloat  => packedFloatsAt(m, 4)
+      case OnnxExport.DataTypeInt64  => packedVarintsAt(m, 7).map(_.toDouble).toArray
       case other => throw new IllegalArgumentException(
-        s"OnnxSession executes DOUBLE/INT64 tensors; got data_type $other")
-    }
+        s"OnnxSession executes FLOAT/DOUBLE/INT64 tensors; got data_type $other")
+    })
     stringAt(m, 8) -> Tensor(dims.toArray, data)
   }.toMap
 
   /** The attribute subset the executed op set uses: single int (axis,
-    * keepdims), single float (epsilon), int list (perm, axes). */
+    * keepdims, to), single float (epsilon), int list (perm, axes, split). */
   private case class Attr(i: Long, f: Float, ints: Seq[Long])
-  private case class Node(op: String, ins: Seq[String], out: String,
-                          attrs: Map[String, Attr])
+  private case class Node(op: String, ins: Seq[String], outs: Seq[String],
+                          attrs: Map[String, Attr]) {
+    def out: String = outs.head
+  }
   private val nodes: Seq[Node] = allBytes(graph, 1).map { n =>
     val m = parsed("node", n)
     val attrs = allBytes(m, 5).map { a =>
@@ -408,15 +645,20 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
         packedVarintsAt(am, 8))
     }.toMap
     Node(stringAt(m, 4), allBytes(m, 1).map(new String(_, "UTF-8")),
-      stringAt(m, 2), attrs)
+      allBytes(m, 2).map(new String(_, "UTF-8")), attrs)
   }
-  private val inputName: String = stringAt(parsed("input", bytesAt(graph, 11)), 1)
+  /** Every declared graph input, in declaration order — a realistic
+    * checkpoint has several (input_ids, type ids, attention_mask, value
+    * vectors…); the single-input scoring heads have one. */
+  val inputNames: Seq[String] =
+    allBytes(graph, 11).map(vi => stringAt(parsed("input", vi), 1))
+  private val inputName: String = inputNames.headOption.getOrElse("")
   private val outputName: String = stringAt(parsed("output", bytesAt(graph, 12)), 1)
 
   /** Forward one [n, d] batch → n scores (the [n, 1] output flattened;
     * use [[runMatrix]] for wider heads). */
   def run(batch: Array[Array[Double]]): Array[Double] = {
-    val out = forward(batch)
+    val out = forward(Map(inputName -> toTensor(batch)))
     require(out.data.length == batch.length,
       s"expected ${batch.length} scores, got ${out.data.length} values — " +
         "wide output head? use runMatrix")
@@ -425,8 +667,32 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
 
   /** Forward one [n, d] batch → [n, k] rows (embedding heads). */
   def runMatrix(batch: Array[Array[Double]]): Array[Array[Double]] = {
-    val out = forward(batch)
+    val out = forward(Map(inputName -> toTensor(batch)))
+    rowsOf(out, batch.length)
+  }
+
+  /** Forward a MULTI-INPUT batch (a realistic checkpoint signature:
+    * input_ids + type ids + attention_mask + value vectors…): each entry
+    * is an [n, w] matrix bound to the graph input of that name; ids
+    * arrive as whole doubles (the graph Casts them before Gather). All
+    * declared inputs must be bound and row counts must agree. */
+  def runMulti(inputs: Map[String, Array[Array[Double]]]): Array[Array[Double]] = {
+    require(inputNames.nonEmpty, "graph declares no inputs")
+    val missing = inputNames.filterNot(inputs.contains)
+    require(missing.isEmpty, s"unbound graph inputs: ${missing.mkString(", ")}")
+    val ns = inputs.values.map(_.length).toSet
+    require(ns.size == 1, s"inconsistent batch row counts: $ns")
+    val out = forward(inputs.map { case (k, v) => k -> toTensor(v) })
+    rowsOf(out, ns.head)
+  }
+
+  private def toTensor(batch: Array[Array[Double]]): Tensor = {
     val n = batch.length
+    if (n == 0) Tensor(Array(0, 0), Array.empty)
+    else Tensor(Array(n, batch(0).length), batch.flatten)
+  }
+
+  private def rowsOf(out: Tensor, n: Int): Array[Array[Double]] = {
     if (n == 0) return Array.empty
     val k = out.data.length / n
     require(out.data.length == n * k, s"non-rectangular output ${out.data.length}")
@@ -593,9 +859,14 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     Tensor(x.dims, r)
   }
 
-  /** ReduceMean over ONE axis, keepdims=0, axis ascending accumulation. */
-  private def reduceMean(a: Tensor, axis: Int): Tensor = {
+  /** ReduceMean/ReduceSum over ONE axis, axis-ascending accumulation.
+    * keepdims keeps the reduced axis as size 1 (the ONNX spec DEFAULT —
+    * a torch-exported LayerNorm decomposition relies on it for the
+    * subsequent broadcast Sub/Div). */
+  private def reduce(a: Tensor, axis: Int, keepdims: Boolean,
+                     mean: Boolean): Tensor = {
     val ax = if (axis < 0) a.rank + axis else axis
+    require(ax >= 0 && ax < a.rank, s"reduce axis $axis of rank ${a.rank}")
     val n = a.dims(ax)
     val outer = a.dims.take(ax).product
     val inner = a.dims.drop(ax + 1).product
@@ -606,12 +877,133 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
       while (in < inner) {
         var s = 0.0; var k = 0
         while (k < n) { s += a.data((o * n + k) * inner + in); k += 1 }
-        r(o * inner + in) = s / n
+        r(o * inner + in) = if (mean) s / n else s
         in += 1
       }
       o += 1
     }
-    Tensor((a.dims.take(ax) ++ a.dims.drop(ax + 1)), r)
+    val od = if (keepdims) a.dims.updated(ax, 1)
+             else a.dims.take(ax) ++ a.dims.drop(ax + 1)
+    Tensor(od, r)
+  }
+
+  // ---- numpy-general broadcast elementwise binop ---------------------
+  // Dims align from the TRAILING axis; each pair must be equal or 1.
+  // Same-shape and trailing-suffix (bias [D] onto […,D]) take fast paths
+  // that reproduce the historical modulo indexing bit-for-bit.
+  private def bcast(opName: String, a: Tensor, b: Tensor,
+                    f: (Double, Double) => Double): Tensor = {
+    if (a.dims.sameElements(b.dims)) {
+      val r = new Array[Double](a.data.length)
+      var i = 0
+      while (i < r.length) { r(i) = f(a.data(i), b.data(i)); i += 1 }
+      return Tensor(a.dims, r)
+    }
+    // trailing-suffix fast path: b's dims are exactly a suffix of a's
+    val suffix = b.rank <= a.rank &&
+      b.dims.sameElements(a.dims.takeRight(b.rank)) && b.data.length > 0
+    if (suffix) {
+      val r = new Array[Double](a.data.length)
+      val bl = b.data.length
+      var i = 0
+      while (i < r.length) { r(i) = f(a.data(i), b.data(i % bl)); i += 1 }
+      return Tensor(a.dims, r)
+    }
+    val rank = math.max(a.rank, b.rank)
+    val ad = Array.fill(rank)(1); Array.copy(a.dims, 0, ad, rank - a.rank, a.rank)
+    val bd = Array.fill(rank)(1); Array.copy(b.dims, 0, bd, rank - b.rank, b.rank)
+    val od = Array.tabulate(rank) { i =>
+      require(ad(i) == bd(i) || ad(i) == 1 || bd(i) == 1,
+        s"$opName: cannot broadcast [${a.dims.mkString(",")}] with [${b.dims.mkString(",")}]")
+      math.max(ad(i), bd(i))
+    }
+    val as = strides(ad); val bs = strides(bd); val os = strides(od)
+    val total = od.product
+    val r = new Array[Double](total)
+    var flat = 0
+    while (flat < total) {
+      var rem = flat; var ai = 0; var bi = 0; var k = 0
+      while (k < rank) {
+        val idx = rem / os(k); rem %= os(k)
+        if (ad(k) != 1) ai += idx * as(k)
+        if (bd(k) != 1) bi += idx * bs(k)
+        k += 1
+      }
+      r(flat) = f(a.data(ai), b.data(bi))
+      flat += 1
+    }
+    Tensor(od, r)
+  }
+
+  /** Gather along axis 0: table [V, …] indexed by whole-double ids of any
+    * shape → output idx.dims ++ table.dims.drop(1) — the embedding-lookup
+    * op (word/type/position tables). Out-of-range ids fail loudly. */
+  private def gather(data: Tensor, idx: Tensor): Tensor = {
+    require(data.rank >= 1, "Gather: rank-0 data")
+    val v = data.dims(0)
+    val inner = data.dims.drop(1).product
+    val r = new Array[Double](idx.data.length * inner)
+    var i = 0
+    while (i < idx.data.length) {
+      val id = idx.data(i).toInt
+      require(id >= 0 && id < v && idx.data(i) == id.toDouble,
+        s"Gather: index ${idx.data(i)} outside table [0, $v)")
+      System.arraycopy(data.data, id * inner, r, i * inner, inner)
+      i += 1
+    }
+    Tensor(idx.dims ++ data.dims.drop(1), r)
+  }
+
+  /** Slice with unit steps over explicit axes (the per-head Q/K/V carve
+    * of a fused projection). starts/ends clamp per spec. */
+  private def slice(a: Tensor, starts: Seq[Long], ends: Seq[Long],
+                    axes: Seq[Long]): Tensor = {
+    val st = a.dims.clone(); val lo = Array.fill(a.rank)(0)
+    axes.indices.foreach { i =>
+      val ax0 = axes(i).toInt
+      val ax = if (ax0 < 0) a.rank + ax0 else ax0
+      val d = a.dims(ax)
+      def norm(v: Long): Int = {
+        val w = if (v < 0) v + d else v
+        math.max(0L, math.min(w, d.toLong)).toInt
+      }
+      lo(ax) = norm(starts(i)); st(ax) = norm(ends(i)) - lo(ax)
+      require(st(ax) >= 0, s"Slice: empty/negative span on axis $ax")
+    }
+    val inS = strides(a.dims); val outS = strides(st)
+    val total = st.product
+    val r = new Array[Double](total)
+    var flat = 0
+    while (flat < total) {
+      var rem = flat; var src = 0; var k = 0
+      while (k < a.rank) {
+        val idx = rem / outS(k); rem %= outS(k)
+        src += (idx + lo(k)) * inS(k)
+        k += 1
+      }
+      r(flat) = a.data(src)
+      flat += 1
+    }
+    Tensor(st, r)
+  }
+
+  /** Split over the LAST axis into contiguous per-row chunks (the fused
+    * QKV three-way split). */
+  private def splitLast(a: Tensor, sizes: Seq[Int]): Seq[Tensor] = {
+    val lane = a.dims(a.rank - 1)
+    require(sizes.sum == lane, s"Split sizes ${sizes.mkString(",")} != lane $lane")
+    val rows = a.data.length / lane
+    var off = 0
+    sizes.map { w =>
+      val r = new Array[Double](rows * w)
+      var row = 0
+      while (row < rows) {
+        System.arraycopy(a.data, row * lane + off, r, row * w, w)
+        row += 1
+      }
+      off += w
+      Tensor(a.dims.dropRight(1) :+ w, r)
+    }
   }
 
   /** erf(x), Abramowitz & Stegun 7.1.26 (|err| ≤ 1.5e-7) — the Gelu
@@ -625,20 +1017,26 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     if (x >= 0) y else -y
   }
 
-  private def forward(batch: Array[Array[Double]]): Tensor = {
-    val n = batch.length
-    if (n == 0) return Tensor(Array(0, 0), Array.empty)
-    val d = batch(0).length
-    var values = Map[String, Tensor](
-      inputName -> Tensor(Array(n, d), batch.flatten))
+  private def forward(inputs: Map[String, Tensor]): Tensor = {
+    if (inputs.values.forall(_.data.isEmpty)) return Tensor(Array(0, 0), Array.empty)
+    var values = inputs
     def get(name: String): Tensor =
       values.getOrElse(name, initializers.getOrElse(name,
         throw new IllegalStateException(s"unbound tensor '$name'")))
     nodes.foreach { node =>
       def attr(name: String): Attr = node.attrs.getOrElse(name,
         throw new IllegalArgumentException(s"${node.op}: missing attr '$name'"))
-      val out = node.op match {
-        case "MatMul" => matmul(get(node.ins(0)), get(node.ins(1)))
+      // axis list from the attr (opset ≤12) or a trailing tensor input
+      // (opset 13 moved Unsqueeze/Slice/Split/ReduceSum axes to inputs)
+      def axesAttrOrInput(attrName: String, inputIdx: Int): Seq[Long] =
+        node.attrs.get(attrName).map(_.ints).filter(_.nonEmpty)
+          .getOrElse {
+            require(node.ins.length > inputIdx && node.ins(inputIdx).nonEmpty,
+              s"${node.op}: no '$attrName' attribute and no input $inputIdx")
+            get(node.ins(inputIdx)).data.map(_.toLong).toSeq
+          }
+      val outs: Seq[Tensor] = node.op match {
+        case "MatMul" => Seq(matmul(get(node.ins(0)), get(node.ins(1))))
         case "Gemm" => // alpha·op(A)·op(B) + beta·C — the linear-layer op
           // torch-exported checkpoints emit (MatMul+Add is our writers')
           val trA = node.attrs.get("transA").exists(_.i == 1L)
@@ -651,18 +1049,79 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
           val mm = matmul(a, b)
           if (node.ins.length > 2 && node.ins(2).nonEmpty) {
             val c = get(node.ins(2))
-            Tensor(mm.dims, mm.data.zipWithIndex.map { case (v, i) =>
-              alpha * v + beta * c.data(i % c.data.length) })
-          } else if (alpha == 1.0) mm
-          else Tensor(mm.dims, mm.data.map(alpha * _))
-        case "Add" => // right side trailing-broadcast (bias) or same-shape
-          val (a, b) = (get(node.ins(0)), get(node.ins(1)))
-          Tensor(a.dims, a.data.zipWithIndex.map { case (v, i) =>
-            v + b.data(i % b.data.length) })
-        case "Mul" => // same-shape or trailing/scalar broadcast
-          val (a, b) = (get(node.ins(0)), get(node.ins(1)))
-          Tensor(a.dims, a.data.zipWithIndex.map { case (v, i) =>
-            v * b.data(i % b.data.length) })
+            // ONNX unidirectional broadcast of C onto [m,p]: a row bias
+            // [p], a column vector [m,1], or the full matrix — modulo
+            // indexing would silently mis-broadcast [m,1], so C goes
+            // through the same numpy-general broadcast as Add
+            Seq(bcast("Gemm", if (alpha == 1.0) mm else Tensor(mm.dims,
+              mm.data.map(alpha * _)), c, (x, y) => x + beta * y))
+          } else if (alpha == 1.0) Seq(mm)
+          else Seq(Tensor(mm.dims, mm.data.map(alpha * _)))
+        case "Add" => Seq(bcast("Add", get(node.ins(0)), get(node.ins(1)), _ + _))
+        case "Sub" => Seq(bcast("Sub", get(node.ins(0)), get(node.ins(1)), _ - _))
+        case "Mul" => Seq(bcast("Mul", get(node.ins(0)), get(node.ins(1)), _ * _))
+        case "Div" => Seq(bcast("Div", get(node.ins(0)), get(node.ins(1)), _ / _))
+        case "Pow" => // exponent 2 is exactly x·x (the LayerNorm variance
+          // decomposition) — Math.pow's 1-ulp licence would break the
+          // bit-parity discipline with the oracle's literal x*x
+          Seq(bcast("Pow", get(node.ins(0)), get(node.ins(1)),
+            (x, e) => if (e == 2.0) x * x else math.pow(x, e)))
+        case "Sqrt" =>
+          val a = get(node.ins(0))
+          Seq(Tensor(a.dims, a.data.map(math.sqrt)))
+        case "Cast" => // storage is double throughout; int targets truncate
+          // toward zero (the spec's float→int rule), float targets narrow
+          val a = get(node.ins(0))
+          val to = attr("to").i
+          Seq(to match {
+            case 6 | 7 | 12 | 13 => Tensor(a.dims, a.data.map(v => v.toLong.toDouble))
+            case 1 => Tensor(a.dims, a.data.map(v => v.toFloat.toDouble))
+            case _ => Tensor(a.dims, a.data)
+          })
+        case "Gather" =>
+          val ax = node.attrs.get("axis").map(_.i).getOrElse(0L)
+          require(ax == 0L, s"Gather: only axis 0 is supported, got $ax")
+          Seq(gather(get(node.ins(0)), get(node.ins(1))))
+        case "Unsqueeze" =>
+          val a = get(node.ins(0))
+          val axes = axesAttrOrInput("axes", 1)
+          val outRank = a.rank + axes.length
+          val norm = axes.map(x => if (x < 0) x + outRank else x).sorted
+          require(norm.distinct.length == norm.length &&
+            norm.forall(x => x >= 0 && x < outRank), s"Unsqueeze axes $axes")
+          val dims = scala.collection.mutable.ArrayBuffer(a.dims.toSeq: _*)
+          norm.foreach(x => dims.insert(x.toInt, 1))
+          Seq(Tensor(dims.toArray, a.data))
+        case "Slice" =>
+          val a = get(node.ins(0))
+          val starts = get(node.ins(1)).data.map(_.toLong).toSeq
+          val ends = get(node.ins(2)).data.map(_.toLong).toSeq
+          val axes = if (node.ins.length > 3 && node.ins(3).nonEmpty)
+            get(node.ins(3)).data.map(_.toLong).toSeq
+          else starts.indices.map(_.toLong)
+          if (node.ins.length > 4 && node.ins(4).nonEmpty)
+            require(get(node.ins(4)).data.forall(_ == 1.0),
+              "Slice: only unit steps are supported")
+          Seq(slice(a, starts, ends, axes))
+        case "Split" =>
+          val a = get(node.ins(0))
+          val ax = node.attrs.get("axis").map(_.i).getOrElse(0L)
+          require(ax == -1L || ax == a.rank - 1,
+            s"Split: only the last axis is supported, got $ax")
+          val sizes: Seq[Int] =
+            node.attrs.get("split").map(_.ints).filter(_.nonEmpty)
+              .orElse(if (node.ins.length > 1 && node.ins(1).nonEmpty)
+                Some(get(node.ins(1)).data.map(_.toLong).toSeq) else None)
+              .map(_.map(_.toInt))
+              .getOrElse {
+                val lane = a.dims(a.rank - 1)
+                require(lane % node.outs.length == 0,
+                  s"Split: lane $lane not divisible into ${node.outs.length}")
+                Seq.fill(node.outs.length)(lane / node.outs.length)
+              }
+          require(sizes.length == node.outs.length,
+            s"Split: ${sizes.length} sizes for ${node.outs.length} outputs")
+          splitLast(a, sizes)
         case "Reshape" =>
           val a = get(node.ins(0))
           val spec = get(node.ins(1)).data.map(_.toLong)
@@ -673,49 +1132,53 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
           }
           require(dims.product == a.data.length,
             s"Reshape ${spec.mkString(",")} on ${a.data.length} values")
-          Tensor(dims, a.data)
+          Seq(Tensor(dims, a.data))
         case "Transpose" =>
-          transpose(get(node.ins(0)), attr("perm").ints.map(_.toInt).toArray)
+          Seq(transpose(get(node.ins(0)), attr("perm").ints.map(_.toInt).toArray))
         case "Softmax" =>
           val a = get(node.ins(0))
           val ax = node.attrs.get("axis").map(_.i).getOrElse(-1L)
           require(ax == -1L || ax == a.rank - 1,
             s"Softmax: only the last axis is supported, got $ax")
-          softmaxLast(a)
+          Seq(softmaxLast(a))
         case "Concat" =>
           val ts = node.ins.map(get)
           val ax = attr("axis").i
           require(ax == -1L || ax == ts.head.rank - 1,
             s"Concat: only the last axis is supported, got $ax")
-          concatLast(ts)
+          Seq(concatLast(ts))
         case "LayerNormalization" =>
           val ax = node.attrs.get("axis").map(_.i).getOrElse(-1L)
           val x = get(node.ins(0))
           require(ax == -1L || ax == x.rank - 1,
             s"LayerNormalization: only the last axis is supported, got $ax")
           val eps = node.attrs.get("epsilon").map(_.f.toDouble).getOrElse(1e-5)
-          layerNorm(x, get(node.ins(1)), get(node.ins(2)), eps)
-        case "ReduceMean" =>
-          require(node.attrs.get("keepdims").forall(_.i == 0L),
-            "ReduceMean: only keepdims=0 is supported")
-          val axes = attr("axes").ints
-          require(axes.length == 1, "ReduceMean: exactly one axis")
-          reduceMean(get(node.ins(0)), axes.head.toInt)
+          Seq(layerNorm(x, get(node.ins(1)), get(node.ins(2)), eps))
+        case "ReduceMean" | "ReduceSum" =>
+          // keepdims DEFAULTS to 1 per the ONNX spec — a torch-exported
+          // model omitting the attribute must keep the reduced axis
+          val keep = node.attrs.get("keepdims").forall(_.i == 1L)
+          val axes = axesAttrOrInput("axes", 1)
+          require(axes.length == 1, s"${node.op}: exactly one axis")
+          Seq(reduce(get(node.ins(0)), axes.head.toInt, keep,
+            mean = node.op == "ReduceMean"))
         case "Sigmoid" =>
           val a = get(node.ins(0))
-          Tensor(a.dims, a.data.map(z => 1.0 / (1.0 + math.exp(-z))))
+          Seq(Tensor(a.dims, a.data.map(z => 1.0 / (1.0 + math.exp(-z)))))
         case "Relu" =>
           val a = get(node.ins(0))
-          Tensor(a.dims, a.data.map(z => if (z > 0) z else 0.0))
+          Seq(Tensor(a.dims, a.data.map(z => if (z > 0) z else 0.0)))
         case "Tanh" =>
           val a = get(node.ins(0))
-          Tensor(a.dims, a.data.map(math.tanh))
+          Seq(Tensor(a.dims, a.data.map(math.tanh)))
         case "Erf" =>
           val a = get(node.ins(0))
-          Tensor(a.dims, a.data.map(erf))
+          Seq(Tensor(a.dims, a.data.map(erf)))
         case op => throw new UnsupportedOperationException(s"op '$op'")
       }
-      values += node.out -> out
+      require(outs.length == node.outs.length,
+        s"${node.op}: ${outs.length} results for ${node.outs.length} declared outputs")
+      node.outs.lazyZip(outs).foreach((n, t) => values += n -> t)
     }
     values(outputName)
   }
@@ -753,6 +1216,12 @@ private[ml] object Proto {
     val bb = java.nio.ByteBuffer.allocate(vs.length * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     vs.foreach(bb.putDouble); bb.array()
+  }
+  /** float32 little-endian raw_data payload (torch-export layout). */
+  def rawFloats(vs: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(v => bb.putFloat(v.toFloat)); bb.array()
   }
   def concat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
 
@@ -858,4 +1327,36 @@ private[ml] object Proto {
       case Fixed64V(v) => Seq(java.lang.Double.longBitsToDouble(v))
       case _ => Nil
     }.toArray
+  /** Packed repeated float32s (or unpacked fixed32s) — TensorProto
+    * `float_data` (field 4), widened to double for the session. */
+  def packedFloatsAt(m: Message, field: Int): Array[Double] =
+    m.getOrElse(field, Nil).flatMap {
+      case BytesV(b) =>
+        val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Array.fill(b.length / 4)(bb.getFloat.toDouble).toSeq
+      case Fixed32V(v) => Seq(java.lang.Float.intBitsToFloat(v).toDouble)
+      case _ => Nil
+    }.toArray
+  /** TensorProto `raw_data` (field 9) decoded by element dtype: the
+    * little-endian byte layout torch exports use for every tensor. */
+  def rawDataAt(m: Message, dtype: Long): Option[Array[Double]] = {
+    val b = bytesAt(m, 9)
+    if (b.isEmpty) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      dtype match {
+        case 1  => // FLOAT
+          require(b.length % 4 == 0, s"raw_data ${b.length} bytes not float32-aligned")
+          Some(Array.fill(b.length / 4)(bb.getFloat.toDouble))
+        case 11 => // DOUBLE
+          require(b.length % 8 == 0, s"raw_data ${b.length} bytes not float64-aligned")
+          Some(Array.fill(b.length / 8)(bb.getDouble))
+        case 7  => // INT64 — small ids/shapes, lossless in double
+          require(b.length % 8 == 0, s"raw_data ${b.length} bytes not int64-aligned")
+          Some(Array.fill(b.length / 8)(bb.getLong.toDouble))
+        case other => throw new IllegalArgumentException(
+          s"raw_data for unsupported data_type $other")
+      }
+    }
+  }
 }

@@ -170,6 +170,53 @@ object Scorer {
     (org.json4s.jackson.JsonMethods.parse(txt) \ "features").extract[Seq[String]]
   }
 
+  /** Multi-input embedder factory over a realistic checkpoint
+    * ([[OnnxExport.exportTabularCheckpoint]]): per-partition session,
+    * NAMED batch matrices in (input_ids / attention_mask / value
+    * vectors…), `[n, k]` float vectors out. */
+  def onnxMultiEmbedderFactory(path: String, onInit: () => Unit = () => ())
+      : () => Map[String, Array[Array[Double]]] => Array[Array[Float]] =
+    () => {
+      onInit()
+      val session = OnnxSession.load(path)
+      (batches: Map[String, Array[Array[Double]]]) =>
+        session.runMulti(batches).map(_.map(_.toFloat))
+    }
+
+  /** Multi-input external embedder — the realistic-checkpoint seam: each
+    * graph input is fed from its own group of flat feature columns
+    * (`inputCols`: input name → column names, in tensor order). Same
+    * per-partition/batched contract as [[ExternalEmbedder]]. */
+  final class ExternalMultiEmbedder(
+      modelFactory: () => Map[String, Array[Array[Double]]] => Array[Array[Float]],
+      inputCols: Seq[(String, Seq[String])],
+      dim: Int,
+      batchSize: Int = 256,
+      outputCol: String = "embedding") extends TableScorer {
+
+    def score(features: DataFrame): DataFrame = {
+      val schema = features.schema
+      val outSchema = schema.add(outputCol, ArrayType(FloatType, containsNull = false))
+      val groups = inputCols.map { case (name, cols) =>
+        name -> cols.map(schema.fieldIndex).toArray
+      }
+      val (bs, d) = (batchSize, dim)
+      implicit val enc = RowEncoder.encoderFor(outSchema)
+      features.mapPartitions { it =>
+        val model = modelFactory()
+        it.grouped(bs).flatMap { rows =>
+          val batches = groups.map { case (name, idxs) =>
+            name -> rows.map(r => idxs.map(i => r.getAs[Number](i).doubleValue())).toArray
+          }.toMap
+          val vecs = model(batches)
+          require(vecs.length == rows.length && vecs.forall(_.length == d),
+            s"embedder must return one $d-dim vector per row")
+          rows.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+        }
+      }
+    }
+  }
+
   /** External embedder (Q1): one `Array[Float]` per row — the
     * `extract_embeddings` shape. Same per-partition/batched contract as
     * [[ExternalModelScorer]]; input is the row's feature columns, output a
