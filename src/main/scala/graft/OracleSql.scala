@@ -343,7 +343,7 @@ object OracleSql {
     * LayerNorm output as `x{l+1}_*`; the final CTE `cP` exposes
     * (id, pooled_0..pooled_{D−1}) mean-pooled over the LAST layer.
     */
-  private def teEncoderCtes(layers: Int): String = {
+  private def teEncoderCtes(layers: Int, activation: String = "sigmoid"): String = {
     val (s_, d_, h_, f_) = (TeS, TeD, TeH, TeF)
     val dh = d_ / h_
     def f(v: Double): String = { // shortest round-trip double literal
@@ -406,12 +406,22 @@ object OracleSql {
             s" * ${f(g(di))} + ${f(b(di))} AS ${out}${i}_$di")
       }
       lnCols(s"${P}r1", s"${P}l1_", teG1L(l, _), teB1L(l, _))
-      // Sigmoid FFN activation: same 1/(1+exp(−z)) formula as the session
-      // (DuckDB 1.0 ships no tanh/erf; exp is the only diverging libm call)
-      cte(for (i <- 0 until s_; fi <- 0 until f_)
-        yield s"1.0 / (1.0 + exp(-(" +
-          sum((0 until d_).map(di => s"${P}l1_${i}_$di * ${f(teW1L(l, di, fi))}")) +
-          s" + ${f(teBf1L(l, fi))}))) AS ${P}f2_${i}_$fi")
+      // FFN activation: sigmoid shares the literal 1/(1+exp(−z)) formula
+      // with the session (DuckDB 1.0 ships no tanh/erf; exp is the only
+      // diverging libm call); the tanh variant replays math.tanh as
+      // (exp(2z)−1)/(exp(2z)+1) — a ≤1-ulp formula difference absorbed
+      // by the 6-dp rounding discipline
+      cte(for (i <- 0 until s_; fi <- 0 until f_) yield {
+        val z = sum((0 until d_).map(di =>
+          s"${P}l1_${i}_$di * ${f(teW1L(l, di, fi))}")) + s" + ${f(teBf1L(l, fi))}"
+        val a = activation match {
+          case "sigmoid" => s"1.0 / (1.0 + exp(-($z)))"
+          case "tanh" => s"(exp(2.0 * ($z)) - 1.0) / (exp(2.0 * ($z)) + 1.0)"
+          case other => throw new IllegalArgumentException(
+            s"unsupported oracle FFN activation '$other'")
+        }
+        s"$a AS ${P}f2_${i}_$fi"
+      })
       cte(for (i <- 0 until s_; di <- 0 until d_)
         yield sum((0 until f_).map(fi => s"${P}f2_${i}_$fi * ${f(teW2L(l, fi, di))}")) +
           s" + ${f(teBf2L(l, di))} + ${P}l1_${i}_$di AS ${P}r2_${i}_$di")
@@ -424,19 +434,24 @@ object OracleSql {
     ctes.mkString(", ")
   }
 
-  private def q7TransformerSql(layers: Int): String = {
+  private def q7TransformerSql(layers: Int, activation: String = "sigmoid"): String = {
     def f(v: Double): String = v.toString
     val xsCols = for (si <- 0 until TeS; di <- 0 until TeD)
       yield s"${teX(si, di)} AS x0_${si}_$di"
     val z = (0 until TeD).map(di => s"pooled_$di * ${f(teWh(di))}")
       .mkString("(", " + ", ")") + s" + $TeBh"
     s"WITH c0 AS (SELECT i AS id, ${xsCols.mkString(", ")} " +
-      s"FROM generate_series(1, $TeN) t(i)), " + teEncoderCtes(layers) + "\n" +
+      s"FROM generate_series(1, $TeN) t(i)), " + teEncoderCtes(layers, activation) + "\n" +
       s"SELECT CAST(id AS BIGINT) AS id, round(1.0 / (1.0 + exp(-($z))), 6) AS score_r " +
       "FROM cP ORDER BY id"
   }
 
   private def q7TransformerScoreSql: String = q7TransformerSql(1)
+
+  /** q7_encoder_tanh: the BERT-family Tanh activation under the oracle —
+    * the session executes the Tanh node (correctly-rounded math.tanh);
+    * DuckDB replays it as (exp(2z)−1)/(exp(2z)+1). */
+  private def q7EncoderTanhSql: String = q7TransformerSql(1, "tanh")
 
   /** q6_value_embed oracle: token ids from the md5-low32 hash family
     * (`md5_number_lower`, the engine's proven-parity hash), a closed-form
@@ -549,6 +564,114 @@ object OracleSql {
     ctes.mkString(", ")
   }
 
+  /** Shared recursive-CTE WordPiece replay (the t2_wordpiece machinery,
+    * parameterized): the vocab is built from the 18-char doc snippets
+    * (doc_id ≤ TbVocabDocs, maxSize TbVocabMax — the TRAINED vocab
+    * relation), then greedy longest-match segmentation +
+    * [CLS]/body≤(TbS−2)/[SEP] encoding of `srcSql` rows
+    * `(eid, etext)` (etext already lowercased; may reference `sn`).
+    * Emits CTEs `sn … enc(eid, ids)`; callers continue from `enc` and
+    * must open the statement with WITH RECURSIVE (the `walk` CTE). */
+  private def tbWordpieceCtes(srcSql: String): String = {
+    val bodySlots = TbS - 2
+    s"""sn AS (SELECT doc_id, lower(substr(text, 1, $TbSnip)) AS sniptext
+       |       FROM documents WHERE doc_id < $TbDocs),
+       |src AS ($srcSql),
+       |words AS (
+       |  SELECT w FROM (
+       |    SELECT unnest(regexp_split_to_array(sniptext, '\\s+')) AS w
+       |    FROM sn WHERE doc_id <= $TbVocabDocs) WHERE w <> ''),
+       |chars AS (
+       |  SELECT DISTINCT c AS piece FROM (
+       |    SELECT unnest(string_split(w, '')) AS c
+       |    FROM (SELECT DISTINCT w FROM words)) WHERE c <> ''),
+       |cand AS (
+       |  SELECT piece, 9223372036854775807 AS freq FROM chars
+       |  UNION ALL SELECT '##' || piece, 9223372036854775807 FROM chars
+       |  UNION ALL SELECT w AS piece, count(*) AS freq FROM words GROUP BY w),
+       |lim AS (
+       |  SELECT piece, max(freq) AS freq FROM cand GROUP BY piece
+       |  ORDER BY max(freq) DESC, piece LIMIT ${TbVocabMax - 4}),
+       |vocab AS (
+       |  SELECT piece, CAST(id AS BIGINT) AS id FROM (VALUES
+       |    ('[PAD]', 0), ('[UNK]', 1), ('[CLS]', 2), ('[SEP]', 3)) sp(piece, id)
+       |  UNION ALL
+       |  SELECT piece, CAST(row_number() OVER (ORDER BY freq DESC, piece) + 3 AS BIGINT)
+       |  FROM lim),
+       |dw AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(regexp_split_to_array(etext, '\\s+')) AS w
+       |    FROM src) WHERE w <> ''),
+       |pieces AS (
+       |  SELECT id, piece LIKE '##%' AS cont,
+       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS core
+       |  FROM vocab WHERE piece NOT LIKE '[%'),
+       |wp AS (SELECT w, unnest(generate_series(1, length(w))) AS pos FROM dw),
+       |best AS (
+       |  SELECT wp.w, wp.pos, arg_max(p.id, length(p.core)) AS pid,
+       |    max(length(p.core)) AS plen
+       |  FROM wp JOIN pieces p
+       |    ON p.cont = (wp.pos > 1)
+       |   AND substr(wp.w, wp.pos, length(p.core)) = p.core
+       |  GROUP BY wp.w, wp.pos),
+       |walk(w, pos, ids) AS (
+       |  SELECT w, 1, CAST([] AS BIGINT[]) FROM dw
+       |  UNION ALL
+       |  SELECT x.w, x.pos + b.plen, list_append(x.ids, b.pid)
+       |  FROM walk x JOIN best b ON b.w = x.w AND b.pos = x.pos),
+       |wseg AS (
+       |  SELECT d.w,
+       |    coalesce(t.ids, list_value((SELECT id FROM vocab WHERE piece = '[UNK]'))) AS ids
+       |  FROM dw d LEFT JOIN
+       |    (SELECT w, ids FROM walk WHERE pos = length(w) + 1) t ON t.w = d.w),
+       |toks AS (
+       |  SELECT eid, w, o FROM (
+       |    SELECT eid,
+       |      unnest(regexp_split_to_array(etext, '\\s+')) AS w,
+       |      unnest(generate_series(1, len(regexp_split_to_array(etext, '\\s+')))) AS o
+       |    FROM src) WHERE w <> ''),
+       |enc AS (
+       |  SELECT t.eid,
+       |    list_concat(
+       |      list_value((SELECT id FROM vocab WHERE piece = '[CLS]')),
+       |      list_append(
+       |        list_slice(flatten(list(s.ids ORDER BY t.o)), 1, $bodySlots),
+       |        (SELECT id FROM vocab WHERE piece = '[SEP]'))) AS ids
+       |  FROM toks t JOIN wseg s ON s.w = t.w GROUP BY t.eid)""".stripMargin
+  }
+
+  /** q6_vocab_embed oracle: the distinct-value heads (the A16 relation)
+    * run through the SAME trained WordPiece vocab and the checkpoint's
+    * word-embedding table formula — the tokenizer → embedding-table
+    * value-enrichment path (`embedding_search.py:25-42`), mean over the
+    * real (unpadded) positions. All table values are multiples of 1/8,
+    * so the position sum is exact in double and order-independent. */
+  private def q6VocabEmbedSql: String = {
+    val valSrcs = Seq(
+      ("documents", "lang"), ("documents", "source"), ("events", "event_type"),
+      ("orders", "o_orderstatus"), ("orders", "o_orderpriority"))
+    val union = valSrcs.map { case (tbl, c) =>
+      s"SELECT DISTINCT CAST($c AS VARCHAR) AS eid FROM $tbl" }
+      .mkString(" UNION ")
+    val pairsUnion = valSrcs.map { case (tbl, c) =>
+      s"SELECT DISTINCT '$tbl.$c' AS col_ref, CAST($c AS VARCHAR) AS value_str FROM $tbl" }
+      .mkString(" UNION ALL ")
+    val sums = (0 until TbD).map { dd =>
+      val terms = (0 until TbS).map(i =>
+        s"CASE WHEN $i < ntok THEN ((COALESCE(ids[${i + 1}], 0) * 7 + ${dd * 3}) % 17) * 0.125 - 1.0 ELSE 0.0 END")
+      s"round(${terms.mkString("(", " + ", ")")} / ntok, 6) AS e${dd}_r"
+    }
+    "WITH RECURSIVE\n" +
+      tbWordpieceCtes(s"SELECT eid, lower(eid) AS etext FROM ($union)") + s""",
+       |vemb AS (
+       |  SELECT eid, ${sums.mkString(", ")}
+       |  FROM (SELECT eid, ids, LEAST(len(ids), $TbS) AS ntok FROM enc)),
+       |vout AS ($pairsUnion)
+       |SELECT v.col_ref, v.value_str, e.e0_r, e.e1_r, e.e2_r, e.e3_r
+       |FROM vout v JOIN vemb e ON e.eid = v.value_str
+       |ORDER BY v.col_ref, v.value_str""".stripMargin
+  }
+
   /** e2e_encode_search oracle: replay the WHOLE product loop in SQL —
     * recursive-CTE WordPiece (vocab build + greedy segmentation, the
     * t2_wordpiece machinery over 18-char snippets), the 6-way
@@ -596,74 +719,12 @@ object OracleSql {
     val na = sum((0 until d_).map(k => s"a.e$k * a.e$k"))
     val nb = sum((0 until d_).map(k => s"b.e$k * b.e$k"))
     s"""WITH RECURSIVE
-       |sn AS (SELECT doc_id, lower(substr(text, 1, $TbSnip)) AS sniptext
-       |       FROM documents WHERE doc_id < $TbDocs),
-       |words AS (
-       |  SELECT w FROM (
-       |    SELECT unnest(regexp_split_to_array(sniptext, '\\s+')) AS w
-       |    FROM sn WHERE doc_id <= $TbVocabDocs) WHERE w <> ''),
-       |chars AS (
-       |  SELECT DISTINCT c AS piece FROM (
-       |    SELECT unnest(string_split(w, '')) AS c
-       |    FROM (SELECT DISTINCT w FROM words)) WHERE c <> ''),
-       |cand AS (
-       |  SELECT piece, 9223372036854775807 AS freq FROM chars
-       |  UNION ALL SELECT '##' || piece, 9223372036854775807 FROM chars
-       |  UNION ALL SELECT w AS piece, count(*) AS freq FROM words GROUP BY w),
-       |lim AS (
-       |  SELECT piece, max(freq) AS freq FROM cand GROUP BY piece
-       |  ORDER BY max(freq) DESC, piece LIMIT ${TbVocabMax - 4}),
-       |vocab AS (
-       |  SELECT piece, CAST(id AS BIGINT) AS id FROM (VALUES
-       |    ('[PAD]', 0), ('[UNK]', 1), ('[CLS]', 2), ('[SEP]', 3)) sp(piece, id)
-       |  UNION ALL
-       |  SELECT piece, CAST(row_number() OVER (ORDER BY freq DESC, piece) + 3 AS BIGINT)
-       |  FROM lim),
-       |dw AS (
-       |  SELECT DISTINCT w FROM (
-       |    SELECT unnest(regexp_split_to_array(sniptext, '\\s+')) AS w
-       |    FROM sn) WHERE w <> ''),
-       |pieces AS (
-       |  SELECT id, piece LIKE '##%' AS cont,
-       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS core
-       |  FROM vocab WHERE piece NOT LIKE '[%'),
-       |wp AS (SELECT w, unnest(generate_series(1, length(w))) AS pos FROM dw),
-       |best AS (
-       |  SELECT wp.w, wp.pos, arg_max(p.id, length(p.core)) AS pid,
-       |    max(length(p.core)) AS plen
-       |  FROM wp JOIN pieces p
-       |    ON p.cont = (wp.pos > 1)
-       |   AND substr(wp.w, wp.pos, length(p.core)) = p.core
-       |  GROUP BY wp.w, wp.pos),
-       |walk(w, pos, ids) AS (
-       |  SELECT w, 1, CAST([] AS BIGINT[]) FROM dw
-       |  UNION ALL
-       |  SELECT x.w, x.pos + b.plen, list_append(x.ids, b.pid)
-       |  FROM walk x JOIN best b ON b.w = x.w AND b.pos = x.pos),
-       |wseg AS (
-       |  SELECT d.w,
-       |    coalesce(t.ids, list_value((SELECT id FROM vocab WHERE piece = '[UNK]'))) AS ids
-       |  FROM dw d LEFT JOIN
-       |    (SELECT w, ids FROM walk WHERE pos = length(w) + 1) t ON t.w = d.w),
-       |toks AS (
-       |  SELECT doc_id, w, o FROM (
-       |    SELECT doc_id,
-       |      unnest(regexp_split_to_array(sniptext, '\\s+')) AS w,
-       |      unnest(generate_series(1, len(regexp_split_to_array(sniptext, '\\s+')))) AS o
-       |    FROM sn) WHERE w <> ''),
-       |enc AS (
-       |  SELECT t.doc_id,
-       |    list_concat(
-       |      list_value((SELECT id FROM vocab WHERE piece = '[CLS]')),
-       |      list_append(
-       |        list_slice(flatten(list(s.ids ORDER BY t.o)), 1, $bodySlots),
-       |        (SELECT id FROM vocab WHERE piece = '[SEP]'))) AS ids
-       |  FROM toks t JOIN wseg s ON s.w = t.w GROUP BY t.doc_id),
+       |${tbWordpieceCtes("SELECT doc_id AS eid, sniptext AS etext FROM sn")},
        |seq AS (
-       |  SELECT e.doc_id AS id, len(e.ids) AS ntok,
+       |  SELECT e.eid AS id, len(e.ids) AS ntok,
        |    ascii(substr(d.lang, 1, 1)) % $TbT AS ty,
        |    ${tidCols.mkString(", ")}
-       |  FROM enc e JOIN documents d ON d.doc_id = e.doc_id),
+       |  FROM enc e JOIN documents d ON d.doc_id = e.eid),
        |cm AS (SELECT *, ${mCols.mkString(", ")} FROM seq),
        |cmm AS (SELECT *, ${emCols.mkString(", ")} FROM cm),
        |ce AS (SELECT *, ${pCols.mkString(", ")} FROM cmm),
@@ -4570,6 +4631,8 @@ object OracleSql {
     "lake_csv_unified" -> lakeCsvUnifiedSql,
     "q7_onnx_score" -> q7OnnxScoreSql,
     "e2e_encode_search" -> e2eEncodeSearchSql,
+    "q6_vocab_embed" -> q6VocabEmbedSql,
+    "q7_encoder_tanh" -> q7EncoderTanhSql,
     "q7_transformer_score" -> q7TransformerScoreSql,
     "q7_encoder_stack" -> q7TransformerSql(3),
     "q6_value_embed" -> q6ValueEmbedSql,

@@ -613,6 +613,22 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** The Tanh-activation variant (BERT's activation neighborhood): the
+    * session executes a real Tanh node — correctly-rounded math.tanh —
+    * while the oracle replays it as (exp(2z)−1)/(exp(2z)+1), the only
+    * tanh DuckDB 1.0 can express; the ≤1-ulp formula difference sits
+    * far inside the 6-dp rounding discipline. */
+  private def q7EncoderTanh(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/q7_encoder_tanh.onnx"
+    graft.ml.OnnxExport.exportEncoderStack(teStack(1), path, activation = "Tanh")
+    val (feats, featCols) = teFeats(s)
+    new graft.ml.Scorer.ExternalModelScorer(
+        graft.ml.Scorer.onnxModelFactory(path), featCols)
+      .score(feats)
+      .select(col("id"), round(col("score"), 6).as("score_r"))
+      .orderBy("id")
+  }
+
   /** The DEEP variant: a 3-layer stack of the same encoder block (the
     * reference's BERT is 12 stacked copies of this block) through the
     * same session — the oracle unrolls all three layers in SQL. */
@@ -660,6 +676,45 @@ object SparkEntry {
       .select(col("doc_id") +: (0 until d).map(di =>
         round(col("embedding")(di).cast("double"), 6).as(s"e${di}_r")): _*)
       .orderBy("doc_id")
+  }
+
+  /** Q6 value enrichment over the REAL vocab relation: the distinct
+    * value heads (the A16 relation) tokenize through the TRAINED
+    * WordPiece vocab and join the checkpoint's word-embedding TABLE —
+    * the tokenizer → embedding-table path of `embedding_search.py:
+    * 25-42`, fully distributed (explode → broadcast join → masked mean).
+    * The table values are multiples of 1/8, so the per-value position
+    * sum is exact in double and aggregation-order-independent — the
+    * oracle replays it with the same closed-form formula. */
+  private def q6VocabEmbed(s: SparkSession, dir: String): DataFrame = {
+    import OracleSql._
+    import s.implicits._
+    val docs = t(s, dir, "documents").filter(col("doc_id") < TbDocs)
+      .select(col("doc_id"), substring(col("text"), 1, TbSnip).as("snip"))
+    val vocab = graft.ml.WordPiece.buildVocab(
+      docs.filter(col("doc_id") <= TbVocabDocs), "snip", maxSize = TbVocabMax)
+    def vals(tbl: String, c: String) =
+      t(s, dir, tbl).select(col(c).cast("string").as("value_str")).distinct()
+        .select(lit(s"$tbl.$c").as("col_ref"), col("value_str"))
+    val values = Seq(vals("documents", "lang"), vals("documents", "source"),
+      vals("events", "event_type"), vals("orders", "o_orderstatus"),
+      vals("orders", "o_orderpriority")).reduce(_ unionByName _)
+    val enc = graft.ml.WordPiece.encode(values, "value_str", vocab, maxLen = TbS)
+    val embTable = (0L until TbVocabMax.toLong).toDF("tok_id").select(
+      col("tok_id") +: (0 until TbD).map(dd =>
+        (((col("tok_id") * 7 + lit(dd * 3)) % 17).cast("double") * 0.125 - 1.0)
+          .as(s"emb_$dd")): _*)
+    val toks = enc.select(col("col_ref"), col("value_str"),
+        posexplode(arrays_zip(col("input_ids"), col("attention_mask")))
+          .as(Seq("pos", "z")))
+      .filter(col("z.attention_mask") === 1)
+      .select(col("col_ref"), col("value_str"), col("z.input_ids").as("tok_id"))
+    val aggs = (0 until TbD).map(dd =>
+      round(sum(col(s"emb_$dd")) / count(lit(1)), 6).as(s"e${dd}_r"))
+    toks.join(broadcast(embTable), "tok_id")
+      .groupBy("col_ref", "value_str")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("col_ref", "value_str")
   }
 
   /** E4 END-TO-END — the reference's actual product loop run in-engine:
@@ -3478,6 +3533,8 @@ object SparkEntry {
     "q7_transformer_score" -> q7TransformerScore,
     "q7_encoder_stack" -> q7EncoderStack,
     "q6_value_embed" -> q6ValueEmbed,
+    "q7_encoder_tanh" -> q7EncoderTanh,
+    "q6_vocab_embed" -> q6VocabEmbed,
     "e2e_encode_search" -> e2eEncodeSearch,
     "q1_embed_extract" -> q1EmbedExtract,
     "e2e_lake_search" -> e2eLakeSearch,

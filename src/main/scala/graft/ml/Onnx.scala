@@ -293,10 +293,13 @@ object OnnxExport {
     * are layer-prefixed so the graph is plainly N stacked copies of the
     * reference block. */
   def exportEncoderStack(w: EncoderStack, path: String,
-                         withHead: Boolean = true): Unit = {
+                         withHead: Boolean = true,
+                         activation: String = "Sigmoid"): Unit = {
     val (s, d, h, f) = (w.seqLen, w.dModel, w.nHeads, w.dFf)
     require(h > 0 && d % h == 0, s"dModel $d must divide into $h heads")
     require(w.layers.nonEmpty, "exportEncoderStack: at least one layer")
+    require(Set("Sigmoid", "Tanh", "Relu", "Erf").contains(activation),
+      s"unsupported FFN activation '$activation'")
     val dh = d / h
     val features = for (i <- 0 until s; j <- 0 until d) yield s"x_${i}_$j"
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -338,15 +341,17 @@ object OnnxExport {
       inits += tensorMsg(s"${P}bf1", Seq(f.toLong), lw.bf1)
       inits += tensorMsg(s"${P}w2", Seq(f.toLong, d.toLong), lw.w2.flatten)
       inits += tensorMsg(s"${P}bf2", Seq(d.toLong), lw.bf2)
-      // Sigmoid FFN activation (not Tanh/Gelu): the DuckDB oracle has no
+      // FFN activation — default Sigmoid: the DuckDB oracle has no
       // tanh/erf builtin, and sigmoid keeps BOTH engines on the literal
       // formula 1/(1+exp(−z)) — exp is then the only libm call in the
-      // whole graph whose rounding differs across engines. Tanh/Erf
-      // remain executable session ops (spec-pinned) for graphs needing
-      // them.
+      // whole graph whose rounding differs across engines. The Tanh
+      // variant (BERT's activation neighborhood) is oracle-covered too:
+      // DuckDB replays tanh as (exp(2z)−1)/(exp(2z)+1), which differs
+      // from the session's correctly-rounded math.tanh by ≤1 ulp —
+      // inside the 6-dp rounding discipline.
       nodes += nodeMsg("MatMul", Seq(s"${P}l1", s"${P}w1"), s"${P}f0")
       nodes += nodeMsg("Add", Seq(s"${P}f0", s"${P}bf1"), s"${P}f1")
-      nodes += nodeMsg("Sigmoid", Seq(s"${P}f1"), s"${P}f2")
+      nodes += nodeMsg(activation, Seq(s"${P}f1"), s"${P}f2")
       nodes += nodeMsg("MatMul", Seq(s"${P}f2", s"${P}w2"), s"${P}f3")
       nodes += nodeMsg("Add", Seq(s"${P}f3", s"${P}bf2"), s"${P}f4")
       nodes += nodeMsg("Add", Seq(s"${P}f4", s"${P}l1"), s"${P}r2")

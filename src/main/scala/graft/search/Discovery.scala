@@ -130,8 +130,12 @@ object Discovery {
     // (table_name, col_idx, value_str) — e.g. a session-cached / persisted
     // value index shared across queries, the reference's materialize-once
     // discipline — so the per-query distinct shuffle is skipped entirely.
+    // The null filter is NOT skipped: it is a cheap narrow op, and a
+    // distinct-but-null-containing index would otherwise inflate
+    // n_distinct (null rows join nothing but still count).
     val cv =
-      if (valuesDistinct) values.select("table_name", "col_idx", "value_str")
+      if (valuesDistinct) values.filter(col("value_str").isNotNull)
+        .select("table_name", "col_idx", "value_str")
       else values.filter(col("value_str").isNotNull)
         .select(col("table_name"), col("col_idx"), col("value_str")).distinct()
     val sizes = cv.groupBy(col("table_name"), col("col_idx"))
