@@ -536,11 +536,19 @@ object Graft {
   def cleanText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     functions.NormalizeFunctions.clean_text(c)
 
-  /** Exact TF-IDF cosine threshold self-join (Bayardo prefix filter). */
+  /** Exact TF-IDF cosine threshold self-join (blocked exact kernel). */
   def cosineSelfJoin(docs: DataFrame, threshold: Double,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame =
     search.TextSearch.cosineSelfJoin(docs, threshold, idCol, textCol)
+
+  /** Exact cosine self-join, auto-routed between the blocked kernel and
+    * the L2AP posting join from a per-corpus vocabulary profile — the
+    * entry point to use when the corpus regime is unknown. */
+  def cosineSimilarityJoin(docs: DataFrame, threshold: Double,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    search.TextSearch.cosineSimilarityJoin(docs, threshold, idCol, textCol)
 
   /** Small-file compaction plan (next-fit-decreasing per partition). */
   def compactionPlan(files: DataFrame, partCol: String, idCol: String,

@@ -5229,6 +5229,7 @@ object OracleSql {
     // corpus; the _postings entry certifies the L2AP prefix filter
     // lossless on a bounded slice with the same quadratic oracle
     "d_cosine_pairs" -> cosinePairsSqlFor("documents"),
+    "d_cosine_auto" -> cosinePairsSqlFor("documents"),
     "d_cosine_postings" ->
       cosinePairsSqlFor("(SELECT * FROM documents WHERE doc_id <= 600)"),
 

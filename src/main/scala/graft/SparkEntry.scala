@@ -3456,6 +3456,17 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") <= 600), 0.9)
       .orderBy("id_a", "id_b")
 
+  /** The AUTO-ROUTED cosine self-join
+    * ([[graft.search.TextSearch.cosineSimilarityJoin]]) on the same corpus
+    * and threshold as `d_cosine_pairs`: the per-corpus vocabulary profile
+    * must send this degenerate 31-term corpus to the blocked kernel and
+    * still hash-match the full-quadratic oracle — certifying the routing
+    * invisible to results.
+    */
+  private def cosineAutoQ(s: SparkSession, dir: String): DataFrame =
+    graft.search.TextSearch.cosineSimilarityJoin(t(s, dir, "documents"), 0.9)
+      .orderBy("id_a", "id_b")
+
   /** Small-file compaction plan over a synthetic per-source "file"
     * listing (docs as files, n_chars as bytes) —
     * [[graft.sources.Layout.compactionPlan]], next-fit-decreasing at
@@ -3709,6 +3720,7 @@ object SparkEntry {
     "p_k_anonymity" -> kAnonymityQ,
     "d_cosine_pairs" -> cosinePairsQ,
     "d_cosine_postings" -> cosinePostingsQ,
+    "d_cosine_auto" -> cosineAutoQ,
     "x_compaction_plan" -> compactionPlanQ,
     "t_script_mix" -> scriptMixQ,
     "d_lsh_plan" -> lshPlanQ,

@@ -106,15 +106,24 @@ object TextSearch {
     */
   def cosineSelfJoinPostings(docs: DataFrame, threshold: Double,
                              idCol: String = "doc_id",
-                             textCol: String = "text"): DataFrame = {
-    val dec = DecimalType(38, 0)
+                             textCol: String = "text"): DataFrame =
     // All-Pairs is a multi-pass algorithm over ONE weighted posting
     // relation (norms, prefix, both sides of the candidate self-join, and
     // the verify join all read it): materialize it once, or the
     // scan→explode→tf→df subtree replays ~6× inside a single query
-    val wtd = tfidfMicro(docs, idCol, textCol).localCheckpoint(eager = true)
-    val energy = (col("wq").cast(dec) * col("wq").cast(dec)).cast(dec)
-    val norms = wtd.groupBy("id").agg(sum(energy).as("n2"))
+    postingsFromWtd(tfidfMicro(docs, idCol, textCol).localCheckpoint(eager = true),
+      threshold, prefixPre = None)
+
+  private val dec = DecimalType(38, 0)
+  private def energyCol: Column = (col("wq").cast(dec) * col("wq").cast(dec)).cast(dec)
+
+  /** The ℓ2 prefix relation (id, term) of a materialized posting relation —
+    * shared by the postings plan and [[cosineSimilarityJoin]]'s router
+    * (which profiles it BEFORE committing to the postings plan, then hands
+    * it over so the chosen plan never recomputes the window).
+    */
+  private def prefixOf(wtd: DataFrame, threshold: Double): DataFrame = {
+    val norms = wtd.groupBy("id").agg(sum(energyCol).as("n2"))
     // τ'² in pico-units keeps the prefix comparison pure integer; τ' is
     // nudged below τ so pairs kept by the INCLUSIVE rounded final filter
     // (true cosine ≥ τ − 5e-7) are always generated as candidates
@@ -125,13 +134,19 @@ object TextSearch {
     val wPre = Window.partitionBy(col("id")).orderBy(col("df").asc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // materialized: the candidate join reads BOTH sides of it
-    val prefix = wtd
-      .withColumn("cum", coalesce(sum(energy).over(wPre), lit(0).cast(dec)))
+    wtd
+      .withColumn("cum", coalesce(sum(energyCol).over(wPre), lit(0).cast(dec)))
       .join(norms, "id")
       .filter(col("cum") * lit(1000000000000L) <=
         col("n2") * lit(1000000000000L - tauSqPico))
       .select(col("id"), col("term"))
       .localCheckpoint(eager = true)
+  }
+
+  private def postingsFromWtd(wtd: DataFrame, threshold: Double,
+                              prefixPre: Option[DataFrame]): DataFrame = {
+    val norms = wtd.groupBy("id").agg(sum(energyCol).as("n2"))
+    val prefix = prefixPre.getOrElse(prefixOf(wtd, threshold))
     val cands = prefix
       .join(prefix.select(col("id").as("id_b"), col("term")), "term")
       .filter(col("id") < col("id_b"))
@@ -174,28 +189,56 @@ object TextSearch {
     * arithmetic the relational variant and the DuckDB full-quadratic
     * oracle perform, making all three hash-identical.
     *
-    * At 100× docs the block count scales as ~N/rowsPerBlock (the default
-    * `numBlocks = 0` auto-sizes from a cheap count): tasks grow
-    * quadratically (inherent to EXACT all-pairs output guarantees) but
-    * each task stays constant-size and the shuffle stays linear×B. For
-    * sub-quadratic near-dup at scale use `Dedup.minhashNearDups` /
-    * `semDedup` — this operator is the exact verifier of that family.
+    * At 100× docs the block count scales linearly (the default
+    * `numBlocks = 0` auto-sizes from the materialized posting relation):
+    * tasks grow quadratically (inherent to EXACT all-pairs output
+    * guarantees) but each task stays constant-size and the shuffle stays
+    * linear×B. For sub-quadratic near-dup at scale use
+    * `Dedup.minhashNearDups` / `semDedup` — this operator is the exact
+    * verifier of that family.
     */
   def cosineSelfJoin(docs: DataFrame, threshold: Double,
                      idCol: String = "doc_id",
                      textCol: String = "text",
                      numBlocks: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
-    val idType = docs.schema(idCol).dataType
-    // auto block count: ~2k docs per block keeps a block-pair task's
-    // merge work bounded (~4M pair-merges) regardless of corpus size;
-    // floor 16 keeps small corpora using every local core, cap 1024
-    // bounds the pair relation at ~525k rows
+    // materialize the postings once: block sizing reads a cheap count off
+    // the checkpoint instead of re-scanning the upstream plan (which may
+    // be an expensive subquery) a second time
+    val wtd = tfidfMicro(docs, idCol, textCol).localCheckpoint(eager = true)
+    blockedFromWtd(wtd, threshold, docs.schema(idCol).dataType, numBlocks)
+  }
+
+  /** Auto block count: both bounds must hold, so B is the max of
+    *  - `postings / 250k`  — bounds a BLOCK ROW at ~250k (term, wq) entries
+    *    (≈ 8 MB at typical term lengths), however long individual docs
+    *    are — a long-document corpus gets more, smaller blocks instead of
+    *    a fixed-doc-count block row growing toward Spark's 2 GB row limit;
+    *  - `docs / 2k`        — bounds a block-pair task's merge compute
+    *    (~4M pair-merges) for short-document corpora.
+    * Floor 16 keeps small corpora using every local core. No upper cap:
+    * the pair relation is generated distributedly past the driver-side
+    * threshold and its PARTITION count is capped independently below.
+    */
+  private[search] def autoBlocks(nDocs: Long, nPostings: Long): Int =
+    math.max(16L, math.max(
+      math.ceil(nPostings / 250000.0).toLong,
+      math.ceil(nDocs / 2000.0).toLong)).toInt
+
+  /** One task handles ≥1 whole block pairs; past this many partitions the
+    * scheduler overhead of one-task-per-pair outweighs the balance win. */
+  private val MaxKernelPartitions = 8192
+
+  private def blockedFromWtd(wtd: DataFrame, threshold: Double,
+                             idType: org.apache.spark.sql.types.DataType,
+                             numBlocks: Int): DataFrame = {
+    val spark = wtd.sparkSession
     val nBlocks =
       if (numBlocks >= 1) numBlocks
-      else math.max(16, math.min(1024,
-        math.ceil(docs.select(col(s"`$idCol`")).count() / 2000.0).toInt))
-    val wtd = tfidfMicro(docs, idCol, textCol)
+      else {
+        val prof = wtd.agg(count(lit(1)).as("p"),
+          count_distinct(col("id")).as("n")).head()
+        autoBlocks(prof.getLong(1), prof.getLong(0))
+      }
     val docsVec = wtd
       .withColumn("bid", pmod(xxhash64(col("id")), lit(nBlocks.toLong)))
       .groupBy("bid", "id")
@@ -204,20 +247,32 @@ object TextSearch {
       .agg(collect_list(struct(col("id"), col("tw"))).as("docs"))
     // tiny (bx, by) upper-triangle pair relation: equi-joining the block
     // rows to it replicates each block ≤B times through a plain shuffle —
-    // never a broadcast of the corpus, never a pair-row explosion
-    val pairIdx = for { i <- 0 until nBlocks; j <- i until nBlocks }
-      yield (i.toLong, j.toLong)
-    import spark.implicits._
-    val pairRel = pairIdx.toDF("bx", "by")
+    // never a broadcast of the corpus, never a pair-row explosion. Small
+    // B builds it driver-side; large B generates it distributedly (a
+    // range×range nested-loop of LONGS — the driver never holds B²/2
+    // tuples)
+    val nPairs = nBlocks.toLong * (nBlocks + 1L) / 2L
+    val pairRel =
+      if (nBlocks <= 512) {
+        import spark.implicits._
+        (for { i <- 0 until nBlocks; j <- i until nBlocks }
+          yield (i.toLong, j.toLong)).toDF("bx", "by")
+      } else
+        spark.range(nBlocks.toLong).toDF("bx")
+          .crossJoin(spark.range(nBlocks.toLong).toDF("by"))
+          .filter(col("bx") <= col("by"))
     // explicit numPartitions: block-pair rows are BYTE-small but
     // COMPUTE-heavy, so AQE's byte-based coalescing would serialize the
     // kernel onto a couple of tasks; one task per block pair is the unit
-    // of parallelism here
+    // of parallelism up to MaxKernelPartitions, past which tasks take
+    // several pairs each (hash-spread, so balance still holds in
+    // expectation)
+    val kernelParts = math.min(nPairs, MaxKernelPartitions.toLong).toInt
     val joined = pairRel
       .join(blocks.select(col("bid").as("bx"), col("docs").as("dx")), "bx")
       .join(blocks.select(col("bid").as("by"), col("docs").as("dy")), "by")
       .select("bx", "by", "dx", "dy")
-      .repartition(pairIdx.size)
+      .repartition(kernelParts)
     val outSchema = StructType(Seq(
       StructField("id_a", idType), StructField("id_b", idType),
       StructField("cosine", DoubleType)))
@@ -229,6 +284,62 @@ object TextSearch {
       val ys = if (sameBlock) xs else CosineKernel.parseBlock(r.getSeq[Row](3))
       CosineKernel.blockPairs(xs, ys, sameBlock, tau)
     }(enc)
+  }
+
+  /** Pure routing rule behind [[cosineSimilarityJoin]], exposed for tests.
+    * Stage 1 (`sumDf2` = Σ_t df(t)², the candidate join's worst-case
+    * output volume with NO pruning): if even that is well under the
+    * all-pairs merge count, postings win regardless of pruning — go
+    * straight there. Stage 2 (only reached on hot-vocabulary corpora,
+    * `prefixCands` = the EXACT candidate count Σ_t pdf(t)·(pdf(t)−1)/2 of
+    * the already-computed prefix relation): natural Zipf corpora pass
+    * because the ℓ2 prefix filter drops the hot terms; the degenerate
+    * every-term-everywhere corpus fails and takes the blocked kernel.
+    * 0.25 covers the per-candidate constant gap between shuffle-join
+    * machinery and the kernel's tight merge loop.
+    */
+  private[search] def routeToPostings(nDocs: Long, sumDf2: Double,
+                                      prefixCands: => Double): Boolean = {
+    val allPairs = nDocs.toDouble * (nDocs - 1L).toDouble / 2.0
+    sumDf2 / 2.0 <= 0.25 * allPairs || prefixCands <= 0.25 * allPairs
+  }
+
+  /** Exact cosine self-join, AUTO-ROUTED between the two physical plans
+    * ([[cosineSelfJoin]] blocked kernel vs [[cosineSelfJoinPostings]]
+    * L2AP posting join) from a cheap per-corpus vocabulary profile —
+    * callers no longer need to know which regime their corpus is in.
+    *
+    * The profile costs one aggregate over the (materialized-once)
+    * posting relation, plus — only in the hot-vocabulary regime — the
+    * prefix window the postings plan would run anyway; when the router
+    * then picks postings, the prefix is handed over, not recomputed.
+    * Both profiles are linear in corpus size; choosing the WRONG plan is
+    * quadratic — see [[routeToPostings]] for the crossover rule. Results
+    * are plan-independent by construction (both plans are exact and
+    * round identically), so routing is invisible to callers.
+    */
+  def cosineSimilarityJoin(docs: DataFrame, threshold: Double,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val wtd = tfidfMicro(docs, idCol, textCol).localCheckpoint(eager = true)
+    // Σ_t df(t)² without a per-term aggregate: each term contributes df
+    // posting rows each carrying df, so sum(df) over postings IS Σdf²
+    val prof = wtd.agg(count(lit(1)).as("p"),
+      count_distinct(col("id")).as("n"), sum(col("df")).as("sumdf2")).head()
+    val nDocs = prof.getLong(1)
+    val sumDf2 = if (prof.isNullAt(2)) 0.0 else prof.getDouble(2)
+    // lazily computed: only the hot-vocabulary stage pays the window
+    var prefixMat: DataFrame = null
+    def prefixCands: Double = {
+      prefixMat = prefixOf(wtd, threshold)
+      prefixMat.groupBy("term").agg(count(lit(1)).as("pdf"))
+        .agg(coalesce(sum(col("pdf") * (col("pdf") - 1) / 2), lit(0.0)))
+        .head().getDouble(0)
+    }
+    if (routeToPostings(nDocs, sumDf2, prefixCands))
+      postingsFromWtd(wtd, threshold, Option(prefixMat))
+    else
+      blockedFromWtd(wtd, threshold, docs.schema(idCol).dataType, numBlocks = 0)
   }
 
   /** Top-k documents for a bag-of-words query. Ties break on ascending id.

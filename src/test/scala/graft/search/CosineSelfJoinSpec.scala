@@ -74,6 +74,43 @@ class CosineSelfJoinSpec extends SparkSpec {
     }
   }
 
+  test("auto-routed entry equals the blocked kernel on both vocabulary regimes") {
+    // low-vocab degenerate corpus (every doc shares hot terms) routes
+    // blocked; high-vocab corpus (mostly-unique terms) routes postings —
+    // results must be identical either way
+    val lowVocab = (1 to 40).map(i =>
+      (i.toLong, s"tok${i % 3} tok${i % 2} shared common")).toDF("doc_id", "text")
+    val highVocab = (1 to 40).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i % 5}shared")).toDF("doc_id", "text")
+    for (corpus <- Seq(docs, lowVocab, highVocab); tau <- Seq(0.3, 0.9)) {
+      val auto = TextSearch.cosineSimilarityJoin(corpus, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val blocked = TextSearch.cosineSelfJoin(corpus, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(auto == blocked, s"tau=$tau")
+    }
+  }
+
+  test("routing rule: unpruned-cheap and prefix-pruned corpora go to postings") {
+    // stage 1: candidate volume far under all-pairs -> postings, prefix
+    // profile never evaluated (would throw)
+    assert(TextSearch.routeToPostings(10000L, 1000.0,
+      sys.error("stage-2 profile must not run when stage 1 passes")))
+    // stage 2: hot Σdf² but a pruning prefix -> postings
+    assert(TextSearch.routeToPostings(1000L, 1e9, 100.0))
+    // degenerate: hot Σdf² AND non-pruning prefix -> blocked
+    assert(!TextSearch.routeToPostings(1000L, 1e9, 1e9))
+  }
+
+  test("auto block count bounds block rows by postings AND docs") {
+    // short docs: the docs/2k bound dominates
+    assert(TextSearch.autoBlocks(100000L, 200000L) == 50)
+    // long docs: the postings/250k bound dominates (caps block-row bytes)
+    assert(TextSearch.autoBlocks(4000L, 100000000L) == 400)
+    // tiny corpora keep the parallelism floor
+    assert(TextSearch.autoBlocks(100L, 1000L) == 16)
+  }
+
   test("string doc ids work and order lexicographically") {
     val sdocs = Seq(("dA", "alpha beta gamma"), ("dB", "alpha beta gamma"))
       .toDF("doc_id", "text")
