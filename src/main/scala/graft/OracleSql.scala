@@ -411,7 +411,23 @@ object OracleSql {
       // diverging libm call); the tanh variant replays math.tanh as
       // (exp(2z)−1)/(exp(2z)+1) — a ≤1-ulp formula difference absorbed
       // by the 6-dp rounding discipline
-      cte(for (i <- 0 until s_; fi <- 0 until f_) yield {
+      if (activation == "gelu") {
+        // GELU replays the session's decomposed tanh-approx node chain:
+        // pre-activation z is its own CTE column (the session's f1 node
+        // output), then 0.5·z·(1+tanh(√(2/π)·(z+0.044715·z³))) with tanh
+        // as (exp(2a)−1)/(exp(2a)+1) — DuckDB 1.0's only tanh spelling;
+        // ≤1 ulp from math.tanh, inside the 6-dp rounding discipline
+        cte(for (i <- 0 until s_; fi <- 0 until f_)
+          yield sum((0 until d_).map(di =>
+            s"${P}l1_${i}_$di * ${f(teW1L(l, di, fi))}")) +
+            s" + ${f(teBf1L(l, fi))} AS ${P}f1_${i}_$fi")
+        cte(for (i <- 0 until s_; fi <- 0 until f_) yield {
+          val z = s"${P}f1_${i}_$fi"
+          val arg = s"(($z + (($z * $z) * $z) * 0.044715) * 0.7978845608028654)"
+          s"(($z * ((exp(2.0 * $arg) - 1.0) / (exp(2.0 * $arg) + 1.0) + 1.0))" +
+            s" * 0.5) AS ${P}f2_${i}_$fi"
+        })
+      } else cte(for (i <- 0 until s_; fi <- 0 until f_) yield {
         val z = sum((0 until d_).map(di =>
           s"${P}l1_${i}_$di * ${f(teW1L(l, di, fi))}")) + s" + ${f(teBf1L(l, fi))}"
         val a = activation match {
@@ -452,6 +468,13 @@ object OracleSql {
     * the session executes the Tanh node (correctly-rounded math.tanh);
     * DuckDB replays it as (exp(2z)−1)/(exp(2z)+1). */
   private def q7EncoderTanhSql: String = q7TransformerSql(1, "tanh")
+
+  /** q7_encoder_gelu: BERT's actual activation (`transformer_bert.py`
+    * uses the BERT GELU) in the tanh approximation — the session executes
+    * the decomposed Mul/Add/Tanh node chain a torch approximate='tanh'
+    * export emits; the oracle replays the same chain with DuckDB's
+    * exp-based tanh spelling. */
+  private def q7EncoderGeluSql: String = q7TransformerSql(1, "gelu")
 
   /** q6_value_embed oracle: token ids from the md5-low32 hash family
     * (`md5_number_lower`, the engine's proven-parity hash), a closed-form
@@ -4633,6 +4656,7 @@ object OracleSql {
     "e2e_encode_search" -> e2eEncodeSearchSql,
     "q6_vocab_embed" -> q6VocabEmbedSql,
     "q7_encoder_tanh" -> q7EncoderTanhSql,
+    "q7_encoder_gelu" -> q7EncoderGeluSql,
     "q7_transformer_score" -> q7TransformerScoreSql,
     "q7_encoder_stack" -> q7TransformerSql(3),
     "q6_value_embed" -> q6ValueEmbedSql,

@@ -629,6 +629,23 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** The GELU variant — BERT's actual activation (`transformer_bert.py`
+    * runs the BERT GELU) in the tanh approximation: the exported graph
+    * carries the decomposed Mul/Add/Tanh node chain a torch
+    * approximate='tanh' export emits (no bespoke Gelu op), the session
+    * executes it node by node, and the oracle replays the identical
+    * chain with tanh as (exp(2a)−1)/(exp(2a)+1). */
+  private def q7EncoderGelu(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/q7_encoder_gelu.onnx"
+    graft.ml.OnnxExport.exportEncoderStack(teStack(1), path, activation = "Gelu")
+    val (feats, featCols) = teFeats(s)
+    new graft.ml.Scorer.ExternalModelScorer(
+        graft.ml.Scorer.onnxModelFactory(path), featCols)
+      .score(feats)
+      .select(col("id"), round(col("score"), 6).as("score_r"))
+      .orderBy("id")
+  }
+
   /** The DEEP variant: a 3-layer stack of the same encoder block (the
     * reference's BERT is 12 stacked copies of this block) through the
     * same session — the oracle unrolls all three layers in SQL. */
@@ -3545,6 +3562,7 @@ object SparkEntry {
     "q7_encoder_stack" -> q7EncoderStack,
     "q6_value_embed" -> q6ValueEmbed,
     "q7_encoder_tanh" -> q7EncoderTanh,
+    "q7_encoder_gelu" -> q7EncoderGelu,
     "q6_vocab_embed" -> q6VocabEmbed,
     "e2e_encode_search" -> e2eEncodeSearch,
     "q1_embed_extract" -> q1EmbedExtract,

@@ -298,7 +298,7 @@ object OnnxExport {
     val (s, d, h, f) = (w.seqLen, w.dModel, w.nHeads, w.dFf)
     require(h > 0 && d % h == 0, s"dModel $d must divide into $h heads")
     require(w.layers.nonEmpty, "exportEncoderStack: at least one layer")
-    require(Set("Sigmoid", "Tanh", "Relu", "Erf").contains(activation),
+    require(Set("Sigmoid", "Tanh", "Relu", "Erf", "Gelu").contains(activation),
       s"unsupported FFN activation '$activation'")
     val dh = d / h
     val features = for (i <- 0 until s; j <- 0 until d) yield s"x_${i}_$j"
@@ -306,6 +306,14 @@ object OnnxExport {
     val inits = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     inits += tensorMsgI64("shape_sd", Seq(3L), Seq(-1L, s.toLong, d.toLong))
     inits += tensorMsg("att_scale", Seq(1L), Array(w.attScale))
+    if (activation == "Gelu") {
+      // BERT's GELU in the tanh approximation, the constants torch's
+      // approximate='tanh' export bakes in: √(2/π) and 0.044715
+      inits += tensorMsg("gelu_c1", Seq(1L), Array(0.7978845608028654))
+      inits += tensorMsg("gelu_c2", Seq(1L), Array(0.044715))
+      inits += tensorMsg("gelu_one", Seq(1L), Array(1.0))
+      inits += tensorMsg("gelu_half", Seq(1L), Array(0.5))
+    }
     nodes += nodeMsg("Reshape", Seq("features", "shape_sd"), "x0")
     var cur = "x0"
     w.layers.zipWithIndex.foreach { case (lw, l) =>
@@ -351,7 +359,22 @@ object OnnxExport {
       // inside the 6-dp rounding discipline.
       nodes += nodeMsg("MatMul", Seq(s"${P}l1", s"${P}w1"), s"${P}f0")
       nodes += nodeMsg("Add", Seq(s"${P}f0", s"${P}bf1"), s"${P}f1")
-      nodes += nodeMsg(activation, Seq(s"${P}f1"), s"${P}f2")
+      if (activation == "Gelu") {
+        // tanh-approx GELU decomposed into primitive nodes, the shape a
+        // torch approximate='tanh' export emits:
+        // 0.5 · z · (1 + tanh(√(2/π) · (z + 0.044715 · z³)))
+        // "gl"-prefixed scratch names: ${P}g1/${P}g2 are the LayerNorm
+        // scale initializers — a bare g-index here would shadow them
+        nodes += nodeMsg("Mul", Seq(s"${P}f1", s"${P}f1"), s"${P}gl0")
+        nodes += nodeMsg("Mul", Seq(s"${P}gl0", s"${P}f1"), s"${P}gl1")
+        nodes += nodeMsg("Mul", Seq(s"${P}gl1", "gelu_c2"), s"${P}gl2")
+        nodes += nodeMsg("Add", Seq(s"${P}f1", s"${P}gl2"), s"${P}gl3")
+        nodes += nodeMsg("Mul", Seq(s"${P}gl3", "gelu_c1"), s"${P}gl4")
+        nodes += nodeMsg("Tanh", Seq(s"${P}gl4"), s"${P}gl5")
+        nodes += nodeMsg("Add", Seq(s"${P}gl5", "gelu_one"), s"${P}gl6")
+        nodes += nodeMsg("Mul", Seq(s"${P}f1", s"${P}gl6"), s"${P}gl7")
+        nodes += nodeMsg("Mul", Seq(s"${P}gl7", "gelu_half"), s"${P}f2")
+      } else nodes += nodeMsg(activation, Seq(s"${P}f1"), s"${P}f2")
       nodes += nodeMsg("MatMul", Seq(s"${P}f2", s"${P}w2"), s"${P}f3")
       nodes += nodeMsg("Add", Seq(s"${P}f3", s"${P}bf2"), s"${P}f4")
       nodes += nodeMsg("Add", Seq(s"${P}f4", s"${P}l1"), s"${P}r2")
@@ -615,27 +638,35 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     def rank: Int = dims.length
   }
 
-  private val initializers: Map[String, Tensor] = allBytes(graph, 5).map { t =>
-    val m = parsed("initializer", t)
+  /** One TensorProto body → dims + double payload. Shared by graph
+    * initializers and tensor-valued node ATTRIBUTES (a `Constant` node's
+    * `value`, `ConstantOfShape`'s fill value). raw_data (field 9, torch's
+    * layout) wins when present; otherwise the typed repeated field. All
+    * dtypes widen to double — float32 weights execute in double (lossless
+    * widening), int64 ids/shapes are small integers held losslessly. */
+  private def tensorBody(m: Message): Tensor = {
     val dims = packedVarintsAt(m, 1).map(_.toInt)
     val dt = varintAt(m, 2)
-    // raw_data (field 9, torch's layout) wins when present; otherwise the
-    // typed repeated field. All dtypes widen to double — float32 weights
-    // execute in double (lossless widening), int64 ids/shapes are small
-    // integers held losslessly.
     val data = rawDataAt(m, dt).getOrElse(dt match {
       case OnnxExport.DataTypeDouble => packedDoublesAt(m, 10)
       case OnnxExport.DataTypeFloat  => packedFloatsAt(m, 4)
       case OnnxExport.DataTypeInt64  => packedVarintsAt(m, 7).map(_.toDouble).toArray
+      case 9 => packedVarintsAt(m, 5).map(_.toDouble).toArray // BOOL int32_data
       case other => throw new IllegalArgumentException(
-        s"OnnxSession executes FLOAT/DOUBLE/INT64 tensors; got data_type $other")
+        s"OnnxSession executes FLOAT/DOUBLE/INT64/BOOL tensors; got data_type $other")
     })
-    stringAt(m, 8) -> Tensor(dims.toArray, data)
+    Tensor(dims.toArray, data)
+  }
+
+  private val initializers: Map[String, Tensor] = allBytes(graph, 5).map { t =>
+    val m = parsed("initializer", t)
+    stringAt(m, 8) -> tensorBody(m)
   }.toMap
 
   /** The attribute subset the executed op set uses: single int (axis,
-    * keepdims, to), single float (epsilon), int list (perm, axes, split). */
-  private case class Attr(i: Long, f: Float, ints: Seq[Long])
+    * keepdims, to), single float (epsilon), int list (perm, axes, split),
+    * tensor (Constant/ConstantOfShape `value`). */
+  private case class Attr(i: Long, f: Float, ints: Seq[Long], t: Option[Tensor])
   private case class Node(op: String, ins: Seq[String], outs: Seq[String],
                           attrs: Map[String, Attr]) {
     def out: String = outs.head
@@ -645,9 +676,10 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     val attrs = allBytes(m, 5).map { a =>
       val am = parsed("attribute", a)
       val fBits = am.getOrElse(2, Nil).collectFirst { case Fixed32V(v) => v }
+      val tv = allBytes(am, 5).headOption.map(b => tensorBody(parsed("attr tensor", b)))
       stringAt(am, 1) -> Attr(varintAt(am, 3),
         java.lang.Float.intBitsToFloat(fBits.getOrElse(0)),
-        packedVarintsAt(am, 8))
+        packedVarintsAt(am, 8), tv)
     }.toMap
     Node(stringAt(m, 4), allBytes(m, 1).map(new String(_, "UTF-8")),
       allBytes(m, 2).map(new String(_, "UTF-8")), attrs)
@@ -1011,6 +1043,42 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     }
   }
 
+  /** Where(cond, X, Y) with full numpy broadcasting across all THREE
+    * inputs — the op torch emits for attention-mask select paths. */
+  private def where3(c: Tensor, x: Tensor, y: Tensor): Tensor = {
+    val rank = math.max(c.rank, math.max(x.rank, y.rank))
+    def pad(t: Tensor): Array[Int] = {
+      val d = Array.fill(rank)(1); Array.copy(t.dims, 0, d, rank - t.rank, t.rank); d
+    }
+    val cd = pad(c); val xd = pad(x); val yd = pad(y)
+    val od = Array.tabulate(rank) { i =>
+      val m = math.max(cd(i), math.max(xd(i), yd(i)))
+      require((cd(i) == m || cd(i) == 1) && (xd(i) == m || xd(i) == 1) &&
+        (yd(i) == m || yd(i) == 1),
+        s"Where: cannot broadcast [${c.dims.mkString(",")}], " +
+          s"[${x.dims.mkString(",")}], [${y.dims.mkString(",")}]")
+      m
+    }
+    val cs = strides(cd); val xs = strides(xd); val ys = strides(yd)
+    val os = strides(od)
+    val total = od.product
+    val r = new Array[Double](total)
+    var flat = 0
+    while (flat < total) {
+      var rem = flat; var ci = 0; var xi = 0; var yi = 0; var k = 0
+      while (k < rank) {
+        val idx = rem / os(k); rem %= os(k)
+        if (cd(k) != 1) ci += idx * cs(k)
+        if (xd(k) != 1) xi += idx * xs(k)
+        if (yd(k) != 1) yi += idx * ys(k)
+        k += 1
+      }
+      r(flat) = if (c.data(ci) != 0.0) x.data(xi) else y.data(yi)
+      flat += 1
+    }
+    Tensor(od, r)
+  }
+
   /** erf(x), Abramowitz & Stegun 7.1.26 (|err| ≤ 1.5e-7) — the Gelu
     * building block; precision documented, spec-tested against known
     * values (not used by the oracle-verified encoder, which runs Sigmoid).
@@ -1075,12 +1143,14 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
           val a = get(node.ins(0))
           Seq(Tensor(a.dims, a.data.map(math.sqrt)))
         case "Cast" => // storage is double throughout; int targets truncate
-          // toward zero (the spec's float→int rule), float targets narrow
+          // toward zero (the spec's float→int rule), float targets narrow,
+          // bool collapses to 0/1 (the Equal→Cast→Where mask idiom)
           val a = get(node.ins(0))
           val to = attr("to").i
           Seq(to match {
             case 6 | 7 | 12 | 13 => Tensor(a.dims, a.data.map(v => v.toLong.toDouble))
             case 1 => Tensor(a.dims, a.data.map(v => v.toFloat.toDouble))
+            case 9 => Tensor(a.dims, a.data.map(v => if (v != 0.0) 1.0 else 0.0))
             case _ => Tensor(a.dims, a.data)
           })
         case "Gather" =>
@@ -1179,6 +1249,51 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
         case "Erf" =>
           val a = get(node.ins(0))
           Seq(Tensor(a.dims, a.data.map(erf)))
+        // ---- the shape/constant plumbing ops a real torch.onnx.export
+        // emits around the compute graph (dynamic-batch handling, mask
+        // construction, inference-mode leftovers) --------------------
+        case "Identity" => Seq(get(node.ins(0)))
+        case "Dropout" =>
+          // inference mode: data passes through; the optional mask output
+          // is all-ones (nothing dropped). A training_mode input set true
+          // is a misuse of an inference session — fail loudly.
+          if (node.ins.length > 2 && node.ins(2).nonEmpty)
+            require(get(node.ins(2)).data.forall(_ == 0.0),
+              "Dropout: training_mode=true in an inference session")
+          val a = get(node.ins(0))
+          if (node.outs.length > 1)
+            Seq(a, Tensor(a.dims, Array.fill(a.data.length)(1.0)))
+          else Seq(a)
+        case "Shape" => // runtime dims as a 1-D int64 tensor, with the
+          // opset-15 optional start/end slice of the dim list
+          val a = get(node.ins(0))
+          val st0 = node.attrs.get("start").map(_.i.toInt).getOrElse(0)
+          val en0 = node.attrs.get("end").map(_.i.toInt).getOrElse(a.rank)
+          val st = math.max(0, if (st0 < 0) a.rank + st0 else st0)
+          val en = math.min(a.rank, if (en0 < 0) a.rank + en0 else en0)
+          val dims = a.dims.slice(st, en)
+          Seq(Tensor(Array(dims.length), dims.map(_.toDouble)))
+        case "Equal" =>
+          Seq(bcast("Equal", get(node.ins(0)), get(node.ins(1)),
+            (x, y) => if (x == y) 1.0 else 0.0))
+        case "Where" =>
+          Seq(where3(get(node.ins(0)), get(node.ins(1)), get(node.ins(2))))
+        case "Expand" => // bidirectional numpy broadcast of the input to
+          // the target shape (a target dim of 1 keeps the input dim)
+          val a = get(node.ins(0))
+          val shape = get(node.ins(1)).data.map(_.toInt)
+          Seq(bcast("Expand", a,
+            Tensor(shape, new Array[Double](math.max(shape.product, 0))),
+            (x, _) => x))
+        case "ConstantOfShape" =>
+          val shape = get(node.ins(0)).data.map(_.toInt)
+          val v = node.attrs.get("value").flatMap(_.t)
+            .map(_.data.headOption.getOrElse(0.0)).getOrElse(0.0)
+          Seq(Tensor(shape, Array.fill(math.max(shape.product, 0))(v)))
+        case "Constant" =>
+          Seq(node.attrs.get("value").flatMap(_.t).getOrElse(
+            throw new UnsupportedOperationException(
+              "Constant: only the 'value' tensor attribute form is supported")))
         case op => throw new UnsupportedOperationException(s"op '$op'")
       }
       require(outs.length == node.outs.length,
