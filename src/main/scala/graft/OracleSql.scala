@@ -738,9 +738,11 @@ object OracleSql {
         s" * ${f(tbGEmb(dd))} + ${f(tbBEmb(dd))} AS x0_${i}_$dd"
     val embCols = (0 until d_).map(dd =>
       s"CAST(CAST(pooled_$dd AS REAL) AS DOUBLE) AS e$dd")
+    // Ann.bruteForceTopK's arithmetic: per-vector norm computed ONCE
+    // (sqrt of the index-ascending square sum), cosine = dot/(n_a·n_b)
+    // with the zero-norm-product guard, 6-dp round
     val dot = sum((0 until d_).map(k => s"a.e$k * b.e$k"))
-    val na = sum((0 until d_).map(k => s"a.e$k * a.e$k"))
-    val nb = sum((0 until d_).map(k => s"b.e$k * b.e$k"))
+    val nrm = "sqrt(" + sum((0 until d_).map(k => s"e$k * e$k")) + ")"
     s"""WITH RECURSIVE
        |${tbWordpieceCtes("SELECT doc_id AS eid, sniptext AS etext FROM sn")},
        |seq AS (
@@ -754,10 +756,12 @@ object OracleSql {
        |cv AS (SELECT *, ${meanCols.mkString(", ")}, ${varCols.mkString(", ")} FROM ce),
        |c0 AS (SELECT *, ${x0Cols.mkString(", ")} FROM cv),
        |""".stripMargin + tbEncoderCtes + s""",
-       |emb AS (SELECT id AS doc_id, ${embCols.mkString(", ")} FROM cP),
+       |emb0 AS (SELECT id AS doc_id, ${embCols.mkString(", ")} FROM cP),
+       |emb AS (SELECT *, $nrm AS nrm FROM emb0),
        |pr AS (
        |  SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
-       |    round($dot / sqrt($na * $nb), 6) AS sim_r
+       |    CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |         ELSE round($dot / (a.nrm * b.nrm), 6) END AS sim_r
        |  FROM emb a JOIN emb b ON b.doc_id <> a.doc_id
        |  WHERE a.doc_id < $TbQueries),
        |rk AS (

@@ -785,24 +785,17 @@ object SparkEntry {
           "value_vals" -> (for (i <- 0 until TbS; e <- 0 until TbD) yield s"vv_${i}_$e"),
           "minhash_vals" -> (for (i <- 0 until TbS; j <- 0 until TbM) yield s"mh_${i}_$j")),
         dim = TbD).score(feats)
-    val emb = embedded.select(col("doc_id") +:
-      (0 until TbD).map(k => col("embedding")(k).cast("double").as(s"e$k")): _*)
+    // the search tail IS the shared scale-shaped top-k operator
+    // (`Ann.bruteForceTopK`: queries broadcast, corpus streams, one
+    // rank/tie-break definition for every ANN path) — not an inline pair
+    // join; the oracle replays its exact arithmetic (per-vector norms
+    // computed once, cosine = dot/(n_a·n_b), zero-norm guard)
+    val emb = embedded.select(col("doc_id"), col("embedding"))
     val q = emb.filter(col("doc_id") < TbQueries)
-      .select(col("doc_id").as("query_id") +:
-        (0 until TbD).map(k => col(s"e$k").as(s"q$k")): _*)
-    // index-ascending left-associated sums — the oracle writes the same
-    // literal expression, so the doubles (over identical float-narrowed
-    // embeddings) are bit-equal before the 6-dp round
-    val dot = (0 until TbD).map(k => col(s"q$k") * col(s"e$k")).reduce(_ + _)
-    val na = (0 until TbD).map(k => col(s"q$k") * col(s"q$k")).reduce(_ + _)
-    val nb = (0 until TbD).map(k => col(s"e$k") * col(s"e$k")).reduce(_ + _)
-    val sims = q.join(emb, col("query_id") =!= col("doc_id"))
-      .select(col("query_id"), col("doc_id"),
-        round(dot / sqrt(na * nb), 6).as("sim_r"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim_r").desc, col("doc_id"))
-    sims.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= TbTopK)
-      .select(col("query_id"), col("rnk"), col("doc_id"), col("sim_r"))
+    graft.operators.Ann.bruteForceTopK(emb, q, k = TbTopK,
+        idCol = "doc_id", vecCol = "embedding")
+      .select(col("query_id"), col("rank").as("rnk"),
+        col("neighbor_id").as("doc_id"), col("cosine").as("sim_r"))
       .orderBy("query_id", "rnk")
   }
 
