@@ -411,28 +411,59 @@ object OracleSql {
       // diverging libm call); the tanh variant replays math.tanh as
       // (exp(2z)−1)/(exp(2z)+1) — a ≤1-ulp formula difference absorbed
       // by the 6-dp rounding discipline
-      if (activation == "gelu") {
-        // GELU replays the session's decomposed tanh-approx node chain:
-        // pre-activation z is its own CTE column (the session's f1 node
-        // output), then 0.5·z·(1+tanh(√(2/π)·(z+0.044715·z³))) with tanh
-        // as (exp(2a)−1)/(exp(2a)+1) — DuckDB 1.0's only tanh spelling;
-        // ≤1 ulp from math.tanh, inside the 6-dp rounding discipline
+      if (activation == "gelu" || activation == "gelu_erf") {
+        // both GELU spellings need the pre-activation z as its own CTE
+        // column (the session's f1 node output)
         cte(for (i <- 0 until s_; fi <- 0 until f_)
           yield sum((0 until d_).map(di =>
             s"${P}l1_${i}_$di * ${f(teW1L(l, di, fi))}")) +
             s" + ${f(teBf1L(l, fi))} AS ${P}f1_${i}_$fi")
+      }
+      if (activation == "gelu") {
+        // GELU replays the session's decomposed tanh-approx node chain:
+        // 0.5·z·(1+tanh(√(2/π)·(z+0.044715·z³))) with tanh in the
+        // SATURATING exp spelling 1 − 2/(exp(2a)+1): ≤1 ulp from
+        // math.tanh on bounded args (inside the 6-dp rounding
+        // discipline) AND it degrades to 1.0 instead of inf/inf = NaN
+        // when exp(2a) overflows — matching math.tanh's saturation
         cte(for (i <- 0 until s_; fi <- 0 until f_) yield {
           val z = s"${P}f1_${i}_$fi"
           val arg = s"(($z + (($z * $z) * $z) * 0.044715) * 0.7978845608028654)"
-          s"(($z * ((exp(2.0 * $arg) - 1.0) / (exp(2.0 * $arg) + 1.0) + 1.0))" +
+          s"(($z * ((1.0 - 2.0 / (exp(2.0 * $arg) + 1.0)) + 1.0))" +
             s" * 0.5) AS ${P}f2_${i}_$fi"
+        })
+      } else if (activation == "gelu_erf") {
+        // exact GELU 0.5·z·(1+erf(z/√2)): the session executes the
+        // Div→Erf→Add→Mul→Mul chain with erf as the A&S 7.1.26
+        // polynomial — plain arithmetic, so the oracle replays the SAME
+        // polynomial term-for-term (exp is the only libm call); the
+        // intermediate t needs its own CTE level to be referenced five
+        // times, and `a` (= z/√2) one before that
+        cte(for (i <- 0 until s_; fi <- 0 until f_)
+          yield s"(${P}f1_${i}_$fi / 1.4142135623730951) AS ${P}ga_${i}_$fi")
+        cte(for (i <- 0 until s_; fi <- 0 until f_)
+          yield s"(1.0 / (1.0 + 0.3275911 * abs(${P}ga_${i}_$fi)))" +
+            s" AS ${P}gt_${i}_$fi")
+        cte(for (i <- 0 until s_; fi <- 0 until f_) yield {
+          val z = s"${P}f1_${i}_$fi"
+          val a = s"${P}ga_${i}_$fi"
+          val t = s"${P}gt_${i}_$fi"
+          // y = 1 − ((((((a1·t + a2)·t + a3)·t + a4)·t + a5)·t) · exp(−a²)),
+          // associated exactly as the session's Scala expression
+          val y = s"(1.0 - ((((((1.061405429 * $t - 1.453152027) * $t)" +
+            s" + 1.421413741) * $t - 0.284496736) * $t + 0.254829592) * $t)" +
+            s" * exp((-$a) * $a))"
+          val erf = s"(CASE WHEN $a >= 0 THEN $y ELSE -$y END)"
+          s"(($z * ($erf + 1.0)) * 0.5) AS ${P}f2_${i}_$fi"
         })
       } else cte(for (i <- 0 until s_; fi <- 0 until f_) yield {
         val z = sum((0 until d_).map(di =>
           s"${P}l1_${i}_$di * ${f(teW1L(l, di, fi))}")) + s" + ${f(teBf1L(l, fi))}"
         val a = activation match {
           case "sigmoid" => s"1.0 / (1.0 + exp(-($z)))"
-          case "tanh" => s"(exp(2.0 * ($z)) - 1.0) / (exp(2.0 * ($z)) + 1.0)"
+          // saturating spelling: 1 − 2/(exp(2z)+1) degrades to 1.0 (not
+          // inf/inf = NaN) on overflow, matching math.tanh
+          case "tanh" => s"(1.0 - 2.0 / (exp(2.0 * ($z)) + 1.0))"
           case other => throw new IllegalArgumentException(
             s"unsupported oracle FFN activation '$other'")
         }
@@ -475,6 +506,14 @@ object OracleSql {
     * export emits; the oracle replays the same chain with DuckDB's
     * exp-based tanh spelling. */
   private def q7EncoderGeluSql: String = q7TransformerSql(1, "gelu")
+
+  /** q7_encoder_gelu_exact: GELU in the EXACT (erf) form — the chain a
+    * default torch `nn.GELU()` export writes (Div→Erf→Add→Mul→Mul). The
+    * session's Erf node is the A&S 7.1.26 polynomial; the oracle replays
+    * the same polynomial term-for-term (plain arithmetic + exp), so the
+    * two engines agree to libm-exp rounding — completing the
+    * torch-activation matrix (Sigmoid/Tanh/Relu/tanh-GELU/exact-GELU). */
+  private def q7EncoderGeluExactSql: String = q7TransformerSql(1, "gelu_erf")
 
   /** q6_value_embed oracle: token ids from the md5-low32 hash family
     * (`md5_number_lower`, the engine's proven-parity hash), a closed-form
@@ -4661,6 +4700,7 @@ object OracleSql {
     "q6_vocab_embed" -> q6VocabEmbedSql,
     "q7_encoder_tanh" -> q7EncoderTanhSql,
     "q7_encoder_gelu" -> q7EncoderGeluSql,
+    "q7_encoder_gelu_exact" -> q7EncoderGeluExactSql,
     "q7_transformer_score" -> q7TransformerScoreSql,
     "q7_encoder_stack" -> q7TransformerSql(3),
     "q6_value_embed" -> q6ValueEmbedSql,

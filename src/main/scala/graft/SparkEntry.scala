@@ -646,6 +646,23 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** The EXACT-GELU variant: the Div→Erf→Add→Mul→Mul chain a default
+    * torch `nn.GELU()` (approximate='none') export writes. The session
+    * executes a real Erf node (A&S 7.1.26 polynomial, |err| ≤ 1.5e-7);
+    * the oracle replays the identical polynomial in SQL — with the
+    * tanh-approx variant above this completes the torch-activation
+    * matrix (Sigmoid/Tanh/Relu/tanh-GELU/exact-GELU). */
+  private def q7EncoderGeluExact(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_fixtures/q7_encoder_gelu_exact.onnx"
+    graft.ml.OnnxExport.exportEncoderStack(teStack(1), path, activation = "GeluErf")
+    val (feats, featCols) = teFeats(s)
+    new graft.ml.Scorer.ExternalModelScorer(
+        graft.ml.Scorer.onnxModelFactory(path), featCols)
+      .score(feats)
+      .select(col("id"), round(col("score"), 6).as("score_r"))
+      .orderBy("id")
+  }
+
   /** The DEEP variant: a 3-layer stack of the same encoder block (the
     * reference's BERT is 12 stacked copies of this block) through the
     * same session — the oracle unrolls all three layers in SQL. */
@@ -3556,6 +3573,7 @@ object SparkEntry {
     "q6_value_embed" -> q6ValueEmbed,
     "q7_encoder_tanh" -> q7EncoderTanh,
     "q7_encoder_gelu" -> q7EncoderGelu,
+    "q7_encoder_gelu_exact" -> q7EncoderGeluExact,
     "q6_vocab_embed" -> q6VocabEmbed,
     "e2e_encode_search" -> e2eEncodeSearch,
     "q1_embed_extract" -> q1EmbedExtract,

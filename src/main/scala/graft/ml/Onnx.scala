@@ -298,7 +298,7 @@ object OnnxExport {
     val (s, d, h, f) = (w.seqLen, w.dModel, w.nHeads, w.dFf)
     require(h > 0 && d % h == 0, s"dModel $d must divide into $h heads")
     require(w.layers.nonEmpty, "exportEncoderStack: at least one layer")
-    require(Set("Sigmoid", "Tanh", "Relu", "Erf", "Gelu").contains(activation),
+    require(Set("Sigmoid", "Tanh", "Relu", "Erf", "Gelu", "GeluErf").contains(activation),
       s"unsupported FFN activation '$activation'")
     val dh = d / h
     val features = for (i <- 0 until s; j <- 0 until d) yield s"x_${i}_$j"
@@ -311,6 +311,14 @@ object OnnxExport {
       // approximate='tanh' export bakes in: √(2/π) and 0.044715
       inits += tensorMsg("gelu_c1", Seq(1L), Array(0.7978845608028654))
       inits += tensorMsg("gelu_c2", Seq(1L), Array(0.044715))
+      inits += tensorMsg("gelu_one", Seq(1L), Array(1.0))
+      inits += tensorMsg("gelu_half", Seq(1L), Array(0.5))
+    }
+    if (activation == "GeluErf") {
+      // exact GELU 0.5·z·(1+erf(z/√2)) — the Div/Erf chain a default
+      // (approximate='none') torch nn.GELU export emits; √2 as the
+      // nearest double, the literal the exported Div node divides by
+      inits += tensorMsg("gelu_sqrt2", Seq(1L), Array(1.4142135623730951))
       inits += tensorMsg("gelu_one", Seq(1L), Array(1.0))
       inits += tensorMsg("gelu_half", Seq(1L), Array(0.5))
     }
@@ -374,6 +382,15 @@ object OnnxExport {
         nodes += nodeMsg("Add", Seq(s"${P}gl5", "gelu_one"), s"${P}gl6")
         nodes += nodeMsg("Mul", Seq(s"${P}f1", s"${P}gl6"), s"${P}gl7")
         nodes += nodeMsg("Mul", Seq(s"${P}gl7", "gelu_half"), s"${P}f2")
+      } else if (activation == "GeluErf") {
+        // exact GELU decomposed into the Div→Erf→Add→Mul→Mul chain a
+        // torch nn.GELU() (approximate='none') export writes:
+        // 0.5 · z · (1 + erf(z / √2))
+        nodes += nodeMsg("Div", Seq(s"${P}f1", "gelu_sqrt2"), s"${P}ge0")
+        nodes += nodeMsg("Erf", Seq(s"${P}ge0"), s"${P}ge1")
+        nodes += nodeMsg("Add", Seq(s"${P}ge1", "gelu_one"), s"${P}ge2")
+        nodes += nodeMsg("Mul", Seq(s"${P}f1", s"${P}ge2"), s"${P}ge3")
+        nodes += nodeMsg("Mul", Seq(s"${P}ge3", "gelu_half"), s"${P}f2")
       } else nodes += nodeMsg(activation, Seq(s"${P}f1"), s"${P}f2")
       nodes += nodeMsg("MatMul", Seq(s"${P}f2", s"${P}w2"), s"${P}f3")
       nodes += nodeMsg("Add", Seq(s"${P}f3", s"${P}bf2"), s"${P}f4")
@@ -1291,9 +1308,19 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
             .map(_.data.headOption.getOrElse(0.0)).getOrElse(0.0)
           Seq(Tensor(shape, Array.fill(math.max(shape.product, 0))(v)))
         case "Constant" =>
-          Seq(node.attrs.get("value").flatMap(_.t).getOrElse(
-            throw new UnsupportedOperationException(
-              "Constant: only the 'value' tensor attribute form is supported")))
+          // exporters emit the tensor 'value' form OR the scalar
+          // value_float / value_int / value_ints shorthands — accept all
+          // four (scalars become 0-d tensors, ints a 1-D tensor)
+          Seq(node.attrs.get("value").flatMap(_.t)
+            .orElse(node.attrs.get("value_float").map(a =>
+              Tensor(Array.empty[Int], Array(a.f.toDouble))))
+            .orElse(node.attrs.get("value_int").map(a =>
+              Tensor(Array.empty[Int], Array(a.i.toDouble))))
+            .orElse(node.attrs.get("value_ints").map(a =>
+              Tensor(Array(a.ints.length), a.ints.map(_.toDouble).toArray)))
+            .getOrElse(throw new UnsupportedOperationException(
+              "Constant: unsupported attribute form (need value, " +
+                "value_float, value_int, or value_ints)")))
         case op => throw new UnsupportedOperationException(s"op '$op'")
       }
       require(outs.length == node.outs.length,
@@ -1474,6 +1501,10 @@ private[ml] object Proto {
         case 7  => // INT64 — small ids/shapes, lossless in double
           require(b.length % 8 == 0, s"raw_data ${b.length} bytes not int64-aligned")
           Some(Array.fill(b.length / 8)(bb.getLong.toDouble))
+        case 9  => // BOOL — torch serializes bool tensors as raw_data at
+          // ONE byte per element (the attention-mask Equal/Cast/Where
+          // constants); nonzero → 1.0, zero → 0.0
+          Some(b.map(x => if (x != 0) 1.0 else 0.0))
         case other => throw new IllegalArgumentException(
           s"raw_data for unsupported data_type $other")
       }

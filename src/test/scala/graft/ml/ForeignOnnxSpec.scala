@@ -56,8 +56,30 @@ class ForeignOnnxSpec extends AnyFunSuite {
         data.foreach(raw.putFloat)
         bytes(o, 9, raw.array())
       }
+    /** TensorProto with BOOL raw_data — ONE byte per element, the layout
+      * torch writes for bool constants (attention-mask paths). */
+    def boolTensor(dims: Seq[Long], data: Seq[Boolean]): Array[Byte] =
+      msg { o =>
+        val dimsB = msg(d => dims.foreach(vint(d, _)))
+        if (dims.nonEmpty) bytes(o, 1, dimsB)
+        int(o, 2, 9) // data_type BOOL
+        bytes(o, 9, data.map(b => if (b) 1.toByte else 0.toByte).toArray)
+      }
+    def fixed32(o: B, field: Int, bits: Int): Unit = {
+      key(o, field, 5)
+      o.write(bits & 0xff); o.write((bits >> 8) & 0xff)
+      o.write((bits >> 16) & 0xff); o.write((bits >>> 24) & 0xff)
+    }
     def attrInt(name: String, v: Long): Array[Byte] =
       msg { o => str(o, 1, name); int(o, 20, 2); int(o, 3, v) }
+    def attrFloat(name: String, v: Float): Array[Byte] =
+      msg { o => str(o, 1, name); int(o, 20, 1)
+        fixed32(o, 2, java.lang.Float.floatToIntBits(v)) }
+    /** INTS attribute written UNPACKED (repeated field-8 varints) — the
+      * wire form proto2 writers emit, exercising the reader's unpacked
+      * path. */
+    def attrIntList(name: String, vs: Seq[Long]): Array[Byte] =
+      msg { o => str(o, 1, name); int(o, 20, 7); vs.foreach(int(o, 8, _)) }
     def attrTensor(name: String, t: Array[Byte]): Array[Byte] =
       msg { o => str(o, 1, name); int(o, 20, 4); bytes(o, 5, t) }
     def node(op: String, ins: Seq[String], outs: Seq[String],
@@ -198,6 +220,68 @@ class ForeignOnnxSpec extends AnyFunSuite {
       sess.runMatrix(Array(Array(1.0, 2.0)))
     }
     assert(e.getMessage.contains("training_mode"))
+  }
+
+  test("BOOL tensors arrive as raw_data (1 byte/element) and select in Where") {
+    import Pb._
+    // c = [true, false, true] as a bool raw_data Constant;
+    // y = Where(c, x, tenth) — x where c, 0.1 elsewhere
+    val m = model(
+      Seq(
+        node("Constant", Nil, Seq("c"),
+          Seq(attrTensor("value", boolTensor(Seq(3L), Seq(true, false, true))))),
+        node("Constant", Nil, Seq("tenth"),
+          Seq(attrTensor("value", doubleTensor("", Seq(1L), Seq(0.1))))),
+        node("Where", Seq("c", "x", "tenth"), Seq("y"))),
+      inits = Nil,
+      input = valueInfo("x", Seq(None, Some(3L))),
+      output = valueInfo("y", Seq(None, Some(3L))))
+    val out = new OnnxSession(m).runMatrix(Array(Array(7.0, 8.0, 9.0)))
+    assert(out(0).toSeq === Seq(7.0, 0.1, 9.0))
+  }
+
+  test("BOOL initializer (graph-level) decodes from raw_data too") {
+    import Pb._
+    // same select, but the bool tensor is a graph INITIALIZER — the
+    // torch-export layout the session's initializer parse must accept
+    val init = msg { o =>
+      bytes(o, 1, msg(d => vint(d, 3L)))
+      int(o, 2, 9)
+      bytes(o, 9, Array[Byte](1, 0, 1))
+      str(o, 8, "c")
+    }
+    val m = model(
+      Seq(
+        node("Constant", Nil, Seq("tenth"),
+          Seq(attrTensor("value", doubleTensor("", Seq(1L), Seq(0.1))))),
+        node("Where", Seq("c", "x", "tenth"), Seq("y"))),
+      inits = Seq(init),
+      input = valueInfo("x", Seq(None, Some(3L))),
+      output = valueInfo("y", Seq(None, Some(3L))))
+    val out = new OnnxSession(m).runMatrix(Array(Array(7.0, 8.0, 9.0)))
+    assert(out(0).toSeq === Seq(7.0, 0.1, 9.0))
+  }
+
+  test("Constant scalar attribute forms: value_float, value_int, value_ints") {
+    import Pb._
+    // f = 0.25 (value_float, 0-d); i = 3 (value_int, 0-d);
+    // shp = [3] (value_ints); ones = ConstantOfShape(shp, 1.0);
+    // y = x·f + i·ones  → x·0.25 + 3.0
+    val m = model(
+      Seq(
+        node("Constant", Nil, Seq("f"), Seq(attrFloat("value_float", 0.25f))),
+        node("Constant", Nil, Seq("i"), Seq(attrInt("value_int", 3L))),
+        node("Constant", Nil, Seq("shp"), Seq(attrIntList("value_ints", Seq(3L)))),
+        node("ConstantOfShape", Seq("shp"), Seq("ones"),
+          Seq(attrTensor("value", doubleTensor("", Seq(1L), Seq(1.0))))),
+        node("Mul", Seq("x", "f"), Seq("xf")),
+        node("Mul", Seq("i", "ones"), Seq("io")),
+        node("Add", Seq("xf", "io"), Seq("y"))),
+      inits = Nil,
+      input = valueInfo("x", Seq(None, Some(3L))),
+      output = valueInfo("y", Seq(None, Some(3L))))
+    val out = new OnnxSession(m).runMatrix(Array(Array(4.0, 8.0, -4.0)))
+    assert(out(0).toSeq === Seq(4.0, 5.0, 2.0))
   }
 
   test("Shape start/end slices the dim list (opset 15 form)") {
