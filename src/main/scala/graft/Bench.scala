@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Uses the noop sink so Catalyst cannot prune the
@@ -22,6 +23,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // single-section mode for local iteration on the structural probes
+    // (driver runs never set this): print just that section and exit
+    sys.env.get("SPARK_GRAFT_SECTION").foreach { sec =>
+      val out = sec match {
+        case "cosine_scale"  => cosineScaleBench(spark, sfDir)
+        case "encoder_scale" => encoderScaleBench(cpus.toInt)
+        case "lake_plan"     => lakePlanBench(spark)
+        case "csv_plan"      => csvPlanBench(spark)
+        case other           => s"""{"err":"unknown section $other"}"""
+      }
+      println(s"""{"section":"$sec","value":$out}""")
+      spark.stop()
+      return
+    }
     // one untimed warm-up (JIT, page cache, shared catalog persist) then
     // min-of-3 timed runs per query: two consecutive bench invocations on
     // this noisy shared box must agree, or the round-over-round perf
@@ -55,9 +70,14 @@ object Bench {
     // single-query iteration, where they are dead time — skip them
     val lp = if (only.isDefined) "{}" else lakePlanBench(spark)
     val cp = if (only.isDefined) "{}" else csvPlanBench(spark)
+    val cs = if (only.isDefined) "{}" else cosineScaleBench(spark, sfDir)
+    val es = if (only.isDefined) "{}" else encoderScaleBench(cpus.toInt)
+    // isolated re-runs LAST: each forks a fresh JVM, so nothing this
+    // session did (heap, codegen cache, GC debt) can contaminate them
+    val iso = if (only.isDefined) "{}" else isolatedBench(results, sfDir, cpus)
     def entry(kv: (String, Double)): String = "\"" + kv._1 + f"""\":${kv._2}%.3f"""
     val fullQs = results.map(entry).mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"lake_plan":$lp,"csv_plan":$cp,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"encoder_scale":$es,"bench_isolated":$iso,"sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE: the harness that collects this
     // run keeps only the last ~2000 chars of stdout, and at 90+ queries the
     // full line no longer fits (round-6 postmortem: the recorded line was
@@ -85,7 +105,17 @@ object Bench {
     }
     val qs = kept.mkString("{", ",", "}")
     val omitted = results.size - kept.size
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"omitted_fastest":$omitted,"detail":"BENCH_FULL.json","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"sf":"$sfDir"}""")
+    // the isolated table itself lives in BENCH_FULL.json; the compact
+    // line carries only its headline — the worst in-suite/isolated ratio
+    // (1.0 = composite suite position added nothing)
+    val isoRatio = {
+      val suite = results.toMap
+      val re = """"([^"]+)":([0-9.]+)""".r
+      val ratios = re.findAllMatchIn(iso).flatMap(m =>
+        suite.get(m.group(1)).map(s => s / math.max(m.group(2).toDouble, 1e-9))).toSeq
+      if (ratios.isEmpty) "null" else f"${ratios.max}%.2f"
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"omitted_fastest":$omitted,"detail":"BENCH_FULL.json","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"isolated_max_suite_ratio":$isoRatio,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -177,6 +207,200 @@ object Bench {
     val uni40 = timed2(unified(files.take(nSmall)))
     val uni400 = timed2(unified(files))
     f"""{"files_small":$nSmall,"files_big":$nBig,"loop_${nSmall}":$loop40%.3f,"unified_${nSmall}":$uni40%.3f,"unified_${nBig}":$uni400%.3f}"""
+  }
+
+  /** bench_isolated: re-run the slowest `SPARK_GRAFT_ISOLATED_N`
+    * (default 15) queries each in a FRESH JVM + SparkSession, so the
+    * committed artifact itself answers "is that regression real or
+    * suite-position noise?" — a 214-query composite accumulates heap and
+    * GC debt that lands inside some query's samples and misreports it at
+    * a multiple of its isolated cost, and min-of-3 + between-query GC
+    * does not fully insulate it. The child is this same main with
+    * SPARK_GRAFT_QUERIES=<name> (which already runs warm-up + min-of-3
+    * and skips the structural sections); its JVM gets the parent's exact
+    * flags and classpath (sbt forks `run`, so both are real). A child
+    * that fails or times out is reported absent, not fabricated. */
+  private def isolatedBench(results: Seq[(String, Double)],
+                            sfDir: String, cpus: String): String = {
+    val n = sys.env.get("SPARK_GRAFT_ISOLATED_N").map(_.toInt).getOrElse(15)
+    if (n <= 0) return "{}"
+    val names = results.sortBy(-_._2).take(n).map(_._1)
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = sys.props("java.class.path")
+    val entries = names.flatMap { name =>
+      System.err.println(s"[bench] isolated re-run: $name")
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_iso_")
+        val pb = new ProcessBuilder(
+          (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+        pb.directory(dir.toFile)
+        pb.redirectErrorStream(true)
+        pb.redirectOutput(dir.resolve("child.log").toFile)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_QUERIES", name)
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_CPUS", cpus)
+        val p = pb.start()
+        val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { p.destroyForcibly(); p.waitFor(); None }
+        else {
+          val f = dir.resolve("BENCH_SUBSET.json")
+          if (!java.nio.file.Files.exists(f)) None
+          else {
+            val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+            val re = ("\"" + java.util.regex.Pattern.quote(name) +
+              "\":([0-9.]+)").r
+            re.findFirstMatchIn(s).map(m => name -> m.group(1).toDouble)
+          }
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] isolated $name failed: $e"); None
+      }
+    }
+    if (entries.size < names.size)
+      System.err.println(s"[bench] isolated: ${names.size - entries.size} of " +
+        s"${names.size} children produced no result (see child.log dirs)")
+    entries.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+  }
+
+  /** encoder_scale: pure-JVM [[graft.ml.OnnxSession]] throughput at
+    * BERT-class dims — hidden 768, 12 heads, FFN 3072, seq 128 and 512 —
+    * the shape a real fine-tuned checkpoint has (vs the oracle fixtures'
+    * toy S=4..6, D=4). One layer is exported and timed per doc; a full
+    * 12-layer forward is 12× that (layers are identical blocks), and the
+    * 32-core docs/sec extrapolation models the mapPartitions deployment
+    * (one session per partition, embarrassingly parallel). This is the
+    * measured basis for the documented JNI-onnxruntime crossover at
+    * `Scorer.onnxModelFactory`. */
+  private def encoderScaleBench(cpus: Int): String = {
+    import graft.ml.OnnxExport
+    val (d, h, f) = (768, 12, 3072)
+    val dh = d / h
+    // small pseudo-random binary-fraction weights scaled ~1/√D: keeps
+    // softmax/LayerNorm in range; values are irrelevant to timing
+    def w3(seed: Int): Array[Array[Array[Double]]] =
+      Array.tabulate(h, d, dh)((a, i, j) =>
+        ((a * 31 + i * 17 + j * 7 + seed) % 9 - 4) * 0.00390625)
+    def w2(r: Int, c: Int, seed: Int): Array[Array[Double]] =
+      Array.tabulate(r, c)((i, j) => ((i * 13 + j * 11 + seed) % 9 - 4) * 0.00390625)
+    def v1(len: Int, seed: Int): Array[Double] =
+      Array.tabulate(len)(i => ((i * 5 + seed) % 7 - 3) * 0.015625)
+    val layer = OnnxExport.EncoderLayer(
+      wq = w3(1), wk = w3(2), wv = w3(3),
+      wo = w2(d, d, 4), bo = v1(d, 5),
+      g1 = Array.fill(d)(1.0), b1 = v1(d, 6),
+      w1 = w2(d, f, 7), bf1 = v1(f, 8),
+      w2 = w2(f, d, 9), bf2 = v1(d, 10),
+      g2 = Array.fill(d)(1.0), b2 = v1(d, 11))
+    def perDocMs(s: Int, docs: Int): Double = {
+      val stack = OnnxExport.EncoderStack(s, d, h, f, Seq(layer),
+        wHead = v1(d, 12), bHead = 0.125,
+        attScale = 1.0 / math.sqrt(dh.toDouble), lnEps = 1e-5)
+      val path = s"/tmp/graft_bench_encoder_${s}.onnx"
+      OnnxExport.exportEncoderStack(stack, path)
+      val sess = graft.ml.OnnxSession.load(path)
+      def batch(k: Int): Array[Array[Double]] =
+        Array.tabulate(k, s * d)((r, i) => ((r * 31 + i) % 17) * 0.0625 - 0.5)
+      sess.run(batch(1)) // warm (JIT)
+      val t0 = System.nanoTime()
+      sess.run(batch(docs))
+      (System.nanoTime() - t0) / 1e6 / docs
+    }
+    val ms128 = perDocMs(128, 2)
+    val ms512 = perDocMs(512, 1)
+    // the reference-shaped model is 12 of this block; per-doc encode cost
+    // is layers × per-layer (pooling/head are noise at these dims)
+    val dps512 = cpus / (ms512 / 1000.0 * 12)
+    val dps128 = cpus / (ms128 / 1000.0 * 12)
+    f"""{"d_model":$d,"heads":$h,"d_ff":$f,"layer_ms_seq128":$ms128%.1f,"layer_ms_seq512":$ms512%.1f,"docs_per_sec_12layer_seq128_${cpus}cores":$dps128%.2f,"docs_per_sec_12layer_seq512_${cpus}cores":$dps512%.2f}"""
+  }
+
+  /** cosine_scale: the exact cosine self-join probed at 1× and 10× the
+    * sf documents corpus, on BOTH vocabulary regimes the router serves:
+    *  - HOT (the raw documents table: one ~31-token vocabulary, the
+    *    posting join's worst case) — blocked kernel + auto at both
+    *    scales; the postings arm runs at 1× and is PROJECTED at 10×
+    *    (candidates grow ∝ docs², measuring the wrong plan at 50k docs
+    *    would dominate the whole bench — the skip is explicit, not
+    *    silent);
+    *  - ZIPF (tokens salted into ~50 shards each → a fat vocabulary,
+    *    the regime postings is built for) — all three arms at both
+    *    scales; postings here is the near-linear scale path.
+    * Also records the auto-sized block count at each scale (autoBlocks
+    * growing with the corpus is the kernel's bounded-task-size design)
+    * and each regime's router decision. 10× rows are DISTINCT variants
+    * (per-variant word dropout), not copies, so df/tf profiles scale the
+    * way a real corpus grows. */
+  private def cosineScaleBench(spark: SparkSession,
+                               sfDir: String): String = {
+    import graft.search.TextSearch
+    val tau = 0.9
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def tenX(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), lit(9L))).as("v"))
+      .select((col("doc_id") * 10 + col("v")).as("doc_id"),
+        concat_ws(" ", filter(split(col("text"), "\\s+"),
+          t => pmod(xxhash64(t, col("v")), lit(3)) =!= 0)).as("text"))
+    def zipfify(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"), concat_ws(" ",
+        transform(split(col("text"), "\\s+"),
+          t => concat(t, lit("_"), pmod(xxhash64(t, col("doc_id")), lit(50)))))
+        .as("text"))
+    def time(df: => org.apache.spark.sql.DataFrame): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def wtdProfile(docs: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      // same relation the router profiles: postings count, docs, Σdf²
+      val tk = docs.select(col("doc_id").as("id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("term"))
+        .groupBy("id", "term").count()
+      val dfq = tk.groupBy("term").agg(count(lit(1)).as("df"))
+      val prof = tk.join(dfq, "term")
+        .agg(count(lit(1)), count_distinct(col("id")), sum("df")).head()
+      (prof.getLong(0), prof.getLong(1), prof.getLong(2).toDouble)
+    }
+    // one untimed warm-up on a small slice: the FIRST timed arm must not
+    // pay the one-time JIT/codegen cost for the whole plan family
+    TextSearch.cosineSelfJoin(base.limit(50), tau)
+      .write.format("noop").mode("overwrite").save()
+    TextSearch.cosineSelfJoinPostings(base.limit(50), tau)
+      .write.format("noop").mode("overwrite").save()
+    val sections = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((regime, mk) <- Seq(
+        ("hot", (d: org.apache.spark.sql.DataFrame) => d),
+        ("zipf", zipfify _))) {
+      for ((scaleTag, docs0) <- Seq(("1x", mk(base)), ("10x", tenX(mk(base))))) {
+        val docs = docs0.localCheckpoint(true)
+        val (p, nd, sumDf2) = wtdProfile(docs)
+        val blocks = TextSearch.autoBlocks(nd, p)
+        // STAGE-1 router verdict only (stage 2's prefix window ≈ running
+        // the postings plan's prep); the timed `auto` arm runs the full
+        // two-stage router, so its wall-time reflects the real decision
+        val routed = if (TextSearch.routeToPostings(nd, sumDf2,
+          Double.MaxValue)) "postings" else "blocked"
+        val tb = time(TextSearch.cosineSelfJoin(docs, tau))
+        val ta = time(TextSearch.cosineSimilarityJoin(docs, tau))
+        // the wrong-regime postings arm at 10× is projected, not run:
+        // candidate volume is ∝ docs² on the hot vocabulary
+        val tp =
+          if (regime == "hot" && scaleTag == "10x") -1.0
+          else time(TextSearch.cosineSelfJoinPostings(docs, tau))
+        val tpJson = if (tp < 0) "null" else f"$tp%.3f"
+        sections += f""""${regime}_$scaleTag":{"docs":$nd,"blocks":$blocks,"router_stage1":"$routed","blocked":$tb%.3f,"postings":$tpJson,"auto":$ta%.3f}"""
+        docs.unpersist()
+      }
+    }
+    sections.mkString("{", ",", "}")
   }
 
   /** 50-row 4-column CSVs, one template copied N times (content is

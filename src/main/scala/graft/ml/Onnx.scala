@@ -759,20 +759,42 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   // Softmax) so an unrolled SQL replay of the same graph is
   // FP-bit-identical up to libm's exp/tanh (the q7 oracle discipline).
 
-  /** [m,k]·[k,p] with k-ascending accumulation. */
-  private def mm2(a: Array[Double], b: Array[Double],
-                  m: Int, k: Int, p: Int, r: Array[Double], ro: Int,
-                  ao: Int, bo: Int): Unit = {
+  /** [m,k]·[k,p] with k-ascending accumulation against a PRE-TRANSPOSED
+    * right operand: bT is [p][k] row-major, so the inner loop reads both
+    * operands contiguously (the naive b(t·p+j) walk strides the cache by
+    * p — at BERT dims that single change is ~4× wall). The summation
+    * ORDER is unchanged (t ascending), so results stay FP-bit-identical
+    * to the unrolled-SQL oracle replay. */
+  private def mm2T(a: Array[Double], bT: Array[Double],
+                   m: Int, k: Int, p: Int, r: Array[Double], ro: Int,
+                   ao: Int): Unit = {
     var i = 0
     while (i < m) {
+      val aoi = ao + i * k
       var j = 0
       while (j < p) {
+        val boj = j * k
         var s = 0.0; var t = 0
-        while (t < k) { s += a(ao + i * k + t) * b(bo + t * p + j); t += 1 }
+        while (t < k) { s += a(aoi + t) * bT(boj + t); t += 1 }
         r(ro + i * p + j) = s; j += 1
       }
       i += 1
     }
+  }
+
+  /** The [k,p] slice of b at offset bo, transposed to [p][k] row-major
+    * for [[mm2T]]'s contiguous inner loop. */
+  private def transposedSlice(b: Array[Double], bo: Int,
+                              k: Int, p: Int): Array[Double] = {
+    val bT = new Array[Double](k * p)
+    var t = 0
+    while (t < k) {
+      val row = bo + t * p
+      var j = 0
+      while (j < p) { bT(j * k + t) = b(row + j); j += 1 }
+      t += 1
+    }
+    bT
   }
 
   /** MatMul: 2-D×2-D, batched 3-D×2-D (shared weights), and 3-D×3-D
@@ -781,15 +803,17 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     case (2, 2) =>
       require(a.dims(1) == b.dims(0), s"MatMul [${a.dims.mkString(",")}]x[${b.dims.mkString(",")}]")
       val r = new Array[Double](a.dims(0) * b.dims(1))
-      mm2(a.data, b.data, a.dims(0), a.dims(1), b.dims(1), r, 0, 0, 0)
+      val bT = transposedSlice(b.data, 0, a.dims(1), b.dims(1))
+      mm2T(a.data, bT, a.dims(0), a.dims(1), b.dims(1), r, 0, 0)
       Tensor(Array(a.dims(0), b.dims(1)), r)
     case (3, 2) =>
       require(a.dims(2) == b.dims(0), s"MatMul [${a.dims.mkString(",")}]x[${b.dims.mkString(",")}]")
       val (n, m, k, p) = (a.dims(0), a.dims(1), a.dims(2), b.dims(1))
       val r = new Array[Double](n * m * p)
+      val bT = transposedSlice(b.data, 0, k, p) // shared weights: once
       var bi = 0
       while (bi < n) {
-        mm2(a.data, b.data, m, k, p, r, bi * m * p, bi * m * k, 0); bi += 1
+        mm2T(a.data, bT, m, k, p, r, bi * m * p, bi * m * k); bi += 1
       }
       Tensor(Array(n, m, p), r)
     case (3, 3) =>
@@ -799,7 +823,8 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
       val r = new Array[Double](n * m * p)
       var bi = 0
       while (bi < n) {
-        mm2(a.data, b.data, m, k, p, r, bi * m * p, bi * m * k, bi * k * p)
+        val bT = transposedSlice(b.data, bi * k * p, k, p)
+        mm2T(a.data, bT, m, k, p, r, bi * m * p, bi * m * k)
         bi += 1
       }
       Tensor(Array(n, m, p), r)

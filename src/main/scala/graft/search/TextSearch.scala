@@ -219,7 +219,7 @@ object TextSearch {
     * the pair relation is generated distributedly past the driver-side
     * threshold and its PARTITION count is capped independently below.
     */
-  private[search] def autoBlocks(nDocs: Long, nPostings: Long): Int =
+  private[graft] def autoBlocks(nDocs: Long, nPostings: Long): Int =
     math.max(16L, math.max(
       math.ceil(nPostings / 250000.0).toLong,
       math.ceil(nDocs / 2000.0).toLong)).toInt
@@ -298,8 +298,8 @@ object TextSearch {
     * 0.25 covers the per-candidate constant gap between shuffle-join
     * machinery and the kernel's tight merge loop.
     */
-  private[search] def routeToPostings(nDocs: Long, sumDf2: Double,
-                                      prefixCands: => Double): Boolean = {
+  private[graft] def routeToPostings(nDocs: Long, sumDf2: Double,
+                                     prefixCands: => Double): Boolean = {
     val allPairs = nDocs.toDouble * (nDocs - 1L).toDouble / 2.0
     sumDf2 / 2.0 <= 0.25 * allPairs || prefixCands <= 0.25 * allPairs
   }
