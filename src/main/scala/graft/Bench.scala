@@ -306,10 +306,13 @@ object Bench {
       val sess = graft.ml.OnnxSession.load(path)
       def batch(k: Int): Array[Array[Double]] =
         Array.tabulate(k, s * d)((r, i) => ((r * 31 + i) % 17) * 0.0625 - 0.5)
-      sess.run(batch(1)) // warm (JIT)
-      val t0 = System.nanoTime()
-      sess.run(batch(docs))
-      (System.nanoTime() - t0) / 1e6 / docs
+      sess.run(batch(1)) // warm (JIT, transposed-weight cache)
+      // min-of-3: single-run wall on this box swings ±30%
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        sess.run(batch(docs))
+        (System.nanoTime() - t0) / 1e6 / docs
+      }.min
     }
     val ms128 = perDocMs(128, 2)
     val ms512 = perDocMs(512, 1)

@@ -631,6 +631,15 @@ object OnnxExport {
 final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   import Proto._
 
+  /** Opt-in per-op-type wall accumulator (set GRAFT_ONNX_PROFILE=1):
+    * [[forward]] adds each node's nanos under its op name, read back via
+    * [[opProfileNanos]] — the measured basis for optimizing the session's
+    * non-GEMM ops (tools/GemmProbe `ops` mode). One nanoTime pair per
+    * node when on; a dead branch when off. */
+  private val profiling = sys.env.get("GRAFT_ONNX_PROFILE").exists(_.nonEmpty)
+  private val profAcc = scala.collection.mutable.Map.empty[String, Long]
+  def opProfileNanos: Map[String, Long] = profAcc.toMap
+
   // EVERY nested parse goes through this wrapper, not just the top-level
   // ModelProto: malformed bytes can be length-consistent at the outer
   // framing while a nested graph/node/tensor message is garbage — those
@@ -762,24 +771,135 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   /** [m,k]·[k,p] with k-ascending accumulation against a PRE-TRANSPOSED
     * right operand: bT is [p][k] row-major, so the inner loop reads both
     * operands contiguously (the naive b(t·p+j) walk strides the cache by
-    * p — at BERT dims that single change is ~4× wall). The summation
-    * ORDER is unchanged (t ascending), so results stay FP-bit-identical
-    * to the unrolled-SQL oracle replay. */
+    * p — at BERT dims that single change is ~4× wall).
+    *
+    * Register-blocked 2×4: each inner-loop pass advances EIGHT output
+    * accumulators (2 a-rows × 4 bT-cols), so the FP-add pipeline holds 8
+    * independent dependency chains instead of 1 — a scalar dot product is
+    * latency-bound at ~1 add per 4 cycles, and HotSpot cannot vectorize a
+    * strict-order reduction. Every accumulator still sums its OWN products
+    * in t-ascending order, so each output element is FP-bit-identical to
+    * the naive loop — and hence to the unrolled-SQL oracle replay. */
   private def mm2T(a: Array[Double], bT: Array[Double],
-                   m: Int, k: Int, p: Int, r: Array[Double], ro: Int,
-                   ao: Int): Unit = {
-    var i = 0
-    while (i < m) {
-      val aoi = ao + i * k
-      var j = 0
-      while (j < p) {
-        val boj = j * k
-        var s = 0.0; var t = 0
-        while (t < k) { s += a(aoi + t) * bT(boj + t); t += 1 }
-        r(ro + i * p + j) = s; j += 1
-      }
-      i += 1
+                   m: Int, k: Int, p: Int, r: Array[Double]): Unit = {
+    // L2 tiling over output columns: without it, every row-pair sweep
+    // re-streams ALL of bT (18 MB at the FFN-up shape [768,3072]) from
+    // DRAM — measured 3.9 GFLOP/s vs 6+ for L2-resident shapes
+    // (tools/GemmProbe). A ~1 MiB column tile stays cache-resident
+    // across the whole i sweep; tiling only reorders WHICH outputs are
+    // computed when, never how one output accumulates.
+    val tile = math.max(4, ((1 << 20) / (8 * k)) & ~3)
+    var jt = 0
+    while (jt < p) {
+      mm2TTile(a, bT, m, k, p, r, jt, math.min(jt + tile, p))
+      jt += tile
     }
+  }
+
+  /** [[mm2T]] restricted to output columns [jStart, jEnd).
+    *
+    * Deliberately OFFSET-FREE (a, bT, r are indexed from 0): runtime
+    * base-offset parameters defeat HotSpot's range-check elimination in
+    * the inner loop — measured 1.6× wall on the FFN shape for the same
+    * loop with ro/ao args (tools/GemmProbe `off` mode). Batched callers
+    * copy slices instead; a memcpy is noise next to the GEMM.
+    *
+    * The column/row TAILS live in their own methods: with the (dead, for
+    * aligned shapes) tail loop nests inline, C2 compiles the hot 2×4
+    * loop at HALF speed — 650 vs 346 ms on the FFN shape for
+    * byte-identical inner code (tools/GemmProbe `full` vs default mode;
+    * the extra loop nests blow the optimization budget of the main
+    * loop). Splitting them out restores the floor; execution order and
+    * per-element arithmetic are unchanged. */
+  private def mm2TTile(a: Array[Double], bT: Array[Double],
+                       m: Int, k: Int, p: Int, r: Array[Double],
+                       jStart: Int, jEnd: Int): Unit = {
+    var i = 0
+    while (i + 2 <= m) {
+      val a0 = i * k; val a1 = a0 + k
+      var j = jStart
+      while (j + 4 <= jEnd) {
+        val b0 = j * k; val b1 = b0 + k; val b2 = b1 + k; val b3 = b2 + k
+        var s00 = 0.0; var s01 = 0.0; var s02 = 0.0; var s03 = 0.0
+        var s10 = 0.0; var s11 = 0.0; var s12 = 0.0; var s13 = 0.0
+        var t = 0
+        while (t < k) {
+          val x0 = a(a0 + t); val x1 = a(a1 + t)
+          val y0 = bT(b0 + t); val y1 = bT(b1 + t)
+          val y2 = bT(b2 + t); val y3 = bT(b3 + t)
+          s00 += x0 * y0; s01 += x0 * y1; s02 += x0 * y2; s03 += x0 * y3
+          s10 += x1 * y0; s11 += x1 * y1; s12 += x1 * y2; s13 += x1 * y3
+          t += 1
+        }
+        val o0 = i * p + j; val o1 = o0 + p
+        r(o0) = s00; r(o0 + 1) = s01; r(o0 + 2) = s02; r(o0 + 3) = s03
+        r(o1) = s10; r(o1 + 1) = s11; r(o1 + 2) = s12; r(o1 + 3) = s13
+        j += 4
+      }
+      if (j < jEnd) colTail2(a, bT, k, p, r, i, j, jEnd)
+      i += 2
+    }
+    if (i < m) rowTail(a, bT, k, p, r, i, jStart, jEnd)
+  }
+
+  /** Column tail of a row pair (jEnd−jStart not a multiple of 4). */
+  private def colTail2(a: Array[Double], bT: Array[Double], k: Int, p: Int,
+                       r: Array[Double], i: Int, j0: Int, jEnd: Int): Unit = {
+    val a0 = i * k; val a1 = a0 + k
+    var j = j0
+    while (j < jEnd) {
+      val bj = j * k
+      var s0 = 0.0; var s1 = 0.0; var t = 0
+      while (t < k) {
+        val y = bT(bj + t); s0 += a(a0 + t) * y; s1 += a(a1 + t) * y; t += 1
+      }
+      r(i * p + j) = s0; r((i + 1) * p + j) = s1; j += 1
+    }
+  }
+
+  /** Last row when m is odd: 1×4 then 1×1. */
+  private def rowTail(a: Array[Double], bT: Array[Double], k: Int, p: Int,
+                      r: Array[Double], i: Int, jStart: Int, jEnd: Int): Unit = {
+    val ai = i * k
+    var j = jStart
+    while (j + 4 <= jEnd) {
+      val b0 = j * k; val b1 = b0 + k; val b2 = b1 + k; val b3 = b2 + k
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var t = 0
+      while (t < k) {
+        val x = a(ai + t)
+        s0 += x * bT(b0 + t); s1 += x * bT(b1 + t)
+        s2 += x * bT(b2 + t); s3 += x * bT(b3 + t)
+        t += 1
+      }
+      val o = i * p + j
+      r(o) = s0; r(o + 1) = s1; r(o + 2) = s2; r(o + 3) = s3
+      j += 4
+    }
+    while (j < jEnd) {
+      val bj = j * k
+      var s = 0.0; var t = 0
+      while (t < k) { s += a(ai + t) * bT(bj + t); t += 1 }
+      r(i * p + j) = s; j += 1
+    }
+  }
+
+  /** Transposed-weight cache for MatMul right operands that are GRAPH
+    * INITIALIZERS (weights): those arrays are identity-stable for the
+    * session's lifetime, so the cache is bounded by the checkpoint's
+    * weight count — and the 18 MB cache-hostile strided transpose of an
+    * FFN weight stops being re-paid on EVERY node execution of every
+    * document (measured ~45% of session MatMul wall at BERT dims over
+    * the raw kernel floor, tools/GemmProbe). Activations never enter
+    * (fresh arrays each forward would leak the identity map). transient:
+    * rebuilt lazily after task-side deserialization. */
+  @transient private lazy val bTCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[Array[Double], Array[Double]]())
+  private def cachedTransposed(b: Array[Double], k: Int, p: Int): Array[Double] = {
+    val hit = bTCache.get(b)
+    if (hit != null) hit
+    else { val bT = transposedSlice(b, 0, k, p); bTCache.put(b, bT); bT }
   }
 
   /** The [k,p] slice of b at offset bo, transposed to [p][k] row-major
@@ -798,22 +918,37 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   }
 
   /** MatMul: 2-D×2-D, batched 3-D×2-D (shared weights), and 3-D×3-D
-    * (attention QKᵀ / attn·V). */
-  private def matmul(a: Tensor, b: Tensor): Tensor = (a.rank, b.rank) match {
+    * (attention QKᵀ / attn·V). `cacheB` marks the right operand as a
+    * graph initializer whose transpose may be memoized for the session's
+    * lifetime ([[cachedTransposed]]); the 3-D×3-D case is always
+    * activation×activation, so it never caches. */
+  private def matmul(a: Tensor, b: Tensor,
+                     cacheB: Boolean = false): Tensor = (a.rank, b.rank) match {
     case (2, 2) =>
       require(a.dims(1) == b.dims(0), s"MatMul [${a.dims.mkString(",")}]x[${b.dims.mkString(",")}]")
       val r = new Array[Double](a.dims(0) * b.dims(1))
-      val bT = transposedSlice(b.data, 0, a.dims(1), b.dims(1))
-      mm2T(a.data, bT, a.dims(0), a.dims(1), b.dims(1), r, 0, 0)
+      val bT = if (cacheB) cachedTransposed(b.data, a.dims(1), b.dims(1))
+               else transposedSlice(b.data, 0, a.dims(1), b.dims(1))
+      mm2T(a.data, bT, a.dims(0), a.dims(1), b.dims(1), r)
       Tensor(Array(a.dims(0), b.dims(1)), r)
     case (3, 2) =>
       require(a.dims(2) == b.dims(0), s"MatMul [${a.dims.mkString(",")}]x[${b.dims.mkString(",")}]")
       val (n, m, k, p) = (a.dims(0), a.dims(1), a.dims(2), b.dims(1))
       val r = new Array[Double](n * m * p)
-      val bT = transposedSlice(b.data, 0, k, p) // shared weights: once
-      var bi = 0
-      while (bi < n) {
-        mm2T(a.data, bT, m, k, p, r, bi * m * p, bi * m * k); bi += 1
+      val bT = if (cacheB) cachedTransposed(b.data, k, p) // shared weights: once
+               else transposedSlice(b.data, 0, k, p)
+      if (n == 1) mm2T(a.data, bT, m, k, p, r) // no slice copies
+      else {
+        // per-batch slice copies keep the kernel offset-free (see
+        // mm2TTile); copy cost is linear in the operands, GEMM is cubic
+        val rb = new Array[Double](m * p)
+        var bi = 0
+        while (bi < n) {
+          val ab = java.util.Arrays.copyOfRange(a.data, bi * m * k, (bi + 1) * m * k)
+          mm2T(ab, bT, m, k, p, rb)
+          System.arraycopy(rb, 0, r, bi * m * p, m * p)
+          bi += 1
+        }
       }
       Tensor(Array(n, m, p), r)
     case (3, 3) =>
@@ -821,11 +956,19 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
         s"MatMul [${a.dims.mkString(",")}]x[${b.dims.mkString(",")}]")
       val (n, m, k, p) = (a.dims(0), a.dims(1), a.dims(2), b.dims(2))
       val r = new Array[Double](n * m * p)
-      var bi = 0
-      while (bi < n) {
-        val bT = transposedSlice(b.data, bi * k * p, k, p)
-        mm2T(a.data, bT, m, k, p, r, bi * m * p, bi * m * k)
-        bi += 1
+      if (n == 1) {
+        val bT = transposedSlice(b.data, 0, k, p)
+        mm2T(a.data, bT, m, k, p, r)
+      } else {
+        val rb = new Array[Double](m * p)
+        var bi = 0
+        while (bi < n) {
+          val bT = transposedSlice(b.data, bi * k * p, k, p)
+          val ab = java.util.Arrays.copyOfRange(a.data, bi * m * k, (bi + 1) * m * k)
+          mm2T(ab, bT, m, k, p, rb)
+          System.arraycopy(rb, 0, r, bi * m * p, m * p)
+          bi += 1
+        }
       }
       Tensor(Array(n, m, p), r)
     case (ra, rb) => throw new UnsupportedOperationException(
@@ -972,20 +1115,50 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   // that reproduce the historical modulo indexing bit-for-bit.
   private def bcast(opName: String, a: Tensor, b: Tensor,
                     f: (Double, Double) => Double): Tensor = {
+    // The four arithmetic ops get monomorphic loops in the two fast
+    // paths: the generic route costs a megamorphic Function2 call (and,
+    // for the suffix path, an integer modulo) PER ELEMENT — measured at
+    // ~28% of a seq-512 encoder layer forward (tools/GemmProbe ops).
+    // Same arithmetic on the same elements in the same order, so results
+    // are bit-identical to the generic loops.
+    val opcode = opName match {
+      case "Add" => 1; case "Sub" => 2; case "Mul" => 3; case "Div" => 4
+      case _ => 0
+    }
     if (a.dims.sameElements(b.dims)) {
       val r = new Array[Double](a.data.length)
+      val (x, y) = (a.data, b.data)
       var i = 0
-      while (i < r.length) { r(i) = f(a.data(i), b.data(i)); i += 1 }
+      opcode match {
+        case 1 => while (i < r.length) { r(i) = x(i) + y(i); i += 1 }
+        case 2 => while (i < r.length) { r(i) = x(i) - y(i); i += 1 }
+        case 3 => while (i < r.length) { r(i) = x(i) * y(i); i += 1 }
+        case 4 => while (i < r.length) { r(i) = x(i) / y(i); i += 1 }
+        case _ => while (i < r.length) { r(i) = f(x(i), y(i)); i += 1 }
+      }
       return Tensor(a.dims, r)
     }
-    // trailing-suffix fast path: b's dims are exactly a suffix of a's
+    // trailing-suffix fast path: b's dims are exactly a suffix of a's —
+    // b repeats whole, so iterate (outer repeat × inner b-length) with no
+    // per-element modulo
     val suffix = b.rank <= a.rank &&
       b.dims.sameElements(a.dims.takeRight(b.rank)) && b.data.length > 0
     if (suffix) {
       val r = new Array[Double](a.data.length)
-      val bl = b.data.length
-      var i = 0
-      while (i < r.length) { r(i) = f(a.data(i), b.data(i % bl)); i += 1 }
+      val (x, y) = (a.data, b.data)
+      val bl = y.length
+      var o = 0
+      while (o < r.length) {
+        var j = 0
+        opcode match {
+          case 1 => while (j < bl) { r(o + j) = x(o + j) + y(j); j += 1 }
+          case 2 => while (j < bl) { r(o + j) = x(o + j) - y(j); j += 1 }
+          case 3 => while (j < bl) { r(o + j) = x(o + j) * y(j); j += 1 }
+          case 4 => while (j < bl) { r(o + j) = x(o + j) / y(j); j += 1 }
+          case _ => while (j < bl) { r(o + j) = f(x(o + j), y(j)); j += 1 }
+        }
+        o += bl
+      }
       return Tensor(a.dims, r)
     }
     val rank = math.max(a.rank, b.rank)
@@ -1132,13 +1305,31 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     if (x >= 0) y else -y
   }
 
+  /** Last node index reading each tensor name — intermediates are
+    * dropped from the live map the moment they are dead. Without this,
+    * a seq-512 BERT layer retains ~200 MB of intermediates until the
+    * forward returns, and G1 spends whole-second evacuation pauses
+    * copying them (measured: MatMul wall 2× its kernel floor from GC
+    * alone). With it the live window is a few tensors, and per-session
+    * footprint stays bounded when one session runs per Spark partition
+    * in a shared executor JVM. */
+  @transient private lazy val lastUse: Map[String, Int] = {
+    val m = scala.collection.mutable.Map.empty[String, Int]
+    nodes.zipWithIndex.foreach { case (n, i) =>
+      n.ins.foreach(in => if (in.nonEmpty) m(in) = i)
+    }
+    m.toMap
+  }
+
   private def forward(inputs: Map[String, Tensor]): Tensor = {
     if (inputs.values.forall(_.data.isEmpty)) return Tensor(Array(0, 0), Array.empty)
     var values = inputs
+    var nodeIdx = -1
     def get(name: String): Tensor =
       values.getOrElse(name, initializers.getOrElse(name,
         throw new IllegalStateException(s"unbound tensor '$name'")))
     nodes.foreach { node =>
+      nodeIdx += 1
       def attr(name: String): Attr = node.attrs.getOrElse(name,
         throw new IllegalArgumentException(s"${node.op}: missing attr '$name'"))
       // axis list from the attr (opset ≤12) or a trailing tensor input
@@ -1150,8 +1341,10 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
               s"${node.op}: no '$attrName' attribute and no input $inputIdx")
             get(node.ins(inputIdx)).data.map(_.toLong).toSeq
           }
+      val tProf = if (profiling) System.nanoTime() else 0L
       val outs: Seq[Tensor] = node.op match {
-        case "MatMul" => Seq(matmul(get(node.ins(0)), get(node.ins(1))))
+        case "MatMul" => Seq(matmul(get(node.ins(0)), get(node.ins(1)),
+          cacheB = initializers.contains(node.ins(1))))
         case "Gemm" => // alpha·op(A)·op(B) + beta·C — the linear-layer op
           // torch-exported checkpoints emit (MatMul+Add is our writers')
           val trA = node.attrs.get("transA").exists(_.i == 1L)
@@ -1161,7 +1354,12 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
           require(a.rank == 2 && b.rank == 2, "Gemm: rank-2 inputs only")
           val alpha = node.attrs.get("alpha").map(_.f.toDouble).getOrElse(1.0)
           val beta = node.attrs.get("beta").map(_.f.toDouble).getOrElse(1.0)
-          val mm = matmul(a, b)
+          // a transB weight is transposed into a FRESH array each call —
+          // identity-caching that would miss forever and leak an entry
+          // per execution, so only the untransposed-initializer case
+          // memoizes
+          val mm = matmul(a, b,
+            cacheB = !trB && initializers.contains(node.ins(1)))
           if (node.ins.length > 2 && node.ins(2).nonEmpty) {
             val c = get(node.ins(2))
             // ONNX unidirectional broadcast of C onto [m,p]: a row bias
@@ -1348,9 +1546,23 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
                 "value_float, value_int, or value_ints)")))
         case op => throw new UnsupportedOperationException(s"op '$op'")
       }
+      if (profiling) {
+        // GRAFT_ONNX_PROFILE=2 keys by node (op:first-output) instead of
+        // op type — pinpoints WHICH matmul eats the wall
+        val key = if (sys.env.get("GRAFT_ONNX_PROFILE").contains("2"))
+          s"${node.op}:${node.outs.head}" else node.op
+        profAcc(key) = profAcc.getOrElse(key, 0L) +
+          (System.nanoTime() - tProf)
+      }
       require(outs.length == node.outs.length,
         s"${node.op}: ${outs.length} results for ${node.outs.length} declared outputs")
       node.outs.lazyZip(outs).foreach((n, t) => values += n -> t)
+      // release inputs whose last reader just ran (the graph output is
+      // pinned — a final node may both consume and re-emit names)
+      node.ins.foreach { in =>
+        if (in.nonEmpty && in != outputName && lastUse.get(in).contains(nodeIdx))
+          values -= in
+      }
     }
     values(outputName)
   }
