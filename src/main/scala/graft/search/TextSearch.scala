@@ -318,23 +318,74 @@ object TextSearch {
     * are plan-independent by construction (both plans are exact and
     * round identically), so routing is invisible to callers.
     */
-  def cosineSimilarityJoin(docs: DataFrame, threshold: Double,
-                           idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+  /** Bounded per-JVM memo of the router's expensive intermediates, so a
+    * caller probing SEVERAL thresholds over one corpus (the usual way a
+    * τ is tuned) re-pays neither the materialized posting relation nor
+    * the stage-2 prefix window:
+    *  - `wtd` (tokenize + tf-idf + localCheckpoint) keyed by the
+    *    CANONICALIZED analyzed plan of (docs, idCol, textCol) — plan
+    *    identity, the same notion Spark's own exchange reuse keys on;
+    *  - the prefix window + its exact candidate count keyed by
+    *    (that plan, τ) — τ changes the window, the corpus doesn't.
+    * Eviction is LRU at a small bound; evicted checkpoints are NOT
+    * force-unpersisted (returned plans may still reference them — the
+    * ContextCleaner reclaims them on GC like any dropped checkpoint).
+    * Same session-lifetime staleness contract as Spark's `.cache()`:
+    * the key is the plan, not the files underneath it. */
+  private val RouterMemoMax = 8
+  private def lru[K, V](): java.util.LinkedHashMap[K, V] =
+    new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[K, V]): Boolean = size > RouterMemoMax
+    }
+  private val wtdMemo = lru[Any, (DataFrame, Row)]()
+  private val prefixMemo = lru[(Any, Double), (DataFrame, Double)]()
+  // test-visible hit counter (RouterMemoSpec)
+  private[search] var routerMemoHits = 0L
+
+  private def wtdFor(docs: DataFrame, idCol: String,
+                     textCol: String): (Any, DataFrame, Row) = {
+    val key = (docs.queryExecution.analyzed.canonicalized, idCol, textCol)
+    wtdMemo.synchronized {
+      val hit = wtdMemo.get(key)
+      if (hit != null) { routerMemoHits += 1; return (key, hit._1, hit._2) }
+    }
     val wtd = tfidfMicro(docs, idCol, textCol).localCheckpoint(eager = true)
     // Σ_t df(t)² without a per-term aggregate: each term contributes df
     // posting rows each carrying df, so sum(df) over postings IS Σdf²
     val prof = wtd.agg(count(lit(1)).as("p"),
       count_distinct(col("id")).as("n"), sum(col("df")).as("sumdf2")).head()
+    wtdMemo.synchronized { wtdMemo.put(key, (wtd, prof)) }
+    (key, wtd, prof)
+  }
+
+  private def prefixFor(key: Any, wtd: DataFrame,
+                        threshold: Double): (DataFrame, Double) = {
+    val k = (key, threshold)
+    prefixMemo.synchronized {
+      val hit = prefixMemo.get(k)
+      if (hit != null) { routerMemoHits += 1; return hit }
+    }
+    val mat = prefixOf(wtd, threshold)
+    val cands = mat.groupBy("term").agg(count(lit(1)).as("pdf"))
+      .agg(coalesce(sum(col("pdf") * (col("pdf") - 1) / 2), lit(0.0)))
+      .head().getDouble(0)
+    prefixMemo.synchronized { prefixMemo.put(k, (mat, cands)) }
+    (mat, cands)
+  }
+
+  def cosineSimilarityJoin(docs: DataFrame, threshold: Double,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val (key, wtd, prof) = wtdFor(docs, idCol, textCol)
     val nDocs = prof.getLong(1)
     val sumDf2 = if (prof.isNullAt(2)) 0.0 else prof.getDouble(2)
     // lazily computed: only the hot-vocabulary stage pays the window
     var prefixMat: DataFrame = null
     def prefixCands: Double = {
-      prefixMat = prefixOf(wtd, threshold)
-      prefixMat.groupBy("term").agg(count(lit(1)).as("pdf"))
-        .agg(coalesce(sum(col("pdf") * (col("pdf") - 1) / 2), lit(0.0)))
-        .head().getDouble(0)
+      val (mat, cands) = prefixFor(key, wtd, threshold)
+      prefixMat = mat
+      cands
     }
     if (routeToPostings(nDocs, sumDf2, prefixCands))
       postingsFromWtd(wtd, threshold, Option(prefixMat))
