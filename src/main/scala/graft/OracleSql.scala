@@ -537,6 +537,22 @@ object OracleSql {
       s"SELECT CAST(id AS BIGINT) AS doc_id, ${outs.mkString(", ")} FROM cP ORDER BY doc_id"
   }
 
+  /** st_stream_embed oracle: the q6_value_embed per-doc replay (same
+    * tokens, features, unrolled encoder, float narrowing, 6-dp rounds)
+    * joined back to `documents` for the language and rolled up —
+    * COUNT(*) plus per-dimension DECIMAL(18,6) checksums, the
+    * aggregation-order-independent form the streaming complete-mode agg
+    * computes micro-batch-side. Streamed == batch IS this compare. */
+  private def stStreamEmbedSql: String = {
+    val sums = (0 until TeD).map(di =>
+      s"CAST(SUM(CAST(e${di}_r AS DECIMAL(18,6))) AS DOUBLE) AS sum_e$di")
+    s"""WITH per_doc AS (${q6ValueEmbedSql}),
+       |langs AS (SELECT doc_id, lang FROM documents WHERE doc_id <= 48)
+       |SELECT l.lang AS lang, COUNT(*) AS n_docs, ${sums.mkString(", ")}
+       |FROM per_doc e JOIN langs l ON e.doc_id = l.doc_id
+       |GROUP BY l.lang ORDER BY lang""".stripMargin
+  }
+
   /** Unrolled SQL replay of the realistic-checkpoint encoder stack: like
     * [[teEncoderCtes]] but with (a) FUSED-QKV biases on q/k/v, (b) the
     * additive attention mask `em_j` on every logit before the softmax
@@ -4704,6 +4720,7 @@ object OracleSql {
     "q7_transformer_score" -> q7TransformerScoreSql,
     "q7_encoder_stack" -> q7TransformerSql(3),
     "q6_value_embed" -> q6ValueEmbedSql,
+    "st_stream_embed" -> stStreamEmbedSql,
     "q1_embed_extract" -> q1EmbedExtractSql,
     // full-frame decode: per-channel means recomputed from the generative
     // pixel formulas (SparkEntry.mmPixelDecode encodes the same formulas

@@ -1991,6 +1991,55 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** §2.12 streaming NEURAL op: documents stream through the encoder
+    * embedder inside each micro-batch (the per-partition
+    * [[graft.ml.Scorer.ExternalEmbedder]] seam is stateless, so it
+    * composes with Structured Streaming unchanged — the same property
+    * that lets the batch deployment scale by partitions), then a
+    * complete-mode per-language aggregate pins doc counts AND
+    * per-dimension embedding checksums. Tokenization, features, encoder
+    * arithmetic, and 6-dp float narrowing are EXACTLY [[q6ValueEmbed]]'s
+    * (oracle-pinned there per doc); sums go through DECIMAL(18,6) so the
+    * checksum is aggregation-order-independent — streamed == batch is
+    * the contract the oracle checks, not approximately. */
+  private def stStreamEmbedQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_embed_${streamSeq.incrementAndGet()}"
+    val (sq, d) = (OracleSql.TeS, OracleSql.TeD)
+    val path = "/tmp/graft_fixtures/st_embed_encoder.onnx"
+    graft.ml.OnnxExport.exportEncoderStack(teStack(1), path, withHead = false)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") <= 48)
+    val toks = stream.select(col("doc_id"), col("lang"),
+      filter(split(lower(col("text")), "\\s+"), v => v =!= "").as("w"))
+    val tids = toks.select(col("doc_id") +: col("lang") +: (0 until sq).map { si =>
+      coalesce(when(size(col("w")) > si,
+          graft.functions.SketchFunctions.md5_low32(col("w")(si)) % 64),
+        lit(0L)).as(s"tid_$si")
+    }: _*)
+    val featCols = for (si <- 0 until sq; di <- 0 until d) yield s"x_${si}_$di"
+    val feats = tids.select(col("doc_id") +: col("lang") +:
+      (for (si <- 0 until sq; di <- 0 until d) yield
+        (((col(s"tid_$si") * 7 + lit(di * 3)) % 17).cast("double") * 0.125 - 1.0)
+          .as(s"x_${si}_$di")): _*)
+    val emb = new graft.ml.Scorer.ExternalEmbedder(
+        graft.ml.Scorer.onnxEmbedderFactory(path), featCols, dim = d)
+      .score(feats)
+    val perDoc = emb.select(col("lang") +: (0 until d).map(di =>
+      round(col("embedding")(di).cast("double"), 6).as(s"e$di")): _*)
+    val agg = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      (0 until d).map(di =>
+        sum(col(s"e$di").cast(DecimalType(18, 6))).cast("double")
+          .as(s"sum_e$di")): _*)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("lang")
+  }
+
   /** Funnel latency distribution: first view → first subsequent
     * purchase per user, exact-microsecond order statistics
     * ([[graft.operators.Events.timeToConvert]]).
@@ -3721,6 +3770,7 @@ object SparkEntry {
     "j3_rank_corr" -> rankCorrQ,
     "st_stream_enrich" -> streamingEnrichQ,
     "st_stream_attrib" -> streamingAttribQ,
+    "st_stream_embed" -> stStreamEmbedQ,
     "e_time_to_convert" -> timeToConvertQ,
     "a_ks_test" -> ksTestQ,
     "x_grouping_sets" -> groupingSetsQ,
