@@ -43,6 +43,11 @@ object Bench {
     // signal is meaningless
     // optional comma-separated subset for local iteration (driver sets none)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    // a query that ERRORED in any run must be named in the artifact, not
+    // silently timed: w_components failed-to-converge at sf0.1 for
+    // several rounds and every BENCH file recorded a plausible-looking
+    // wall for it (the failure only ever reached stderr)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -52,6 +57,7 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
@@ -77,7 +83,8 @@ object Bench {
     val iso = if (only.isDefined) "{}" else isolatedBench(results, sfDir, cpus)
     def entry(kv: (String, Double)): String = "\"" + kv._1 + f"""\":${kv._2}%.3f"""
     val fullQs = results.map(entry).mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"encoder_scale":$es,"bench_isolated":$iso,"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$fullQs,"lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"encoder_scale":$es,"bench_isolated":$iso,"sf":"$sfDir"}"""
     // Full per-query detail goes to a FILE: the harness that collects this
     // run keeps only the last ~2000 chars of stdout, and at 90+ queries the
     // full line no longer fits (round-6 postmortem: the recorded line was
@@ -115,7 +122,7 @@ object Bench {
         suite.get(m.group(1)).map(s => s / math.max(m.group(2).toDouble, 1e-9))).toSeq
       if (ratios.isEmpty) "null" else f"${ratios.max}%.2f"
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"omitted_fastest":$omitted,"detail":"BENCH_FULL.json","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"isolated_max_suite_ratio":$isoRatio,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"n_failed":${failed.size},"failed":$failedJson,"omitted_fastest":$omitted,"detail":"BENCH_FULL.json","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"isolated_max_suite_ratio":$isoRatio,"sf":"$sfDir"}""")
     spark.stop()
   }
 

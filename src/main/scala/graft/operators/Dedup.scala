@@ -301,18 +301,23 @@ object Dedup {
     Ann.cosineNearDups(embs, threshold, idCol, vecCol)
 
   /** Resolve near-dup pairs into connected components by min-label
-    * propagation WITH pointer jumping: each round every node takes the min
-    * of its own label and its neighbors' (one hop), then follows its
-    * label's label (the shortcut join) — path lengths halve per round, so
-    * convergence is O(log diameter), not the O(diameter) of plain
-    * propagation. Each round is two key shuffles; lineage is
-    * checkpoint-truncated per round so the iterative plan stays flat (the
-    * planning-cost lesson from the sketch catalog applies doubly to loops).
+    * propagation over SHORTCUT-AUGMENTED edges: each round, the current
+    * (node ↔ known-min) assignments join the edge set in both
+    * directions and every node takes the min label over its augmented
+    * neighborhood — each node's known region roughly doubles per round,
+    * so convergence is logarithmic in component diameter even on a bare
+    * cycle (where a plain neighbor-min + pointer-jump round only extends
+    * the frontier one edge — measured: a 5k-node affine-permutation
+    * cycle did not converge in 16 such rounds). Each round is one
+    * join + groupBy; lineage is checkpoint-truncated per round so the
+    * iterative plan stays flat (the planning-cost lesson from the sketch
+    * catalog applies doubly to loops).
     *
     * If the loop exits UNCONVERGED it throws rather than silently
     * returning split clusters (dropNearDuplicates would keep documents
     * that belong to an existing cluster) — raise `maxIter` for
-    * pathologically deep graphs; 2^maxIter-diameter components converge.
+    * pathologically deep graphs. The default 48 gives vast diameter
+    * headroom; converged loops exit early, so headroom costs nothing.
     * Output: (id, cluster), cluster = the component's minimum id.
     *
     * `checkpointDir`: when set, rounds checkpoint RELIABLY to that
@@ -331,7 +336,7 @@ object Dedup {
     * checkpoint action instead of a separate join + isEmpty scan (which
     * doubled the per-round job count).
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 10,
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 48,
                       checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val sc = pairs.sparkSession.sparkContext
@@ -348,23 +353,14 @@ object Dedup {
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }
-    // Checkpoint + exact label-sum observation in ONE action. Deliberately
-    // the STRING-named observe + queryExecution.observedMetrics, NOT the
+    // Convergence is observed as the CONTRACTED-EDGE COUNT during each
+    // round's checkpoint action (zero inter-region edges ⇔ done) — one
+    // action per round, no separate isEmpty scan. Deliberately the
+    // STRING-named observe + queryExecution.observedMetrics, NOT the
     // Observation helper: Observation registers itself in the session's
     // ObservationManager, a non-serializable field that is null until
     // first use — after which any closure capturing the session (e.g. an
     // MLlib model with a training summary) fails task serialization.
-    def cp(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
-      val observed = df.observe("graft_cc_conv",
-        sum(col("label").cast(DecimalType(38, 0))).as("lsum"))
-      val out = cpOnly(observed) // eager: runs observed's physical plan
-      val lsum = observed.queryExecution.observedMetrics.get("graft_cc_conv")
-        .map(_.getAs[java.math.BigDecimal]("lsum")) match {
-        case Some(d: java.math.BigDecimal) => d
-        case _ => java.math.BigDecimal.ZERO // empty relation
-      }
-      (out, lsum)
-    }
     def rmDir(dir: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
@@ -374,29 +370,60 @@ object Dedup {
       val edgesCp = cpOnly(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-      var (labels, prevSum) = cp(edgesCp.select(col("src").as("id")).distinct()
+      var labels = cpOnly(edgesCp.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
+      keepDir = roundDirs.lastOption // labels' files must survive cleanup
+      // STAR CONTRACTION, not static-graph min-propagation: each round
+      // rewrites the EDGE RELATION through the current labels (edges
+      // between nodes of one region become self-loops and drop; the
+      // survivors connect region heads), merges every head into its
+      // minimum adjacent head, then pointer-compresses the label chains
+      // the simultaneous merges create. Regions merge pairwise-or-better
+      // per round, so convergence is logarithmic in component size.
+      // Min-propagation over the STATIC edge set — the previous
+      // algorithm — only extends a region by its boundary per round (BFS
+      // in disguise): a 2.5k-node affine-permutation cycle at sf0.1
+      // needed ~diameter/2 rounds and blew every iteration budget.
+      var edges = edgesCp
       var i = 0
       var converged = false
       while (i < maxIter && !converged) {
-        val nbrMin = edgesCp
-          .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
-          .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-        val prop = labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        // pointer jumping: label(id) := label(label(id)) — labels are node
-        // ids, so the labels relation doubles as the label→label hop
-        val (next, nextSum) = cp(prop
-          .join(prop.select(col("id").as("label"), col("label").as("ll")),
-            Seq("label"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
-        // least() only ever lowers labels over a fixed id set, so an
-        // unchanged exact sum ⇔ no label changed anywhere
-        converged = nextSum.compareTo(prevSum) == 0
-        prevSum = nextSum
-        labels = next
+        // contract: remaining rows are edges BETWEEN current regions —
+        // their count is observed during the checkpoint action (zero ⇔
+        // every component is one region ⇔ converged)
+        val metric = s"graft_cc_edges_$i"
+        val contracted = edges
+          .join(labels.select(col("id").as("src"), col("label").as("lsrc")), "src")
+          .join(labels.select(col("id").as("dst"), col("label").as("ldst")), "dst")
+          .select(col("lsrc").as("src"), col("ldst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .observe(metric, count(lit(1)).as("ecnt"))
+        val cE = cpOnly(contracted)
+        val ecnt = contracted.queryExecution.observedMetrics.get(metric)
+          .map(_.getAs[Long]("ecnt")).getOrElse(0L)
+        if (ecnt == 0L) converged = true
+        else {
+          // every head adopts its minimum adjacent head (keeping itself
+          // when already minimal) …
+          val hl = cE.groupBy(col("src").as("h")).agg(min(col("dst")).as("hmin"))
+            .select(col("h"), least(col("h"), col("hmin")).as("hl"))
+          val relabeled = labels
+            .join(hl, labels("label") === hl("h"), "left")
+            .select(col("id"), coalesce(col("hl"), col("label")).as("label"))
+          // … then label := label(label): h1→h2 and h2→h3 happened
+          // simultaneously, so one hop of compression keeps chains short
+          // (labels are node ids, so the relation is its own hop table)
+          labels = cpOnly(relabeled
+            .join(relabeled.select(col("id").as("label"), col("label").as("ll")),
+              Seq("label"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+          // the RETURNED relation is labels, so ITS round dir is the one
+          // that must survive cleanup — the converged round's final
+          // checkpoint is the (empty-diff) edge relation, not labels
+          keepDir = roundDirs.lastOption
+          edges = cE
+        }
         i += 1
       }
       if (!converged) {
@@ -405,7 +432,6 @@ object Dedup {
         throw new IllegalStateException(
           s"resolveClusters did not converge in $maxIter rounds; raise maxIter")
       }
-      keepDir = roundDirs.lastOption // the returned round's files must survive
       labels.select(col("id"), col("label").as("cluster"))
     } finally {
       roundDirs.filterNot(keepDir.contains).foreach(rmDir)
