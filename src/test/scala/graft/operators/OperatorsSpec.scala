@@ -118,6 +118,36 @@ class DedupSpec extends SparkSpec {
     assert((1L to 60L).forall(clusters(_) == 1L))
   }
 
+  test("resolveClusters: a long id-scattered cycle converges in few rounds") {
+    // THE regression class behind w_components failing at sf0.1: a long
+    // CYCLE whose node ids are scattered by an affine permutation —
+    // static-edge min-propagation is BFS in disguise (~diameter/2 rounds
+    // and an unconverged throw at any sane budget); star contraction
+    // merges regions pairwise and must converge within maxIter = 14
+    // (2000 nodes → ~11 pairwise-merge rounds + compression slack).
+    val n = 2000L
+    val pairs = (0L until n).map(i => (i, (i * 7 + 3) % n))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs, maxIter = 14).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every component labeled by its minimum member: recompute ground
+    // truth with driver-side union-find over the same edges
+    val parent = Array.tabulate(n.toInt)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    (0L until n).foreach { i =>
+      val (a, b) = (find(i.toInt), find(((i * 7 + 3) % n).toInt))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val want = (0 until n.toInt).map { i =>
+      var r = find(i)
+      while (parent(r) != r) r = parent(r)
+      i.toLong -> r.toLong
+    }.toMap
+    assert(clusters == want)
+  }
+
   test("resolveClusters throws on unconverged exit instead of returning split clusters") {
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
