@@ -692,7 +692,8 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
   /** The attribute subset the executed op set uses: single int (axis,
     * keepdims, to), single float (epsilon), int list (perm, axes, split),
     * tensor (Constant/ConstantOfShape `value`). */
-  private case class Attr(i: Long, f: Float, ints: Seq[Long], t: Option[Tensor])
+  private case class Attr(i: Long, f: Float, ints: Seq[Long], t: Option[Tensor],
+                          s: String = "")
   private case class Node(op: String, ins: Seq[String], outs: Seq[String],
                           attrs: Map[String, Attr]) {
     def out: String = outs.head
@@ -705,7 +706,8 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
       val tv = allBytes(am, 5).headOption.map(b => tensorBody(parsed("attr tensor", b)))
       stringAt(am, 1) -> Attr(varintAt(am, 3),
         java.lang.Float.intBitsToFloat(fBits.getOrElse(0)),
-        packedVarintsAt(am, 8), tv)
+        packedVarintsAt(am, 8), tv,
+        stringAt(am, 4)) // AttributeProto.s — e.g. Gelu's 'approximate'
     }.toMap
     Node(stringAt(m, 4), allBytes(m, 1).map(new String(_, "UTF-8")),
       allBytes(m, 2).map(new String(_, "UTF-8")), attrs)
@@ -1407,6 +1409,64 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
           val dims = scala.collection.mutable.ArrayBuffer(a.dims.toSeq: _*)
           norm.foreach(x => dims.insert(x.toInt, 1))
           Seq(Tensor(dims.toArray, a.data))
+        case "Squeeze" =>
+          val a = get(node.ins(0))
+          // axes from the attr (opset ≤12) or input 1 (13+); with NO axes
+          // the spec drops every size-1 dim
+          val axes = node.attrs.get("axes").map(_.ints).filter(_.nonEmpty)
+            .orElse(if (node.ins.length > 1 && node.ins(1).nonEmpty)
+              Some(get(node.ins(1)).data.map(_.toLong).toSeq) else None)
+          val drop: Set[Int] = axes match {
+            case Some(ax) =>
+              val norm = ax.map(x => if (x < 0) x + a.rank else x)
+              norm.foreach(x => require(x >= 0 && x < a.rank &&
+                a.dims(x.toInt) == 1, s"Squeeze: axis $x of [${
+                  a.dims.mkString(",")}] is not 1"))
+              norm.map(_.toInt).toSet
+            case None => a.dims.indices.filter(a.dims(_) == 1).toSet
+          }
+          val dims = a.dims.indices.filterNot(drop).map(a.dims).toArray
+          Seq(Tensor(dims, a.data))
+        case "Range" => // torch.arange: three 0-d/1-elem inputs
+          val (st, li, de) = (get(node.ins(0)).data, get(node.ins(1)).data,
+            get(node.ins(2)).data)
+          require(st.length == 1 && li.length == 1 && de.length == 1,
+            "Range: start/limit/delta must be scalars")
+          require(de(0) != 0.0, "Range: delta 0")
+          val n = math.max(math.ceil((li(0) - st(0)) / de(0)), 0.0).toInt
+          Seq(Tensor(Array(n), Array.tabulate(n)(i => st(0) + i * de(0))))
+        case "CumSum" =>
+          // inclusive forward scan (the RoBERTa position-id shape);
+          // exclusive/reverse variants fail loudly until a real export
+          // needs them
+          require(!node.attrs.get("exclusive").exists(_.i == 1L) &&
+            !node.attrs.get("reverse").exists(_.i == 1L),
+            "CumSum: only exclusive=0, reverse=0 supported")
+          val a = get(node.ins(0))
+          val ax0 = get(node.ins(1)).data.headOption.getOrElse(0.0).toInt
+          val ax = if (ax0 < 0) a.rank + ax0 else ax0
+          require(ax >= 0 && ax < a.rank, s"CumSum axis $ax0")
+          val st = strides(a.dims)
+          val r = a.data.clone()
+          val n = a.dims(ax); val step = st(ax)
+          // sum along the axis for every (outer, inner) lane; order is
+          // index-ascending, matching an unrolled replay
+          val outer = a.dims.take(ax).product
+          val inner = step
+          var o = 0
+          while (o < outer) {
+            var in = 0
+            while (in < inner) {
+              val base = o * n * step + in
+              var k = 1
+              while (k < n) {
+                r(base + k * step) += r(base + (k - 1) * step); k += 1
+              }
+              in += 1
+            }
+            o += 1
+          }
+          Seq(Tensor(a.dims, r))
         case "Slice" =>
           val a = get(node.ins(0))
           val starts = get(node.ins(1)).data.map(_.toLong).toSeq
@@ -1489,6 +1549,24 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
         case "Erf" =>
           val a = get(node.ins(0))
           Seq(Tensor(a.dims, a.data.map(erf)))
+        case "Neg" =>
+          val a = get(node.ins(0))
+          Seq(Tensor(a.dims, a.data.map(z => -z)))
+        case "Gelu" =>
+          // fused op (opset ≥20 / newer torch exports) — the same two
+          // formulas the decomposed chains execute: exact
+          // 0.5·z·(1+erf(z/√2)) or approximate='tanh'
+          val a = get(node.ins(0))
+          val approx = node.attrs.get("approximate").map(_.s)
+            .filter(_.nonEmpty).getOrElse("none")
+          val f: Double => Double = approx match {
+            case "none" => z => 0.5 * z * (1.0 + erf(z / 1.4142135623730951))
+            case "tanh" => z => 0.5 * z * (1.0 +
+              math.tanh(0.7978845608028654 * (z + 0.044715 * z * z * z)))
+            case other => throw new UnsupportedOperationException(
+              s"Gelu: approximate='$other'")
+          }
+          Seq(Tensor(a.dims, a.data.map(f)))
         // ---- the shape/constant plumbing ops a real torch.onnx.export
         // emits around the compute graph (dynamic-batch handling, mask
         // construction, inference-mode leftovers) --------------------
@@ -1516,6 +1594,12 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
         case "Equal" =>
           Seq(bcast("Equal", get(node.ins(0)), get(node.ins(1)),
             (x, y) => if (x == y) 1.0 else 0.0))
+        case "Less" =>
+          Seq(bcast("Less", get(node.ins(0)), get(node.ins(1)),
+            (x, y) => if (x < y) 1.0 else 0.0))
+        case "Greater" =>
+          Seq(bcast("Greater", get(node.ins(0)), get(node.ins(1)),
+            (x, y) => if (x > y) 1.0 else 0.0))
         case "Where" =>
           Seq(where3(get(node.ins(0)), get(node.ins(1)), get(node.ins(2))))
         case "Expand" => // bidirectional numpy broadcast of the input to

@@ -82,6 +82,19 @@ class ForeignOnnxSpec extends AnyFunSuite {
       msg { o => str(o, 1, name); int(o, 20, 7); vs.foreach(int(o, 8, _)) }
     def attrTensor(name: String, t: Array[Byte]): Array[Byte] =
       msg { o => str(o, 1, name); int(o, 20, 4); bytes(o, 5, t) }
+    /** STRING attribute (AttributeProto.s, field 4, type 3) — the form
+      * the fused Gelu op's `approximate` arrives in. */
+    def attrStr(name: String, v: String): Array[Byte] =
+      msg { o => str(o, 1, name); int(o, 20, 3); str(o, 4, v) }
+    /** TensorProto with packed INT64 int64_data (field 7) — axes inputs. */
+    def i64Tensor(name: String, dims: Seq[Long], data: Seq[Long]): Array[Byte] =
+      msg { o =>
+        val dimsB = msg(d => dims.foreach(vint(d, _)))
+        if (dims.nonEmpty) bytes(o, 1, dimsB)
+        int(o, 2, 7) // data_type INT64
+        bytes(o, 7, msg(p => data.foreach(vint(p, _))))
+        if (name.nonEmpty) str(o, 8, name)
+      }
     def node(op: String, ins: Seq[String], outs: Seq[String],
              attrs: Seq[Array[Byte]] = Nil): Array[Byte] =
       msg { o =>
@@ -298,5 +311,86 @@ class ForeignOnnxSpec extends AnyFunSuite {
     val sess = new OnnxSession(m)
     val out = sess.runMatrix(Array(Array(9.0, 9.0, 9.0)))
     assert(out.flatten.toSeq === Seq(3.0, 3.0, 3.0))
+  }
+
+  /** The session's tanh-GELU constants, retyped from the public formula. */
+  private def geluTanh(z: Double): Double =
+    0.5 * z * (1.0 + math.tanh(0.7978845608028654 * (z + 0.044715 * z * z * z)))
+  private def geluExact(z: Double): Double =
+    0.5 * z * (1.0 + erfAs(z / 1.4142135623730951))
+
+  test("position-id and mask ops a RoBERTa-class export emits: " +
+    "Range/CumSum/Less/Greater/Neg/Squeeze + fused Gelu (both modes)") {
+    import Pb._
+    // y = Gelu(x) + Gelu_tanh(x) + CumSum(x, axis=1) + (x < pos) +
+    //     (x > pos) + (−x) + Squeeze(Unsqueeze(x, [0]), [0])
+    // with pos = Range(0, 4, 1) broadcast over the trailing axis
+    val m = model(
+      Seq(
+        node("Range", Seq("rs", "rl", "rd"), Seq("pos")),
+        node("CumSum", Seq("x", "axc"), Seq("cs")),
+        node("Less", Seq("x", "pos"), Seq("lt")),
+        node("Greater", Seq("x", "pos"), Seq("gt")),
+        node("Neg", Seq("x"), Seq("ng")),
+        node("Unsqueeze", Seq("x", "sqax"), Seq("ux")),
+        node("Squeeze", Seq("ux", "sqax"), Seq("sq")),
+        node("Gelu", Seq("x"), Seq("ge")), // default approximate='none'
+        node("Gelu", Seq("x"), Seq("gt2"), Seq(attrStr("approximate", "tanh"))),
+        node("Add", Seq("ge", "gt2"), Seq("t1")),
+        node("Add", Seq("t1", "cs"), Seq("t2")),
+        node("Add", Seq("t2", "lt"), Seq("t3")),
+        node("Add", Seq("t3", "gt"), Seq("t4")),
+        node("Add", Seq("t4", "ng"), Seq("t5")),
+        node("Add", Seq("t5", "sq"), Seq("y"))),
+      inits = Seq(
+        doubleTensor("rs", Nil, Seq(0.0)),
+        doubleTensor("rl", Nil, Seq(4.0)),
+        doubleTensor("rd", Nil, Seq(1.0)),
+        i64Tensor("axc", Seq(1L), Seq(1L)),
+        i64Tensor("sqax", Seq(1L), Seq(0L))),
+      input = valueInfo("x", Seq(None, Some(4L))),
+      output = valueInfo("y", Seq(None, Some(4L))))
+    val sess = new OnnxSession(m)
+    val batch = Array(
+      Array(0.5, -1.25, 2.0, 3.5),
+      Array(-0.75, 0.0, 1.0, -2.0))
+    val out = sess.runMatrix(batch)
+    batch.zip(out).foreach { case (row, got) =>
+      var running = 0.0
+      row.zipWithIndex.zip(got).foreach { case ((v, j), g) =>
+        running += v
+        val e = geluExact(v) + geluTanh(v) + running +
+          (if (v < j) 1.0 else 0.0) + (if (v > j) 1.0 else 0.0) + (-v) + v
+        assert(math.abs(g - e) < 1e-12,
+          s"col $j of row ${row.mkString(",")}: $g vs $e")
+      }
+    }
+  }
+
+  test("CumSum refuses exclusive/reverse loudly; Range with negative delta") {
+    import Pb._
+    val bad = model(
+      Seq(node("CumSum", Seq("x", "axc"), Seq("y"),
+        Seq(attrInt("exclusive", 1L)))),
+      inits = Seq(i64Tensor("axc", Seq(1L), Seq(1L))),
+      input = valueInfo("x", Seq(None, Some(4L))),
+      output = valueInfo("y", Seq(None, Some(4L))))
+    val ex = intercept[Exception] {
+      new OnnxSession(bad).runMatrix(Array(Array(1.0, 2.0, 3.0, 4.0)))
+    }
+    assert(ex.getMessage.contains("CumSum"))
+    // Range counts down with a negative delta
+    val down = model(
+      Seq(
+        node("Range", Seq("rs", "rl", "rd"), Seq("pos")),
+        node("Add", Seq("x", "pos"), Seq("y"))),
+      inits = Seq(
+        doubleTensor("rs", Nil, Seq(3.0)),
+        doubleTensor("rl", Nil, Seq(-1.0)),
+        doubleTensor("rd", Nil, Seq(-1.0))),
+      input = valueInfo("x", Seq(None, Some(4L))),
+      output = valueInfo("y", Seq(None, Some(4L))))
+    val out = new OnnxSession(down).runMatrix(Array(Array(0.0, 0.0, 0.0, 0.0)))
+    assert(out(0).toSeq === Seq(3.0, 2.0, 1.0, 0.0))
   }
 }
