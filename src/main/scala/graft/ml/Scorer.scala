@@ -34,10 +34,25 @@ object Scorer {
     def score(features: DataFrame): DataFrame = model.transform(features)
   }
 
+  /** Effective rows-per-batch: the smaller of the configured cap and
+    * what a ~64 MiB per-batch input budget allows at this feature
+    * width. 256 rows is the right batch shape at tens of features, but
+    * a realistic checkpoint feeds seq×dim FLAT columns (seq 512 ×
+    * d 768 ≈ 3 MiB of doubles per row), where a fixed 256 would stage
+    * ~800 MiB of batch matrix per task before the model even runs —
+    * with one task per core, that alone exceeds a typical executor's
+    * per-core memory share. Never below 1 row. */
+  private[ml] def budgetedBatch(configured: Int, featureCount: Int): Int = {
+    val budgetBytes = 64L << 20
+    val rowBytes = math.max(featureCount.toLong, 1L) * 8L
+    math.max(1L, math.min(configured.toLong, budgetBytes / rowBytes)).toInt
+  }
+
   /** External-model scorer: one `Double` per row from a batched forward
     * pass. `modelFactory` runs once per partition — that is where a real
     * integration opens its ONNX session / JNI handle — and receives
-    * `batchSize`-row matrices (the batch shape inference runtimes want).
+    * `batchSize`-row matrices (the batch shape inference runtimes want;
+    * byte-budgeted down at very wide feature rows, [[budgetedBatch]]).
     */
   final class ExternalModelScorer(
       modelFactory: () => Array[Array[Double]] => Array[Double],
@@ -49,7 +64,7 @@ object Scorer {
       val schema = features.schema
       val outSchema = schema.add(outputCol, DoubleType, nullable = false)
       val idxs = featureCols.map(schema.fieldIndex).toArray
-      val bs = batchSize
+      val bs = budgetedBatch(batchSize, idxs.length)
       implicit val enc = RowEncoder.encoderFor(outSchema)
       features.mapPartitions { it =>
         val model = modelFactory() // per-partition init (session/handle)
@@ -200,7 +215,7 @@ object Scorer {
       val groups = inputCols.map { case (name, cols) =>
         name -> cols.map(schema.fieldIndex).toArray
       }
-      val (bs, d) = (batchSize, dim)
+      val (bs, d) = (budgetedBatch(batchSize, groups.map(_._2.length).sum), dim)
       implicit val enc = RowEncoder.encoderFor(outSchema)
       features.mapPartitions { it =>
         val model = modelFactory()
@@ -233,7 +248,7 @@ object Scorer {
       val schema = features.schema
       val outSchema = schema.add(outputCol, ArrayType(FloatType, containsNull = false))
       val idxs = featureCols.map(schema.fieldIndex).toArray
-      val (bs, d) = (batchSize, dim)
+      val (bs, d) = (budgetedBatch(batchSize, idxs.length), dim)
       implicit val enc = RowEncoder.encoderFor(outSchema)
       features.mapPartitions { it =>
         val model = modelFactory()

@@ -239,6 +239,17 @@ class PairScoringSpec extends SparkSpec {
       val v = r.getAs[scala.collection.Seq[Float]]("embedding")
       v.length == 2 && v(1) == v(0) * 2 && v(0) == r.getAs[Double]("f").toFloat })
   }
+
+  test("budgetedBatch shrinks the row batch at very wide feature rows") {
+    // narrow rows keep the configured shape
+    assert(Scorer.budgetedBatch(256, 10) == 256)
+    // seq-512 x d-768 flat features = 3 MiB of doubles per row: a 64 MiB
+    // batch budget allows 21 rows, not 256
+    assert(Scorer.budgetedBatch(256, 512 * 768) == (64 << 20) / (512 * 768 * 8))
+    // never below one row, even when a single row exceeds the budget
+    assert(Scorer.budgetedBatch(256, Int.MaxValue / 16) == 1)
+    assert(Scorer.budgetedBatch(256, 0) == 256)
+  }
 }
 
 class FeatureAssemblySpec extends SparkSpec {
