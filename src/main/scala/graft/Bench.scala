@@ -28,7 +28,7 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SECTION").foreach { sec =>
       val out = sec match {
         case "cosine_scale"  => cosineScaleBench(spark, sfDir)
-        case "encoder_scale" => encoderScaleBench(cpus.toInt)
+        case "encoder_scale" => encoderScaleBench(spark, cpus.toInt)
         case "lake_plan"     => lakePlanBench(spark)
         case "csv_plan"      => csvPlanBench(spark)
         case other           => s"""{"err":"unknown section $other"}"""
@@ -54,6 +54,11 @@ object Bench {
       // stderr marker so Spark warnings in the log attribute to a query
       System.err.println(s"[bench] running $name")
       def once(): Double = {
+        // every sample starts memo-cold: a plan-canonicalization change
+        // must never turn a timing into a router-memo cache hit (the
+        // memo is a REAL product feature for τ-tuning callers; the bench
+        // measures the recompute path)
+        graft.search.TextSearch.clearRouterMemo()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -72,19 +77,26 @@ object Bench {
       name -> (1 to 3).map(_ => once()).min
     }
     val total = results.map(_._2).sum
-    // the structural lake/CSV sections take minutes; a filtered run is
-    // single-query iteration, where they are dead time — skip them
-    val lp = if (only.isDefined) "{}" else lakePlanBench(spark)
-    val cp = if (only.isDefined) "{}" else csvPlanBench(spark)
-    val cs = if (only.isDefined) "{}" else cosineScaleBench(spark, sfDir)
-    val es = if (only.isDefined) "{}" else encoderScaleBench(cpus.toInt)
-    // isolated re-runs LAST: each forks a fresh JVM, so nothing this
-    // session did (heap, codegen cache, GC debt) can contaminate them
-    val iso = if (only.isDefined) "{}" else isolatedBench(results, sfDir, cpus)
     def entry(kv: (String, Double)): String = "\"" + kv._1 + f"""\":${kv._2}%.3f"""
     val fullQs = results.map(entry).mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$fullQs,"lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"encoder_scale":$es,"bench_isolated":$iso,"sf":"$sfDir"}"""
+    val artifactPath = java.nio.file.Paths.get(sys.props("user.dir"),
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json")
+    // The ARTIFACT and the COMPACT LINE go out IMMEDIATELY after the
+    // query suite — they are the parse contract with the harness that
+    // collects this run, and nothing optional may run before them
+    // (round-13 postmortem: the suite finished but the in-run scale
+    // probes + isolated forks blew the collector's time budget, the
+    // compact line was never printed, and the whole round's bench signal
+    // was lost as rc=124/parsed:null). Everything heavier — lake/CSV
+    // structural plans, cosine/encoder scale probes, fresh-JVM isolated
+    // re-runs — is gated behind SPARK_GRAFT_SCALE_PROBES=1, which only
+    // the builder's own (self-budgeted) run sets before committing the
+    // enriched artifact; the collector's run never sets it.
+    def writeArtifact(extraSections: String): Unit =
+      java.nio.file.Files.write(artifactPath,
+        (f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$fullQs$extraSections,"sf":"$sfDir"}""" + "\n")
+          .getBytes("UTF-8"))
     // Full per-query detail goes to a FILE: the harness that collects this
     // run keeps only the last ~2000 chars of stdout, and at 90+ queries the
     // full line no longer fits (round-6 postmortem: the recorded line was
@@ -93,16 +105,13 @@ object Bench {
     // one-line contract always parses; the file carries everything.
     // a filtered (SPARK_GRAFT_QUERIES) iteration run must not clobber the
     // full-run detail file that earlier compact lines point to
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.props("user.dir"),
-        if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
+    writeArtifact("")
     val slowestFirst = results.sortBy(-_._2).map(entry)
-    // chars for the queries map: overhead + lake/csv sections + the
-    // collector's trailing sbt status line still fit inside 2000.
-    // Stop at the FIRST entry that doesn't fit so `kept` is a strict
-    // slowest-first prefix and "omitted_fastest" labels what it claims.
-    val budget = 1200
+    // chars for the queries map: overhead + the collector's trailing sbt
+    // status line still fit inside 2000. Stop at the FIRST entry that
+    // doesn't fit so `kept` is a strict slowest-first prefix and
+    // "omitted_fastest" labels what it claims.
+    val budget = 1400
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 2 // braces
     var full_ = false
@@ -112,17 +121,32 @@ object Bench {
     }
     val qs = kept.mkString("{", ",", "}")
     val omitted = results.size - kept.size
-    // the isolated table itself lives in BENCH_FULL.json; the compact
-    // line carries only its headline — the worst in-suite/isolated ratio
-    // (1.0 = composite suite position added nothing)
-    val isoRatio = {
-      val suite = results.toMap
-      val re = """"([^"]+)":([0-9.]+)""".r
-      val ratios = re.findAllMatchIn(iso).flatMap(m =>
-        suite.get(m.group(1)).map(s => s / math.max(m.group(2).toDouble, 1e-9))).toSeq
-      if (ratios.isEmpty) "null" else f"${ratios.max}%.2f"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"n_failed":${failed.size},"failed":$failedJson,"omitted_fastest":$omitted,"detail":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
+    // ---- env-gated scale probes (builder self-runs only) ----
+    val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES").contains("1")
+    if (probes && only.isEmpty) {
+      System.err.println("[bench] scale probes enabled — enriching artifact")
+      val lp = lakePlanBench(spark)
+      val cp = csvPlanBench(spark)
+      val cs = cosineScaleBench(spark, sfDir)
+      val es = encoderScaleBench(spark, cpus.toInt)
+      // isolated re-runs LAST: each forks a fresh JVM, so nothing this
+      // session did (heap, codegen cache, GC debt) can contaminate them
+      val (iso, isoFailed) = isolatedBench(results, sfDir, cpus)
+      // the worst in-suite/isolated ratio (1.0 = composite suite
+      // position added nothing); lives in the artifact, stdout already
+      // closed its one-line contract above
+      val isoRatio = {
+        val suite = results.toMap
+        val re = """"([^"]+)":([0-9.]+)""".r
+        val ratios = re.findAllMatchIn(iso).flatMap(m =>
+          suite.get(m.group(1)).map(s => s / math.max(m.group(2).toDouble, 1e-9))).toSeq
+        if (ratios.isEmpty) "null" else f"${ratios.max}%.2f"
+      }
+      writeArtifact(s""","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio""")
+      System.err.println("[bench] artifact enriched with scale-probe sections")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"n_failed":${failed.size},"failed":$failedJson,"omitted_fastest":$omitted,"detail":"BENCH_FULL.json","queries":$qs,"lake_plan":$lp,"csv_plan":$cp,"isolated_max_suite_ratio":$isoRatio,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -226,11 +250,16 @@ object Bench {
     * SPARK_GRAFT_QUERIES=<name> (which already runs warm-up + min-of-3
     * and skips the structural sections); its JVM gets the parent's exact
     * flags and classpath (sbt forks `run`, so both are real). A child
-    * that fails or times out is reported absent, not fabricated. */
+    * that fails, times out, or REPORTS ITS QUERY IN ITS OWN `failed`
+    * LIST lands in the returned failed array, never in the timing map —
+    * a failed child's wall is the time-to-throw, not a measurement
+    * (round-13 postmortem: a broken d_cosine_auto child recorded 0.014 s
+    * against a 2.2 s clean run — the same masquerade class the in-suite
+    * `failed` list was built to kill, one layer down). */
   private def isolatedBench(results: Seq[(String, Double)],
-                            sfDir: String, cpus: String): String = {
+                            sfDir: String, cpus: String): (String, String) = {
     val n = sys.env.get("SPARK_GRAFT_ISOLATED_N").map(_.toInt).getOrElse(15)
-    if (n <= 0) return "{}"
+    if (n <= 0) return ("{}", "[]")
     val names = results.sortBy(-_._2).take(n).map(_._1)
     val javaBin = java.nio.file.Paths.get(
       sys.props("java.home"), "bin", "java").toString
@@ -238,9 +267,10 @@ object Bench {
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
     val cp = sys.props("java.class.path")
+    val isoFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     val entries = names.flatMap { name =>
       System.err.println(s"[bench] isolated re-run: $name")
-      try {
+      val outcome: Either[String, (String, Double)] = try {
         val dir = java.nio.file.Files.createTempDirectory("graft_bench_iso_")
         val pb = new ProcessBuilder(
           (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
@@ -253,26 +283,54 @@ object Bench {
         env.put("SPARK_GRAFT_CPUS", cpus)
         val p = pb.start()
         val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) { p.destroyForcibly(); p.waitFor(); None }
+        if (!done) { p.destroyForcibly(); p.waitFor(); Left("timeout") }
         else {
           val f = dir.resolve("BENCH_SUBSET.json")
-          if (!java.nio.file.Files.exists(f)) None
-          else {
-            val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-            val re = ("\"" + java.util.regex.Pattern.quote(name) +
-              "\":([0-9.]+)").r
-            re.findFirstMatchIn(s).map(m => name -> m.group(1).toDouble)
-          }
+          if (!java.nio.file.Files.exists(f)) Left("no artifact")
+          else parseIsolatedChild(name,
+            new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+            .map(name -> _)
         }
-      } catch { case e: Exception =>
-        System.err.println(s"[bench] isolated $name failed: $e"); None
+      } catch { case e: Exception => Left(e.toString) }
+      outcome match {
+        case Left(why) =>
+          System.err.println(s"[bench] isolated $name FAILED: $why")
+          isoFailed += name
+          None
+        case Right(kv) => Some(kv)
       }
     }
-    if (entries.size < names.size)
-      System.err.println(s"[bench] isolated: ${names.size - entries.size} of " +
-        s"${names.size} children produced no result (see child.log dirs)")
-    entries.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    if (isoFailed.nonEmpty)
+      System.err.println(s"[bench] isolated: ${isoFailed.size} of " +
+        s"${names.size} children failed: ${isoFailed.mkString(", ")}")
+    (entries.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}"),
+      isoFailed.map("\"" + _ + "\"").mkString("[", ",", "]"))
+  }
+
+  /** Interpret one isolated child's BENCH_SUBSET.json for `name`:
+    * Left(reason) when the child reports the query in its own `failed`
+    * list or carries no timing for it; Right(seconds) only for a clean
+    * measurement. Package-visible so the masquerade contract is
+    * spec-pinned without forking JVMs (BenchParseSpec). */
+  private[graft] def parseIsolatedChild(
+      name: String, subsetJson: String): Either[String, Double] = {
+    val failedRe = """"failed":\[([^\]]*)\]""".r
+    val childFailed = failedRe.findFirstMatchIn(subsetJson)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSet
+    if (childFailed.contains(name))
+      Left("child reported the query failed (wall would be time-to-throw)")
+    else {
+      val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
+      // search only the queries map so a same-named key in another
+      // section can never be mistaken for the timing
+      val qmap = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(subsetJson)
+        .map(_.group(1)).getOrElse(subsetJson)
+      re.findFirstMatchIn(qmap).map(_.group(1).toDouble)
+        .toRight("child artifact carries no timing for the query")
+    }
   }
 
   /** encoder_scale: pure-JVM [[graft.ml.OnnxSession]] throughput at
@@ -281,10 +339,16 @@ object Bench {
     * toy S=4..6, D=4). One layer is exported and timed per doc; a full
     * 12-layer forward is 12× that (layers are identical blocks), and the
     * 32-core docs/sec extrapolation models the mapPartitions deployment
-    * (one session per partition, embarrassingly parallel). This is the
-    * measured basis for the documented JNI-onnxruntime crossover at
-    * `Scorer.onnxModelFactory`. */
-  private def encoderScaleBench(cpus: Int): String = {
+    * (one session per partition, embarrassingly parallel). The
+    * extrapolation is CHECKED, not trusted: the same seq-512 model is
+    * also driven through the actual deployment — `spark.range` →
+    * repartition(cpus) → mapPartitions with one session per partition —
+    * and the measured `docs_per_sec_1layer_seq512_measured_local<cpus>`
+    * sits next to the modeled number so a divergence (scheduler
+    * overhead, memory-bandwidth contention across 32 concurrent GEMMs)
+    * is visible in the artifact. This is the measured basis for the
+    * documented JNI-onnxruntime crossover at `Scorer.onnxModelFactory`. */
+  private def encoderScaleBench(spark: SparkSession, cpus: Int): String = {
     import graft.ml.OnnxExport
     val (d, h, f) = (768, 12, 3072)
     val dh = d / h
@@ -327,7 +391,33 @@ object Bench {
     // is layers × per-layer (pooling/head are noise at these dims)
     val dps512 = cpus / (ms512 / 1000.0 * 12)
     val dps128 = cpus / (ms128 / 1000.0 * 12)
-    f"""{"d_model":$d,"heads":$h,"d_ff":$f,"layer_ms_seq128":$ms128%.1f,"layer_ms_seq512":$ms512%.1f,"docs_per_sec_12layer_seq128_${cpus}cores":$dps128%.2f,"docs_per_sec_12layer_seq512_${cpus}cores":$dps512%.2f}"""
+    // MEASURED deployment throughput at seq 512: the exported 1-layer
+    // model driven through the real shape — range → repartition(cpus) →
+    // mapPartitions, one session per partition, forward per doc. Inputs
+    // are generated executor-side from the row id (driver-shipping 128
+    // docs × 393k doubles would measure serialization, not inference).
+    val s512 = 512
+    val path512 = s"/tmp/graft_bench_encoder_${s512}.onnx"
+    val nDocs = 4 * cpus
+    import org.apache.spark.sql.Encoders
+    def deployRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(nDocs).repartition(cpus)
+        .mapPartitions { it =>
+          val sess = graft.ml.OnnxSession.load(path512)
+          it.map { id =>
+            val x = Array.tabulate(s512 * d)(i => ((id * 31 + i) % 17) * 0.0625 - 0.5)
+            sess.run(Array(x))(0)
+          }
+        }(Encoders.scalaDouble)
+        .reduce(_ + _) // force every forward; checksum defeats pruning
+      (System.nanoTime() - t0) / 1e9
+    }
+    deployRun() // warm (per-thread JIT, page cache for the model file)
+    val deployWall = math.min(deployRun(), deployRun())
+    val measured1L = nDocs / deployWall
+    val measured12L = measured1L / 12.0
+    f"""{"d_model":$d,"heads":$h,"d_ff":$f,"layer_ms_seq128":$ms128%.1f,"layer_ms_seq512":$ms512%.1f,"docs_per_sec_12layer_seq128_${cpus}cores":$dps128%.2f,"docs_per_sec_12layer_seq512_${cpus}cores":$dps512%.2f,"deploy_docs":$nDocs,"docs_per_sec_1layer_seq512_measured_local$cpus":$measured1L%.2f,"docs_per_sec_12layer_seq512_implied_local$cpus":$measured12L%.2f}"""
   }
 
   /** cosine_scale: the exact cosine self-join probed at 1× and 10× the

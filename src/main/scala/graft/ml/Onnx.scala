@@ -790,6 +790,10 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
     // (tools/GemmProbe). A ~1 MiB column tile stays cache-resident
     // across the whole i sweep; tiling only reorders WHICH outputs are
     // computed when, never how one output accumulates.
+    // k == 0 is a legal degenerate shape ([m,0]×[0,p], e.g. a Slice over
+    // an empty range feeding MatMul): the result is all-zero and the
+    // inner loops never run — but the tile divisor must not be zero
+    if (k == 0) { java.util.Arrays.fill(r, 0, m * p, 0.0); return }
     val tile = math.max(4, ((1 << 20) / (8 * k)) & ~3)
     var jt = 0
     while (jt < p) {

@@ -300,18 +300,32 @@ object Dedup {
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Ann.cosineNearDups(embs, threshold, idCol, vecCol)
 
-  /** Resolve near-dup pairs into connected components by min-label
-    * propagation over SHORTCUT-AUGMENTED edges: each round, the current
-    * (node ↔ known-min) assignments join the edge set in both
-    * directions and every node takes the min label over its augmented
-    * neighborhood — each node's known region roughly doubles per round,
-    * so convergence is logarithmic in component diameter even on a bare
-    * cycle (where a plain neighbor-min + pointer-jump round only extends
-    * the frontier one edge — measured: a 5k-node affine-permutation
-    * cycle did not converge in 16 such rounds). Each round is one
-    * join + groupBy; lineage is checkpoint-truncated per round so the
-    * iterative plan stays flat (the planning-cost lesson from the sketch
-    * catalog applies doubly to loops).
+  /** Resolve near-dup pairs into connected components by STAR
+    * CONTRACTION: each round the ORIGINAL bidirectional edge relation is
+    * rewritten through the current labels (edges inside one region
+    * become self-loops and drop; the survivors connect region heads),
+    * every head merges into its minimum adjacent head, and one hop of
+    * pointer compression shortens the chains the simultaneous merges
+    * create. Regions merge pairwise-or-better per round, so convergence
+    * is logarithmic in component size even on a bare cycle (where a
+    * plain neighbor-min + pointer-jump round only extends the frontier
+    * one edge — measured: a 5k-node affine-permutation cycle did not
+    * converge in 16 such rounds). Each round is one join + groupBy;
+    * lineage is checkpoint-truncated per round so the iterative plan
+    * stays flat (the planning-cost lesson from the sketch catalog
+    * applies doubly to loops).
+    *
+    * The contraction is deliberately computed from the ORIGINAL edges
+    * through the CURRENT labels — never by iterating the previous
+    * round's contracted relation. One-hop compression lets a node's
+    * label lag behind its head's label chain; under an iterated
+    * relation, once the lagging label's id stops appearing the node is
+    * stranded while the relation empties, and the loop would exit
+    * "converged" with split clusters (observed on sorted-id paths from
+    * n≈70). Contracting from the original edges keeps every node's
+    * membership observable each round: a lagging node keeps emitting
+    * cross-region edges until its label is fully current, so zero
+    * surviving edges really does mean every component is one region.
     *
     * If the loop exits UNCONVERGED it throws rather than silently
     * returning split clusters (dropNearDuplicates would keep documents
@@ -330,11 +344,11 @@ object Dedup {
     * session's prior checkpoint dir is restored (the RDD checkpoint API
     * only has session-global dir state, so it IS mutated mid-run).
     *
-    * Convergence costs no extra job: labels are monotone non-increasing
-    * under `least`, so the round converged iff the exact label sum is
-    * unchanged — observed via `Dataset.observe` DURING the round's
-    * checkpoint action instead of a separate join + isEmpty scan (which
-    * doubled the per-round job count).
+    * Convergence costs no extra job: the round converged iff the
+    * contracted relation has ZERO cross-region edges, and that count is
+    * observed via `Dataset.observe` DURING the round's checkpoint action
+    * instead of a separate join + isEmpty scan (which doubled the
+    * per-round job count).
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 48,
                       checkpointDir: Option[String] = None): DataFrame = {
@@ -374,9 +388,9 @@ object Dedup {
         .withColumn("label", col("id")))
       keepDir = roundDirs.lastOption // labels' files must survive cleanup
       // STAR CONTRACTION, not static-graph min-propagation: each round
-      // rewrites the EDGE RELATION through the current labels (edges
-      // between nodes of one region become self-loops and drop; the
-      // survivors connect region heads), merges every head into its
+      // rewrites the ORIGINAL edge relation through the current labels
+      // (edges between nodes of one region become self-loops and drop;
+      // the survivors connect region heads), merges every head into its
       // minimum adjacent head, then pointer-compresses the label chains
       // the simultaneous merges create. Regions merge pairwise-or-better
       // per round, so convergence is logarithmic in component size.
@@ -384,7 +398,11 @@ object Dedup {
       // algorithm — only extends a region by its boundary per round (BFS
       // in disguise): a 2.5k-node affine-permutation cycle at sf0.1
       // needed ~diameter/2 rounds and blew every iteration budget.
-      var edges = edgesCp
+      // ALWAYS contract edgesCp, never the previous round's contracted
+      // relation: one-hop compression lets a label lag its head's chain,
+      // and an iterated relation can empty while a lagging node is still
+      // stranded — a false "converged" with split clusters (sorted-id
+      // paths split from n≈70 under the iterated variant).
       var i = 0
       var converged = false
       while (i < maxIter && !converged) {
@@ -392,7 +410,7 @@ object Dedup {
         // their count is observed during the checkpoint action (zero ⇔
         // every component is one region ⇔ converged)
         val metric = s"graft_cc_edges_$i"
-        val contracted = edges
+        val contracted = edgesCp
           .join(labels.select(col("id").as("src"), col("label").as("lsrc")), "src")
           .join(labels.select(col("id").as("dst"), col("label").as("ldst")), "dst")
           .select(col("lsrc").as("src"), col("ldst").as("dst"))
@@ -422,7 +440,6 @@ object Dedup {
           // that must survive cleanup — the converged round's final
           // checkpoint is the (empty-diff) edge relation, not labels
           keepDir = roundDirs.lastOption
-          edges = cE
         }
         i += 1
       }

@@ -342,13 +342,40 @@ object TextSearch {
   private val prefixMemo = lru[(Any, Double), (DataFrame, Double)]()
   // test-visible hit counter (RouterMemoSpec)
   private[search] var routerMemoHits = 0L
+  // test-visible size probes (RouterMemoSpec eviction coverage)
+  private[search] def routerMemoSizes: (Int, Int) =
+    (wtdMemo.synchronized(wtdMemo.size), prefixMemo.synchronized(prefixMemo.size))
+
+  /** Drop every memoized intermediate. Benchmarks call this between
+    * timed queries so a plan-canonicalization change can never turn a
+    * timing into a cache hit; the checkpointed RDDs the entries held are
+    * reclaimed by the ContextCleaner once callers' references go. */
+  def clearRouterMemo(): Unit = {
+    wtdMemo.synchronized(wtdMemo.clear())
+    prefixMemo.synchronized(prefixMemo.clear())
+  }
+
+  private def sessionStopped(df: DataFrame): Boolean =
+    df.sparkSession.sparkContext.isStopped
 
   private def wtdFor(docs: DataFrame, idCol: String,
                      textCol: String): (Any, DataFrame, Row) = {
-    val key = (docs.queryExecution.analyzed.canonicalized, idCol, textCol)
+    // The owning SESSION is part of the key (reference identity): a
+    // plan-identical DataFrame in a NEW session (same literal
+    // LocalRelation across test suites, a notebook restart) must not
+    // resolve to a localCheckpoint bound to the dead SparkContext —
+    // that fails at action time with a stopped-context error instead of
+    // recomputing. Entries whose session has stopped are purged on the
+    // next miss so the bounded memo isn't wasted on dead sessions.
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, idCol, textCol)
     wtdMemo.synchronized {
       val hit = wtdMemo.get(key)
       if (hit != null) { routerMemoHits += 1; return (key, hit._1, hit._2) }
+      wtdMemo.values.removeIf(v => sessionStopped(v._1))
+    }
+    prefixMemo.synchronized {
+      prefixMemo.values.removeIf(v => sessionStopped(v._1))
     }
     val wtd = tfidfMicro(docs, idCol, textCol).localCheckpoint(eager = true)
     // Σ_t df(t)² without a per-term aggregate: each term contributes df
@@ -374,6 +401,40 @@ object TextSearch {
     (mat, cands)
   }
 
+  /** What the auto-router saw and decided, published per call via
+    * [[routerReport]]. `candidateUpperBound` = Σdf²/2 — the posting
+    * join's worst-case candidate volume with no pruning, already
+    * computed by stage 1; when it (and, if evaluated, the exact pruned
+    * `prefixCandidates`) sits near `allPairs`, BOTH exact arms are
+    * OUTPUT-bound: a hot vocabulary makes the matching-pair volume
+    * itself grow ∝ docs² (measured at 10× sf0.1 docs: blocked 3.1 →
+    * 475 s, pair volume ~100×), so no exact plan can be sub-quadratic.
+    * `quadraticOutputRisk` flags that regime so a large-corpus caller is
+    * pointed to MinHash-LSH ([[graft.operators.Dedup.minhashNearDups]])
+    * as the sub-quadratic scale path, with this exact join kept as the
+    * in-bucket verifier. Routing itself is UNCHANGED by the report —
+    * both exact arms stay exact. */
+  final case class RouterReport(nDocs: Long, sumDf2: Double,
+                                allPairs: Double, candidateUpperBound: Double,
+                                prefixCandidates: Option[Double],
+                                route: String, quadraticOutputRisk: Boolean) {
+    def render: String = {
+      val prefix = prefixCandidates.map(c => f"$c%.0f").getOrElse("not evaluated")
+      val risk = if (quadraticOutputRisk)
+        " QUADRATIC-OUTPUT REGIME: matching-pair volume grows ~docs^2 at this " +
+          "vocabulary; for corpus-scale near-dup detection route through " +
+          "MinHash-LSH (Dedup.minhashNearDups) and keep the exact join as " +
+          "the in-bucket verifier."
+      else ""
+      f"cosine router: docs=$nDocs candidateUpperBound=$candidateUpperBound%.0f " +
+        f"(allPairs=$allPairs%.0f, prefixCandidates=$prefix) -> $route.$risk"
+    }
+  }
+  @volatile private var lastRouterReport: Option[RouterReport] = None
+  /** The most recent [[cosineSimilarityJoin]] routing decision on this
+    * JVM (None before the first call). */
+  def routerReport: Option[RouterReport] = lastRouterReport
+
   def cosineSimilarityJoin(docs: DataFrame, threshold: Double,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
@@ -382,12 +443,27 @@ object TextSearch {
     val sumDf2 = if (prof.isNullAt(2)) 0.0 else prof.getDouble(2)
     // lazily computed: only the hot-vocabulary stage pays the window
     var prefixMat: DataFrame = null
+    var prefixEvaluated: Option[Double] = None
     def prefixCands: Double = {
       val (mat, cands) = prefixFor(key, wtd, threshold)
       prefixMat = mat
+      prefixEvaluated = Some(cands)
       cands
     }
-    if (routeToPostings(nDocs, sumDf2, prefixCands))
+    val toPostings = routeToPostings(nDocs, sumDf2, prefixCands)
+    val allPairs = nDocs.toDouble * (nDocs - 1L).toDouble / 2.0
+    val report = RouterReport(nDocs, sumDf2, allPairs,
+      candidateUpperBound = sumDf2 / 2.0,
+      prefixCandidates = prefixEvaluated,
+      route = if (toPostings) "postings" else "blocked",
+      // blocked is chosen exactly when BOTH volume stages exceeded the
+      // crossover — the regime where output, not plan shape, is the cost
+      quadraticOutputRisk = !toPostings)
+    lastRouterReport = Some(report)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    if (report.quadraticOutputRisk) log.warn(report.render)
+    else log.info(report.render)
+    if (toPostings)
       postingsFromWtd(wtd, threshold, Option(prefixMat))
     else
       blockedFromWtd(wtd, threshold, docs.schema(idCol).dataType, numBlocks = 0)

@@ -148,6 +148,26 @@ class DedupSpec extends SparkSpec {
     assert(clusters == want)
   }
 
+  test("resolveClusters: a long SORTED-id path stays one component (stranded-label regression)") {
+    // THE regression class behind the round-13 advisory: consecutive doc
+    // ids chained by near-dup pairs (a sorted-id path). Under the
+    // iterated-contracted-relation variant, one-hop label compression
+    // left nodes whose labels lagged their head's chain stranded once
+    // the iterated relation emptied — a false "converged" exit returning
+    // split clusters (25 clusters at n=150, splits from n≈70), which the
+    // path/cycle fixtures above happened not to trigger. Contracting the
+    // ORIGINAL edges through the current labels each round keeps every
+    // lagging node visible, so the whole path must resolve to one
+    // min-id component.
+    val n = 300L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == n.toInt)
+    assert((0L until n).forall(clusters(_) == 0L),
+      s"path split into ${clusters.values.toSet.size} clusters")
+  }
+
   test("resolveClusters throws on unconverged exit instead of returning split clusters") {
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {

@@ -38,6 +38,58 @@ class RouterMemoSpec extends SparkSpec {
     assert(TextSearch.routerMemoHits > hits0)
   }
 
+  test("memo is LRU-bounded: probing many corpora evicts, never grows past the cap") {
+    TextSearch.clearRouterMemo()
+    // 12 distinct corpora > the 8-entry bound
+    (0 until 12).foreach { i =>
+      val d = Seq((1L, s"alpha$i beta$i"), (2L, s"alpha$i gamma$i"))
+        .toDF("doc_id", "text")
+      TextSearch.cosineSimilarityJoin(d, 0.5).count()
+    }
+    val (w, p) = TextSearch.routerMemoSizes
+    assert(w <= 8, s"wtd memo grew past the LRU bound: $w")
+    assert(p <= 8, s"prefix memo grew past the LRU bound: $p")
+    // the earliest corpus was evicted: re-probing it is a MISS (hit
+    // counter unchanged), so it recomputes rather than serving a stale
+    // or reclaimed checkpoint
+    val hits = TextSearch.routerMemoHits
+    val d0 = Seq((1L, "alpha0 beta0"), (2L, "alpha0 gamma0"))
+      .toDF("doc_id", "text")
+    TextSearch.cosineSimilarityJoin(d0, 0.5).count()
+    assert(TextSearch.routerMemoHits == hits,
+      "evicted entry served a hit — LRU eviction is not happening")
+  }
+
+  test("memo entries are session-scoped: a plan-identical frame in a new session misses") {
+    TextSearch.clearRouterMemo()
+    val d = docs
+    TextSearch.cosineSimilarityJoin(d, 0.5).count()
+    val hits = TextSearch.routerMemoHits
+    // same literal rows, DIFFERENT session: the canonicalized plan alone
+    // would collide; the session-in-key must force a miss so a future
+    // stopped-context session can never serve a dead checkpoint
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val d2 = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma epsilon"),
+      (4L, "zeta eta theta iota"),
+      (5L, "alpha alpha alpha beta"),
+      (6L, "beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    TextSearch.cosineSimilarityJoin(d2, 0.5).count()
+    assert(TextSearch.routerMemoHits == hits,
+      "new-session probe hit the old session's memo entry")
+  }
+
+  test("clearRouterMemo empties both maps") {
+    TextSearch.cosineSimilarityJoin(docs, 0.5).count()
+    assert(TextSearch.routerMemoSizes._1 > 0)
+    TextSearch.clearRouterMemo()
+    assert(TextSearch.routerMemoSizes == ((0, 0)))
+  }
+
   test("different corpora do not share memo entries") {
     val other = Seq((10L, "kappa lambda mu"), (11L, "kappa lambda nu"))
       .toDF("doc_id", "text")
