@@ -378,8 +378,9 @@ object Bench {
       def batch(k: Int): Array[Array[Double]] =
         Array.tabulate(k, s * d)((r, i) => ((r * 31 + i) % 17) * 0.0625 - 0.5)
       sess.run(batch(1)) // warm (JIT, transposed-weight cache)
-      // min-of-3: single-run wall on this box swings ±30%
-      (1 to 3).map { _ =>
+      // min-of-5: single-run wall on this box swings ±30%, and this
+      // number is the committed basis for the JNI-crossover claim
+      (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         sess.run(batch(docs))
         (System.nanoTime() - t0) / 1e6 / docs
@@ -404,7 +405,12 @@ object Bench {
       val t0 = System.nanoTime()
       spark.range(nDocs).repartition(cpus)
         .mapPartitions { it =>
-          val sess = graft.ml.OnnxSession.load(path512)
+          // the SHARED per-JVM session, not one per partition: 32
+          // concurrent per-partition loads stage ~5 GB of identical
+          // BERT-base weights and OOM an 8 GB heap before any forward
+          // runs (measured, round 14) — the deployment shape at
+          // executor scale is one weight copy per JVM
+          val sess = graft.ml.Scorer.sharedSession(path512)
           it.map { id =>
             val x = Array.tabulate(s512 * d)(i => ((id * 31 + i) % 17) * 0.0625 - 0.5)
             sess.run(Array(x))(0)

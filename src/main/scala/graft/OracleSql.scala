@@ -2487,6 +2487,31 @@ object OracleSql {
        |FROM dw$numRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** t2_bpe_fertility: the encode cascade again (same trained merges),
+    * aggregated per LANGUAGE with the subwords-per-word ratio — the
+    * multilingual-vocabulary health table. */
+  private def bpeFertilitySql: String = {
+    val numRounds = 8
+    val dw0 =
+      """dw0 AS (
+        |  SELECT doc_id, word,
+        |    list_append([substr(word, i, 1) FOR i IN range(1, length(word) + 1)],
+        |                '</w>') AS syms
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '')""".stripMargin
+    val encRounds = (1 to numRounds).map(k =>
+      bpeRewriteCte(s"dw${k - 1}", s"b$k", s"dw$k", "doc_id, word"))
+    s"""WITH ${bpeTrainCtes(numRounds)},
+       |${(dw0 +: encRounds).mkString(",\n")}
+       |SELECT d.lang, CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+       |  count(*) AS n_words,
+       |  round(CAST(sum(len(syms)) AS DOUBLE) / count(*), 6) AS fertility
+       |FROM dw$numRounds e JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   /** w_domain_cap: replay URL synthesis → host regex → registered
     * domain → salted-hash per-domain cap. Same regex text in RE2 as in
     * Java regex; md5 hex ordering is byte-identical across engines.
@@ -2733,6 +2758,20 @@ object OracleSql {
       |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens
       |FROM isl GROUP BY id, isl
       |ORDER BY id, start_tok""".stripMargin
+
+  /** d_dup_span_coverage: corpus headline over the same span CTEs —
+    * total tokens, tokens inside duplicated spans, affected docs,
+    * fraction. */
+  private def dupSpanCoverageSql: String =
+    s"""WITH $dupSpanCtes,
+      |sp AS (SELECT id, min(pos) AS s, max(pos) + 7 AS e2
+      |       FROM isl GROUP BY id, isl),
+      |tt AS (SELECT count(*) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS total_tokens FROM d),
+      |ss AS (SELECT CAST(coalesce(sum(e2 - s + 1), 0) AS BIGINT) AS dup_span_tokens,
+      |         count(DISTINCT id) AS docs_with_dups FROM sp)
+      |SELECT tt.n_docs, tt.total_tokens, ss.dup_span_tokens, ss.docs_with_dups,
+      |  round(CAST(ss.dup_span_tokens AS DOUBLE) / tt.total_tokens, 6) AS dup_fraction
+      |FROM tt, ss""".stripMargin
 
   /** d_substring_dedup: the removal companion — every token covered by a
     * duplicated span is excised, remaining tokens reassemble in order. */
@@ -4340,6 +4379,21 @@ object OracleSql {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
         |WHERE tok <> '' GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
+    "t_dup_ngram_coverage" ->
+      """WITH d AS (
+        |  SELECT lang, string_split_regex(trim(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM d WHERE len(w) >= 2
+        |), c AS (
+        |  SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2
+        |)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS gram_instances,
+        |  count(*) AS distinct_grams,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_instances,
+        |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_fraction
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
     "d_exact_dup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  count(*) AS n_dups, min(doc_id) AS keeper
@@ -4949,6 +5003,7 @@ object OracleSql {
     "st_stream_quantiles" -> quantileSketchSql("lineitem"),
     "x_zorder" -> zorderSql,
     "t2_bpe_encode" -> bpeEncodeSql,
+    "t2_bpe_fertility" -> bpeFertilitySql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "d_cluster_canonical" -> clusterCanonicalSql,
@@ -4982,6 +5037,7 @@ object OracleSql {
     "d_bloom_prefilter" -> bloomPrefilterSql,
     "d_line_dedup" -> lineDedupSql,
     "d_dup_spans" -> dupSpansSql,
+    "d_dup_span_coverage" -> dupSpanCoverageSql,
     "d_substring_dedup" -> removeSpansSql,
     "t_cms_freq" -> cmsFreqSql,
     // streamed CMS must converge to the batch sketch — same oracle.

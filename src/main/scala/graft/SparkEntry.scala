@@ -298,6 +298,26 @@ object SparkEntry {
       .orderBy(col("n").desc, col("tok"))
       .limit(20)
 
+  /** Corpus bigram duplication rate per language — the "what fraction of
+    * the corpus is duplicated text" table a dedup pass reports before/
+    * after running (Lee et al. 2021, arXiv:2107.06499 §4 reports exactly
+    * this per-corpus). One explode + two aggregations, both keyed —
+    * corpus-linear, shuffle on (lang, gram) then lang; no pairing. */
+  private def dupNgramCoverage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("gram_instances"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_instances"))
+      .withColumn("dup_fraction",
+        round(col("dup_instances").cast("double") / col("gram_instances"), 6))
+      .orderBy("lang")
+
   private def exactDup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDuplicates(t(s, dir, "documents"))
       .select(col("fingerprint"), col("n_dups"), col("keeper"))
@@ -2760,6 +2780,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language (subwords emitted per word) under
+    * the corpus-trained BPE — the table a multilingual pipeline reports
+    * to spot languages the vocabulary underserves (high fertility =
+    * more sequence length per word = more compute per document). Same
+    * training run as `t2_bpe_train`; the encode relation joins back to
+    * the documents table for language, then one keyed aggregation. */
+  private def bpeFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Bpe
+    val docs = t(s, dir, "documents")
+    val (merges, _) = Bpe.train(
+      Bpe.wordFreq(docs, "text", maxWords = Some(40)), 8)
+    Bpe.encodeCorpus(docs, "text", "doc_id", merges)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum(size(col("subwords"))).cast("long").as("n_subwords"),
+        count(lit(1)).as("n_words"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 6))
+      .orderBy("lang")
+  }
+
+  /** Corpus-level duplicated-substring coverage — the before/after
+    * headline a substring-dedup pass reports (Lee et al. 2021 report
+    * "X% of tokens in the corpus are part of a duplicated substring"):
+    * total tokens, tokens inside ≥8-token duplicated spans (canonical
+    * first copies excluded — exactly what [[Dedup.removeDuplicateSpans]]
+    * would excise), affected docs, and the fraction. Two 1-row
+    * aggregates crossed — corpus-linear, nothing new shuffles beyond
+    * duplicateSpans' own gram pass. */
+  private def dupSpanCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(
+        when(trim(col("text")) === "", lit(0))
+          .otherwise(size(split(trim(col("text")), "\\s+"))).as("nt"))
+      .agg(count(lit(1)).as("n_docs"), sum("nt").cast("long").as("total_tokens"))
+    val sp = Dedup.duplicateSpans(docs)
+      .agg(coalesce(sum("span_tokens"), lit(0L)).as("dup_span_tokens"),
+        count_distinct(col("id")).as("docs_with_dups"))
+    tok.crossJoin(sp)
+      .withColumn("dup_fraction",
+        round(col("dup_span_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
   /** Web-corpus curation: synthesize deterministic URLs over documents
     * (the lake has no URL column; both engines build identical strings,
     * the PII-query pattern), decompose them, cap per registered domain
@@ -3603,6 +3666,7 @@ object SparkEntry {
     "t_bm25_search" -> bm25Search,
     "t_lm_quality" -> lmQuality,
     "t_token_freq" -> tokenFreq,
+    "t_dup_ngram_coverage" -> dupNgramCoverage,
     "d_exact_dup" -> exactDup,
     "d_ngram_jaccard" -> ngramJaccard,
     "emb_stats" -> embStats,
@@ -3688,6 +3752,8 @@ object SparkEntry {
     "st_stream_cms" -> streamingCmsQ,
     "x_zorder" -> zorderQ,
     "t2_bpe_encode" -> bpeEncodeQ,
+    "t2_bpe_fertility" -> bpeFertilityQ,
+    "d_dup_span_coverage" -> dupSpanCoverage,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "d_cluster_canonical" -> clusterCanonicalQ,

@@ -1639,8 +1639,13 @@ final class OnnxSession(modelBytes: Array[Byte]) extends Serializable {
         // op type — pinpoints WHICH matmul eats the wall
         val key = if (sys.env.get("GRAFT_ONNX_PROFILE").contains("2"))
           s"${node.op}:${node.outs.head}" else node.op
-        profAcc(key) = profAcc.getOrElse(key, 0L) +
-          (System.nanoTime() - tProf)
+        // sessions may be shared across tasks (Scorer.sharedSession) —
+        // the profile accumulator is the one cross-call mutable besides
+        // the synchronized transpose memo
+        profAcc.synchronized {
+          profAcc(key) = profAcc.getOrElse(key, 0L) +
+            (System.nanoTime() - tProf)
+        }
       }
       require(outs.length == node.outs.length,
         s"${node.op}: ${outs.length} results for ${node.outs.length} declared outputs")

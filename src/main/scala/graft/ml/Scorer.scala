@@ -148,6 +148,43 @@ object Scorer {
       }
     }
 
+  /** Per-JVM shared ONNX sessions, keyed by model path. On a multi-core
+    * executor, "one session per partition" multiplies the checkpoint's
+    * weight memory by the concurrent tasks in the JVM: a BERT-base layer
+    * parses to ~60 MB of double weights plus the transposed-GEMM memo
+    * (~2×), so 32 concurrent tasks stage ~5 GB of identical weights
+    * before a single forward runs — measured OOM on the local[32] bench
+    * at seq 512 with an 8 GB heap. One session per JVM is the real
+    * inference-engine deployment shape (onnxruntime likewise shares
+    * weights across intra-op threads). Safe because
+    * [[OnnxSession.forward]] keeps every per-call tensor local; the only
+    * cross-call state is the synchronized transposed-weight memo (a
+    * racing first touch computes the transpose twice, both identical).
+    * Sessions live for the executor JVM's lifetime — the cache is the
+    * point, not a leak. */
+  private val sharedSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, OnnxSession]()
+  def sharedSession(path: String): OnnxSession =
+    sharedSessions.computeIfAbsent(path, p => OnnxSession.load(p))
+
+  /** [[onnxModelFactory]] with the per-JVM shared session — use when
+    * partitions-per-executor × model size would not fit the heap. */
+  def sharedOnnxModelFactory(path: String)
+      : () => Array[Array[Double]] => Array[Double] =
+    () => {
+      val session = sharedSession(path)
+      (batch: Array[Array[Double]]) => session.run(batch)
+    }
+
+  /** [[onnxEmbedderFactory]] with the per-JVM shared session. */
+  def sharedOnnxEmbedderFactory(path: String)
+      : () => Array[Array[Double]] => Array[Array[Float]] =
+    () => {
+      val session = sharedSession(path)
+      (batch: Array[Array[Double]]) =>
+        session.runMatrix(batch).map(_.map(_.toFloat))
+    }
+
   /** Batch-scoring factory over an exported ONNX artifact
     * ([[OnnxExport.exportLogistic]]): the model file is parsed and the
     * session opened ONCE per partition — the exact slot a JNI-backed
