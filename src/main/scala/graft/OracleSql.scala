@@ -5034,6 +5034,9 @@ object OracleSql {
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) <= 5
         |ORDER BY lang, doc_id""".stripMargin,
     "d_decontam_report" -> decontamSql,
+    // streamed == batch IS the contract: the streaming guard must
+    // reproduce the batch overlap report bit-for-bit
+    "st_stream_decontam" -> decontamSql,
     "d_bloom_prefilter" -> bloomPrefilterSql,
     "d_line_dedup" -> lineDedupSql,
     "d_dup_spans" -> dupSpansSql,

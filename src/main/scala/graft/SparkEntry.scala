@@ -1984,6 +1984,30 @@ object SparkEntry {
       .orderBy("c_mktsegment")
   }
 
+  /** §2.12 streaming decontamination: the n-gram eval-set leakage guard
+    * running per micro-batch over streamed documents, static benchmark
+    * side broadcast ([[graft.streaming.StreamingProfile.decontamReport]]).
+    * Same split/params as `d_decontam_report` (guard = doc_id ≤ 5,
+    * stream = doc_id > 5, 3-shingles, τ = 0.2), and the oracle IS that
+    * batch report — streamed == batch is the pinned contract.
+    */
+  private def streamingDecontamQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_decontam_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") > 5)
+    val bench = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") <= 5)
+    val q = graft.streaming.StreamingProfile.decontamReport(
+        stream, bench, n = 3, threshold = 0.2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("id")
+  }
+
   /** §2.12 stream-stream attribution join: clicks matched to the same
     * user's purchases within the preceding hour, both sides watermarked
     * ([[graft.streaming.StreamingProfile.attributionJoin]]) — the
@@ -3724,6 +3748,7 @@ object SparkEntry {
     "st_stream_profile" -> streamingProfile,
     "st_stream_rate" -> streamingRateQ,
     "st_stream_dedup" -> streamingDedupQ,
+    "st_stream_decontam" -> streamingDecontamQ,
     "s2_compressed_roundtrip" -> compressedRoundtrip,
     "j3_search_eval" -> searchEval,
     "j3_ndcg" -> searchNdcgQ,

@@ -121,6 +121,39 @@ object StreamingProfile {
       .agg(count(lit(1)).as("n"),
         sum(col(s"`$amountCol`").cast("decimal(18,2)")).as("amount"))
 
+  /** Streaming decontamination guard — the eval-set n-gram leakage
+    * check ([[graft.operators.Decontamination.overlapReport]]) in
+    * INGEST position, where a production pipeline actually wants it:
+    * documents are flagged as they stream in, not in a post-hoc batch
+    * sweep. Each micro-batch's documents explode to their distinct
+    * n-shingles and broadcast-hash-join the STATIC benchmark shingle
+    * set (stream never shuffles for the join, same discipline as
+    * [[enrichedCounts]]); ONE streaming aggregation per doc builds the
+    * report. The batch operator's two-aggregate shape (counts ⋈
+    * overlaps) is rewritten as left-join + conditional sum because
+    * chained streaming aggregations are unsupported — identical results
+    * by construction: the benchmark side is distinct, so the left join
+    * is 1:≤1 per (doc, shingle). Complete mode; streamed == batch is
+    * the oracle contract. */
+  def decontamReport(stream: DataFrame, benchmark: DataFrame,
+                     n: Int = 8, threshold: Double = 0.05,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    val benchSh = benchmark.select(
+        explode(array_distinct(word_shingles(col(textCol), n))).as("sh"))
+      .distinct().withColumn("hit", lit(1L))
+    stream.select(col(idCol).as("id"),
+        explode(array_distinct(word_shingles(col(textCol), n))).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        round(col("n_overlap") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
   /** Stream-stream attribution join: each conversion event matched to
     * the SAME user's trigger events inside the preceding `horizon` —
     * the canonical ad-attribution shape. Both sides are watermarked so
