@@ -2512,6 +2512,91 @@ object OracleSql {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  /** d_lsh_calibration: the analytic MinHash S-curve over the exact
+    * bigram-Jaccard pair relation (d_ngram_jaccard's CTE) × the 32-hash
+    * band-plan grid. J^r and the final P are rounded to 6 dp in the same
+    * order as the engine; expectations sum as exact DECIMAL(18,6). */
+  private def lshCalibrationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE doc_id <= 25
+      |), g AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
+      |         ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS sh
+      |  FROM d),
+      |jac AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+      |grid AS (SELECT * FROM (VALUES (16, 2), (8, 4), (4, 8), (2, 16)) AS t(b, r)),
+      |p AS (
+      |  SELECT b, r, jaccard,
+      |    round(1.0 - power(1.0 - round(power(jaccard, r), 6), b), 6) AS p
+      |  FROM jac CROSS JOIN grid)
+      |SELECT b, r,
+      |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+      |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN CAST(p AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS exp_true_caught,
+      |  CAST(sum(CASE WHEN jaccard < 0.5 THEN CAST(p AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS exp_false_caught
+      |FROM p GROUP BY b, r ORDER BY b""".stripMargin
+
+  /** e2e_curation_funnel: replay the whole curation chain — Gopher-rule
+    * quality filter (t_quality_filter's exact thresholds/rounding),
+    * min-id exact dedup among SURVIVORS (d_exact_dup's fingerprint),
+    * 3-shingle decontamination vs the doc_id ≤ 5 eval split
+    * (d_decontam_report's shingle collapse and τ) — and report each
+    * stage's surviving docs + tokens. */
+  private def curationFunnelSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |    round(CASE WHEN length(text) = 0 THEN 0
+      |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS pr,
+      |    round(CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0
+      |          ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w))) AS DOUBLE)
+      |               / len(string_split_regex(trim(text), '\s+')) END, 6) AS mtl
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id, text, n_tokens FROM m
+      |  WHERE n_tokens >= 30 AND n_tokens <= 5000
+      |    AND mtl >= 3.0 AND mtl <= 4.8 AND pr <= 0.1),
+      |fp AS (
+      |  SELECT doc_id, text, n_tokens,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM s1),
+      |s2 AS (
+      |  SELECT f.doc_id, f.text, f.n_tokens
+      |  FROM fp f JOIN (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp) k
+      |    ON f.fp = k.fp AND f.doc_id = k.keeper),
+      |d2 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM s2),
+      |g2 AS (SELECT doc_id,
+      |         CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+      |              ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |       FROM d2),
+      |ds AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM g2),
+      |db AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE doc_id <= 5),
+      |gb AS (SELECT doc_id,
+      |         CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+      |              ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+      |       FROM db),
+      |bs AS (SELECT DISTINCT unnest(sh) AS s FROM gb),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+      |ov AS (SELECT ds.doc_id, count(*) AS n_ov FROM ds JOIN bs ON ds.s = bs.s GROUP BY ds.doc_id),
+      |cont AS (
+      |  SELECT c.doc_id FROM counts c LEFT JOIN ov o USING (doc_id)
+      |  WHERE round(CAST(coalesce(o.n_ov, 0) AS DOUBLE) / c.n_sh, 6) >= 0.2),
+      |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_id, 'all' AS stage, count(*) AS n_docs,
+      |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM m
+      |  UNION ALL SELECT 1, 'quality', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s1
+      |  UNION ALL SELECT 2, 'exact_dedup', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
+      |  UNION ALL SELECT 3, 'decontam', count(*), CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s3)
+      |ORDER BY stage_id""".stripMargin
+
   /** w_domain_cap: replay URL synthesis → host regex → registered
     * domain → salted-hash per-domain cap. Same regex text in RE2 as in
     * Java regex; md5 hex ordering is byte-identical across engines.
@@ -5037,6 +5122,8 @@ object OracleSql {
     // streamed == batch IS the contract: the streaming guard must
     // reproduce the batch overlap report bit-for-bit
     "st_stream_decontam" -> decontamSql,
+    "e2e_curation_funnel" -> curationFunnelSql,
+    "d_lsh_calibration" -> lshCalibrationSql,
     "d_bloom_prefilter" -> bloomPrefilterSql,
     "d_line_dedup" -> lineDedupSql,
     "d_dup_spans" -> dupSpansSql,

@@ -2847,6 +2847,90 @@ object SparkEntry {
         round(col("dup_span_tokens").cast("double") / col("total_tokens"), 6))
   }
 
+  /** LSH band-plan calibration — the S-curve table an engineer consults
+    * to pick (bands, rows) at corpus scale: for each measured pair
+    * Jaccard J (the bounded 25-doc exact bigram relation that
+    * `d_ngram_jaccard` pins) and each fixed-budget band plan (b bands ×
+    * r rows, b·r = 32 hashes: 16×2, 8×4, 4×8, 2×16), the analytic
+    * MinHash capture probability P = 1 − (1 − J^r)^b, aggregated at
+    * τ = 0.5 into expected caught true/false pairs. Complements
+    * `d_lsh_quality` (empirical audit of the engine's own banding) with
+    * the predictive curve. FP discipline: J is 6-dp; J^r and the final
+    * P are rounded to 6 dp in the SAME order on both engines (the
+    * bm25-idf transcendental precedent), and the expectations sum as
+    * exact DECIMAL(18,6). Zero-overlap pairs have P = 0 and are
+    * excluded like the base relation. */
+  private def lshCalibrationQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") <= 25)
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val jac = Dedup.ngramJaccardPairs(docs, pairs, n = 2)
+      .filter(col("jaccard") > 0)
+    val grid = s.createDataFrame(Seq((16, 2), (8, 4), (4, 8), (2, 16)))
+      .toDF("b", "r")
+    val jr = round(pow(col("jaccard"), col("r")), 6)
+    val p = round(lit(1.0) - pow(lit(1.0) - jr, col("b")), 6)
+    jac.crossJoin(broadcast(grid))
+      .select(col("b"), col("r"), col("jaccard"), p.as("p"))
+      .groupBy("b", "r")
+      .agg(
+        sum(when(col("jaccard") >= 0.5, lit(1L)).otherwise(0L)).as("n_true"),
+        sum(when(col("jaccard") < 0.5, lit(1L)).otherwise(0L)).as("n_false"),
+        sum(when(col("jaccard") >= 0.5, col("p").cast("decimal(18,6)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))).as("exp_true_caught"),
+        sum(when(col("jaccard") < 0.5, col("p").cast("decimal(18,6)"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))).as("exp_false_caught"))
+      .orderBy("b")
+  }
+
+  /** End-to-end curation funnel — the per-stage survival table a corpus
+    * build publishes (the "data card" funnel): all docs → Gopher-rule
+    * quality filter → exact dedup (min-id keeper among SURVIVORS) →
+    * eval-set n-gram decontamination, each stage reporting surviving
+    * docs and tokens. Composes the engine's own operators
+    * ([[graft.operators.TextAnalysis.qualityFilter]],
+    * [[graft.functions.TextFunctions.doc_fingerprint]],
+    * [[graft.operators.Decontamination.overlapReport]]) with the same
+    * rule values their standalone queries pin, so every stage's
+    * semantics are already independently oracle-verified. Scale shape:
+    * one narrow projection, one fingerprint shuffle over survivors, one
+    * shingle join against the broadcast eval set — each stage's count
+    * is a 1-row aggregate, unioned. */
+  private def curationFunnelQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis, Decontamination}
+    import graft.functions.TextFunctions.{doc_fingerprint, token_count}
+    val docs = t(s, dir, "documents")
+    val rules = TextAnalysis.QualityRules(
+      minTokens = 30, maxTokens = 5000,
+      minMeanTokenLen = 3.0, maxMeanTokenLen = 4.8, maxPunctRatio = 0.1)
+    val s1 = TextAnalysis.qualityFilter(docs, rules)
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+    // exact dedup among stage-1 survivors: keeper = min id per fingerprint
+    val fp = s1.select(col("doc_id"), col("text"),
+      doc_fingerprint(col("text")).as("fp"))
+    val s2 = fp.join(fp.groupBy("fp").agg(min(col("doc_id")).as("keeper")), "fp")
+      .filter(col("doc_id") === col("keeper"))
+      .select("doc_id", "text")
+    // decontaminate survivors against the eval split (full-corpus
+    // doc_id <= 5, 3-shingles, τ = 0.2 — the d_decontam_report params);
+    // eval docs themselves overlap at 1.0 and drop here too
+    val contaminated = Decontamination.overlapReport(
+        s2, docs.filter(col("doc_id") <= 5), n = 3, threshold = 0.2)
+      .filter(col("contaminated")).select(col("id").as("doc_id"))
+    val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(token_count(col("text"))), lit(0L)).cast("long").as("n_tokens"))
+        .select(lit(idx).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stage(docs, 0, "all")
+      .unionByName(stage(s1, 1, "quality"))
+      .unionByName(stage(s2, 2, "exact_dedup"))
+      .unionByName(stage(s3, 3, "decontam"))
+      .orderBy("stage_id")
+  }
+
   /** Web-corpus curation: synthesize deterministic URLs over documents
     * (the lake has no URL column; both engines build identical strings,
     * the PII-query pattern), decompose them, cap per registered domain
@@ -3789,6 +3873,8 @@ object SparkEntry {
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,
+    "e2e_curation_funnel" -> curationFunnelQ,
+    "d_lsh_calibration" -> lshCalibrationQ,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,
