@@ -2542,6 +2542,41 @@ object OracleSql {
       |  CAST(sum(CASE WHEN jaccard < 0.5 THEN CAST(p AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS exp_false_caught
       |FROM p GROUP BY b, r ORDER BY b""".stripMargin
 
+  /** a_bootstrap_ci: replay the deterministic Poisson bootstrap — the
+    * same md5-uniforms, the same integer CDF thresholds, exact long
+    * weight·cents sums, positional CI over the 32 sorted replica means. */
+  private def bootstrapCiSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM lineitem),
+      |r AS (
+      |  SELECT cents,
+      |    md5_number_lower(CAST(l_orderkey AS VARCHAR) || ':' ||
+      |      CAST(l_linenumber AS VARCHAR) || ':boot:' || CAST(b AS VARCHAR))
+      |      & 4294967295 AS u32,
+      |    b
+      |  FROM li CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+      |w AS (
+      |  SELECT b, cents,
+      |    (CASE WHEN u32 >= 1580030168 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u32 >= 3160060337 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u32 >= 3950075421 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u32 >= 4213413783 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u32 >= 4279248373 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN u32 >= 4292415291 THEN 1 ELSE 0 END) AS w
+      |  FROM r),
+      |m AS (
+      |  SELECT b, round(CAST(sum(w * cents) AS DOUBLE) / (sum(w) * 100.0), 6) AS mean
+      |  FROM w GROUP BY b),
+      |ms AS (SELECT mean, row_number() OVER (ORDER BY mean) AS rk FROM m),
+      |pt AS (SELECT count(*) AS n_rows,
+      |  round(CAST(sum(cents) AS DOUBLE) / (count(*) * 100.0), 6) AS point_mean FROM li)
+      |SELECT pt.n_rows, CAST(32 AS BIGINT) AS n_replicas, pt.point_mean,
+      |  (SELECT mean FROM ms WHERE rk = 2) AS boot_lo,
+      |  (SELECT mean FROM ms WHERE rk = 16) AS boot_mid,
+      |  (SELECT mean FROM ms WHERE rk = 31) AS boot_hi
+      |FROM pt""".stripMargin
+
   /** e2e_curation_funnel: replay the whole curation chain — Gopher-rule
     * quality filter (t_quality_filter's exact thresholds/rounding),
     * min-id exact dedup among SURVIVORS (d_exact_dup's fingerprint),
@@ -5124,6 +5159,7 @@ object OracleSql {
     "st_stream_decontam" -> decontamSql,
     "e2e_curation_funnel" -> curationFunnelSql,
     "d_lsh_calibration" -> lshCalibrationSql,
+    "a_bootstrap_ci" -> bootstrapCiSql,
     "d_bloom_prefilter" -> bloomPrefilterSql,
     "d_line_dedup" -> lineDedupSql,
     "d_dup_spans" -> dupSpansSql,

@@ -2847,6 +2847,56 @@ object SparkEntry {
         round(col("dup_span_tokens").cast("double") / col("total_tokens"), 6))
   }
 
+  /** Poisson-bootstrap confidence interval for a profile statistic —
+    * THE web-scale bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google TR 2012): instead of resampling
+    * rows (impossible distributed), every row gets an independent
+    * Poisson(1) weight per replica, so all B replicas ride ONE pass and
+    * one groupBy(replica). Determinism: the weight is inverse-CDF over
+    * the row's md5-uniform (`md5_low32(pk:boot:b)` vs hard-coded
+    * integer thresholds floor(cdf_k·2³²) — EXACT integer comparisons,
+    * zero transcendentals at eval time, engine/partitioning/run
+    * invariant). Replica means divide two exact longs then round 6; the
+    * CI is POSITIONAL over the 32 sorted replica means (ranks 2/16/31 —
+    * single elements, never an average of two, which could land on a
+    * 7th-decimal half where Spark and DuckDB round differently). */
+  private def bootstrapCiQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchFunctions.md5_low32
+    val B = 32
+    // Poisson(1) CDF at k=0..5, scaled to 2^32 (shared literals — the
+    // approximation cap at 6 is part of the pinned definition)
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L)
+    // the price is a 2-dp value stored as DOUBLE: the decimal(18,2)
+    // cast rounds it identically on both engines BEFORE the ×100, where
+    // a raw double×100→long would truncate here and round in DuckDB
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val u = md5_low32(concat_ws(":",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+      lit("boot"), col("b").cast("string")))
+    val w = thresholds.map(t => (u >= lit(t)).cast("long")).reduce(_ + _)
+    val means = li
+      .select(col("l_orderkey"), col("l_linenumber"), col("cents"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .select(col("b"), col("cents"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .select(round(col("swc").cast("double") / (col("sw") * 100.0), 6).as("mean"))
+      .agg(sort_array(collect_list(col("mean"))).as("ms"))
+      .select(element_at(col("ms"), 2).as("boot_lo"),
+        element_at(col("ms"), 16).as("boot_mid"),
+        element_at(col("ms"), 31).as("boot_hi"))
+    val point = li.agg(count(lit(1)).as("n_rows"),
+      round(sum(col("cents")).cast("double") / (count(lit(1)) * 100.0), 6)
+        .as("point_mean"))
+    point.crossJoin(means)
+      .select(col("n_rows"), lit(B.toLong).as("n_replicas"),
+        col("point_mean"), col("boot_lo"), col("boot_mid"), col("boot_hi"))
+  }
+
   /** LSH band-plan calibration — the S-curve table an engineer consults
     * to pick (bands, rows) at corpus scale: for each measured pair
     * Jaccard J (the bounded 25-doc exact bigram relation that
@@ -3875,6 +3925,7 @@ object SparkEntry {
     "d_decontam_report" -> decontamReport,
     "e2e_curation_funnel" -> curationFunnelQ,
     "d_lsh_calibration" -> lshCalibrationQ,
+    "a_bootstrap_ci" -> bootstrapCiQ,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,
