@@ -2879,6 +2879,12 @@ object SparkEntry {
       lit("boot"), col("b").cast("string")))
     val w = thresholds.map(t => (u >= lit(t)).cast("long")).reduce(_ + _)
     val means = li
+      // spread BEFORE the B× explode: the scan is 1-2 input splits at
+      // bench scale, and without this the 19.2M hash rows run on 2 of
+      // 32 cores (measured 25.7 s → ~2 s; a 600k-row shuffle is noise).
+      // At cluster scale the scan has many splits and AQE may coalesce
+      // this exchange away — the explicit spread guards the small end.
+      .repartition(32)
       .select(col("l_orderkey"), col("l_linenumber"), col("cents"),
         explode(sequence(lit(0), lit(B - 1))).as("b"))
       .select(col("b"), col("cents"), w.as("w"))
