@@ -18,6 +18,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split single-file small-SF parquet into enough scan tasks to
+      // use the box (default 128 MB budget = ONE task per table, so
+      // scan-stage map work ran on 1 core of 32); queries are
+      // partitioning-invariant by contract, so this is pure tuning
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

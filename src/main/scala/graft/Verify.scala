@@ -12,6 +12,15 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // small-SF tables are single-file parquet; at the default 128 MB
+      // split budget every scan is ONE task and scan-stage map work
+      // (tokenize/explode/hash) runs on one core of 32. 8 MB splits the
+      // local tables into enough tasks to use the box; on a real lake
+      // file count provides the parallelism and this stays sane.
+      // Every registered query is partitioning-invariant by contract
+      // (pinned across the spec suite), so this is pure tuning.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -144,7 +144,14 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, minTokens: Int = 8,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
-    val grams = docs.filter(trim(col(textCol)) =!= "")
+    // spread BEFORE the L-gram explode: a small corpus parquet is 1-2
+    // input splits, and explode keeps input partitioning — the
+    // tokenize+shingle+hash work would run on 1-2 cores (the
+    // a_bootstrap_ci parallelism-cliff class). Sized to the session's
+    // shuffle parallelism; at cluster scale the scan has many splits
+    // and AQE can coalesce the exchange.
+    val spread = math.max(docs.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val grams = docs.repartition(spread).filter(trim(col(textCol)) =!= "")
       .filter(size(split(trim(col(textCol)), "\\s+")) >= minTokens)
       .select(col(idCol).cast("long").as("id"),
         posexplode(word_shingles(col(textCol), minTokens)).as(Seq("pos", "gram")))
