@@ -189,6 +189,34 @@ object Graft {
   def lmQualityScore(docs: DataFrame, train: DataFrame): DataFrame =
     operators.TextAnalysis.bigramLogProb(docs, train)
 
+  /** CCNet head/middle/tail perplexity buckets per language (exact
+    * positional tertiles over the LM score). */
+  def perplexityBuckets(docs: DataFrame, train: DataFrame): DataFrame =
+    operators.TextAnalysis.perplexityBuckets(docs, train)
+
+  /** C4 line/page cleaning rules (terminal punctuation, min words per
+    * line, javascript/lorem/brace/policy-word pages). Shuffle-free. */
+  def c4Filter(docs: DataFrame,
+               rules: operators.TextAnalysis.C4Rules =
+                 operators.TextAnalysis.C4Rules()): DataFrame =
+    operators.TextAnalysis.c4Filter(docs, rules)
+
+  /** Dominant principal direction + explained-variance share of an
+    * embedding corpus (All-but-the-top anisotropy report). */
+  def embeddingPca(embs: DataFrame, nIter: Int = 6): DataFrame =
+    operators.Ann.powerIterationPca(embs, nIter)
+
+  /** All-but-the-top common-component removal: before/after variance
+    * and axis-anisotropy report. */
+  def embeddingAbtt(embs: DataFrame, nIter: Int = 6): DataFrame =
+    operators.Ann.abttReport(embs, nIter)
+
+  /** MERGE INTO semantics: apply an upsert/delete changelog to a keyed
+    * snapshot — one struct-max compaction + one full-outer join. */
+  def mergeUpsert(target: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                  orderCols: Seq[String], opCol: String = "op"): DataFrame =
+    operators.Merge.upsert(target, changes, keyCols, orderCols, opCol)
+
   /** Drop docs sharing long n-grams with an eval set (leakage guard). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05): DataFrame =

@@ -2739,33 +2739,40 @@ object OracleSql {
     * engines, unlike round() built-ins, which disagree when the decimal
     * sum / count quotient lands exactly on a .5e-6 boundary — observed
     * at sf0.1), summed exactly; the mean re-rounds the same way. */
+  /** The bigram-LM score CTE chain over an arbitrary source relation
+    * `src` (train = score = src, the t_lm_quality shape) — shared by
+    * t_lm_quality, t_ppl_buckets (via the full statement) and the CCNet
+    * funnel (mid-cascade over langid survivors). */
+  private def lmScoreCtes(src: String): String =
+    s"""d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $src),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
+       |             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bgs
+       |      FROM d),
+       |tb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
+       |       FROM (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+       |             FROM d WHERE len(w) >= 2) GROUP BY bg),
+       |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM tb GROUP BY w1),
+       |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+       |       FROM (SELECT unnest(w) AS tok FROM d) WHERE tok <> ''),
+       |sc AS (
+       |  SELECT s.doc_id,
+       |    CAST(CASE WHEN l >= 0 THEN floor(l + 0.5) ELSE ceil(l - 0.5) END AS BIGINT) AS lpm
+       |  FROM (
+       |    SELECT s0.doc_id,
+       |      ln((coalesce(tb.c12, 0) + 1.0) / (coalesce(ctx.c1, 0) + 1.0 * vv.v)) * 1000000 AS l
+       |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) s0
+       |    LEFT JOIN tb USING (bg)
+       |    LEFT JOIN ctx ON ctx.w1 = split_part(s0.bg, ' ', 1), vv) s),
+       |ag AS (SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(lpm) AS DOUBLE) / count(*) AS m
+       |       FROM sc GROUP BY doc_id)""".stripMargin
+
   private def lmQualitySql: String =
-    """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-      |g AS (SELECT doc_id,
-      |        CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
-      |             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bgs
-      |      FROM d),
-      |tb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
-      |       FROM (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
-      |             FROM d WHERE len(w) >= 2) GROUP BY bg),
-      |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM tb GROUP BY w1),
-      |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
-      |       FROM (SELECT unnest(w) AS tok FROM d) WHERE tok <> ''),
-      |sc AS (
-      |  SELECT s.doc_id,
-      |    CAST(CASE WHEN l >= 0 THEN floor(l + 0.5) ELSE ceil(l - 0.5) END AS BIGINT) AS lpm
-      |  FROM (
-      |    SELECT s0.doc_id,
-      |      ln((coalesce(tb.c12, 0) + 1.0) / (coalesce(ctx.c1, 0) + 1.0 * vv.v)) * 1000000 AS l
-      |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) s0
-      |    LEFT JOIN tb USING (bg)
-      |    LEFT JOIN ctx ON ctx.w1 = split_part(s0.bg, ' ', 1), vv) s),
-      |ag AS (SELECT doc_id, count(*) AS n_bigrams,
-      |         CAST(sum(lpm) AS DOUBLE) / count(*) AS m
-      |       FROM sc GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams,
-      |  (CASE WHEN m >= 0 THEN floor(m + 0.5) ELSE ceil(m - 0.5) END) / 1000000.0 AS avg_logprob_r
-      |FROM ag ORDER BY doc_id""".stripMargin
+    s"""WITH ${lmScoreCtes("documents")}
+       |SELECT doc_id, n_bigrams,
+       |  (CASE WHEN m >= 0 THEN floor(m + 0.5) ELSE ceil(m - 0.5) END) / 1000000.0 AS avg_logprob_r
+       |FROM ag ORDER BY doc_id""".stripMargin
 
   /** t_pii_scrub: DuckDB synthesizes the same contact strings from
     * customer keys and redacts with the same RE2 patterns in the same
@@ -3280,6 +3287,59 @@ object OracleSql {
        |  round(CAST(SUM(CAST(q AS DECIMAL(20,6))) AS DOUBLE) / count(q), 6) AS avg_quality
        |FROM pred GROUP BY lang, lang_pred
        |ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  /** e2e_ccnet_funnel: replay the whole CCNet-shaped chain — marker
+    * language-ID (t_lang_quality's CTEs) → agreement filter → bigram-LM
+    * scores over the SURVIVORS (lmScoreCtes parameterized mid-cascade)
+    * → per-language positional tertiles, tail dropped → salted-md5
+    * per-source cap (w_domain_cap's ordering) — with per-stage doc and
+    * token counts. */
+  private def ccnetFunnelSql: String = {
+    val markers = graft.functions.TextFunctions.langMarkers
+    val cntSelects = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val cnt = ms.map { m =>
+        s"(length(t) - length(replace(t, '$m', ''))) // ${m.length}"
+      }.mkString(" + ")
+      s"SELECT doc_id, '$lang' AS cand, $cnt AS cnt FROM t0"
+    }
+    val nTok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    s"""WITH t0 AS (
+       |  SELECT doc_id, lang, source, text, ' ' || lower(text) || ' ' AS t FROM documents),
+       |scores AS (
+       |  ${cntSelects.mkString("\n  UNION ALL ")}
+       |),
+       |best AS (
+       |  SELECT doc_id, cand, cnt,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cnt DESC, CASE WHEN cand = 'en' THEN 0 ELSE 1 END, cand) AS rn
+       |  FROM scores),
+       |marker AS (
+       |  SELECT doc_id, CASE WHEN cnt = 0 THEN 'und' ELSE cand END AS marker_pred
+       |  FROM best WHERE rn = 1),
+       |pr AS (
+       |  SELECT t0.doc_id, t0.lang, t0.source, t0.text,
+       |    CASE WHEN t0.text IS NULL OR trim(t0.text) = '' THEN 'und'
+       |         WHEN length(regexp_replace(t0.t, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 2 > length(t0.t) THEN 'zh'
+       |         ELSE m.marker_pred END AS lang_pred
+       |  FROM t0 JOIN marker m USING (doc_id)),
+       |s2 AS (SELECT doc_id, lang, source, text FROM pr WHERE lang_pred = lang),
+       |${lmScoreCtes("s2")},
+       |rk AS (SELECT s2.doc_id, s2.lang, s2.source, s2.text,
+       |    row_number() OVER (PARTITION BY s2.lang
+       |      ORDER BY (CASE WHEN ag.m >= 0 THEN floor(ag.m + 0.5) ELSE ceil(ag.m - 0.5) END) DESC, s2.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY s2.lang) AS nl
+       |  FROM s2 JOIN ag USING (doc_id)),
+       |s3 AS (SELECT doc_id, lang, source, text FROM rk WHERE rn * 3 <= nl * 2),
+       |s4 AS (SELECT doc_id, source, text FROM s3
+       |  QUALIFY row_number() OVER (PARTITION BY source
+       |    ORDER BY md5('ccnet:' || CAST(doc_id AS VARCHAR)), doc_id) <= 8)
+       |SELECT CAST(1 AS BIGINT) AS stage_idx, 'all' AS stage, count(*) AS n_docs,
+       |  CAST(coalesce(sum($nTok), 0) AS BIGINT) AS n_tokens FROM documents
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'langid_match', count(*), CAST(coalesce(sum($nTok), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT CAST(3 AS BIGINT), 'ppl_head_middle', count(*), CAST(coalesce(sum($nTok), 0) AS BIGINT) FROM s3
+       |UNION ALL SELECT CAST(4 AS BIGINT), 'source_cap', count(*), CAST(coalesce(sum($nTok), 0) AS BIGINT) FROM s4
+       |ORDER BY stage_idx""".stripMargin
   }
 
   /** o4_search_minhash: the full sketch-mode discovery search — digests
@@ -4325,6 +4385,175 @@ object OracleSql {
       |       ELSE round(CAST(tot.mv AS DOUBLE) * tot.n_dims / tot.sv, 6) END AS anisotropy
       |FROM v, tot ORDER BY dim""".stripMargin
 
+  /** emb_pca_power: replay the exact-integer power iteration — the same
+    * micro-quantization seam as emb_dim_variance, truncating `//` for
+    * the centering mean and every rescale (Spark `div` ≡ DuckDB `//`
+    * toward zero), four unrolled rounds, canonical sign from the
+    * lowest-dim nonzero component, and the explained-variance share as
+    * one exact HUGEINT integral divide to ppm. CTEs are MATERIALIZED:
+    * the iteration chain references each round's relations repeatedly
+    * and default inlining re-evaluates the chain combinatorially. */
+  private def pcaChainCtes(nIter: Int): String = {
+    def iter(i: Int, vPrev: String): String =
+      s"""d$i AS MATERIALIZED (SELECT y.id, CAST(sum(y.y * v.v) AS BIGINT) AS dot
+         |  FROM y JOIN $vPrev v USING (dim) GROUP BY y.id),
+         |s$i AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT),
+         |    CAST(max(abs(dot)) AS BIGINT) // 1000000) AS s FROM d$i),
+         |dn$i AS MATERIALIZED (SELECT id, dot // s AS ds FROM d$i, s$i),
+         |z$i AS MATERIALIZED (SELECT y.dim, CAST(sum(y.y * dn.ds) AS BIGINT) AS z
+         |  FROM y JOIN dn$i dn USING (id) GROUP BY y.dim),
+         |t$i AS MATERIALIZED (SELECT greatest(CAST(1 AS BIGINT),
+         |    CAST(max(abs(z)) AS BIGINT) // 1000000) AS t FROM z$i),
+         |v$i AS MATERIALIZED (SELECT dim, CAST(z // t AS BIGINT) AS v FROM z$i, t$i)""".stripMargin
+    s"""comps AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, i - 1 AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS u
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+       |mu AS MATERIALIZED (SELECT dim, CAST(sum(u) AS BIGINT) // count(*) AS mu
+       |  FROM comps GROUP BY 1),
+       |y AS MATERIALIZED (SELECT c.id, c.dim, c.u - m.mu AS y
+       |  FROM comps c JOIN mu m USING (dim)),
+       |v0 AS MATERIALIZED (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM y),
+       |${(1 to nIter).map(i => iter(i, s"v${i - 1}")).mkString(",\n")},
+       |sg AS MATERIALIZED (SELECT CASE WHEN
+       |    coalesce((SELECT v FROM v$nIter WHERE v <> 0 ORDER BY dim LIMIT 1), 1) >= 0
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn),
+       |vc AS MATERIALIZED (SELECT dim, v * sgn AS v FROM v$nIter, sg),
+       |fd AS MATERIALIZED (SELECT y.id, CAST(sum(y.y * vc.v) AS BIGINT) AS dot
+       |  FROM y JOIN vc USING (dim) GROUP BY y.id)""".stripMargin
+  }
+
+  private def pcaPowerSql: String =
+    s"""WITH ${pcaChainCtes(4)},
+       |nm AS MATERIALIZED (SELECT sum(CAST(dot AS HUGEINT) * dot) AS num FROM fd),
+       |dd AS MATERIALIZED (SELECT (SELECT sum(CAST(v AS HUGEINT) * v) FROM vc) *
+       |    (SELECT sum(CAST(y AS HUGEINT) * y) FROM y) AS den),
+       |ev AS MATERIALIZED (SELECT CASE WHEN den IS NULL OR den = 0 THEN 0.0
+       |    ELSE CAST(CAST((num * 1000000) // den AS BIGINT) AS DOUBLE) / 1000000.0 END
+       |    AS ev_share FROM nm, dd)
+       |SELECT CAST(vc.dim AS BIGINT) AS dim, CAST(vc.v AS BIGINT) AS component_ppm,
+       |  ev.ev_share
+       |FROM vc, ev ORDER BY dim""".stripMargin
+
+  /** emb_abtt: the All-but-the-top projection replay — exact integral
+    * projection quotient per cell, ppm ratios by HUGEINT integral
+    * divides (Spark's DECIMAL `div` and DuckDB `//` both truncate
+    * toward zero). */
+  private def abttSql: String =
+    s"""WITH ${pcaChainCtes(4)},
+       |nv2 AS MATERIALIZED (SELECT CAST(sum(v * v) AS BIGINT) AS nv2 FROM vc),
+       |yp AS MATERIALIZED (SELECT y.id, y.dim,
+       |    CASE WHEN n.nv2 = 0 THEN y.y
+       |         ELSE y.y - CAST((CAST(f.dot AS HUGEINT) * v.v) // n.nv2 AS BIGINT) END AS yp
+       |  FROM y JOIN fd f USING (id) JOIN vc v USING (dim), nv2 n),
+       |syy AS MATERIALIZED (SELECT sum(CAST(y AS HUGEINT) * y) AS syy FROM y),
+       |syp AS MATERIALIZED (SELECT sum(CAST(yp AS HUGEINT) * yp) AS syp FROM yp),
+       |axb AS MATERIALIZED (SELECT max(sd) AS mx, sum(sd) AS tot, count(*) AS nd
+       |  FROM (SELECT dim, sum(CAST(y AS HUGEINT) * y) AS sd FROM y GROUP BY dim)),
+       |axa AS MATERIALIZED (SELECT max(sd) AS mx, sum(sd) AS tot, count(*) AS nd
+       |  FROM (SELECT dim, sum(CAST(yp AS HUGEINT) * yp) AS sd FROM yp GROUP BY dim)),
+       |cnts AS (SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+       |                (SELECT count(*) FROM vc) AS n_dims)
+       |SELECT cnts.n_vecs, cnts.n_dims,
+       |  CASE WHEN syy.syy IS NULL OR syy.syy = 0 THEN 0.0
+       |       ELSE CAST(CAST(((syy.syy - syp.syp) * 1000000) // syy.syy AS BIGINT) AS DOUBLE) / 1000000.0
+       |  END AS ev_top_share,
+       |  CASE WHEN syy.syy IS NULL OR syy.syy = 0 THEN 0.0
+       |       ELSE CAST(CAST((syp.syp * 1000000) // syy.syy AS BIGINT) AS DOUBLE) / 1000000.0
+       |  END AS var_retained,
+       |  CASE WHEN axb.tot IS NULL OR axb.tot = 0 THEN 0.0
+       |       ELSE CAST(CAST((axb.mx * axb.nd * 1000000) // axb.tot AS BIGINT) AS DOUBLE) / 1000000.0
+       |  END AS axis_aniso_before,
+       |  CASE WHEN axa.tot IS NULL OR axa.tot = 0 THEN 0.0
+       |       ELSE CAST(CAST((axa.mx * axa.nd * 1000000) // axa.tot AS BIGINT) AS DOUBLE) / 1000000.0
+       |  END AS axis_aniso_after
+       |FROM cnts, syy, syp, axb, axa""".stripMargin
+
+  /** t_c4_filters: rebuild the identical synthesized pages (8-token
+    * lines, residue-keyed terminal '.', injected code/lorem/policy
+    * lines) and replay the C4 line + page rules. */
+  private def c4FiltersSql: String =
+    """WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |p0 AS (SELECT doc_id, lang,
+      |  list_transform(range(0, (len(w)+7)//8),
+      |    i -> array_to_string(list_slice(w, i*8+1, i*8+8), ' ') ||
+      |         CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END) AS lines
+      |  FROM d),
+      |pages AS (SELECT doc_id, lang, array_to_string(
+      |    lines
+      |    || CASE WHEN doc_id % 23 = 0 THEN ['function() { return 1; }'] ELSE []::VARCHAR[] END
+      |    || CASE WHEN doc_id % 29 = 0 THEN ['Lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END
+      |    || CASE WHEN doc_id % 31 = 0 THEN ['this page contains unsafeword content.'] ELSE []::VARCHAR[] END,
+      |    chr(10)) AS text FROM p0),
+      |rep AS (SELECT doc_id, lang,
+      |  string_split(text, chr(10)) AS ls,
+      |  list_filter(string_split(text, chr(10)), ln ->
+      |    regexp_matches(trim(ln), '[.!?"]$')
+      |    AND len(list_filter(string_split_regex(trim(ln), '\s+'), x -> x <> '')) >= 5
+      |    AND NOT contains(lower(ln), 'javascript')) AS kept,
+      |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |  contains(text, '{') AS has_brace,
+      |  list_contains(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''), 'unsafeword') AS has_badword
+      |  FROM pages),
+      |agg AS (SELECT lang, len(ls) AS n_lines, len(kept) AS n_kept,
+      |  coalesce(list_sum(list_transform(kept,
+      |    ln -> len(list_filter(string_split_regex(trim(ln), '\s+'), x -> x <> '')))), 0) AS kt,
+      |  has_lorem, has_brace, has_badword,
+      |  (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_badword) AS keep FROM rep)
+      |SELECT lang, count(*) AS n_pages,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS pages_kept,
+      |  CAST(sum(n_lines) AS BIGINT) AS lines_total,
+      |  CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+      |  CAST(sum(kt) AS BIGINT) AS kept_tokens,
+      |  CAST(sum(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+      |  CAST(sum(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+      |  CAST(sum(CASE WHEN has_badword THEN 1 ELSE 0 END) AS BIGINT) AS n_badword,
+      |  CAST(sum(CASE WHEN NOT keep AND NOT has_lorem AND NOT has_brace AND NOT has_badword
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_too_few_lines,
+      |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_fraction
+      |FROM agg GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** t_ppl_buckets: the lmQuality replay as a subquery, per-language
+    * positional tertiles over (score DESC, doc_id), decimal-exact mean. */
+  private def pplBucketsSql: String =
+    s"""WITH sc AS (SELECT * FROM ($lmQualitySql)),
+       |sl AS (SELECT sc.doc_id, d.lang, sc.avg_logprob_r
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |rk AS (SELECT *,
+       |    row_number() OVER (PARTITION BY lang ORDER BY avg_logprob_r DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS nl FROM sl)
+       |SELECT lang,
+       |  CASE WHEN rn*3 <= nl THEN 'head' WHEN rn*3 <= 2*nl THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       |  round(CAST(sum(CAST(avg_logprob_r AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_score
+       |FROM rk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
+  /** x_merge_upsert: replay the changelog compaction (rank window ≡ the
+    * struct-max), the full-outer MERGE resolution, and the per-type
+    * checksums of the merged state. */
+  private def mergeUpsertSql: String =
+    """WITH ev AS (SELECT user_id, event_type, ts, event_id, CAST(value AS DOUBLE) AS value FROM events),
+      |tgt AS (
+      |  SELECT user_id, event_type, ts, event_id, value FROM ev WHERE event_id % 2 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1),
+      |chg AS (
+      |  SELECT user_id, event_type, ts, event_id, value,
+      |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+      |  FROM ev WHERE event_id % 2 = 1
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1),
+      |mg AS (
+      |  SELECT coalesce(t.user_id, c.user_id) AS user_id,
+      |         coalesce(t.event_type, c.event_type) AS event_type,
+      |         CASE WHEN c.op IS NOT NULL THEN c.event_id ELSE t.event_id END AS event_id,
+      |         CASE WHEN c.op IS NOT NULL THEN c.value ELSE t.value END AS value
+      |  FROM tgt t FULL OUTER JOIN chg c
+      |    ON t.user_id = c.user_id AND t.event_type = c.event_type
+      |  WHERE c.op IS NULL OR c.op <> 'delete')
+      |SELECT event_type, count(*) AS n_keys,
+      |  CAST(sum(user_id) AS BIGINT) AS user_checksum,
+      |  CAST(sum(event_id) AS BIGINT) AS event_checksum,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM mg GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** e_rolling_wau: trailing 7-day distinct users per observed day. */
   private def rollingWauSql: String =
     """WITH ud AS (SELECT DISTINCT user_id,
@@ -5233,6 +5462,12 @@ object OracleSql {
     "ann_recall_audit" -> annRecallSql,
     "t_corpus_card" -> corpusCardSql,
     "emb_dim_variance" -> dimVarianceSql,
+    "emb_pca_power" -> pcaPowerSql,
+    "emb_abtt" -> abttSql,
+    "t_c4_filters" -> c4FiltersSql,
+    "t_ppl_buckets" -> pplBucketsSql,
+    "x_merge_upsert" -> mergeUpsertSql,
+    "e2e_ccnet_funnel" -> ccnetFunnelSql,
     "e_rolling_wau" -> rollingWauSql,
 
     // x_latest_by_key: the compacted current-state view — latest row

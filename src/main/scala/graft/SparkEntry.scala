@@ -2903,6 +2903,135 @@ object SparkEntry {
         col("point_mean"), col("boot_lo"), col("boot_mid"), col("boot_hi"))
   }
 
+  /** Dominant principal direction + explained-variance share of the
+    * embedding corpus — the All-but-the-top anisotropy report
+    * ([[graft.operators.Ann.powerIterationPca]]); 4 exact-integer power
+    * rounds, the DuckDB oracle replays every round. */
+  private def pcaPowerQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.powerIterationPca(t(s, dir, "embeddings"), nIter = 4)
+      .orderBy("dim")
+
+  /** C4 page-cleaning funnel per language
+    * ([[graft.operators.TextAnalysis.c4Filter]]). Pages are synthesized
+    * deterministically from the token stream (8-token lines; line i gets
+    * a terminal '.' when (doc_id+i) % 4 ≠ 0; code / lorem-ipsum /
+    * policy-word lines injected by doc_id residue — the t_pii_scrub
+    * synthesis precedent), so every rule actually discriminates on this
+    * corpus; the oracle rebuilds the identical pages and replays the
+    * rules. */
+  private def c4FiltersQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      split(trim(col("text")), "\\s+").as("w"))
+    val lines = expr(
+      """transform(sequence(0, ((size(w)+7) div 8) - 1),
+        |  i -> concat(array_join(slice(w, i*8+1, 8), ' '),
+        |              if((doc_id + i) % 4 <> 0, '.', '')))""".stripMargin)
+    def inject(mod: Int, line: String) =
+      when(col("doc_id") % mod === 0, typedLit(Seq(line)))
+        .otherwise(typedLit(Seq.empty[String]))
+    val pages = d.select(col("doc_id"), col("lang"),
+      array_join(concat(lines,
+        inject(23, "function() { return 1; }"),
+        inject(29, "Lorem ipsum dolor sit amet."),
+        inject(31, "this page contains unsafeword content.")), "\n").as("text"))
+    val rep = graft.operators.TextAnalysis.c4Filter(pages,
+        graft.operators.TextAnalysis.C4Rules(badWords = Seq("unsafeword")))
+      .join(pages.select(col("doc_id"), col("lang")), "doc_id")
+    rep.groupBy("lang")
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("pages_kept"),
+        sum(col("n_lines")).as("lines_total"),
+        sum(col("n_kept_lines")).as("lines_kept"),
+        sum(col("kept_tokens")).as("kept_tokens"),
+        sum(when(col("has_lorem"), 1L).otherwise(0L)).as("n_lorem"),
+        sum(when(col("has_brace"), 1L).otherwise(0L)).as("n_brace"),
+        sum(when(col("has_badword"), 1L).otherwise(0L)).as("n_badword"),
+        sum(when(!col("keep") && !col("has_lorem") && !col("has_brace") &&
+          !col("has_badword"), 1L).otherwise(0L)).as("n_too_few_lines"))
+      .withColumn("kept_fraction",
+        round(col("pages_kept").cast("double") / col("n_pages"), 6))
+      .orderBy("lang")
+  }
+
+  /** CCNet head/middle/tail perplexity buckets per language
+    * ([[graft.operators.TextAnalysis.perplexityBuckets]]) — per-bucket
+    * doc counts, id checksums, and the decimal-exact mean LM score. */
+  private def pplBucketsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.perplexityBuckets(docs, docs)
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        round(sum(col("avg_logprob_r").cast(DecimalType(20, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_score"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** All-but-the-top removal report
+    * ([[graft.operators.Ann.abttReport]]) — before/after variance and
+    * axis anisotropy of projecting the top component out. */
+  private def abttQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.abttReport(t(s, dir, "embeddings"), nIter = 4)
+
+  /** CCNet-shaped curation funnel (Wenzek et al. 2020) — the pipeline
+    * the CCNet paper publishes, composed from the engine's own
+    * operators: all docs → language-ID agreement
+    * ([[graft.functions.TextFunctions.lang_id]] must match the tag) →
+    * LM perplexity tertiles over the SURVIVORS with the tail dropped
+    * ([[graft.operators.TextAnalysis.perplexityBuckets]]) → salted-hash
+    * per-source cap (the per-domain-cap discipline with `source` as the
+    * domain). Per-stage doc + token counts; the oracle replays the
+    * whole cascade. Complements `e2e_curation_funnel` (Gopher-shaped:
+    * quality rules → dedup → decontam). */
+  private def ccnetFunnelQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{lang_id, token_count}
+    val docs = t(s, dir, "documents")
+    def stage(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(token_count(col("text"))), lit(0L)).as("n_tokens"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val s2 = docs.filter(lang_id(col("text")) === col("lang"))
+    val buckets = graft.operators.TextAnalysis.perplexityBuckets(s2, s2)
+    val s3 = s2.join(
+      buckets.filter(col("bucket") =!= "tail").select("doc_id"), "doc_id")
+    val ord = md5(concat_ws(":", lit("ccnet"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(ord, col("doc_id"))
+    val s4 = s3.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 8).drop("__rk")
+    stage(1, "all", docs)
+      .unionByName(stage(2, "langid_match", s2))
+      .unionByName(stage(3, "ppl_head_middle", s3))
+      .unionByName(stage(4, "source_cap", s4))
+      .orderBy("stage_idx")
+  }
+
+  /** MERGE upsert ([[graft.operators.Merge.upsert]]): even-id events
+    * compact to the keyed target snapshot; odd-id events form the
+    * changelog (delete when event_id % 7 == 0); per-type checksums pin
+    * the exact merged state. */
+  private def mergeUpsertQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value").cast("double").as("value"))
+    val target = ev.filter(col("event_id") % 2 === 0)
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("__m"))
+      .select(col("user_id"), col("event_type"), col("__m.ts").as("ts"),
+        col("__m.event_id").as("event_id"), col("__m.value").as("value"))
+    val changes = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("op",
+        when(col("event_id") % 7 === 0, lit("delete")).otherwise(lit("upsert")))
+    val merged = graft.operators.Merge.upsert(target, changes,
+      Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    merged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("user_id")).as("user_checksum"),
+        sum(col("event_id")).as("event_checksum"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   /** LSH band-plan calibration — the S-curve table an engineer consults
     * to pick (bands, rows) at corpus scale: for each measured pair
     * Jaccard J (the bounded 25-doc exact bigram relation that
@@ -3932,6 +4061,12 @@ object SparkEntry {
     "e2e_curation_funnel" -> curationFunnelQ,
     "d_lsh_calibration" -> lshCalibrationQ,
     "a_bootstrap_ci" -> bootstrapCiQ,
+    "emb_pca_power" -> pcaPowerQ,
+    "emb_abtt" -> abttQ,
+    "t_c4_filters" -> c4FiltersQ,
+    "t_ppl_buckets" -> pplBucketsQ,
+    "x_merge_upsert" -> mergeUpsertQ,
+    "e2e_ccnet_funnel" -> ccnetFunnelQ,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,

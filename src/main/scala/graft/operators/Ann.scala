@@ -692,4 +692,173 @@ object Ann {
       .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
     topKByScore(scored, "cosine", k)
   }
+
+  /** Dominant principal direction of an embedding corpus by fixed-round
+    * power iteration on the mean-centered covariance ACTION — the
+    * "All-but-the-top" (Mu & Viswanath, ICLR 2018) anisotropy report:
+    * a large explained-variance share on the top component means cosine
+    * similarities are dominated by one common direction and the corpus
+    * would benefit from common-component removal. The d×d covariance
+    * matrix is NEVER materialized: each round applies C·v as two keyed
+    * aggregations over the (id, dim, y) relation — dots = Σ_dim y·v per
+    * id, then z = Σ_id y·dot per dim — O(n·d) rows per round, one
+    * id-keyed shuffle (the dim side is d rows, broadcast).
+    *
+    * Cross-engine determinism: components micro-quantize to 1e6 (the
+    * [[dimVariance]] seam), the per-dim mean uses truncating `div`
+    * (toward zero — Spark `div` and DuckDB `//` agree on negatives),
+    * and every iteration rescales by an exact integer quotient
+    * (`x div max(1, max|x| div 1e6)`, the [[graft.operators.Graph]]
+    * HITS discipline), so any engine replays the iteration
+    * bit-identically. The closing explained-variance share
+    * (Σdot²)/(‖v‖²·Σy²) is summed as DECIMAL and reduced to exact
+    * integer ppm by one integral divide — no float ever enters. Sign is
+    * canonicalized (lowest-dim nonzero component positive) so the
+    * report, not just its span, is deterministic.
+    *
+    * Magnitude bounds (why this holds at scale): |y| ≤ 2·max|u|,
+    * |dot'| ≤ ~1e6 after rescale, so |z| ≤ n·|y|·1e6 — with unit-normed
+    * float embeddings (|u| ≤ 1e6) the per-dim sum stays inside a long up
+    * to n ≈ 2·10⁹ vectors; beyond that, run on a deterministic sample
+    * (the share is a distribution estimate — the `d_lsh_quality`
+    * sample-bounded precedent).
+    *
+    * Output: one row per dimension — (dim, component_ppm, ev_share);
+    * component_ppm is the integer direction (≤1e6 scale), ev_share the
+    * top component's share of total centered variance (same on every
+    * row).
+    */
+  def powerIterationPca(embs: DataFrame, nIter: Int = 6,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val (y, vc) = pcaCore(embs, nIter, idCol, vecCol)
+    // explained-variance share of the found direction: (Σ dot²)/(‖v‖²·Σy²)
+    val num = y.join(broadcast(vc.withColumnRenamed("v", "__v")), "dim")
+      .groupBy("id").agg(sum(col("y") * col("__v")).as("dot"))
+      .agg(sum(expr(
+        "CAST(dot AS DECIMAL(19,0)) * CAST(dot AS DECIMAL(19,0))")).as("num"))
+    val den = vc
+      .agg(sum(expr("CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))"))
+        .as("nv"))
+      .crossJoin(y.agg(sum(expr(
+        "CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")).as("sy")))
+      .select((col("nv") * col("sy")).as("den"))
+    // share in exact integer ppm — (num·1e6) div den never touches a
+    // float, so no decimal→double conversion seam exists cross-engine
+    val ev = num.crossJoin(den)
+      .select(when(col("den").isNull || col("den") === 0, lit(0.0))
+        .otherwise(expr("CAST(num * 1000000 AS DECIMAL(38,0)) div den")
+          .cast("double") / 1e6).as("ev_share"))
+    vc.crossJoin(broadcast(ev))
+      .select(col("dim").cast("long").as("dim"),
+        col("v").as("component_ppm"), col("ev_share"))
+  }
+
+  /** The shared power-iteration core: returns the centered integer
+    * component relation `y(id, dim, y)` and the sign-canonicalized
+    * direction `vc(dim, v)`, both materialized. See
+    * [[powerIterationPca]] for the arithmetic contract. */
+  private def pcaCore(embs: DataFrame, nIter: Int, idCol: String,
+                      vecCol: String): (DataFrame, DataFrame) = {
+    require(nIter > 0, "need at least one iteration")
+    val comps = embs.select(col(idCol).cast("long").as("id"),
+        posexplode(transform(col(s"`$vecCol`"), _.cast("double"))))
+      .select(col("id"), col("pos").as("dim"),
+        round(col("col") * 1000000, 0).cast("long").as("u"))
+    val mu = comps.groupBy("dim")
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n"))
+      .select(col("dim"), expr("su div n").as("mu"))
+    // centered relation reused 2·nIter+2 times — materialize once
+    val y = comps.join(broadcast(mu), "dim")
+      .select(col("id"), col("dim"), (col("u") - col("mu")).as("y"))
+      .localCheckpoint(true)
+    var v = y.select(col("dim")).distinct()
+      .select(col("dim"), lit(1000000L).as("v"))
+    for (i <- 1 to nIter) {
+      val dots = y.join(broadcast(v.withColumnRenamed("v", "__v")), "dim")
+        .groupBy("id").agg(sum(col("y") * col("__v")).as("dot"))
+      val sc = dots.agg(
+        greatest(lit(1L), expr("max(abs(dot)) div 1000000")).as("__s"))
+      val dotsN = dots.crossJoin(broadcast(sc))
+        .select(col("id"), expr("dot div __s").as("ds"))
+      val z = y.join(dotsN, "id")
+        .groupBy("dim").agg(sum(col("y") * col("ds")).as("z"))
+      val zs = z.agg(
+        greatest(lit(1L), expr("max(abs(z)) div 1000000")).as("__t"))
+      v = z.crossJoin(broadcast(zs))
+        .select(col("dim"), expr("z div __t").as("v"))
+      // d rows, but each round's lineage stacks 2 shuffles — truncate
+      if (i < nIter) v = v.localCheckpoint(true)
+    }
+    // canonical sign: first (lowest-dim) nonzero component positive
+    val sgn = v.filter(col("v") =!= 0)
+      .agg(min(struct(col("dim"), col("v"))).as("fz"))
+      .select(when(col("fz").isNull || col("fz.v") >= 0, lit(1L))
+        .otherwise(lit(-1L)).as("__sgn"))
+    val vc = v.crossJoin(broadcast(sgn))
+      .select(col("dim"), (col("v") * col("__sgn")).as("v"))
+      .localCheckpoint(true)
+    (y, vc)
+  }
+
+  /** All-but-the-top removal report (Mu & Viswanath 2018, step 2):
+    * project every centered vector off the [[powerIterationPca]]
+    * direction and measure what the common component carried — the
+    * before/after evidence a curation run reads to decide whether to
+    * apply the transform corpus-wide. One row:
+    *  - `ev_top_share`: variance share of the removed direction
+    *  - `var_retained`: Σ‖y′‖²/Σ‖y‖² after projection (≈ 1 − ev_top)
+    *  - `axis_aniso_before/after`: max per-dim variance share × n_dims
+    *    (the [[dimVariance]] anisotropy statistic) — removal should pull
+    *    it toward 1 (isotropy)
+    *
+    * Arithmetic: the projection coefficient per cell is the exact
+    * integral quotient (dot·v_dim) div ‖v‖² computed in DECIMAL, so the
+    * projected relation and every ratio (reduced to ppm by integral
+    * divides) replays bit-identically cross-engine. Cost on top of the
+    * core: one n·d projection join + four 1-row aggregates.
+    */
+  def abttReport(embs: DataFrame, nIter: Int = 6,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val (y, vc) = pcaCore(embs, nIter, idCol, vecCol)
+    val nv2 = vc.agg(sum(col("v") * col("v")).as("nv2"))
+    val dots = y.join(broadcast(vc.withColumnRenamed("v", "__v")), "dim")
+      .groupBy("id").agg(sum(col("y") * col("__v")).as("dot"))
+    // y′ = y − (dot·v) div ‖v‖² — exact integral projection per cell
+    val yp = y.join(dots, "id").crossJoin(broadcast(nv2))
+      .join(broadcast(vc), "dim")
+      .select(col("id"), col("dim"),
+        when(col("nv2") === 0, col("y")).otherwise(col("y") -
+          expr("CAST(dot AS DECIMAL(38,0)) * v div CAST(nv2 AS DECIMAL(19,0))"))
+          .as("yp"))
+    def sumSq(df: DataFrame, c: String, as: String): DataFrame =
+      df.agg(sum(expr(s"CAST($c AS DECIMAL(19,0)) * CAST($c AS DECIMAL(19,0))"))
+        .as(as))
+    def axisAniso(df: DataFrame, c: String, as: String): DataFrame =
+      df.groupBy("dim")
+        .agg(sum(expr(s"CAST($c AS DECIMAL(19,0)) * CAST($c AS DECIMAL(19,0))"))
+          .as("sd"))
+        .agg(max(col("sd")).as("mx"), sum(col("sd")).as("tot"),
+          count(lit(1)).as("nd"))
+        .select(when(col("tot").isNull || col("tot") === 0, lit(0.0))
+          .otherwise(
+            expr("CAST(mx * nd * 1000000 AS DECIMAL(38,0)) div tot")
+              .cast("double") / 1e6).as(as))
+    val syy = sumSq(y, "y", "syy")
+    val syp = sumSq(yp, "yp", "syp")
+    val counts = embs.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(vc.agg(count(lit(1)).as("n_dims")))
+    counts.crossJoin(syy).crossJoin(syp)
+      .select(col("n_vecs"), col("n_dims"),
+        when(col("syy").isNull || col("syy") === 0, lit(0.0))
+          .otherwise(expr(
+            "CAST((syy - syp) * 1000000 AS DECIMAL(38,0)) div syy")
+            .cast("double") / 1e6).as("ev_top_share"),
+        when(col("syy").isNull || col("syy") === 0, lit(0.0))
+          .otherwise(expr("CAST(syp * 1000000 AS DECIMAL(38,0)) div syy")
+            .cast("double") / 1e6).as("var_retained"))
+      .crossJoin(axisAniso(y, "y", "axis_aniso_before"))
+      .crossJoin(axisAniso(yp, "yp", "axis_aniso_after"))
+  }
 }

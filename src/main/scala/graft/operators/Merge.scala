@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO semantics as a batch operator — the Delta/Iceberg upsert
+  * primitive the lake-maintenance story needs next to compaction
+  * (`x_latest_by_key`) and snapshot diff (`a_schema_diff`): apply a
+  * changelog of upserts and deletes to a keyed target snapshot.
+  *
+  * Shape (the 100 TB argument): the changelog first compacts to its
+  * LATEST row per key via ONE struct-max aggregation — a single
+  * map-side-combining shuffle, never a sort-the-world window (the
+  * `x_latest_by_key` discipline) — then ONE full-outer equi-join on the
+  * key resolves:
+  *   - matched, op = upsert  → the change's values win
+  *   - matched, op = delete  → the row is dropped
+  *   - source-only upsert    → insert
+  *   - source-only delete    → no-op (delete of an absent key)
+  *   - target-only           → carried unchanged
+  *
+  * Determinism: "latest" is the lexicographic struct order over
+  * (orderCols…), so replays and engines agree on which change wins; make
+  * the last order column a unique id (the changelog's sequence number)
+  * and ties cannot exist at all.
+  */
+object Merge {
+
+  /** Apply `changes` (target schema + an `opCol` of 'upsert'/'delete')
+    * to `target`, keyed by `keyCols`, latest-change-wins ordered by
+    * `orderCols`. Output has exactly the target's schema.
+    */
+  def upsert(target: DataFrame, changes: DataFrame, keyCols: Seq[String],
+             orderCols: Seq[String], opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty)
+    val valueCols = target.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols.forall(changes.columns.contains),
+      "changes must carry every target column")
+    // struct-max compaction: order fields first, then op + remaining
+    // values ride along (never compared once the unique order key wins)
+    val structFields =
+      (orderCols ++ Seq(opCol) ++ valueCols.filterNot(orderCols.contains))
+        .distinct.map(c => col(c).as(c))
+    val latest = changes.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(structFields: _*)).as("__c"))
+    val joined = target.as("t").join(latest, keyCols, "full_outer")
+    val hasChange = col("__c").isNotNull
+    // a delete drops the row whether the key existed (matched delete)
+    // or not (delete of an absent key = no-op): one predicate covers both
+    val isDelete = hasChange && col("__c").getField(opCol) === "delete"
+    joined.filter(!isDelete)
+      .select(keyCols.map(col) ++ valueCols.map { c =>
+        when(hasChange, col("__c").getField(c)).otherwise(col(s"t.$c")).as(c)
+      }: _*)
+  }
+}

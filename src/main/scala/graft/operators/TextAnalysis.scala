@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextFunctions._
 import graft.functions.SketchFunctions._
@@ -472,5 +473,96 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         (rha(col("s6").cast("double") / col("n_bigrams").cast("double"))
           .cast("double") / 1e6).as("avg_logprob_r"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
+    * head/middle/tail split CCNet publishes per language): score every
+    * document with the [[bigramLogProb]] LM, then cut each language into
+    * thirds by score — head = highest mean log-prob = lowest perplexity.
+    * Tertiles are EXACT positional ranks over (score DESC, doc_id) —
+    * deterministic under ties — and the boundaries are the integer
+    * comparisons 3·rank ≤ n and 3·rank ≤ 2n, so an independent engine
+    * reproduces the buckets bit-for-bit.
+    *
+    * Scale: the rank window partitions by language, so each language
+    * sorts independently (the per-group order-statistics shape). At 10⁹+
+    * docs per language, swap the rank for the mergeable
+    * [[graft.profile.QuantileSketch]] tertile cuts — the documented
+    * `e_time_to_convert` positional-vs-histogram tradeoff; the exact
+    * path is the oracle-able contract.
+    *
+    * Output: one row per scored doc — (doc_id, lang, n_bigrams,
+    * avg_logprob_r, bucket).
+    */
+  def perplexityBuckets(docs: DataFrame, train: DataFrame,
+                        addK: Double = 1.0, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        langCol: String = "lang"): DataFrame = {
+    val scores = bigramLogProb(docs, train, addK, idCol, textCol)
+    val withLang = scores.join(
+      docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob_r").desc, col("doc_id"))
+    withLang
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nl", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("nl"), lit("head"))
+          .when(col("rn") * 3 <= col("nl") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_logprob_r"), col("bucket"))
+  }
+
+  /** Rule thresholds for [[c4Filter]] — the C4 cleaning heuristics
+    * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
+    * §2.2 — public paper, see PAPERS.md): keep only lines that end in
+    * terminal punctuation AND have at least `minWordsPerLine` words AND
+    * don't mention "javascript"; drop whole pages with fewer than
+    * `minKeptLines` surviving lines, a "lorem ipsum" marker, a curly
+    * brace (code), or any word from the policy `badWords` list.
+    * Complements the Gopher-window [[qualityFilter]]: C4 is line-level
+    * structural hygiene, Gopher is doc-level statistical hygiene.
+    */
+  final case class C4Rules(
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3,
+      badWords: Seq[String] = Seq.empty)
+
+  /** Per-page C4 report: line counts before/after the line rules, the
+    * three page-level flags, the keep verdict, and the cleaned text
+    * (kept lines re-joined). Everything is higher-order array functions
+    * over the line split — codegen'd, shuffle-FREE: the 100 TB shape is
+    * scan → project, identical to [[qualityFilter]]. Lambdas reference
+    * only their element (the outer-Column-recompute trap from SURVEY §6
+    * does not apply).
+    */
+  def c4Filter(docs: DataFrame, rules: C4Rules = C4Rules(),
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def words(ln: Column): Column =
+      filter(split(trim(ln), "\\s+"), w => w =!= "")
+    def keptLine(ln: Column): Column =
+      trim(ln).rlike("[.!?\"]$") &&
+        size(words(ln)) >= rules.minWordsPerLine &&
+        !lower(ln).contains("javascript")
+    val badArr = typedLit(rules.badWords.map(_.toLowerCase))
+    val staged = docs.select(col(idCol),
+      split(col(s"`$textCol`"), "\n").as("__lines"),
+      filter(split(col(s"`$textCol`"), "\n"), keptLine _).as("__kept"),
+      lower(col(s"`$textCol`")).contains("lorem ipsum").as("has_lorem"),
+      col(s"`$textCol`").contains("{").as("has_brace"),
+      (if (rules.badWords.isEmpty) lit(false)
+       else arrays_overlap(
+         filter(split(lower(trim(col(s"`$textCol`"))), "\\s+"), w => w =!= ""),
+         badArr)).as("has_badword"))
+    staged.select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        aggregate(col("__kept"), lit(0L),
+          (acc, ln) => acc + size(words(ln))).as("kept_tokens"),
+        col("has_lorem"), col("has_brace"), col("has_badword"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+      .withColumn("keep",
+        col("n_kept_lines") >= rules.minKeptLines &&
+          !col("has_lorem") && !col("has_brace") && !col("has_badword"))
   }
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Merge.upsert]] MERGE semantics: matched upsert/delete,
+  * insert, absent-key delete no-op, latest-change-wins compaction, and
+  * partitioning invariance.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val target = Seq(
+    (1L, "a", 10L, 1.0), // will be updated
+    (2L, "a", 11L, 2.0), // will be deleted
+    (3L, "b", 12L, 3.0)  // untouched
+  ).toDF("k", "grp", "seq", "v")
+
+  private val changes = Seq(
+    (1L, "a", 20L, 9.0, "upsert"),
+    (1L, "a", 21L, 9.5, "upsert"), // later seq — must win
+    (2L, "a", 22L, 0.0, "delete"),
+    (4L, "b", 23L, 4.0, "upsert"), // insert
+    (5L, "b", 24L, 0.0, "delete")  // delete of absent key: no-op
+  ).toDF("k", "grp", "seq", "v", "op")
+
+  test("merge resolves update, delete, insert, carry, and absent-delete") {
+    val out = Merge.upsert(target, changes, Seq("k", "grp"), Seq("seq"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", 21L, 9.5),
+      (3L, "b", 12L, 3.0),
+      (4L, "b", 23L, 4.0)))
+  }
+
+  test("output schema is exactly the target's") {
+    val out = Merge.upsert(target, changes, Seq("k", "grp"), Seq("seq"))
+    assert(out.columns.toSeq == target.columns.toSeq)
+  }
+
+  test("partitioning-invariant") {
+    val a = Merge.upsert(target, changes, Seq("k", "grp"), Seq("seq"))
+      .orderBy("k", "grp").collect().toSeq
+    val b = Merge.upsert(target.repartition(5), changes.repartition(3),
+        Seq("k", "grp"), Seq("seq"))
+      .orderBy("k", "grp").collect().toSeq
+    assert(a == b)
+  }
+
+  test("a delete earlier than a later upsert does not win") {
+    val ch = Seq(
+      (3L, "b", 30L, 0.0, "delete"),
+      (3L, "b", 31L, 7.0, "upsert")
+    ).toDF("k", "grp", "seq", "v", "op")
+    val out = Merge.upsert(target, ch, Seq("k", "grp"), Seq("seq"))
+      .filter(col("k") === 3L).collect()
+    assert(out.length == 1 && out.head.getDouble(3) == 7.0)
+  }
+}
