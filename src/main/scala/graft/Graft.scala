@@ -211,6 +211,23 @@ object Graft {
   def embeddingAbtt(embs: DataFrame, nIter: Int = 6): DataFrame =
     operators.Ann.abttReport(embs, nIter)
 
+  /** Mutual-kNN neighborhood health (hubness/orphans/reciprocity). */
+  def knnGraphReport(embs: DataFrame, k: Int = 5): DataFrame =
+    operators.Ann.knnGraphReport(embs, k)
+
+  /** Soft dedup: 1/|cluster| ppm sampling weights instead of removal. */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame =
+    operators.Dedup.softDedupWeights(docs, pairs, idCol)
+
+  /** Integer box-filter resize over REAL decoded image rasters. */
+  def resizeImages(media: DataFrame, factor: Int = 2): DataFrame =
+    multimodal.Multimodal.resizeStats(media, factor)
+
+  /** Day-of-week seasonality index per event type (exact ppm). */
+  def weekdaySeasonality(events: DataFrame): DataFrame =
+    operators.Events.weekdaySeasonality(events)
+
   /** MERGE INTO semantics: apply an upsert/delete changelog to a keyed
     * snapshot — one struct-max compaction + one full-outer join. */
   def mergeUpsert(target: DataFrame, changes: DataFrame, keyCols: Seq[String],

@@ -4554,6 +4554,71 @@ object OracleSql {
       |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
       |FROM mg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** mm_resize: replay real-decode box resize from the generative pixel
+    * formulas — truncating per-block integer mean, channel means over
+    * the resized raster, exact checksum. */
+  private def mmResizeSql: String =
+    """WITH imgs AS (
+      |  SELECT i AS media_id, 'png' AS fmt, 8 + (i % 5) * 3 AS w,
+      |         6 + (i % 4) * 2 AS h, (i * 17) % 251 AS seed
+      |  FROM generate_series(1, 12) t(i)
+      |  UNION ALL
+      |  SELECT i, 'gif', 7 + (i % 4) * 5, 5 + (i % 3) * 4, (i * 29) % 101
+      |  FROM generate_series(13, 18) t(i)),
+      |xs AS (SELECT media_id, fmt, w, h, seed,
+      |       unnest(generate_series(0, w - 1)) AS x FROM imgs),
+      |ys AS (SELECT media_id, fmt, w, h, seed, x,
+      |       unnest(generate_series(0, h - 1)) AS y FROM xs),
+      |cells AS (SELECT media_id, w, h, x, y, c,
+      |            CASE WHEN fmt = 'png'
+      |              THEN (x * 3 + y * 7 + c * 11 + seed) % 256
+      |              ELSE (((x * 3 + y * 7 + seed) % 64) * [5, 9, 11][c + 1]
+      |                    + [13, 7, 3][c + 1]) % 256
+      |            END AS v
+      |          FROM (SELECT *, unnest([0, 1, 2]) AS c FROM ys)),
+      |rs AS (SELECT media_id, w, h, x // 2 AS bx, y // 2 AS by, c,
+      |         CAST(sum(v) AS BIGINT) // count(*) AS rv
+      |       FROM cells GROUP BY media_id, w, h, x // 2, y // 2, c)
+      |SELECT media_id, CAST((w + 1) // 2 AS BIGINT) AS rs_width,
+      |  CAST((h + 1) // 2 AS BIGINT) AS rs_height,
+      |  round(avg(CASE WHEN c = 0 THEN rv END), 6) AS mean_r,
+      |  round(avg(CASE WHEN c = 1 THEN rv END), 6) AS mean_g,
+      |  round(avg(CASE WHEN c = 2 THEN rv END), 6) AS mean_b,
+      |  CAST(sum(rv) AS BIGINT) AS checksum
+      |FROM rs GROUP BY media_id, w, h ORDER BY media_id""".stripMargin
+
+  /** emb_knn_graph: replay the exact kNN edges (the ann_cosine_topk
+    * scoring, all queries), then the mutual/hubness/orphan rollup. */
+  private def knnGraphSql: String =
+    """WITH n AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |knn AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC,
+      |          c.vec_id) AS rank
+      |    FROM n q JOIN n c ON c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |m AS (SELECT count(*) AS mutual_pairs FROM knn a JOIN knn b
+      |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+      |     AND a.query_id < a.neighbor_id),
+      |ind AS (SELECT neighbor_id, count(*) AS d FROM knn GROUP BY 1),
+      |hub AS (SELECT CAST(coalesce(max(d), 0) AS BIGINT) AS max_in_degree,
+      |               count(*) AS reached FROM ind),
+      |ne AS (SELECT count(*) AS n_edges FROM knn),
+      |nn AS (SELECT count(*) AS n_nodes FROM embeddings)
+      |SELECT nn.n_nodes, ne.n_edges, m.mutual_pairs,
+      |  CASE WHEN ne.n_edges = 0 THEN 0.0
+      |       ELSE CAST((2 * m.mutual_pairs * 1000000) // ne.n_edges AS BIGINT) / 1000000.0
+      |  END AS mutual_fraction,
+      |  hub.max_in_degree,
+      |  nn.n_nodes - hub.reached AS n_orphans
+      |FROM nn, ne, m, hub""".stripMargin
+
   /** e_rolling_wau: trailing 7-day distinct users per observed day. */
   private def rollingWauSql: String =
     """WITH ud AS (SELECT DISTINCT user_id,
@@ -5468,6 +5533,25 @@ object OracleSql {
     "t_ppl_buckets" -> pplBucketsSql,
     "x_merge_upsert" -> mergeUpsertSql,
     "e2e_ccnet_funnel" -> ccnetFunnelSql,
+    "mm_resize" -> mmResizeSql,
+    "emb_knn_graph" -> knnGraphSql,
+
+    "e_seasonality" ->
+      """WITH c AS (SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |  count(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type FROM c GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.n,
+        |  CAST((c.n * 7 * 1000000) // t.n_type AS BIGINT) / 1000000.0 AS seasonality_idx
+        |FROM c JOIN t USING (event_type) ORDER BY event_type, dow""".stripMargin,
+
+    "d_soft_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(substr(text, 1, 80))), '\s+', ' ', 'g')) AS fp FROM documents),
+        |g AS (SELECT fp, count(*) AS n FROM fp GROUP BY fp)
+        |SELECT CAST(g.n AS BIGINT) AS cl_size,
+        |  CAST(1000000 // g.n AS BIGINT) AS weight_ppm,
+        |  count(*) AS n_docs, CAST(sum(f.doc_id) AS BIGINT) AS id_checksum
+        |FROM fp f JOIN g USING (fp) GROUP BY 1, 2 ORDER BY cl_size""".stripMargin,
     "e_rolling_wau" -> rollingWauSql,
 
     // x_latest_by_key: the compacted current-state view — latest row

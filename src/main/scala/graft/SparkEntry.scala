@@ -2973,6 +2973,63 @@ object SparkEntry {
   private def abttQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ann.abttReport(t(s, dir, "embeddings"), nIter = 4)
 
+  /** Box-filter resize over REAL decoded rasters (PNG inflate+unfilter,
+    * GIF LZW — [[graft.multimodal.Multimodal.resizeStats]]): per-image
+    * resized dims, channel means of the resized raster, exact integer
+    * checksum; the oracle replays the truncating box average from the
+    * generative pixel formulas. */
+  private def mmResizeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = ((1 to 12).map { i =>
+      (i.toLong, graft.multimodal.SyntheticMedia.pngFull(
+        8 + (i % 5) * 3, 6 + (i % 4) * 2, (i * 17) % 251))
+    } ++ (13 to 18).map { i =>
+      (i.toLong, graft.multimodal.SyntheticMedia.gifFull(
+        7 + (i % 4) * 5, 5 + (i % 3) * 4, (i * 29) % 101))
+    }).toDF("media_id", "payload")
+    def chMean(n: Int) = when(size(col("channel_means")) >= n,
+      round(element_at(col("channel_means"), n), 6))
+    graft.multimodal.Multimodal.resizeStats(media, factor = 2)
+      .select(col("media_id"),
+        col("rs_width").cast("long").as("rs_width"),
+        col("rs_height").cast("long").as("rs_height"),
+        chMean(1).as("mean_r"), chMean(2).as("mean_g"), chMean(3).as("mean_b"),
+        col("checksum"))
+      .orderBy("media_id")
+  }
+
+  /** Weekday seasonality profile per event type
+    * ([[graft.operators.Events.weekdaySeasonality]]). */
+  private def seasonalityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Events.weekdaySeasonality(t(s, dir, "events"))
+      .orderBy("event_type", "dow")
+
+  /** Soft-dedup sampling weights
+    * ([[graft.operators.Dedup.softDedupWeights]]) over leading-content
+    * fingerprint clusters (first 80 chars — the shared-preamble family;
+    * full-text fingerprints have no duplicates in this corpus),
+    * aggregated per cluster size. */
+  private def softDedupQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.doc_fingerprint
+    val docs = t(s, dir, "documents")
+    val fp = docs.select(col("doc_id"),
+      doc_fingerprint(substring(col("text"), 1, 80)).as("fp"))
+    val dups = fp.groupBy("fp")
+      .agg(min(col("doc_id")).as("k"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val pairs = fp.join(dups, "fp").filter(col("doc_id") =!= col("k"))
+      .select(col("k").as("id_a"), col("doc_id").as("id_b"))
+    graft.operators.Dedup.softDedupWeights(docs, pairs)
+      .groupBy("cl_size", "weight_ppm")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("cl_size")
+  }
+
+  /** Mutual-kNN graph health report
+    * ([[graft.operators.Ann.knnGraphReport]], k=5). */
+  private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.knnGraphReport(t(s, dir, "embeddings"), k = 5)
+
   /** CCNet-shaped curation funnel (Wenzek et al. 2020) — the pipeline
     * the CCNet paper publishes, composed from the engine's own
     * operators: all docs → language-ID agreement
@@ -4067,6 +4124,10 @@ object SparkEntry {
     "t_ppl_buckets" -> pplBucketsQ,
     "x_merge_upsert" -> mergeUpsertQ,
     "e2e_ccnet_funnel" -> ccnetFunnelQ,
+    "mm_resize" -> mmResizeQ,
+    "e_seasonality" -> seasonalityQ,
+    "d_soft_dedup" -> softDedupQ,
+    "emb_knn_graph" -> knnGraphQ,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,

@@ -316,6 +316,71 @@ object Multimodal {
       .toDF("media_id", "pixel_fp")
   }
 
+  /** Integer box-filter downsample of DECODED pixels — the resize leg
+    * of the multimodal plumbing (thumbnailing / model-input shrink):
+    * output pixel (X, Y, c) is the TRUNCATING mean of its
+    * `factor`×`factor` input block (ragged right/bottom blocks average
+    * their real coverage), all in exact integer arithmetic, so the
+    * resized raster replays bit-identically from a generative pixel
+    * formula on any engine. Runs in the same per-partition batch shape
+    * as [[pixelStats]]. Output per image: resized dims, per-channel
+    * means of the resized raster, and the exact integer sum of all
+    * resized values (the raster checksum).
+    */
+  def resizeStats(media: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          PngCodec.decode(payload).orElse(GifCodec.decode(payload))
+            .orElse(JpegCodec.decode(payload)) match {
+            case Some(img) =>
+              val rw = (img.width + factor - 1) / factor
+              val rh = (img.height + factor - 1) / factor
+              val ch = img.channels
+              val sums = new Array[Long](ch)
+              var checksum = 0L
+              var yy = 0
+              while (yy < rh) {
+                var xx = 0
+                while (xx < rw) {
+                  var c = 0
+                  while (c < ch) {
+                    var s = 0L; var n = 0
+                    var y = yy * factor
+                    val yEnd = math.min(yy * factor + factor, img.height)
+                    val xEnd = math.min(xx * factor + factor, img.width)
+                    while (y < yEnd) {
+                      var x = xx * factor
+                      while (x < xEnd) {
+                        s += (img.pixels((y * img.width + x) * ch + c) & 0xff)
+                        n += 1; x += 1
+                      }
+                      y += 1
+                    }
+                    val v = s / n // truncating: nonnegative, ≡ SQL //
+                    sums(c) += v
+                    checksum += v
+                    c += 1
+                  }
+                  xx += 1
+                }
+                yy += 1
+              }
+              val nOut = rw.toLong * rh
+              (id, Some(rw), Some(rh), Some(ch),
+                Some(sums.map(_.toDouble / nOut).toSeq), Some(checksum))
+            case None => (id, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "rs_width", "rs_height", "n_channels",
+        "channel_means", "checksum")
+  }
+
   /** Video container probe over payload batches: real MP4/ISO-BMFF box
     * walking ([[Mp4Probe]]) — movie duration from `mvhd`, track
     * dimensions from `tkhd`, track count — distributed like

@@ -801,6 +801,41 @@ object Ann {
     (y, vc)
   }
 
+  /** Mutual-kNN graph health report — the neighborhood-structure screen
+    * for an embedding corpus (hubness and orphan mass are the classic
+    * high-dimensional ANN pathologies; Radovanović et al., JMLR 2010):
+    * build the directed exact kNN graph, then report in one row the
+    * node count, directed edge count, mutual pairs (i∈kNN(j) AND
+    * j∈kNN(i)), the mutual fraction (exact ppm — `2·mutual·1e6 div
+    * edges`), the max in-degree (hubness ceiling), and the orphan count
+    * (vectors never retrieved as anyone's neighbor). Brute-force
+    * scoring is the oracle-able contract here; at corpus scale swap the
+    * edge source for the LSH/IVF paths — the report tail is unchanged.
+    */
+  def knnGraphReport(embs: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val edges = bruteForceTopK(embs, embs, k, idCol, vecCol)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint(true) // reused by 3 aggregates below
+    val nNodes = embs.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val mutual = edges.as("a").join(edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+          col("a.src") < col("a.dst"))
+      .agg(count(lit(1)).as("mutual_pairs"))
+    val indeg = edges.groupBy("dst").agg(count(lit(1)).as("d"))
+    val hub = indeg.agg(coalesce(max(col("d")), lit(0L)).as("max_in_degree"),
+      count(lit(1)).as("__reached"))
+    nNodes.crossJoin(nEdges).crossJoin(mutual).crossJoin(hub)
+      .select(col("n_nodes"), col("n_edges"), col("mutual_pairs"),
+        when(col("n_edges") === 0, lit(0.0))
+          .otherwise(expr("2 * mutual_pairs * 1000000 div n_edges")
+            .cast("double") / 1e6).as("mutual_fraction"),
+        col("max_in_degree"),
+        (col("n_nodes") - col("__reached")).as("n_orphans"))
+  }
+
   /** All-but-the-top removal report (Mu & Viswanath 2018, step 2):
     * project every centered vector off the [[powerIterationPca]]
     * direction and measure what the common component carried — the

@@ -479,6 +479,28 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Soft deduplication: instead of DROPPING near-duplicates, keep
+    * every document and weight it by 1/|cluster| — duplicated content
+    * no longer counts |cluster| times in training mixes, but rare
+    * phrasings inside a cluster are not lost (the soft-dedup /
+    * repetition-discounting alternative to hard removal; a sampler
+    * consumes `weight_ppm` directly). Weights are exact integer ppm
+    * (`1e6 div size`, truncating — engine-replayable); documents in no
+    * duplicate pair are singletons at weight 1e6. Cost: the
+    * [[resolveClusters]] label relation + one size aggregation + one
+    * ids-only join — the corpus text never moves.
+    */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val clusters = resolveClusters(pairs)
+    val sized = clusters.join(
+      clusters.groupBy("cluster").agg(count(lit(1)).as("cl_size")), "cluster")
+      .select(col("id").as(idCol), col("cl_size"))
+    docs.join(sized, Seq(idCol), "left")
+      .withColumn("cl_size", coalesce(col("cl_size"), lit(1L)))
+      .withColumn("weight_ppm", expr("1000000 div cl_size"))
+  }
+
   /** Quality-aware cluster canonicalization: instead of the min-id
     * representative [[dropNearDuplicates]] keeps, pick each duplicate
     * cluster's BEST member by a quality column (ties → min id). This is

@@ -467,4 +467,26 @@ object Events {
     AsOf.join(grid, obs.select(col(s"`$keyCol`"), col(s"`$tsCol`"), col(s"`$valCol`")),
       Seq(keyCol), tsCol, Seq(valCol))
   }
+
+  /** Day-of-week seasonality profile per event type — the weekly-cycle
+    * screen next to [[autocorrelation]] (period detection) and
+    * [[mannKendall]] (trend): for each (type, weekday) the PPM ratio of
+    * observed events to the uniform expectation n_type/7. Exact
+    * integers throughout (`n·7·1e6 div n_type`); weekday is Monday 0 …
+    * Sunday 6 on both engines (Spark `weekday()` ≡ DuckDB `isodow−1`).
+    * One map-side-combined aggregation + a 7·|types| join — free at any
+    * scale. Output: (type, dow, n, seasonality_idx).
+    */
+  def weekdaySeasonality(events: DataFrame, typeCol: String = "event_type",
+                         tsCol: String = "ts"): DataFrame = {
+    val counts = events
+      .groupBy(col(s"`$typeCol`"),
+        expr(s"CAST(weekday(`$tsCol`) AS BIGINT)").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(s"`$typeCol`").agg(sum(col("n")).as("n_type"))
+    counts.join(broadcast(totals), typeCol)
+      .select(col(s"`$typeCol`"), col("dow"), col("n"),
+        (expr("n * 7 * 1000000 div n_type").cast("double") / 1e6)
+          .as("seasonality_idx"))
+  }
 }

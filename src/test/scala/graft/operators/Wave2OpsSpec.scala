@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Pins the round-14 second-session operators: box-filter resize over
+  * real decoded pixels, weekday seasonality, soft-dedup weights, and
+  * the mutual-kNN health report.
+  */
+class Wave2OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("resizeStats: hand-checked truncating box average, ragged edge") {
+    // 3x3 single-channel raster, factor 2 → 2x2 output with ragged
+    // right/bottom blocks
+    val px = Array[Byte](10, 20, 30,
+                         40, 50, 60,
+                         70, 80, 90)
+    val payload = graft.multimodal.SyntheticMedia.pngOf(3, 3, 1, px)
+    val out = graft.multimodal.Multimodal
+      .resizeStats(Seq((1L, payload)).toDF("media_id", "payload"), factor = 2)
+      .collect().head
+    assert(out.getAs[Int]("rs_width") == 2 && out.getAs[Int]("rs_height") == 2)
+    // blocks: {10,20,40,50}→30, {30,60}→45, {70,80}→75, {90}→90
+    assert(out.getAs[Long]("checksum") == 30L + 45 + 75 + 90)
+    val mean = out.getAs[Seq[Double]]("channel_means").head
+    assert(mean == (30.0 + 45 + 75 + 90) / 4)
+  }
+
+  test("resizeStats factor 1 is identity on the raster") {
+    val px = Array.tabulate(12)(i => (i * 7 % 256).toByte)
+    val payload = graft.multimodal.SyntheticMedia.pngOf(4, 3, 1, px)
+    val out = graft.multimodal.Multimodal
+      .resizeStats(Seq((1L, payload)).toDF("media_id", "payload"), factor = 1)
+      .collect().head
+    assert(out.getAs[Long]("checksum") == px.map(_ & 0xff).map(_.toLong).sum)
+  }
+
+  test("weekdaySeasonality: exact ppm index and Monday-0 mapping") {
+    // 2026-08-10 was a Monday
+    def ts(day: Int) = Timestamp.valueOf(f"2026-08-$day%02d 12:00:00")
+    val ev = Seq(
+      ("a", ts(10)), ("a", ts(10)), ("a", ts(10)), // Mon x3
+      ("a", ts(11)),                               // Tue x1
+      ("b", ts(16))                                // Sun x1
+    ).toDF("event_type", "ts")
+    val out = Events.weekdaySeasonality(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Double]("seasonality_idx"))).toMap
+    assert(out(("a", 0L)) == ((3L, 5.25)))    // 3*7*1e6 div 4 = 5250000
+    assert(out(("a", 1L)) == ((1L, 1.75)))
+    assert(out(("b", 6L)) == ((1L, 7.0)))     // all mass on Sunday
+  }
+
+  test("softDedupWeights: 1/|cluster| ppm, singletons at 1e6") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.softDedupWeights(docs, pairs)
+      .select("doc_id", "cl_size", "weight_ppm").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 333333L)))
+    assert(out(2L) == ((3L, 333333L)))
+    assert(out(3L) == ((3L, 333333L)))
+    assert(out(4L) == ((1L, 1000000L)))
+  }
+
+  test("knnGraphReport: mutual pair, hub, and orphan on a planted layout") {
+    // two tight pairs far apart + one outlier that points somewhere but
+    // is nobody's nearest (k=1)
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.1f, 0.99f, 0.0f)),
+      (5L, Array(0.6f, 0.6f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val r = Ann.knnGraphReport(embs, k = 1).collect().head
+    assert(r.getAs[Long]("n_nodes") == 5 && r.getAs[Long]("n_edges") == 5)
+    // 1↔2 and 3↔4 mutual; 5 points at one of them but nobody points at 5
+    assert(r.getAs[Long]("mutual_pairs") == 2)
+    assert(r.getAs[Double]("mutual_fraction") == 0.8)
+    assert(r.getAs[Long]("n_orphans") == 1)
+  }
+}
