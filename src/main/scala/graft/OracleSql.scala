@@ -5535,6 +5535,9 @@ object OracleSql {
     "e2e_ccnet_funnel" -> ccnetFunnelSql,
     "mm_resize" -> mmResizeSql,
     "emb_knn_graph" -> knnGraphSql,
+    // streamed == batch IS the oracle: the streaming C4 rollup must
+    // equal the batch replay exactly
+    "st_stream_c4" -> c4FiltersSql,
 
     "e_seasonality" ->
       """WITH c AS (SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,

@@ -2919,8 +2919,12 @@ object SparkEntry {
     * synthesis precedent), so every rule actually discriminates on this
     * corpus; the oracle rebuilds the identical pages and replays the
     * rules. */
-  private def c4FiltersQ(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+  /** Deterministic page synthesis for the C4 queries (8-token lines,
+    * residue-keyed terminal '.', injected code/lorem/policy lines) —
+    * pure projections, so it runs identically on batch and streaming
+    * inputs; the oracle rebuilds the same pages. */
+  private def c4Pages(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"),
       split(trim(col("text")), "\\s+").as("w"))
     val lines = expr(
       """transform(sequence(0, ((size(w)+7) div 8) - 1),
@@ -2929,14 +2933,16 @@ object SparkEntry {
     def inject(mod: Int, line: String) =
       when(col("doc_id") % mod === 0, typedLit(Seq(line)))
         .otherwise(typedLit(Seq.empty[String]))
-    val pages = d.select(col("doc_id"), col("lang"),
+    d.select(col("doc_id"), col("lang"),
       array_join(concat(lines,
         inject(23, "function() { return 1; }"),
         inject(29, "Lorem ipsum dolor sit amet."),
         inject(31, "this page contains unsafeword content.")), "\n").as("text"))
-    val rep = graft.operators.TextAnalysis.c4Filter(pages,
-        graft.operators.TextAnalysis.C4Rules(badWords = Seq("unsafeword")))
-      .join(pages.select(col("doc_id"), col("lang")), "doc_id")
+  }
+
+  /** The per-language C4 rollup shared by the batch and streaming
+    * variants — one aggregation over the [[c4Pages]]+c4Filter report. */
+  private def c4Rollup(rep: DataFrame): DataFrame =
     rep.groupBy("lang")
       .agg(count(lit(1)).as("n_pages"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("pages_kept"),
@@ -2950,7 +2956,32 @@ object SparkEntry {
           !col("has_badword"), 1L).otherwise(0L)).as("n_too_few_lines"))
       .withColumn("kept_fraction",
         round(col("pages_kept").cast("double") / col("n_pages"), 6))
+
+  private def c4FiltersQ(s: SparkSession, dir: String): DataFrame =
+    c4Rollup(graft.operators.TextAnalysis.c4Filter(
+      c4Pages(t(s, dir, "documents")),
+      graft.operators.TextAnalysis.C4Rules(badWords = Seq("unsafeword"))))
       .orderBy("lang")
+
+  /** §2.12 C4 hygiene in INGEST position: the same page synthesis +
+    * line/page rules + per-language rollup, but over a streaming scan —
+    * [[graft.operators.TextAnalysis.c4Filter]] is a pure projection, so
+    * it runs unchanged inside each micro-batch; ONE complete-mode
+    * streaming aggregation builds the rollup. streamed == batch IS the
+    * oracle contract (literally t_c4_filters' SQL). */
+  private def streamingC4Q(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_c4_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = c4Rollup(graft.operators.TextAnalysis.c4Filter(
+        c4Pages(stream),
+        graft.operators.TextAnalysis.C4Rules(badWords = Seq("unsafeword"))))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("lang")
   }
 
   /** CCNet head/middle/tail perplexity buckets per language
@@ -4128,6 +4159,7 @@ object SparkEntry {
     "e_seasonality" -> seasonalityQ,
     "d_soft_dedup" -> softDedupQ,
     "emb_knn_graph" -> knnGraphQ,
+    "st_stream_c4" -> streamingC4Q,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,

@@ -530,11 +530,14 @@ object TextAnalysis {
 
   /** Per-page C4 report: line counts before/after the line rules, the
     * three page-level flags, the keep verdict, and the cleaned text
-    * (kept lines re-joined). Everything is higher-order array functions
-    * over the line split — codegen'd, shuffle-FREE: the 100 TB shape is
-    * scan → project, identical to [[qualityFilter]]. Lambdas reference
-    * only their element (the outer-Column-recompute trap from SURVEY §6
-    * does not apply).
+    * (kept lines re-joined) — appended to the input's own columns, so
+    * the operator composes downstream (and runs unchanged inside a
+    * Structured Streaming micro-batch: it is a pure projection).
+    * Everything is higher-order array functions over the line split —
+    * codegen'd, shuffle-FREE: the 100 TB shape is scan → project,
+    * identical to [[qualityFilter]]. Lambdas reference only their
+    * element (the outer-Column-recompute trap from SURVEY §6 does not
+    * apply).
     */
   def c4Filter(docs: DataFrame, rules: C4Rules = C4Rules(),
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -545,24 +548,25 @@ object TextAnalysis {
         size(words(ln)) >= rules.minWordsPerLine &&
         !lower(ln).contains("javascript")
     val badArr = typedLit(rules.badWords.map(_.toLowerCase))
-    val staged = docs.select(col(idCol),
-      split(col(s"`$textCol`"), "\n").as("__lines"),
-      filter(split(col(s"`$textCol`"), "\n"), keptLine _).as("__kept"),
-      lower(col(s"`$textCol`")).contains("lorem ipsum").as("has_lorem"),
-      col(s"`$textCol`").contains("{").as("has_brace"),
-      (if (rules.badWords.isEmpty) lit(false)
-       else arrays_overlap(
-         filter(split(lower(trim(col(s"`$textCol`"))), "\\s+"), w => w =!= ""),
-         badArr)).as("has_badword"))
-    staged.select(col(idCol),
-        size(col("__lines")).cast("long").as("n_lines"),
-        size(col("__kept")).cast("long").as("n_kept_lines"),
-        aggregate(col("__kept"), lit(0L),
-          (acc, ln) => acc + size(words(ln))).as("kept_tokens"),
-        col("has_lorem"), col("has_brace"), col("has_badword"),
-        array_join(col("__kept"), "\n").as("clean_text"))
+    docs
+      .withColumn("__lines", split(col(s"`$textCol`"), "\n"))
+      .withColumn("__kept", filter(col("__lines"), keptLine _))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_kept_lines", size(col("__kept")).cast("long"))
+      .withColumn("kept_tokens", aggregate(col("__kept"), lit(0L),
+        (acc, ln) => acc + size(words(ln))))
+      .withColumn("has_lorem",
+        lower(col(s"`$textCol`")).contains("lorem ipsum"))
+      .withColumn("has_brace", col(s"`$textCol`").contains("{"))
+      .withColumn("has_badword",
+        if (rules.badWords.isEmpty) lit(false)
+        else arrays_overlap(
+          filter(split(lower(trim(col(s"`$textCol`"))), "\\s+"), w => w =!= ""),
+          badArr))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
       .withColumn("keep",
         col("n_kept_lines") >= rules.minKeptLines &&
           !col("has_lorem") && !col("has_brace") && !col("has_badword"))
+      .drop("__lines", "__kept")
   }
 }
