@@ -4619,6 +4619,66 @@ object OracleSql {
       |  nn.n_nodes - hub.reached AS n_orphans
       |FROM nn, ne, m, hub""".stripMargin
 
+  /** emb_label_agreement: replay the exact kNN edges (all queries,
+    * k=5), attach both endpoints' labels, per-vector agreement counts,
+    * per-label rollup with the exact ppm rate. */
+  private def labelAgreementSql: String =
+    """WITH n AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |knn AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC,
+      |          c.vec_id) AS rank
+      |    FROM n q JOIN n c ON c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |pv AS (
+      |  SELECT k.query_id, ql.label AS ql, count(*) AS n_nb,
+      |    CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |  FROM knn k
+      |  JOIN n ql ON ql.vec_id = k.query_id
+      |  JOIN n nl ON nl.vec_id = k.neighbor_id
+      |  GROUP BY 1, 2)
+      |SELECT ql AS label, count(*) AS n_vecs,
+      |  CAST(sum(n_agree) AS BIGINT) AS agree_edges,
+      |  CAST(sum(n_nb) AS BIGINT) AS total_edges,
+      |  CAST(sum(CASE WHEN n_agree = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspects,
+      |  CAST((sum(n_agree) * 1000000) // sum(n_nb) AS BIGINT) / 1000000.0 AS agreement
+      |FROM pv GROUP BY ql ORDER BY label""".stripMargin
+
+  /** j3_mrr: the searchNdcg result/truth replay with the
+    * first-relevant-rank tail — reciprocal in truncating micro-units. */
+  private def searchMrrSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |res AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |truth AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS nid
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <= 10 AND b.vec_id <> a.vec_id),
+      |fh AS (
+      |  SELECT r.query_id, CAST(min(r.rank) AS BIGINT) AS first_rank
+      |  FROM res r JOIN truth t ON r.query_id = t.query_id AND r.neighbor_id = t.nid
+      |  GROUP BY 1)
+      |SELECT CAST(q.query_id AS VARCHAR) AS query,
+      |  coalesce(f.first_rank, 0) AS first_rank,
+      |  CASE WHEN f.first_rank IS NULL THEN 0.0
+      |       ELSE CAST(1000000 // f.first_rank AS BIGINT) / 1000000.0 END AS rr
+      |FROM (SELECT DISTINCT query_id FROM truth) q
+      |LEFT JOIN fh f USING (query_id)
+      |ORDER BY query""".stripMargin
+
   /** e_rolling_wau: trailing 7-day distinct users per observed day. */
   private def rollingWauSql: String =
     """WITH ud AS (SELECT DISTINCT user_id,
@@ -5535,6 +5595,8 @@ object OracleSql {
     "e2e_ccnet_funnel" -> ccnetFunnelSql,
     "mm_resize" -> mmResizeSql,
     "emb_knn_graph" -> knnGraphSql,
+    "emb_label_agreement" -> labelAgreementSql,
+    "j3_mrr" -> searchMrrSql,
     // streamed == batch IS the oracle: the streaming C4 rollup must
     // equal the batch replay exactly
     "st_stream_c4" -> c4FiltersSql,

@@ -3061,6 +3061,30 @@ object SparkEntry {
   private def knnGraphQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ann.knnGraphReport(t(s, dir, "embeddings"), k = 5)
 
+  /** kNN label-agreement (noisy-label screen,
+    * [[graft.operators.Ann.labelAgreement]], k=5). */
+  private def labelAgreementQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.labelAgreement(t(s, dir, "embeddings"), k = 5)
+      .orderBy("label")
+
+  /** J3 ranking-quality extension: MRR@5 of the same brute-force search
+    * vs label-mates ground truth as `j3_search_eval`/`j3_ndcg` —
+    * first-relevant-position where nDCG is graded; reciprocal ranks in
+    * exact integer micro-units. */
+  private def searchMrrQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val results = Ann.bruteForceTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+      .select(col("query_id").cast("string").as("query"),
+        col("neighbor_id").cast("string").as("candidate"), col("rank"))
+    val truth = embs.filter(col("vec_id") <= 10)
+      .select(col("vec_id"), col("label"))
+      .join(embs.select(col("label"), col("vec_id").as("nid")), "label")
+      .filter(col("vec_id") =!= col("nid"))
+      .groupBy(col("vec_id").cast("string").as("query"))
+      .agg(collect_list(col("nid").cast("string")).as("expected"))
+    graft.search.Evaluation.mrrAtK(results, truth, 5).orderBy("query")
+  }
+
   /** CCNet-shaped curation funnel (Wenzek et al. 2020) — the pipeline
     * the CCNet paper publishes, composed from the engine's own
     * operators: all docs → language-ID agreement
@@ -4159,6 +4183,8 @@ object SparkEntry {
     "e_seasonality" -> seasonalityQ,
     "d_soft_dedup" -> softDedupQ,
     "emb_knn_graph" -> knnGraphQ,
+    "emb_label_agreement" -> labelAgreementQ,
+    "j3_mrr" -> searchMrrQ,
     "st_stream_c4" -> streamingC4Q,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,

@@ -836,6 +836,40 @@ object Ann {
         (col("n_nodes") - col("__reached")).as("n_orphans"))
   }
 
+  /** kNN label-agreement screen — the noisy-label probe (the intuition
+    * behind Confident Learning / deep-kNN filtering: a correctly-labeled
+    * point's nearest neighbors mostly share its label; a mislabeled one
+    * is an island): for each vector, how many of its k exact nearest
+    * neighbors carry the same label, rolled up per label as an exact
+    * ppm agreement rate plus the count of zero-agreement suspects.
+    * Same brute-force edge contract as [[knnGraphReport]] — swap the
+    * edge source for LSH/IVF at corpus scale; the rollup is unchanged.
+    * Output: one row per label — (label, n_vecs, agree_edges,
+    * total_edges, n_suspects, agreement).
+    */
+  def labelAgreement(embs: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    val lbl = embs.select(col(idCol).cast("long").as("__id"),
+      col(s"`$labelCol`").as("__lbl"))
+    val perVec = bruteForceTopK(embs, embs, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(lbl.select(col("__id").as("query_id"), col("__lbl").as("ql")),
+        "query_id")
+      .join(lbl.select(col("__id").as("neighbor_id"), col("__lbl").as("nl")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("ql"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).as("n_agree"))
+    perVec.groupBy(col("ql").as(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n_agree")).as("agree_edges"),
+        sum(col("n_nb")).as("total_edges"),
+        sum(when(col("n_agree") === 0, 1L).otherwise(0L)).as("n_suspects"))
+      .withColumn("agreement",
+        expr("agree_edges * 1000000 div total_edges").cast("double") / 1e6)
+  }
+
   /** All-but-the-top removal report (Mu & Viswanath 2018, step 2):
     * project every centered vector off the [[powerIterationPca]]
     * direction and measure what the common component carried — the

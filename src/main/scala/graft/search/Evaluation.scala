@@ -58,6 +58,28 @@ object Evaluation {
           .as("ndcg_at_k"))
   }
 
+  /** Mean-reciprocal-rank inputs @k — the first-relevant-position metric
+    * next to precision@k (set overlap) and nDCG (graded positions): per
+    * query, the rank of the FIRST relevant candidate inside the top k
+    * (0 when none) and its reciprocal in exact integer micro-units
+    * (`1e6 div rank`, truncating — engine-replayable; the corpus MRR is
+    * the mean of `rr` downstream). One semi-join + one min aggregation.
+    */
+  def mrrAtK(results: DataFrame, groundTruth: DataFrame, k: Int): DataFrame = {
+    val expected = groundTruth.select(col("query"),
+      explode(col("expected")).as("candidate"))
+    val firstHit = results.filter(col("rank") <= k)
+      .join(expected, Seq("query", "candidate"), "left_semi")
+      .groupBy("query").agg(min(col("rank")).cast("long").as("first_rank"))
+    groundTruth.select("query").distinct()
+      .join(firstHit, Seq("query"), "left")
+      .select(col("query"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+        when(col("first_rank").isNull, lit(0.0))
+          .otherwise(expr("1000000 div first_rank").cast("double") / 1e6)
+          .as("rr"))
+  }
+
   def macroAverage(perQuery: DataFrame): DataFrame =
     perQuery.agg(round(avg(col("precision_at_k")), 6).as("macro_precision"),
       round(avg(col("recall_at_k")), 6).as("macro_recall"),

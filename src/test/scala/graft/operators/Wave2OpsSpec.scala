@@ -66,6 +66,39 @@ class Wave2OpsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1000000L)))
   }
 
+  test("labelAgreement: clean clusters agree, the planted mislabel is a suspect") {
+    // two tight label clusters + one vector carrying the WRONG label
+    val embs = (
+      (1 to 4).map(i => (i.toLong, Array(1.0f, 0.001f * i, 0.0f), 0)) ++
+      (5 to 8).map(i => (i.toLong, Array(0.001f * i, 1.0f, 0.0f), 1)) :+
+      ((9L, Array(1.0f, 0.0035f, 0.0f), 1)) // sits in cluster 0, labeled 1
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.labelAgreement(embs, k = 3).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // label-1 rollup contains the mislabeled vector: zero agreeing
+    // neighbors → one suspect; label 0's vectors now see vec 9 among
+    // their neighbors but still mostly agree
+    assert(out(1).getAs[Long]("n_suspects") == 1, out(1).toString)
+    assert(out(0).getAs[Long]("n_suspects") == 0)
+    assert(out(0).getAs[Double]("agreement") > 0.6)
+  }
+
+  test("mrrAtK: first-relevant reciprocal, zero when missed") {
+    val results = Seq(
+      ("q1", "a", 1L), ("q1", "x", 2L),
+      ("q2", "x", 1L), ("q2", "b", 2L), ("q2", "c", 3L),
+      ("q3", "x", 1L), ("q3", "y", 2L)
+    ).toDF("query", "candidate", "rank")
+    val truth = Seq(
+      ("q1", Seq("a")), ("q2", Seq("c", "b")), ("q3", Seq("z"))
+    ).toDF("query", "expected")
+    val out = graft.search.Evaluation.mrrAtK(results, truth, 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("q1") == ((1L, 1.0)))
+    assert(out("q2") == ((2L, 0.5)))
+    assert(out("q3") == ((0L, 0.0)))
+  }
+
   test("knnGraphReport: mutual pair, hub, and orphan on a planted layout") {
     // two tight pairs far apart + one outlier that points somewhere but
     // is nobody's nearest (k=1)
