@@ -4527,6 +4527,43 @@ object OracleSql {
        |  round(CAST(sum(CAST(avg_logprob_r AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_score
        |FROM rk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** t_ppl_buckets_sketch: the lm replay, per-language min-shift (the
+    * relative-error sketch resolves near zero — see the operator
+    * scaladoc), the HDR quantization (eqfreqBins' formula),
+    * per-language cut buckets at ranks ⌈n/3⌉ and ⌈2n/3⌉ from the
+    * cumulative walk, bucket-vs-cut integer comparisons. */
+  private def pplBucketsSketchSql: String =
+    s"""WITH ${lmScoreCtes("documents")},
+       |sl0 AS (SELECT ag.doc_id, dd.lang,
+       |    (CASE WHEN m >= 0 THEN floor(m + 0.5) ELSE ceil(m - 0.5) END) / 1000000.0 AS v0
+       |  FROM ag JOIN documents dd USING (doc_id)),
+       |mn AS (SELECT lang, min(v0) AS vmin FROM sl0 GROUP BY 1),
+       |sl AS (SELECT sl0.doc_id, sl0.lang, sl0.v0 - mn.vmin AS v
+       |  FROM sl0 JOIN mn USING (lang)),
+       |qv AS (SELECT doc_id, lang,
+       |    least(greatest(CAST(floor(v * 1e6) AS BIGINT),
+       |      -4611686018427387904), 4611686018427387904) AS q
+       |  FROM sl),
+       |bk AS (SELECT doc_id, lang, (CASE WHEN q < 0 THEN -1 ELSE 1 END) *
+       |    (CASE WHEN abs(q) < 32 THEN abs(q)
+       |          ELSE (CAST(length(bin(abs(q))) - 1 AS BIGINT) - 4) * 32
+       |               + (abs(q) >> (length(bin(abs(q))) - 1 - 5)) - 32 END) AS bucket
+       |  FROM qv),
+       |counts AS (SELECT lang, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |cum AS (SELECT lang, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY lang) AS n FROM counts),
+       |dk AS (SELECT lang, bucket FROM cum CROSS JOIN (SELECT unnest(range(1, 3)) AS k)
+       |  WHERE cum >= greatest((n * k + 2) // 3, 1)
+       |    AND cum - cnt < greatest((n * k + 2) // 3, 1)),
+       |ab AS (SELECT b.doc_id, b.lang,
+       |    (SELECT count(*) FROM dk c WHERE c.lang = b.lang AND b.bucket > c.bucket) AS above
+       |  FROM bk b)
+       |SELECT lang,
+       |  CASE WHEN above = 2 THEN 'head' WHEN above = 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |FROM ab GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   /** x_merge_upsert: replay the changelog compaction (rank window ≡ the
     * struct-max), the full-outer MERGE resolution, and the per-type
     * checksums of the merged state. */
@@ -5591,6 +5628,7 @@ object OracleSql {
     "emb_abtt" -> abttSql,
     "t_c4_filters" -> c4FiltersSql,
     "t_ppl_buckets" -> pplBucketsSql,
+    "t_ppl_buckets_sketch" -> pplBucketsSketchSql,
     "x_merge_upsert" -> mergeUpsertSql,
     "e2e_ccnet_funnel" -> ccnetFunnelSql,
     "mm_resize" -> mmResizeSql,

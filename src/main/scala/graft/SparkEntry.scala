@@ -3118,6 +3118,19 @@ object SparkEntry {
       .orderBy("stage_idx")
   }
 
+  /** Sketch-cut perplexity tertiles
+    * ([[graft.operators.TextAnalysis.perplexityBucketsSketch]]) — the
+    * bounded-state scale path next to the exact `t_ppl_buckets`;
+    * realized bucket populations are the sketch's visible accuracy
+    * report. */
+  private def pplBucketsSketchQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.perplexityBucketsSketch(docs, docs)
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("lang", "bucket")
+  }
+
   /** MERGE upsert ([[graft.operators.Merge.upsert]]): even-id events
     * compact to the keyed target snapshot; odd-id events form the
     * changelog (delete when event_id % 7 == 0); per-type checksums pin
@@ -4177,6 +4190,7 @@ object SparkEntry {
     "emb_abtt" -> abttQ,
     "t_c4_filters" -> c4FiltersQ,
     "t_ppl_buckets" -> pplBucketsQ,
+    "t_ppl_buckets_sketch" -> pplBucketsSketchQ,
     "x_merge_upsert" -> mergeUpsertQ,
     "e2e_ccnet_funnel" -> ccnetFunnelQ,
     "mm_resize" -> mmResizeQ,

@@ -514,6 +514,56 @@ object TextAnalysis {
         col("avg_logprob_r"), col("bucket"))
   }
 
+  /** The 10⁹-docs-per-language variant of [[perplexityBuckets]] the
+    * exact path's scaladoc promises: tertile CUTS come from the
+    * mergeable [[graft.profile.QuantileSketch]] (bounded state, no
+    * per-language global sort — the rank window is replaced by one
+    * bounded-sketch walk), and each doc buckets by integer comparison
+    * of its own HDR bucket against the two broadcast cut buckets.
+    * Approximate at bucket resolution — realized bucket populations are
+    * the visible accuracy report, the
+    * [[graft.profile.QuantileSketch.equiDepthBins]] discipline.
+    * Resolution detail that MATTERS for LM scores: a relative-error
+    * sketch resolves near ZERO, but a corpus's mean log-probs cluster
+    * tightly around a large magnitude (here ≈ −3.4 ± 0.05 — the whole
+    * spread fits in one or two octave buckets and every cut collapses).
+    * So the distribution's support is shifted to zero first — each
+    * language's exact min score (itself a mergeable aggregate) is
+    * subtracted before sketching, and buckets discriminate on the
+    * SPREAD. Both engines compute the same doubles, so every
+    * assignment still replays exactly.
+    * Output: (doc_id, lang, avg_logprob_r, bucket).
+    */
+  def perplexityBucketsSketch(docs: DataFrame, train: DataFrame,
+                              addK: Double = 1.0, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              langCol: String = "lang"): DataFrame = {
+    import graft.profile.QuantileSketch
+    val scores0 = bigramLogProb(docs, train, addK, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        "doc_id")
+    val mins = scores0.groupBy("lang")
+      .agg(min(col("avg_logprob_r")).as("__vmin"))
+    val scores = scores0.join(broadcast(mins), "lang")
+      .withColumn("__off", col("avg_logprob_r") - col("__vmin"))
+    val long = scores.select(col("lang").as("table_name"),
+      lit(0L).as("col_idx"), col("__off").as("value_num"))
+    val cuts = QuantileSketch
+      .rankCutBuckets(QuantileSketch.sketchLong(long), Seq(1, 2), 3)
+      .groupBy(col("table_name").as("lang"))
+      .agg(sort_array(collect_list(col("bucket"))).as("__cuts"))
+    QuantileSketch.withBucket(scores, col("__off"), "__b")
+      .join(broadcast(cuts), "lang")
+      // above both cuts = top third by score = lowest perplexity = head
+      .withColumn("__above", expr(
+        "aggregate(__cuts, 0L, (acc, c) -> acc + IF(__b > c, 1L, 0L))"))
+      .withColumn("bucket",
+        when(col("__above") === 2, lit("head"))
+          .when(col("__above") === 1, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("avg_logprob_r"), col("bucket"))
+  }
+
   /** Rule thresholds for [[c4Filter]] — the C4 cleaning heuristics
     * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
     * §2.2 — public paper, see PAPERS.md): keep only lines that end in

@@ -113,15 +113,24 @@ object QuantileSketch {
     * reducer plan appears. The hash-agg shape can't.
     */
   def decileBuckets(sketch: DataFrame): DataFrame =
+    rankCutBuckets(sketch, 1 to 9, 10).withColumnRenamed("k", "decile")
+
+  /** Generalized cut read-back: for each numerator in `nums`, the
+    * bucket holding rank ⌈n·k/den⌉ — [[decileBuckets]] is
+    * nums = 1..9, den = 10; tertiles are nums = 1..2, den = 3. Same
+    * window-free bounded-state walk. Output: (table_name, col_idx, k,
+    * bucket); a bucket spanning several cuts appears once per k.
+    */
+  def rankCutBuckets(sketch: DataFrame, nums: Seq[Int], den: Int): DataFrame = {
+    require(nums.nonEmpty && den > 0)
     sketch.groupBy("table_name", "col_idx")
       .agg(sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("bs"),
         sum(col("cnt")).as("n"))
       .select(col("table_name"), col("col_idx"), col("n"), col("bs"),
-        explode(sequence(lit(1), lit(9))).as("decile"))
-      .withColumn("decile", col("decile").cast("long"))
-      // integer rank: ceil(n*k/10) = (n*k + 9) div 10, clamped >= 1
+        explode(typedLit(nums.map(_.toLong))).as("k"))
+      // integer rank: ceil(n*k/den) = (n*k + den-1) div den, clamped >= 1
       .withColumn("rank",
-        greatest(expr("(n * decile + 9) div 10"), lit(1L)))
+        greatest(expr(s"(n * k + ${den - 1}) div $den"), lit(1L)))
       // first bucket (ascending) whose cumulative count reaches the rank
       .withColumn("bucket", expr(
         """aggregate(bs,
@@ -131,7 +140,8 @@ object QuantileSketch {
           |      'b', IF(acc.cum + x.cnt >= rank, x.bucket,
           |        CAST(NULL AS BIGINT)))),
           |  acc -> acc.b)""".stripMargin))
-      .select(col("table_name"), col("col_idx"), col("decile"), col("bucket"))
+      .select(col("table_name"), col("col_idx"), col("k"), col("bucket"))
+  }
 
   def deciles(sketch: DataFrame): DataFrame =
     decileBuckets(sketch)

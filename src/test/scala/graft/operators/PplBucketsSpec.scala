@@ -46,6 +46,34 @@ class PplBucketsSpec extends SparkSpec {
     assert(fr.count(_ == "tail") == 2, fr.toString)
   }
 
+  test("sketch path approximates the exact tertiles and is partition-invariant") {
+    // spread-out scores: 30 docs per lang mixing boilerplate and rare text
+    val corpus = (0 until 30).map { i =>
+      val text =
+        if (i < 10) "the cat the cat the cat the cat"
+        else if (i < 20) s"the cat w$i x$i the cat y$i"
+        else s"a$i b$i c$i d$i e$i f$i"
+      (i.toLong, text, "en")
+    }
+    val df = corpus.toDF("doc_id", "text", "lang")
+    val exact = TextAnalysis.perplexityBuckets(df, df)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sk = TextAnalysis.perplexityBucketsSketch(df, df)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sk.size == 30)
+    val agree = exact.count { case (id, b) => sk(id) == b }
+    assert(agree >= 24, s"sketch/exact agreement too low: $agree/30")
+    // every tertile is populated (the degenerate-resolution failure mode
+    // the min-shift exists to prevent)
+    assert(Set("head", "middle", "tail").subsetOf(sk.values.toSet))
+    val b = TextAnalysis.perplexityBucketsSketch(df.repartition(7), df.repartition(5))
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b == sk)
+  }
+
   test("ties break by doc_id: equal-scored docs bucket deterministically") {
     // docs 0-2 are identical texts → identical scores; doc 0 must rank
     // first. With n=9, all three land in head, so instead check the
