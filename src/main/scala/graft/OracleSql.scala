@@ -5608,6 +5608,10 @@ object OracleSql {
     "x_grouping_sets" -> groupingSetsSql,
     "j_revenue_share" -> revenueShareSql,
     "w_components" -> componentsSql,
+    // incremental == from-scratch IS the oracle: folding the second
+    // edge batch into the first batch's label catalog must equal the
+    // full closure over all edges
+    "d_incremental_clusters" -> componentsSql,
     "w_hits" -> hitsSql,
     "a_eqfreq_bins" -> eqfreqBinsSql,
     "a_join_estimate" -> joinEstimateSql,

@@ -2535,6 +2535,30 @@ object SparkEntry {
       .orderBy("size")
   }
 
+  /** Incremental connected components
+    * ([[graft.operators.Dedup.mergeClusterLabels]]): the `w_components`
+    * edge relation split into two batches — even-src edges resolve to a
+    * stored label catalog, odd-src edges fold in through the star-edge
+    * merge — and incremental == from-scratch IS the oracle (the
+    * `w_components` closure SQL verbatim). */
+  private def incrementalClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").cast("long").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val pairs = e.select(least(col("src"), col("dst")).as("id_a"),
+      greatest(col("src"), col("dst")).as("id_b")).distinct()
+    val batch1 = pairs.filter(col("id_a") % 2 === 0)
+    val batch2 = pairs.filter(col("id_a") % 2 === 1)
+    val catalog = graft.operators.Dedup.resolveClusters(batch1)
+    graft.operators.Dedup.mergeClusterLabels(catalog, batch2)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+  }
+
   /** HITS hubs/authorities over the synthetic link graph
     * ([[graft.operators.Graph.hitsInt]]) — integer-ppm, 2 iterations,
     * top 20 authorities.
@@ -4196,6 +4220,7 @@ object SparkEntry {
     "mm_resize" -> mmResizeQ,
     "e_seasonality" -> seasonalityQ,
     "d_soft_dedup" -> softDedupQ,
+    "d_incremental_clusters" -> incrementalClustersQ,
     "emb_knn_graph" -> knnGraphQ,
     "emb_label_agreement" -> labelAgreementQ,
     "j3_mrr" -> searchMrrQ,

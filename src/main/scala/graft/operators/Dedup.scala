@@ -479,6 +479,34 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental cluster-label maintenance — fold a NEW batch of
+    * duplicate pairs into a STORED label catalog without replaying
+    * history: the catalog contracts to ONE star edge per non-singleton
+    * node (id — cluster), so the merge graph is |catalog| + |newPairs|
+    * edges no matter how many raw pairs history ever produced (the
+    * `incrementalDedupReport` never-rescan discipline applied to the
+    * cluster STATE itself). [[resolveClusters]] over the union
+    * re-labels; ids untouched by new edges keep their old label
+    * (labels are min-member ids on both sides, so merged labels are
+    * consistent: the min of a merged component is the min over all
+    * historical members). Output: the updated (id, cluster) catalog
+    * covering every id seen in either input.
+    */
+  def mergeClusterLabels(catalog: DataFrame, newPairs: DataFrame): DataFrame = {
+    val starEdges = catalog.filter(col("id") =!= col("cluster"))
+      .select(col("cluster").as("id_a"), col("id").as("id_b"))
+    val merged = resolveClusters(
+      starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))))
+    val allIds = catalog.select(col("id"))
+      .unionByName(newPairs.select(col("id_a").as("id")))
+      .unionByName(newPairs.select(col("id_b").as("id")))
+      .distinct()
+    allIds.join(merged.withColumnRenamed("cluster", "__new"), Seq("id"), "left")
+      .join(catalog.withColumnRenamed("cluster", "__old"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("__old"), col("id")).as("cluster"))
+  }
+
   /** Soft deduplication: instead of DROPPING near-duplicates, keep
     * every document and weight it by 1/|cluster| — duplicated content
     * no longer counts |cluster| times in training mixes, but rare

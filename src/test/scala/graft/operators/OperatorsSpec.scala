@@ -109,6 +109,29 @@ class DedupSpec extends SparkSpec {
     assert(clusters(7L) == 7L && clusters(8L) == 7L)
   }
 
+  test("mergeClusterLabels: incremental fold == from-scratch recompute") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120).map { _ =>
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val (b1, b2) = pairs.partition(_._1 % 2 == 0)
+    val d1 = b1.toDF("id_a", "id_b"); val d2 = b2.toDF("id_a", "id_b")
+    val full = Dedup.resolveClusters(d1.unionByName(d2)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = Dedup.mergeClusterLabels(Dedup.resolveClusters(d1), d2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+  }
+
+  test("mergeClusterLabels: untouched singleton catalog entries keep their label") {
+    val catalog = Seq((5L, 5L), (9L, 2L), (2L, 2L)).toDF("id", "cluster")
+    val out = Dedup.mergeClusterLabels(catalog, Seq((10L, 11L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) == 5L && out(9L) == 2L && out(2L) == 2L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+  }
+
   test("resolveClusters: pointer jumping collapses a deep chain within maxIter") {
     // 60-node path: diameter 59 — plain one-hop propagation would need 59
     // rounds; pointer jumping needs O(log) and must fit in the default 10
