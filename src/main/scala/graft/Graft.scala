@@ -234,6 +234,22 @@ object Graft {
                   orderCols: Seq[String], opCol: String = "op"): DataFrame =
     operators.Merge.upsert(target, changes, keyCols, orderCols, opCol)
 
+  /** Out-of-order-safe LWW CDC apply with tombstones (commutative over
+    * any batch split — the streaming foreachBatch shape). */
+  def mergeUpsertLww(state: DataFrame, changes: DataFrame,
+                     keyCols: Seq[String], orderCols: Seq[String],
+                     opCol: String = "op"): DataFrame =
+    operators.Merge.upsertLww(state, changes, keyCols, orderCols, opCol)
+
+  /** Fold a new duplicate-pair batch into a stored cluster-label
+    * catalog (never rescans history; star-edge contraction). */
+  def mergeClusterLabels(catalog: DataFrame, newPairs: DataFrame): DataFrame =
+    operators.Dedup.mergeClusterLabels(catalog, newPairs)
+
+  /** CCNet perplexity tertiles at bounded state: sketch-cut variant. */
+  def perplexityBucketsSketch(docs: DataFrame, train: DataFrame): DataFrame =
+    operators.TextAnalysis.perplexityBucketsSketch(docs, train)
+
   /** Drop docs sharing long n-grams with an eval set (leakage guard). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
                     threshold: Double = 0.05): DataFrame =

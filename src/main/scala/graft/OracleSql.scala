@@ -5643,6 +5643,22 @@ object OracleSql {
     // equal the batch replay exactly
     "st_stream_c4" -> c4FiltersSql,
 
+    // st_stream_upsert: micro-batched LWW folds must equal the one-shot
+    // latest-per-key compaction (tombstones excluded from the live view)
+    "st_stream_upsert" ->
+      """WITH ev AS (SELECT user_id, event_type, ts, event_id,
+        |    CAST(value AS DOUBLE) AS value,
+        |    CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM events),
+        |w AS (SELECT * FROM ev
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT event_type, count(*) AS n_keys,
+        |  CAST(sum(user_id) AS BIGINT) AS user_checksum,
+        |  CAST(sum(event_id) AS BIGINT) AS event_checksum,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w WHERE op <> 'delete' GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "e_seasonality" ->
       """WITH c AS (SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
         |  count(*) AS n FROM events GROUP BY 1, 2),

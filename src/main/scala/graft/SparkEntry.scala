@@ -3109,6 +3109,48 @@ object SparkEntry {
     graft.search.Evaluation.mrrAtK(results, truth, 5).orderBy("query")
   }
 
+  /** §2.12 streaming CDC apply: the events changelog (delete when
+    * event_id % 7 == 0) streams in as 4 files, one micro-batch each
+    * (maxFilesPerTrigger=1) in ARBITRARY key order; each batch folds
+    * into the running state via
+    * [[graft.operators.Merge.upsertLww]] — commutative and associative,
+    * so ANY batch split converges to the one-shot compaction, and
+    * tombstones persist so a late-arriving older upsert cannot
+    * resurrect a delete. The oracle replays the one-shot latest-per-key
+    * compaction over all events. */
+  private def streamingUpsertQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_upsert_${streamSeq.incrementAndGet()}"
+    val srcDir = s"/tmp/graft_fixtures/st_upsert_${math.abs(dir.hashCode)}/src"
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value").cast("double").as("value"))
+      .withColumn("op",
+        when(col("event_id") % 7 === 0, lit("delete")).otherwise(lit("upsert")))
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    var state = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = graft.operators.Merge.upsertLww(state, batch,
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+          .localCheckpoint(true)
+        ()
+      }
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Merge.liveView(state)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("user_id")).as("user_checksum"),
+        sum(col("event_id")).as("event_checksum"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .orderBy("event_type")
+  }
+
   /** CCNet-shaped curation funnel (Wenzek et al. 2020) — the pipeline
     * the CCNet paper publishes, composed from the engine's own
     * operators: all docs → language-ID agreement
@@ -4225,6 +4267,7 @@ object SparkEntry {
     "emb_label_agreement" -> labelAgreementQ,
     "j3_mrr" -> searchMrrQ,
     "st_stream_c4" -> streamingC4Q,
+    "st_stream_upsert" -> streamingUpsertQ,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,

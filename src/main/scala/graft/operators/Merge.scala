@@ -53,4 +53,38 @@ object Merge {
         when(hasChange, col("__c").getField(c)).otherwise(col(s"t.$c")).as(c)
       }: _*)
   }
+
+  /** Last-writer-wins CDC apply with TOMBSTONES — the out-of-order-safe
+    * sibling of [[upsert]]: [[upsert]] assumes an ordered changelog (the
+    * latest batch wins), which breaks the moment micro-batches or
+    * replayed files arrive out of order. Here the winner per key is the
+    * globally max (orderCols…) row across state ∪ changes, and DELETES
+    * PERSIST as tombstone rows in the state (a later-arriving OLDER
+    * upsert must not resurrect a deleted key — the classic LWW-register
+    * semantics). Because one struct-max decides the winner, the fold is
+    * COMMUTATIVE and ASSOCIATIVE over any batch split: applying batches
+    * in any order equals one-shot compaction — exactly what a streaming
+    * `foreachBatch` needs. State schema = key cols + `opCol` + values;
+    * read the live view with [[liveView]].
+    */
+  def upsertLww(state: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                orderCols: Seq[String], opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty)
+    val valueCols = changes.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols.contains(opCol), s"changes must carry $opCol")
+    require(state.columns.sorted.sameElements(changes.columns.sorted),
+      "state and changes must share one schema (state keeps tombstones)")
+    val structFields =
+      (orderCols ++ valueCols.filterNot(orderCols.contains))
+        .distinct.map(c => col(c).as(c))
+    state.unionByName(changes)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(structFields: _*)).as("__w"))
+      .select(keyCols.map(col) ++ valueCols.map(c =>
+        col("__w").getField(c).as(c)): _*)
+  }
+
+  /** The queryable face of an [[upsertLww]] state: tombstones filtered. */
+  def liveView(state: DataFrame, opCol: String = "op"): DataFrame =
+    state.filter(col(s"`$opCol`") =!= "delete")
 }

@@ -48,6 +48,33 @@ class MergeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("upsertLww: commutative over any batch split, tombstones persist") {
+    val empty = Seq.empty[(Long, String, Long, Double, String)]
+      .toDF("k", "grp", "seq", "v", "op")
+    val all = Seq(
+      (1L, "a", 10L, 1.0, "upsert"),
+      (1L, "a", 20L, 2.0, "upsert"),
+      (2L, "a", 11L, 9.0, "upsert"),
+      (2L, "a", 30L, 0.0, "delete"),
+      (2L, "a", 25L, 8.0, "upsert"), // older than the delete — must stay dead
+      (3L, "b", 12L, 3.0, "upsert")
+    ).toDF("k", "grp", "seq", "v", "op")
+    def fold(batches: Seq[org.apache.spark.sql.DataFrame]) =
+      batches.foldLeft(empty)((st, b) =>
+        Merge.upsertLww(st, b, Seq("k", "grp"), Seq("seq")))
+    val oneShot = Merge.upsertLww(empty, all, Seq("k", "grp"), Seq("seq"))
+    val splitA = fold(Seq(all.filter(col("seq") < 20), all.filter(col("seq") >= 20)))
+    val splitB = fold(Seq(all.filter(col("seq") >= 20), all.filter(col("seq") < 20)))
+    def live(df: org.apache.spark.sql.DataFrame) =
+      Merge.liveView(df).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(live(oneShot) == Seq((1L, 20L, 2.0), (3L, 12L, 3.0)))
+    assert(live(splitA) == live(oneShot))
+    assert(live(splitB) == live(oneShot))
+    // the tombstone row itself persists in state
+    assert(oneShot.filter(col("k") === 2L && col("op") === "delete").count() == 1)
+  }
+
   test("a delete earlier than a later upsert does not win") {
     val ch = Seq(
       (3L, "b", 30L, 0.0, "delete"),
