@@ -4885,6 +4885,9 @@ object OracleSql {
 
     "t_bm25_search" -> bm25SearchSql,
     "t_lm_quality" -> lmQualitySql,
+    // streamed == batch IS the oracle: per-doc LM scores computed in
+    // micro-batches must equal the batch replay exactly
+    "st_stream_ppl" -> lmQualitySql,
     "t_token_freq" ->
       """SELECT tok, count(*) AS n FROM (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)

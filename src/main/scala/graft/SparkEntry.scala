@@ -3109,6 +3109,26 @@ object SparkEntry {
     graft.search.Evaluation.mrrAtK(results, truth, 5).orderBy("query")
   }
 
+  /** §2.12 LM quality scoring in INGEST position: documents stream
+    * through [[graft.operators.TextAnalysis.bigramLogProb]] UNCHANGED —
+    * the LM relations come from the static train corpus (stream-static
+    * joins; the stream never shuffles for them) and the per-doc score
+    * is ONE streaming aggregation + post-agg projection. streamed ==
+    * batch IS the oracle (literally t_lm_quality's SQL). */
+  private def streamingPplQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_ppl_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val train = s.read.parquet(s"$dir/documents.parquet")
+    val q = graft.operators.TextAnalysis.bigramLogProb(stream, train)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("doc_id")
+  }
+
   /** §2.12 streaming CDC apply: the events changelog (delete when
     * event_id % 7 == 0) streams in as 4 files, one micro-batch each
     * (maxFilesPerTrigger=1) in ARBITRARY key order; each batch folds
@@ -4268,6 +4288,7 @@ object SparkEntry {
     "j3_mrr" -> searchMrrQ,
     "st_stream_c4" -> streamingC4Q,
     "st_stream_upsert" -> streamingUpsertQ,
+    "st_stream_ppl" -> streamingPplQ,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,
