@@ -4412,7 +4412,7 @@ object OracleSql {
        |  FROM comps GROUP BY 1),
        |y AS MATERIALIZED (SELECT c.id, c.dim, c.u - m.mu AS y
        |  FROM comps c JOIN mu m USING (dim)),
-       |v0 AS MATERIALIZED (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM y),
+       |v0 AS MATERIALIZED (SELECT DISTINCT dim, CAST(1000000 + dim AS BIGINT) AS v FROM y),
        |${(1 to nIter).map(i => iter(i, s"v${i - 1}")).mkString(",\n")},
        |sg AS MATERIALIZED (SELECT CASE WHEN
        |    coalesce((SELECT v FROM v$nIter WHERE v <> 0 ORDER BY dim LIMIT 1), 1) >= 0

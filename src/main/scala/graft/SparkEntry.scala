@@ -3189,7 +3189,11 @@ object SparkEntry {
           coalesce(sum(token_count(col("text"))), lit(0L)).as("n_tokens"))
         .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
+    // materialized once: s2 otherwise re-runs the lang_id UDF scan for
+    // every one of its ~8 downstream references (stage counts, the
+    // LM's 4 passes, the s3 join, the cap)
     val s2 = docs.filter(lang_id(col("text")) === col("lang"))
+      .localCheckpoint(true)
     val buckets = graft.operators.TextAnalysis.perplexityBuckets(s2, s2)
     val s3 = s2.join(
       buckets.filter(col("bucket") =!= "tail").select("doc_id"), "doc_id")

@@ -772,8 +772,13 @@ object Ann {
     val y = comps.join(broadcast(mu), "dim")
       .select(col("id"), col("dim"), (col("u") - col("mu")).as("y"))
       .localCheckpoint(true)
+    // start vector 1e6 + dim: a FLAT start is exactly orthogonal to any
+    // dominant direction whose components sum to zero (e.g. perfectly
+    // anti-correlated dims) and the iteration would silently return the
+    // zero vector; the per-dim perturbation breaks that symmetry at no
+    // determinism cost
     var v = y.select(col("dim")).distinct()
-      .select(col("dim"), lit(1000000L).as("v"))
+      .select(col("dim"), (lit(1000000L) + col("dim")).as("v"))
     for (i <- 1 to nIter) {
       val dots = y.join(broadcast(v.withColumnRenamed("v", "__v")), "dim")
         .groupBy("id").agg(sum(col("y") * col("__v")).as("dot"))
@@ -894,13 +899,16 @@ object Ann {
     val nv2 = vc.agg(sum(col("v") * col("v")).as("nv2"))
     val dots = y.join(broadcast(vc.withColumnRenamed("v", "__v")), "dim")
       .groupBy("id").agg(sum(col("y") * col("__v")).as("dot"))
-    // y′ = y − (dot·v) div ‖v‖² — exact integral projection per cell
+    // y′ = y − (dot·v) div ‖v‖² — exact integral projection per cell;
+    // materialized once (two aggregates consume it below, and it carries
+    // the heaviest join of the function)
     val yp = y.join(dots, "id").crossJoin(broadcast(nv2))
       .join(broadcast(vc), "dim")
       .select(col("id"), col("dim"),
         when(col("nv2") === 0, col("y")).otherwise(col("y") -
           expr("CAST(dot AS DECIMAL(38,0)) * v div CAST(nv2 AS DECIMAL(19,0))"))
           .as("yp"))
+      .localCheckpoint(true)
     def sumSq(df: DataFrame, c: String, as: String): DataFrame =
       df.agg(sum(expr(s"CAST($c AS DECIMAL(19,0)) * CAST($c AS DECIMAL(19,0))"))
         .as(as))

@@ -498,6 +498,10 @@ object Dedup {
     val merged = resolveClusters(
       starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))))
     val allIds = catalog.select(col("id"))
+      // a hand-filtered catalog may reference a cluster id without
+      // carrying its (id == cluster) representative row — the updated
+      // catalog must still cover it
+      .unionByName(catalog.select(col("cluster").as("id")))
       .unionByName(newPairs.select(col("id_a").as("id")))
       .unionByName(newPairs.select(col("id_b").as("id")))
       .distinct()

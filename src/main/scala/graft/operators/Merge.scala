@@ -30,6 +30,14 @@ object Merge {
     * to `target`, keyed by `keyCols`, latest-change-wins ordered by
     * `orderCols`. Output has exactly the target's schema.
     */
+  /** Guard a changelog's op column: anything outside {upsert, delete}
+    * (including NULL — which three-valued logic would otherwise turn
+    * into a silent delete) fails the job instead of corrupting state. */
+  private def validatedOp(opCol: String) =
+    when(col(s"`$opCol`").isin("upsert", "delete"), col(s"`$opCol`"))
+      .otherwise(expr(
+        s"raise_error(concat('Merge: unknown op ', coalesce(`$opCol`, 'NULL')))"))
+
   def upsert(target: DataFrame, changes: DataFrame, keyCols: Seq[String],
              orderCols: Seq[String], opCol: String = "op"): DataFrame = {
     require(keyCols.nonEmpty && orderCols.nonEmpty)
@@ -41,16 +49,20 @@ object Merge {
     val structFields =
       (orderCols ++ Seq(opCol) ++ valueCols.filterNot(orderCols.contains))
         .distinct.map(c => col(c).as(c))
-    val latest = changes.groupBy(keyCols.map(col): _*)
+    val latest = changes.withColumn(opCol, validatedOp(opCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(max(struct(structFields: _*)).as("__c"))
     val joined = target.as("t").join(latest, keyCols, "full_outer")
     val hasChange = col("__c").isNotNull
     // a delete drops the row whether the key existed (matched delete)
     // or not (delete of an absent key = no-op): one predicate covers both
     val isDelete = hasChange && col("__c").getField(opCol) === "delete"
+    // output in the TARGET's own column order — positional consumers
+    // (insertInto, existing parquet schemas) must see the same layout
     joined.filter(!isDelete)
-      .select(keyCols.map(col) ++ valueCols.map { c =>
-        when(hasChange, col("__c").getField(c)).otherwise(col(s"t.$c")).as(c)
+      .select(target.columns.toSeq.map { c =>
+        if (keyCols.contains(c)) col(c)
+        else when(hasChange, col("__c").getField(c)).otherwise(col(s"t.$c")).as(c)
       }: _*)
   }
 
@@ -77,7 +89,7 @@ object Merge {
     val structFields =
       (orderCols ++ valueCols.filterNot(orderCols.contains))
         .distinct.map(c => col(c).as(c))
-    state.unionByName(changes)
+    state.unionByName(changes.withColumn(opCol, validatedOp(opCol)))
       .groupBy(keyCols.map(col): _*)
       .agg(max(struct(structFields: _*)).as("__w"))
       .select(keyCols.map(col) ++ valueCols.map(c =>

@@ -599,7 +599,11 @@ object TextAnalysis {
         !lower(ln).contains("javascript")
     val badArr = typedLit(rules.badWords.map(_.toLowerCase))
     docs
-      .withColumn("__lines", split(col(s"`$textCol`"), "\n"))
+      // \r?\n: CRLF corpora must not leave a trailing \r on each line —
+      // Java rlike '$' matches BEFORE a line terminator while RE2
+      // engines (the oracle) match end-of-text only, so a stray \r
+      // would silently split the engines on the terminal-punct rule
+      .withColumn("__lines", split(col(s"`$textCol`"), "\r?\n"))
       .withColumn("__kept", filter(col("__lines"), keptLine _))
       .withColumn("n_lines", size(col("__lines")).cast("long"))
       .withColumn("n_kept_lines", size(col("__kept")).cast("long"))

@@ -46,6 +46,15 @@ class C4FilterSpec extends SparkSpec {
       m(5L).getAs[Long]("n_kept_lines") == 1) // dropped purely on line count
   }
 
+  test("CRLF line endings do not leak a trailing \\r into the rules") {
+    val page = Seq.fill(3)("a perfectly fine content line right here.")
+      .mkString("\r\n")
+    val r = run(8L -> page)(8L)
+    assert(r.getAs[Long]("n_lines") == 3 && r.getAs[Long]("n_kept_lines") == 3)
+    assert(!r.getAs[String]("clean_text").contains("\r"))
+    assert(r.getAs[Boolean]("keep"))
+  }
+
   test("badword matches whole tokens only") {
     val page = Seq.fill(3)("notabadwordhere is a compound token line.").mkString("\n")
     val m = run(7L -> page)

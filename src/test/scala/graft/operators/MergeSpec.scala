@@ -39,6 +39,32 @@ class MergeSpec extends SparkSpec {
     assert(out.columns.toSeq == target.columns.toSeq)
   }
 
+  test("column ORDER is the target's even when keys are not leading") {
+    val tgt = Seq((1.0, 1L, "a", 10L)).toDF("v", "k", "grp", "seq")
+    val chg = Seq((9.0, 1L, "a", 20L, "upsert")).toDF("v", "k", "grp", "seq", "op")
+    val out = Merge.upsert(tgt, chg, Seq("k", "grp"), Seq("seq"))
+    assert(out.columns.toSeq == Seq("v", "k", "grp", "seq"))
+    val r = out.collect().head
+    assert(r.getDouble(0) == 9.0 && r.getLong(3) == 20L)
+  }
+
+  test("a NULL or unknown op fails the job instead of silently deleting") {
+    val bad = Seq((1L, "a", 30L, 5.0, null.asInstanceOf[String]))
+      .toDF("k", "grp", "seq", "v", "op")
+    val ex = intercept[Exception] {
+      Merge.upsert(target, bad, Seq("k", "grp"), Seq("seq")).collect()
+    }
+    assert(ex.getMessage.contains("unknown op") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unknown op")),
+      ex.toString)
+    val typo = Seq((1L, "a", 30L, 5.0, "Delete"))
+      .toDF("k", "grp", "seq", "v", "op")
+    intercept[Exception] {
+      Merge.upsertLww(
+        typo.limit(0), typo, Seq("k", "grp"), Seq("seq")).collect()
+    }
+  }
+
   test("partitioning-invariant") {
     val a = Merge.upsert(target, changes, Seq("k", "grp"), Seq("seq"))
       .orderBy("k", "grp").collect().toSeq

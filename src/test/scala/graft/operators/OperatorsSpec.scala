@@ -132,6 +132,15 @@ class DedupSpec extends SparkSpec {
     assert(out(10L) == 10L && out(11L) == 10L)
   }
 
+  test("mergeClusterLabels: a cluster id referenced without its own row survives") {
+    // hand-filtered catalog: representative row (2, 2) absent
+    val catalog = Seq((9L, 2L)).toDF("id", "cluster")
+    val out = Dedup.mergeClusterLabels(catalog, Seq((20L, 21L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(2L) && out(2L) == 2L, out.toString)
+    assert(out(9L) == 2L)
+  }
+
   test("resolveClusters: pointer jumping collapses a deep chain within maxIter") {
     // 60-node path: diameter 59 — plain one-hop propagation would need 59
     // rounds; pointer jumping needs O(log) and must fit in the default 10

@@ -68,6 +68,24 @@ class PcaPowerSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("a dominant direction orthogonal to all-ones is still found " +
+      "(perturbed start regression)") {
+    // x_i = t_i·(1, -1)/√2 + jitter: centered components sum to ~0 per
+    // row, so a FLAT start vector would have zero overlap and the
+    // iteration would return the zero vector
+    val df = (0 until 40).map { i =>
+      val t = (if (i % 2 == 0) 1 else -1) * (1.0 + i % 7)
+      (i.toLong, Array((t + 0.001 * (i % 3)).toFloat, (-t).toFloat,
+        (0.002 * ((i * 5) % 4)).toFloat, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.powerIterationPca(df).orderBy("dim").collect()
+    val v = out.map(_.getLong(1).toDouble)
+    assert(math.abs(v(0)) > 100000 && math.abs(v(1)) > 100000,
+      s"anti-correlated direction missed: ${v.mkString(",")}")
+    assert(v(0) * v(1) < 0, "components must oppose")
+    assert(out.head.getDouble(2) > 0.9)
+  }
+
   test("zero-variance corpus degenerates to zero vector and zero share") {
     val const = (0 until 10).map(i => (i.toLong, Array.fill(4)(0.25f)))
     val out = Ann.powerIterationPca(const.toDF("vec_id", "embedding"))
