@@ -5555,6 +5555,21 @@ object OracleSql {
     "d_lsh_calibration" -> lshCalibrationSql,
     "a_bootstrap_ci" -> bootstrapCiSql,
     "d_bloom_prefilter" -> bloomPrefilterSql,
+
+    // d_bloom_merge: chunked set-bit union == one-shot build IS the
+    // oracle (only the one-shot side is replayed)
+    "d_bloom_merge" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+        |             ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+        |      FROM d),
+        |vs AS (SELECT DISTINCT unnest(sh) AS s FROM g),
+        |bits AS (SELECT DISTINCT (md5_number_lower(s || ':bloom' || i) & 4294967295) % 1024 AS p
+        |         FROM vs, unnest([0, 1, 2]) AS t(i))
+        |SELECT count(*) AS n_set_bits, CAST(sum(p) AS BIGINT) AS pos_checksum,
+        |  round(CAST(count(*) AS DOUBLE) / 1024, 6) AS fill_ratio
+        |FROM bits""".stripMargin,
     "d_line_dedup" -> lineDedupSql,
     "d_dup_spans" -> dupSpansSql,
     "d_dup_span_coverage" -> dupSpanCoverageSql,

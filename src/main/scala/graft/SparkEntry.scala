@@ -2535,6 +2535,25 @@ object SparkEntry {
       .orderBy("size")
   }
 
+  /** Bloom-filter merge algebra pinned as a query: the two batches'
+    * set-bit relations union to EXACTLY the one-shot filter over the
+    * whole corpus ([[graft.operators.Bloom.buildBits]] — bits are a
+    * SET, so chunked builds fold like every other mergeable sketch in
+    * the family); the oracle replays only the one-shot side. */
+  private def bloomMergeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bloom
+    val spec = Bloom.BloomSpec(mBits = 1024, k = 3)
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(word_shingles(col("text"), 3))).as("s"))
+    def half(parity: Int) = Bloom.buildBits(
+      sh.filter(col("doc_id") % 2 === parity).select("s"), "s", spec)
+    half(0).unionByName(half(1)).distinct()
+      .agg(count(lit(1)).as("n_set_bits"),
+        sum(col("bit_pos")).as("pos_checksum"),
+        round(count(lit(1)).cast("double") / spec.mBits, 6).as("fill_ratio"))
+  }
+
   /** Incremental connected components
     * ([[graft.operators.Dedup.mergeClusterLabels]]): the `w_components`
     * edge relation split into two batches — even-src edges resolve to a
@@ -4287,6 +4306,7 @@ object SparkEntry {
     "e_seasonality" -> seasonalityQ,
     "d_soft_dedup" -> softDedupQ,
     "d_incremental_clusters" -> incrementalClustersQ,
+    "d_bloom_merge" -> bloomMergeQ,
     "emb_knn_graph" -> knnGraphQ,
     "emb_label_agreement" -> labelAgreementQ,
     "j3_mrr" -> searchMrrQ,
