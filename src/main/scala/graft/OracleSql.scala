@@ -4716,6 +4716,52 @@ object OracleSql {
       |LEFT JOIN fh f USING (query_id)
       |ORDER BY query""".stripMargin
 
+  /** j3_map: the searchMrr result/truth replay with the
+    * average-precision tail — per-hit truncating micro precision, then
+    * one truncating divide by min(|relevant|, k). */
+  private def searchMapSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |res AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      |    FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
+      |  WHERE rank <= 5),
+      |truth AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS nid
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <= 10 AND b.vec_id <> a.vec_id),
+      |h AS (
+      |  SELECT r.query_id, r.rank,
+      |    row_number() OVER (PARTITION BY r.query_id ORDER BY r.rank) AS hit_idx
+      |  FROM res r JOIN truth t ON r.query_id = t.query_id AND r.neighbor_id = t.nid),
+      |pa AS (SELECT query_id, count(*) AS n_hits,
+      |         CAST(sum((hit_idx * 1000000) // rank) AS BIGINT) AS sp
+      |       FROM h GROUP BY 1),
+      |dn AS (SELECT query_id, least(count(*), 5) AS denom FROM truth GROUP BY 1)
+      |SELECT CAST(d.query_id AS VARCHAR) AS query,
+      |  coalesce(p.n_hits, 0) AS n_hits,
+      |  CASE WHEN p.sp IS NULL OR d.denom = 0 THEN 0.0
+      |       ELSE CAST(p.sp // d.denom AS BIGINT) / 1000000.0 END AS ap_at_k
+      |FROM dn d LEFT JOIN pa p USING (query_id)
+      |ORDER BY query""".stripMargin
+
+  /** ann_cell_balance: the shared Lloyd's cascade + final-cell argmin
+    * assignment, per-cell counts, exact ppm skew. */
+  private def cellBalanceSql: String =
+    s"""WITH ${kmeansCascade(3, 8, 64)},
+       |ca AS (
+       |${kmeansArgmin("c3", "", "rn = 1", 64)}),
+       |cs AS (SELECT cell, count(*) AS n_vecs FROM ca GROUP BY 1),
+       |tt AS (SELECT max(n_vecs) AS mx, CAST(sum(n_vecs) AS BIGINT) AS n,
+       |              count(*) AS k FROM cs)
+       |SELECT cs.cell, cs.n_vecs,
+       |  CAST((tt.mx * tt.k * 1000000) // tt.n AS BIGINT) / 1000000.0 AS skew
+       |FROM cs, tt ORDER BY cell""".stripMargin
+
   /** e_rolling_wau: trailing 7-day distinct users per observed day. */
   private def rollingWauSql: String =
     """WITH ud AS (SELECT DISTINCT user_id,
@@ -5657,6 +5703,8 @@ object OracleSql {
     "emb_knn_graph" -> knnGraphSql,
     "emb_label_agreement" -> labelAgreementSql,
     "j3_mrr" -> searchMrrSql,
+    "j3_map" -> searchMapSql,
+    "ann_cell_balance" -> cellBalanceSql,
     // streamed == batch IS the oracle: the streaming C4 rollup must
     // equal the batch replay exactly
     "st_stream_c4" -> c4FiltersSql,

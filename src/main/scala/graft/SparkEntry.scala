@@ -3110,6 +3110,30 @@ object SparkEntry {
     graft.operators.Ann.labelAgreement(t(s, dir, "embeddings"), k = 5)
       .orderBy("label")
 
+  /** IVF cell-balance report ([[graft.operators.Ann.cellSizes]], the
+    * trained 8-cell index over the embeddings corpus). */
+  private def cellBalanceQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.cellSizes(t(s, dir, "embeddings"), k = 8, iters = 3)
+      .orderBy("cell")
+
+  /** J3 ranking-quality extension: MAP@5 — same fixture as
+    * j3_search_eval/j3_ndcg/j3_mrr, truncating-integer average
+    * precision. */
+  private def searchMapQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val results = Ann.bruteForceTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+      .select(col("query_id").cast("string").as("query"),
+        col("neighbor_id").cast("string").as("candidate"), col("rank"))
+    val truth = embs.filter(col("vec_id") <= 10)
+      .select(col("vec_id"), col("label"))
+      .join(embs.select(col("label"), col("vec_id").as("nid")), "label")
+      .filter(col("vec_id") =!= col("nid"))
+      .groupBy(col("vec_id").cast("string").as("query"))
+      .agg(collect_list(col("nid").cast("string")).as("expected"))
+    graft.search.Evaluation.averagePrecisionAtK(results, truth, 5)
+      .orderBy("query")
+  }
+
   /** J3 ranking-quality extension: MRR@5 of the same brute-force search
     * vs label-mates ground truth as `j3_search_eval`/`j3_ndcg` —
     * first-relevant-position where nDCG is graded; reciprocal ranks in
@@ -4310,6 +4334,8 @@ object SparkEntry {
     "emb_knn_graph" -> knnGraphQ,
     "emb_label_agreement" -> labelAgreementQ,
     "j3_mrr" -> searchMrrQ,
+    "j3_map" -> searchMapQ,
+    "ann_cell_balance" -> cellBalanceQ,
     "st_stream_c4" -> streamingC4Q,
     "st_stream_upsert" -> streamingUpsertQ,
     "st_stream_ppl" -> streamingPplQ,

@@ -459,6 +459,29 @@ object Ann {
     cents
   }
 
+  /** IVF index balance report — the load-skew stat an index build
+    * publishes: per trained k-means cell, its population, plus the skew
+    * ratio max_cell·k/n in exact ppm on every row (1.0 = perfectly
+    * balanced; a hot cell means nProbe searches probe unevenly and the
+    * hot cell bounds tail latency). Same deterministic Lloyd's as
+    * [[kmeansIvfTopK]]; one argmin assignment + one count aggregate.
+    * Output: (cell, n_vecs, skew).
+    */
+  def cellSizes(embs: DataFrame, k: Int = 8, iters: Int = 3,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val vecs = graft.sources.Lake.balance(embs)
+      .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
+    val cents = kmeansCentroids(embs, k, iters, idCol, vecCol)
+    val sizes = assignCells(vecs, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(max(col("n_vecs")).as("__mx"),
+      sum(col("n_vecs")).as("__n"), count(lit(1)).as("__k"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        (expr("__mx * __k * 1000000 div __n").cast("double") / 1e6).as("skew"))
+  }
+
   /** Nearest-cell assignment under broadcast centroids: exact integer
     * argmin, ties to the lowest cell id. Input must carry `qv`. */
   private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {

@@ -80,6 +80,35 @@ object Evaluation {
           .as("rr"))
   }
 
+  /** Average precision @k per query — the area-under-PR companion to
+    * [[mrrAtK]] (first hit only) and [[ndcgAtK]] (graded discount):
+    * mean of precision-at-each-hit over min(|relevant|, k). Exact
+    * truncating integer arithmetic at both levels (per-hit
+    * `hit_idx·1e6 div rank`, then `Σ div denom` — the documented
+    * convention, engine-replayable). Output: (query, n_hits, ap_at_k).
+    */
+  def averagePrecisionAtK(results: DataFrame, groundTruth: DataFrame,
+                          k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expected = groundTruth.select(col("query"),
+      explode(col("expected")).as("candidate"))
+    val hits = results.filter(col("rank") <= k)
+      .join(expected, Seq("query", "candidate"), "left_semi")
+      .withColumn("hit_idx", row_number()
+        .over(Window.partitionBy(col("query")).orderBy(col("rank")))
+        .cast("long"))
+      .withColumn("prec_micro", expr("hit_idx * 1000000 div rank"))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_hits"), sum(col("prec_micro")).as("sp"))
+    val denoms = groundTruth.select(col("query"),
+      least(size(col("expected")).cast("long"), lit(k.toLong)).as("denom"))
+    denoms.join(hits, Seq("query"), "left")
+      .select(col("query"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("sp").isNull || col("denom") === 0, lit(0.0))
+          .otherwise(expr("sp div denom").cast("double") / 1e6).as("ap_at_k"))
+  }
+
   def macroAverage(perQuery: DataFrame): DataFrame =
     perQuery.agg(round(avg(col("precision_at_k")), 6).as("macro_precision"),
       round(avg(col("recall_at_k")), 6).as("macro_recall"),

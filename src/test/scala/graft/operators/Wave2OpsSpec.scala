@@ -99,6 +99,23 @@ class Wave2OpsSpec extends SparkSpec {
     assert(out("q3") == ((0L, 0.0)))
   }
 
+  test("averagePrecisionAtK: hand-checked table, truncating convention") {
+    val results = Seq(
+      ("q1", "a", 1L), ("q1", "x", 2L), ("q1", "b", 3L),
+      ("q2", "x", 1L), ("q2", "y", 2L)
+    ).toDF("query", "candidate", "rank")
+    val truth = Seq(
+      ("q1", Seq("a", "b", "c")), // hits at ranks 1, 3 → (1/1 + 2/3) / 3
+      ("q2", Seq("z"))            // no hits → 0
+    ).toDF("query", "expected")
+    val out = graft.search.Evaluation.averagePrecisionAtK(results, truth, 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // prec_micro: 1000000 div 1 = 1000000; 2000000 div 3 = 666666
+    // ap = (1666666 div 3) / 1e6 = 0.555555
+    assert(out("q1") == ((2L, 0.555555)))
+    assert(out("q2") == ((0L, 0.0)))
+  }
+
   test("knnGraphReport: mutual pair, hub, and orphan on a planted layout") {
     // two tight pairs far apart + one outlier that points somewhere but
     // is nobody's nearest (k=1)
