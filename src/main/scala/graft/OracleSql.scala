@@ -4564,6 +4564,36 @@ object OracleSql {
        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
        |FROM ab GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** t_quality_agreement: replay the Gopher-rule keep verdict (the
+    * curation funnel's m CTE) and the exact perplexity tertiles, then
+    * the cross-tab. */
+  private def qualityAgreementSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       |    round(CASE WHEN length(text) = 0 THEN 0
+       |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS pr,
+       |    round(CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0
+       |          ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), w -> length(w))) AS DOUBLE)
+       |               / len(string_split_regex(trim(text), '\\s+')) END, 6) AS mtl
+       |  FROM documents),
+       |kk AS (SELECT doc_id,
+       |    (n_tokens >= 30 AND n_tokens <= 5000 AND mtl >= 3.0 AND mtl <= 4.8
+       |     AND pr <= 0.1) AS keep FROM m),
+       |sc AS (SELECT * FROM ($lmQualitySql)),
+       |sl AS (SELECT sc.doc_id, d.lang, sc.avg_logprob_r
+       |  FROM sc JOIN documents d USING (doc_id)),
+       |rk AS (SELECT *,
+       |    row_number() OVER (PARTITION BY lang ORDER BY avg_logprob_r DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS nl FROM sl),
+       |bk AS (SELECT doc_id,
+       |    CASE WHEN rn*3 <= nl THEN 'head' WHEN rn*3 <= 2*nl THEN 'middle'
+       |         ELSE 'tail' END AS bucket FROM rk)
+       |SELECT kk.keep, bk.bucket, count(*) AS n_docs,
+       |  CAST(sum(kk.doc_id) AS BIGINT) AS id_checksum
+       |FROM kk JOIN bk USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY keep, bucket""".stripMargin
+
   /** x_merge_upsert: replay the changelog compaction (rank window ≡ the
     * struct-max), the full-outer MERGE resolution, and the per-type
     * checksums of the merged state. */
@@ -5697,6 +5727,7 @@ object OracleSql {
     "t_c4_filters" -> c4FiltersSql,
     "t_ppl_buckets" -> pplBucketsSql,
     "t_ppl_buckets_sketch" -> pplBucketsSketchSql,
+    "t_quality_agreement" -> qualityAgreementSql,
     "x_merge_upsert" -> mergeUpsertSql,
     "e2e_ccnet_funnel" -> ccnetFunnelSql,
     "mm_resize" -> mmResizeSql,

@@ -3264,6 +3264,26 @@ object SparkEntry {
       .orderBy("lang", "bucket")
   }
 
+  /** Quality-signal agreement cross-tab: the Gopher-rule keep verdict ×
+    * the CCNet perplexity tertile — the audit a curation run reads
+    * before stacking both filters (do the statistical and the LM signal
+    * agree, or does one drop what the other calls head-tier?). Same
+    * rule values as `e2e_curation_funnel`, same tertiles as
+    * `t_ppl_buckets`; oracle replays both cascades and the join. */
+  private def qualityAgreementQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rules = TextAnalysis.QualityRules(minTokens = 30, maxTokens = 5000,
+      minMeanTokenLen = 3.0, maxMeanTokenLen = 4.8, maxPunctRatio = 0.1)
+    val q = TextAnalysis.qualityFilter(docs, rules)
+      .select(col("doc_id"), col("keep"))
+    val b = TextAnalysis.perplexityBuckets(docs, docs)
+      .select(col("doc_id"), col("bucket"))
+    q.join(b, "doc_id")
+      .groupBy("keep", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("keep", "bucket")
+  }
+
   /** MERGE upsert ([[graft.operators.Merge.upsert]]): even-id events
     * compact to the keyed target snapshot; odd-id events form the
     * changelog (delete when event_id % 7 == 0); per-type checksums pin
@@ -4324,6 +4344,7 @@ object SparkEntry {
     "t_c4_filters" -> c4FiltersQ,
     "t_ppl_buckets" -> pplBucketsQ,
     "t_ppl_buckets_sketch" -> pplBucketsSketchQ,
+    "t_quality_agreement" -> qualityAgreementQ,
     "x_merge_upsert" -> mergeUpsertQ,
     "e2e_ccnet_funnel" -> ccnetFunnelQ,
     "mm_resize" -> mmResizeQ,
