@@ -5728,6 +5728,20 @@ object OracleSql {
     "t_ppl_buckets" -> pplBucketsSql,
     "t_ppl_buckets_sketch" -> pplBucketsSketchSql,
     "t_quality_agreement" -> qualityAgreementSql,
+
+    "w_source_concentration" ->
+      """WITH p AS (SELECT source,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n_sources, CAST(sum(n_tok) AS BIGINT) AS total,
+        |      sum(CAST(n_tok AS HUGEINT) * n_tok) AS ss FROM p),
+        |r AS (SELECT n_tok, row_number() OVER (ORDER BY n_tok DESC, source) AS rn FROM p)
+        |SELECT t.n_sources, t.total AS total_tokens,
+        |  CAST(((SELECT n_tok FROM r WHERE rn = 1) * 1000000) // t.total AS BIGINT) / 1000000.0 AS top1_share,
+        |  CAST(((SELECT CAST(sum(n_tok) AS BIGINT) FROM r WHERE rn <= 5) * 1000000) // t.total AS BIGINT) / 1000000.0 AS top5_share,
+        |  CAST((t.ss * 1000000) // (CAST(t.total AS HUGEINT) * t.total) AS BIGINT) / 1000000.0 AS hhi
+        |FROM t""".stripMargin,
     "x_merge_upsert" -> mergeUpsertSql,
     "e2e_ccnet_funnel" -> ccnetFunnelSql,
     "mm_resize" -> mmResizeSql,

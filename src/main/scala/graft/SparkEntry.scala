@@ -3264,6 +3264,33 @@ object SparkEntry {
       .orderBy("lang", "bucket")
   }
 
+  /** Source-concentration report — the corpus-diversity screen next to
+    * the per-domain cap: token share of the top source, of the top 5,
+    * and the Herfindahl index Σshare² (1/n_sources = uniform, 1.0 =
+    * single-source), all exact integer ppm (squares summed as DECIMAL —
+    * n_i² overflows a long at web scale). The per-source relation is
+    * BOUNDED by the source domain, so the one collect_list is safe at
+    * any row count. */
+  private def sourceConcentrationQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.token_count
+    val per = t(s, dir, "documents")
+      .groupBy("source").agg(sum(token_count(col("text"))).as("n_tok"))
+    per.agg(count(lit(1)).as("n_sources"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(expr("CAST(n_tok AS DECIMAL(19,0)) * CAST(n_tok AS DECIMAL(19,0))"))
+          .as("ss"),
+        sort_array(collect_list(struct(col("n_tok"), col("source"))),
+          asc = false).as("arr"))
+      .select(col("n_sources"), col("total_tokens"),
+        (expr("element_at(arr, 1).n_tok * 1000000 div total_tokens")
+          .cast("double") / 1e6).as("top1_share"),
+        (expr("aggregate(slice(arr, 1, 5), 0L, (a, x) -> a + x.n_tok)" +
+          " * 1000000 div total_tokens").cast("double") / 1e6).as("top5_share"),
+        (expr("CAST(ss * 1000000 AS DECIMAL(38,0)) div " +
+          "(CAST(total_tokens AS DECIMAL(19,0)) * CAST(total_tokens AS DECIMAL(19,0)))")
+          .cast("double") / 1e6).as("hhi"))
+  }
+
   /** Quality-signal agreement cross-tab: the Gopher-rule keep verdict ×
     * the CCNet perplexity tertile — the audit a curation run reads
     * before stacking both filters (do the statistical and the LM signal
@@ -4345,6 +4372,7 @@ object SparkEntry {
     "t_ppl_buckets" -> pplBucketsQ,
     "t_ppl_buckets_sketch" -> pplBucketsSketchQ,
     "t_quality_agreement" -> qualityAgreementQ,
+    "w_source_concentration" -> sourceConcentrationQ,
     "x_merge_upsert" -> mergeUpsertQ,
     "e2e_ccnet_funnel" -> ccnetFunnelQ,
     "mm_resize" -> mmResizeQ,
