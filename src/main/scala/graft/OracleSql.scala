@@ -5729,6 +5729,44 @@ object OracleSql {
     "t_ppl_buckets_sketch" -> pplBucketsSketchSql,
     "t_quality_agreement" -> qualityAgreementSql,
 
+    // t_ngram_entropy: micro-nat terms floor(c·round6(ln(n/c))·1e6)
+    // over the three bounded count relations; conditional = one
+    // subtraction of the two rounded entropies
+    "t_ngram_entropy" ->
+      """WITH tok AS (SELECT t FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents)
+        |  WHERE t <> ''),
+        |uc AS (SELECT count(*) AS c FROM tok GROUP BY t),
+        |uh AS (SELECT CAST(any_value(n) AS BIGINT) AS n, count(*) AS nd,
+        |    round(CAST(sum(tm) AS DOUBLE) / any_value(n) / 1000000.0, 6) AS h
+        |  FROM (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS n,
+        |          CAST(floor(CAST(c AS DOUBLE)
+        |            * round(ln(CAST(sum(c) OVER () AS DOUBLE) / c), 6)
+        |            * 1000000.0) AS BIGINT) AS tm
+        |        FROM uc)),
+        |d AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |gg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |       FROM d WHERE len(w) >= 2),
+        |bc AS (SELECT count(*) AS c FROM gg GROUP BY g),
+        |bh AS (SELECT CAST(any_value(n) AS BIGINT) AS n, count(*) AS nd,
+        |    round(CAST(sum(tm) AS DOUBLE) / any_value(n) / 1000000.0, 6) AS h
+        |  FROM (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS n,
+        |          CAST(floor(CAST(c AS DOUBLE)
+        |            * round(ln(CAST(sum(c) OVER () AS DOUBLE) / c), 6)
+        |            * 1000000.0) AS BIGINT) AS tm
+        |        FROM bc)),
+        |cc AS (SELECT count(*) AS c FROM (SELECT split_part(g, ' ', 1) AS w1 FROM gg) GROUP BY w1),
+        |ch AS (SELECT round(CAST(sum(tm) AS DOUBLE) / any_value(n) / 1000000.0, 6) AS h
+        |  FROM (SELECT c, CAST(sum(c) OVER () AS BIGINT) AS n,
+        |          CAST(floor(CAST(c AS DOUBLE)
+        |            * round(ln(CAST(sum(c) OVER () AS DOUBLE) / c), 6)
+        |            * 1000000.0) AS BIGINT) AS tm
+        |        FROM cc))
+        |SELECT uh.n AS n_tokens, uh.nd AS n_distinct_tokens, uh.h AS h_unigram,
+        |  bh.n AS n_bigrams, bh.nd AS n_distinct_bigrams, bh.h AS h_bigram,
+        |  round(bh.h - ch.h, 6) AS h_conditional
+        |FROM uh, bh, ch""".stripMargin,
+
     "w_source_concentration" ->
       """WITH p AS (SELECT source,
         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -3264,6 +3264,12 @@ object SparkEntry {
       .orderBy("lang", "bucket")
   }
 
+  /** Corpus n-gram entropy rate
+    * ([[graft.operators.TextAnalysis.ngramEntropy]]) — the
+    * predictability screen beside t_zipf. */
+  private def ngramEntropyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.ngramEntropy(t(s, dir, "documents"))
+
   /** Source-concentration report — the corpus-diversity screen next to
     * the per-domain cap: token share of the top source, of the top 5,
     * and the Herfindahl index Σshare² (1/n_sources = uniform, 1.0 =
@@ -4373,6 +4379,7 @@ object SparkEntry {
     "t_ppl_buckets_sketch" -> pplBucketsSketchQ,
     "t_quality_agreement" -> qualityAgreementQ,
     "w_source_concentration" -> sourceConcentrationQ,
+    "t_ngram_entropy" -> ngramEntropyQ,
     "x_merge_upsert" -> mergeUpsertQ,
     "e2e_ccnet_funnel" -> ccnetFunnelQ,
     "mm_resize" -> mmResizeQ,

@@ -564,6 +564,50 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("avg_logprob_r"), col("bucket"))
   }
 
+  /** Corpus n-gram entropy rate — the predictability screen beside
+    * [[zipfFit]]: unigram entropy H(W), bigram entropy H(W₁W₂), and the
+    * conditional entropy rate H(W₂|W₁) = H(W₁W₂) − H(W₁-marginal)
+    * (chain rule). Low conditional entropy at normal unigram entropy
+    * marks templated/boilerplate text (the next word is predictable);
+    * organic prose keeps several nats. Same integer micro-nat term
+    * discipline as [[graft.profile.InfoTheory.columnEntropy]] (6-dp ln,
+    * floor to micro, exact sums — engine-replayable); bigrams use the
+    * [[bigramLogProb]] convention (docs with ≥2 tokens only, no
+    * collapse shingle). Three bounded-vocabulary aggregations.
+    * Output: one row — (n_tokens, n_distinct_tokens, h_unigram,
+    * n_bigrams, n_distinct_bigrams, h_bigram, h_conditional).
+    */
+  def ngramEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def entropyOf(counts: DataFrame): DataFrame = {
+      val withN = counts.crossJoin(
+        broadcast(counts.agg(sum(col("__c")).as("__n"))))
+      val lnr = round(log(col("__n").cast("double") / col("__c").cast("double")), 6)
+      withN.select(col("__c"), col("__n"),
+          floor(col("__c").cast("double") * lnr * lit(1e6)).cast("long").as("__tm"))
+        .agg(first(col("__n")).as("n"), count(lit(1)).as("nd"),
+          sum(col("__tm")).as("s"))
+        .select(col("n"), col("nd"),
+          round(col("s").cast("double") / col("n") / 1e6, 6).as("h"))
+    }
+    val toks = docs
+      .select(explode(split(trim(col(s"`$textCol`")), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val big = docs
+      .where(size(split(trim(col(s"`$textCol`")), "\\s+")) >= 2)
+      .select(explode(word_shingles(col(s"`$textCol`"), 2)).as("g"))
+    val uni = entropyOf(toks.groupBy("t").agg(count(lit(1)).as("__c")))
+    val bi = entropyOf(big.groupBy("g").agg(count(lit(1)).as("__c")))
+    val ctx = entropyOf(big.select(substring_index(col("g"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c")))
+    uni.select(col("n").as("n_tokens"), col("nd").as("n_distinct_tokens"),
+        col("h").as("h_unigram"))
+      .crossJoin(bi.select(col("n").as("n_bigrams"),
+        col("nd").as("n_distinct_bigrams"), col("h").as("h_bigram")))
+      .crossJoin(ctx.select(col("h").as("__hctx")))
+      .withColumn("h_conditional", round(col("h_bigram") - col("__hctx"), 6))
+      .drop("__hctx")
+  }
+
   /** Rule thresholds for [[c4Filter]] — the C4 cleaning heuristics
     * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
     * §2.2 — public paper, see PAPERS.md): keep only lines that end in
