@@ -2990,7 +2990,8 @@ object OracleSql {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC, c.vec_id) AS rank
       |    FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
       |  WHERE rank <= 5),
       |truth AS (
@@ -3019,7 +3020,8 @@ object OracleSql {
       |  SELECT query_id, neighbor_id, rank FROM (
       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC, c.vec_id) AS rank
       |    FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
       |  WHERE rank <= 5),
       |truth AS (
@@ -4520,12 +4522,15 @@ object OracleSql {
        |  FROM sc JOIN documents d USING (doc_id)),
        |rk AS (SELECT *,
        |    row_number() OVER (PARTITION BY lang ORDER BY avg_logprob_r DESC, doc_id) AS rn,
-       |    count(*) OVER (PARTITION BY lang) AS nl FROM sl)
-       |SELECT lang,
+       |    count(*) OVER (PARTITION BY lang) AS nl FROM sl),
+       |ag AS (SELECT lang,
        |  CASE WHEN rn*3 <= nl THEN 'head' WHEN rn*3 <= 2*nl THEN 'middle' ELSE 'tail' END AS bucket,
        |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
-       |  round(CAST(sum(CAST(avg_logprob_r AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS avg_score
-       |FROM rk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+       |  CAST(sum(CAST(avg_logprob_r AS DECIMAL(20,6))) AS DOUBLE) / count(*) * 1000000 AS q
+       |FROM rk GROUP BY 1, 2)
+       |SELECT lang, bucket, n_docs, id_checksum,
+       |  (CASE WHEN q >= 0 THEN floor(q + 0.5) ELSE ceil(q - 0.5) END) / 1000000.0 AS avg_score
+       |FROM ag ORDER BY lang, bucket""".stripMargin
 
   /** t_ppl_buckets_sketch: the lm replay, per-language min-shift (the
     * relative-error sketch resolves near zero — see the operator
@@ -4728,7 +4733,8 @@ object OracleSql {
       |  SELECT query_id, neighbor_id, rank FROM (
       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC, c.vec_id) AS rank
       |    FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
       |  WHERE rank <= 5),
       |truth AS (
@@ -4758,7 +4764,8 @@ object OracleSql {
       |  SELECT query_id, neighbor_id, rank FROM (
       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+      |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+      |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC, c.vec_id) AS rank
       |    FROM n q JOIN n c ON q.vec_id <= 10 AND c.vec_id <> q.vec_id)
       |  WHERE rank <= 5),
       |truth AS (

@@ -3032,12 +3032,17 @@ object SparkEntry {
     * doc counts, id checksums, and the decimal-exact mean LM score. */
   private def pplBucketsQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // Half-away-from-zero manual rounding (not round()): built-in round()
+    // disagrees across engines when the quotient lands exactly on a .5e-6
+    // boundary — same discipline as avg_logprob_r itself.
+    val q = sum(col("avg_logprob_r").cast(DecimalType(20, 6))).cast("double") /
+      count(lit(1)) * lit(1000000.0)
     graft.operators.TextAnalysis.perplexityBuckets(docs, docs)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("id_checksum"),
-        round(sum(col("avg_logprob_r").cast(DecimalType(20, 6))).cast("double") /
-          count(lit(1)), 6).as("avg_score"))
+        (when(q >= 0, floor(q + 0.5)).otherwise(ceil(q - 0.5)) / lit(1000000.0))
+          .as("avg_score"))
       .orderBy("lang", "bucket")
   }
 
@@ -3374,9 +3379,11 @@ object SparkEntry {
         sum(when(col("jaccard") >= 0.5, lit(1L)).otherwise(0L)).as("n_true"),
         sum(when(col("jaccard") < 0.5, lit(1L)).otherwise(0L)).as("n_false"),
         sum(when(col("jaccard") >= 0.5, col("p").cast("decimal(18,6)"))
-          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))).as("exp_true_caught"),
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").as("exp_true_caught"),
         sum(when(col("jaccard") < 0.5, col("p").cast("decimal(18,6)"))
-          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)"))).as("exp_false_caught"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").as("exp_false_caught"))
       .orderBy("b")
   }
 

@@ -413,9 +413,13 @@ object Ann {
   private def sqDistMicro(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
-  /** Truncating integer mean (toward zero) — Spark `div` truncates while
-    * DuckDB `//` floors, so both engines spell the negative branch
-    * explicitly and agree bit-for-bit. */
+  /** Truncating integer mean (toward zero). Spark `div` and DuckDB `//`
+    * BOTH truncate toward zero (-7 // 2 = -3 in DuckDB), so a plain `s
+    * div n` would already agree bit-for-bit; the explicit negative
+    * branch is kept only because the committed oracle SQL spells the
+    * same CASE and the two texts are audited side-by-side — it is a
+    * no-op (`-((-s) div n) ≡ s div n` under truncation), not a
+    * semantics bridge. */
   private val truncMean = "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END"
 
   /** Deterministic Lloyd's k-means over micro-quantized vectors — trains
@@ -767,9 +771,16 @@ object Ann {
         "CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")).as("sy")))
       .select((col("nv") * col("sy")).as("den"))
     // share in exact integer ppm — (num·1e6) div den never touches a
-    // float, so no decimal→double conversion seam exists cross-engine
+    // float, so no decimal→double conversion seam exists cross-engine.
+    // num NULL means the DECIMAL(38,0) dot² sum overflowed (non-ANSI
+    // NULL-on-overflow) — raise rather than silently diverge from an
+    // oracle whose wider integers keep computing; the documented remedy
+    // is running on a deterministic sample.
     val ev = num.crossJoin(den)
       .select(when(col("den").isNull || col("den") === 0, lit(0.0))
+        .when(col("num").isNull, expr(
+          "raise_error('powerIterationPca: dot-squared sum overflowed " +
+            "DECIMAL(38,0) — run on a deterministic sample')").cast("double"))
         .otherwise(expr("CAST(num * 1000000 AS DECIMAL(38,0)) div den")
           .cast("double") / 1e6).as("ev_share"))
     vc.crossJoin(broadcast(ev))
@@ -949,13 +960,23 @@ object Ann {
     val syp = sumSq(yp, "yp", "syp")
     val counts = embs.agg(count(lit(1)).as("n_vecs"))
       .crossJoin(vc.agg(count(lit(1)).as("n_dims")))
+    // A NULL sum here is decimal overflow, not an empty input (count
+    // handles that) — raise rather than silently emit NULL/0 where the
+    // oracle's wider integers keep computing (powerIterationPca precedent)
+    val overflow = expr(
+      "raise_error('abttReport: squared-sum overflowed DECIMAL(38,0) — " +
+        "run on a deterministic sample')").cast("double")
     counts.crossJoin(syy).crossJoin(syp)
       .select(col("n_vecs"), col("n_dims"),
-        when(col("syy").isNull || col("syy") === 0, lit(0.0))
+        when(col("n_vecs") > 0 &&
+            (col("syy").isNull || col("syp").isNull), overflow)
+          .when(col("syy").isNull || col("syy") === 0, lit(0.0))
           .otherwise(expr(
             "CAST((syy - syp) * 1000000 AS DECIMAL(38,0)) div syy")
             .cast("double") / 1e6).as("ev_top_share"),
-        when(col("syy").isNull || col("syy") === 0, lit(0.0))
+        when(col("n_vecs") > 0 &&
+            (col("syy").isNull || col("syp").isNull), overflow)
+          .when(col("syy").isNull || col("syy") === 0, lit(0.0))
           .otherwise(expr("CAST(syp * 1000000 AS DECIMAL(38,0)) div syy")
             .cast("double") / 1e6).as("var_retained"))
       .crossJoin(axisAniso(y, "y", "axis_aniso_before"))

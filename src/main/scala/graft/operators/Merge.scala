@@ -89,7 +89,13 @@ object Merge {
     val structFields =
       (orderCols ++ valueCols.filterNot(orderCols.contains))
         .distinct.map(c => col(c).as(c))
-    state.unionByName(changes.withColumn(opCol, validatedOp(opCol)))
+    // validate BOTH sides: persisted state can be hand-loaded or
+    // externally written, and a NULL/unknown op there would otherwise
+    // pass compaction unvalidated and be silently dropped by liveView's
+    // three-valued `op =!= "delete"` — corrupted state fails as loudly
+    // as a corrupted changelog (both sides are scanned anyway)
+    state.withColumn(opCol, validatedOp(opCol))
+      .unionByName(changes.withColumn(opCol, validatedOp(opCol)))
       .groupBy(keyCols.map(col): _*)
       .agg(max(struct(structFields: _*)).as("__w"))
       .select(keyCols.map(col) ++ valueCols.map(c =>

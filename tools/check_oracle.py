@@ -40,6 +40,24 @@ for name, sql in sorted(sqls.items()):
         print(f'{name}: SCHEMA-MISMATCH oracle={list(o.columns)} spark={list(s.columns)}')
         fails.append(name)
         continue
+    # TYPE-STRICT gate (decimal precision/scale included): the driver's
+    # value hash is type-sensitive, while the pandas compare below erases
+    # precision — r14 shipped a DECIMAL(28,6)-vs-DECIMAL(18,6) fail that
+    # this sweep called MATCH. Compare duckdb-described types first.
+    try:
+        ot = dict(r[:2] for r in con.execute(f'DESCRIBE {sql}').fetchall())
+        st = dict(r[:2] for r in duckdb.query(
+            f"DESCRIBE SELECT * FROM '{out}/{name}/*.parquet'").fetchall())
+        delta = [(c, ot[c], st[c]) for c in sorted(o.columns) if ot[c] != st[c]]
+        if delta:
+            print(f'{name}: TYPE-MISMATCH ' + '; '.join(
+                f'{c}: oracle={a} spark={b}' for c, a, b in delta))
+            fails.append(name)
+            continue
+    except Exception as e:
+        print(f'{name}: TYPE-DESCRIBE-ERROR {e}')
+        fails.append(name)
+        continue
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     if len(o) != len(s):
