@@ -2487,6 +2487,136 @@ object OracleSql {
        |FROM dw$numRounds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t2_unigram_*: unigram-LM (SentencePiece-style) trainer replay ----
+
+  /** Viterbi DP over a word relation, UNROLLED to `maxSteps` position
+    * CTEs (words cap at length 8 in this lake; 10 leaves margin — a
+    * past-the-end step is an identity projection). State st[p+1] is the
+    * best (sc, segs) for the length-p prefix; candidates enumerate
+    * split starts i ascending so the FIRST maximal candidate (longest
+    * last piece) wins ties, exactly the engine's fold order. */
+  private def unigramDpCtes(pfx: String, src: String, keep: String,
+                            vmCte: String, maxPieceLen: Int,
+                            maxSteps: Int): String = {
+    val kc = if (keep.isEmpty) "" else keep + ", "
+    val base =
+      s"""${pfx}0 AS (
+         |  SELECT ${kc}word,
+         |    [{'sc': CAST(0 AS BIGINT), 'segs': CAST([] AS VARCHAR[])}] AS st
+         |  FROM $src)""".stripMargin
+    val steps = (1 to maxSteps).map { k =>
+      val piece = s"substr(word, i, $k - i + 1)"
+      s"""$pfx$k AS MATERIALIZED (
+         |  SELECT ${kc}word,
+         |    CASE WHEN $k > length(word) THEN st
+         |         WHEN len(cands) = 0 THEN list_append(st,
+         |           {'sc': CAST(NULL AS BIGINT), 'segs': CAST(NULL AS VARCHAR[])})
+         |         ELSE list_append(st, list_filter(cands,
+         |           c -> struct_extract(c, 'sc') = list_max(
+         |             list_transform(cands, x -> struct_extract(x, 'sc'))))[1]) END AS st
+         |  FROM (
+         |    SELECT ${kc}word, st,
+         |      CASE WHEN $k > length(word) THEN NULL ELSE
+         |        [{'sc': struct_extract(st[i], 'sc') +
+         |            CAST(map_extract(m, $piece)[1] AS BIGINT),
+         |          'segs': list_append(struct_extract(st[i], 'segs'), $piece)}
+         |         FOR i IN range(greatest(1, $k - $maxPieceLen + 1), $k + 1)
+         |         IF struct_extract(st[i], 'sc') IS NOT NULL
+         |            AND len(map_extract(m, $piece)) > 0] END AS cands
+         |    FROM $pfx${k - 1}, $vmCte))""".stripMargin
+    }
+    val fin =
+      s"""${pfx}F AS (
+         |  SELECT ${kc}word, struct_extract(st[length(word) + 1], 'sc') AS wsc,
+         |    struct_extract(st[length(word) + 1], 'segs') AS segs
+         |  FROM $pfx$maxSteps)""".stripMargin
+    (base +: steps :+ fin).mkString(",\n")
+  }
+
+  /** Micro-quantized log-prob scores over a (piece, cnt) CTE — the
+    * engine's half-away-from-zero ln(cnt/Σcnt)·1e6 discipline. */
+  private def unigramScoreCte(out: String, src: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(CASE WHEN l >= 0 THEN floor(l + 0.5)
+       |              ELSE ceil(l - 0.5) END AS BIGINT) AS sc
+       |  FROM (SELECT piece, cnt,
+       |    ln(CAST(cnt AS DOUBLE) /
+       |       (SELECT CAST(sum(cnt) AS DOUBLE) FROM $src)) * 1000000 AS l
+       |    FROM $src)),
+       |${out}m AS MATERIALIZED (
+       |  SELECT map(list(piece ORDER BY piece), list(sc ORDER BY piece)) AS m
+       |  FROM $out)""".stripMargin
+
+  /** Shared unigram training cascade: capped word-freq relation, seed
+    * substring vocab (all single chars + top-60 multis), then 2 hard-EM
+    * rounds of Viterbi counts → zero-count prune → rescore. Final vocab
+    * CTE is `uv2`. */
+  private def unigramTrainCtes: String = {
+    val mpl = 4; val maxSeed = 60; val steps = 10
+    val wf =
+      """uw AS MATERIALIZED (
+        |  SELECT word, cnt FROM (
+        |    SELECT word, count(*) AS cnt FROM (
+        |      SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        |      FROM documents)
+        |    WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 40))""".stripMargin
+    val seed =
+      s"""usd AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT cnt, substr(word, i, l) AS piece
+         |    FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS i FROM uw),
+         |         (SELECT unnest(range(1, $mpl + 1)) AS l)
+         |    WHERE i + l - 1 <= length(word))
+         |  GROUP BY piece),
+         |uv0raw AS (
+         |  SELECT piece, cnt FROM usd WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM usd WHERE length(piece) >= 2
+         |    ORDER BY cnt DESC, piece LIMIT $maxSeed))""".stripMargin
+    def countsCte(out: String, dpF: String) =
+      s"""$out AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT cnt, unnest(segs) AS piece FROM $dpF)
+         |  GROUP BY piece)""".stripMargin
+    Seq(
+      wf, seed,
+      unigramScoreCte("uv0", "uv0raw"),
+      unigramDpCtes("ud1_", "uw", "cnt", "uv0m", mpl, steps),
+      countsCte("uc1", "ud1_F"),
+      unigramScoreCte("uv1", "uc1"),
+      unigramDpCtes("ud2_", "uw", "cnt", "uv1m", mpl, steps),
+      countsCte("uc2", "ud2_F"),
+      unigramScoreCte("uv2", "uc2")
+    ).mkString(",\n")
+  }
+
+  /** t2_unigram_train: the full EM replay — seed, two Viterbi-count
+    * rounds, final rescored vocabulary. */
+  private def unigramTrainSql: String =
+    s"""WITH ${unigramTrainCtes}
+       |SELECT piece, cnt, CAST(sc AS DOUBLE) / 1000000.0 AS score_r
+       |FROM uv2 ORDER BY piece""".stripMargin
+
+  /** t2_unigram_encode: train (same cascade), then Viterbi-encode every
+    * document's words under the final vocab — per-doc word/subword
+    * counts and the exact-integer path log-likelihood. */
+  private def unigramEncodeSql: String =
+    s"""WITH ${unigramTrainCtes},
+       |udw AS MATERIALIZED (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> ''),
+       |udd AS MATERIALIZED (SELECT DISTINCT word FROM udw),
+       |${unigramDpCtes("ue_", "udd", "", "uv2m", 4, 10)}
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(e.segs)) AS BIGINT) AS n_subwords,
+       |  CAST(sum(e.wsc) AS DOUBLE) / 1000000.0 AS loglik_r
+       |FROM udw JOIN ue_F e USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** t2_bpe_fertility: the encode cascade again (same trained merges),
     * aggregated per LANGUAGE with the subwords-per-word ratio — the
     * multilingual-vocabulary health table. */
@@ -5601,6 +5731,8 @@ object OracleSql {
     "x_zorder" -> zorderSql,
     "t2_bpe_encode" -> bpeEncodeSql,
     "t2_bpe_fertility" -> bpeFertilitySql,
+    "t2_unigram_train" -> unigramTrainSql,
+    "t2_unigram_encode" -> unigramEncodeSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "d_cluster_canonical" -> clusterCanonicalSql,

@@ -2868,6 +2868,39 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training
+    * ([[graft.ml.Unigram.train]]): seed substring vocab over the top-40
+    * word-frequency relation, two hard-EM rounds (Viterbi counts →
+    * zero-count prune → rescore). The oracle replays the seed, every
+    * unrolled Viterbi DP step, and both rescores — the final vocabulary
+    * (piece, count, micro-quantized log-prob) must match exactly. */
+  private def unigramTrainQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Unigram
+    val wf = Unigram.wordFreq(t(s, dir, "documents"), "text", maxWords = 40)
+    Unigram.train(wf, maxPieceLen = 4, maxSeed = 60, emRounds = 2)
+      .select(col("piece"), col("cnt").cast("long").as("cnt"),
+        (col("sc").cast("double") / 1e6).as("score_r"))
+      .orderBy("piece")
+  }
+
+  /** Unigram-LM corpus encoding: Viterbi-segment every document's words
+    * under the trained vocabulary (same run as `t2_unigram_train`,
+    * distinct-word discipline); per-doc word/subword counts plus the
+    * exact-integer path log-likelihood pin the segmentation. */
+  private def unigramEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Unigram
+    val docs = t(s, dir, "documents")
+    val vocab = Unigram.collectVocab(Unigram.train(
+      Unigram.wordFreq(docs, "text", maxWords = 40),
+      maxPieceLen = 4, maxSeed = 60, emRounds = 2))
+    Unigram.encodeCorpus(docs, "text", "doc_id", vocab, maxPieceLen = 4)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("pieces"))).cast("long").as("n_subwords"),
+        (sum(col("sc")).cast("double") / 1e6).as("loglik_r"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level duplicated-substring coverage — the before/after
     * headline a substring-dedup pass reports (Lee et al. 2021 report
     * "X% of tokens in the corpus are part of a duplicated substring"):
@@ -4359,6 +4392,8 @@ object SparkEntry {
     "w_url_dedup" -> urlDedupQ,
     "s_corpus_sink" -> corpusSinkQ,
     "t2_bpe_train" -> bpeTrainQ,
+    "t2_unigram_train" -> unigramTrainQ,
+    "t2_unigram_encode" -> unigramEncodeQ,
     "ann_kmeans_ivf" -> annKmeansIvf,
     "st_stream_quantiles" -> streamingQuantilesQ,
     "st_stream_cms" -> streamingCmsQ,
