@@ -34,6 +34,7 @@ object Bench {
     sys.env.get("SPARK_GRAFT_SECTION").foreach { sec =>
       val out = sec match {
         case "cosine_scale"  => cosineScaleBench(spark, sfDir)
+        case "cluster_scale" => clusterScaleBench(spark)
         case "encoder_scale" => encoderScaleBench(spark, cpus.toInt)
         case "lake_plan"     => lakePlanBench(spark)
         case "csv_plan"      => csvPlanBench(spark)
@@ -136,6 +137,7 @@ object Bench {
       val lp = lakePlanBench(spark)
       val cp = csvPlanBench(spark)
       val cs = cosineScaleBench(spark, sfDir)
+      val xs = clusterScaleBench(spark)
       val es = encoderScaleBench(spark, cpus.toInt)
       // isolated re-runs LAST: each forks a fresh JVM, so nothing this
       // session did (heap, codegen cache, GC debt) can contaminate them
@@ -150,7 +152,7 @@ object Bench {
           suite.get(m.group(1)).map(s => s / math.max(m.group(2).toDouble, 1e-9))).toSeq
         if (ratios.isEmpty) "null" else f"${ratios.max}%.2f"
       }
-      writeArtifact(s""","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio""")
+      writeArtifact(s""","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"cluster_scale":$xs,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio""")
       System.err.println("[bench] artifact enriched with scale-probe sections")
     }
     spark.stop()
@@ -430,6 +432,41 @@ object Bench {
     val measured1L = nDocs / deployWall
     val measured12L = measured1L / 12.0
     f"""{"d_model":$d,"heads":$h,"d_ff":$f,"layer_ms_seq128":$ms128%.1f,"layer_ms_seq512":$ms512%.1f,"docs_per_sec_12layer_seq128_${cpus}cores":$dps128%.2f,"docs_per_sec_12layer_seq512_${cpus}cores":$dps512%.2f,"deploy_docs":$nDocs,"docs_per_sec_1layer_seq512_measured_local$cpus":$measured1L%.2f,"docs_per_sec_12layer_seq512_implied_local$cpus":$measured12L%.2f}"""
+  }
+
+  /** cluster_scale: [[graft.operators.Dedup.resolveClusters]] at 10⁶
+    * nodes — the scale evidence behind the "logarithmic rounds" claim
+    * the 100 TB dedup story rests on (the correctness specs pin
+    * convergence only to n=300). Two adversarial shapes:
+    *  - PATH: consecutive ids chained pairwise (the sorted-id relation
+    *    real near-dup corpora produce, and THE regression class of the
+    *    r13 stranded-label bug) — worst case for region merging, since
+    *    every round can at best halve the single path's region count;
+    *  - MIXED: one hash-scattered edge per node (xxhash64 dst), a
+    *    random functional graph whose components are many short
+    *    cycle-trees — the many-small-clusters regime.
+    * Reports contraction rounds (expect ≈log₂n for the path, far fewer
+    * for mixed) and wall + component counts as a self-audit (the path
+    * must resolve to exactly ONE component). */
+  private def clusterScaleBench(spark: SparkSession): String = {
+    def run(edges: org.apache.spark.sql.DataFrame): (Int, Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val (labels, rounds) = graft.operators.Dedup.resolveClustersStats(edges)
+      val ncomp = labels.agg(count_distinct(col("cluster"))).head().getLong(0)
+      (rounds, (System.nanoTime() - t0) / 1e9, ncomp)
+    }
+    val n = 1000000L
+    val path = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (pr, ps, pc) = run(path)
+    val mixed = spark.range(n)
+      .select(col("id").as("id_a"),
+        pmod(xxhash64(col("id"), lit("cluster_scale")), lit(n)).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val (mr, ms, mc) = run(mixed)
+    val log2n = math.log(n.toDouble) / math.log(2.0)
+    f"""{"n":$n,"log2_n":$log2n%.1f,"path_rounds":$pr,"path_sec":$ps%.1f,"path_components":$pc,"mixed_rounds":$mr,"mixed_sec":$ms%.1f,"mixed_components":$mc}"""
   }
 
   /** cosine_scale: the exact cosine self-join probed at 1× and 10× the

@@ -358,21 +358,43 @@ object Dedup {
     * per-round job count).
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 48,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None): DataFrame =
+    resolveClustersStats(pairs, maxIter, checkpointDir)._1
+
+  /** [[resolveClusters]] plus the contraction-pass count (including the
+    * final pass that observes zero cross-region edges) — the number the
+    * logarithmic-convergence scale claim rests on; consumed by the
+    * `cluster_scale` bench probe. */
+  def resolveClustersStats(pairs: DataFrame, maxIter: Int = 48,
+                           checkpointDir: Option[String] = None): (DataFrame, Int) = {
     import org.apache.spark.sql.types.DecimalType
     val sc = pairs.sparkSession.sparkContext
     val priorDir = sc.getCheckpointDir
     val runDir = checkpointDir.map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}")
     val roundDirs = scala.collection.mutable.ArrayBuffer.empty[String]
     var rounds = 0
-    def cpOnly(df: DataFrame): DataFrame = runDir match {
-      case Some(rd) =>
-        val d = s"$rd/round$rounds"
-        rounds += 1
-        sc.setCheckpointDir(d)
-        roundDirs += d
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(eager = true)
+    def cpOnly(df: DataFrame): DataFrame = {
+      val cp = runDir match {
+        case Some(rd) =>
+          val d = s"$rd/round$rounds"
+          rounds += 1
+          sc.setCheckpointDir(d)
+          roundDirs += d
+          df.checkpoint(eager = true)
+        case None => df.localCheckpoint(eager = true)
+      }
+      // Stats barrier: Dataset.checkpoint rewrites the ORIGIN plan's
+      // estimated stats onto the checkpointed leaf, so each round's
+      // leaf carries the previous round's join-tree sizeInBytes PRODUCT
+      // — the estimate compounds ~s⁶ per round, and by ~20 rounds the
+      // driver spends minutes multiplying million-digit BigIntegers
+      // inside stats estimation (found by the 10⁶-node cluster_scale
+      // probe; ≤13-round graphs just never hurt enough to notice).
+      // Re-wrapping the ALREADY-MATERIALIZED rdd in a fresh DataFrame
+      // resets the leaf to default stats; the data is untouched and the
+      // only added work is Row conversion at consumption, which the
+      // tiny label/edge relations never feel.
+      df.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
     // Convergence is observed as the CONTRACTED-EDGE COUNT during each
     // round's checkpoint action (zero inter-region edges ⇔ done) — one
@@ -437,7 +459,15 @@ object Dedup {
             .select(col("id"), coalesce(col("hl"), col("label")).as("label"))
           // … then label := label(label): h1→h2 and h2→h3 happened
           // simultaneously, so one hop of compression keeps chains short
-          // (labels are node ids, so the relation is its own hop table)
+          // (labels are node ids, so the relation is its own hop table).
+          // This MUST be a self-join of the relabeled relation, not a
+          // second hl hop: a node's label can be STALE from an earlier
+          // round (one-hop compression never fully flattens chains), and
+          // only node t's own row resolves t's current state — hl covers
+          // only THIS round's head merges, and routing label∘label
+          // through it stalls convergence (r15 measured: the 300-node
+          // sorted-id path stopped converging, and per-round checkpoint
+          // stats of the longer run compounded into BigInt blowup).
           labels = cpOnly(relabeled
             .join(relabeled.select(col("id").as("label"), col("label").as("ll")),
               Seq("label"), "left")
@@ -456,7 +486,7 @@ object Dedup {
         throw new IllegalStateException(
           s"resolveClusters did not converge in $maxIter rounds; raise maxIter")
       }
-      labels.select(col("id"), col("label").as("cluster"))
+      (labels.select(col("id"), col("label").as("cluster")), i)
     } finally {
       roundDirs.filterNot(keepDir.contains).foreach(rmDir)
       // restore the caller's checkpoint dir; if none was set, fall back to
