@@ -2599,23 +2599,55 @@ object OracleSql {
        |SELECT piece, cnt, CAST(sc AS DOUBLE) / 1000000.0 AS score_r
        |FROM uv2 ORDER BY piece""".stripMargin
 
-  /** t2_unigram_encode: train (same cascade), then Viterbi-encode every
-    * document's words under the final vocab — per-doc word/subword
-    * counts and the exact-integer path log-likelihood. */
-  private def unigramEncodeSql: String =
-    s"""WITH ${unigramTrainCtes},
+  /** Shared encode cascade: train, then the Viterbi DP over the corpus
+    * distinct-word relation (`ue_F`), with `udw` carrying per-doc word
+    * occurrences for the join-back. */
+  private def unigramEncodeCtes: String =
+    s"""${unigramTrainCtes},
        |udw AS MATERIALIZED (
        |  SELECT doc_id, word FROM (
        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
        |    FROM documents)
        |  WHERE word <> ''),
        |udd AS MATERIALIZED (SELECT DISTINCT word FROM udw),
-       |${unigramDpCtes("ue_", "udd", "", "uv2m", 4, 10)}
+       |${unigramDpCtes("ue_", "udd", "", "uv2m", 4, 10)}""".stripMargin
+
+  /** t2_unigram_encode: train (same cascade), then Viterbi-encode every
+    * document's words under the final vocab — per-doc word/subword
+    * counts and the exact-integer path log-likelihood. */
+  private def unigramEncodeSql: String =
+    s"""WITH $unigramEncodeCtes
        |SELECT doc_id, count(*) AS n_words,
        |  CAST(sum(len(e.segs)) AS BIGINT) AS n_subwords,
        |  CAST(sum(e.wsc) AS DOUBLE) / 1000000.0 AS loglik_r
        |FROM udw JOIN ue_F e USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** t2_unigram_fertility: the encode cascade aggregated per LANGUAGE —
+    * the `t2_bpe_fertility` health table under the unigram trainer,
+    * with the manual half-away-from-zero ratio rounding. */
+  private def unigramFertilitySql: String =
+    s"""WITH $unigramEncodeCtes,
+       |ag AS (
+       |  SELECT d.lang, CAST(sum(len(e.segs)) AS BIGINT) AS n_subwords,
+       |    count(*) AS n_words,
+       |    CAST(sum(len(e.segs)) AS DOUBLE) / count(*) * 1000000 AS q
+       |  FROM udw JOIN ue_F e USING (word) JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang)
+       |SELECT lang, n_subwords, n_words,
+       |  (CASE WHEN q >= 0 THEN floor(q + 0.5) ELSE ceil(q - 0.5) END) / 1000000.0
+       |    AS fertility
+       |FROM ag ORDER BY lang""".stripMargin
+
+  /** st_stream_unigram: streamed == batch — the per-language encode
+    * rollup with the exact-integer path log-likelihood sum. */
+  private def unigramStreamSql: String =
+    s"""WITH $unigramEncodeCtes
+       |SELECT d.lang, count(*) AS n_words,
+       |  CAST(sum(len(e.segs)) AS BIGINT) AS n_subwords,
+       |  CAST(sum(e.wsc) AS DOUBLE) / 1000000.0 AS loglik_r
+       |FROM udw JOIN ue_F e USING (word) JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
   /** t2_bpe_fertility: the encode cascade again (same trained merges),
     * aggregated per LANGUAGE with the subwords-per-word ratio — the
@@ -5733,6 +5765,8 @@ object OracleSql {
     "t2_bpe_fertility" -> bpeFertilitySql,
     "t2_unigram_train" -> unigramTrainSql,
     "t2_unigram_encode" -> unigramEncodeSql,
+    "t2_unigram_fertility" -> unigramFertilitySql,
+    "st_stream_unigram" -> unigramStreamSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "d_cluster_canonical" -> clusterCanonicalSql,

@@ -2901,6 +2901,69 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language under the corpus-trained
+    * unigram-LM vocabulary — the same multilingual-vocabulary health
+    * table `t2_bpe_fertility` publishes for BPE, so the two trainers'
+    * segmentation efficiency is directly comparable on one corpus.
+    * Manual half-away-from-zero rounding for the ratio (the
+    * `t_ppl_buckets` boundary lesson applied from the start). */
+  private def unigramFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Unigram
+    val docs = t(s, dir, "documents")
+    val vocab = Unigram.collectVocab(Unigram.train(
+      Unigram.wordFreq(docs, "text", maxWords = 40),
+      maxPieceLen = 4, maxSeed = 60, emRounds = 2))
+    val q = sum(size(col("pieces"))).cast("double") /
+      count(lit(1)) * lit(1000000.0)
+    Unigram.encodeCorpus(docs, "text", "doc_id", vocab, maxPieceLen = 4)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum(size(col("pieces"))).cast("long").as("n_subwords"),
+        count(lit(1)).as("n_words"),
+        (when(q >= 0, floor(q + 0.5)).otherwise(ceil(q - 0.5)) / lit(1000000.0))
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
+  /** §2.12 streaming unigram encode: the trained vocabulary's
+    * distinct-word segmentation relation is STATIC (computed once,
+    * localCheckpointed); each micro-batch explodes its words and
+    * stream-static joins the segmentation — the `Bpe.encodeCorpus`
+    * type/token discipline carried to streams. One complete-mode
+    * per-language aggregation; streamed == batch IS the oracle. */
+  private def streamingUnigramQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ml.Unigram
+    val name = s"st_unigram_${streamSeq.incrementAndGet()}"
+    val docs = t(s, dir, "documents")
+    val vocab = Unigram.collectVocab(Unigram.train(
+      Unigram.wordFreq(docs, "text", maxWords = 40),
+      maxPieceLen = 4, maxSeed = 60, emRounds = 2))
+    val vm = Unigram.scoreMapLit(vocab)
+    val encoded = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .withColumn("__b", Unigram.viterbi(col("word"), vm, maxPieceLen = 4))
+      .select(col("word"), col("__b").getField("segs").as("pieces"),
+        col("__b").getField("sc").as("sc"))
+      .localCheckpoint(true)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val words = stream.select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val q = words.join(encoded, "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("pieces"))).cast("long").as("n_subwords"),
+        (sum(col("sc")).cast("double") / 1e6).as("loglik_r"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name).orderBy("lang")
+  }
+
   /** Corpus-level duplicated-substring coverage — the before/after
     * headline a substring-dedup pass reports (Lee et al. 2021 report
     * "X% of tokens in the corpus are part of a duplicated substring"):
@@ -4394,6 +4457,8 @@ object SparkEntry {
     "t2_bpe_train" -> bpeTrainQ,
     "t2_unigram_train" -> unigramTrainQ,
     "t2_unigram_encode" -> unigramEncodeQ,
+    "t2_unigram_fertility" -> unigramFertilityQ,
+    "st_stream_unigram" -> streamingUnigramQ,
     "ann_kmeans_ivf" -> annKmeansIvf,
     "st_stream_quantiles" -> streamingQuantilesQ,
     "st_stream_cms" -> streamingCmsQ,
