@@ -1571,6 +1571,37 @@ object OracleSql {
       |  round(rate, 6) AS mix_rate, CAST(sum(doc_id) AS BIGINT) AS id_checksum
       |FROM kept GROUP BY source, rate ORDER BY source""".stripMargin
 
+  /** d_mix_epochs: replay the epoch-capped allocation — isq ppm weights,
+    * budget·ppm desired, min(4·10⁶, desired·10⁶ // n) micro-epochs,
+    * capped actual and shortfall, all truncating BIGINT `//`. */
+  private def mixEpochsSql: String =
+    """WITH toks AS (
+      |  SELECT source, lang,
+      |    CASE WHEN trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+      |  FROM documents),
+      |tot AS (SELECT source, lang, count(*) AS n_docs,
+      |          CAST(sum(nt) AS BIGINT) AS n_tokens
+      |        FROM toks GROUP BY source, lang),
+      |q AS (SELECT *,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS isq
+      |      FROM tot),
+      |g AS (SELECT CAST(sum(isq) AS BIGINT) AS sisq FROM q),
+      |p AS (SELECT source, lang, n_docs, n_tokens,
+      |        isq * 1000000 // sisq AS weight_ppm FROM q, g),
+      |e AS (SELECT *, CAST(100000 AS BIGINT) * weight_ppm // 1000000 AS desired_tokens
+      |      FROM p),
+      |m AS (SELECT *,
+      |        CASE WHEN n_tokens = 0 THEN 0
+      |             ELSE least(4000000, desired_tokens * 1000000 // n_tokens) END
+      |          AS epochs_micro
+      |      FROM e)
+      |SELECT source, lang, n_docs, n_tokens, weight_ppm, desired_tokens,
+      |  CAST(epochs_micro AS DOUBLE) / 1000000.0 AS epochs_r,
+      |  n_tokens * epochs_micro // 1000000 AS actual_tokens,
+      |  desired_tokens - (n_tokens * epochs_micro // 1000000) AS shortfall
+      |FROM m ORDER BY source, lang""".stripMargin
+
   /** d_incremental_dedup: new batch (doc_id % 10 = 9) vs the catalog of
     * the rest — exact fingerprint match (min catalog id) plus best banded
     * MinHash match at jaccard ≥ 0.05 (max jaccard, min id tiebreak). */
@@ -4884,6 +4915,42 @@ object OracleSql {
       |  CAST((sum(n_agree) * 1000000) // sum(n_nb) AS BIGINT) / 1000000.0 AS agreement
       |FROM pv GROUP BY ql ORDER BY label""".stripMargin
 
+  /** emb_matryoshka: replay the prefix-truncated exact top-5 rankings
+    * (cast → slice → norm, the same 6-dp safeCosine and (cosine DESC,
+    * id) tie-break as annCosineSql) at 16/32/64 dims, then the overlap
+    * join of each prefix's pair set against the full-dim pair set. */
+  private def matryoshkaSql: String = {
+    val dims = Seq(16, 32, 64)
+    def prefCte(d: Int) =
+      s"""p$d AS MATERIALIZED (
+         |  SELECT vec_id, e2 AS e, sqrt(list_dot_product(e2, e2)) AS nrm FROM (
+         |    SELECT vec_id, CAST(embedding AS DOUBLE[])[1:$d] AS e2 FROM embeddings))""".stripMargin
+    def topCte(d: Int) =
+      s"""t$d AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+         |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC,
+         |          c.vec_id) AS rank
+         |    FROM (SELECT * FROM p$d WHERE vec_id <= 10) q
+         |    JOIN p$d c ON c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5)""".stripMargin
+    val nq = "nq AS (SELECT count(*) AS n FROM embeddings WHERE vec_id <= 10)"
+    val ctes = (dims.map(prefCte) ++ dims.map(topCte) :+ nq).mkString(",\n")
+    val arms = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim_prefix,
+         |  CAST(count(*) AS BIGINT) AS matches,
+         |  CAST(count(*) * 1000000 // (nq.n * 5) AS BIGINT) / 1000000.0 AS overlap_r
+         |FROM t$d a JOIN t64 b USING (query_id, neighbor_id), nq
+         |GROUP BY nq.n""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes
+       |SELECT * FROM (
+       |$arms)
+       |ORDER BY dim_prefix""".stripMargin
+  }
+
   /** j3_mrr: the searchNdcg result/truth replay with the
     * first-relevant-rank tail — reciprocal in truncating micro-units. */
   private def searchMrrSql: String =
@@ -5776,6 +5843,7 @@ object OracleSql {
     "t_length_histogram" -> lengthHistogramSql,
     "d_leakage_split" -> leakageSplitSql,
     "t_token_budget" -> tokenBudgetSql,
+    "d_mix_epochs" -> mixEpochsSql,
     "w_url_dedup" -> urlDedupSql,
     "mm_dhash_neardup" -> dhashNearDupSql,
     "mm_audio_fingerprint" -> audioFpSql,
@@ -5897,6 +5965,7 @@ object OracleSql {
     "emb_dim_variance" -> dimVarianceSql,
     "emb_pca_power" -> pcaPowerSql,
     "emb_abtt" -> abttSql,
+    "emb_matryoshka" -> matryoshkaSql,
     "t_c4_filters" -> c4FiltersSql,
     "t_ppl_buckets" -> pplBucketsSql,
     "t_ppl_buckets_sketch" -> pplBucketsSketchSql,

@@ -2692,6 +2692,17 @@ object SparkEntry {
       Seq("source", "lang"), token_count(col("text")), budget = 100000L)
       .orderBy("source", "lang")
 
+  /** Data-constrained mixing plan
+    * ([[graft.operators.Sampling.epochCappedPlan]]): the t_token_budget
+    * desired shares with the ≤4-epoch repeat cap applied — per-bucket
+    * exact-integer epochs, capped actual allocation, and the shortfall
+    * the planner must source elsewhere. */
+  private def mixEpochsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochCappedPlan(t(s, dir, "documents"),
+      Seq("source", "lang"), token_count(col("text")),
+      budget = 100000L, maxEpochs = 4)
+      .orderBy("source", "lang")
+
   /** Link-centrality weighting (integer PageRank): a deterministic
     * heterogeneous graph over document ids — a permutation-ish family
     * ((7i+3)%N) plus a hub family (i%31, ~N/31 in-degree each), so
@@ -3147,6 +3158,17 @@ object SparkEntry {
     * axis anisotropy of projecting the top component out. */
   private def abttQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ann.abttReport(t(s, dir, "embeddings"), nIter = 4)
+
+  /** Matryoshka truncation screen
+    * ([[graft.operators.Ann.matryoshkaReport]]): exact top-5 overlap of
+    * the 16- and 32-dim prefixes against the full 64-dim ranking over
+    * the standard vec_id ≤ 10 query set. */
+  private def matryoshkaQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    graft.operators.Ann.matryoshkaReport(
+      embs, embs.filter(col("vec_id") <= 10), dims = Seq(16, 32, 64), k = 5)
+      .orderBy("dim_prefix")
+  }
 
   /** Box-filter resize over REAL decoded rasters (PNG inflate+unfilter,
     * GIF LZW — [[graft.multimodal.Multimodal.resizeStats]]): per-image
@@ -4473,6 +4495,7 @@ object SparkEntry {
     "w_page_rank" -> pageRankQ,
     "d_leakage_split" -> leakageSplitQ,
     "t_token_budget" -> tokenBudgetQ,
+    "d_mix_epochs" -> mixEpochsQ,
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,
     "d_decontam_report" -> decontamReport,
@@ -4481,6 +4504,7 @@ object SparkEntry {
     "a_bootstrap_ci" -> bootstrapCiQ,
     "emb_pca_power" -> pcaPowerQ,
     "emb_abtt" -> abttQ,
+    "emb_matryoshka" -> matryoshkaQ,
     "t_c4_filters" -> c4FiltersQ,
     "t_ppl_buckets" -> pplBucketsQ,
     "t_ppl_buckets_sketch" -> pplBucketsSketchQ,

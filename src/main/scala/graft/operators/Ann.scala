@@ -60,6 +60,44 @@ object Ann {
     topKByScore(scored, "cosine", k)
   }
 
+  /** Matryoshka truncation report (Kusupati et al. 2022, MRL; public) —
+    * the screen a pipeline runs before shipping truncated embeddings:
+    * for each prefix dimension, the exact cosine top-k is recomputed
+    * over the TRUNCATED vectors and compared with the full-dimension
+    * top-k; one row per prefix reports the retained-overlap fraction
+    * (exact ppm — matches·10⁶ div (nq·k)). An embedding family whose
+    * overlap collapses at d/2 cannot be served truncated, whatever its
+    * full-dim recall says.
+    *
+    * Scale shape: each arm is [[bruteForceTopK]] (broadcast queries,
+    * streaming corpus); the full-dim result is localCheckpointed once
+    * and every prefix arm joins against it — arms only add, never
+    * multiply. At corpus scale swap the arm scorer for the IVF/LSH
+    * paths; the comparison tail is unchanged.
+    */
+  def matryoshkaReport(embs: DataFrame, queries: DataFrame, dims: Seq[Int],
+                       k: Int = 5, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty, "need at least one prefix dimension")
+    val fullDim = dims.max
+    def topk(d: Int): DataFrame = {
+      def tr(df: DataFrame) =
+        df.withColumn(vecCol, slice(col(s"`$vecCol`"), 1, d))
+      bruteForceTopK(tr(embs), tr(queries), k, idCol, vecCol)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val full = topk(fullDim).localCheckpoint(true)
+    val nq = queries.agg(count(lit(1)).as("nq"))
+    dims.sorted.map { d =>
+      topk(d).join(full, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("matches"))
+        .crossJoin(broadcast(nq))
+        .select(lit(d).cast("long").as("dim_prefix"), col("matches"),
+          (expr(s"matches * 1000000 div (nq * ${k}L)").cast("double") / 1e6)
+            .as("overlap_r"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Hard-negative mining — the retrieval-training data op: for each
     * query vector, the top-k corpus neighbors inside the similarity band
     * `[tauLo, tauHi)` — similar enough to be HARD negatives, below the

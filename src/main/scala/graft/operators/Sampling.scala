@@ -126,6 +126,53 @@ object Sampling {
         col("weight"), col("planned_tokens"), col("oversample")): _*)
   }
 
+  /** Epoch-capped token allocation — the data-constrained-mixing step a
+    * planner applies AFTER [[tokenBudgetPlan]]'s desired shares (public
+    * precedent: Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models" — repeating a source beyond ~4 epochs stops
+    * helping, so allocations cap at `maxEpochs` passes and the plan
+    * reports the shortfall instead of silently over-repeating).
+    *
+    * Exact integer arithmetic end to end (engine-replayable):
+    *  - weight_ppm  = isq·10⁶ div Σisq (the τ=0.5 sqrt quantization)
+    *  - desired     = budget·weight_ppm div 10⁶
+    *  - epochs (µ)  = min(maxEpochs·10⁶, desired·10⁶ div n_tokens)
+    *  - actual      = n_tokens·epochs_µ div 10⁶  (≤ desired by
+    *    construction; < desired exactly when the cap binds)
+    *  - shortfall   = desired − actual (the tokens the planner must
+    *    source elsewhere — this column IS the point of the table)
+    *
+    * Scale shape: one map-side-combined groupBy over the tiny bucket
+    * key set + one broadcast 1-row grand total; everything after is a
+    * projection.
+    */
+  def epochCappedPlan(df: DataFrame, bucketCols: Seq[String],
+                      tokenCol: Column, budget: Long,
+                      maxEpochs: Int): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    val k = bucketCols.map(c => col(s"`$c`"))
+    val totals = df.groupBy(k: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("__isq",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    val grand = totals.agg(sum(col("__isq")).as("__sisq"))
+    totals.crossJoin(broadcast(grand))
+      .withColumn("weight_ppm", expr("__isq * 1000000 div __sisq"))
+      .withColumn("desired_tokens",
+        expr(s"${budget}L * weight_ppm div 1000000"))
+      .withColumn("epochs_micro",
+        when(col("n_tokens") === 0, lit(0L)).otherwise(least(
+          lit(maxEpochs * 1000000L),
+          expr("desired_tokens * 1000000 div n_tokens"))))
+      .withColumn("actual_tokens", expr("n_tokens * epochs_micro div 1000000"))
+      .select(k ++ Seq(col("n_docs"), col("n_tokens"), col("weight_ppm"),
+        col("desired_tokens"),
+        (col("epochs_micro").cast("double") / 1e6).as("epochs_r"),
+        col("actual_tokens"),
+        (col("desired_tokens") - col("actual_tokens")).as("shortfall")): _*)
+  }
+
   /** Weighted sampling WITHOUT replacement, k rows per group —
     * Efraimidis–Spirakis (IPL 2006) exponential keys: each row draws
     * u ∈ (0,1] from its salted id hash and ranks by u^(1/w), i.e. by

@@ -439,6 +439,37 @@ class AnnSpec extends SparkSpec {
     assert(approx.get(1L).contains(2L) == brute.get(1L).contains(2L) || approx.isEmpty == false)
     assert(brute(1L) == 2L)
   }
+
+  test("matryoshkaReport: full prefix overlaps 1.0; a tail-dim flip degrades the short prefix") {
+    // q=(1,0,0,1): at full dim v2=(1,0,0,1) is the exact match (cos 1.0)
+    // and v3=(1,0,0,-1) scores 0 — but their 2-dim prefixes are
+    // IDENTICAL (1,0), so the truncated ranking cannot separate them
+    // and ties break to the lower id, flipping v3 above... both stay in
+    // top-2 though, so probe with k=1.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.9f)),
+      (3L, Array(1.0f, 0.0f, 0.0f, -1.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.matryoshkaReport(vecs, vecs.filter($"vec_id" === 1),
+      dims = Seq(2, 4), k = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // full dim: top-1 = v2 (cos ≈ .998); 2-dim prefix: v2 and v3 tie at
+    // cos 1.0, id tiebreak picks v2 — overlap stays 1.0
+    assert(out(4L) == ((1L, 1.0)), out.toString)
+    assert(out(2L) == ((1L, 1.0)), out.toString)
+    // now hide the winner's prefix behind a LOWER-id tied vector: query
+    // v3's top-1 at full dim is v4-free — direct check that a genuine
+    // flip reads < 1.0
+    val out2 = Ann.matryoshkaReport(vecs, vecs.filter($"vec_id" === 3),
+      dims = Seq(2, 4), k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // full: top-1 of v3 is v2 (cos ≈ .053, the only positive); 2-dim
+    // prefix: v1 ties v2 at cos 1.0 and the id tiebreak picks v1 — the
+    // truncated winner is NOT the full-dim winner → overlap 0.0
+    assert(out2(4L) == 1.0 && out2(2L) == 0.0, out2.toString)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -139,6 +139,28 @@ class SamplingSpec extends SparkSpec {
     // allocation sums to ≤ budget and splits by weight
     assert(headPlan + tailPlan <= 1000L && math.abs(headPlan - 833) <= 1)
   }
+
+  test("epochCappedPlan: cap binds on the tiny source, shortfall reported") {
+    val docs = ((1L to 100L).map(i => (i, "head", "en")) ++
+      (101L to 104L).map(i => (i, "tail", "de")))
+      .toDF("id", "src", "lang")
+      .withColumn("text", lit("a b c d")) // head: 400 tokens, tail: 16
+    val out = Sampling.epochCappedPlan(docs, Seq("src", "lang"),
+      graft.functions.TextFunctions.token_count(col("text")),
+      budget = 1000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    val (hPpm, hDes, hEp, hAct, hShort) = out("head")
+    val (tPpm, tDes, tEp, tAct, tShort) = out("tail")
+    // weights are the τ=0.5 ppm quantization: 5:1 head:tail
+    assert(math.abs(hPpm.toDouble / tPpm - 5.0) < 0.01)
+    // head is data-rich: desired ≈ 833 < 400·4 → uncapped, zero shortfall
+    assert(hEp < 4.0 && hAct == hDes && hShort == 0L, out("head").toString)
+    // tail desired ≈ 166 > 16·4 = 64 → cap binds at exactly 4 epochs
+    assert(tEp == 4.0 && tAct == 64L && tShort == tDes - 64L && tShort > 0L,
+      out("tail").toString)
+  }
 }
 
 class DecontaminationSpec extends SparkSpec {
