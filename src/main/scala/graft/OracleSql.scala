@@ -2680,6 +2680,55 @@ object OracleSql {
        |FROM udw JOIN ue_F e USING (word) JOIN documents d USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** t2_tokenizer_compare: BOTH trainer cascades (BPE 8-merge + unigram
+    * 2-round EM) over the identical word-freq relation, each encoding
+    * the identical corpus — vocab sizes, word/subword/char totals, and
+    * the manual-rounded compression/fertility ratios, one row each. */
+  private def tokenizerCompareSql: String = {
+    val numRounds = 8
+    val dw0 =
+      """dw0 AS (
+        |  SELECT doc_id, word,
+        |    list_append([substr(word, i, 1) FOR i IN range(1, length(word) + 1)],
+        |                '</w>') AS syms
+        |  FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE word <> '')""".stripMargin
+    val encRounds = (1 to numRounds).map(k =>
+      bpeRewriteCte(s"dw${k - 1}", s"b$k", s"dw$k", "doc_id, word"))
+    def arm(tok: String, vocabSql: String, encFrom: String,
+            subLen: String): String =
+      s"""SELECT '$tok' AS tokenizer,
+         |  ($vocabSql) AS vocab_pieces,
+         |  count(*) AS n_words,
+         |  CAST(sum($subLen) AS BIGINT) AS n_subwords,
+         |  CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(length(word)) AS DOUBLE) / sum($subLen) * 1000000 AS qc,
+         |  CAST(sum($subLen) AS DOUBLE) / count(*) * 1000000 AS qf
+         |FROM $encFrom""".stripMargin
+    val bpeArm = arm("bpe",
+      s"(SELECT count(DISTINCT s) FROM (SELECT unnest(syms) AS s FROM w$numRounds))",
+      s"dw$numRounds", "len(syms)")
+    val uniArm = arm("unigram",
+      "(SELECT count(*) FROM uv2)",
+      "udw JOIN ue_F e USING (word)", "len(e.segs)")
+    s"""WITH ${bpeTrainCtes(numRounds)},
+       |${(dw0 +: encRounds).mkString(",\n")},
+       |$unigramEncodeCtes
+       |SELECT tokenizer, CAST(vocab_pieces AS BIGINT) AS vocab_pieces,
+       |  n_words, n_subwords, n_chars,
+       |  (CASE WHEN qc >= 0 THEN floor(qc + 0.5) ELSE ceil(qc - 0.5) END)
+       |    / 1000000.0 AS chars_per_subword,
+       |  (CASE WHEN qf >= 0 THEN floor(qf + 0.5) ELSE ceil(qf - 0.5) END)
+       |    / 1000000.0 AS fertility
+       |FROM (
+       |$bpeArm
+       |UNION ALL
+       |$uniArm)
+       |ORDER BY tokenizer""".stripMargin
+  }
+
   /** t2_bpe_fertility: the encode cascade again (same trained merges),
     * aggregated per LANGUAGE with the subwords-per-word ratio — the
     * multilingual-vocabulary health table. */
@@ -5833,6 +5882,7 @@ object OracleSql {
     "t2_unigram_train" -> unigramTrainSql,
     "t2_unigram_encode" -> unigramEncodeSql,
     "t2_unigram_fertility" -> unigramFertilitySql,
+    "t2_tokenizer_compare" -> tokenizerCompareSql,
     "st_stream_unigram" -> unigramStreamSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,

@@ -2975,6 +2975,52 @@ object SparkEntry {
     s.table(name).orderBy("lang")
   }
 
+  /** Side-by-side tokenizer-trainer comparison — BPE vs unigram-LM
+    * trained on the IDENTICAL capped word-frequency relation and
+    * encoding the identical corpus, one row each: learned vocab size,
+    * corpus word/subword/char totals, chars-per-subword (compression)
+    * and fertility — the table an engineer reads to pick a trainer.
+    * (WordPiece is excluded by design: `t2_wordpiece` trains on doc
+    * snippets with special tokens, a different corpus contract.)
+    * BPE subword counts include the `</w>` end-mark pieces — that is
+    * the BPE segmentation's own accounting, not an adjustment. */
+  private def tokenizerCompareQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.{Bpe, Unigram}
+    val docs = t(s, dir, "documents")
+    def ratio6(num: Column, den: Column): Column = {
+      val q = num.cast("double") / den * lit(1000000.0)
+      when(q >= 0, floor(q + 0.5)).otherwise(ceil(q - 0.5)) / lit(1000000.0)
+    }
+    // BPE arm: 8 merges on the top-40 word-freq relation
+    val (merges, trained) = Bpe.train(
+      Bpe.wordFreq(docs, "text", maxWords = Some(40)), 8)
+    val bpeVocab = Bpe.vocab(trained).agg(count(lit(1)).as("vocab_pieces"))
+    val bpeEnc = Bpe.encodeCorpus(docs, "text", "doc_id", merges)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("subwords"))).cast("long").as("n_subwords"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+    val bpeRow = bpeVocab.crossJoin(bpeEnc)
+      .select(lit("bpe").as("tokenizer"), col("vocab_pieces"),
+        col("n_words"), col("n_subwords"), col("n_chars"),
+        ratio6(col("n_chars"), col("n_subwords")).as("chars_per_subword"),
+        ratio6(col("n_subwords"), col("n_words")).as("fertility"))
+    // Unigram arm: same word-freq relation, 2 EM rounds
+    val uniVocabDf = Unigram.train(Unigram.wordFreq(docs, "text", 40),
+      maxPieceLen = 4, maxSeed = 60, emRounds = 2)
+    val uniVocab = uniVocabDf.agg(count(lit(1)).as("vocab_pieces"))
+    val uniEnc = Unigram.encodeCorpus(docs, "text", "doc_id",
+        Unigram.collectVocab(uniVocabDf), maxPieceLen = 4)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("pieces"))).cast("long").as("n_subwords"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+    val uniRow = uniVocab.crossJoin(uniEnc)
+      .select(lit("unigram").as("tokenizer"), col("vocab_pieces"),
+        col("n_words"), col("n_subwords"), col("n_chars"),
+        ratio6(col("n_chars"), col("n_subwords")).as("chars_per_subword"),
+        ratio6(col("n_subwords"), col("n_words")).as("fertility"))
+    bpeRow.unionByName(uniRow).orderBy("tokenizer")
+  }
+
   /** Corpus-level duplicated-substring coverage — the before/after
     * headline a substring-dedup pass reports (Lee et al. 2021 report
     * "X% of tokens in the corpus are part of a duplicated substring"):
@@ -4480,6 +4526,7 @@ object SparkEntry {
     "t2_unigram_train" -> unigramTrainQ,
     "t2_unigram_encode" -> unigramEncodeQ,
     "t2_unigram_fertility" -> unigramFertilityQ,
+    "t2_tokenizer_compare" -> tokenizerCompareQ,
     "st_stream_unigram" -> streamingUnigramQ,
     "ann_kmeans_ivf" -> annKmeansIvf,
     "st_stream_quantiles" -> streamingQuantilesQ,
