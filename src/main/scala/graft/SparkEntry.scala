@@ -2999,11 +2999,14 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("subwords"))).cast("long").as("n_subwords"),
         sum(length(col("word"))).cast("long").as("n_chars"))
+    // each arm is ONE row — checkpoint it so the union's final plan
+    // cannot re-evaluate the trainer+encode cascades per consumer
     val bpeRow = bpeVocab.crossJoin(bpeEnc)
       .select(lit("bpe").as("tokenizer"), col("vocab_pieces"),
         col("n_words"), col("n_subwords"), col("n_chars"),
         ratio6(col("n_chars"), col("n_subwords")).as("chars_per_subword"),
         ratio6(col("n_subwords"), col("n_words")).as("fertility"))
+      .localCheckpoint(true)
     // Unigram arm: same word-freq relation, 2 EM rounds
     val uniVocabDf = Unigram.train(Unigram.wordFreq(docs, "text", 40),
       maxPieceLen = 4, maxSeed = 60, emRounds = 2)
@@ -3018,6 +3021,7 @@ object SparkEntry {
         col("n_words"), col("n_subwords"), col("n_chars"),
         ratio6(col("n_chars"), col("n_subwords")).as("chars_per_subword"),
         ratio6(col("n_subwords"), col("n_words")).as("fertility"))
+      .localCheckpoint(true)
     bpeRow.unionByName(uniRow).orderBy("tokenizer")
   }
 
