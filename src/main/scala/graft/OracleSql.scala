@@ -2757,7 +2757,10 @@ object OracleSql {
   /** d_lsh_calibration: the analytic MinHash S-curve over the exact
     * bigram-Jaccard pair relation (d_ngram_jaccard's CTE) × the 32-hash
     * band-plan grid. J^r and the final P are rounded to 6 dp in the same
-    * order as the engine; expectations sum as exact DECIMAL(18,6). */
+    * order as the engine; expectations sum as exact DECIMAL(18,6) and
+    * project as DOUBLE (exact at this magnitude; the driver's hash
+    * canonicalizes DECIMAL representations inconsistently — the
+    * j_hybrid_rrf precedent). */
   private def lshCalibrationSql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE doc_id <= 25
@@ -2780,8 +2783,8 @@ object OracleSql {
       |SELECT b, r,
       |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
       |  CAST(sum(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
-      |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN CAST(p AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS exp_true_caught,
-      |  CAST(sum(CASE WHEN jaccard < 0.5 THEN CAST(p AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(18,6)) AS exp_false_caught
+      |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN CAST(p AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS exp_true_caught,
+      |  CAST(sum(CASE WHEN jaccard < 0.5 THEN CAST(p AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS exp_false_caught
       |FROM p GROUP BY b, r ORDER BY b""".stripMargin
 
   /** a_bootstrap_ci: replay the deterministic Poisson bootstrap — the

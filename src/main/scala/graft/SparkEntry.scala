@@ -3527,8 +3527,12 @@ object SparkEntry {
     * the predictive curve. FP discipline: J is 6-dp; J^r and the final
     * P are rounded to 6 dp in the SAME order on both engines (the
     * bm25-idf transcendental precedent), and the expectations sum as
-    * exact DECIMAL(18,6). Zero-overlap pairs have P = 0 and are
-    * excluded like the base relation. */
+    * exact DECIMAL(18,6) for order-independence, then project as
+    * DOUBLE (exact: ≤6 fractional digits, ≤300 terms — well inside
+    * double's 2^53 integer range at 1e-6 granularity; the
+    * j_hybrid_rrf precedent for hash-stable final types).
+    * Zero-overlap pairs have P = 0 and are excluded like the base
+    * relation. */
   private def lshCalibrationQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") <= 25)
     val ids = docs.select(col("doc_id").as("id"))
@@ -3548,10 +3552,10 @@ object SparkEntry {
         sum(when(col("jaccard") < 0.5, lit(1L)).otherwise(0L)).as("n_false"),
         sum(when(col("jaccard") >= 0.5, col("p").cast("decimal(18,6)"))
           .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)")))
-          .cast("decimal(18,6)").as("exp_true_caught"),
+          .cast("double").as("exp_true_caught"),
         sum(when(col("jaccard") < 0.5, col("p").cast("decimal(18,6)"))
           .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)")))
-          .cast("decimal(18,6)").as("exp_false_caught"))
+          .cast("double").as("exp_false_caught"))
       .orderBy("b")
   }
 

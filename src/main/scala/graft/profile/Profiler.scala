@@ -362,7 +362,21 @@ object Profiler {
     // values accumulate per row, not per peer group. Null value rows
     // (string columns) ride along as bucket −1: no offset match → never
     // covering.
-    val h = hist.select(k ++ Seq(col("value_num"), col("freq")): _*)
+    // Materialize the histogram ONCE (eager localCheckpoint + the house
+    // stats-barrier re-wrap, see Dedup.cpOnly): every small side below
+    // (rng, probes, coverB) is a driver-built broadcast whose child plan
+    // would otherwise replay the upstream scan + stage-1 shuffle per
+    // build. Under a loaded driver those sequential broadcast builds
+    // serialized and inflated this operator 5-8× while neighbors moved
+    // ~1.3× (rounds 14-15); building them from a local RDD leaf makes
+    // each a milliseconds job. On a real cluster the same shape holds
+    // (the materialized relation is the DISTINCT-value histogram, i.e.
+    // ≤ stage-1 shuffle size, which Spark writes to local disk anyway);
+    // callers that cannot tolerate localCheckpoint's executor-loss
+    // recompute semantics should feed an already-persisted histogram.
+    val h0 = hist.select(k ++ Seq(col("value_num"), col("freq")): _*)
+    val hCp = h0.localCheckpoint(true)
+    val h = hist.sparkSession.createDataFrame(hCp.rdd, hCp.schema)
     val rng = h.groupBy(k: _*).agg(
       min(col("value_num")).as("vmin"), max(col("value_num")).as("vmax"),
       sum(when(col("value_num").isNotNull, col("freq")).otherwise(0L)).as("n"))
@@ -395,16 +409,20 @@ object Profiler {
         (col("boff") <= col("hi") && col("hi") < col("boff") + col("bfreq")))
       .select(keys ++ Seq("bucket", "boff", "qi", "pos", "lo", "hi") map col: _*)
     // level 2: within-bucket cum-sum, ONLY over covering buckets (≤ 18 per
-    // column), each histogram row exactly once (distinct before the window
-    // so a bucket covering several probes doesn't double-count freq)
-    val neededB = coverB.select(keys ++ Seq("bucket", "boff") map col: _*).distinct()
-    val wV = Window.partitionBy(k :+ col("bucket"): _*).orderBy(col("value_num"))
+    // column), partitioned by (keys, bucket, qi) so each histogram row
+    // accumulates exactly once PER COVERING PROBE — a bucket covering
+    // several probes duplicates its rows per probe but each probe's
+    // cum-sum sees every row once, so no double-counting. This replaces
+    // the former separate `neededB` distinct + second coverB join (two
+    // broadcasts and a join saved); the amplification is bounded by
+    // probes-per-bucket ≤ |probs|, on the ≤2-buckets-per-probe slice of
+    // the histogram only.
+    val wV = Window.partitionBy(k ++ Seq(col("bucket"), col("qi")): _*)
+      .orderBy(col("value_num"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hb.join(broadcast(neededB), keys :+ "bucket")
+    val covering = hb.join(broadcast(coverB), keys :+ "bucket")
       .withColumn("cum", sum(col("freq")).over(wV) + col("boff"))
       .withColumn("start", col("cum") - col("freq"))
-    val covering = cum.drop("boff")
-      .join(broadcast(coverB.drop("boff")), keys :+ "bucket")
       .filter((col("start") <= col("lo") && col("lo") < col("cum")) ||
         (col("start") <= col("hi") && col("hi") < col("cum")))
     covering.groupBy(k ++ Seq(col("qi"), col("pos"), col("lo"), col("hi")): _*)
