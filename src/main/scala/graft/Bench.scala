@@ -98,11 +98,12 @@ object Bench {
     // was lost as rc=124/parsed:null). Everything heavier — lake/CSV
     // structural plans, cosine/encoder scale probes, fresh-JVM isolated
     // re-runs — is gated behind SPARK_GRAFT_SCALE_PROBES=1, which only
-    // the builder's own (self-budgeted) run sets before committing the
-    // enriched artifact; the collector's run never sets it.
-    def writeArtifact(extraSections: String): Unit =
+    // the builder's own (self-budgeted) run sets, and writes to its own
+    // BENCH_PROBES.json; the collector's run never sets it and never
+    // touches that file.
+    def writeArtifact(): Unit =
       java.nio.file.Files.write(artifactPath,
-        (f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$fullQs$extraSections,"sf":"$sfDir"}""" + "\n")
+        (f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failedJson,"queries":$fullQs,"sf":"$sfDir"}""" + "\n")
           .getBytes("UTF-8"))
     // Full per-query detail goes to a FILE: the harness that collects this
     // run keeps only the last ~2000 chars of stdout, and at 90+ queries the
@@ -112,7 +113,7 @@ object Bench {
     // one-line contract always parses; the file carries everything.
     // a filtered (SPARK_GRAFT_QUERIES) iteration run must not clobber the
     // full-run detail file that earlier compact lines point to
-    writeArtifact("")
+    writeArtifact()
     val slowestFirst = results.sortBy(-_._2).map(entry)
     // chars for the queries map: overhead + the collector's trailing sbt
     // status line still fit inside 2000. Stop at the FIRST entry that
@@ -131,9 +132,15 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nq":${results.size},"n_failed":${failed.size},"failed":$failedJson,"omitted_fastest":$omitted,"detail":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     // ---- env-gated scale probes (builder self-runs only) ----
+    // Probes write their OWN artifact (BENCH_PROBES.json), never
+    // BENCH_FULL.json: the collector regenerates BENCH_FULL.json at
+    // end-of-round from a probe-less run, which in round 15 silently
+    // destroyed the committed cluster_scale/cosine_scale/lake_plan/
+    // encoder_scale/bench_isolated evidence. A separate file the
+    // collector never writes survives the regen.
     val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES").contains("1")
     if (probes && only.isEmpty) {
-      System.err.println("[bench] scale probes enabled — enriching artifact")
+      System.err.println("[bench] scale probes enabled — writing BENCH_PROBES.json")
       val lp = lakePlanBench(spark)
       val cp = csvPlanBench(spark)
       val cs = cosineScaleBench(spark, sfDir)
@@ -152,8 +159,11 @@ object Bench {
           suite.get(m.group(1)).map(s => s / math.max(m.group(2).toDouble, 1e-9))).toSeq
         if (ratios.isEmpty) "null" else f"${ratios.max}%.2f"
       }
-      writeArtifact(s""","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"cluster_scale":$xs,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio""")
-      System.err.println("[bench] artifact enriched with scale-probe sections")
+      val probesPath = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_PROBES.json")
+      java.nio.file.Files.write(probesPath,
+        (f"""{"suite_total":$total%.3f,"suite_nq":${results.size},"sf":"$sfDir","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"cluster_scale":$xs,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio}""" + "\n")
+          .getBytes("UTF-8"))
+      System.err.println("[bench] scale-probe sections written to BENCH_PROBES.json")
     }
     spark.stop()
   }

@@ -2556,12 +2556,24 @@ object OracleSql {
          |            AND len(map_extract(m, $piece)) > 0] END AS cands
          |    FROM $pfx${k - 1}, $vmCte))""".stripMargin
     }
+    // Loud length guard: a word longer than the unrolled steps would read
+    // st past its end → NULL wsc/segs that downstream SUMs silently skip
+    // while the engine segments any length — a silent oracle divergence.
+    // Current lakes cap at 8 chars; if a future corpus exceeds maxSteps
+    // the sweep must FAIL, not drift.
+    val guard =
+      s"""${pfx}G AS (
+         |  SELECT CASE WHEN max(length(word)) > $maxSteps
+         |    THEN error('unigramDpCtes $pfx: word length ' ||
+         |      CAST(max(length(word)) AS VARCHAR) ||
+         |      ' exceeds unrolled DP steps $maxSteps')
+         |    ELSE 1 END AS ok FROM $src)""".stripMargin
     val fin =
       s"""${pfx}F AS (
          |  SELECT ${kc}word, struct_extract(st[length(word) + 1], 'sc') AS wsc,
          |    struct_extract(st[length(word) + 1], 'segs') AS segs
-         |  FROM $pfx$maxSteps)""".stripMargin
-    (base +: steps :+ fin).mkString(",\n")
+         |  FROM $pfx$maxSteps, ${pfx}G WHERE ${pfx}G.ok = 1)""".stripMargin
+    (base +: guard +: steps :+ fin).mkString(",\n")
   }
 
   /** Micro-quantized log-prob scores over a (piece, cnt) CTE — the

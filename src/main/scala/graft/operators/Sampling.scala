@@ -157,15 +157,24 @@ object Sampling {
       .withColumn("__isq",
         floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
     val grand = totals.agg(sum(col("__isq")).as("__sisq"))
+    // ppm products run in DECIMAL(38,0): the Long forms wrap silently in
+    // non-ANSI Spark once budget exceeds ~9.2e12 tokens (budget·ppm) or a
+    // bucket holds >8.5e13 tokens (isq·10⁶) — real magnitudes for a
+    // 100 TB corpus plan — while DuckDB `//` raises, so the engines would
+    // diverge exactly where the plan matters. Products peak ≈ 10²⁵, deep
+    // inside 38 digits; `div` returns BIGINT and every quotient is
+    // ≤ budget by construction, so the output schema is unchanged.
     totals.crossJoin(broadcast(grand))
-      .withColumn("weight_ppm", expr("__isq * 1000000 div __sisq"))
+      .withColumn("weight_ppm",
+        expr("CAST(__isq AS DECIMAL(38,0)) * 1000000 div __sisq"))
       .withColumn("desired_tokens",
-        expr(s"${budget}L * weight_ppm div 1000000"))
+        expr(s"CAST(${budget} AS DECIMAL(38,0)) * weight_ppm div 1000000"))
       .withColumn("epochs_micro",
         when(col("n_tokens") === 0, lit(0L)).otherwise(least(
           lit(maxEpochs * 1000000L),
-          expr("desired_tokens * 1000000 div n_tokens"))))
-      .withColumn("actual_tokens", expr("n_tokens * epochs_micro div 1000000"))
+          expr("CAST(desired_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens"))))
+      .withColumn("actual_tokens",
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * epochs_micro div 1000000"))
       .select(k ++ Seq(col("n_docs"), col("n_tokens"), col("weight_ppm"),
         col("desired_tokens"),
         (col("epochs_micro").cast("double") / 1e6).as("epochs_r"),

@@ -161,6 +161,26 @@ class SamplingSpec extends SparkSpec {
     assert(tEp == 4.0 && tAct == 64L && tShort == tDes - 64L && tShort > 0L,
       out("tail").toString)
   }
+
+  test("epochCappedPlan: corpus-scale budget does not wrap the ppm products") {
+    // budget·ppm ≈ 8.3e20 overflows Long (silent wrap pre-fix: desired
+    // came out NEGATIVE); the DECIMAL(38,0) products stay exact
+    val docs = ((1L to 100L).map(i => (i, "head")) ++
+      (101L to 104L).map(i => (i, "tail")))
+      .toDF("id", "src")
+      .withColumn("text", lit("a b c d")) // head: 400 tokens, tail: 16
+    val out = Sampling.epochCappedPlan(docs, Seq("src"),
+      graft.functions.TextFunctions.token_count(col("text")),
+      budget = 1000000000000000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(6), r.getLong(7))).toMap
+    val (hPpm, hDes, hAct, hShort) = out("head")
+    // isq: head 20000000, tail 4000000 → ppm = 2e7·1e6 div 2.4e7
+    assert(hPpm == 833333L, s"ppm $hPpm")
+    assert(hDes == 833333L * 1000000000L, s"desired wrapped? $hDes")
+    // cap binds everywhere at this budget: 4 epochs over 400 tokens
+    assert(hAct == 1600L && hShort == hDes - 1600L && hShort > 0L)
+  }
 }
 
 class DecontaminationSpec extends SparkSpec {
