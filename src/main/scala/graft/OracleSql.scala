@@ -2530,6 +2530,13 @@ object OracleSql {
                             vmCte: String, maxPieceLen: Int,
                             maxSteps: Int): String = {
     val kc = if (keep.isEmpty) "" else keep + ", "
+    // vmCte empty = PER-ROW map mode: the source relation carries its own
+    // score map in a column `m` (which the caller must list in `keep` so
+    // it rides through every step) — the prune oracle's alt-path DP,
+    // where each (word, removed-piece) row segments under a different
+    // map, uses this; the shared-vocab callers cross-join the 1-row map
+    // CTE exactly as before.
+    def from(prev: String) = if (vmCte.isEmpty) prev else s"$prev, $vmCte"
     val base =
       s"""${pfx}0 AS (
          |  SELECT ${kc}word,
@@ -2554,7 +2561,7 @@ object OracleSql {
          |         FOR i IN range(greatest(1, $k - $maxPieceLen + 1), $k + 1)
          |         IF struct_extract(st[i], 'sc') IS NOT NULL
          |            AND len(map_extract(m, $piece)) > 0] END AS cands
-         |    FROM $pfx${k - 1}, $vmCte))""".stripMargin
+         |    FROM ${from(s"$pfx${k - 1}")}))""".stripMargin
     }
     // Loud length guard: a word longer than the unrolled steps would read
     // st past its end → NULL wsc/segs that downstream SUMs silently skip
@@ -2681,6 +2688,46 @@ object OracleSql {
        |  (CASE WHEN q >= 0 THEN floor(q + 0.5) ELSE ceil(q - 0.5) END) / 1000000.0
        |    AS fertility
        |FROM ag ORDER BY lang""".stripMargin
+
+  /** t2_unigram_prune: the likelihood-quota prune decision table — best
+    * paths under the trained vocab (`up_`), then a PER-ROW-MAP alt-path
+    * DP (`ua_`): each (word, used-multi-piece) row re-segments under the
+    * vocab map with that piece deleted; exact micro-nat loss sums, the
+    * essential flag for pieces whose removal breaks segmentability, and
+    * the top-12-multis quota rank ((essential, loss) desc, piece asc).
+    * Single characters are never candidates and always keep. */
+  private def unigramPruneSql: String =
+    s"""WITH ${unigramTrainCtes},
+       |${unigramDpCtes("up_", "uw", "cnt", "uv2m", 4, 10)},
+       |upu AS MATERIALIZED (
+       |  SELECT word, cnt, best_sc, piece FROM (
+       |    SELECT word, cnt, wsc AS best_sc,
+       |      unnest(list_distinct(list_filter(segs, p -> length(p) > 1))) AS piece
+       |    FROM up_F)),
+       |ua0 AS MATERIALIZED (
+       |  SELECT word, cnt, best_sc, piece,
+       |    map_from_entries(list_filter(map_entries(v.m), e -> e.key <> piece)) AS m
+       |  FROM upu, uv2m v),
+       |${unigramDpCtes("ua_", "ua0", "m, cnt, best_sc, piece", "", 4, 10)},
+       |ulos AS (
+       |  SELECT piece,
+       |    max(CASE WHEN wsc IS NULL THEN 1 ELSE 0 END) = 1 AS essential,
+       |    CAST(sum(cnt * (best_sc - coalesce(wsc, best_sc))) AS BIGINT) AS loss
+       |  FROM ua_F GROUP BY piece)
+       |SELECT piece, cnt, CAST(NULL AS BIGINT) AS loss, FALSE AS essential,
+       |  TRUE AS kept
+       |FROM uv2 WHERE length(piece) = 1
+       |UNION ALL
+       |SELECT piece, cnt, loss, essential,
+       |  essential OR
+       |  row_number() OVER (ORDER BY essential DESC, loss DESC, piece) <= 12
+       |    AS kept
+       |FROM (
+       |  SELECT v.piece, v.cnt, coalesce(l.loss, 0) AS loss,
+       |    coalesce(l.essential, FALSE) AS essential
+       |  FROM uv2 v LEFT JOIN ulos l USING (piece)
+       |  WHERE length(v.piece) > 1)
+       |ORDER BY piece""".stripMargin
 
   /** st_stream_unigram: streamed == batch — the per-language encode
     * rollup with the exact-integer path log-likelihood sum. */
@@ -5897,6 +5944,7 @@ object OracleSql {
     "t2_unigram_train" -> unigramTrainSql,
     "t2_unigram_encode" -> unigramEncodeSql,
     "t2_unigram_fertility" -> unigramFertilitySql,
+    "t2_unigram_prune" -> unigramPruneSql,
     "t2_tokenizer_compare" -> tokenizerCompareSql,
     "st_stream_unigram" -> unigramStreamSql,
     "t_quality_filter" -> qualityFilterSql,

@@ -2912,6 +2912,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Likelihood-quota prune decision table
+    * ([[graft.ml.Unigram.pruneByLoss]]): the trained unigram vocab
+    * ranked by the exact micro-nat corpus-likelihood loss of removing
+    * each multi-char piece (per-word alt-path Viterbi under the map
+    * minus that piece), essential pieces flagged, quota = all single
+    * chars + top-12 multis. The oracle replays the trainer cascade,
+    * the best-path DP, AND the per-(word, piece) alt-path DP with a
+    * per-row score map. */
+  private def unigramPruneQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.Unigram
+    val wf = Unigram.wordFreq(t(s, dir, "documents"), "text", maxWords = 40)
+    val vocab = Unigram.train(wf, maxPieceLen = 4, maxSeed = 60, emRounds = 2)
+    val nSingles = Unigram.collectVocab(vocab).count(_._1.length == 1)
+    Unigram.pruneByLoss(wf, vocab, targetSize = nSingles + 12, maxPieceLen = 4)
+      .select(col("piece"), col("cnt").cast("long").as("cnt"), col("loss"),
+        col("essential"), col("kept"))
+      .orderBy("piece")
+  }
+
   /** Tokenizer fertility per language under the corpus-trained
     * unigram-LM vocabulary — the same multilingual-vocabulary health
     * table `t2_bpe_fertility` publishes for BPE, so the two trainers'
@@ -4534,6 +4553,7 @@ object SparkEntry {
     "t2_unigram_train" -> unigramTrainQ,
     "t2_unigram_encode" -> unigramEncodeQ,
     "t2_unigram_fertility" -> unigramFertilityQ,
+    "t2_unigram_prune" -> unigramPruneQ,
     "t2_tokenizer_compare" -> tokenizerCompareQ,
     "st_stream_unigram" -> streamingUnigramQ,
     "ann_kmeans_ivf" -> annKmeansIvf,

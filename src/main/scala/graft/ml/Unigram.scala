@@ -145,6 +145,85 @@ object Unigram {
     vocab
   }
 
+  /** Likelihood-quota prune (the knob production SentencePiece tunes;
+    * Kudo 2018 §3.2's "prune by loss" step, hard-EM variant): rank every
+    * multi-character piece by the exact corpus-likelihood LOSS its
+    * removal would cost — Σ over words whose best path uses p of
+    * cnt·(best_sc − alt_sc), where alt is the word's Viterbi score with
+    * p deleted from the score map — and keep only the top pieces up to
+    * `targetSize` total vocabulary. All arithmetic stays in the trainer's
+    * integer micro-nats, so ranking and ties ((essential, loss) desc,
+    * piece asc) are exact and engine-replayable. Single characters are
+    * never candidates (they are the segmentability floor); a piece whose
+    * removal leaves some word with NO path is `essential`, ranks above
+    * every loss value, and is kept even when the essential set alone
+    * exceeds the quota (coverage outranks targetSize — the SentencePiece
+    * required-piece guarantee). Returns the full decision table —
+    * (piece, cnt, loss, essential, kept) — so a pipeline can audit what
+    * a quota would cut before committing to it; `loss` is NULL for
+    * single characters and, for essential pieces, sums only the words
+    * that stay segmentable.
+    *
+    * Scale shape: one Viterbi projection over the capped word relation
+    * for the best paths, one over the (word × used-multi-piece) explode
+    * for the alt paths (bounded: ≤ pieces-per-word per word, the map
+    * surgery is a per-row `map_filter` on the broadcast literal), one
+    * vocab-sized aggregate; the ranking window orders a ≤ vocab-sized
+    * relation (maxSeed-bounded), never corpus rows. */
+  def pruneByLoss(words: DataFrame, vocab: DataFrame, targetSize: Int,
+                  maxPieceLen: Int = 4): DataFrame = {
+    val vseq = collectVocab(vocab)
+    val nSingles = vseq.count(_._1.length == 1)
+    val keepMultis = math.max(0, targetSize - nSingles)
+    val vm = scoreMapLit(vseq)
+    val best = words
+      .select(col("word"), col("cnt"),
+        viterbi(col("word"), vm, maxPieceLen).as("__b"))
+      .select(col("word"), col("cnt"),
+        col("__b").getField("sc").as("best_sc"),
+        col("__b").getField("segs").as("segs"))
+      .filter(col("best_sc").isNotNull)
+    val used = best.select(col("word"), col("cnt"), col("best_sc"),
+      explode(array_distinct(filter(col("segs"),
+        p => length(p) > 1))).as("piece"))
+    val alt = used.withColumn("alt_sc",
+      viterbi(col("word"), map_filter(vm, (k, _) => k =!= col("piece")),
+        maxPieceLen).getField("sc"))
+    val lossByPiece = alt.groupBy("piece").agg(
+      max(col("alt_sc").isNull).as("essential"),
+      sum(col("cnt") * (col("best_sc") - coalesce(col("alt_sc"), col("best_sc"))))
+        .cast("long").as("loss"))
+    val singles = vocab.filter(length(col("piece")) === 1)
+      .select(col("piece"), col("cnt"),
+        lit(null).cast("long").as("loss"),
+        lit(false).as("essential"), lit(true).as("kept"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("essential"), desc("loss"), asc("piece"))
+    val multis = vocab.filter(length(col("piece")) > 1)
+      .join(lossByPiece, Seq("piece"), "left")
+      .select(col("piece"), col("cnt"),
+        coalesce(col("loss"), lit(0L)).as("loss"),
+        coalesce(col("essential"), lit(false)).as("essential"))
+      // coverage outranks the quota: essential pieces are kept even when
+      // they exceed targetSize (they rank first, so this only triggers
+      // when the quota is smaller than the essential set — a quota that
+      // tight would otherwise leave words unsegmentable)
+      .withColumn("kept",
+        col("essential") || (row_number().over(w) <= lit(keepMultis)))
+    singles.unionByName(multis.select(singles.columns.map(col): _*))
+  }
+
+  /** [[train]] then [[pruneByLoss]] to `targetSize`, rescored: the kept
+    * pieces re-segment the word relation once more and rescore from the
+    * resulting counts — the vocabulary a quota-tuned pipeline ships. */
+  def trainPruned(words: DataFrame, targetSize: Int, maxPieceLen: Int = 4,
+                  maxSeed: Int = 60, emRounds: Int = 2): DataFrame = {
+    val v = train(words, maxPieceLen, maxSeed, emRounds)
+    val kept = pruneByLoss(words, v, targetSize, maxPieceLen)
+      .filter(col("kept")).select("piece")
+    scored(emCounts(words, collectVocab(v.join(kept, "piece")), maxPieceLen))
+  }
+
   /** Collect a bounded scored vocab to (piece, sc) pairs, piece-sorted
     * (order only affects the map literal's argument order, not lookup). */
   def collectVocab(vocab: DataFrame): Seq[(String, Long)] =

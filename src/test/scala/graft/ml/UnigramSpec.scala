@@ -80,4 +80,52 @@ class UnigramSpec extends SparkSpec {
       .orderBy("piece").collect().map(_.toString).mkString("|")
     assert(run() == run())
   }
+
+  test("pruneByLoss: exact loss, essential flag, quota rank") {
+    // words: "ab"×10 (best ["ab"] = -10; alt ["a","b"] = -60 → loss 500),
+    //        "cd"×3  (best ["cd"] = -20; no "c"/"d" singles → essential)
+    val words = Seq(("ab", 10L), ("cd", 3L)).toDF("word", "cnt")
+    val vocab = Seq(
+      ("a", 1L, -30L), ("b", 1L, -30L), ("ab", 1L, -10L), ("cd", 1L, -20L))
+      .toDF("piece", "cnt", "sc")
+    // targetSize = 2 singles + 1 multi → the quota must pick the
+    // essential "cd" over "ab" despite ab's larger loss
+    val out = Unigram.pruneByLoss(words, vocab, targetSize = 3, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3),
+          r.getBoolean(4)))).toMap
+    assert(out("a") == ((None, false, true)) && out("b") == ((None, false, true)))
+    assert(out("ab") == ((Some(500L), false, false)), out("ab").toString)
+    assert(out("cd")._2 && out("cd")._3, out("cd").toString) // essential, kept
+    // raising the quota keeps both multis, ab ranked by its loss
+    val out4 = Unigram.pruneByLoss(words, vocab, targetSize = 4, maxPieceLen = 4)
+      .filter(col("kept")).count()
+    assert(out4 == 4L)
+  }
+
+  test("pruneByLoss: unused multi-char pieces rank at loss 0 and prune first") {
+    val words = Seq(("ab", 5L)).toDF("word", "cnt")
+    val vocab = Seq( // "zz" is in vocab but no word uses it
+      ("a", 1L, -30L), ("b", 1L, -30L), ("ab", 1L, -10L), ("zz", 1L, -99L))
+      .toDF("piece", "cnt", "sc")
+    val out = Unigram.pruneByLoss(words, vocab, targetSize = 3, maxPieceLen = 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(out("ab") && !out("zz"), out.toString)
+  }
+
+  test("trainPruned shrinks the vocab but never breaks segmentability") {
+    // the standalone single-char words keep the alphabet in the trained
+    // vocab, so every multi has a single-char alt path (none essential)
+    // and the 1-multi quota genuinely binds
+    val docs = Seq((1L, "a b c d x y aaab aaab cd xyxy"),
+      (2L, "a b c d x y aaab cd cd xyxy")).toDF("doc_id", "text")
+    val wf = Unigram.wordFreq(docs, "text", 12)
+    val full = Unigram.train(wf, 4, 20, 2)
+    val nSingles = Unigram.collectVocab(full).count(_._1.length == 1)
+    val pruned = Unigram.trainPruned(wf, targetSize = nSingles + 1)
+    assert(pruned.count() < full.count())
+    val enc = Unigram.encodeCorpus(docs, "text", "doc_id",
+      Unigram.collectVocab(pruned), maxPieceLen = 4)
+    assert(enc.filter(col("pieces").isNull).count() == 0)
+  }
 }
