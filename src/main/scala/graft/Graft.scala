@@ -116,7 +116,8 @@ object Graft {
   def dedupCorpus(docs: DataFrame, threshold: Double = 0.8,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     operators.Dedup.dropNearDuplicates(docs,
-      operators.Dedup.minhashNearDups(docs, threshold, idCol, textCol), idCol)
+      operators.Dedup.minhashNearDups(docs, threshold, idCol, textCol,
+        bands = 20), idCol)
 
   def qualityFilter(docs: DataFrame,
                     rules: operators.TextAnalysis.QualityRules =

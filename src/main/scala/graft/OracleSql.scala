@@ -2846,6 +2846,34 @@ object OracleSql {
       |  CAST(sum(CASE WHEN jaccard < 0.5 THEN CAST(p AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS exp_false_caught
       |FROM p GROUP BY b, r ORDER BY b""".stripMargin
 
+  /** d_lsh_autoplan: the analytic band-plan chooser's table — every
+    * divisor plan of the 32-hash budget scored on the 99-point Jaccard
+    * grid against a τ=0.5 step (FP mass below, miss mass above), micro-
+    * integer sums, argmin chosen on (err, b). Same rounding order as
+    * the engine's Dedup.bandPlanTable; no table scan on either side. */
+  private def lshAutoplanSql: String =
+    """WITH grid AS (
+      |  SELECT b, 32 // b AS r FROM (SELECT unnest([1, 2, 4, 8, 16, 32]) AS b)),
+      |js AS (
+      |  SELECT b, r, CAST(ji AS DOUBLE) / 100.0 AS j
+      |  FROM grid, (SELECT unnest(range(1, 100)) AS ji)),
+      |pm AS (
+      |  SELECT b, r, j,
+      |    CAST(round(round(1.0 - power(1.0 - round(power(j, r), 6), b), 6)
+      |      * 1000000.0, 0) AS BIGINT) AS p_micro
+      |  FROM js),
+      |agg AS (
+      |  SELECT b, r,
+      |    CAST(sum(CASE WHEN j < 0.5 THEN p_micro ELSE 0 END) AS BIGINT) AS fp_micro,
+      |    CAST(sum(CASE WHEN j >= 0.5 THEN 1000000 - p_micro ELSE 0 END) AS BIGINT) AS fn_micro
+      |  FROM pm GROUP BY b, r)
+      |SELECT b, r,
+      |  CAST(fp_micro AS DOUBLE) / 1000000.0 AS exp_fp,
+      |  CAST(fn_micro AS DOUBLE) / 1000000.0 AS exp_fn,
+      |  CAST(fp_micro + fn_micro AS DOUBLE) / 1000000.0 AS exp_err,
+      |  row_number() OVER (ORDER BY fp_micro + fn_micro, b) = 1 AS chosen
+      |FROM agg ORDER BY b""".stripMargin
+
   /** a_bootstrap_ci: replay the deterministic Poisson bootstrap — the
     * same md5-uniforms, the same integer CDF thresholds, exact long
     * weight·cents sums, positional CI over the 32 sorted replica means. */
@@ -5983,6 +6011,7 @@ object OracleSql {
     "st_stream_decontam" -> decontamSql,
     "e2e_curation_funnel" -> curationFunnelSql,
     "d_lsh_calibration" -> lshCalibrationSql,
+    "d_lsh_autoplan" -> lshAutoplanSql,
     "a_bootstrap_ci" -> bootstrapCiSql,
     "d_bloom_prefilter" -> bloomPrefilterSql,
 

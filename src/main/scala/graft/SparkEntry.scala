@@ -1528,7 +1528,7 @@ object SparkEntry {
   }
 
   private def minhashNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.05)
+    Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.05, bands = 20)
       .orderBy("id_a", "id_b")
 
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
@@ -2676,7 +2676,7 @@ object SparkEntry {
     * one representative per cluster. The id checksum pins the kept SET. */
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05)
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05, bands = 20)
     Dedup.dropNearDuplicates(docs, pairs)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs_kept"),
@@ -2756,7 +2756,7 @@ object SparkEntry {
     * the exact assignment; DuckDB replays closure + hash. */
   private def leakageSplitQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05)
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05, bands = 20)
     graft.sources.Splits.leakageSafeSplit(docs, pairs,
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
       .groupBy("split")
@@ -2771,7 +2771,7 @@ object SparkEntry {
     * of an arbitrary representative. */
   private def clusterCanonicalQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05)
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.05, bands = 20)
     Dedup.canonicalPerCluster(docs, pairs, "n_chars")
       .orderBy("cluster")
   }
@@ -3577,6 +3577,17 @@ object SparkEntry {
           .cast("double").as("exp_false_caught"))
       .orderBy("b")
   }
+
+  /** LSH auto band plan ([[graft.operators.Dedup.bandPlanTable]]) — the
+    * d_lsh_calibration S-curve fed back into the engine at the same
+    * τ = 0.5 / 32-hash budget: expected false-positive and miss masses
+    * for every divisor plan (b·r = 32) over the 99-point analytic
+    * Jaccard grid, and the argmin `chosen` flag
+    * [[graft.operators.Dedup.planBands]] returns —
+    * `Dedup.minhashNearDups` now defaults its banding to that choice.
+    * No data scan: pure integer-micro arithmetic on both engines. */
+  private def lshAutoplanQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandPlanTable(s, threshold = 0.5, nHashes = 32)
 
   /** End-to-end curation funnel — the per-stage survival table a corpus
     * build publishes (the "data card" funnel): all docs → Gopher-rule
@@ -4576,6 +4587,7 @@ object SparkEntry {
     "d_decontam_report" -> decontamReport,
     "e2e_curation_funnel" -> curationFunnelQ,
     "d_lsh_calibration" -> lshCalibrationQ,
+    "d_lsh_autoplan" -> lshAutoplanQ,
     "a_bootstrap_ci" -> bootstrapCiQ,
     "emb_pca_power" -> pcaPowerQ,
     "emb_abtt" -> abttQ,

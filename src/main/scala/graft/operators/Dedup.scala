@@ -46,10 +46,86 @@ object Dedup {
     graft.sources.Lake.balance(docs).select(col(idCol),
       minhash_set(word_shingles(col(textCol), shingleSize)).as("mh"))
 
+  /** Analytic LSH band planner — the d_lsh_calibration S-curve fed back
+    * into the engine: among every (b, r) with b·r = nHashes, pick the
+    * plan minimizing the expected banding error against a step function
+    * at `threshold`, error = Σ over the 99-point Jaccard grid
+    * (J = 0.01 … 0.99) of P(J) where J < τ (false-positive mass) plus
+    * 1 − P(J) where J ≥ τ (miss mass), P(J) = 1 − (1 − J^r)^b. No data
+    * scan — pure driver arithmetic; J^r and P round to 6 dp in exactly
+    * the calibration query's order (Spark `round` HALF_UP semantics) and
+    * the error accumulates in integer micro-units, so the argmin and its
+    * (err asc, b asc) tie-break are exact and replayable on any engine.
+    * Fewer bands win ties: fewer band keys = a cheaper collision join. */
+  def planBands(threshold: Double, nHashes: Int): (Int, Int) = {
+    require(nHashes > 0 && threshold > 0.0 && threshold < 1.0,
+      "planBands needs nHashes > 0 and threshold in (0, 1)")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cands = (1 to nHashes).filter(nHashes % _ == 0).map { b =>
+      val r = nHashes / b
+      var err = 0L
+      var ji = 1
+      while (ji <= 99) {
+        val j = ji.toDouble / 100.0
+        val jr = r6(math.pow(j, r))
+        val p = r6(1.0 - math.pow(1.0 - jr, b))
+        val pm = math.round(p * 1e6)
+        err += (if (j < threshold) pm else 1000000L - pm)
+        ji += 1
+      }
+      (b, r, err)
+    }
+    val best = cands.minBy(c => (c._3, c._1))
+    (best._1, best._2)
+  }
+
+  /** [[planBands]] as a relation — one row per candidate (b, r) with the
+    * false-positive / miss / total expected-error masses and the chosen
+    * flag, the table an engineer reviews before trusting the auto plan.
+    * Same arithmetic as [[planBands]] expressed in DataFrame algebra
+    * (identical rounding order), so the two provably agree; the ranking
+    * window orders ≤ d(nHashes) rows, never data. */
+  def bandPlanTable(spark: org.apache.spark.sql.SparkSession,
+                    threshold: Double, nHashes: Int): DataFrame = {
+    require(nHashes > 0 && threshold > 0.0 && threshold < 1.0,
+      "bandPlanTable needs nHashes > 0 and threshold in (0, 1)")
+    val pairs = (1 to nHashes).filter(nHashes % _ == 0).map(b => (b, nHashes / b))
+    val grid = spark.createDataFrame(pairs).toDF("b", "r")
+    val js = grid.select(col("b"), col("r"),
+        explode(sequence(lit(1), lit(99))).as("ji"))
+      .withColumn("j", col("ji").cast("double") / lit(100.0))
+    val jr = round(pow(col("j"), col("r")), 6)
+    val p = round(lit(1.0) - pow(lit(1.0) - jr, col("b")), 6)
+    val agg = js
+      .withColumn("p_micro", round(p * lit(1000000.0), 0).cast("long"))
+      .groupBy("b", "r")
+      .agg(
+        sum(when(col("j") < lit(threshold), col("p_micro"))
+          .otherwise(lit(0L))).as("fp_micro"),
+        sum(when(col("j") >= lit(threshold), lit(1000000L) - col("p_micro"))
+          .otherwise(lit(0L))).as("fn_micro"))
+      .withColumn("err_micro", col("fp_micro") + col("fn_micro"))
+    val w = Window.orderBy(asc("err_micro"), asc("b"))
+    agg.withColumn("chosen", row_number().over(w) === 1)
+      .select(col("b"), col("r"),
+        (col("fp_micro").cast("double") / 1e6).as("exp_fp"),
+        (col("fn_micro").cast("double") / 1e6).as("exp_fn"),
+        (col("err_micro").cast("double") / 1e6).as("exp_err"),
+        col("chosen"))
+      .orderBy("b")
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with verified estimated
     * Jaccard ≥ threshold. Standard banding: `bands` keys per doc; docs
     * sharing any band key become candidates; candidates are verified with
     * the full digest. Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * `bands` defaults to 0 = AUTO: [[planBands]] picks the
+    * expected-error-minimizing (b, r) for this threshold over the
+    * digest's [[graft.core.MinHash.NumPerm]] slots. Pass an explicit
+    * band count to pin a plan (the catalog queries pin the historical
+    * 20×5 so their oracles replay a fixed banding).
     *
     * Shuffle discipline: the band self-join and pair dedup carry ONLY ids —
     * the 100-slot digests are re-attached afterwards by two joins, so the
@@ -57,13 +133,16 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text",
-                      shingleSize: Int = 3, bands: Int = 20): DataFrame = {
+                      shingleSize: Int = 3, bands: Int = 0): DataFrame = {
+    val nBands =
+      if (bands == 0) planBands(threshold, graft.core.MinHash.NumPerm)._1
+      else bands
     // persisted because three branches (banding + both digest re-attach
     // joins) consume it; blocks release with the session or an explicit
     // spark.catalog.clearCache() between batches
     val sk = docSketches(docs, idCol, textCol, shingleSize).persist()
     val banded = sk.select(col(idCol).as("id"),
-      explode(minhash_bands(col("mh"), bands)).as("band"))
+      explode(minhash_bands(col("mh"), nBands)).as("band"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -728,8 +807,10 @@ object Dedup {
   def lshQualityReport(docs: DataFrame, threshold: Double,
                        shingleSize: Int = 3, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val pred = minhashNearDups(docs, threshold, idCol, textCol, shingleSize)
-      .select("id_a", "id_b")
+    // pinned to the historical 20×5 plan: the audit's oracle replays a
+    // fixed banding; auditing the auto plan = pass planBands' choice here
+    val pred = minhashNearDups(docs, threshold, idCol, textCol, shingleSize,
+      bands = 20).select("id_a", "id_b")
     val truth = exactJaccardSelfJoin(docs, threshold, shingleSize, idCol, textCol)
       .select("id_a", "id_b")
     val hit = pred.join(truth, Seq("id_a", "id_b"), "left_semi")

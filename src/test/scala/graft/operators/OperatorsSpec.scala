@@ -85,6 +85,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("planBands matches bandPlanTable's argmin and scales with threshold") {
+    val table = Dedup.bandPlanTable(spark, 0.5, 32).collect()
+    assert(table.length == 6) // divisors of 32
+    val chosen = table.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1)
+    val (b, r) = Dedup.planBands(0.5, 32)
+    assert(b * r == 32)
+    assert(chosen(0).getAs[Int]("b") == b && chosen(0).getAs[Int]("r") == r,
+      s"table chose ${chosen(0)}, planBands ($b,$r)")
+    // the chosen row IS the table's expected-error argmin
+    assert(chosen(0).getAs[Double]("exp_err") ==
+      table.map(_.getAs[Double]("exp_err")).min)
+    // on the 100-slot digest budget: a permissive threshold plans more
+    // bands (recall) than a strict one, and both divide the budget
+    val (b05, r05) = Dedup.planBands(0.05, 100)
+    val (b80, r80) = Dedup.planBands(0.8, 100)
+    assert(b05 * r05 == 100 && b80 * r80 == 100)
+    assert(b05 > b80, s"expected more bands at tau=0.05: $b05 vs $b80")
+  }
+
   test("simhashNearDups flags near-identical docs") {
     val pairs = Dedup.simhashNearDups(docs, maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
