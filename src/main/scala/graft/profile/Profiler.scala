@@ -208,8 +208,20 @@ object Profiler {
     // distinct values per partition before any shuffle); schema sentinels
     // ride through with freq 0 so every column aggregates to a row even
     // when it has no cells (empty table)
-    val hist = long.groupBy(keyCols ++ Seq(col("value_str"), col("value_num")): _*)
+    val hist0 = long.groupBy(keyCols ++ Seq(col("value_str"), col("value_num")): _*)
       .agg(sum(when(col("present"), 1L).otherwise(0L)).as("freq"))
+    // With quantiles on, the stage-1 histogram is MATERIALIZED once
+    // (eager localCheckpoint + stats-barrier re-wrap): the stats branch,
+    // the decile cum-sums, AND the decile branch's three driver-built
+    // broadcasts (rng/probes/coverB) all read the local leaf, so the
+    // cell relation is scanned and shuffled exactly once per run and no
+    // broadcast build ever replays it on a busy driver (the r14-r15
+    // a4_quantiles in-suite inflation mechanism). The materialized
+    // relation is the DISTINCT-value histogram — i.e. at most the
+    // stage-1 shuffle Spark already writes to local disk. Without
+    // quantiles there is no multi-branch fan-out, so the plan stays a
+    // single streaming aggregate.
+    val hist = if (withQuantiles) cpBarrier(hist0) else hist0
 
     // Exact decimal sums power order-independent quantile-vector mean/std
     // (bit-identical across engines). A value past the guard (decimal CSV
@@ -275,7 +287,8 @@ object Profiler {
         .filter(col("value_num").isNotNull && col("freq") > 0)
         .select(col("table_name"), col("col_idx"), col("value_num"), col("freq"))
       aggd0.join(
-        decilesFromHist(valueHist, QuantileProbs, Seq("table_name", "col_idx")),
+        decilesFromHist(valueHist, QuantileProbs, Seq("table_name", "col_idx"),
+          materialize = false), // `hist` is already a local leaf
         Seq("table_name", "col_idx"), "left")
     }
 
@@ -349,8 +362,18 @@ object Profiler {
     */
   val DecileBuckets = 1024
 
+  /** Eager localCheckpoint + the house stats-barrier re-wrap (see
+    * Dedup.cpOnly): materializes `df` NOW and returns a fresh-stats
+    * local leaf. Used to pin multi-consumer relations whose small-side
+    * broadcasts must not replay the upstream plan per build. */
+  private def cpBarrier(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    df.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   def decilesFromHist(hist: DataFrame, probs: Seq[Double],
-                      keys: Seq[String] = Seq("col_idx")): DataFrame = {
+                      keys: Seq[String] = Seq("col_idx"),
+                      materialize: Boolean = true): DataFrame = {
     val k = keys.map(col)
     // Accepts any (keys…, value_num, freq) histogram, WITHOUT re-aggregating
     // to distinct value_num first: duplicate (keys, value_num) rows (e.g. a
@@ -362,21 +385,20 @@ object Profiler {
     // values accumulate per row, not per peer group. Null value rows
     // (string columns) ride along as bucket −1: no offset match → never
     // covering.
-    // Materialize the histogram ONCE (eager localCheckpoint + the house
-    // stats-barrier re-wrap, see Dedup.cpOnly): every small side below
+    // Materialize the histogram ONCE (default): every small side below
     // (rng, probes, coverB) is a driver-built broadcast whose child plan
     // would otherwise replay the upstream scan + stage-1 shuffle per
     // build. Under a loaded driver those sequential broadcast builds
-    // serialized and inflated this operator 5-8× while neighbors moved
+    // serialized and inflated a4_quantiles 5-8× while neighbors moved
     // ~1.3× (rounds 14-15); building them from a local RDD leaf makes
     // each a milliseconds job. On a real cluster the same shape holds
     // (the materialized relation is the DISTINCT-value histogram, i.e.
-    // ≤ stage-1 shuffle size, which Spark writes to local disk anyway);
-    // callers that cannot tolerate localCheckpoint's executor-loss
-    // recompute semantics should feed an already-persisted histogram.
+    // ≤ stage-1 shuffle size, which Spark writes to local disk anyway).
+    // Callers that already feed a materialized/persisted histogram (the
+    // profiler checkpoints stage-1 itself so its stats branch shares the
+    // same leaf) pass materialize = false.
     val h0 = hist.select(k ++ Seq(col("value_num"), col("freq")): _*)
-    val hCp = h0.localCheckpoint(true)
-    val h = hist.sparkSession.createDataFrame(hCp.rdd, hCp.schema)
+    val h = if (materialize) cpBarrier(h0) else h0
     val rng = h.groupBy(k: _*).agg(
       min(col("value_num")).as("vmin"), max(col("value_num")).as("vmax"),
       sum(when(col("value_num").isNotNull, col("freq")).otherwise(0L)).as("n"))

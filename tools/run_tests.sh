@@ -17,8 +17,9 @@ sbt -batch test 2>&1 | tee "$LOG"
 EXIT=${PIPESTATUS[0]}
 # scalatest summary: "Tests: succeeded 273, failed 0, canceled 0, ignored 0, pending 0"
 SUMMARY=$(grep -E '^\[info\] Tests: ' "$LOG" | tail -1 | sed 's/^\[info\] //')
-# sbt summary: "Passed: Total 545, Failed 0, Errors 0, Passed 545"
-SBT_SUMMARY=$(grep -E '^\[info\] Passed: Total ' "$LOG" | tail -1 | sed 's/^\[info\] //')
+# sbt summary: "Passed: Total 545, Failed 0, Errors 0, Passed 545" on
+# success, "[error] Failed: Total N, Failed N, ..." on failure
+SBT_SUMMARY=$(grep -E '^\[(info|error)\] (Passed|Failed): Total ' "$LOG" | tail -1 | sed -E 's/^\[(info|error)\] //')
 SUCC=$(echo "$SBT_SUMMARY" | sed -nE 's/.*Total ([0-9]+).*/\1/p')
 FAIL=$(echo "$SBT_SUMMARY" | sed -nE 's/.*Failed ([0-9]+).*/\1/p')
 SUITES=$(grep -cE '^\[info\] [A-Za-z0-9.]*Spec:$' "$LOG")
