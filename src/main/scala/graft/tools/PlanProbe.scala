@@ -2,8 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: does AQE reuse the stage-1 histogram exchange across the
-  * stats and decile branches of profileFromLong at runtime? */
+/** Scratch: inspect the profileFromLong executed plan. Round 8 asked
+  * "does AQE reuse the stage-1 exchange across the stats and decile
+  * branches?"; since round 16 the answer is moot — stage-1 is a single
+  * materialized leaf (Profiler.cpBarrier) that every branch reads, so
+  * the interesting output is now the leaf scans and remaining
+  * exchanges. */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
