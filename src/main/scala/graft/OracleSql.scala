@@ -3100,6 +3100,66 @@ object OracleSql {
        |         CAST(sum(lpm) AS DOUBLE) / count(*) AS m
        |       FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** t_nb_langid: replay the multinomial-NB trainer + scorer exactly —
+    * train on doc_id%5<>0, capped vocab by (global count desc, word
+    * asc), Laplace(+1) log-likelihoods and class priors micro-quantized
+    * with the house half-away rounding, unseen words = the class
+    * default ln(1/(tot+V)), BIGINT posterior sums, argmax ties to the
+    * ascending class. Confusion matrix with exact micro-nat checksums. */
+  private def nbLangIdSql: String =
+    raw"""WITH tr AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |te AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |trtok AS (SELECT lang AS cls, unnest(w) AS word FROM tr),
+      |gv AS (SELECT word FROM (SELECT word, count(*) AS gc FROM trtok GROUP BY word)
+      |       ORDER BY gc DESC, word LIMIT 2000),
+      |cw AS (SELECT cls, word, count(*) AS cnt FROM trtok JOIN gv USING (word)
+      |       GROUP BY cls, word),
+      |ct AS (SELECT cls, sum(cnt) AS tot FROM cw GROUP BY cls),
+      |vs AS (SELECT count(*) AS v FROM gv),
+      |nd AS (SELECT lang AS cls, count(*) AS ndc FROM tr GROUP BY 1),
+      |ndt AS (SELECT count(*) AS ndt FROM tr),
+      |cls AS (
+      |  SELECT ct.cls,
+      |    CAST(CASE WHEN lp >= 0 THEN floor(lp + 0.5) ELSE ceil(lp - 0.5) END AS BIGINT) AS prior_sc,
+      |    CAST(CASE WHEN ld >= 0 THEN floor(ld + 0.5) ELSE ceil(ld - 0.5) END AS BIGINT) AS default_sc
+      |  FROM (
+      |    SELECT ct.cls, ct.tot,
+      |      ln(CAST(ndc AS DOUBLE) / CAST(ndt AS DOUBLE)) * 1000000 AS lp,
+      |      ln(1.0 / CAST(tot + v AS DOUBLE)) * 1000000 AS ld
+      |    FROM ct JOIN nd USING (cls), vs, ndt) ct),
+      |sc AS (
+      |  SELECT cls, word,
+      |    CAST(CASE WHEN l >= 0 THEN floor(l + 0.5) ELSE ceil(l - 0.5) END AS BIGINT) AS sc
+      |  FROM (
+      |    SELECT cw.cls, cw.word,
+      |      ln(CAST(cnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)) * 1000000 AS l
+      |    FROM cw JOIN ct USING (cls), vs) s),
+      |tetok AS (SELECT doc_id, word, count(*) AS tc
+      |          FROM (SELECT doc_id, unnest(w) AS word FROM te) GROUP BY 1, 2),
+      |lk AS (
+      |  SELECT t.doc_id, c.cls, sum(coalesce(s.sc, c.default_sc) * t.tc) AS lk
+      |  FROM tetok t CROSS JOIN cls c
+      |  LEFT JOIN sc s ON s.word = t.word AND s.cls = c.cls
+      |  GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT te.doc_id, te.lang AS actual, c.cls,
+      |    c.prior_sc + coalesce(lk.lk, 0) AS total_sc
+      |  FROM te CROSS JOIN cls c
+      |  LEFT JOIN lk ON lk.doc_id = te.doc_id AND lk.cls = c.cls),
+      |pred AS (
+      |  SELECT doc_id, actual, cls AS pred, total_sc,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY total_sc DESC, cls) AS rn
+      |  FROM tot)
+      |SELECT actual AS lang, pred, count(*) AS n_docs,
+      |  CAST(sum(total_sc) AS BIGINT) AS score_sum
+      |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private def lmQualitySql: String =
     s"""WITH ${lmScoreCtes("documents")}
        |SELECT doc_id, n_bigrams,
@@ -5336,6 +5396,7 @@ object OracleSql {
 
     "t_bm25_search" -> bm25SearchSql,
     "t_lm_quality" -> lmQualitySql,
+    "t_nb_langid" -> nbLangIdSql,
     // streamed == batch IS the oracle: per-doc LM scores computed in
     // micro-batches must equal the batch replay exactly
     "st_stream_ppl" -> lmQualitySql,

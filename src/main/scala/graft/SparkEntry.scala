@@ -282,6 +282,25 @@ object SparkEntry {
     TextAnalysis.bigramLogProb(docs, docs).orderBy("doc_id")
   }
 
+  /** Supervised language-ID by multinomial Naive Bayes
+    * ([[graft.ml.NaiveBayes]]): train on doc_id%5!=0, score the held-out
+    * fifth, report the confusion matrix with exact integer micro-nat
+    * posterior checksums. On this synthetic corpus the per-lang word
+    * mixes are near-identical, so the matrix concentrates on the
+    * prior's majority class — the oracle pins the determinism contract
+    * (capped vocab, Laplace micro-nat scores, tie-broken argmax), not
+    * model quality. */
+  private def nbLangIdQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ml.NaiveBayes.predict(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "lang", "text", maxVocab = 2000)
+      .groupBy(col("actual").as("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pred_sc")).as("score_sum"))
+      .orderBy("lang", "pred")
+  }
+
   /** BM25 keyword search over documents — the text-search modality next
     * to sketch and embedding search. Mixed-selectivity query: 'dup' is
     * rare (high idf), the others common. */
@@ -4478,6 +4497,7 @@ object SparkEntry {
     "t_text_metrics" -> textMetrics,
     "t_bm25_search" -> bm25Search,
     "t_lm_quality" -> lmQuality,
+    "t_nb_langid" -> nbLangIdQ,
     "t_token_freq" -> tokenFreq,
     "t_dup_ngram_coverage" -> dupNgramCoverage,
     "d_exact_dup" -> exactDup,
