@@ -1872,6 +1872,41 @@ object OracleSql {
        |ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin
   }
 
+  /** w_label_prop: replay 3 unrolled synchronous LPA rounds on the
+    * symmetrized w_page_rank graph — per-node neighbor-label mode with
+    * ties to the smallest label, then the community-size histogram.
+    * Rounds MATERIALIZED (DuckDB inlines chained CTEs combinatorially). */
+  private def labelPropSql: String = {
+    def round(prev: String, out: String): String =
+      s"""f_$out AS MATERIALIZED (
+         |  SELECT s.dst AS node, l.label, count(*) AS c
+         |  FROM sym s JOIN $prev l ON l.node = s.src GROUP BY 1, 2),
+         |t_$out AS (
+         |  SELECT node, label FROM f_$out
+         |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, label) = 1),
+         |$out AS MATERIALIZED (
+         |  SELECT l.node, coalesce(t.label, l.label) AS label
+         |  FROM $prev l LEFT JOIN t_$out t USING (node))""".stripMargin
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id*7 + 3) % (SELECT c FROM nn) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, doc_id % 31 FROM documents),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 WHERE src <> dst
+       |    UNION ALL
+       |    SELECT dst, src FROM e0 WHERE src <> dst)),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT size, count(*) AS n_communities,
+       |  CAST(sum(label) AS BIGINT) AS label_checksum
+       |FROM (SELECT label, count(*) AS size FROM l3 GROUP BY 1)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** d_corpus_diff: the expected status of every id follows from the
     * snapshot-membership and edit predicates — a broken fingerprint
     * compare (or broken whitespace normalization: ids%11 carry a
@@ -6041,6 +6076,7 @@ object OracleSql {
     "d_cluster_canonical" -> clusterCanonicalSql,
     "d_corpus_diff" -> corpusDiffSql,
     "w_page_rank" -> pageRankSql,
+    "w_label_prop" -> labelPropSql,
     "t_ngram_novelty" -> ngramNoveltySql,
     "t_length_histogram" -> lengthHistogramSql,
     "d_leakage_split" -> leakageSplitSql,

@@ -2738,6 +2738,26 @@ object SparkEntry {
       .orderBy(col("rank_ppm").desc, col("node")).limit(20)
   }
 
+  /** Community detection over the `w_page_rank` link graph
+    * ([[graft.operators.Graph.labelPropagation]], 3 synchronous
+    * rounds): the site-cluster pass that caps or weights whole
+    * communities where `w_components` would over-merge through
+    * bridges. Output = community-size histogram with exact label
+    * checksums; the oracle replays the unrolled rounds. */
+  private def labelPropQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).as("dst"))
+      .union(docs.select(col("doc_id"), col("doc_id") % 31))
+    graft.operators.Graph.labelPropagation(e, nIter = 3)
+      .groupBy("label").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_communities"),
+        sum(col("label")).as("label_checksum"))
+      .orderBy("size")
+  }
+
   /** Web-graph shape: in-degree distribution of the same synthetic link
     * graph `w_page_rank` ranks — the power-law fingerprint a curation
     * pipeline checks before trusting link-centrality weights.
@@ -4599,6 +4619,7 @@ object SparkEntry {
     "d_cluster_canonical" -> clusterCanonicalQ,
     "d_corpus_diff" -> corpusDiffQ,
     "w_page_rank" -> pageRankQ,
+    "w_label_prop" -> labelPropQ,
     "d_leakage_split" -> leakageSplitQ,
     "t_token_budget" -> tokenBudgetQ,
     "d_mix_epochs" -> mixEpochsQ,

@@ -69,6 +69,49 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007; public) —
+    * the community-detection pass a web-curation pipeline runs to cap
+    * or weight whole site clusters rather than single domains, next to
+    * the exact-components `resolveClusters` (components merge ANY
+    * connectivity; LPA communities need local label majorities, so
+    * dense cores separate from bridges). Deterministic variant: the
+    * graph is symmetrized, every round EVERY node simultaneously
+    * adopts the most frequent neighbor label with ties to the SMALLEST
+    * label, isolated-in-round nodes keep their label. Fixed `nIter`
+    * rounds (no convergence test) keeps the oracle an unrolled replay.
+    *
+    * Scale shape: each round is one edge-sized join + one (node, label)
+    * hash aggregate + one per-node top-1 — all keyed shuffles, no
+    * pairing; lineage truncates per round (the [[pagerankInt]]
+    * discipline).
+    *
+    * @param edges (src, dst); direction, self-edges, duplicates ignored.
+    * @return (node, label) after `nIter` synchronous rounds. */
+  def labelPropagation(edges: DataFrame, nIter: Int = 4): DataFrame = {
+    require(nIter >= 1, "need nIter >= 1")
+    val d = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 1 to nIter) {
+      val freq = sym.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val top = freq.withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+            .orderBy(col("c").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("dst"), col("label").as("new_label"))
+      labels = labels.join(top, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+      if (i < nIter) labels = labels.localCheckpoint(eager = true)
+    }
+    labels
+  }
+
   /** Per-node degrees of the cleaned edge relation (self-edges and
     * duplicates dropped, as [[pagerankInt]]): (node, out_deg, in_deg).
     * Two key shuffles; nodes with no edges in a direction report 0.
