@@ -3201,6 +3201,47 @@ object OracleSql {
        |  (CASE WHEN m >= 0 THEN floor(m + 0.5) ELSE ceil(m - 0.5) END) / 1000000.0 AS avg_logprob_r
        |FROM ag ORDER BY doc_id""".stripMargin
 
+  /** t_kn_quality: replay interpolated Kneser-Ney (D=0.75) — bigram
+    * types, the one-pass history aggregate (c1 mass + n1p distinct
+    * continuations), continuation counts, type total; the probability
+    * is the IDENTICAL left-to-right FP expression as the Spark side
+    * (engines never re-associate), ln micro-rounds half-away, exact
+    * BIGINT sums, the mean re-rounds — the lmScoreCtes seam with the
+    * KN formula. */
+  private def knQualitySql: String =
+    raw"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
+      |             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END AS bgs
+      |      FROM d),
+      |tb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c12
+      |       FROM (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |             FROM d WHERE len(w) >= 2) GROUP BY bg),
+      |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1,
+      |          CAST(count(*) AS DOUBLE) AS n1p FROM tb GROUP BY 1),
+      |cont AS (SELECT string_split(bg, ' ')[-1] AS w2,
+      |           CAST(count(*) AS DOUBLE) AS n1pc FROM tb GROUP BY 1),
+      |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM tb),
+      |sc AS (
+      |  SELECT s.doc_id,
+      |    CAST(CASE WHEN l >= 0 THEN floor(l + 0.5) ELSE ceil(l - 0.5) END AS BIGINT) AS lpm
+      |  FROM (
+      |    SELECT s0.doc_id,
+      |      ln(CASE WHEN ctx.c1 IS NOT NULL
+      |           THEN greatest(coalesce(tb.c12, 0.0) - 0.75, 0.0) / ctx.c1
+      |                + 0.75 * ctx.n1p / ctx.c1 * coalesce(cont.n1pc, 0.0) / tt.t
+      |           ELSE coalesce(cont.n1pc, 0.0) / tt.t END) * 1000000 AS l
+      |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM g) s0
+      |    LEFT JOIN tb USING (bg)
+      |    LEFT JOIN ctx ON ctx.w1 = split_part(s0.bg, ' ', 1)
+      |    LEFT JOIN cont ON cont.w2 = string_split(s0.bg, ' ')[-1], tt) s),
+      |ag AS (SELECT doc_id, count(*) AS n_bigrams,
+      |         CAST(sum(lpm) AS DOUBLE) / count(*) AS m
+      |       FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  (CASE WHEN m >= 0 THEN floor(m + 0.5) ELSE ceil(m - 0.5) END) / 1000000.0 AS kn_avg_logprob_r
+      |FROM ag ORDER BY doc_id""".stripMargin
+
   /** t_pii_scrub: DuckDB synthesizes the same contact strings from
     * customer keys and redacts with the same RE2 patterns in the same
     * order (emails → IPv4 → phones, counts on progressively-scrubbed
@@ -5431,6 +5472,7 @@ object OracleSql {
 
     "t_bm25_search" -> bm25SearchSql,
     "t_lm_quality" -> lmQualitySql,
+    "t_kn_quality" -> knQualitySql,
     "t_nb_langid" -> nbLangIdSql,
     // streamed == batch IS the oracle: per-doc LM scores computed in
     // micro-batches must equal the batch replay exactly

@@ -282,6 +282,15 @@ object SparkEntry {
     TextAnalysis.bigramLogProb(docs, docs).orderBy("doc_id")
   }
 
+  /** Kneser-Ney bigram quality scores
+    * ([[graft.operators.TextAnalysis.knBigramLogProb]]): the KenLM/CCNet
+    * smoothing next to `t_lm_quality`'s add-1 baseline, on the same
+    * self-scoring setup. */
+  private def knQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.knBigramLogProb(docs, docs).orderBy("doc_id")
+  }
+
   /** Supervised language-ID by multinomial Naive Bayes
     * ([[graft.ml.NaiveBayes]]): train on doc_id%5!=0, score the held-out
     * fifth, report the confusion matrix with exact integer micro-nat
@@ -4517,6 +4526,7 @@ object SparkEntry {
     "t_text_metrics" -> textMetrics,
     "t_bm25_search" -> bm25Search,
     "t_lm_quality" -> lmQuality,
+    "t_kn_quality" -> knQuality,
     "t_nb_langid" -> nbLangIdQ,
     "t_token_freq" -> tokenFreq,
     "t_dup_ngram_coverage" -> dupNgramCoverage,

@@ -475,6 +475,74 @@ object TextAnalysis {
           .cast("double") / 1e6).as("avg_logprob_r"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1998; public — the smoothing KenLM ships and CCNet
+    * actually filters with, upgrading [[bigramLogProb]]'s add-k):
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *              + D·N₁₊(w₁,·)/c(w₁·) · N₁₊(·,w₂)/T
+    * with fixed discount D = 0.75, N₁₊ the distinct-continuation /
+    * distinct-history counts, and T the distinct-bigram-type count; an
+    * unseen history backs off to the continuation probability
+    * N₁₊(·,w₂)/T alone. A bigram with ZERO interpolated mass (unseen
+    * continuation under an unseen history) raises loudly — KN assigns
+    * it no probability, and scoring it silently would corrupt the mean
+    * (the Ann.scala overflow-guard discipline).
+    *
+    * Determinism contract: all counts are exact integers cast to
+    * DOUBLE; the probability is evaluated with an IDENTICAL
+    * left-to-right expression on both engines (engines never
+    * re-associate FP), ln micro-quantizes half-away to integer 1e-6
+    * nats, sums are exact BIGINT, the mean re-rounds the same way —
+    * the [[bigramLogProb]] seam, formula upgraded.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — the LM relations
+    * (bigrams + two N₁₊ aggregates) are bounded by the train corpus's
+    * distinct-bigram count and join under Catalyst's broadcast
+    * decision; scoring explodes each doc's bigrams once. */
+  def knBigramLogProb(docs: DataFrame, train: DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    def rha(y: Column): Column =
+      when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
+    val bg = train
+      .where(size(split(trim(col(textCol)), "\\s+")) >= 2)
+      .select(explode(word_shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).cast("double").as("c12"))
+    // one pass over the bigram-type relation yields both history
+    // aggregates: total mass c1 and distinct continuations n1p
+    val ctx = bg.select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"),
+        count(lit(1)).cast("double").as("n1p"))
+    val cont = bg.select(substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).cast("double").as("n1pc"))
+    val types = bg.agg(count(lit(1)).cast("double").as("t"))
+    val p = when(col("c1").isNotNull,
+        greatest(col("c12d") - lit(0.75), lit(0.0)) / col("c1") +
+          lit(0.75) * col("n1p") / col("c1") * col("n1pcd") / col("t"))
+      .otherwise(col("n1pcd") / col("t"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(word_shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(bg, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .withColumn("c12d", coalesce(col("c12"), lit(0.0)))
+      .withColumn("n1pcd", coalesce(col("n1pc"), lit(0.0)))
+      .withColumn("p", p)
+      .withColumn("lpm", when(col("p") <= 0, expr(
+          "raise_error('knBigramLogProb: bigram with zero KN mass — " +
+            "train corpus does not cover a scored continuation')")
+          .cast("double"))
+        .otherwise(rha(log(col("p")) * 1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (rha(col("s6").cast("double") / col("n_bigrams").cast("double"))
+          .cast("double") / 1e6).as("kn_avg_logprob_r"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
     * head/middle/tail split CCNet publishes per language): score every
     * document with the [[bigramLogProb]] LM, then cut each language into
