@@ -2320,6 +2320,61 @@ object OracleSql {
        |FROM scored QUALIFY rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** j_cluster_agreement: replay the Lloyd's cascade → cell
+    * assignments, then the contingency-table metrics — pair
+    * combinatorics exact (HUGEINT cross products mirror the Spark
+    * DECIMAL(38,0) path), NMI's pointwise ln terms micro-rounded
+    * half-away BEFORE the count-weighted BIGINT sums so the 1/n
+    * factors cancel exactly. */
+  private def clusterAgreementSql: String = {
+    val (iters, kCells, dim) = (3, 8, 64)
+    def rhaB(l: String) =
+      s"CAST(CASE WHEN $l >= 0 THEN floor($l + 0.5) ELSE ceil($l - 0.5) END AS BIGINT)"
+    s"""WITH ${kmeansCascade(iters, kCells, dim)},
+       |asg AS (
+       |${kmeansArgmin(s"c$iters", "", "rn = 1", dim)}),
+       |ct AS (
+       |  SELECT asg.cell AS cca, CAST(e.label AS BIGINT) AS ccb,
+       |    CAST(count(*) AS BIGINT) AS nij
+       |  FROM asg JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       |ra AS (SELECT cca, CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY 1),
+       |rb AS (SELECT ccb, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ai) AS BIGINT) AS n, count(*) AS ka FROM ra),
+       |kbc AS (SELECT count(*) AS kb FROM rb),
+       |nt AS (
+       |  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS sum_idx,
+       |    CAST(sum(nij * ${rhaB("l")}) AS BIGINT) AS i_micro
+       |  FROM (
+       |    SELECT ct.nij,
+       |      ln(CAST(ct.nij AS DOUBLE) / CAST(ra.ai AS DOUBLE)
+       |         * CAST(tot.n AS DOUBLE) / CAST(rb.bj AS DOUBLE)) * 1000000 AS l
+       |    FROM ct JOIN ra USING (cca) JOIN rb USING (ccb), tot)),
+       |hha AS (
+       |  SELECT CAST(sum(ai * ${rhaB("l")}) AS BIGINT) AS ha,
+       |    CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS sum_a
+       |  FROM (SELECT ai, ln(CAST(ai AS DOUBLE) / CAST(tot.n AS DOUBLE)) * 1000000 AS l
+       |        FROM ra, tot)),
+       |hhb AS (
+       |  SELECT CAST(sum(bj * ${rhaB("l")}) AS BIGINT) AS hb,
+       |    CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS sum_b
+       |  FROM (SELECT bj, ln(CAST(bj AS DOUBLE) / CAST(tot.n AS DOUBLE)) * 1000000 AS l
+       |        FROM rb, tot)),
+       |fin AS (
+       |  SELECT tot.n, tot.ka, kbc.kb, nt.i_micro, hha.ha, hhb.hb,
+       |    2 * (CAST(nt.sum_idx AS HUGEINT) * (CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2)
+       |         - CAST(hha.sum_a AS HUGEINT) * hhb.sum_b) AS num,
+       |    (CAST(hha.sum_a AS HUGEINT) + hhb.sum_b)
+       |      * (CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2)
+       |      - 2 * CAST(hha.sum_a AS HUGEINT) * hhb.sum_b AS den
+       |  FROM tot, kbc, nt, hha, hhb)
+       |SELECT n AS n_items, ka, kb,
+       |  CASE WHEN den = 0 THEN 1.0
+       |       ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS ari,
+       |  CASE WHEN ha + hb = 0 THEN 1.0
+       |       ELSE round(CAST(2 * i_micro AS DOUBLE) / CAST(-(ha + hb) AS DOUBLE), 6) END AS nmi
+       |FROM fin""".stripMargin
+  }
+
   /** ann_pq_adc: replay product quantization — per-subspace Lloyd's
     * (2 unrolled iterations over the grouped (sub, code) codebooks,
     * BIGINT micro-space distances, trunc-division means, empty codes
@@ -6100,6 +6155,7 @@ object OracleSql {
     "w_domain_cap" -> domainCapSql,
     "t2_bpe_train" -> bpeTrainSql,
     "ann_kmeans_ivf" -> annKmeansIvfSql,
+    "j_cluster_agreement" -> clusterAgreementSql,
     "d_semdedup" -> semDedupSql,
     "ann_pq_adc" -> annPqAdcSql,
     "d_dsir_sample" -> dsirSampleSql,

@@ -282,6 +282,20 @@ object SparkEntry {
     TextAnalysis.bigramLogProb(docs, docs).orderBy("doc_id")
   }
 
+  /** Clustering-agreement scorecard
+    * ([[graft.search.Evaluation.clusterAgreement]]): the trained k-means
+    * cells (`ann_kmeans_ivf`'s Lloyd's, 8 cells × 3 iters) graded
+    * against the embeddings table's ground-truth labels — exact-pair
+    * ARI + micro-nat NMI in one row. */
+  private def clusterAgreementQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    graft.search.Evaluation.clusterAgreement(
+      graft.operators.Ann.cellAssignments(embs, k = 8, iters = 3)
+        .select(col("vec_id"), col("cell").as("ca")),
+      embs.select(col("vec_id"), col("label").cast("long").as("cb")),
+      idCol = "vec_id")
+  }
+
   /** Kneser-Ney bigram quality scores
     * ([[graft.operators.TextAnalysis.knBigramLogProb]]): the KenLM/CCNet
     * smoothing next to `t_lm_quality`'s add-1 baseline, on the same
@@ -4709,6 +4723,7 @@ object SparkEntry {
     "x_range_join" -> rangeJoinQ,
     "x_interval_overlap" -> intervalOverlapQ,
     "x_salted_join" -> saltedJoinQ,
+    "j_cluster_agreement" -> clusterAgreementQ,
     "j_hybrid_rrf" -> hybridRrfQ,
     "e_multi_touch" -> multiTouchQ,
     "a_schema_diff" -> schemaDiffQ,

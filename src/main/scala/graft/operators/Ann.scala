@@ -524,6 +524,19 @@ object Ann {
         (expr("__mx * __k * 1000000 div __n").cast("double") / 1e6).as("skew"))
   }
 
+  /** Trained-cell assignment per vector — the public (id, cell) view of
+    * the [[kmeansCentroids]] + nearest-cell pipeline, for consumers that
+    * need the PARTITION itself (cluster-agreement evaluation, per-cell
+    * stratification) rather than a search or balance report. */
+  def cellAssignments(embs: DataFrame, k: Int = 8, iters: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val vecs = graft.sources.Lake.balance(embs)
+      .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
+    assignCells(vecs, kmeansCentroids(embs, k, iters, idCol, vecCol))
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   /** Nearest-cell assignment under broadcast centroids: exact integer
     * argmin, ties to the lowest cell id. Input must carry `qv`. */
   private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {

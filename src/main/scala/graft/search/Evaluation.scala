@@ -147,4 +147,76 @@ object Evaluation {
                 .cast("double"), 6))
           .as("rho"))
   }
+
+  /** Clustering-agreement metrics (Hubert & Arabie 1985 ARI; Strehl &
+    * Ghosh 2002 NMI; public) — the evaluation seat for UNSUPERVISED
+    * partitions (dedup clusters, k-means cells, LPA communities)
+    * against a reference labeling, next to the ranked-retrieval j3
+    * family. Both metrics derive from the contingency table alone:
+    *
+    *  - ARI = 2·(Σᵢⱼ C(nᵢⱼ,2)·C(n,2) − ΣC(aᵢ,2)·ΣC(bⱼ,2))
+    *          / ((ΣC(aᵢ,2)+ΣC(bⱼ,2))·C(n,2) − 2·ΣC(aᵢ,2)·ΣC(bⱼ,2)),
+    *    pair combinatorics exact in BIGINT, the two cross products in
+    *    DECIMAL(38,0) with a loud overflow guard (the powerIterationPca
+    *    discipline; fits to n ≈ 10⁹ items — past that, evaluate on a
+    *    deterministic sample). Identical trivial partitions (both
+    *    degenerate) define ARI = 1.
+    *  - NMI = 2·I/(H_a+H_b) where each pointwise term micro-quantizes
+    *    its ln half-away to integer 1e-6 nats BEFORE the count-weighted
+    *    exact BIGINT sum (order-independent); the 1/n factors cancel in
+    *    the ratio, so no decimal division ever happens. H_a+H_b = 0
+    *    (both partitions trivial) defines NMI = 1.
+    *
+    * Scale shape: one inner join on the item id, one (ca, cb) hash
+    * aggregate, then cluster-sized relations only.
+    *
+    * @param a (idCol, `ca`) partition one; @param b (idCol, `cb`). */
+  def clusterAgreement(a: DataFrame, b: DataFrame,
+                       idCol: String = "id"): DataFrame = {
+    def rha(y: org.apache.spark.sql.Column) =
+      when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
+    val ct = a.join(b, idCol)
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("nij"))
+    val ra = ct.groupBy("ca").agg(sum(col("nij")).as("ai"))
+    val rb = ct.groupBy("cb").agg(sum(col("nij")).as("bj"))
+    val tot = ra.agg(sum(col("ai")).as("n"), count(lit(1)).as("ka"))
+      .crossJoin(rb.agg(count(lit(1)).as("kb")))
+    val nTerm = ct.join(ra, "ca").join(rb, "cb").crossJoin(broadcast(tot))
+      .select(col("nij"), expr("nij * (nij - 1) div 2").as("cij"),
+        (col("nij") * rha(log(col("nij").cast("double") / col("ai").cast("double")
+          * col("n").cast("double") / col("bj").cast("double"))
+          * lit(1000000.0)).cast("long")).as("iterm"))
+      .agg(sum(col("cij")).as("sum_idx"), sum(col("iterm")).as("i_micro"))
+    val ha = ra.crossJoin(broadcast(tot.select("n")))
+      .select(col("ai"),
+        (col("ai") * rha(log(col("ai").cast("double") / col("n").cast("double"))
+          * lit(1000000.0)).cast("long")).as("h"))
+      .agg(sum(col("h")).as("ha"), expr("sum(ai * (ai - 1) div 2)").as("sum_a"))
+    val hb = rb.crossJoin(broadcast(tot.select("n")))
+      .select(col("bj"),
+        (col("bj") * rha(log(col("bj").cast("double") / col("n").cast("double"))
+          * lit(1000000.0)).cast("long")).as("h"))
+      .agg(sum(col("h")).as("hb"), expr("sum(bj * (bj - 1) div 2)").as("sum_b"))
+    tot.crossJoin(nTerm).crossJoin(ha).crossJoin(hb)
+      .withColumn("c2n", expr("n * (n - 1) div 2"))
+      // DECIMAL(38,0) cross products; a null (overflow) raises loudly
+      .withColumn("__num", expr(
+        "2 * (CAST(sum_idx AS DECIMAL(38,0)) * CAST(c2n AS DECIMAL(38,0))" +
+          " - CAST(sum_a AS DECIMAL(38,0)) * CAST(sum_b AS DECIMAL(38,0)))"))
+      .withColumn("__den", expr(
+        "(CAST(sum_a AS DECIMAL(38,0)) + CAST(sum_b AS DECIMAL(38,0)))" +
+          " * CAST(c2n AS DECIMAL(38,0))" +
+          " - 2 * CAST(sum_a AS DECIMAL(38,0)) * CAST(sum_b AS DECIMAL(38,0))"))
+      .select(col("n").as("n_items"), col("ka"), col("kb"),
+        when(col("__num").isNull || col("__den").isNull, expr(
+            "raise_error('clusterAgreement: pair-count product overflowed " +
+              "DECIMAL(38,0) — evaluate on a deterministic sample')")
+            .cast("double"))
+          .when(col("__den") === 0, lit(1.0))
+          .otherwise(round(col("__num").cast("double") /
+            col("__den").cast("double"), 6)).as("ari"),
+        when(col("ha") + col("hb") === 0, lit(1.0))
+          .otherwise(round((lit(2L) * col("i_micro")).cast("double") /
+            (-(col("ha") + col("hb"))).cast("double"), 6)).as("nmi"))
+  }
 }
