@@ -3196,7 +3196,12 @@ object OracleSql {
     * with the house half-away rounding, unseen words = the class
     * default ln(1/(tot+V)), BIGINT posterior sums, argmax ties to the
     * ascending class. Confusion matrix with exact micro-nat checksums. */
-  private def nbLangIdSql: String =
+  private def nbLangIdSql: String = nbConfusionSql("doc_id % 5 = 0")
+
+  /** The NB trainer + confusion-matrix replay over a parameterized
+    * scored-set predicate — shared by t_nb_langid (the held-out fifth)
+    * and st_stream_nb (the whole corpus; streamed == batch). */
+  private def nbConfusionSql(tePred: String): String =
     raw"""WITH tr AS (
       |  SELECT doc_id, lang,
       |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
@@ -3204,7 +3209,7 @@ object OracleSql {
       |te AS (
       |  SELECT doc_id, lang,
       |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
-      |  FROM documents WHERE doc_id % 5 = 0),
+      |  FROM documents WHERE $tePred),
       |trtok AS (SELECT lang AS cls, unnest(w) AS word FROM tr),
       |gv AS (SELECT word FROM (SELECT word, count(*) AS gc FROM trtok GROUP BY word)
       |       ORDER BY gc DESC, word LIMIT 2000),
@@ -5529,6 +5534,9 @@ object OracleSql {
     "t_lm_quality" -> lmQualitySql,
     "t_kn_quality" -> knQualitySql,
     "t_nb_langid" -> nbLangIdSql,
+    // streamed == batch IS the oracle: the per-(doc, class) likelihood
+    // aggregation folded over micro-batches must equal the batch replay
+    "st_stream_nb" -> nbConfusionSql("TRUE"),
     // streamed == batch IS the oracle: per-doc LM scores computed in
     // micro-batches must equal the batch replay exactly
     "st_stream_ppl" -> lmQualitySql,

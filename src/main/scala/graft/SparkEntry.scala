@@ -3426,6 +3426,38 @@ object SparkEntry {
     s.table(name).orderBy("doc_id")
   }
 
+  /** §2.12 streaming classification: the documents relation streams in
+    * and folds through the SINGLE per-(doc, class) token-likelihood
+    * aggregation ([[graft.ml.NaiveBayes.tokenLikelihoods]] — one
+    * streaming agg; the model relations join as broadcast statics); the
+    * batch side then adds priors, takes the tie-broken argmax, and
+    * reports the confusion matrix. Oracle = the full batch NB replay
+    * over the same train/score split: streamed == batch. */
+  private def streamingNbQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_nb_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val train = s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 =!= 0)
+    val (classes, scores) = graft.ml.NaiveBayes.model(train, "lang", "text", 2000)
+    val q = graft.ml.NaiveBayes.tokenLikelihoods(stream, classes, scores,
+        "doc_id", "text", keep = Seq("lang"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("total_sc").desc, col("cls").asc)
+    s.table(name)
+      .join(broadcast(classes.select("cls", "prior_sc")), "cls")
+      .withColumn("total_sc", col("prior_sc") + col("lk"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy(col("lang"), col("cls").as("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("total_sc")).as("score_sum"))
+      .orderBy("lang", "pred")
+  }
+
   /** §2.12 streaming CDC apply: the events changelog (delete when
     * event_id % 7 == 0) streams in as 4 files, one micro-batch each
     * (maxFilesPerTrigger=1) in ARBITRARY key order; each batch folds
@@ -4678,6 +4710,7 @@ object SparkEntry {
     "st_stream_c4" -> streamingC4Q,
     "st_stream_upsert" -> streamingUpsertQ,
     "st_stream_ppl" -> streamingPplQ,
+    "st_stream_nb" -> streamingNbQ,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
     "a_col_entropy" -> colEntropyQ,

@@ -48,12 +48,11 @@ object NaiveBayes {
     df.select(cols: _*).filter(col("word") =!= "")
   }
 
-  /** Train on `train` (labelCol = class), score `test`: returns one row
-    * per test doc — (idCol, actual, pred, pred_sc) with pred_sc the
-    * winning class's total integer micro-nat log-posterior. */
-  def predict(train: DataFrame, test: DataFrame, idCol: String,
-              labelCol: String, textCol: String,
-              maxVocab: Int = 2000): DataFrame = {
+  /** Train the model relations: `classes` (C rows — cls, prior_sc,
+    * default_sc) and `scores` (≤ maxVocab×C rows — cls, word, sc), both
+    * broadcast-sized by construction. */
+  def model(train: DataFrame, labelCol: String, textCol: String,
+            maxVocab: Int = 2000): (DataFrame, DataFrame) = {
     val trTok = toks(train, textCol, labelCol).withColumnRenamed(labelCol, "cls")
     val vocab = trTok.groupBy("word").agg(count(lit(1)).as("gc"))
       .orderBy(desc("gc"), asc("word")).limit(maxVocab).select("word")
@@ -63,27 +62,45 @@ object NaiveBayes {
     val vs = vocab.agg(count(lit(1)).as("v"))
     val nd = train.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("ndc"))
     val ndt = train.agg(count(lit(1)).as("ndt"))
-    // C rows: prior + unseen-word default per class.
     val classes = ct.join(nd, "cls").crossJoin(broadcast(vs)).crossJoin(broadcast(ndt))
       .select(col("cls"),
         microRound(log(col("ndc").cast("double") / col("ndt").cast("double"))
           * lit(1000000.0)).as("prior_sc"),
         microRound(log(lit(1.0) / (col("tot") + col("v")).cast("double"))
           * lit(1000000.0)).as("default_sc"))
-    // ≤ maxVocab×C rows: Laplace log-likelihood per (word, class).
     val scores = cw.join(ct, "cls").crossJoin(broadcast(vs))
       .select(col("cls"), col("word"),
         microRound(log((col("cnt") + lit(1)).cast("double") /
           (col("tot") + col("v")).cast("double")) * lit(1000000.0)).as("sc"))
+    (classes, scores)
+  }
 
-    val teTok = toks(test, textCol, idCol)
-      .groupBy(idCol, "word").agg(count(lit(1)).as("tc"))
-    val like = teTok
+  /** Per-(doc, class) token log-likelihood sums under a trained model:
+    * (idCol, keep…, cls, lk). ONE aggregation over exploded tokens
+    * against broadcast model relations — streaming-safe (a stream
+    * scores in complete/update mode with no stream-stream join), and
+    * batch-identical to a per-type×count sum since contributions are
+    * linear. Zero-token docs contribute no row (the batch [[predict]]
+    * path restores them prior-only). */
+  def tokenLikelihoods(test: DataFrame, classes: DataFrame, scores: DataFrame,
+                       idCol: String, textCol: String,
+                       keep: Seq[String] = Nil): DataFrame =
+    toks(test, textCol, (idCol +: keep): _*)
       .crossJoin(broadcast(classes.select("cls", "default_sc")))
       .join(broadcast(scores), Seq("word", "cls"), "left")
-      .select(col(idCol), col("cls"),
-        (coalesce(col("sc"), col("default_sc")) * col("tc")).as("contrib"))
-      .groupBy(idCol, "cls").agg(sum("contrib").as("lk"))
+      .select((idCol +: keep).map(col) ++ Seq(col("cls"),
+        coalesce(col("sc"), col("default_sc")).as("contrib")): _*)
+      .groupBy((idCol +: keep :+ "cls").map(col): _*)
+      .agg(sum("contrib").as("lk"))
+
+  /** Train on `train` (labelCol = class), score `test`: returns one row
+    * per test doc — (idCol, actual, pred, pred_sc) with pred_sc the
+    * winning class's total integer micro-nat log-posterior. */
+  def predict(train: DataFrame, test: DataFrame, idCol: String,
+              labelCol: String, textCol: String,
+              maxVocab: Int = 2000): DataFrame = {
+    val (classes, scores) = model(train, labelCol, textCol, maxVocab)
+    val like = tokenLikelihoods(test, classes, scores, idCol, textCol)
     // Start from test×classes so an all-empty-token doc still scores
     // its priors rather than dropping out.
     val total = test.select(col(idCol), col(labelCol).as("actual"))
