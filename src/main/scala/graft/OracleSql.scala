@@ -5580,6 +5580,37 @@ object OracleSql {
         |WHERE len(list_intersect(a.sh, b.sh)) > 0
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // j5_weighted_jaccard: tf-multiset Jaccard Σmin/Σmax with
+    // Σmax = tot_a + tot_b − Σmin (min + max = a + b per token);
+    // exact BIGINT counts, one 6-dp division per pair.
+    "j5_weighted_jaccard" ->
+      raw"""WITH tf AS (
+        |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |        FROM documents WHERE doc_id <= 25)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |tot AS (SELECT id, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+        |prs AS (SELECT a.id AS id_a, b.id AS id_b
+        |        FROM (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id <= 25) a
+        |        JOIN (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id <= 25) b
+        |          ON a.id < b.id),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS smin
+        |  FROM prs p
+        |  JOIN tf a ON a.id = p.id_a
+        |  JOIN tf b ON b.id = p.id_b AND b.tok = a.tok
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+        |        / CAST(ta.tot + tb.tot - coalesce(i.smin, 0) AS DOUBLE), 6) AS wjaccard
+        |FROM prs p
+        |JOIN tot ta ON ta.id = p.id_a
+        |JOIN tot tb ON tb.id = p.id_b
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |WHERE round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+        |      / CAST(ta.tot + tb.tot - coalesce(i.smin, 0) AS DOUBLE), 6) > 0
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
+
     "emb_stats" ->
       """SELECT label, count(*) AS n, round(avg(nrm), 5) AS avg_norm,
         |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm

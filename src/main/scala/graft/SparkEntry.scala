@@ -375,6 +375,21 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Weighted (tf) Jaccard on the same bounded pair grid as
+    * `d_ngram_jaccard` ([[Dedup.weightedJaccardPairs]]): the multiset
+    * ground truth tf-weighted dedup thresholds against — repeated
+    * tokens count, so templated near-dups separate from genuinely
+    * similar prose where set Jaccard conflates them. */
+  private def weightedJaccardQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") <= 25)
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    Dedup.weightedJaccardPairs(docs, pairs)
+      .filter(col("wjaccard") > 0)
+      .orderBy("id_a", "id_b")
+  }
+
   private def embStats(s: SparkSession, dir: String): DataFrame = {
     val nrm = sqrt(Ann.dot(col("embedding"), col("embedding")))
     t(s, dir, "embeddings")
@@ -4578,6 +4593,7 @@ object SparkEntry {
     "t_dup_ngram_coverage" -> dupNgramCoverage,
     "d_exact_dup" -> exactDup,
     "d_ngram_jaccard" -> ngramJaccard,
+    "j5_weighted_jaccard" -> weightedJaccardQ,
     "emb_stats" -> embStats,
     "ann_cosine_topk" -> annTopK,
     "q_hard_negatives" -> hardNegativesQ,

@@ -302,6 +302,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Weighted (multiset / tf) Jaccard over candidate pairs:
+    * J_w(A,B) = Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t))
+    * — the ground-truth similarity tf-weighted dedup thresholds
+    * against, where the set Jaccard of [[ngramJaccardPairs]] treats a
+    * token repeated 50× and once as identical (Ioffe 2010 §1 frames
+    * weighted Jaccard as exactly this generalization; public). The max
+    * sum never materializes: Σmax = tot_A + tot_B − Σmin since
+    * min + max = a + b per token, so only the INTERSECTION joins.
+    * Exact integer counts end to end; one 6-dp division per pair.
+    *
+    * Scale: the tf relation shuffles once on (doc, token); the Σmin
+    * join is candidate-scoped (pairs × their tokens), never corpus ×
+    * corpus. Output: (id_a, id_b, wjaccard). */
+  def weightedJaccardPairs(docs: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("id").agg(sum(col("tf")).as("tot"))
+    val inter = pairs
+      .join(tf.select(col("id").as("id_a"), col("tok"), col("tf").as("tf_a")), "id_a")
+      .join(tf.select(col("id").as("id_b"), col("tok"), col("tf").as("tf_b")),
+        Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(sum(least(col("tf_a"), col("tf_b"))).as("smin"))
+    pairs
+      .join(tot.select(col("id").as("id_a"), col("tot").as("tot_a")), "id_a")
+      .join(tot.select(col("id").as("id_b"), col("tot").as("tot_b")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("smin", coalesce(col("smin"), lit(0L)))
+      .select(col("id_a"), col("id_b"),
+        round(col("smin").cast("double") /
+          (col("tot_a") + col("tot_b") - col("smin")).cast("double"), 6)
+          .as("wjaccard"))
+  }
+
   /** EXACT Jaccard threshold self-join without LSH — prefix filtering
     * (PPJoin family, Xiao et al. WWW 2008): order each document's
     * shingle set by ascending global frequency (rarest first); a pair
