@@ -1111,6 +1111,41 @@ object OracleSql {
        |    ${digCompare("a", "b")}
        |  FROM dig a JOIN dig b ON a.doc_id < b.doc_id)""".stripMargin
 
+  /** d_weighted_minhash: replay the tagged-copy expansion ("tok#i" for
+    * i in 1..tf), the standard 100-slot digest over the expanded
+    * elements (permsCte/mhSlotMin machinery unchanged), slot-agreement
+    * estimates, and the exact Σmin/Σmax weighted Jaccard beside them. */
+  private def weightedMinhashSql: String =
+    raw"""WITH $permsCte,
+      |tf AS (
+      |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents WHERE doc_id <= 25)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |ex AS (SELECT id, tok, unnest(range(1, CAST(tf AS INTEGER) + 1)) AS i FROM tf),
+      |el AS (SELECT id, tok || '#' || i AS v FROM ex),
+      |mins AS (SELECT id, pi, ${mhSlotMin("v")} AS mh
+      |         FROM el CROSS JOIN perms GROUP BY id, pi),
+      |dig AS (SELECT id, list(mh ORDER BY pi) AS d FROM mins GROUP BY id),
+      |est AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    round(CAST(len([i FOR i IN range(1, 101) IF a.d[i] = b.d[i]]) AS DOUBLE) / 100.0, 6) AS wj_est
+      |  FROM dig a JOIN dig b ON a.id < b.id),
+      |tot AS (SELECT id, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+      |inter AS (
+      |  SELECT x.id_a, x.id_b, CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS smin
+      |  FROM est x JOIN tf a ON a.id = x.id_a
+      |  JOIN tf b ON b.id = x.id_b AND b.tok = a.tok
+      |  GROUP BY 1, 2)
+      |SELECT e.id_a, e.id_b, e.wj_est,
+      |  round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+      |        / CAST(ta.tot + tb.tot - coalesce(i.smin, 0) AS DOUBLE), 6) AS wj_exact,
+      |  round(abs(e.wj_est - round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+      |    / CAST(ta.tot + tb.tot - coalesce(i.smin, 0) AS DOUBLE), 6)), 6) AS abs_err
+      |FROM est e JOIN tot ta ON ta.id = e.id_a JOIN tot tb ON tb.id = e.id_b
+      |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      |ORDER BY e.id_a, e.id_b""".stripMargin
+
   /** t_cms_freq: rebuild the depth-3 × width-16 Count-Min cells
     * (salted md5_low32 mod width, counts additive) and every per-token
     * min-cell estimate next to the exact count. */
@@ -5579,6 +5614,8 @@ object OracleSql {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) > 0
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_weighted_minhash" -> weightedMinhashSql,
 
     // j5_weighted_jaccard: tf-multiset Jaccard Σmin/Σmax with
     // Σmax = tot_a + tot_b − Σmin (min + max = a + b per token);

@@ -390,6 +390,29 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Weighted-MinHash self-audit ([[Dedup.weightedMinHashDigests]] —
+    * the tagged-copy expansion reduction): estimated weighted Jaccard
+    * from 100-slot digests next to the exact Σmin/Σmax truth on every
+    * bounded-grid pair, with per-pair absolute error — the d_lsh_quality
+    * discipline for the weighted family. */
+  private def weightedMinhashQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") <= 25)
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val dig = Dedup.weightedMinHashDigests(docs)
+    val est = pairs
+      .join(dig.select(col("id").as("id_a"), col("mh").as("mh_a")), "id_a")
+      .join(dig.select(col("id").as("id_b"), col("mh").as("mh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(minhash_jaccard(col("mh_a"), col("mh_b")), 6).as("wj_est"))
+    est.join(Dedup.weightedJaccardPairs(docs, pairs), Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("wj_est"),
+        col("wjaccard").as("wj_exact"),
+        round(abs(col("wj_est") - col("wjaccard")), 6).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
   private def embStats(s: SparkSession, dir: String): DataFrame = {
     val nrm = sqrt(Ann.dot(col("embedding"), col("embedding")))
     t(s, dir, "embeddings")
@@ -4594,6 +4617,7 @@ object SparkEntry {
     "d_exact_dup" -> exactDup,
     "d_ngram_jaccard" -> ngramJaccard,
     "j5_weighted_jaccard" -> weightedJaccardQ,
+    "d_weighted_minhash" -> weightedMinhashQ,
     "emb_stats" -> embStats,
     "ann_cosine_topk" -> annTopK,
     "q_hard_negatives" -> hardNegativesQ,

@@ -339,6 +339,31 @@ object Dedup {
           .as("wjaccard"))
   }
 
+  /** Weighted MinHash digests by the classic integer-weight reduction
+    * (Ioffe 2010 §2 credits it as the folklore baseline; public): a
+    * multiset with integer tf weights has the SAME weighted Jaccard as
+    * the plain set {(t, i) : 1 ≤ i ≤ tf(t)}, so expanding each token
+    * into tf tagged copies ("tok#i") and running the engine's standard
+    * 100-slot MinHash yields an unbiased weighted-Jaccard estimator —
+    * the scale path over [[weightedJaccardPairs]]' exact pair scoring,
+    * reusing the whole digest/band/oracle machinery unchanged.
+    *
+    * Scale: the expansion is Σtf elements ∝ corpus TOKENS (not distinct
+    * types) — the documented cost of the reduction; real-valued weights
+    * would need ICWS, out of the integer-exact contract. One shuffle to
+    * the per-doc digest. Output: (id, mh array<bigint>[100]). */
+  def weightedMinHashDigests(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    tf.select(col("id"), explode(expr(
+        "transform(sequence(1, cast(tf as int)), i -> concat(tok, '#', i))")).as("v"))
+      .groupBy("id")
+      .agg(graft.functions.SketchFunctions.minhash_agg(col("v")).as("mh"))
+  }
+
   /** EXACT Jaccard threshold self-join without LSH — prefix filtering
     * (PPJoin family, Xiao et al. WWW 2008): order each document's
     * shingle set by ascending global frequency (rarest first); a pair
