@@ -35,6 +35,7 @@ object Bench {
       val out = sec match {
         case "cosine_scale"  => cosineScaleBench(spark, sfDir)
         case "cluster_scale" => clusterScaleBench(spark)
+        case "lpa_scale"     => lpaScaleBench(spark)
         case "encoder_scale" => encoderScaleBench(spark, cpus.toInt)
         case "lake_plan"     => lakePlanBench(spark)
         case "csv_plan"      => csvPlanBench(spark)
@@ -145,6 +146,7 @@ object Bench {
       val cp = csvPlanBench(spark)
       val cs = cosineScaleBench(spark, sfDir)
       val xs = clusterScaleBench(spark)
+      val ls = lpaScaleBench(spark)
       val es = encoderScaleBench(spark, cpus.toInt)
       // isolated re-runs LAST: each forks a fresh JVM, so nothing this
       // session did (heap, codegen cache, GC debt) can contaminate them
@@ -161,7 +163,7 @@ object Bench {
       }
       val probesPath = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_PROBES.json")
       java.nio.file.Files.write(probesPath,
-        (f"""{"suite_total":$total%.3f,"suite_nq":${results.size},"sf":"$sfDir","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"cluster_scale":$xs,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio}""" + "\n")
+        (f"""{"suite_total":$total%.3f,"suite_nq":${results.size},"sf":"$sfDir","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"cluster_scale":$xs,"lpa_scale":$ls,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio}""" + "\n")
           .getBytes("UTF-8"))
       System.err.println("[bench] scale-probe sections written to BENCH_PROBES.json")
     }
@@ -458,6 +460,30 @@ object Bench {
     * Reports contraction rounds (expect ≈log₂n for the path, far fewer
     * for mixed) and wall + component counts as a self-audit (the path
     * must resolve to exactly ONE component). */
+  /** lpa_scale: labelPropagation (3 synchronous rounds) on the
+    * cluster_scale-style mixed graph at 10⁵ and 10⁶ nodes — rounds are
+    * FIXED by contract, so the scale claim is cost-per-round linearity:
+    * the 10×-node wall should grow ~linearly (keyed edge joins + hash
+    * aggregates, no pairing). Records walls, the wall ratio, and the
+    * surviving label counts. */
+  private def lpaScaleBench(spark: SparkSession): String = {
+    def run(n: Long): (Double, Long) = {
+      System.gc()
+      val edges = spark.range(n)
+        .select(col("id").as("src"),
+          pmod(xxhash64(col("id"), lit("lpa_scale")), lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val t0 = System.nanoTime()
+      val labels = graft.operators.Graph.labelPropagation(edges, nIter = 3)
+      val nLabels = labels.agg(count_distinct(col("label"))).head().getLong(0)
+      ((System.nanoTime() - t0) / 1e9, nLabels)
+    }
+    run(10000L) // untimed warm-up: JIT + codegen, or the small run pays it
+    val (s1, l1) = run(100000L)
+    val (s2, l2) = run(1000000L)
+    f"""{"n_small":100000,"small_sec":$s1%.1f,"small_labels":$l1,"n_big":1000000,"big_sec":$s2%.1f,"big_labels":$l2,"wall_ratio_10x":${s2 / math.max(s1, 1e-9)}%.1f}"""
+  }
+
   private def clusterScaleBench(spark: SparkSession): String = {
     def run(edges: org.apache.spark.sql.DataFrame): (Int, Double, Long) = {
       System.gc()
