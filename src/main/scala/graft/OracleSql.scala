@@ -3296,6 +3296,28 @@ object OracleSql {
        |  (CASE WHEN m >= 0 THEN floor(m + 0.5) ELSE ceil(m - 0.5) END) / 1000000.0 AS avg_logprob_r
        |FROM ag ORDER BY doc_id""".stripMargin
 
+  /** t_min_k_prob: replay the Min-K% screen over the shared
+    * lmScoreCtes lpm rows — per-doc rank by (lpm asc), k = max(1,
+    * n·20 // 100), sum of the selected rows (equal-lpm rank splits are
+    * sum-invariant), mean re-rounds half-away. */
+  private def minKProbSql: String =
+    s"""WITH ${lmScoreCtes("documents")},
+       |rk AS (
+       |  SELECT doc_id, lpm,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY lpm) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM sc),
+       |sel AS (
+       |  SELECT doc_id, max(n) AS n_bigrams,
+       |    greatest(1, max(n) * 20 // 100) AS k_used,
+       |    CAST(sum(CASE WHEN rn <= greatest(1, n * 20 // 100) THEN lpm END) AS BIGINT) AS s6
+       |  FROM rk GROUP BY doc_id),
+       |fin AS (SELECT doc_id, n_bigrams, k_used,
+       |          CAST(s6 AS DOUBLE) / k_used AS m FROM sel)
+       |SELECT doc_id, n_bigrams, CAST(k_used AS BIGINT) AS k_used,
+       |  (CASE WHEN m >= 0 THEN floor(m + 0.5) ELSE ceil(m - 0.5) END) / 1000000.0 AS min_k_avg_r
+       |FROM fin ORDER BY doc_id""".stripMargin
+
   /** t_kn_quality: replay interpolated Kneser-Ney (D=0.75) — bigram
     * types, the one-pass history aggregate (c1 mass + n1p distinct
     * continuations), continuation counts, type total; the probability
@@ -5568,6 +5590,7 @@ object OracleSql {
     "t_bm25_search" -> bm25SearchSql,
     "t_lm_quality" -> lmQualitySql,
     "t_kn_quality" -> knQualitySql,
+    "t_min_k_prob" -> minKProbSql,
     "t_nb_langid" -> nbLangIdSql,
     // streamed == batch IS the oracle: the per-(doc, class) likelihood
     // aggregation folded over micro-batches must equal the batch replay

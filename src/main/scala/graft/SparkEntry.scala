@@ -324,6 +324,16 @@ object SparkEntry {
       .orderBy("lang", "pred")
   }
 
+  /** Min-K% probability contamination screen
+    * ([[graft.operators.TextAnalysis.minKProb]], Shi et al. 2023):
+    * per-doc mean log-prob of the lowest-20% bigrams under the
+    * `t_lm_quality` LM — the membership-inference detector a pipeline
+    * runs for benchmark leakage the n-gram decontam misses. */
+  private def minKProbQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.minKProb(docs, docs, kPct = 20).orderBy("doc_id")
+  }
+
   /** BM25 keyword search over documents — the text-search modality next
     * to sketch and embedding search. Mixed-selectivity query: 'dup' is
     * rare (high idf), the others common. */
@@ -4611,6 +4621,7 @@ object SparkEntry {
     "t_bm25_search" -> bm25Search,
     "t_lm_quality" -> lmQuality,
     "t_kn_quality" -> knQuality,
+    "t_min_k_prob" -> minKProbQ,
     "t_nb_langid" -> nbLangIdQ,
     "t_token_freq" -> tokenFreq,
     "t_dup_ngram_coverage" -> dupNgramCoverage,

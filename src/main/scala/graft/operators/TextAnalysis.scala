@@ -445,10 +445,15 @@ object TextAnalysis {
     * [[graft.functions.TextFunctions.word_shingles]] convention), which
     * scores as an unseen bigram.
     */
-  def bigramLogProb(docs: DataFrame, train: DataFrame, addK: Double = 1.0,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def rha(y: Column): Column = // round half away from zero, exact floor/ceil
-      when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
+  private def rhaCol(y: Column): Column = // round half away from zero
+    when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
+
+  /** The per-(doc, bigram) integer micro-nat log-prob rows under the
+    * add-k LM — the shared kernel of [[bigramLogProb]] (mean) and
+    * [[minKProb]] (lowest-k% mean): (doc_id, lpm). */
+  private[operators] def bigramLpm(docs: DataFrame, train: DataFrame,
+                                   addK: Double, idCol: String,
+                                   textCol: String): DataFrame = {
     val trainable = train
       .where(size(split(trim(col(textCol)), "\\s+")) >= 2)
     val bg = trainable.select(explode(word_shingles(col(textCol), 2)).as("bg"))
@@ -465,14 +470,54 @@ object TextAnalysis {
       .join(bg, Seq("bg"), "left")
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .withColumn("lpm", rha(log(
+      .select(col("doc_id"), rhaCol(log(
         (coalesce(col("c12"), lit(0.0)) + addK) /
-          (coalesce(col("c1"), lit(0.0)) + lit(addK) * col("v"))) * 1e6).cast("long"))
+          (coalesce(col("c1"), lit(0.0)) + lit(addK) * col("v"))) * 1e6)
+        .cast("long").as("lpm"))
+  }
+
+  def bigramLogProb(docs: DataFrame, train: DataFrame, addK: Double = 1.0,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bigramLpm(docs, train, addK, idCol, textCol)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s6"))
       .select(col("doc_id"), col("n_bigrams"),
-        (rha(col("s6").cast("double") / col("n_bigrams").cast("double"))
+        (rhaCol(col("s6").cast("double") / col("n_bigrams").cast("double"))
           .cast("double") / 1e6).as("avg_logprob_r"))
+
+  /** Min-K% probability screen (Shi et al. 2023, "Detecting Pretraining
+    * Data from Large Language Models"; public) — the membership-
+    * inference / contamination detector: a document the model has
+    * MEMORIZED has anomalously high probability even on its LEAST
+    * likely tokens, so score each doc by the mean log-prob of its
+    * lowest-k% scoring bigrams under the [[bigramLogProb]] LM instead
+    * of the overall mean (which prose length and topic wash out).
+    * Deterministic selection: rank bigram rows per doc by (lpm asc) —
+    * equal-lpm ties split arbitrarily but contribute identical values,
+    * so the SELECTED SUM is rank-split-invariant; k = max(1,
+    * ⌊n·kPct/100⌋) exactly; the mean re-rounds half-away (the
+    * bigramLogProb seam).
+    *
+    * Scale shape: the rank window partitions per doc — no global sort;
+    * LM relations as in [[bigramLogProb]]. Output: (doc_id, n_bigrams,
+    * k_used, min_k_avg_r). */
+  def minKProb(docs: DataFrame, train: DataFrame, kPct: Int = 20,
+               addK: Double = 1.0, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, "kPct in [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("lpm").asc)
+    val wn = Window.partitionBy(col("doc_id"))
+    bigramLpm(docs, train, addK, idCol, textCol)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("kk", greatest(lit(1L), expr(s"n * $kPct div 100")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_bigrams"), max(col("kk")).as("k_used"),
+        sum(when(col("rn") <= col("kk"), col("lpm"))).as("s6"))
+      .select(col("doc_id"), col("n_bigrams"), col("k_used"),
+        (rhaCol(col("s6").cast("double") / col("k_used").cast("double"))
+          .cast("double") / 1e6).as("min_k_avg_r"))
   }
 
   /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
