@@ -1146,6 +1146,71 @@ object OracleSql {
       |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
       |ORDER BY e.id_a, e.id_b""".stripMargin
 
+  /** d_icws_minhash: replay Ioffe ICWS in the log domain — md5
+    * uniforms (low32 + 1)/2³², Gamma(2,1) r/c as negated sums of
+    * 6dp-rounded lns (the weightedSample seam), exact dyadic β,
+    * t_k = floor(round(ln w,6)/r + β), slot key ln(c)−r(t_k−β)−r (no
+    * exp anywhere), argmin ties to ascending token — beside the exact
+    * weighted Jaccard on the same tf·idf_micro weights. */
+  private def icwsMinhashSql: String = {
+    def uref(j: Int) =
+      s"((md5_number_lower(tok || ':icws:' || k || ':$j') & 4294967295) + 1.0) / 4294967296.0"
+    raw"""WITH tf AS (
+      |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents WHERE doc_id <= 25)
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents WHERE doc_id <= 25),
+      |idf AS (
+      |  SELECT tok,
+      |    CAST(CASE WHEN l >= 0 THEN floor(l + 0.5) ELSE ceil(l - 0.5) END AS BIGINT) AS idfm
+      |  FROM (SELECT tok,
+      |          ln(CAST(nd.nd + 1 AS DOUBLE) / CAST(count(DISTINCT id) AS DOUBLE)) * 1000000 AS l
+      |        FROM tf, nd GROUP BY tok, nd.nd)),
+      |wts AS (SELECT id, tf.tok, tf.tf * idf.idfm AS w FROM tf JOIN idf ON idf.tok = tf.tok),
+      |slots AS (SELECT id, tok, w, k FROM wts, unnest(range(0, 32)) AS t(k)),
+      |s0 AS (
+      |  SELECT id, tok, w, k,
+      |    -(round(ln(${uref(1)}), 6) + round(ln(${uref(2)}), 6)) AS r,
+      |    -(round(ln(${uref(3)}), 6) + round(ln(${uref(4)}), 6)) AS c,
+      |    ${uref(5)} AS beta
+      |  FROM slots),
+      |s1 AS (
+      |  SELECT id, tok, k, r, c, beta,
+      |    CAST(floor(round(ln(CAST(w AS DOUBLE)), 6) / r + beta) AS BIGINT) AS tk
+      |  FROM s0),
+      |keys AS (
+      |  SELECT id, tok, k, tk,
+      |    round(ln(c), 6) - r * (CAST(tk AS DOUBLE) - beta) - r AS key
+      |  FROM s1),
+      |sig AS (
+      |  SELECT id, k, tok AS s_tok, tk AS s_tk FROM keys
+      |  QUALIFY row_number() OVER (PARTITION BY id, k ORDER BY key, tok) = 1),
+      |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id <= 25),
+      |prs AS (SELECT a.id AS id_a, b.id AS id_b FROM ids a JOIN ids b ON a.id < b.id),
+      |est AS (
+      |  SELECT p.id_a, p.id_b,
+      |    round(CAST(sum(CASE WHEN sa.s_tok = sb.s_tok AND sa.s_tk = sb.s_tk
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / 32.0, 6) AS wj_est
+      |  FROM prs p JOIN sig sa ON sa.id = p.id_a
+      |  JOIN sig sb ON sb.id = p.id_b AND sb.k = sa.k
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT id, CAST(sum(w) AS BIGINT) AS tot FROM wts GROUP BY 1),
+      |inter AS (
+      |  SELECT p.id_a, p.id_b, CAST(sum(least(a.w, b.w)) AS BIGINT) AS smin
+      |  FROM prs p JOIN wts a ON a.id = p.id_a
+      |  JOIN wts b ON b.id = p.id_b AND b.tok = a.tok
+      |  GROUP BY 1, 2)
+      |SELECT e.id_a, e.id_b, e.wj_est,
+      |  round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+      |        / CAST(ta.tot + tb.tot - coalesce(i.smin, 0) AS DOUBLE), 6) AS wj_exact,
+      |  round(abs(e.wj_est - round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+      |    / CAST(ta.tot + tb.tot - coalesce(i.smin, 0) AS DOUBLE), 6)), 6) AS abs_err
+      |FROM est e JOIN tot ta ON ta.id = e.id_a JOIN tot tb ON tb.id = e.id_b
+      |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      |ORDER BY e.id_a, e.id_b""".stripMargin
+  }
+
   /** t_cms_freq: rebuild the depth-3 × width-16 Count-Min cells
     * (salted md5_low32 mod width, counts additive) and every per-token
     * min-cell estimate next to the exact count. */
@@ -5639,6 +5704,7 @@ object OracleSql {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d_weighted_minhash" -> weightedMinhashSql,
+    "d_icws_minhash" -> icwsMinhashSql,
 
     // j5_weighted_jaccard: tf-multiset Jaccard Σmin/Σmax with
     // Σmax = tot_a + tot_b − Σmin (min + max = a + b per token);

@@ -423,6 +423,34 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** ICWS real-weight MinHash self-audit ([[Dedup.icwsSignatures]] on
+    * [[Dedup.idfWeights]] tf·idf micros, K=32): per-pair signature
+    * agreement vs the exact weighted Jaccard on the SAME weights —
+    * the d_weighted_minhash audit where weights are no longer integer
+    * token counts. */
+  private def icwsMinhashQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") <= 25)
+    val ids = docs.select(col("doc_id").as("id"))
+    val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val wts = Dedup.idfWeights(docs)
+    val sig = Dedup.icwsSignatures(wts, k = 32)
+    val est = pairs
+      .join(sig.select(col("id").as("id_a"), col("k"),
+        col("s_tok").as("ta"), col("s_tk").as("ka")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("k"),
+        col("s_tok").as("tb"), col("s_tk").as("kb")), Seq("id_b", "k"))
+      .groupBy("id_a", "id_b")
+      .agg(round(sum(when(col("ta") === col("tb") &&
+        col("ka") === col("kb"), 1L).otherwise(0L)).cast("double") / 32.0, 6)
+        .as("wj_est"))
+    est.join(Dedup.weightedJaccardOnWeights(wts, pairs), Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("wj_est"),
+        col("wjaccard").as("wj_exact"),
+        round(abs(col("wj_est") - col("wjaccard")), 6).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
   private def embStats(s: SparkSession, dir: String): DataFrame = {
     val nrm = sqrt(Ann.dot(col("embedding"), col("embedding")))
     t(s, dir, "embeddings")
@@ -4629,6 +4657,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> ngramJaccard,
     "j5_weighted_jaccard" -> weightedJaccardQ,
     "d_weighted_minhash" -> weightedMinhashQ,
+    "d_icws_minhash" -> icwsMinhashQ,
     "emb_stats" -> embStats,
     "ann_cosine_topk" -> annTopK,
     "q_hard_negatives" -> hardNegativesQ,

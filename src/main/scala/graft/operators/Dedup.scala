@@ -364,6 +364,88 @@ object Dedup {
       .agg(graft.functions.SketchFunctions.minhash_agg(col("v")).as("mh"))
   }
 
+  /** Per-(doc, token) integer micro weights w = tf · idf_micro with
+    * smoothed idf_micro = halfAway(ln((N+1)/df)·1e6) > 0 — the
+    * REAL-VALUED weight relation [[icwsSignatures]] sketches and the
+    * exact weighted Jaccard grades against (weighted Jaccard is
+    * invariant to the uniform 1e6 scaling, so integer micros keep the
+    * exact side order-independent). */
+  def idfWeights(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    def rha(y: Column) = when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
+    val tf = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val idf = tf.groupBy("tok").agg(countDistinct(col("id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), rha(log((col("nd") + lit(1)).cast("double") /
+        col("df").cast("double")) * lit(1000000.0)).cast("long").as("idfm"))
+    tf.join(broadcast(idf), "tok")
+      .select(col("id"), col("tok"), (col("tf") * col("idfm")).as("w"))
+  }
+
+  /** ICWS weighted-MinHash signatures (Ioffe 2010, Consistent Weighted
+    * Sampling; public) — the REAL-weight scale path where the
+    * tagged-copy expansion of [[weightedMinHashDigests]] only covers
+    * integer tf: P[sig_k(A) = sig_k(B)] = J_w(A, B) exactly, per
+    * Ioffe's consistency theorem. Log-domain evaluation: the slot key
+    * compares ln(a) = ln(c) − r·(t_k − β) − r, so NO exp is ever
+    * computed — determinism rests only on the house-proven
+    * round(ln(u), 6) seam (the weightedSample A-ES discipline), md5
+    * uniforms u_j = (md5_low32(tok:icws:k:j) + 1)/2³², exact dyadic β,
+    * and same-order double arithmetic; r, c are Gamma(2,1) =
+    * −(ln u + ln u'). Slot argmin ties break to the ascending token.
+    *
+    * Scale shape: |weights|×K row-local projections, one (id, k) hash
+    * aggregate — corpus-linear at fixed K, no pairing.
+    *
+    * @param weights (id, tok, w) with w > 0 (e.g. [[idfWeights]]).
+    * @return (id, k, s_tok, s_tk) — K rows per doc. */
+  def icwsSignatures(weights: DataFrame, k: Int = 32): DataFrame = {
+    require(k >= 1, "k >= 1")
+    def u(j: Int) =
+      (graft.functions.SketchFunctions.md5_low32(concat_ws(":",
+        col("tok"), lit("icws"), col("k").cast("string"), lit(j.toString)))
+        .cast("double") + lit(1.0)) / lit(4294967296.0)
+    val slots = weights
+      .select(col("id"), col("tok"), col("w"),
+        explode(sequence(lit(0), lit(k - 1))).as("k"))
+      .withColumn("r", -(round(log(u(1)), 6) + round(log(u(2)), 6)))
+      .withColumn("c", -(round(log(u(3)), 6) + round(log(u(4)), 6)))
+      .withColumn("beta", u(5))
+      .withColumn("lnw", round(log(col("w").cast("double")), 6))
+      .withColumn("tk", floor(col("lnw") / col("r") + col("beta")).cast("long"))
+      .withColumn("key", round(log(col("c")), 6)
+        - col("r") * (col("tk").cast("double") - col("beta")) - col("r"))
+    slots.groupBy("id", "k")
+      .agg(min(struct(col("key"), col("tok"), col("tk"))).as("m"))
+      .select(col("id"), col("k"),
+        col("m.tok").as("s_tok"), col("m.tk").as("s_tk"))
+  }
+
+  /** Exact weighted Jaccard over an arbitrary integer weight relation
+    * (id, tok, w) — the [[weightedJaccardPairs]] Σmin/Σmax identity on
+    * caller-supplied weights (e.g. [[idfWeights]] micros). */
+  def weightedJaccardOnWeights(weights: DataFrame, pairs: DataFrame): DataFrame = {
+    val tot = weights.groupBy("id").agg(sum(col("w")).as("tot"))
+    val inter = pairs
+      .join(weights.select(col("id").as("id_a"), col("tok"), col("w").as("w_a")), "id_a")
+      .join(weights.select(col("id").as("id_b"), col("tok"), col("w").as("w_b")),
+        Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b").agg(sum(least(col("w_a"), col("w_b"))).as("smin"))
+    pairs
+      .join(tot.select(col("id").as("id_a"), col("tot").as("tot_a")), "id_a")
+      .join(tot.select(col("id").as("id_b"), col("tot").as("tot_b")), "id_b")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("smin", coalesce(col("smin"), lit(0L)))
+      .select(col("id_a"), col("id_b"),
+        round(col("smin").cast("double") /
+          (col("tot_a") + col("tot_b") - col("smin")).cast("double"), 6)
+          .as("wjaccard"))
+  }
+
   /** EXACT Jaccard threshold self-join without LSH — prefix filtering
     * (PPJoin family, Xiao et al. WWW 2008): order each document's
     * shingle set by ascending global frequency (rarest first); a pair
