@@ -1152,15 +1152,18 @@ object OracleSql {
     * t_k = floor(round(ln w,6)/r + β), slot key ln(c)−r(t_k−β)−r (no
     * exp anywhere), argmin ties to ascending token — beside the exact
     * weighted Jaccard on the same tf·idf_micro weights. */
-  private def icwsMinhashSql: String = {
+  /** The shared ICWS replay CTE block over a doc predicate: tf → idf
+    * micros → wts → 32-slot log-domain ICWS keys → `sig` (id, k, s_tok,
+    * s_tk). Used by d_icws_minhash and d_icws_neardups. */
+  private def icwsSigCtes(pred: String): String = {
     def uref(j: Int) =
       s"((md5_number_lower(tok || ':icws:' || k || ':$j') & 4294967295) + 1.0) / 4294967296.0"
-    raw"""WITH tf AS (
+    raw"""tf AS (
       |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |        FROM documents WHERE doc_id <= 25)
+      |        FROM documents WHERE $pred)
       |  WHERE tok <> '' GROUP BY 1, 2),
-      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents WHERE doc_id <= 25),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents WHERE $pred),
       |idf AS (
       |  SELECT tok,
       |    CAST(CASE WHEN l >= 0 THEN floor(l + 0.5) ELSE ceil(l - 0.5) END AS BIGINT) AS idfm
@@ -1185,7 +1188,11 @@ object OracleSql {
       |  FROM s1),
       |sig AS (
       |  SELECT id, k, tok AS s_tok, tk AS s_tk FROM keys
-      |  QUALIFY row_number() OVER (PARTITION BY id, k ORDER BY key, tok) = 1),
+      |  QUALIFY row_number() OVER (PARTITION BY id, k ORDER BY key, tok) = 1)""".stripMargin
+  }
+
+  private def icwsMinhashSql: String = {
+    raw"""WITH ${icwsSigCtes("doc_id <= 25")},
       |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id <= 25),
       |prs AS (SELECT a.id AS id_a, b.id AS id_b FROM ids a JOIN ids b ON a.id < b.id),
       |est AS (
@@ -1210,6 +1217,36 @@ object OracleSql {
       |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
       |ORDER BY e.id_a, e.id_b""".stripMargin
   }
+
+  /** d_icws_neardups: the banded weighted near-dup replay — ICWS sig
+    * CTEs over the whole corpus, 8×4 band keys (slot "tok@tk" strings
+    * in slot order), bucket-collision candidates, exact weighted
+    * Jaccard verify at τ. */
+  private def icwsNearDupsSql: String =
+    s"""WITH ${icwsSigCtes("TRUE")},
+       |bnd AS (
+       |  SELECT id, k // 4 AS band,
+       |    string_agg(s_tok || '@' || s_tk, '|' ORDER BY k) AS bkey
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+       |tot AS (SELECT id, CAST(sum(w) AS BIGINT) AS tot FROM wts GROUP BY 1),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, CAST(sum(least(a.w, b.w)) AS BIGINT) AS smin
+       |  FROM cand c JOIN wts a ON a.id = c.id_a
+       |  JOIN wts b ON b.id = c.id_b AND b.tok = a.tok
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+       |        / CAST(ta.tot + tb.tot - coalesce(i.smin, 0) AS DOUBLE), 6) AS wjaccard
+       |FROM cand c
+       |JOIN tot ta ON ta.id = c.id_a JOIN tot tb ON tb.id = c.id_b
+       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |WHERE round(CAST(coalesce(i.smin, 0) AS DOUBLE)
+       |      / CAST(ta.tot + tb.tot - coalesce(i.smin, 0) AS DOUBLE), 6) >= 0.7
+       |ORDER BY c.id_a, c.id_b""".stripMargin
 
   /** t_cms_freq: rebuild the depth-3 × width-16 Count-Min cells
     * (salted md5_low32 mod width, counts additive) and every per-token
@@ -5705,6 +5742,7 @@ object OracleSql {
 
     "d_weighted_minhash" -> weightedMinhashSql,
     "d_icws_minhash" -> icwsMinhashSql,
+    "d_icws_neardups" -> icwsNearDupsSql,
 
     // j5_weighted_jaccard: tf-multiset Jaccard Σmin/Σmax with
     // Σmax = tot_a + tot_b − Σmin (min + max = a + b per token);

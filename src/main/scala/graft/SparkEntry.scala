@@ -451,6 +451,15 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Weighted near-dup join at scale shape
+    * ([[Dedup.icwsNearDups]]): ICWS signatures banded 8×4 over the
+    * whole corpus, bucket-collision candidates verified against the
+    * exact tf·idf weighted Jaccard at τ=0.7 — every emitted pair is a
+    * true weighted near-dup; recall follows the banded S-curve. */
+  private def icwsNearDupsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.icwsNearDups(t(s, dir, "documents"), threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
   private def embStats(s: SparkSession, dir: String): DataFrame = {
     val nrm = sqrt(Ann.dot(col("embedding"), col("embedding")))
     t(s, dir, "embeddings")
@@ -4658,6 +4667,7 @@ object SparkEntry {
     "j5_weighted_jaccard" -> weightedJaccardQ,
     "d_weighted_minhash" -> weightedMinhashQ,
     "d_icws_minhash" -> icwsMinhashQ,
+    "d_icws_neardups" -> icwsNearDupsQ,
     "emb_stats" -> embStats,
     "ann_cosine_topk" -> annTopK,
     "q_hard_negatives" -> hardNegativesQ,

@@ -446,6 +446,37 @@ object Dedup {
           .as("wjaccard"))
   }
 
+  /** Banded near-dup join over [[icwsSignatures]] — the weighted
+    * (tf·idf) sibling of [[minhashNearDups]]: signatures band (k div
+    * rows), docs colliding on any full band become candidates, and
+    * candidates verify against the EXACT weighted Jaccard on the same
+    * weight relation (so every emitted pair is a true ≥ τ pair;
+    * recall follows the banded S-curve, 1−(1−J^r)^b). Band keys are
+    * the slot (token, t_k) pairs concatenated in slot order —
+    * deterministic on both engines.
+    *
+    * Scale: candidates shuffle on (band, key) buckets only; the verify
+    * join is candidate-scoped. Output: (id_a, id_b, wjaccard ≥ τ). */
+  def icwsNearDups(docs: DataFrame, threshold: Double, kHashes: Int = 32,
+                   bands: Int = 8, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(kHashes % bands == 0, "bands must divide kHashes")
+    val rows = kHashes / bands
+    val wts = idfWeights(docs, idCol, textCol).localCheckpoint(eager = true)
+    val sig = icwsSignatures(wts, kHashes)
+    val bnd = sig.withColumn("band", expr(s"k div $rows"))
+      .groupBy("id", "band")
+      .agg(concat_ws("|", expr(
+        "transform(array_sort(collect_list(struct(k, s_tok, s_tk)))," +
+          " x -> concat(x.s_tok, '@', x.s_tk))")).as("bkey"))
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    weightedJaccardOnWeights(wts, cand)
+      .filter(col("wjaccard") >= threshold)
+  }
+
   /** EXACT Jaccard threshold self-join without LSH — prefix filtering
     * (PPJoin family, Xiao et al. WWW 2008): order each document's
     * shingle set by ascending global frequency (rarest first); a pair

@@ -41,4 +41,13 @@ class IcwsSpec extends SparkSpec {
     val e = est("a a b", "a b b", 256)
     assert(math.abs(e - 0.5) < 0.2, s"est $e far from 0.5")
   }
+
+  test("icwsNearDups: identical docs always collide; emitted pairs are true >= tau") {
+    val docs = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta gamma alpha"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val out = Dedup.icwsNearDups(docs, threshold = 0.7).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("wjaccard")))
+    assert(out.toSeq == Seq((1L, 2L, 1.0))) // all 8 bands match; 3 never pairs
+  }
 }
