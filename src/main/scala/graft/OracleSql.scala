@@ -1218,6 +1218,50 @@ object OracleSql {
       |ORDER BY e.id_a, e.id_b""".stripMargin
   }
 
+  /** emb_cka: replay linear CKA per variant — micro-quantized views,
+    * truncating-div column centering, HUGEINT Gram cross products and
+    * squared-Frobenius sums (mirror of the Spark DECIMAL(38,0) path),
+    * one sqrt-ratio per variant rounded 6 dp. */
+  private def embCkaSql: String = {
+    def ckaSelect(variant: String, yCte: String, dx: Int, dy: Int): String =
+      s"""SELECT '$variant' AS variant, (SELECT count(*) FROM base) AS n_vecs,
+         |  CAST($dx AS INTEGER) AS dx, CAST($dy AS INTEGER) AS dy,
+         |  round(CAST(fxy.f2 AS DOUBLE) /
+         |    (sqrt(CAST(fxx.f2 AS DOUBLE)) * sqrt(CAST(fyy.f2 AS DOUBLE))), 6) AS cka
+         |FROM
+         |  (SELECT sum(c * c) AS f2 FROM (
+         |    SELECT sum(CAST(a.v AS HUGEINT) * b.v) AS c
+         |    FROM cx_c a JOIN ${yCte}_c b USING (n_id) GROUP BY a.d, b.d)) fxy,
+         |  (SELECT sum(c * c) AS f2 FROM (
+         |    SELECT sum(CAST(a.v AS HUGEINT) * b.v) AS c
+         |    FROM cx_c a JOIN cx_c b USING (n_id) GROUP BY a.d, b.d)) fxx,
+         |  (SELECT sum(c * c) AS f2 FROM (
+         |    SELECT sum(CAST(a.v AS HUGEINT) * b.v) AS c
+         |    FROM ${yCte}_c a JOIN ${yCte}_c b USING (n_id) GROUP BY a.d, b.d)) fyy"""
+        .stripMargin
+    def cellCtes(src: String, out: String, dim: Int): String =
+      s"""${out}_r AS (
+         |  SELECT vec_id AS n_id, d, q[d] AS v FROM $src, unnest(range(1, ${dim + 1})) t(d)),
+         |${out}_m AS (
+         |  SELECT d, CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS mu
+         |  FROM (SELECT d, sum(v) AS s, count(*) AS n FROM ${out}_r GROUP BY d)),
+         |${out}_c AS (
+         |  SELECT n_id, d, v - mu AS v FROM ${out}_r JOIN ${out}_m USING (d))"""
+        .stripMargin
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |xq AS (SELECT vec_id, [CAST(floor(x * 1e6) AS BIGINT) FOR x IN e] AS q FROM base),
+       |y8 AS (SELECT vec_id,
+       |  [CAST(floor(round(x * 127.0, 0) / 127.0 * 1e6) AS BIGINT) FOR x IN e] AS q FROM base),
+       |yt AS (SELECT vec_id, [CAST(floor(x * 1e6) AS BIGINT) FOR x IN e[1:16]] AS q FROM base),
+       |${cellCtes("xq", "cx", 64)},
+       |${cellCtes("y8", "c8", 64)},
+       |${cellCtes("yt", "ct", 16)}
+       |${ckaSelect("int8", "c8", 64, 64)}
+       |UNION ALL
+       |${ckaSelect("trunc16", "ct", 64, 16)}
+       |ORDER BY variant""".stripMargin
+  }
+
   /** d_icws_neardups: the banded weighted near-dup replay — ICWS sig
     * CTEs over the whole corpus, 8×4 band keys (slot "tok@tk" strings
     * in slot order), bucket-collision candidates, exact weighted
@@ -6505,6 +6549,7 @@ object OracleSql {
     "emb_dim_variance" -> dimVarianceSql,
     "emb_pca_power" -> pcaPowerSql,
     "emb_abtt" -> abttSql,
+    "emb_cka" -> embCkaSql,
     "emb_matryoshka" -> matryoshkaSql,
     "t_c4_filters" -> c4FiltersSql,
     "t_ppl_buckets" -> pplBucketsSql,

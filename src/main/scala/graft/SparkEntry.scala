@@ -460,6 +460,22 @@ object SparkEntry {
     Dedup.icwsNearDups(t(s, dir, "documents"), threshold = 0.7)
       .orderBy("id_a", "id_b")
 
+  /** Representation-drift scorecard ([[graft.operators.Ann.linearCka]]):
+    * CKA of the embedding table against its int8-quantized view and its
+    * 16-dim MRL truncation — "does the cheaper representation preserve
+    * the geometry" in one scalar per variant. */
+  private def embCkaQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val int8 = embs.withColumn("embedding", expr(
+      "transform(embedding, x -> round(cast(x as double) * 127.0, 0) / 127.0)"))
+    val trunc = embs.withColumn("embedding", expr("slice(embedding, 1, 16)"))
+    graft.operators.Ann.linearCka(embs, int8).withColumn("variant", lit("int8"))
+      .unionByName(graft.operators.Ann.linearCka(embs, trunc)
+        .withColumn("variant", lit("trunc16")))
+      .select("variant", "n_vecs", "dx", "dy", "cka")
+      .orderBy("variant")
+  }
+
   private def embStats(s: SparkSession, dir: String): DataFrame = {
     val nrm = sqrt(Ann.dot(col("embedding"), col("embedding")))
     t(s, dir, "embeddings")
@@ -4778,6 +4794,7 @@ object SparkEntry {
     "a_bootstrap_ci" -> bootstrapCiQ,
     "emb_pca_power" -> pcaPowerQ,
     "emb_abtt" -> abttQ,
+    "emb_cka" -> embCkaQ,
     "emb_matryoshka" -> matryoshkaQ,
     "t_c4_filters" -> c4FiltersQ,
     "t_ppl_buckets" -> pplBucketsQ,

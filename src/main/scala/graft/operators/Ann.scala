@@ -442,6 +442,67 @@ object Ann {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Linear CKA between two embedding views of the SAME items
+    * (Kornblith et al. 2019, "Similarity of Neural Network
+    * Representations Revisited"; public) — the representation-drift /
+    * quantization-health scalar an embedding pipeline reads when it
+    * swaps model versions, truncates MRL dims, or int8-quantizes:
+    * CKA = ‖Yᶜᵀ Xᶜ‖²_F / (‖Xᶜᵀ Xᶜ‖_F · ‖Yᶜᵀ Yᶜ‖_F) over column-centered
+    * micro-quantized views (centering = the [[kmeansCentroids]]
+    * truncating-div mean, exact integers). The three Gram cross
+    * products are exact-integer sums taken in DECIMAL(38,0); their
+    * squared Frobenius sums carry a loud overflow guard (the
+    * powerIterationPca discipline — fine to n ≈ 10⁹·d² ranges; past
+    * that, evaluate on a deterministic sample). Dimensions may differ
+    * between the views (d_y × d_x cross Gram).
+    *
+    * Scale shape: each Gram is ONE map-side-combined shuffle of
+    * (d, d') partial sums — d² cells, never n² — after an id equi-join
+    * of the two cell relations.
+    *
+    * Output: one row (n_vecs, dx, dy, cka). */
+  def linearCka(xEmb: DataFrame, yEmb: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    def cells(df: DataFrame, dCol: String, vCol: String) = {
+      val raw = df.select(col(idCol).as("n_id"),
+        posexplode(microVec(col(vecCol))).as(Seq(dCol, "v")))
+      val mu = raw.groupBy(dCol)
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("mu", expr(truncMean)).select(col(dCol), col("mu"))
+      raw.join(broadcast(mu), dCol)
+        .select(col("n_id"), col(dCol), (col("v") - col("mu")).as(vCol))
+    }
+    def frob2(a: DataFrame, da: String, va: String,
+              b: DataFrame, db: String, vb: String) =
+      a.join(b, "n_id")
+        .groupBy(col(da), col(db))
+        .agg(sum(expr(s"CAST($va * $vb AS DECIMAL(38,0))")).as("c"))
+        .agg(sum(expr("c * c")).as("f2"))
+    val xc = cells(xEmb, "dx", "vx")
+    val yc = cells(yEmb, "dy", "vy")
+    val nx = xEmb.agg(count(lit(1)).as("n_vecs"),
+      max(size(col(vecCol))).as("dx"))
+    val dyc = yEmb.agg(max(size(col(vecCol))).as("dy"))
+    val fxy = frob2(xc, "dx", "vx", yc, "dy", "vy").select(col("f2").as("fxy"))
+    val fxx = frob2(xc, "dx", "vx",
+      xc.select(col("n_id"), col("dx").as("dx2"), col("vx").as("vx2")),
+      "dx2", "vx2").select(col("f2").as("fxx"))
+    val fyy = frob2(yc, "dy", "vy",
+      yc.select(col("n_id"), col("dy").as("dy2"), col("vy").as("vy2")),
+      "dy2", "vy2").select(col("f2").as("fyy"))
+    nx.crossJoin(dyc).crossJoin(fxy).crossJoin(fxx).crossJoin(fyy)
+      .select(col("n_vecs"), col("dx"), col("dy"),
+        when(col("fxy").isNull || col("fxx").isNull || col("fyy").isNull, expr(
+            "raise_error('linearCka: Frobenius sum overflowed DECIMAL(38,0)" +
+              " — evaluate on a deterministic sample')").cast("double"))
+          .when(col("fxx") === 0 || col("fyy") === 0, expr(
+            "raise_error('linearCka: zero-variance view — CKA undefined')")
+            .cast("double"))
+          .otherwise(round(col("fxy").cast("double") /
+            (sqrt(col("fxx").cast("double")) * sqrt(col("fyy").cast("double"))), 6))
+          .as("cka"))
+  }
+
   /** Micro-quantized vector (the rhSignature quantization, shared). */
   private def microVec(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000000).cast("long"))
