@@ -6920,6 +6920,28 @@ object OracleSql {
 
     // exact replay of the next-fit-decreasing greedy fold (linear
     // recursion, the packSequences oracle discipline)
+    // x_shard_plan: replay the consistent-hash ring — salted md5_low32
+    // vnode/key positions, clockwise pick = argmin (pos − h) mod 2³²
+    // with (shard, vnode) ties, per-shard counts + id checksums.
+    "x_shard_plan" ->
+      """WITH ring AS (
+        |  SELECT s.shard, v.vnode,
+        |    CAST(md5_number_lower(s.shard || ':' || v.vnode || ':ring0') & 4294967295 AS BIGINT) AS pos
+        |  FROM range(0, 8) s(shard), range(0, 16) v(vnode)),
+        |keys AS (
+        |  SELECT doc_id,
+        |    CAST(md5_number_lower(doc_id || ':key0') & 4294967295 AS BIGINT) AS h
+        |  FROM documents),
+        |asg AS (
+        |  SELECT doc_id, shard FROM (
+        |    SELECT k.doc_id, r.shard,
+        |      row_number() OVER (PARTITION BY k.doc_id
+        |        ORDER BY (r.pos - k.h + 4294967296) % 4294967296, r.shard, r.vnode) AS rn
+        |    FROM keys k CROSS JOIN ring r)
+        |  WHERE rn = 1)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM asg GROUP BY shard ORDER BY shard""".stripMargin,
+
     "x_compaction_plan" ->
       """WITH RECURSIVE f AS (
         |  SELECT source AS part, doc_id AS id, n_chars AS b,

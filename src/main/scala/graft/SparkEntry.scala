@@ -476,6 +476,19 @@ object SparkEntry {
       .orderBy("variant")
   }
 
+  /** Consistent-hash shard plan ([[graft.operators.Sharding]], 8 shards
+    * × 16 vnodes over document ids): per-shard population + exact id
+    * checksums — the stable-re-sharding layout primitive next to
+    * `x_compaction_plan`. */
+  private def shardPlanQ(s: SparkSession, dir: String): DataFrame = {
+    val ring = graft.operators.Sharding.ring(s, nShards = 8, vnodesPerShard = 16)
+    graft.operators.Sharding.assign(
+        t(s, dir, "documents").select("doc_id"), "doc_id", ring)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("shard")
+  }
+
   private def embStats(s: SparkSession, dir: String): DataFrame = {
     val nrm = sqrt(Ann.dot(col("embedding"), col("embedding")))
     t(s, dir, "embeddings")
@@ -4921,6 +4934,7 @@ object SparkEntry {
     "d_cosine_pairs" -> cosinePairsQ,
     "d_cosine_postings" -> cosinePostingsQ,
     "d_cosine_auto" -> cosineAutoQ,
+    "x_shard_plan" -> shardPlanQ,
     "x_compaction_plan" -> compactionPlanQ,
     "t_script_mix" -> scriptMixQ,
     "d_lsh_plan" -> lshPlanQ,
