@@ -1155,13 +1155,26 @@ object OracleSql {
   /** The shared ICWS replay CTE block over a doc predicate: tf → idf
     * micros → wts → 32-slot log-domain ICWS keys → `sig` (id, k, s_tok,
     * s_tk). Used by d_icws_minhash and d_icws_neardups. */
-  private def icwsSigCtes(pred: String): String = {
+  private def icwsSigCtes(pred: String, shingle: Int = 1): String = {
     def uref(j: Int) =
       s"((md5_number_lower(tok || ':icws:' || k || ':$j') & 4294967295) + 1.0) / 4294967296.0"
+    // shingle = 1: whitespace unigrams; n > 1: word n-gram shingles with
+    // the word_shingles short-doc whole-text collapse (docDigCtes shape)
+    val tokSrc =
+      if (shingle <= 1)
+        raw"""SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          |        FROM documents WHERE $pred""".stripMargin
+      else {
+        val cat = (0 until shingle).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        raw"""SELECT doc_id,
+          |          unnest(CASE WHEN len(w) <= ${shingle - 1} THEN [array_to_string(w, ' ')]
+          |                 ELSE list_transform(range(1, len(w) - ${shingle - 2}), i -> $cat) END) AS tok
+          |        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          |              FROM documents WHERE $pred)""".stripMargin
+      }
     raw"""tf AS (
       |  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
-      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |        FROM documents WHERE $pred)
+      |  FROM ($tokSrc)
       |  WHERE tok <> '' GROUP BY 1, 2),
       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents WHERE $pred),
       |idf AS (
@@ -1263,11 +1276,11 @@ object OracleSql {
   }
 
   /** d_icws_neardups: the banded weighted near-dup replay — ICWS sig
-    * CTEs over the whole corpus, 8×4 band keys (slot "tok@tk" strings
-    * in slot order), bucket-collision candidates, exact weighted
-    * Jaccard verify at τ. */
+    * CTEs over the whole corpus on word 3-shingle tf·idf features,
+    * 8×4 band keys (slot "tok@tk" strings in slot order),
+    * bucket-collision candidates, exact weighted Jaccard verify at τ. */
   private def icwsNearDupsSql: String =
-    s"""WITH ${icwsSigCtes("TRUE")},
+    s"""WITH ${icwsSigCtes("TRUE", shingle = 3)},
        |bnd AS (
        |  SELECT id, k // 4 AS band,
        |    string_agg(s_tok || '@' || s_tk, '|' ORDER BY k) AS bkey

@@ -452,9 +452,10 @@ object SparkEntry {
   }
 
   /** Weighted near-dup join at scale shape
-    * ([[Dedup.icwsNearDups]]): ICWS signatures banded 8×4 over the
-    * whole corpus, bucket-collision candidates verified against the
-    * exact tf·idf weighted Jaccard at τ=0.7 — every emitted pair is a
+    * ([[Dedup.icwsNearDups]]): ICWS signatures over word 3-shingle
+    * tf·idf features banded 8×4 over the whole corpus,
+    * bucket-collision candidates verified against the
+    * exact weighted Jaccard at τ=0.7 — every emitted pair is a
     * true weighted near-dup; recall follows the banded S-curve. */
   private def icwsNearDupsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.icwsNearDups(t(s, dir, "documents"), threshold = 0.7)

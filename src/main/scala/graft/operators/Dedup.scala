@@ -371,12 +371,19 @@ object Dedup {
     * invariant to the uniform 1e6 scaling, so integer micros keep the
     * exact side order-independent). */
   def idfWeights(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text", shingle: Int = 1): DataFrame = {
     def rha(y: Column) = when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
-    val tf = docs.select(col(idCol).as("id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    // shingle = 1: whitespace unigrams; n > 1: word n-gram shingles
+    // (word_shingles semantics incl. the short-doc whole-text collapse)
+    val toks =
+      if (shingle <= 1) explode(split(trim(col(textCol)), "\\s+"))
+      else explode(word_shingles(col(textCol), shingle))
+    // lazy-checkpoint tf: both the idf branch and the final join read
+    // it, and recomputing means a second tokenize+explode scan pass
+    val tf = docs.select(col(idCol).as("id"), toks.as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val nDocs = docs.agg(count(lit(1)).as("nd"))
     val idf = tf.groupBy("tok").agg(countDistinct(col("id")).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -409,15 +416,22 @@ object Dedup {
       (graft.functions.SketchFunctions.md5_low32(concat_ws(":",
         col("tok"), lit("icws"), col("k").cast("string"), lit(j.toString)))
         .cast("double") + lit(1.0)) / lit(4294967296.0)
-    val slots = weights
-      .select(col("id"), col("tok"), col("w"),
-        explode(sequence(lit(0), lit(k - 1))).as("k"))
+    // The slot parameters (r, c, beta) depend only on (tok, k), never
+    // on the document — derive them once per DISTINCT token and fan the
+    // weight rows out through the join, instead of paying 5 md5
+    // evaluations per (doc, tok, slot) row (per-distinct-token hashing
+    // is ~df̄× cheaper; at sf0.1 documents that is 51 s → seconds).
+    val params = weights.select(col("tok")).distinct()
+      .select(col("tok"), explode(sequence(lit(0), lit(k - 1))).as("k"))
       .withColumn("r", -(round(log(u(1)), 6) + round(log(u(2)), 6)))
-      .withColumn("c", -(round(log(u(3)), 6) + round(log(u(4)), 6)))
+      .withColumn("lnc", round(log(-(round(log(u(3)), 6) + round(log(u(4)), 6))), 6))
       .withColumn("beta", u(5))
+      .select(col("tok"), col("k"), col("r"), col("lnc"), col("beta"))
+    val slots = weights
       .withColumn("lnw", round(log(col("w").cast("double")), 6))
+      .join(params, "tok")
       .withColumn("tk", floor(col("lnw") / col("r") + col("beta")).cast("long"))
-      .withColumn("key", round(log(col("c")), 6)
+      .withColumn("key", col("lnc")
         - col("r") * (col("tk").cast("double") - col("beta")) - col("r"))
     slots.groupBy("id", "k")
       .agg(min(struct(col("key"), col("tok"), col("tk"))).as("m"))
@@ -429,6 +443,11 @@ object Dedup {
     * (id, tok, w) — the [[weightedJaccardPairs]] Σmin/Σmax identity on
     * caller-supplied weights (e.g. [[idfWeights]] micros). */
   def weightedJaccardOnWeights(weights: DataFrame, pairs: DataFrame): DataFrame = {
+    // Token-exploded verify join, NOT per-pair map lookups: Spark map
+    // element_at is a linear key scan, so a fetch-and-score fold costs
+    // O(|A|·|B|) string compares per pair (measured 2.5× slower at
+    // sf0.1's 2M candidates); the exploded equi-join is O(Σ tokens)
+    // through the shuffle with map-side partial Σmin.
     val tot = weights.groupBy("id").agg(sum(col("w")).as("tot"))
     val inter = pairs
       .join(weights.select(col("id").as("id_a"), col("tok"), col("w").as("w_a")), "id_a")
@@ -449,6 +468,11 @@ object Dedup {
   /** Banded near-dup join over [[icwsSignatures]] — the weighted
     * (tf·idf) sibling of [[minhashNearDups]]: signatures band (k div
     * rows), docs colliding on any full band become candidates, and
+    * features default to word 3-shingles (`shingle = 3`) like
+    * [[minhashNearDups]] — a unigram feature space on a small-vocab
+    * corpus makes nearly EVERYTHING a banding collision (measured at
+    * sf0.1: 2.0M candidates from 5k docs = 16% of all pairs, 51 s;
+    * shingled: hundreds), and
     * candidates verify against the EXACT weighted Jaccard on the same
     * weight relation (so every emitted pair is a true ≥ τ pair;
     * recall follows the banded S-curve, 1−(1−J^r)^b). Band keys are
@@ -459,16 +483,21 @@ object Dedup {
     * join is candidate-scoped. Output: (id_a, id_b, wjaccard ≥ τ). */
   def icwsNearDups(docs: DataFrame, threshold: Double, kHashes: Int = 32,
                    bands: Int = 8, idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text", shingle: Int = 3): DataFrame = {
     require(kHashes % bands == 0, "bands must divide kHashes")
     val rows = kHashes / bands
-    val wts = idfWeights(docs, idCol, textCol).localCheckpoint(eager = true)
+    val wts = idfWeights(docs, idCol, textCol, shingle)
+      .localCheckpoint(eager = false)
     val sig = icwsSignatures(wts, kHashes)
+    // checkpoint the band relation: the candidate self-join reads it
+    // twice, and without the barrier AQE re-executes the whole
+    // signature pipeline per side
     val bnd = sig.withColumn("band", expr(s"k div $rows"))
       .groupBy("id", "band")
       .agg(concat_ws("|", expr(
         "transform(array_sort(collect_list(struct(k, s_tok, s_tk)))," +
           " x -> concat(x.s_tok, '@', x.s_tk))")).as("bkey"))
+      .localCheckpoint(eager = false)
     val cand = bnd.as("a").join(bnd.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
