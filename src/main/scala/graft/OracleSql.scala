@@ -1724,6 +1724,32 @@ object OracleSql {
       |sv AS (SELECT lang, unnest(sh) AS s FROM g),
       |h AS (SELECT DISTINCT lang, (md5_number_lower(s) & 4294967295) AS hv FROM sv)""".stripMargin
 
+  /** t_pmi_bigrams: replay the PMI collocation table — unigram/bigram
+    * totals, min-support 5, the one fixed-shape double expression
+    * (c12·Nu·Nu)/((c1·c2)·Nb) left-associated then ln, 6 dp, total-order
+    * rank (pmi desc, w1, w2) capped at 100. */
+  private def pmiBigramsSql: String =
+    raw"""WITH tk AS (
+       |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+       |  FROM documents),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+       |nuc AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM tk),
+       |d AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+       |      WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+       |g AS (SELECT unnest(list_transform(range(1, len(w)),
+       |        i -> {'w1': w[i], 'w2': w[i+1]})) AS s FROM d),
+       |nbc AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM g),
+       |bc AS (SELECT s.w1 AS w1, s.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+       |       FROM g GROUP BY 1, 2 HAVING count(*) >= 5),
+       |sc AS (SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
+       |         round(ln(CAST(bc.c12 AS DOUBLE) * CAST(nuc.nu AS DOUBLE) * CAST(nuc.nu AS DOUBLE)
+       |           / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE) * CAST(nbc.nb AS DOUBLE))), 6) AS pmi
+       |       FROM bc JOIN uni u1 ON u1.t = bc.w1 JOIN uni u2 ON u2.t = bc.w2, nuc, nbc),
+       |r AS (SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank, *
+       |      FROM sc)
+       |SELECT rank, w1, w2, c12, c1, c2, pmi FROM r WHERE rank <= 100
+       |ORDER BY rank""".stripMargin
+
   /** t_tfidf_terms: smooth-idf TF-IDF with the BM25 determinism
     * discipline — the ln is rounded to 6 dp BEFORE the multiply. */
   private def tfidfTermsSql: String =
@@ -6510,6 +6536,7 @@ object OracleSql {
     "a_entropy_mi" -> entropyMiSql,
     "a_kmv_setops" -> kmvSetOpsSql,
     "d_temperature_mix" -> temperatureMixSql,
+    "t_pmi_bigrams" -> pmiBigramsSql,
     "t_tfidf_terms" -> tfidfTermsSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,

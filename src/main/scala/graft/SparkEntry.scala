@@ -4315,6 +4315,13 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** LLM-pipeline: top-100 bigram PMI collocations at min support 5
+    * ([[operators.TextAnalysis.pmiCollocations]]) — the phrase-mining
+    * signal for tokenizer vocab seeding. */
+  private def pmiBigramsQ(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.pmiCollocations(t(s, dir, "documents"))
+      .orderBy("rank")
+
   /** LLM-pipeline: per-doc TF-IDF top-5 terms (smooth idf, 6-dp-rounded
     * transcendental, term-ascending tiebreak). */
   private def tfidfTermsQ(s: SparkSession, dir: String): DataFrame =
@@ -4862,6 +4869,7 @@ object SparkEntry {
     "a_kmv_distinct" -> kmvDistinctQ,
     "a_kmv_setops" -> kmvSetOpsQ,
     "d_temperature_mix" -> temperatureMixQ,
+    "t_pmi_bigrams" -> pmiBigramsQ,
     "t_tfidf_terms" -> tfidfTermsQ,
     "t_repetition" -> repetitionMetricsQ,
     "t_ngram_novelty" -> ngramNoveltyQ,

@@ -721,6 +721,50 @@ object TextAnalysis {
       .drop("__hctx")
   }
 
+  /** Bigram PMI collocation mining (Church & Hanks 1990, "Word
+    * Association Norms, Mutual Information, and Lexicography" — public)
+    * — the classic phrase-mining signal for tokenizer vocab seeding and
+    * corpus diagnostics: pmi(w1,w2) = ln(p(w1 w2) / (p(w1)·p(w2))) with
+    * p(w1 w2) over the bigram total and p(w) over the unigram total.
+    * Computed as ONE fixed-shape double expression — (c12·Nu·Nu) /
+    * ((c1·c2)·Nb) left-associated then ln, rounded to 6 dp — so both
+    * engines round identically. Bigrams below `minCount` support are
+    * dropped BEFORE ranking (rare-pair PMI is noise); rank is total
+    * (pmi desc, w1, w2).
+    *
+    * Scale: two token-relation aggregates (vocab-bounded results) and
+    * a bigram-vocab join; the ranking window's input is the
+    * support-filtered bigram vocabulary, never the corpus. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 100,
+                      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(explode(split(trim(col(s"`$textCol`")), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val big = docs
+      .where(size(split(trim(col(s"`$textCol`")), "\\s+")) >= 2)
+      .select(explode(word_shingles(col(s"`$textCol`"), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    val uni = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val nu = toks.agg(count(lit(1)).as("nu"))
+    val nb = big.agg(count(lit(1)).as("nb"))
+    val scored = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(broadcast(uni.select(col("t").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("t").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi", round(log(
+        col("c12").cast("double") * col("nu").cast("double") * col("nu").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double") * col("nb").cast("double"))), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("w1"), col("w2"), col("c12"),
+        col("c1"), col("c2"), col("pmi"))
+  }
+
   /** Rule thresholds for [[c4Filter]] — the C4 cleaning heuristics
     * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
     * §2.2 — public paper, see PAPERS.md): keep only lines that end in

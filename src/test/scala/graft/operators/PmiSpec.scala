@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[TextAnalysis.pmiCollocations]] on a hand-computed corpus:
+  * "a b a b a b" has unigrams a×3 b×3 (Nu=6), bigrams "a b"×3
+  * "b a"×2 (Nb=5), so pmi(a,b) = ln(3·36/(9·5)) = ln(2.4) and
+  * pmi(b,a) = ln(2·36/(9·5)) = ln(1.6), ranked in that order. */
+class PmiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmiCollocations: exact hand-computed PMI, support filter, rank order") {
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 2, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"), r.getAs[Long]("c12"), r.getAs[Double]("pmi")))
+    assert(out.toSeq == Seq(
+      (1L, "a", "b", 3L, 0.875469), // ln 2.4
+      (2L, "b", "a", 2L, 0.470004))) // ln 1.6
+  }
+
+  test("pmiCollocations: bigrams below min support never rank") {
+    val docs = Seq((1L, "x y"), (2L, "p q"), (3L, "p q")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, minCount = 2, topK = 10)
+      .collect().map(_.getAs[String]("w1"))
+    assert(out.toSeq == Seq("p")) // "x y" has support 1
+  }
+}
