@@ -2092,6 +2092,38 @@ object OracleSql {
        |ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin
   }
 
+  /** w_kcore: replay 8 unrolled synchronous h-operator rounds (init =
+    * degree; each round c(v) = max over desc-sorted neighbor values of
+    * min(rownum, value)) on the symmetrized w_label_prop graph, then
+    * the coreness histogram. Rounds MATERIALIZED. */
+  private def kCoreSql: String = {
+    def rnd(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT dst AS node, CAST(max(least(rn, v)) AS BIGINT) AS c FROM (
+         |    SELECT s.dst, l.c AS v,
+         |      row_number() OVER (PARTITION BY s.dst ORDER BY l.c DESC) AS rn
+         |    FROM sym s JOIN $prev l ON l.node = s.src)
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to 8).map(i => rnd(if (i == 1) "c0" else s"c${i - 1}", s"c$i"))
+      .mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id*7 + 3) % (SELECT c FROM nn) AS dst FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, doc_id % 31 FROM documents),
+       |sym AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 WHERE src <> dst
+       |    UNION ALL
+       |    SELECT dst, src FROM e0 WHERE src <> dst)),
+       |c0 AS MATERIALIZED (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS c FROM sym GROUP BY 1),
+       |$rounds
+       |SELECT c AS coreness, count(*) AS n_nodes,
+       |  CAST(sum(node) AS BIGINT) AS node_checksum
+       |FROM c8 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** w_label_prop: replay 3 unrolled synchronous LPA rounds on the
     * symmetrized w_page_rank graph — per-node neighbor-label mode with
     * ties to the smallest label, then the community-size histogram.
@@ -6460,6 +6492,7 @@ object OracleSql {
     "d_cluster_canonical" -> clusterCanonicalSql,
     "d_corpus_diff" -> corpusDiffSql,
     "w_page_rank" -> pageRankSql,
+    "w_kcore" -> kCoreSql,
     "w_label_prop" -> labelPropSql,
     "t_ngram_novelty" -> ngramNoveltySql,
     "t_length_histogram" -> lengthHistogramSql,

@@ -2882,6 +2882,22 @@ object SparkEntry {
     * communities where `w_components` would over-merge through
     * bridges. Output = community-size histogram with exact label
     * checksums; the oracle replays the unrolled rounds. */
+  /** Web-graph coreness histogram ([[graft.operators.Graph.kCore]]):
+    * 8 synchronous h-operator rounds on the same synthetic doc graph as
+    * [[labelPropQ]], reported as (coreness, n_nodes, node_checksum). */
+  private def kCoreQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.select(count(lit(1)).as("n"))
+    val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 3) % col("n")).as("dst"))
+      .union(docs.select(col("doc_id"), col("doc_id") % 31))
+    graft.operators.Graph.kCore(e, nIter = 8)
+      .groupBy("coreness").agg(count(lit(1)).as("n_nodes"),
+        sum(col("node")).as("node_checksum"))
+      .orderBy("coreness")
+  }
+
   private def labelPropQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val n = docs.select(count(lit(1)).as("n"))
@@ -4802,6 +4818,7 @@ object SparkEntry {
     "d_cluster_canonical" -> clusterCanonicalQ,
     "d_corpus_diff" -> corpusDiffQ,
     "w_page_rank" -> pageRankQ,
+    "w_kcore" -> kCoreQ,
     "w_label_prop" -> labelPropQ,
     "d_leakage_split" -> leakageSplitQ,
     "t_token_budget" -> tokenBudgetQ,

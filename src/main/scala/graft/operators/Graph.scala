@@ -112,6 +112,51 @@ object Graph {
     labels
   }
 
+  /** Coreness (k-core number) of every node via synchronous h-index
+    * iteration (Lü et al. 2016, "The H-index of a network node and its
+    * relation to degree and coreness", Nature Communications — public):
+    * init c₀(v) = deg(v); every round EVERY node simultaneously sets
+    * c(v) ← H({c(u) : u ∼ v}), the largest h such that ≥ h neighbors
+    * currently hold value ≥ h. The sequence is monotone non-increasing
+    * and its fixed point is exactly the coreness; fixed `nIter` rounds
+    * (no convergence test) keeps the oracle an unrolled replay. The
+    * h-index is order-insensitive among equal values, so the per-round
+    * window needs no tiebreak to be deterministic.
+    *
+    * The k-core itself is then `coreness ≥ k` — the densely-connected
+    * backbone a web-curation pipeline keeps (or caps) ahead of
+    * per-domain sampling, where components/LPA only see connectivity.
+    *
+    * Scale shape: per round ONE edge-sized keyed join + one per-node
+    * window + one hash aggregate — no pairing; lineage truncates per
+    * round (the [[pagerankInt]] discipline).
+    *
+    * @param edges (src, dst); direction, self-edges, duplicates ignored.
+    * @return (node, coreness) after `nIter` h-operator rounds. */
+  def kCore(edges: DataFrame, nIter: Int = 8): DataFrame = {
+    require(nIter >= 1, "need nIter >= 1")
+    val d = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var cur = sym.groupBy("src").agg(count(lit(1)).as("c"))
+      .select(col("src").as("node"), col("c"))
+    for (i <- 1 to nIter) {
+      val h = sym.join(cur, col("src") === col("node"))
+        .select(col("dst"), col("c").as("v"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+            .orderBy(col("v").desc)).cast("long"))
+        .groupBy("dst").agg(max(least(col("__rn"), col("v"))).as("h"))
+      // every sym node has >= 1 neighbor, so the inner join is total
+      cur = cur.join(h, col("node") === col("dst"))
+        .select(col("node"), col("h").as("c"))
+      if (i < nIter) cur = cur.localCheckpoint(eager = true)
+    }
+    cur.select(col("node"), col("c").as("coreness"))
+  }
+
   /** Per-node degrees of the cleaned edge relation (self-edges and
     * duplicates dropped, as [[pagerankInt]]): (node, out_deg, in_deg).
     * Two key shuffles; nodes with no edges in a direction report 0.
