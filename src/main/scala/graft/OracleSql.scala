@@ -3346,6 +3346,77 @@ object OracleSql {
        |FROM r WHERE rk <= 8 GROUP BY url_domain ORDER BY url_domain""".stripMargin
   }
 
+  /** Shared CTE block for the t_lr_quality family: Gopher keep labels
+    * (t_quality_filter's exact metric replay), hashed token-count
+    * features + intercept dim 8, and 3 unrolled exact-integer
+    * hard-sigmoid GD rounds (w0 = 0, η_micro = 1000) — every div a
+    * truncating `//`, mirroring Spark `div`. Final weights CTE: w3. */
+  private def lrQualityCtes: String = {
+    def rnd(prev: String, out: String): String =
+      s"""z_$out AS MATERIALIZED (
+         |  SELECT fx.id, CAST(sum(fx.x * w.w_micro) AS BIGINT) AS z
+         |  FROM fx JOIN $prev w USING (dim) GROUP BY 1),
+         |r_$out AS (
+         |  SELECT z.id, l.y * 1000000 -
+         |    least(1000000, greatest(0, z.z // 4 + 500000)) AS r
+         |  FROM z_$out z JOIN lab l ON l.id = z.id),
+         |$out AS MATERIALIZED (
+         |  SELECT w.dim, CAST(w.w_micro +
+         |    ((coalesce(g.g, 0) // n.n) * 1000) // 1000000 AS BIGINT) AS w_micro
+         |  FROM $prev w LEFT JOIN (
+         |    SELECT fx.dim, CAST(sum(fx.x * r.r) AS BIGINT) AS g
+         |    FROM fx JOIN r_$out r USING (id) GROUP BY 1) g ON g.dim = w.dim, nn n)""".stripMargin
+    raw"""m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       |    round(CASE WHEN length(text) = 0 THEN 0
+       |          ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS pr,
+       |    round(CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0
+       |          ELSE CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), w -> length(w))) AS DOUBLE)
+       |               / len(string_split_regex(trim(text), '\s+')) END, 6) AS mtl
+       |  FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN n_tokens >= 30 AND n_tokens <= 5000
+       |          AND mtl >= 3.0 AND mtl <= 4.8 AND pr <= 0.1
+       |         THEN 1 ELSE 0 END AS y
+       |  FROM m),
+       |tk AS (
+       |  SELECT doc_id AS id,
+       |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |fx AS MATERIALIZED (
+       |  SELECT id, CAST(md5_number_lower(tok) & 4294967295 AS BIGINT) % 8 AS dim,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM tk GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, 8, 1 FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |w0 AS (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w_micro),
+       |${rnd("w0", "w1")},
+       |${rnd("w1", "w2")},
+       |${rnd("w2", "w3")}""".stripMargin
+  }
+
+  /** t_lr_quality: replay train + score + the score-decile × label
+    * calibration histogram. */
+  private def lrQualitySql: String =
+    s"""WITH $lrQualityCtes,
+       |sc AS (
+       |  SELECT fx.id, CAST(sum(fx.x * w.w_micro) AS BIGINT) AS z,
+       |    least(1000000, greatest(0, CAST(sum(fx.x * w.w_micro) AS BIGINT) // 4 + 500000)) AS score
+       |  FROM fx JOIN w3 w USING (dim) GROUP BY fx.id)
+       |SELECT sc.score // 100000 AS bucket, count(*) AS n_docs,
+       |  CAST(sum(l.y) AS BIGINT) AS n_pos, CAST(sum(sc.z) AS BIGINT) AS z_checksum
+       |FROM sc JOIN lab l ON l.id = sc.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** t_lr_quality_weights: the trained 9-row weight vector. */
+  private def lrQualityWeightsSql: String =
+    s"""WITH $lrQualityCtes
+       |SELECT dim, w_micro FROM w3 ORDER BY dim""".stripMargin
+
   /** t_quality_filter: Gopher-style rule filter counts per language
     * (mirrors TextAnalysis.qualityFilter with the query's thresholds;
     * rule comparisons on round-6 metrics on both sides). */
@@ -6487,6 +6558,8 @@ object OracleSql {
     "t2_unigram_prune" -> unigramPruneSql,
     "t2_tokenizer_compare" -> tokenizerCompareSql,
     "st_stream_unigram" -> unigramStreamSql,
+    "t_lr_quality" -> lrQualitySql,
+    "t_lr_quality_weights" -> lrQualityWeightsSql,
     "t_quality_filter" -> qualityFilterSql,
     "d_dedup_corpus" -> dedupCorpusSql,
     "d_cluster_canonical" -> clusterCanonicalSql,

@@ -4366,6 +4366,42 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** LLM-pipeline: Gopher-style quality filter, reported per language. */
+  private def lrQualityRules = TextAnalysis.QualityRules(
+    minTokens = 30, maxTokens = 5000,
+    minMeanTokenLen = 3.0, maxMeanTokenLen = 4.8, maxPunctRatio = 0.1)
+
+  private def lrQualityWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = TextAnalysis.qualityFilter(docs, lrQualityRules)
+      .select(col("doc_id").as("id"), col("keep").cast("long").as("y"))
+    graft.ml.QualityDistill.trainHardSigmoidLr(
+      graft.ml.QualityDistill.hashedFeatures(docs), labels)
+  }
+
+  /** Quality-classifier distillation ([[graft.ml.QualityDistill]]):
+    * train the hard-sigmoid LR on hashed token counts against the
+    * Gopher keep verdict (3 exact-integer GD rounds), then score the
+    * whole corpus — reported as the score-decile × label calibration
+    * histogram. */
+  private def lrQualityQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = TextAnalysis.qualityFilter(docs, lrQualityRules)
+      .select(col("doc_id").as("id"), col("keep").cast("long").as("y"))
+    val feats = graft.ml.QualityDistill.hashedFeatures(docs)
+    val w = graft.ml.QualityDistill.trainHardSigmoidLr(feats, labels)
+    graft.ml.QualityDistill.scoreHardSigmoid(feats, w)
+      .join(labels, "id")
+      .groupBy(expr("score_micro div 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(col("z_micro")).as("z_checksum"))
+      .orderBy("bucket")
+  }
+
+  /** The trained hard-sigmoid LR weight vector itself (9 rows: 8
+    * hashed dims + intercept) — pins training bit-exactly. */
+  private def lrQualityWeightsQ(s: SparkSession, dir: String): DataFrame =
+    lrQualityWeights(s, dir).orderBy("dim")
+
   private def qualityFilterStats(s: SparkSession, dir: String): DataFrame = {
     val rules = TextAnalysis.QualityRules(
       minTokens = 30, maxTokens = 5000,
@@ -4813,6 +4849,8 @@ object SparkEntry {
     "t2_bpe_encode" -> bpeEncodeQ,
     "t2_bpe_fertility" -> bpeFertilityQ,
     "d_dup_span_coverage" -> dupSpanCoverage,
+    "t_lr_quality" -> lrQualityQ,
+    "t_lr_quality_weights" -> lrQualityWeightsQ,
     "t_quality_filter" -> qualityFilterStats,
     "d_dedup_corpus" -> dedupCorpus,
     "d_cluster_canonical" -> clusterCanonicalQ,

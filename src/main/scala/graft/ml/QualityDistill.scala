@@ -1,0 +1,97 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.SketchFunctions.md5_low32
+
+/** Distill an expensive per-document quality rule into a cheap linear
+  * scorer — the classic "quality classifier" of LLM corpus curation
+  * (GPT-3, Brown et al. 2020 App. A trained a logistic filter on
+  * reference-vs-crawl labels; public paper, see PAPERS.md). The model
+  * here is logistic regression with the HARD-SIGMOID link
+  * σ̂(z) = clamp(z/4 + 1/2, 0, 1) (the piecewise-linear sigmoid of
+  * quantized nets; slope 1/4 matches the logistic derivative at 0), so
+  * the ENTIRE training loop is exact integer micro arithmetic — no
+  * transcendental anywhere, unlike true-sigmoid GD whose exp() is not
+  * cross-engine reproducible (the house determinism seam covers ln,
+  * not exp — see the ICWS log-domain discipline):
+  *
+  *  - features: hashed token counts x ∈ ℕ (md5 % dims) + intercept,
+  *  - weights in micro units (long),
+  *  - z_micro = Σ_j w_j·x_j exact long,
+  *  - σ̂_micro = clamp(z_micro div 4 + 500000, 0, 10⁶) — truncating
+  *    div, identical to DuckDB `//`,
+  *  - residual r_micro = y·10⁶ − σ̂_micro,
+  *  - full-batch gradient Σ_i r_i·x_ij exact long (bound: needs
+  *    n_docs · x̄ · 10⁶ < 2⁶³ ≈ 9.2e18, i.e. ~10¹⁰ average docs —
+  *    beyond that lift the sum into DECIMAL(38,0), the
+  *    Sampling.epochCappedPlan precedent),
+  *  - update w += ((Σ div n) · η_micro) div 10⁶, all truncating.
+  *
+  * Bit-identical on any engine / partitioning / rerun; the SQL oracle
+  * replays training by unrolling rounds.
+  *
+  * Scale shape: the feature relation shuffles ONCE (token hash
+  * aggregate); each round is two keyed joins against it with map-side
+  * partial sums — weights are a dims+1-row broadcast relation, never a
+  * driver collect. Scoring is one broadcast join + per-doc aggregate.
+  */
+object QualityDistill {
+
+  /** Hashed token-count features (id, dim, x): dim = md5_low32(tok) %
+    * dims for word tokens, plus the intercept row dim = dims with
+    * x = 1 for EVERY document (so empty docs still score). */
+  def hashedFeatures(docs: DataFrame, dims: Int = 8,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(trim(col(s"`$textCol`")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.select(col("id"), (md5_low32(col("tok")) % dims).as("dim"))
+      .groupBy("id", "dim").agg(count(lit(1)).as("x"))
+      .unionByName(docs.select(col(idCol).as("id"),
+        lit(dims.toLong).as("dim"), lit(1L).as("x")))
+  }
+
+  /** Full-batch hard-sigmoid GD from w = 0: returns (dim, w_micro)
+    * after `nIter` rounds on features (id, dim, x) and labels (id, y)
+    * with y ∈ {0, 1}. */
+  def trainHardSigmoidLr(feats: DataFrame, labels: DataFrame,
+                         dims: Int = 8, nIter: Int = 3,
+                         etaMicro: Long = 1000L): DataFrame = {
+    require(nIter >= 1 && etaMicro > 0, "need nIter >= 1 and etaMicro > 0")
+    val s = feats.sparkSession
+    import s.implicits._
+    val fx = feats.localCheckpoint(eager = true)
+    val lab = labels.select(col("id"), col("y").cast("long").as("y"))
+      .localCheckpoint(eager = true)
+    val n = lab.agg(count(lit(1)).as("n"))
+    var w = (0 to dims).map(_.toLong).toDF("dim")
+      .withColumn("w_micro", lit(0L))
+    for (i <- 1 to nIter) {
+      val z = fx.join(broadcast(w), "dim")
+        .groupBy("id").agg(sum(col("x") * col("w_micro")).as("z_micro"))
+      val r = z.join(lab, "id")
+        .select(col("id"), (col("y") * 1000000L -
+          least(lit(1000000L), greatest(lit(0L),
+            expr("z_micro div 4") + 500000L))).as("r_micro"))
+      val grad = fx.join(r, "id")
+        .groupBy("dim").agg(sum(col("x") * col("r_micro")).as("g"))
+      w = w.join(grad, Seq("dim"), "left").crossJoin(broadcast(n))
+        .select(col("dim"), (col("w_micro") +
+          expr(s"((coalesce(g, 0L) div n) * ${etaMicro}L) div 1000000L"))
+          .as("w_micro"))
+      if (i < nIter) w = w.localCheckpoint(eager = true)
+    }
+    w
+  }
+
+  /** Score every document: (id, z_micro, score_micro) with
+    * score_micro = σ̂ in micro units. */
+  def scoreHardSigmoid(feats: DataFrame, weights: DataFrame): DataFrame =
+    feats.join(broadcast(weights), "dim")
+      .groupBy("id").agg(sum(col("x") * col("w_micro")).as("z_micro"))
+      .withColumn("score_micro",
+        least(lit(1000000L), greatest(lit(0L),
+          expr("z_micro div 4") + 500000L)))
+}
