@@ -3578,6 +3578,38 @@ object OracleSql {
       |  CAST(sum(total_sc) AS BIGINT) AS score_sum
       |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** d_domain_reweight: replay the bigram-LM CTEs, per-lang NLL vs
+    * corpus NLL in truncating micro divs, the linearized MW factor,
+    * and the renormalized ppm weights. */
+  private def domainReweightSql: String =
+    s"""WITH ${lmScoreCtes("documents")},
+       |doms AS (SELECT doc_id, lang AS domain FROM documents),
+       |ndc AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM doms GROUP BY 1),
+       |per AS (
+       |  SELECT doms.domain, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(sc.lpm) AS BIGINT) AS s
+       |  FROM sc JOIN doms USING (doc_id) GROUP BY 1),
+       |ov AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS nb_all,
+       |         CAST(sum(s) AS BIGINT) AS s_all FROM per),
+       |pr AS (
+       |  SELECT per.domain, ndc.n_docs, per.n_bigrams,
+       |    -(per.s // per.n_bigrams) AS nll_micro,
+       |    -(per.s // per.n_bigrams) - (-(ov.s_all // ov.nb_all)) AS excess_micro,
+       |    (per.n_bigrams * 1000000) // ov.nb_all AS base_ppm,
+       |    greatest(0, 1000000 +
+       |      (5000000 * (-(per.s // per.n_bigrams) - (-(ov.s_all // ov.nb_all)))) // 1000000)
+       |      AS factor_ppm
+       |  FROM per JOIN ndc USING (domain), ov),
+       |ar AS (SELECT *, (base_ppm * factor_ppm) // 1000000 AS alpha_raw FROM pr),
+       |tt AS (SELECT CAST(sum(alpha_raw) AS BIGINT) AS t FROM ar)
+       |SELECT domain, n_docs, n_bigrams,
+       |  CAST(nll_micro AS BIGINT) AS nll_micro,
+       |  CAST(excess_micro AS BIGINT) AS excess_micro,
+       |  CAST(base_ppm AS BIGINT) AS base_ppm,
+       |  CAST(factor_ppm AS BIGINT) AS factor_ppm,
+       |  CAST((alpha_raw * 1000000) // tt.t AS BIGINT) AS weight_ppm
+       |FROM ar, tt ORDER BY domain""".stripMargin
+
   private def lmQualitySql: String =
     s"""WITH ${lmScoreCtes("documents")}
        |SELECT doc_id, n_bigrams,
@@ -6571,6 +6603,7 @@ object OracleSql {
     "t_length_histogram" -> lengthHistogramSql,
     "d_leakage_split" -> leakageSplitSql,
     "t_token_budget" -> tokenBudgetSql,
+    "d_domain_reweight" -> domainReweightSql,
     "d_mix_epochs" -> mixEpochsSql,
     "w_url_dedup" -> urlDedupSql,
     "mm_dhash_neardup" -> dhashNearDupSql,

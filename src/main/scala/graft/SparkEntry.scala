@@ -2860,6 +2860,14 @@ object SparkEntry {
       budget = 100000L, maxEpochs = 4)
       .orderBy("source", "lang")
 
+  /** DoReMi-flavored mix update
+    * ([[graft.operators.Sampling.domainReweight]]): per-language excess
+    * bigram-LM loss vs the corpus mean, one exact-integer linearized
+    * multiplicative-weights step on the baseline bigram-mass shares. */
+  private def domainReweightQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.domainReweight(t(s, dir, "documents"))
+      .orderBy("domain")
+
   /** Link-centrality weighting (integer PageRank): a deterministic
     * heterogeneous graph over document ids — a permutation-ish family
     * ((7i+3)%N) plus a hub family (i%31, ~N/31 in-degree each), so
@@ -4860,6 +4868,7 @@ object SparkEntry {
     "w_label_prop" -> labelPropQ,
     "d_leakage_split" -> leakageSplitQ,
     "t_token_budget" -> tokenBudgetQ,
+    "d_domain_reweight" -> domainReweightQ,
     "d_mix_epochs" -> mixEpochsQ,
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,

@@ -198,6 +198,54 @@ object Sampling {
     * PARTITIONED by the group columns; non-positive weights are
     * excluded (sampling mass zero).
     */
+  /** DoReMi-flavored domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * public paper, see PAPERS.md): upweight the domains on which the
+    * proxy model's loss exceeds the reference, here approximated with
+    * the engine's own add-1 bigram LM ([[TextAnalysis.bigramLpm]]) as
+    * the proxy — per-domain mean NLL vs the corpus mean NLL is the
+    * excess-loss signal. The update is ONE LINEARIZED multiplicative-
+    * weights step, factor = 1 + η·excess (the small-η expansion of
+    * DoReMi's exp(η·excess); exp is not a cross-engine-deterministic
+    * seam — the ICWS log-domain discipline), floored at 0, applied to
+    * the baseline bigram-mass share and renormalized — every step
+    * exact integer micro/ppm arithmetic with truncating divs, so the
+    * mix is bit-identical on any engine and the oracle replays it.
+    *
+    * Scale shape: the LM relations shuffle per [[TextAnalysis
+    * .bigramLogProb]]; everything after is a |domains|-row relation.
+    *
+    * @return (domain, n_docs, n_bigrams, nll_micro, excess_micro,
+    *         base_ppm, factor_ppm, weight_ppm). */
+  def domainReweight(docs: DataFrame, etaPpm: Long = 5000000L,
+                     domainCol: String = "lang", idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(etaPpm > 0, "etaPpm must be > 0")
+    val lpm = TextAnalysis.bigramLpm(docs, docs, 1.0, idCol, textCol)
+    val dom = docs.select(col(idCol).as("doc_id"),
+      col(s"`$domainCol`").as("domain"))
+    val nd = dom.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+    val per = lpm.join(dom, "doc_id")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s"))
+      .join(nd, "domain")
+    val overall = per.agg(sum(col("n_bigrams")).as("nb_all"),
+      sum(col("s")).as("s_all"))
+    val pr = per.crossJoin(broadcast(overall))
+      .withColumn("nll_micro", -expr("s div n_bigrams"))
+      .withColumn("excess_micro",
+        col("nll_micro") - (-expr("s_all div nb_all")))
+      .withColumn("base_ppm", expr("(n_bigrams * 1000000L) div nb_all"))
+      .withColumn("factor_ppm", greatest(lit(0L),
+        lit(1000000L) + expr(s"(${etaPpm}L * excess_micro) div 1000000L")))
+      .withColumn("alpha_raw", expr("(base_ppm * factor_ppm) div 1000000L"))
+    pr.crossJoin(broadcast(pr.agg(sum(col("alpha_raw")).as("t"))))
+      .select(col("domain"), col("n_docs"), col("n_bigrams"),
+        col("nll_micro"), col("excess_micro"), col("base_ppm"),
+        col("factor_ppm"),
+        expr("(alpha_raw * 1000000L) div t").as("weight_ppm"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, groupCols: Seq[String] = Nil,
                      salt: String = "ws0"): DataFrame = {
