@@ -3351,21 +3351,23 @@ object OracleSql {
     * features + intercept dim 8, and 3 unrolled exact-integer
     * hard-sigmoid GD rounds (w0 = 0, η_micro = 1000) — every div a
     * truncating `//`, mirroring Spark `div`. Final weights CTE: w3. */
-  private def lrQualityCtes: String = {
-    def rnd(prev: String, out: String): String =
-      s"""z_$out AS MATERIALIZED (
-         |  SELECT fx.id, CAST(sum(fx.x * w.w_micro) AS BIGINT) AS z
-         |  FROM fx JOIN $prev w USING (dim) GROUP BY 1),
-         |r_$out AS (
-         |  SELECT z.id, l.y * 1000000 -
-         |    least(1000000, greatest(0, z.z // 4 + 500000)) AS r
-         |  FROM z_$out z JOIN lab l ON l.id = z.id),
-         |$out AS MATERIALIZED (
-         |  SELECT w.dim, CAST(w.w_micro +
-         |    ((coalesce(g.g, 0) // n.n) * 1000) // 1000000 AS BIGINT) AS w_micro
-         |  FROM $prev w LEFT JOIN (
-         |    SELECT fx.dim, CAST(sum(fx.x * r.r) AS BIGINT) AS g
-         |    FROM fx JOIN r_$out r USING (id) GROUP BY 1) g ON g.dim = w.dim, nn n)""".stripMargin
+  private def lrRound(prev: String, out: String, lab: String = "lab",
+                      nRel: String = "nn"): String =
+    s"""z_$out AS MATERIALIZED (
+       |  SELECT fx.id, CAST(sum(fx.x * w.w_micro) AS BIGINT) AS z
+       |  FROM fx JOIN $prev w USING (dim) GROUP BY 1),
+       |r_$out AS (
+       |  SELECT z.id, l.y * 1000000 -
+       |    least(1000000, greatest(0, z.z // 4 + 500000)) AS r
+       |  FROM z_$out z JOIN $lab l ON l.id = z.id),
+       |$out AS MATERIALIZED (
+       |  SELECT w.dim, CAST(w.w_micro +
+       |    ((coalesce(g.g, 0) // n.n) * 1000) // 1000000 AS BIGINT) AS w_micro
+       |  FROM $prev w LEFT JOIN (
+       |    SELECT fx.dim, CAST(sum(fx.x * r.r) AS BIGINT) AS g
+       |    FROM fx JOIN r_$out r USING (id) GROUP BY 1) g ON g.dim = w.dim, $nRel n)""".stripMargin
+
+  private def lrBaseCtes: String =
     raw"""m AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
@@ -3392,11 +3394,54 @@ object OracleSql {
        |  FROM tk GROUP BY 1, 2
        |  UNION ALL
        |  SELECT doc_id, 8, 1 FROM documents),
+       |w0 AS (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w_micro)""".stripMargin
+
+  private def lrQualityCtes: String =
+    s"""$lrBaseCtes,
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-       |w0 AS (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w_micro),
-       |${rnd("w0", "w1")},
-       |${rnd("w1", "w2")},
-       |${rnd("w2", "w3")}""".stripMargin
+       |${lrRound("w0", "w1")},
+       |${lrRound("w1", "w2")},
+       |${lrRound("w2", "w3")}""".stripMargin
+
+  /** d_tracin_influence: replay TracIn attribution — LR training
+    * restricted to the doc_id%5<>0 split, per-round validation-mean
+    * gradient u (truncating div by n_val), per-train-doc dot and the
+    * (r//1000)·(dot//1000) influence accumulation, then the top/bottom
+    * 15 tables. */
+  private def tracinSql: String = {
+    def inflRound(t: Int): String =
+      s"""${lrRound(s"w${t - 1}", s"w$t", "trl", "ntr")},
+         |rva_$t AS (
+         |  SELECT z.id, l.y * 1000000 -
+         |    least(1000000, greatest(0, z.z // 4 + 500000)) AS r
+         |  FROM z_w$t z JOIN val l ON l.id = z.id),
+         |u_$t AS MATERIALIZED (
+         |  SELECT fx.dim, CAST(sum(fx.x * rv.r) AS BIGINT) // (SELECT nv FROM nv) AS u
+         |  FROM fx JOIN rva_$t rv USING (id) GROUP BY fx.dim),
+         |dot_$t AS (
+         |  SELECT fx.id, CAST(sum(fx.x * u.u) AS BIGINT) AS dot
+         |  FROM fx JOIN u_$t u USING (dim) GROUP BY 1),
+         |i$t AS MATERIALIZED (
+         |  SELECT i.id, i.y, CAST(i.infl + (r.r // 1000) * (d.dot // 1000) AS BIGINT) AS infl
+         |  FROM i${t - 1} i JOIN r_w$t r USING (id) JOIN dot_$t d USING (id))""".stripMargin
+    s"""WITH $lrBaseCtes,
+       |trl AS MATERIALIZED (SELECT id, y FROM lab WHERE id % 5 <> 0),
+       |val AS MATERIALIZED (SELECT id, y FROM lab WHERE id % 5 = 0),
+       |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trl),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM val),
+       |i0 AS (SELECT id, y, CAST(0 AS BIGINT) AS infl FROM trl),
+       |${inflRound(1)},
+       |${inflRound(2)},
+       |${inflRound(3)}
+       |SELECT side, rank, id, CAST(y AS BIGINT) AS y, infl FROM (
+       |  SELECT 'helpful' AS side,
+       |    CAST(row_number() OVER (ORDER BY infl DESC, id) AS BIGINT) AS rank,
+       |    id, y, infl FROM i3
+       |  UNION ALL
+       |  SELECT 'harmful' AS side,
+       |    CAST(row_number() OVER (ORDER BY infl ASC, id) AS BIGINT) AS rank,
+       |    id, y, infl FROM i3)
+       |WHERE rank <= 15 ORDER BY side, rank""".stripMargin
   }
 
   /** t_lr_quality: replay train + score + the score-decile × label
@@ -6590,6 +6635,7 @@ object OracleSql {
     "t2_unigram_prune" -> unigramPruneSql,
     "t2_tokenizer_compare" -> tokenizerCompareSql,
     "st_stream_unigram" -> unigramStreamSql,
+    "d_tracin_influence" -> tracinSql,
     "t_lr_quality" -> lrQualitySql,
     "t_lr_quality_weights" -> lrQualityWeightsSql,
     "t_quality_filter" -> qualityFilterSql,

@@ -4410,6 +4410,27 @@ object SparkEntry {
   private def lrQualityWeightsQ(s: SparkSession, dir: String): DataFrame =
     lrQualityWeights(s, dir).orderBy("dim")
 
+  /** Training-data attribution
+    * ([[graft.ml.QualityDistill.tracinInfluence]]): TracIn influence
+    * of each doc_id%5≠0 training doc on the held-out fifth under the
+    * hard-sigmoid LR — the 15 most helpful and 15 most harmful docs. */
+  private def tracinQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val labels = TextAnalysis.qualityFilter(docs, lrQualityRules)
+      .select(col("doc_id").as("id"), col("keep").cast("long").as("y"))
+    val infl = graft.ml.QualityDistill.tracinInfluence(
+      graft.ml.QualityDistill.hashedFeatures(docs),
+      labels.filter(col("id") % 5 =!= 0), labels.filter(col("id") % 5 === 0))
+    def side(name: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      infl.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 15)
+        .select(lit(name).as("side"), col("rank"), col("id"), col("y"), col("infl"))
+    side("helpful", Window.orderBy(col("infl").desc, col("id")))
+      .unionByName(side("harmful", Window.orderBy(col("infl").asc, col("id"))))
+      .orderBy("side", "rank")
+  }
+
   private def qualityFilterStats(s: SparkSession, dir: String): DataFrame = {
     val rules = TextAnalysis.QualityRules(
       minTokens = 30, maxTokens = 5000,
@@ -4857,6 +4878,7 @@ object SparkEntry {
     "t2_bpe_encode" -> bpeEncodeQ,
     "t2_bpe_fertility" -> bpeFertilityQ,
     "d_dup_span_coverage" -> dupSpanCoverage,
+    "d_tracin_influence" -> tracinQ,
     "t_lr_quality" -> lrQualityQ,
     "t_lr_quality_weights" -> lrQualityWeightsQ,
     "t_quality_filter" -> qualityFilterStats,

@@ -86,6 +86,72 @@ object QualityDistill {
     w
   }
 
+  /** TracIn-style training-data attribution (Pruthi et al. 2020,
+    * "Estimating Training Data Influence by Tracing Gradient Descent"
+    * — public paper, see PAPERS.md) over the hard-sigmoid LR: the
+    * influence of training doc i on the validation set is
+    * Σ_rounds η·⟨∇L_val(w_t), ∇L_i(w_t)⟩; with the linear model the
+    * per-doc gradient is −r_i·x_i, so the round contribution is
+    * r_i · (x_i · ū_t) with ū_t the MEAN validation residual-weighted
+    * feature vector — positive influence = the doc pushed the model
+    * toward the validation labels. Every step integer and truncating
+    * (r div 1000 times dot div 1000, so the per-round contribution is
+    * in micro²/10⁶ units), bit-identical cross-engine.
+    *
+    * Long-bound audit at 100 TB: ū_j = (Σ_val r·x) div n_val keeps the
+    * validation aggregate mean-scaled (≤ x̄·10⁶); the train-side dot
+    * is dims·x̄·ū ≤ ~10¹¹ for x̄ ≤ 100 — the documented
+    * DECIMAL(38,0) lift applies beyond that.
+    *
+    * @return per TRAIN doc (id, y, infl) — infl summed over rounds. */
+  def tracinInfluence(feats: DataFrame, trainLabels: DataFrame,
+                      valLabels: DataFrame, dims: Int = 8, nIter: Int = 3,
+                      etaMicro: Long = 1000L): DataFrame = {
+    require(nIter >= 1 && etaMicro > 0, "need nIter >= 1 and etaMicro > 0")
+    val s = feats.sparkSession
+    import s.implicits._
+    val fx = feats.localCheckpoint(eager = true)
+    val tr = trainLabels.select(col("id"), col("y").cast("long").as("y"))
+      .localCheckpoint(eager = true)
+    val va = valLabels.select(col("id"), col("y").cast("long").as("y"))
+      .localCheckpoint(eager = true)
+    val n = tr.agg(count(lit(1)).as("n"))
+    val nVal = va.agg(count(lit(1)).as("nv"))
+    def residuals(lab: DataFrame, w: DataFrame): DataFrame =
+      fx.join(broadcast(w), "dim")
+        .groupBy("id").agg(sum(col("x") * col("w_micro")).as("z_micro"))
+        .join(lab, "id")
+        .select(col("id"), (col("y") * 1000000L -
+          least(lit(1000000L), greatest(lit(0L),
+            expr("z_micro div 4") + 500000L))).as("r_micro"))
+    var w = (0 to dims).map(_.toLong).toDF("dim")
+      .withColumn("w_micro", lit(0L))
+    var infl = tr.select(col("id"), col("y"), lit(0L).as("infl"))
+    for (i <- 1 to nIter) {
+      val rTr = residuals(tr, w).localCheckpoint(eager = true)
+      // mean validation gradient per dim (9 rows)
+      val u = fx.join(residuals(va, w), "id")
+        .groupBy("dim").agg(sum(col("x") * col("r_micro")).as("us"))
+        .crossJoin(broadcast(nVal))
+        .select(col("dim"), expr("us div nv").as("u"))
+      val dot = fx.join(broadcast(u), "dim")
+        .groupBy("id").agg(sum(col("x") * col("u")).as("dot"))
+      infl = infl.join(rTr, "id").join(dot, "id")
+        .select(col("id"), col("y"), (col("infl") +
+          expr("(r_micro div 1000) * (dot div 1000)")).as("infl"))
+        .localCheckpoint(eager = true)
+      // the training step itself (gradient over TRAIN docs only)
+      val grad = fx.join(rTr, "id")
+        .groupBy("dim").agg(sum(col("x") * col("r_micro")).as("g"))
+      w = w.join(grad, Seq("dim"), "left").crossJoin(broadcast(n))
+        .select(col("dim"), (col("w_micro") +
+          expr(s"((coalesce(g, 0L) div n) * ${etaMicro}L) div 1000000L"))
+          .as("w_micro"))
+      if (i < nIter) w = w.localCheckpoint(eager = true)
+    }
+    infl
+  }
+
   /** Score every document: (id, z_micro, score_micro) with
     * score_micro = σ̂ in micro units. */
   def scoreHardSigmoid(feats: DataFrame, weights: DataFrame): DataFrame =

@@ -33,6 +33,32 @@ class QualityDistillSpec extends SparkSpec {
       sc(3L)._2 < sc(4L)._2)
   }
 
+  test("tracinInfluence: exact hand-replayed round-1 contributions") {
+    // same 1-dim problem, val = train: round 1 residuals r =
+    // (-5e5,-5e5,5e5,5e5); mean val gradient u = (3e6 div 4, 0 div 4)
+    // = (750000, 0); dots = 750000*x; infl = (r div 1000)*(dot div 1000)
+    val feats = Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 4L), (4L, 0L, 5L),
+      (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L))
+      .toDF("id", "dim", "x")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "y")
+    val infl = QualityDistill.tracinInfluence(feats, labels, labels,
+        dims = 1, nIter = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("infl")).toMap
+    assert(infl == Map(1L -> -375000L, 2L -> -750000L,
+      3L -> 1500000L, 4L -> 1875000L), infl)
+  }
+
+  test("tracinInfluence: repartition-invariant over full training") {
+    val feats = Seq((1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 4L), (4L, 0L, 5L),
+      (1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 1L), (4L, 1L, 1L))
+      .toDF("id", "dim", "x")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("id", "y")
+    val a = QualityDistill.tracinInfluence(feats, labels, labels)
+      .orderBy("id").collect().toSeq
+    assert(a == QualityDistill.tracinInfluence(feats.repartition(5),
+      labels.repartition(3), labels).orderBy("id").collect().toSeq)
+  }
+
   test("hashedFeatures: intercept row for every doc, counts for tokens") {
     val docs = Seq((1L, "a b a"), (2L, "")).toDF("doc_id", "text")
     val fx = QualityDistill.hashedFeatures(docs, dims = 8).collect()
