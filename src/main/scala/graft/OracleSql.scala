@@ -1724,6 +1724,52 @@ object OracleSql {
       |sv AS (SELECT lang, unnest(sh) AS s FROM g),
       |h AS (SELECT DISTINCT lang, (md5_number_lower(s) & 4294967295) AS hv FROM sv)""".stripMargin
 
+  /** t_textrank_keywords: replay TextRank — the symmetrized distinct
+    * bigram-adjacency graph on md5 word ids, 3 unrolled integer-ppm
+    * PageRank iterations (the w_page_rank template), ranks joined back
+    * to min(tok) per id, top-20 by (rank desc, tok). */
+  private def textrankSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""i_$out AS (
+         |  SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) AS insum
+         |  FROM edges e JOIN $prev r ON r.node = e.src
+         |  JOIN deg g ON g.src = e.src GROUP BY e.dst),
+         |$out AS (
+         |  SELECT nd.node,
+         |    CAST(150000 + (coalesce(i.insum, 0) * 850000) // 1000000 AS BIGINT) AS r
+         |  FROM nodes nd LEFT JOIN i_$out i ON i.node = nd.node)"""
+        .stripMargin
+    raw"""WITH d AS (SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+       |           WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+       |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+       |         i -> {'w1': w[i], 'w2': w[i+1]})) AS s FROM d),
+       |bw AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM bg
+       |       WHERE s.w1 <> '' AND s.w2 <> ''),
+       |eids AS (SELECT CAST(md5_number_lower(w1) & 4294967295 AS BIGINT) AS src,
+       |                CAST(md5_number_lower(w2) & 4294967295 AS BIGINT) AS dst
+       |         FROM bw),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM eids UNION ALL SELECT dst, src FROM eids)
+       |  WHERE src <> dst),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |words AS (
+       |  SELECT CAST(md5_number_lower(tok) & 4294967295 AS BIGINT) AS node,
+       |    min(tok) AS tok
+       |  FROM (SELECT DISTINCT tok FROM (
+       |          SELECT w1 AS tok FROM bw UNION ALL SELECT w2 FROM bw))
+       |  GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY r.r DESC, w.tok) AS BIGINT) AS rank_pos,
+       |  w.tok, r.r AS rank_ppm
+       |FROM r3 r JOIN words w USING (node)
+       |QUALIFY rank_pos <= 20 ORDER BY rank_pos""".stripMargin
+  }
+
   /** t_pmi_bigrams: replay the PMI collocation table — unigram/bigram
     * totals, min-support 5, the one fixed-shape double expression
     * (c12·Nu·Nu)/((c1·c2)·Nb) left-associated then ln, 6 dp, total-order
@@ -6722,6 +6768,7 @@ object OracleSql {
     "a_kmv_setops" -> kmvSetOpsSql,
     "d_temperature_mix" -> temperatureMixSql,
     "t_pmi_bigrams" -> pmiBigramsSql,
+    "t_textrank_keywords" -> textrankSql,
     "t_tfidf_terms" -> tfidfTermsSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,

@@ -4339,6 +4339,13 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** LLM-pipeline: TextRank top-20 keywords
+    * ([[operators.TextAnalysis.textrankKeywords]]) — exact-integer
+    * PageRank over the corpus word co-occurrence graph. */
+  private def textrankQ(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.textrankKeywords(t(s, dir, "documents"))
+      .orderBy("rank_pos")
+
   /** LLM-pipeline: top-100 bigram PMI collocations at min support 5
     * ([[operators.TextAnalysis.pmiCollocations]]) — the phrase-mining
     * signal for tokenizer vocab seeding. */
@@ -4956,6 +4963,7 @@ object SparkEntry {
     "a_kmv_setops" -> kmvSetOpsQ,
     "d_temperature_mix" -> temperatureMixQ,
     "t_pmi_bigrams" -> pmiBigramsQ,
+    "t_textrank_keywords" -> textrankQ,
     "t_tfidf_terms" -> tfidfTermsQ,
     "t_repetition" -> repetitionMetricsQ,
     "t_ngram_novelty" -> ngramNoveltyQ,

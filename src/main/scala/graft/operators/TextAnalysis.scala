@@ -765,6 +765,39 @@ object TextAnalysis {
         col("c1"), col("c2"), col("pmi"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+    * Bringing Order into Text" — public): PageRank over the word
+    * co-occurrence graph (bigram adjacency, symmetrized), reusing the
+    * exact-integer [[Graph.pagerankInt]] so the ranking is
+    * bit-deterministic and oracle-replayable. Word node ids are
+    * md5_low32(tok) (a 1-in-4e9-per-pair collision merges two words'
+    * rank mass — deterministic, and negligible at any vocabulary);
+    * ranks join back to the word via min(tok) per id.
+    *
+    * Scale: the graph is vocabulary²-bounded (bigram DISTINCT), never
+    * corpus-sized; PageRank costs per [[Graph.pagerankInt]]. */
+  def textrankKeywords(docs: DataFrame, topK: Int = 20, nIter: Int = 3,
+                       textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .where(size(split(trim(col(s"`$textCol`")), "\\s+")) >= 2)
+      .select(explode(word_shingles(col(s"`$textCol`"), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val ids = bg.select(md5_low32(col("w1")).as("src"),
+      md5_low32(col("w2")).as("dst"))
+    val und = ids.union(ids.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val words = bg.select(col("w1").as("tok"))
+      .union(bg.select(col("w2").as("tok"))).distinct()
+      .groupBy(md5_low32(col("tok")).as("node")).agg(min(col("tok")).as("tok"))
+    Graph.pagerankInt(und, nIter).join(words, "node")
+      .withColumn("rank_pos", row_number().over(
+        Window.orderBy(col("rank_ppm").desc, col("tok"))).cast("long"))
+      .filter(col("rank_pos") <= topK)
+      .select(col("rank_pos"), col("tok"), col("rank_ppm"))
+  }
+
   /** Rule thresholds for [[c4Filter]] — the C4 cleaning heuristics
     * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
     * §2.2 — public paper, see PAPERS.md): keep only lines that end in

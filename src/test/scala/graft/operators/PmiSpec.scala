@@ -27,3 +27,22 @@ class PmiSpec extends SparkSpec {
     assert(out.toSeq == Seq("p")) // "x y" has support 1
   }
 }
+
+/** Pins [[TextAnalysis.textrankKeywords]]: the hub word of a star
+  * co-occurrence graph outranks the leaves; ties order by token. */
+class TextrankSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("textrankKeywords: star hub ranks first, leaves tie after") {
+    val docs = Seq((1L, "hub aa"), (2L, "hub bb"), (3L, "hub cc"),
+      (4L, "hub dd"), (5L, "hub ee")).toDF("doc_id", "text")
+    val out = TextAnalysis.textrankKeywords(docs, topK = 10)
+      .orderBy("rank_pos").collect()
+      .map(r => (r.getAs[Long]("rank_pos"), r.getAs[String]("tok"),
+        r.getAs[Long]("rank_ppm")))
+    assert(out.head._2 == "hub", out.toSeq)
+    assert(out.head._3 > out(1)._3, out.toSeq)
+    assert(out.map(_._2).drop(1).toSeq == Seq("aa", "bb", "cc", "dd", "ee"))
+    assert(out.drop(1).map(_._3).distinct.size == 1) // leaves tie
+  }
+}
