@@ -3566,6 +3566,86 @@ object OracleSql {
       |FROM contrib GROUP BY doc_id
       |QUALIFY rank <= $k ORDER BY rank""".stripMargin
 
+  /** Shared PRF CTE block: the bm25TopSql first pass, top-10 feedback
+    * docs, candidate-term counts (query terms excluded), corpus df for
+    * candidates only, and micro idf·count expansion weights ranked
+    * (wgt desc, term). */
+  private def prfCtes: String =
+    raw"""d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |dd AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM d),
+      |consts AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dd),
+      |tf1 AS (
+      |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd)
+      |  WHERE term IN ('dup', 'vector', 'join', 'window')
+      |  GROUP BY doc_id, dl, term),
+      |dfq1 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf1 GROUP BY term),
+      |contrib1 AS (
+      |  SELECT tf1.doc_id,
+      |    round(round(ln((c.n_docs - dfq1.df + 0.5) / (dfq1.df + 0.5) + 1), 6)
+      |          * (tf1.tf * (1.2 + 1))
+      |          / (tf1.tf + 1.2 * (0.25 + 0.75 * tf1.dl / c.avgdl)), 6) AS cc
+      |  FROM tf1 JOIN dfq1 USING (term), consts c),
+      |fb AS MATERIALIZED (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      ORDER BY CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id) AS rank
+      |    FROM contrib1 GROUP BY doc_id)
+      |  WHERE rank <= 10),
+      |cnt AS MATERIALIZED (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS fb_count
+      |  FROM (SELECT unnest(w) AS term FROM dd JOIN fb USING (doc_id))
+      |  WHERE term NOT IN ('dup', 'vector', 'join', 'window')
+      |  GROUP BY 1),
+      |dfc AS (
+      |  SELECT t.term, CAST(count(*) AS BIGINT) AS df
+      |  FROM (SELECT unnest(list_distinct(w)) AS term FROM dd) t
+      |  JOIN (SELECT term FROM cnt) q ON q.term = t.term GROUP BY 1),
+      |exp AS MATERIALIZED (
+      |  SELECT term, fb_count, df, wgt_micro,
+      |    row_number() OVER (ORDER BY wgt_micro DESC, term) AS rn
+      |  FROM (
+      |    SELECT cnt.term, cnt.fb_count, dfc.df,
+      |      CAST(floor(round(ln((c.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1), 6)
+      |        * 1e6 + 0.5) AS BIGINT) * cnt.fb_count AS wgt_micro
+      |    FROM cnt JOIN dfc USING (term), consts c))""".stripMargin
+
+  /** j_prf_terms: the top-5 expansion terms. */
+  private def prfTermsSql: String =
+    s"""WITH $prfCtes
+       |SELECT term, fb_count, df, wgt_micro FROM exp WHERE rn <= 5
+       |ORDER BY wgt_micro DESC, term""".stripMargin
+
+  /** j_prf_search: the PRF-mixed rerank — query terms ppm 1e6,
+    * expansion terms ppm 5e5, contributions micro-quantized before the
+    * weight multiply, BIGINT sum, top-15. */
+  private def prfSearchSql: String =
+    s"""WITH $prfCtes,
+       |tw AS (
+       |  SELECT term, CAST(1000000 AS BIGINT) AS wgt
+       |  FROM (VALUES ('dup'), ('vector'), ('join'), ('window')) t(term)
+       |  UNION ALL
+       |  SELECT term, CAST(500000 AS BIGINT) FROM exp WHERE rn <= 5),
+       |tf2 AS (
+       |  SELECT doc_id, dl, term, wgt, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd) JOIN tw USING (term)
+       |  GROUP BY 1, 2, 3, 4),
+       |df2 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf2 GROUP BY 1),
+       |ctr2 AS (
+       |  SELECT tf2.doc_id,
+       |    (CAST(floor(round(round(ln((c.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1), 6)
+       |       * (tf2.tf * (1.2 + 1))
+       |       / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / c.avgdl)), 6) * 1e6 + 0.5) AS BIGINT)
+       |     * tf2.wgt) // 1000000 AS cw
+       |  FROM tf2 JOIN df2 USING (term), consts c)
+       |SELECT doc_id, CAST(sum(cw) AS DOUBLE) / 1e6 AS score_r,
+       |  row_number() OVER (ORDER BY CAST(sum(cw) AS DOUBLE) / 1e6 DESC, doc_id) AS rank
+       |FROM ctr2 GROUP BY doc_id
+       |QUALIFY rank <= 15 ORDER BY rank""".stripMargin
+
   /** t_lm_quality: replay the add-1 bigram LM — word_shingles(2)
     * bigrams, train counts from ≥2-token docs ONLY (sub-2-token docs
     * would inject their whole-text collapse shingle), scored docs keep
@@ -5999,6 +6079,8 @@ object OracleSql {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_bm25_search" -> bm25SearchSql,
+    "j_prf_terms" -> prfTermsSql,
+    "j_prf_search" -> prfSearchSql,
     "t_lm_quality" -> lmQualitySql,
     "t_kn_quality" -> knQualitySql,
     "t_min_k_prob" -> minKProbSql,

@@ -342,6 +342,22 @@ object SparkEntry {
       Seq("dup", "vector", "join", "window"), k = 15)
       .orderBy("rank")
 
+  /** PRF expansion terms for the t_bm25_search query
+    * ([[graft.search.TextSearch.prfExpansionTerms]]): top-5 terms of
+    * the top-10 pseudo-relevant docs by idf·count micro weight. */
+  private def prfTermsQ(s: SparkSession, dir: String): DataFrame =
+    graft.search.TextSearch.prfExpansionTerms(t(s, dir, "documents"),
+      Seq("dup", "vector", "join", "window"))
+      .orderBy(col("wgt_micro").desc, col("term"))
+
+  /** BM25 + PRF reranked search
+    * ([[graft.search.TextSearch.bm25PrfTopK]]): original terms at full
+    * weight, expansion terms at half, exact-integer micro mixing. */
+  private def prfSearchQ(s: SparkSession, dir: String): DataFrame =
+    graft.search.TextSearch.bm25PrfTopK(t(s, dir, "documents"),
+      Seq("dup", "vector", "join", "window"), k = 15)
+      .orderBy("rank")
+
   private def tokenFreq(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
@@ -4781,6 +4797,8 @@ object SparkEntry {
     "e_sessionize" -> sessionize,
     "t_text_metrics" -> textMetrics,
     "t_bm25_search" -> bm25Search,
+    "j_prf_terms" -> prfTermsQ,
+    "j_prf_search" -> prfSearchQ,
     "t_lm_quality" -> lmQuality,
     "t_kn_quality" -> knQuality,
     "t_min_k_prob" -> minKProbQ,

@@ -515,6 +515,95 @@ object TextSearch {
       .select("doc_id", "score_r", "rank")
   }
 
+  /** Pseudo-relevance-feedback expansion terms (Rocchio 1971 /
+    * RM-style PRF — public IR classics): take [[bm25TopK]]'s top
+    * `kFb` documents as pseudo-relevant, weight every term they
+    * contain by idf_micro · (total occurrences in the feedback set),
+    * drop the original query terms, keep the top `nExp` by
+    * (weight desc, term). Exact integers: idf rounds to 6 dp once
+    * (the one transcendental, the [[bm25TopK]] discipline) then lives
+    * in micro units, so the weight is an exact long product.
+    *
+    * Scale: the feedback token relation is kFb docs; corpus df is
+    * computed only for the candidate terms via one distinct-gram
+    * aggregate + broadcast semi-join.
+    *
+    * @return (term, fb_count, df, wgt_micro), top nExp. */
+  def prfExpansionTerms(docs: DataFrame, queryTerms: Seq[String],
+                        kFb: Int = 10, nExp: Int = 5,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(nExp >= 1 && kFb >= 1, "need kFb >= 1 and nExp >= 1")
+    val qTerms = queryTerms.distinct.map(_.toLowerCase)
+    val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
+    val fbIds = bm25TopK(docs, queryTerms, kFb, idCol, textCol)
+      .select("doc_id")
+    val cnt = base.join(broadcast(fbIds), "doc_id")
+      .select(explode(col("w")).as("term"))
+      .filter(!col("term").isInCollection(qTerms))
+      .groupBy("term").agg(count(lit(1)).as("fb_count"))
+    val nDocs = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfAll = base.select(explode(array_distinct(col("w"))).as("term"))
+      .join(broadcast(cnt.select("term")), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    cnt.join(dfAll, "term").crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro", floor(round(log(
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6)
+        * 1e6 + 0.5).cast("long"))
+      .withColumn("wgt_micro", col("idf_micro") * col("fb_count"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("wgt_micro").desc, col("term"))))
+      .filter(col("rank") <= nExp)
+      .select(col("term"), col("fb_count"), col("df"), col("wgt_micro"))
+  }
+
+  /** BM25 + PRF rerank: score against the original terms at full
+    * weight plus [[prfExpansionTerms]] at `lambdaPpm` (default half)
+    * weight. Per-term contributions follow [[bm25TopK]] exactly, then
+    * convert to micro longs BEFORE the weight multiply — (c_micro ·
+    * wgt_ppm) div 10⁶ — so the mixed score is an exact integer sum
+    * (round(c·0.5, 6) would land on .5e-6 boundaries, where engine
+    * round() builtins disagree). Output: (rank, doc_id, score_r). */
+  def bm25PrfTopK(docs: DataFrame, queryTerms: Seq[String],
+                  kFb: Int = 10, nExp: Int = 5, lambdaPpm: Long = 500000L,
+                  k: Int = 10, idCol: String = "doc_id",
+                  textCol: String = "text", k1: Double = 1.2,
+                  b: Double = 0.75): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val qTerms = queryTerms.distinct.map(_.toLowerCase)
+    val termsW = qTerms.toDF("term").withColumn("wgt_ppm", lit(1000000L))
+      .unionByName(prfExpansionTerms(docs, queryTerms, kFb, nExp,
+          idCol, textCol)
+        .select(col("term"), lit(lambdaPpm).as("wgt_ppm")))
+    val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("double"))
+    val consts = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .join(broadcast(termsW), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"), col("wgt_ppm"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(consts))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      .withColumn("c",
+        round(col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .withColumn("cw_micro",
+        expr("(CAST(floor(c * 1e6 + 0.5) AS BIGINT) * wgt_ppm) div 1000000L"))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg((sum(col("cw_micro")).cast("double") / 1e6).as("score_r"))
+    val top = scored.orderBy(col("score_r").desc, col("doc_id")).limit(k)
+    graft.operators.Ranking.withPosition(top, "rank")
+      .select("doc_id", "score_r", "rank")
+  }
+
   /** Character-trigram posting lists — the substring-search ("corpus
     * grep") index. One row per DISTINCT (gram, doc): per-doc trigrams are
     * deduped inside the array expression BEFORE the explode, so the
