@@ -3613,6 +3613,48 @@ object SparkEntry {
       .orderBy("lang", "pred")
   }
 
+  /** §2.12 streaming quality scoring: train the hard-sigmoid LR
+    * batch-side ([[graft.ml.QualityDistill]]), score the documents
+    * STREAM — per-token stateless broadcast weight lookup, ONE
+    * streaming sum per doc (chained streaming aggregations are not
+    * supported, so the count-then-multiply of the batch path becomes
+    * an equivalent per-token weight sum; the intercept joins in batch
+    * after the sink). Streamed == batch: the oracle is literally
+    * t_lr_quality's SQL. */
+  private def streamingLrQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_lr_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val labels = TextAnalysis.qualityFilter(docs, lrQualityRules)
+      .select(col("doc_id").as("id"), col("keep").cast("long").as("y"))
+    val w = graft.ml.QualityDistill.trainHardSigmoidLr(
+      graft.ml.QualityDistill.hashedFeatures(docs), labels)
+      .localCheckpoint(eager = true)
+    val q = stream
+      .select(col("doc_id").as("id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("id"),
+        (graft.functions.SketchFunctions.md5_low32(col("tok")) % 8).as("dim"))
+      .join(broadcast(w), "dim")
+      .groupBy("id").agg(sum(col("w_micro")).as("z_tok"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val w8 = w.filter(col("dim") === 8).select(col("w_micro").as("w_icept"))
+    labels.join(s.table(name), Seq("id"), "left").crossJoin(broadcast(w8))
+      .withColumn("z_micro", coalesce(col("z_tok"), lit(0L)) + col("w_icept"))
+      .withColumn("score_micro", least(lit(1000000L), greatest(lit(0L),
+        expr("z_micro div 4") + 500000L)))
+      .groupBy(expr("score_micro div 100000").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(col("z_micro")).as("z_checksum"))
+      .orderBy("bucket")
+  }
+
   /** §2.12 streaming CDC apply: the events changelog (delete when
     * event_id % 7 == 0) streams in as 4 files, one micro-batch each
     * (maxFilesPerTrigger=1) in ARBITRARY key order; each batch folds
@@ -4949,6 +4991,7 @@ object SparkEntry {
     "st_stream_c4" -> streamingC4Q,
     "st_stream_upsert" -> streamingUpsertQ,
     "st_stream_ppl" -> streamingPplQ,
+    "st_stream_lr" -> streamingLrQ,
     "st_stream_nb" -> streamingNbQ,
     "d_semantic_decontam" -> semanticDecontamQ,
     "d_weighted_sample" -> weightedSampleQ,
