@@ -5834,6 +5834,53 @@ object OracleSql {
        |ORDER BY dim_prefix""".stripMargin
   }
 
+  /** emb_jl_overlap: replay the ±1 JL projection (sign = parity of
+    * md5_number_lower('jl:j:k'), j input dim 0..63, k output dim
+    * 0..15), sequential list_dot_product projection and cosine top-5
+    * in both spaces, overlap row. */
+  private def jlOverlapSql: String =
+    s"""WITH sgn AS MATERIALIZED (
+       |  SELECT k, list_transform(range(0, 64), j ->
+       |    CASE WHEN (md5_number_lower('jl:' || j || ':' || k) & 1) = 0
+       |         THEN 1.0 ELSE -1.0 END) AS s
+       |  FROM (SELECT unnest(range(0, 16)) AS k)),
+       |base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pfull AS MATERIALIZED (
+       |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM base),
+       |pj AS MATERIALIZED (
+       |  SELECT vec_id, list(y ORDER BY k) AS e FROM (
+       |    SELECT base.vec_id, sgn.k, list_dot_product(base.e, sgn.s) AS y
+       |    FROM base, sgn)
+       |  GROUP BY vec_id),
+       |pjl AS MATERIALIZED (
+       |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM pj),
+       |tfull AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC,
+       |          c.vec_id) AS rank
+       |    FROM (SELECT * FROM pfull WHERE vec_id <= 10) q
+       |    JOIN pfull c ON c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5),
+       |tjl AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC,
+       |          c.vec_id) AS rank
+       |    FROM (SELECT * FROM pjl WHERE vec_id <= 10) q
+       |    JOIN pjl c ON c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5),
+       |nq AS (SELECT count(*) AS n FROM embeddings WHERE vec_id <= 10)
+       |SELECT CAST(16 AS BIGINT) AS dim_out,
+       |  CAST(count(*) AS BIGINT) AS matches,
+       |  CAST(count(*) * 1000000 // (nq.n * 5) AS BIGINT) / 1000000.0 AS overlap_r
+       |FROM tjl a JOIN tfull b USING (query_id, neighbor_id), nq
+       |GROUP BY nq.n""".stripMargin
+
   /** j3_mrr: the searchNdcg result/truth replay with the
     * first-relevant-rank tail — reciprocal in truncating micro-units. */
   private def searchMrrSql: String =
@@ -6906,6 +6953,7 @@ object OracleSql {
     "emb_abtt" -> abttSql,
     "emb_cka" -> embCkaSql,
     "emb_matryoshka" -> matryoshkaSql,
+    "emb_jl_overlap" -> jlOverlapSql,
     "t_c4_filters" -> c4FiltersSql,
     "t_ppl_buckets" -> pplBucketsSql,
     "t_ppl_buckets_sketch" -> pplBucketsSketchSql,

@@ -3456,6 +3456,16 @@ object SparkEntry {
       .orderBy("dim_prefix")
   }
 
+  /** JL signed-projection screen
+    * ([[graft.operators.Ann.jlOverlapReport]]): 64→16-dim ±1
+    * projection, top-5 neighborhood overlap vs full-dim — the
+    * mixes-all-dims sibling of the emb_matryoshka truncation screen. */
+  private def jlOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    graft.operators.Ann.jlOverlapReport(
+      embs, embs.filter(col("vec_id") <= 10), dOut = 16, dIn = 64, k = 5)
+  }
+
   /** Box-filter resize over REAL decoded rasters (PNG inflate+unfilter,
     * GIF LZW — [[graft.multimodal.Multimodal.resizeStats]]): per-image
     * resized dims, channel means of the resized raster, exact integer
@@ -4970,6 +4980,7 @@ object SparkEntry {
     "emb_abtt" -> abttQ,
     "emb_cka" -> embCkaQ,
     "emb_matryoshka" -> matryoshkaQ,
+    "emb_jl_overlap" -> jlOverlapQ,
     "t_c4_filters" -> c4FiltersQ,
     "t_ppl_buckets" -> pplBucketsQ,
     "t_ppl_buckets_sketch" -> pplBucketsSketchQ,

@@ -98,6 +98,46 @@ object Ann {
     }.reduce(_ unionByName _)
   }
 
+  /** Signed random projection screen (Johnson–Lindenstrauss;
+    * Achlioptas 2003's ±1 database-friendly variant — public): project
+    * embeddings to `dOut` dims through a deterministic ±1 matrix
+    * (sign = parity of md5("jl:j:k") — data-independent constants
+    * computed once driver-side with the engine's md5Low32, replayed
+    * bit-identically by the oracle's md5_number_lower & 1), then the
+    * same top-k neighborhood-overlap report as [[matryoshkaReport]].
+    * The JL sketch mixes ALL input dims into every output dim, so it
+    * preserves neighborhoods where naive prefix truncation (MRL
+    * screen) cannot.
+    *
+    * Scale: the projection is a per-row map (dOut sequential-fold dot
+    * products — the oracle's list_dot_product order); the overlap
+    * report costs two [[bruteForceTopK]] runs on the probe queries.
+    *
+    * @return one row (dim_out, matches, overlap_r). */
+  def jlOverlapReport(embs: DataFrame, queries: DataFrame, dOut: Int,
+                      dIn: Int, k: Int = 5, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(dOut >= 1 && dIn >= 1, "need dOut >= 1 and dIn >= 1")
+    val signs: Seq[Seq[Double]] = (0 until dOut).map { kk =>
+      (0 until dIn).map { j =>
+        if (graft.core.MinHash.md5Low32(s"jl:$j:$kk") % 2 == 0) 1.0 else -1.0
+      }
+    }
+    def proj(df: DataFrame): DataFrame = df.withColumn(vecCol,
+      array(signs.map(row => dot(col(s"`$vecCol`"), typedLit(row))): _*))
+    val full = bruteForceTopK(embs, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val jl = bruteForceTopK(proj(embs), proj(queries), k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val nq = queries.agg(count(lit(1)).as("nq"))
+    jl.join(full, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("matches"))
+      .crossJoin(broadcast(nq))
+      .select(lit(dOut.toLong).as("dim_out"), col("matches"),
+        (expr(s"matches * 1000000 div (nq * ${k}L)").cast("double") / 1e6)
+          .as("overlap_r"))
+  }
+
   /** Hard-negative mining — the retrieval-training data op: for each
     * query vector, the top-k corpus neighbors inside the similarity band
     * `[tauLo, tauHi)` — similar enough to be HARD negatives, below the
