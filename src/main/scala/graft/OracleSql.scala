@@ -5881,6 +5881,41 @@ object OracleSql {
        |FROM tjl a JOIN tfull b USING (query_id, neighbor_id), nq
        |GROUP BY nq.n""".stripMargin
 
+  /** d_kcenter_coreset: replay greedy farthest-point — smallest id
+    * seeds, 7 unrolled rounds of per-point min cosine distance to the
+    * center set (d = 10⁶ − rha(round(cos,6)·10⁶)) and (d desc, id)
+    * argmax. */
+  private def kCenterSql: String = {
+    def rnd(r: Int): String = {
+      val prev = s"c${r - 1}"
+      s"""m$r AS (
+         |  SELECT p.vec_id AS pid,
+         |    min(1000000 - CAST(CASE WHEN x >= 0 THEN floor(x + 0.5)
+         |                            ELSE ceil(x - 0.5) END AS BIGINT)) AS md
+         |  FROM (
+         |    SELECT p.vec_id, 1000000.0 * (CASE WHEN p.nrm * c.nrm = 0 THEN 0.0
+         |      ELSE round(list_dot_product(p.e, c.e) / (p.nrm * c.nrm), 6) END) AS x
+         |    FROM n p, n c JOIN $prev s ON s.vec_id = c.vec_id) p(vec_id, x)
+         |  GROUP BY 1),
+         |n$r AS (SELECT CAST($r AS BIGINT) AS sel_order, pid AS vec_id,
+         |          md AS gain_micro
+         |        FROM m$r ORDER BY md DESC, pid LIMIT 1),
+         |c$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM n$r)"""
+        .stripMargin
+    }
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |c1 AS (SELECT CAST(1 AS BIGINT) AS sel_order, vec_id,
+       |         CAST(2000000 AS BIGINT) AS gain_micro
+       |       FROM (SELECT vec_id FROM n ORDER BY vec_id LIMIT 1)),
+       |${(2 to 8).map(rnd).mkString(",\n")}
+       |SELECT sel_order, vec_id, CAST(gain_micro AS BIGINT) AS gain_micro
+       |FROM c8 ORDER BY sel_order""".stripMargin
+  }
+
   /** j3_mrr: the searchNdcg result/truth replay with the
     * first-relevant-rank tail — reciprocal in truncating micro-units. */
   private def searchMrrSql: String =
@@ -6954,6 +6989,7 @@ object OracleSql {
     "emb_cka" -> embCkaSql,
     "emb_matryoshka" -> matryoshkaSql,
     "emb_jl_overlap" -> jlOverlapSql,
+    "d_kcenter_coreset" -> kCenterSql,
     "t_c4_filters" -> c4FiltersSql,
     "t_ppl_buckets" -> pplBucketsSql,
     "t_ppl_buckets_sketch" -> pplBucketsSketchSql,

@@ -3456,6 +3456,14 @@ object SparkEntry {
       .orderBy("dim_prefix")
   }
 
+  /** Greedy k-center coreset over the embedding table
+    * ([[graft.operators.Ann.kCenterCoreset]]): 8 farthest-point picks
+    * with exact-integer cosine-distance gains — the diversity-seeking
+    * data-selection seat beside [[semDedup]]-style redundancy removal. */
+  private def kCenterQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.kCenterCoreset(t(s, dir, "embeddings"), k = 8)
+      .orderBy("sel_order")
+
   /** JL signed-projection screen
     * ([[graft.operators.Ann.jlOverlapReport]]): 64→16-dim ±1
     * projection, top-5 neighborhood overlap vs full-dim — the
@@ -4981,6 +4989,7 @@ object SparkEntry {
     "emb_cka" -> embCkaQ,
     "emb_matryoshka" -> matryoshkaQ,
     "emb_jl_overlap" -> jlOverlapQ,
+    "d_kcenter_coreset" -> kCenterQ,
     "t_c4_filters" -> c4FiltersQ,
     "t_ppl_buckets" -> pplBucketsQ,
     "t_ppl_buckets_sketch" -> pplBucketsSketchQ,

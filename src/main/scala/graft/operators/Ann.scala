@@ -138,6 +138,51 @@ object Ann {
           .as("overlap_r"))
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal —
+    * the classic 2-approximation of Gonzalez 1985; the data-selection
+    * seat of Sener & Savarese 2018's active-learning coreset — both
+    * public): start from the smallest id, then `k−1` rounds each add
+    * the point FARTHEST from the current set in rounded cosine
+    * distance (d_micro = 10⁶ − rha(round(cos, 6)·10⁶), the house
+    * exact-integer seam; ties to ascending id). The reported
+    * `gain_micro` of each pick is its distance to the previous set —
+    * the coverage radius the pick eliminates; the first center reports
+    * the 2·10⁶ "infinite" sentinel.
+    *
+    * Scale shape: each round is ONE broadcast join of the ≤ k-row
+    * center set against the corpus, a per-point min, and a global
+    * argmax (TakeOrdered-1, not a window); centers accumulate as a
+    * checkpointed ≤ k-row relation, never a driver collect.
+    *
+    * @return (sel_order, vec_id, gain_micro), k rows. */
+  def kCenterCoreset(embs: DataFrame, k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    def rha(y: Column) = when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
+    val pts = withNorm(embs, idCol, vecCol, "pid", "pv", "pn")
+      .localCheckpoint(eager = true)
+    val first = pts.orderBy(col("pid")).limit(1)
+      .select(lit(1L).as("sel_order"), col("pid").as("vec_id"),
+        lit(2000000L).as("gain_micro"))
+    var centers = first.localCheckpoint(eager = true)
+    for (r <- 2 to k) {
+      val cs = pts.join(broadcast(centers.select(col("vec_id").as("pid"))),
+        Seq("pid")).select(col("pid").as("cid"), col("pv").as("cv"),
+        col("pn").as("cn"))
+      val mind = pts.crossJoin(broadcast(cs))
+        .withColumn("cos", safeCosine(dot(col("pv"), col("cv")),
+          col("pn") * col("cn")))
+        .withColumn("d_micro",
+          lit(1000000L) - rha(col("cos") * 1e6).cast("long"))
+        .groupBy("pid").agg(min(col("d_micro")).as("md"))
+      val next = mind.orderBy(col("md").desc, col("pid")).limit(1)
+        .select(lit(r.toLong).as("sel_order"), col("pid").as("vec_id"),
+          col("md").as("gain_micro"))
+      centers = centers.unionByName(next).localCheckpoint(eager = true)
+    }
+    centers
+  }
+
   /** Hard-negative mining — the retrieval-training data op: for each
     * query vector, the top-k corpus neighbors inside the similarity band
     * `[tauLo, tauHi)` — similar enough to be HARD negatives, below the

@@ -47,3 +47,23 @@ class JlSpec extends SparkSpec {
     }
   }
 }
+
+/** Pins [[Ann.kCenterCoreset]]: one pick per direction before any
+  * near-duplicate, deterministic min-id ties, non-increasing gains. */
+class KCenterSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("kCenterCoreset: covers directions before duplicates; gains non-increasing") {
+    def e(i: Int, eps: Float = 0f): Seq[Float] =
+      (0 until 8).map(j => (if (j == i) 1f else 0f) + (if (j == 7) eps else 0f))
+    val embs = Seq(
+      (1L, e(0)), (2L, e(0, 0.01f)), // near-duplicate pair on axis 0
+      (3L, e(1)), (4L, e(2))).toDF("vec_id", "embedding")
+    val out = Ann.kCenterCoreset(embs, k = 3).orderBy("sel_order").collect()
+      .map(r => (r.getAs[Long]("sel_order"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("gain_micro")))
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 4L), out.toSeq) // never 2
+    assert(out(0)._3 == 2000000L)
+    assert(out(1)._3 >= out(2)._3) // farthest-point gains non-increasing
+  }
+}
