@@ -2739,6 +2739,86 @@ object OracleSql {
        |FROM sc QUALIFY rank <= $kNb ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ann_ivfpq: replay IVFADC — the coarse Lloyd's cascade + cell
+    * assignment, corpus RESIDUALS (qv − home-cell centroid) sliced to
+    * subvectors, the PQ cascade trained on residual subvecs, per-query
+    * per-probed-cell residual distance tables, and cell-routed exact
+    * BIGINT ADC sums. */
+  private def annIvfPqSql: String = {
+    val (cellIters, kCells, dim) = (3, 8, 64)
+    val (pqIters, nSub, kCodes, subDim, kNb, nProbe) = (2, 8, 16, 8, 5, 2)
+    def pqArgmin(src: String) =
+      s"""  SELECT vec_id, sub, code FROM (
+         |    SELECT v.vec_id, v.sub, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+         |        list_sum([(v.sq[d] - c.cq[d]) * (v.sq[d] - c.cq[d])
+         |                  FOR d IN range(1, ${subDim + 1})]), c.code) AS rn
+         |    FROM sv v JOIN $src c ON v.sub = c.sub)
+         |  WHERE rn = 1""".stripMargin
+    val pqRounds = (1 to pqIters).map { i =>
+      s"""pa$i AS (
+         |${pqArgmin(s"pc${i - 1}")}),
+         |ps$i AS (
+         |  SELECT a.sub, a.code, d, sum(v.sq[d]) AS s, count(*) AS n
+         |  FROM (SELECT vec_id, sub, code, unnest(range(1, ${subDim + 1})) AS d FROM pa$i) a
+         |  JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+         |  GROUP BY a.sub, a.code, d),
+         |pn$i AS (
+         |  SELECT sub, code,
+         |    list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END ORDER BY d) AS cq
+         |  FROM ps$i GROUP BY sub, code),
+         |pc$i AS (
+         |  SELECT o.sub, o.code, coalesce(nn.cq, o.cq) AS cq
+         |  FROM pc${i - 1} o LEFT JOIN pn$i nn ON nn.sub = o.sub AND nn.code = o.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${kmeansCascade(cellIters, kCells, dim)},
+       |ca AS (
+       |${kmeansArgmin(s"c$cellIters", "", "rn = 1", dim)}),
+       |rvs AS MATERIALIZED (
+       |  SELECT q.vec_id, ca.cell,
+       |    [q.qv[d] - c.cq[d] FOR d IN range(1, ${dim + 1})] AS rv
+       |  FROM qvs q JOIN ca USING (vec_id) JOIN c$cellIters c ON c.cell = ca.cell),
+       |sv AS MATERIALIZED (
+       |  SELECT vec_id, cell, CAST(sub AS BIGINT) AS sub,
+       |    list_slice(rv, sub * $subDim + 1, sub * $subDim + $subDim) AS sq
+       |  FROM rvs, (SELECT unnest(range(0, $nSub)) AS sub)),
+       |sd AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS code
+       |  FROM (SELECT DISTINCT vec_id FROM sv ORDER BY vec_id LIMIT $kCodes)),
+       |pc0 AS (SELECT v.sub, s.code, v.sq AS cq FROM sv v JOIN sd s USING (vec_id)),
+       |$pqRounds,
+       |paf AS (
+       |${pqArgmin(s"pc$pqIters")}),
+       |qp AS (
+       |${kmeansArgmin(s"c$cellIters", " WHERE v.vec_id <= 10", s"rn <= $nProbe", dim)}),
+       |rq AS (
+       |  SELECT qp.vec_id AS query_id, qp.cell,
+       |    [q.qv[d] - c.cq[d] FOR d IN range(1, ${dim + 1})] AS rv
+       |  FROM qp JOIN qvs q ON q.vec_id = qp.vec_id
+       |  JOIN c$cellIters c ON c.cell = qp.cell),
+       |qsv AS (
+       |  SELECT query_id, cell, CAST(sub AS BIGINT) AS sub,
+       |    list_slice(rv, sub * $subDim + 1, sub * $subDim + $subDim) AS sq
+       |  FROM rq, (SELECT unnest(range(0, $nSub)) AS sub)),
+       |dtb AS MATERIALIZED (
+       |  SELECT q.query_id, q.cell, q.sub, c.code,
+       |    list_sum([(q.sq[d] - c.cq[d]) * (q.sq[d] - c.cq[d])
+       |              FOR d IN range(1, ${subDim + 1})]) AS d
+       |  FROM qsv q JOIN pc$pqIters c ON q.sub = c.sub),
+       |sc AS (
+       |  SELECT dtb.query_id, a.vec_id AS neighbor_id,
+       |    CAST(sum(dtb.d) AS BIGINT) AS adc_dist
+       |  FROM (SELECT paf.vec_id, paf.sub, paf.code, ca.cell
+       |        FROM paf JOIN ca USING (vec_id)) a
+       |  JOIN dtb ON a.cell = dtb.cell AND a.sub = dtb.sub AND a.code = dtb.code
+       |  WHERE a.vec_id <> dtb.query_id
+       |  GROUP BY dtb.query_id, a.vec_id)
+       |SELECT query_id, neighbor_id, adc_dist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |FROM sc QUALIFY rank <= $kNb ORDER BY query_id, rank""".stripMargin
+  }
+
   /** d_semdedup: replay SemDeDup — the shared Lloyd's cascade assigns
     * every vector to its final cell; within a cell a vector is removed
     * iff an earlier-id member has cosine ≥ 0.35 (upper-triangular
@@ -6835,6 +6915,7 @@ object OracleSql {
     "j_cluster_agreement" -> clusterAgreementSql,
     "d_semdedup" -> semDedupSql,
     "ann_pq_adc" -> annPqAdcSql,
+    "ann_ivfpq" -> annIvfPqSql,
     "d_dsir_sample" -> dsirSampleSql,
     "st_stream_quantiles" -> quantileSketchSql("lineitem"),
     "x_zorder" -> zorderSql,

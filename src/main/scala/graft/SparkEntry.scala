@@ -1745,6 +1745,15 @@ object SparkEntry {
     Ann.pqTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
   }
 
+  /** IVFADC composed index ([[Ann.ivfPqTopK]], Jégou et al. 2011):
+    * coarse-cell routing + exact-integer ADC on residual PQ codes —
+    * the resident-index scale path composing ann_kmeans_ivf's routing
+    * with ann_pq_adc's scoring. */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    Ann.ivfPqTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
+  }
+
   /** SemDeDup (Abbas et al. 2023): kmeans-cluster-scoped semantic
     * near-duplicate removal over the embeddings table. */
   private def semDedupQ(s: SparkSession, dir: String): DataFrame =
@@ -4912,6 +4921,7 @@ object SparkEntry {
     "d_emb_neardups" -> embNearDups,
     "d_semdedup" -> semDedupQ,
     "ann_pq_adc" -> annPqAdc,
+    "ann_ivfpq" -> annIvfPq,
     "d_dsir_sample" -> dsirSampleQ,
     "a16_value_heads" -> valueHeads,
     "a9_corr_probe" -> corrProbe,

@@ -899,6 +899,66 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ composed index (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search" §IV's IVFADC — public):
+    * coarse k-means cells route each query to its `nProbe` nearest
+    * cells, and the corpus is PQ-encoded on RESIDUALS (vector − its
+    * cell centroid — the IVFADC refinement that makes one codebook
+    * serve every cell); candidates are the probed cells' members,
+    * scored by exact-BIGINT ADC between the query's per-cell residual
+    * and the residual codewords. The full composition of
+    * [[kmeansIvfTopK]]'s routing and [[pqTopK]]'s scoring — at 100 TB
+    * this is THE resident-index shape: 8 bytes/vector + kCells
+    * centroids, query cost O(probed members · nSub) integer adds.
+    *
+    * Everything integer micro-space (centroids, residuals, codebooks,
+    * distances) — no rounding anywhere, the oracle replays
+    * bit-for-bit. Output: (query_id, neighbor_id, adc_dist, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                kCells: Int = 8, cellIters: Int = 3, nProbe: Int = 2,
+                nSub: Int = 8, nCodes: Int = 16, pqIters: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val subDim = dim / nSub
+    def slices(rv: Column) = explode(array((0 until nSub).map(s =>
+      struct(lit(s.toLong).as("sub"),
+        slice(rv, s * subDim + 1, subDim).as("sq"))): _*))
+    val cents = kmeansCentroids(corpus, kCells, cellIters, idCol, vecCol)
+    val base = graft.sources.Lake.balance(corpus)
+      .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
+    // corpus residuals against the home-cell centroid feed BOTH
+    // codebook training and encoding — materialize once
+    val rsv = assignCells(base, cents).join(broadcast(cents), "cell")
+      .select(col("id"), col("cell"),
+        slices(zip_with(col("qv"), col("cq"), (a, b) => a - b)).as("x"))
+      .select(col("id"), col("cell"), col("x.sub").as("sub"), col("x.sq").as("sq"))
+      .localCheckpoint(eager = true)
+    val pq = pqCodebooksFromSubVecs(rsv.select("id", "sub", "sq"), nCodes, pqIters)
+    val enc = assignCodes(rsv, pq)
+      .select(col("id").as("neighbor_id"), col("cell"), col("sub"), col("code"))
+    val probeW = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
+    val qp = queries.select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistMicro(col("qv"), col("cq")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select(col("id").as("query_id"), col("cell"),
+        slices(zip_with(col("qv"), col("cq"), (a, b) => a - b)).as("x"))
+      .select(col("query_id"), col("cell"), col("x.sub").as("sub"), col("x.sq").as("sq"))
+    val dt = qp.join(broadcast(pq), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        sqDistMicro(col("sq"), col("cq")).as("d"))
+    val scored = enc.join(broadcast(dt), Seq("cell", "sub", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id").agg(sum(col("d")).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-style bucketed top-k: assign each vector to its nearest of
     * `nCells` hash-derived centroid buckets (by signature prefix), search
     * only within the query's bucket. Approximate; the scale path when the
