@@ -2744,7 +2744,38 @@ object OracleSql {
     * subvectors, the PQ cascade trained on residual subvecs, per-query
     * per-probed-cell residual distance tables, and cell-routed exact
     * BIGINT ADC sums. */
-  private def annIvfPqSql: String = {
+  private def annIvfPqSql: String =
+    s"""WITH $annIvfPqCtes
+       |SELECT query_id, neighbor_id, adc_dist, rank FROM ivf5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** ann_ivfpq_recall: the IVFADC top-5 (shared CTE block) against the
+    * full-precision brute-force top-5, one summary row. */
+  private def annIvfPqRecallSql: String =
+    s"""WITH $annIvfPqCtes,
+       |f AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM qvs),
+       |bf5 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY CASE WHEN q.nrm * c.nrm = 0 THEN 0.0
+       |          ELSE round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6) END DESC,
+       |          c.vec_id) AS rank
+       |    FROM (SELECT * FROM f WHERE vec_id <= 10) q
+       |    JOIN f c ON c.vec_id <> q.vec_id)
+       |  WHERE rank <= 5),
+       |hit AS (SELECT a.query_id, a.neighbor_id FROM ivf5 a
+       |        JOIN bf5 b USING (query_id, neighbor_id))
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM bf5) AS n_exact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ivf5) AS n_approx,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       |  CASE WHEN (SELECT count(*) FROM bf5) = 0 THEN 0.0
+       |       ELSE round((SELECT CAST(count(*) AS DOUBLE) FROM hit)
+       |            / (SELECT CAST(count(*) AS DOUBLE) FROM bf5), 6) END AS recall"""
+      .stripMargin
+
+  private def annIvfPqCtes: String = {
     val (cellIters, kCells, dim) = (3, 8, 64)
     val (pqIters, nSub, kCodes, subDim, kNb, nProbe) = (2, 8, 16, 8, 5, 2)
     def pqArgmin(src: String) =
@@ -2771,7 +2802,7 @@ object OracleSql {
          |  SELECT o.sub, o.code, coalesce(nn.cq, o.cq) AS cq
          |  FROM pc${i - 1} o LEFT JOIN pn$i nn ON nn.sub = o.sub AND nn.code = o.code)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${kmeansCascade(cellIters, kCells, dim)},
+    s"""${kmeansCascade(cellIters, kCells, dim)},
        |ca AS (
        |${kmeansArgmin(s"c$cellIters", "", "rn = 1", dim)}),
        |rvs AS MATERIALIZED (
@@ -2812,11 +2843,14 @@ object OracleSql {
        |        FROM paf JOIN ca USING (vec_id)) a
        |  JOIN dtb ON a.cell = dtb.cell AND a.sub = dtb.sub AND a.code = dtb.code
        |  WHERE a.vec_id <> dtb.query_id
-       |  GROUP BY dtb.query_id, a.vec_id)
-       |SELECT query_id, neighbor_id, adc_dist,
-       |  CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
-       |FROM sc QUALIFY rank <= $kNb ORDER BY query_id, rank""".stripMargin
+       |  GROUP BY dtb.query_id, a.vec_id),
+       |ivf5 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, adc_dist, rank FROM (
+       |    SELECT query_id, neighbor_id, adc_dist,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |    FROM sc)
+       |  WHERE rank <= $kNb)""".stripMargin
   }
 
   /** d_semdedup: replay SemDeDup — the shared Lloyd's cascade assigns
@@ -6916,6 +6950,7 @@ object OracleSql {
     "d_semdedup" -> semDedupSql,
     "ann_pq_adc" -> annPqAdcSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "ann_ivfpq_recall" -> annIvfPqRecallSql,
     "d_dsir_sample" -> dsirSampleSql,
     "st_stream_quantiles" -> quantileSketchSql("lineitem"),
     "x_zorder" -> zorderSql,

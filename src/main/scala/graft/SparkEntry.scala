@@ -1754,6 +1754,25 @@ object SparkEntry {
     Ann.ivfPqTopK(embs, embs.filter(col("vec_id") <= 10), k = 5)
   }
 
+  /** Recall self-audit of the IVFADC path ([[Ann.ivfPqTopK]] vs
+    * [[Ann.bruteForceTopK]] — the ann_recall_audit shape): what the
+    * composed coarse-quantizer + residual-code approximation costs on
+    * THIS corpus. */
+  private def annIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val embs = t(s, dir, "embeddings")
+    val q = embs.filter(col("vec_id") <= 10)
+    val exact = Ann.bruteForceTopK(embs, q, 5).select("query_id", "neighbor_id")
+    val approx = Ann.ivfPqTopK(embs, q, 5).select("query_id", "neighbor_id")
+    val hit = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        when(col("n_exact") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") /
+            col("n_exact").cast("double"), 6)).as("recall"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): kmeans-cluster-scoped semantic
     * near-duplicate removal over the embeddings table. */
   private def semDedupQ(s: SparkSession, dir: String): DataFrame =
@@ -4922,6 +4941,7 @@ object SparkEntry {
     "d_semdedup" -> semDedupQ,
     "ann_pq_adc" -> annPqAdc,
     "ann_ivfpq" -> annIvfPq,
+    "ann_ivfpq_recall" -> annIvfPqRecall,
     "d_dsir_sample" -> dsirSampleQ,
     "a16_value_heads" -> valueHeads,
     "a9_corr_probe" -> corrProbe,
