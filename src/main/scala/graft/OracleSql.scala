@@ -3760,6 +3760,85 @@ object OracleSql {
        |FROM ctr2 GROUP BY doc_id
        |QUALIFY rank <= 15 ORDER BY rank""".stripMargin
 
+  /** t_ql_search: replay Dirichlet query likelihood (μ=2000) — exact
+    * BIGINT collection/tf counts, ptc precomputed per term, one
+    * round-6 ln per (doc, term) incl. zero-tf smoothing floors,
+    * DECIMAL(18,6) sum, top-15. */
+  private def qlSearchSql: String =
+    raw"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+      |cn AS (SELECT CAST(sum(dl) AS BIGINT) AS cn FROM dd),
+      |cf AS (
+      |  SELECT term, CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+      |    / CAST(cn.cn AS DOUBLE) AS ptc
+      |  FROM (SELECT unnest(w) AS term FROM dd), cn
+      |  WHERE term IN ('dup', 'vector', 'join', 'window')
+      |  GROUP BY term, cn.cn),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM dd)
+      |  WHERE term IN ('dup', 'vector', 'join', 'window')
+      |  GROUP BY doc_id, term),
+      |sc AS (
+      |  SELECT dd.doc_id,
+      |    round(ln((CAST(coalesce(tf.tf, 0) AS DOUBLE) + 2000.0 * cf.ptc)
+      |          / (CAST(dd.dl AS DOUBLE) + 2000.0)), 6) AS cc
+      |  FROM dd CROSS JOIN cf
+      |  LEFT JOIN tf ON tf.doc_id = dd.doc_id AND tf.term = cf.term)
+      |SELECT doc_id,
+      |  CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DOUBLE) AS score_r,
+      |  row_number() OVER (ORDER BY CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id) AS rank
+      |FROM sc GROUP BY doc_id
+      |QUALIFY rank <= 15 ORDER BY rank""".stripMargin
+
+  /** j3_rbo: replay truncated RBO between the plain BM25 top-15
+    * (prfCtes' first pass) and the PRF rerank top-15 — the per-depth
+    * tail weights are the SAME [[graft.search.Evaluation
+    * .rboTailMicro]] literals the Spark plan uses. */
+  private def rboSql: String = {
+    val tail = graft.search.Evaluation.rboTailMicro(15)
+    s"""WITH $prfCtes,
+       |tw AS (
+       |  SELECT term, CAST(1000000 AS BIGINT) AS wgt
+       |  FROM (VALUES ('dup'), ('vector'), ('join'), ('window')) t(term)
+       |  UNION ALL
+       |  SELECT term, CAST(500000 AS BIGINT) FROM exp WHERE rn <= 5),
+       |tf2 AS (
+       |  SELECT doc_id, dl, term, wgt, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd) JOIN tw USING (term)
+       |  GROUP BY 1, 2, 3, 4),
+       |df2 AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf2 GROUP BY 1),
+       |ctr2 AS (
+       |  SELECT tf2.doc_id,
+       |    (CAST(floor(round(round(ln((c.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1), 6)
+       |       * (tf2.tf * (1.2 + 1))
+       |       / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / c.avgdl)), 6) * 1e6 + 0.5) AS BIGINT)
+       |     * tf2.wgt) // 1000000 AS cw
+       |  FROM tf2 JOIN df2 USING (term), consts c),
+       |a15 AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      ORDER BY CAST(sum(CAST(cc AS DECIMAL(18,6))) AS DOUBLE) DESC, doc_id) AS rank
+       |    FROM contrib1 GROUP BY doc_id)
+       |  WHERE rank <= 15),
+       |b15 AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      ORDER BY CAST(sum(cw) AS DOUBLE) / 1e6 DESC, doc_id) AS rank
+       |    FROM ctr2 GROUP BY doc_id)
+       |  WHERE rank <= 15),
+       |mm AS (
+       |  SELECT [${tail.mkString(", ")}][CAST(greatest(a.rank, b.rank) AS INT)] AS t
+       |  FROM a15 a JOIN b15 b USING (doc_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_common,
+       |  CAST(coalesce(sum(t), 0) AS BIGINT) AS rbo_micro,
+       |  CAST(CAST(coalesce(sum(t), 0) AS BIGINT) AS DOUBLE) / 1e6 AS rbo_r
+       |FROM mm""".stripMargin
+  }
+
   /** t_lm_quality: replay the add-1 bigram LM — word_shingles(2)
     * bigrams, train counts from ≥2-token docs ONLY (sub-2-token docs
     * would inject their whole-text collapse shingle), scored docs keep
@@ -6277,6 +6356,8 @@ object OracleSql {
     "t_bm25_search" -> bm25SearchSql,
     "j_prf_terms" -> prfTermsSql,
     "j_prf_search" -> prfSearchSql,
+    "t_ql_search" -> qlSearchSql,
+    "j3_rbo" -> rboSql,
     "t_lm_quality" -> lmQualitySql,
     "t_kn_quality" -> knQualitySql,
     "t_min_k_prob" -> minKProbSql,

@@ -342,6 +342,25 @@ object SparkEntry {
       Seq("dup", "vector", "join", "window"), k = 15)
       .orderBy("rank")
 
+  /** Dirichlet query-likelihood retrieval
+    * ([[graft.search.TextSearch.dirichletQlTopK]]): the LM retrieval
+    * family beside BM25, same terms, μ=2000. */
+  private def qlSearchQ(s: SparkSession, dir: String): DataFrame =
+    graft.search.TextSearch.dirichletQlTopK(t(s, dir, "documents"),
+      Seq("dup", "vector", "join", "window"), k = 15)
+      .orderBy("rank")
+
+  /** Rank-biased overlap between the plain BM25 top-15 and the PRF
+    * rerank ([[graft.search.Evaluation.rankBiasedOverlap]], p=0.9) —
+    * "how much did feedback move the ranking". */
+  private def rboQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = Seq("dup", "vector", "join", "window")
+    graft.search.Evaluation.rankBiasedOverlap(
+      graft.search.TextSearch.bm25TopK(docs, terms, 15),
+      graft.search.TextSearch.bm25PrfTopK(docs, terms, k = 15), k = 15)
+  }
+
   /** PRF expansion terms for the t_bm25_search query
     * ([[graft.search.TextSearch.prfExpansionTerms]]): top-5 terms of
     * the top-10 pseudo-relevant docs by idf·count micro weight. */
@@ -4887,6 +4906,8 @@ object SparkEntry {
     "t_bm25_search" -> bm25Search,
     "j_prf_terms" -> prfTermsQ,
     "j_prf_search" -> prfSearchQ,
+    "t_ql_search" -> qlSearchQ,
+    "j3_rbo" -> rboQ,
     "t_lm_quality" -> lmQuality,
     "t_kn_quality" -> knQuality,
     "t_min_k_prob" -> minKProbQ,

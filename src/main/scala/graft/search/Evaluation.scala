@@ -10,6 +10,43 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** Per-depth suffix-sum coefficients of truncated rank-biased
+    * overlap: tail(m) = Σ_{d=m..k} (w_d_micro div d) with w_d =
+    * round((1−p)·p^(d−1)·10⁶) — PURE literals of (k, p), shared
+    * verbatim by the Spark plan and the oracle SQL so both engines
+    * evaluate the same integers. */
+  def rboTailMicro(k: Int, pPpm: Long = 900000L): Seq[Long] = {
+    require(k >= 1 && pPpm > 0 && pPpm < 1000000L, "need k >= 1, p in (0,1)")
+    val p = pPpm.toDouble / 1e6
+    val c = (1 to k).map(d =>
+      math.round((1 - p) * math.pow(p, d - 1) * 1e6) / d)
+    (1 to k).map(m => c.drop(m - 1).sum)
+  }
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel 2010, "A
+    * Similarity Measure for Indefinite Rankings" — public; this is the
+    * RBO_min lower bound at depth k): rbo = Σ_{d≤k} (1−p)p^(d−1) ·
+    * |A_d ∩ B_d| / d. A pair matched at ranks (ra, rb) contributes to
+    * every depth ≥ max(ra, rb), so its total weight is the
+    * [[rboTailMicro]] literal at that index — the data side is ONE
+    * id join and an exact BIGINT sum; no per-depth pass.
+    *
+    * @param a,b (doc_id, rank) rankings, rank 1-based.
+    * @return one row (n_common, rbo_micro, rbo_r). */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, k: Int,
+                        pPpm: Long = 900000L): DataFrame = {
+    val tail = rboTailMicro(k, pPpm)
+    a.select(col("doc_id"), col("rank").as("ra")).filter(col("ra") <= k)
+      .join(b.select(col("doc_id"), col("rank").as("rb"))
+        .filter(col("rb") <= k), "doc_id")
+      .select(element_at(typedLit(tail),
+        greatest(col("ra"), col("rb")).cast("int")).as("t"))
+      .agg(count(lit(1)).as("n_common"),
+        coalesce(sum(col("t")), lit(0L)).as("rbo_micro"))
+      .select(col("n_common"), col("rbo_micro"),
+        (col("rbo_micro").cast("double") / 1e6).as("rbo_r"))
+  }
+
   /** `results`: (query, candidate, rank); `groundTruth`: (query,
     * expected: array<string>). */
   def precisionAtK(results: DataFrame, groundTruth: DataFrame, k: Int): DataFrame = {

@@ -604,6 +604,49 @@ object TextSearch {
       .select("doc_id", "score_r", "rank")
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001, "A Study of Smoothing Methods for Language Models Applied
+    * to Ad Hoc Information Retrieval" — public): score(q,d) =
+    * Σ_t ln((tf + μ·p(t|C)) / (dl + μ)) over the query terms (zero-tf
+    * terms contribute the smoothed floor — every doc scores). The
+    * second classic retrieval family beside [[bm25TopK]], sharing its
+    * determinism discipline: exact BIGINT counts, ONE fixed-shape ln
+    * rounded to 6 dp per (doc, term), DECIMAL(18,6) sum.
+    *
+    * Scale: collection stats are one aggregate + a |terms|-row
+    * broadcast; the per-doc scoring is a broadcast cross of the query
+    * terms — no corpus token shuffle beyond the tf aggregate. */
+  def dirichletQlTopK(docs: DataFrame, queryTerms: Seq[String],
+                      k: Int = 10, mu: Double = 2000.0,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "dirichletQlTopK needs at least one query term")
+    val terms = queryTerms.distinct.map(_.toLowerCase)
+    val base = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val cn = base.agg(sum(col("dl")).as("cn"))
+    val cf = base.select(explode(col("w")).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+      .crossJoin(broadcast(cn))
+      .select(col("term"),
+        (col("cf").cast("double") / col("cn").cast("double")).as("ptc"))
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(filter(col("w"), t => t.isInCollection(terms))).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val contrib = base.select(col("doc_id"), col("dl"))
+      .crossJoin(broadcast(cf))
+      .join(tf, Seq("doc_id", "dl", "term"), "left")
+      .withColumn("cc", round(log(
+        (coalesce(col("tf"), lit(0L)).cast("double") + lit(mu) * col("ptc"))
+          / (col("dl").cast("double") + lit(mu))), 6))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("cc").cast(DecimalType(18, 6))).cast("double").as("score_r"))
+    val top = scored.orderBy(col("score_r").desc, col("doc_id")).limit(k)
+    graft.operators.Ranking.withPosition(top, "rank")
+      .select("doc_id", "score_r", "rank")
+  }
+
   /** Character-trigram posting lists — the substring-search ("corpus
     * grep") index. One row per DISTINCT (gram, doc): per-doc trigrams are
     * deduped inside the array expression BEFORE the explode, so the
