@@ -1724,6 +1724,30 @@ object OracleSql {
       |sv AS (SELECT lang, unnest(sh) AS s FROM g),
       |h AS (SELECT DISTINCT lang, (md5_number_lower(s) & 4294967295) AS hv FROM sv)""".stripMargin
 
+  /** t_readability: replay Flesch–Kincaid — sentence runs, vowel-group
+    * syllables with the per-word floor, the two fixed-shape score
+    * expressions mirrored verbatim. */
+  private def readabilitySql: String =
+    raw"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+       |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS words,
+       |    CAST(sentences AS BIGINT) AS sentences,
+       |    CAST(coalesce(list_sum(list_transform(w,
+       |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) AS BIGINT)
+       |      AS syllables,
+       |    CAST(greatest(1, len(w)) AS DOUBLE) AS wd
+       |  FROM w)
+       |SELECT doc_id, words, sentences, syllables,
+       |  round(0.39 * (wd / CAST(sentences AS DOUBLE))
+       |    + 11.8 * (CAST(syllables AS DOUBLE) / wd) - 15.59, 6) AS fk_grade,
+       |  round(206.835 - 1.015 * (wd / CAST(sentences AS DOUBLE))
+       |    - 84.6 * (CAST(syllables AS DOUBLE) / wd), 6) AS flesch
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** t_textrank_keywords: replay TextRank — the symmetrized distinct
     * bigram-adjacency graph on md5 word ids, 3 unrolled integer-ppm
     * PageRank iterations (the w_page_rank template), ranks joined back
@@ -7131,6 +7155,7 @@ object OracleSql {
     "d_temperature_mix" -> temperatureMixSql,
     "t_pmi_bigrams" -> pmiBigramsSql,
     "t_textrank_keywords" -> textrankSql,
+    "t_readability" -> readabilitySql,
     "t_tfidf_terms" -> tfidfTermsSql,
     "t_repetition" -> repetitionSql,
     "q5_table_search" -> tableSearchSql,

@@ -4462,6 +4462,13 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** LLM-pipeline: Flesch–Kincaid readability per doc
+    * ([[operators.TextAnalysis.readability]]) — exact word/sentence/
+    * vowel-group syllable counts, the two classic scores. */
+  private def readabilityQ(s: SparkSession, dir: String): DataFrame =
+    operators.TextAnalysis.readability(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** LLM-pipeline: TextRank top-20 keywords
     * ([[operators.TextAnalysis.textrankKeywords]]) — exact-integer
     * PageRank over the corpus word co-occurrence graph. */
@@ -5096,6 +5103,7 @@ object SparkEntry {
     "d_temperature_mix" -> temperatureMixQ,
     "t_pmi_bigrams" -> pmiBigramsQ,
     "t_textrank_keywords" -> textrankQ,
+    "t_readability" -> readabilityQ,
     "t_tfidf_terms" -> tfidfTermsQ,
     "t_repetition" -> repetitionMetricsQ,
     "t_ngram_novelty" -> ngramNoveltyQ,

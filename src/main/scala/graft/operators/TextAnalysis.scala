@@ -765,6 +765,42 @@ object TextAnalysis {
         col("c1"), col("c2"), col("pmi"))
   }
 
+  /** Flesch–Kincaid readability (Kincaid et al. 1975; Flesch 1948 —
+    * public formulas): per-doc word / sentence / syllable counts and
+    * the two classic scores. Sentences = runs of [.!?], floored at 1;
+    * syllables = vowel-group count per word ([aeiouy]+), floored at 1
+    * per word (non-Latin scripts read one syllable per token — a
+    * documented heuristic floor, deterministic). Counts are exact
+    * integers; each score is ONE fixed-shape double expression
+    * rounded to 6 dp, mirrored verbatim by the oracle.
+    *
+    * Scale: a narrow projection — no shuffle, no UDF; every count is
+    * a codegen'd regexp/array expression. */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(s"`$textCol`")
+    val words = docs
+      .select(col(s"`$idCol`").as("doc_id"),
+        filter(split(lower(t), "\\s+"), w => w =!= "").as("__w"),
+        greatest(lit(1L), regexp_count(t, lit("[.!?]+")).cast("long"))
+          .as("sentences"))
+      .withColumn("words", size(col("__w")).cast("long"))
+      .withColumn("syllables", aggregate(col("__w"), lit(0L), (acc, w) =>
+        acc + greatest(lit(1L), regexp_count(w, lit("[aeiouy]+")).cast("long"))))
+      .withColumn("__wd", greatest(lit(1L), col("words")).cast("double"))
+    words
+      .withColumn("fk_grade", round(
+        lit(0.39) * (col("__wd") / col("sentences").cast("double"))
+          + lit(11.8) * (col("syllables").cast("double") / col("__wd"))
+          - lit(15.59), 6))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("__wd") / col("sentences").cast("double"))
+          - lit(84.6) * (col("syllables").cast("double") / col("__wd")), 6))
+      .select(col("doc_id"), col("words"), col("sentences"),
+        col("syllables"), col("fk_grade"), col("flesch"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
     * Bringing Order into Text" — public): PageRank over the word
     * co-occurrence graph (bigram adjacency, symmetrized), reusing the

@@ -46,3 +46,24 @@ class TextrankSpec extends graft.SparkSpec {
     assert(out.drop(1).map(_._3).distinct.size == 1) // leaves tie
   }
 }
+
+/** Pins [[TextAnalysis.readability]] on a hand-counted sentence:
+  * "the cat sat. it ran!" = 5 words, 2 sentences, 5 syllables. */
+class ReadabilitySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("readability: exact hand counts and scores") {
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("words") == 5L)
+    assert(r1.getAs[Long]("sentences") == 2L)
+    // sat. -> 'a' (1), it -> 'i' (1), ran! -> 'a' (1), the -> 'e' (1), cat -> 'a' (1)
+    assert(r1.getAs[Long]("syllables") == 5L)
+    // fk = 0.39*(5/2) + 11.8*(5/5) - 15.59 = 0.975 + 11.8 - 15.59 = -2.815
+    assert(r1.getAs[Double]("fk_grade") == -2.815)
+    val r2 = out(1) // empty doc: floors keep it defined
+    assert(r2.getAs[Long]("words") == 0L && r2.getAs[Long]("sentences") == 1L)
+    assert(r2.getAs[Long]("syllables") == 0L)
+  }
+}
