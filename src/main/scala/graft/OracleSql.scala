@@ -6388,6 +6388,7 @@ object OracleSql {
     "t_nb_langid" -> nbLangIdSql,
     // streamed == batch IS the oracle: the per-(doc, class) likelihood
     // aggregation folded over micro-batches must equal the batch replay
+    "st_stream_domains" -> domainReweightSql, // streamed == batch
     "st_stream_lr" -> lrQualitySql, // streamed == batch
     "st_stream_nb" -> nbConfusionSql("TRUE"),
     // streamed == batch IS the oracle: per-doc LM scores computed in

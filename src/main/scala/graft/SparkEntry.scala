@@ -3720,6 +3720,33 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** §2.12 streaming domain-loss mix update: score the documents
+    * STREAM against the batch-trained bigram LM (stream-static joins,
+    * stateless), aggregate per-domain bigram counts + micro log-prob
+    * sums as the ONE streaming aggregation, then apply the
+    * [[graft.operators.Sampling.domainReweightFromSums]] MW tail
+    * batch-side. Streamed == batch: the oracle is literally
+    * d_domain_reweight's SQL. */
+  private def streamingDomainsQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"st_dom_${streamSeq.incrementAndGet()}"
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val batch = s.read.parquet(s"$dir/documents.parquet")
+    val q = graft.operators.Sampling.domainLpmRows(stream, batch)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nd = batch.groupBy(col("lang").as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    graft.operators.Sampling.domainReweightFromSums(
+      s.table(name).join(nd, "domain"))
+      .orderBy("domain")
+  }
+
   /** §2.12 streaming CDC apply: the events changelog (delete when
     * event_id % 7 == 0) streams in as 4 files, one micro-batch each
     * (maxFilesPerTrigger=1) in ARBITRARY key order; each batch folds
@@ -5069,6 +5096,7 @@ object SparkEntry {
     "st_stream_c4" -> streamingC4Q,
     "st_stream_upsert" -> streamingUpsertQ,
     "st_stream_ppl" -> streamingPplQ,
+    "st_stream_domains" -> streamingDomainsQ,
     "st_stream_lr" -> streamingLrQ,
     "st_stream_nb" -> streamingNbQ,
     "d_semantic_decontam" -> semanticDecontamQ,

@@ -229,6 +229,28 @@ object Sampling {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s"))
       .join(nd, "domain")
+    domainReweightFromSums(per, etaPpm)
+  }
+
+  /** Stateless per-bigram scoring rows (domain, lpm) for
+    * [[domainReweightFromSums]] — train relations come from the BATCH
+    * `train` side, the scored side may be a STREAMING DataFrame (all
+    * joins are stream-static; the caller adds the one streaming
+    * aggregation). */
+  def domainLpmRows(docs: DataFrame, train: DataFrame,
+                    domainCol: String = "lang", idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    TextAnalysis.bigramLpmKeep(docs, train, 1.0, idCol, textCol,
+      keep = Seq(domainCol))
+      .select(col(s"`$domainCol`").as("domain"), col("lpm"))
+
+  /** The |domains|-row tail of [[domainReweight]] over precomputed
+    * per-domain sums (domain, n_docs, n_bigrams, s = Σ lpm_micro) —
+    * shared by the batch path and the streaming variant (which
+    * produces the sums as its ONE streaming aggregation). */
+  def domainReweightFromSums(per: DataFrame,
+                             etaPpm: Long = 5000000L): DataFrame = {
+    require(etaPpm > 0, "etaPpm must be > 0")
     val overall = per.agg(sum(col("n_bigrams")).as("nb_all"),
       sum(col("s")).as("s_all"))
     val pr = per.crossJoin(broadcast(overall))

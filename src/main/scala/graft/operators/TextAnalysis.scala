@@ -453,7 +453,16 @@ object TextAnalysis {
     * [[minKProb]] (lowest-k% mean): (doc_id, lpm). */
   private[operators] def bigramLpm(docs: DataFrame, train: DataFrame,
                                    addK: Double, idCol: String,
-                                   textCol: String): DataFrame = {
+                                   textCol: String): DataFrame =
+    bigramLpmKeep(docs, train, addK, idCol, textCol, keep = Seq.empty)
+
+  /** [[bigramLpm]] with extra passthrough columns from the scored
+    * side (e.g. the domain) — the scored side may be STREAMING: every
+    * join here is stream-static/broadcast and stateless. */
+  private[operators] def bigramLpmKeep(docs: DataFrame, train: DataFrame,
+                                       addK: Double, idCol: String,
+                                       textCol: String,
+                                       keep: Seq[String]): DataFrame = {
     val trainable = train
       .where(size(split(trim(col(textCol)), "\\s+")) >= 2)
     val bg = trainable.select(explode(word_shingles(col(textCol), 2)).as("bg"))
@@ -464,16 +473,16 @@ object TextAnalysis {
       .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .agg(countDistinct(col("tok")).cast("double").as("v"))
-    docs.select(col(idCol).as("doc_id"),
-        explode(word_shingles(col(textCol), 2)).as("bg"))
+    docs.select(col(idCol).as("doc_id") +: keep.map(c => col(s"`$c`")) :+
+        explode(word_shingles(col(textCol), 2)).as("bg"): _*)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(bg, Seq("bg"), "left")
       .join(ctx, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), rhaCol(log(
+      .select(col("doc_id") +: keep.map(c => col(s"`$c`")) :+ rhaCol(log(
         (coalesce(col("c12"), lit(0.0)) + addK) /
           (coalesce(col("c1"), lit(0.0)) + lit(addK) * col("v"))) * 1e6)
-        .cast("long").as("lpm"))
+        .cast("long").as("lpm"): _*)
   }
 
   def bigramLogProb(docs: DataFrame, train: DataFrame, addK: Double = 1.0,
