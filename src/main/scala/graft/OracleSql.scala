@@ -3966,6 +3966,27 @@ object OracleSql {
       |  CAST(sum(total_sc) AS BIGINT) AS score_sum
       |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** x_chinchilla_plan: replay the compute-optimal table — corpus
+    * token aggregate, floor(sqrt(C/120)) per exaFLOP budget (sqrt is
+    * IEEE-correctly-rounded, the temperatureMix seam), truncating
+    * epochs-needed ppm vs the 4-epoch ceiling. */
+  private def chinchillaPlanSql: String =
+    raw"""WITH ct AS (
+       |  SELECT CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS corpus_tokens
+       |  FROM documents),
+       |grid AS (SELECT CAST(unnest([1, 10, 100, 1000]) AS BIGINT) AS flops_exa),
+       |pl AS (
+       |  SELECT flops_exa,
+       |    CAST(floor(sqrt(CAST(flops_exa AS DOUBLE) * 1e18 / 120.0)) AS BIGINT) AS n_opt_params
+       |  FROM grid)
+       |SELECT pl.flops_exa, pl.n_opt_params,
+       |  pl.n_opt_params * 20 AS d_opt_tokens,
+       |  ct.corpus_tokens,
+       |  (pl.n_opt_params * 20 * 1000000) // ct.corpus_tokens AS epochs_needed_ppm,
+       |  (pl.n_opt_params * 20 * 1000000) // ct.corpus_tokens <= 4000000 AS feasible
+       |FROM pl, ct ORDER BY pl.flops_exa""".stripMargin
+
   /** d_domain_reweight: replay the bigram-LM CTEs, per-lang NLL vs
     * corpus NLL in truncating micro divs, the linearized MW factor,
     * and the renormalized ppm weights. */
@@ -7083,6 +7104,7 @@ object OracleSql {
     "d_leakage_split" -> leakageSplitSql,
     "t_token_budget" -> tokenBudgetSql,
     "d_domain_reweight" -> domainReweightSql,
+    "x_chinchilla_plan" -> chinchillaPlanSql,
     "d_mix_epochs" -> mixEpochsSql,
     "w_url_dedup" -> urlDedupSql,
     "mm_dhash_neardup" -> dhashNearDupSql,

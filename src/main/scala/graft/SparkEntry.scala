@@ -2923,6 +2923,15 @@ object SparkEntry {
       budget = 100000L, maxEpochs = 4)
       .orderBy("source", "lang")
 
+  /** Compute-optimal plan
+    * ([[graft.operators.Sampling.chinchillaPlan]]): the Chinchilla
+    * N-opt / D-opt table over an exaFLOP budget grid vs this corpus's
+    * token supply under the 4-epoch repeat ceiling. */
+  private def chinchillaPlanQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.chinchillaPlan(t(s, dir, "documents"),
+      token_count(col("text")))
+      .orderBy("flops_exa")
+
   /** DoReMi-flavored mix update
     * ([[graft.operators.Sampling.domainReweight]]): per-language excess
     * bigram-LM loss vs the corpus mean, one exact-integer linearized
@@ -5061,6 +5070,7 @@ object SparkEntry {
     "d_leakage_split" -> leakageSplitQ,
     "t_token_budget" -> tokenBudgetQ,
     "d_domain_reweight" -> domainReweightQ,
+    "x_chinchilla_plan" -> chinchillaPlanQ,
     "d_mix_epochs" -> mixEpochsQ,
     "t_pii_scrub" -> piiScrub,
     "d_stratified_sample" -> stratifiedSampleStats,

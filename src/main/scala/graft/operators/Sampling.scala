@@ -198,6 +198,45 @@ object Sampling {
     * PARTITIONED by the group columns; non-positive weights are
     * excluded (sampling mass zero).
     */
+  /** Compute-optimal training-data planner (Hoffmann et al. 2022,
+    * "Training Compute-Optimal Large Language Models" — Chinchilla;
+    * public): for each FLOP budget C, the compute-optimal model size
+    * is N* = √(C / (6·r)) with r = tokens-per-parameter (≈20 in the
+    * paper), the data requirement D* = r·N*, and the feasibility
+    * question is D* vs this corpus's token count under the
+    * [[epochCappedPlan]] repeat ceiling. √ of an integer-valued
+    * double is IEEE-754 CORRECTLY ROUNDED (unlike exp/ln), so
+    * floor(√·) is bit-identical cross-engine — the temperatureMix
+    * seam. Budgets are exaFLOP integers to stay inside long.
+    *
+    * Scale: ONE corpus token aggregate; the plan itself is a
+    * |grid|-row computation.
+    *
+    * @return per budget (flops_exa, n_opt_params, d_opt_tokens,
+    *         corpus_tokens, epochs_needed_ppm, feasible). */
+  def chinchillaPlan(docs: DataFrame, tokenCol: Column,
+                     flopsExaGrid: Seq[Long] = Seq(1L, 10L, 100L, 1000L),
+                     tokensPerParam: Long = 20L,
+                     maxEpochs: Long = 4L): DataFrame = {
+    require(flopsExaGrid.nonEmpty && tokensPerParam > 0 && maxEpochs > 0,
+      "need a budget grid, tokensPerParam > 0, maxEpochs > 0")
+    val s = docs.sparkSession
+    import s.implicits._
+    val corpus = docs.agg(sum(tokenCol).cast("long").as("corpus_tokens"))
+    flopsExaGrid.toDF("flops_exa")
+      .crossJoin(broadcast(corpus))
+      .withColumn("n_opt_params",
+        floor(sqrt(col("flops_exa").cast("double") * 1e18
+          / lit(6.0 * tokensPerParam))).cast("long"))
+      .withColumn("d_opt_tokens", col("n_opt_params") * tokensPerParam)
+      .withColumn("epochs_needed_ppm",
+        expr("(d_opt_tokens * 1000000L) div corpus_tokens"))
+      .withColumn("feasible",
+        col("epochs_needed_ppm") <= maxEpochs * 1000000L)
+      .select(col("flops_exa"), col("n_opt_params"), col("d_opt_tokens"),
+        col("corpus_tokens"), col("epochs_needed_ppm"), col("feasible"))
+  }
+
   /** DoReMi-flavored domain reweighting (Xie et al. 2023, "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
     * public paper, see PAPERS.md): upweight the domains on which the
