@@ -36,6 +36,7 @@ object Bench {
         case "cosine_scale"  => cosineScaleBench(spark, sfDir)
         case "cluster_scale" => clusterScaleBench(spark)
         case "lpa_scale"     => lpaScaleBench(spark)
+        case "icws_scale"    => icwsScaleBench(spark, sfDir)
         case "encoder_scale" => encoderScaleBench(spark, cpus.toInt)
         case "lake_plan"     => lakePlanBench(spark)
         case "csv_plan"      => csvPlanBench(spark)
@@ -147,6 +148,7 @@ object Bench {
       val cs = cosineScaleBench(spark, sfDir)
       val xs = clusterScaleBench(spark)
       val ls = lpaScaleBench(spark)
+      val is = icwsScaleBench(spark, sfDir)
       val es = encoderScaleBench(spark, cpus.toInt)
       // isolated re-runs LAST: each forks a fresh JVM, so nothing this
       // session did (heap, codegen cache, GC debt) can contaminate them
@@ -163,7 +165,7 @@ object Bench {
       }
       val probesPath = java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_PROBES.json")
       java.nio.file.Files.write(probesPath,
-        (f"""{"suite_total":$total%.3f,"suite_nq":${results.size},"sf":"$sfDir","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"cluster_scale":$xs,"lpa_scale":$ls,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio}""" + "\n")
+        (f"""{"suite_total":$total%.3f,"suite_nq":${results.size},"sf":"$sfDir","lake_plan":$lp,"csv_plan":$cp,"cosine_scale":$cs,"cluster_scale":$xs,"lpa_scale":$ls,"icws_scale":$is,"encoder_scale":$es,"bench_isolated":$iso,"bench_isolated_failed":$isoFailed,"isolated_max_suite_ratio":$isoRatio}""" + "\n")
           .getBytes("UTF-8"))
       System.err.println("[bench] scale-probe sections written to BENCH_PROBES.json")
     }
@@ -466,6 +468,48 @@ object Bench {
     * the 10×-node wall should grow ~linearly (keyed edge joins + hash
     * aggregates, no pairing). Records walls, the wall ratio, and the
     * surviving label counts. */
+  /** ICWS banding feature-space probe — artifact for the round-16 fix:
+    * on this corpus's 31-token vocabulary, UNIGRAM tf·idf features make
+    * a large fraction of all doc pairs collide in some band (quadratic
+    * candidate blowup), while word-3-shingle features collapse the
+    * candidate set to the true near-dup neighborhood. Reports candidate
+    * counts + wall for both feature spaces at the bench SF. */
+  private def icwsScaleBench(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    // banding-candidate count for a feature space (the blowup metric —
+    // every candidate pays the exact verify)
+    def candidates(shingle: Int): Long = {
+      val wts = Dedup.idfWeights(docs, shingle = shingle)
+        .localCheckpoint(eager = false)
+      val bnd = Dedup.icwsSignatures(wts, 32)
+        .withColumn("band", expr("k div 4"))
+        .groupBy("id", "band")
+        .agg(concat_ws("|", expr(
+          "transform(array_sort(collect_list(struct(k, s_tok, s_tk)))," +
+            " x -> concat(x.s_tok, '@', x.s_tk))")).as("bkey"))
+        .localCheckpoint(eager = false)
+      bnd.as("a").join(bnd.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
+    def run(shingle: Int): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = Dedup.icwsNearDups(docs, threshold = 0.7, shingle = shingle)
+        .count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    run(3) // untimed warm-up: session codegen + parquet listing
+    val (sShingle, nShingle) = run(3)
+    val (sUni, nUni) = run(1)
+    val cShingle = candidates(3)
+    val cUni = candidates(1)
+    f"""{"n_docs":$nDocs,"shingle3_cands":$cShingle,"shingle3_pairs":$nShingle,"shingle3_sec":$sShingle%.1f,"unigram_cands":$cUni,"unigram_pairs":$nUni,"unigram_sec":$sUni%.1f}"""
+  }
+
   private def lpaScaleBench(spark: SparkSession): String = {
     def run(n: Long): (Double, Long) = {
       System.gc()
