@@ -683,15 +683,36 @@ object Ann {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  /** Exact-integer argmin over a cell-ascending `array<struct<cell,
+    * cq>>` of centroids: fold keeping the strictly smaller distance, so
+    * on ties the EARLIEST (lowest cell id) entry wins — bit-identical
+    * to ordering by (dist, cell) and taking rank 1. A pure expression:
+    * no row blowup, no shuffle, no sort. */
+  private def argminCell(cents: Column, v: Column): Column =
+    aggregate(cents,
+      struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val d = sqDistMicro(v, c.getField("cq"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), c.getField("cell").as("cell"))).otherwise(acc)
+      },
+      acc => acc.getField("cell"))
+
   /** Nearest-cell assignment under broadcast centroids: exact integer
-    * argmin, ties to the lowest cell id. Input must carry `qv`. */
+    * argmin, ties to the lowest cell id. Input must carry `qv`.
+    *
+    * Shape (guide §2.4): the former implementation cross-joined every
+    * vector against all k centroids and ranked the n·k rows with a
+    * `row_number` window — a full shuffle + sort PER ASSIGNMENT, paid
+    * every Lloyd's iteration by seven registered queries. The argmin
+    * over a one-row sorted centroid array is map-side only: zero
+    * exchanges, zero sorts, n rows in flight instead of n·k. */
   private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("dist", sqDistMicro(col("qv"), col("cq")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("dist", "rn", "cq")
+    val arr = cents
+      .agg(array_sort(collect_list(struct(col("cell"), col("cq")))).as("__cents"))
+    vecs.crossJoin(broadcast(arr))
+      .withColumn("cell", argminCell(col("__cents"), col("qv")))
+      .drop("__cents")
   }
 
   /** IVF search through TRAINED centroids: corpus vectors live in their
@@ -839,14 +860,19 @@ object Ann {
   }
 
   /** Nearest-codeword assignment per (id, sub) under broadcast
-    * codebooks: exact integer argmin, ties to the lowest code. */
+    * codebooks: exact integer argmin, ties to the lowest code. Same
+    * map-side argmin shape as [[assignCells]] (guide §2.4): one
+    * broadcast-hash join on `sub` against the nSub-row per-subspace
+    * codeword arrays replaces the former n·nSub·k-row window
+    * (shuffle + sort per assignment, paid every PQ training
+    * iteration and every encode). */
   private def assignCodes(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("sub")).orderBy(col("dist"), col("code"))
-    vecs.join(broadcast(cents), Seq("sub"))
-      .withColumn("dist", sqDistMicro(col("sq"), col("cq")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("dist", "rn", "cq")
+    val bySub = cents.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("code").as("cell"),
+        col("cq")))).as("__codes"))
+    vecs.join(broadcast(bySub), Seq("sub"))
+      .withColumn("code", argminCell(col("__codes"), col("sq")))
+      .drop("__codes")
   }
 
   /** PQ-encode: each corpus vector as `nSub` code ids (long form

@@ -379,8 +379,12 @@ object Dedup {
       if (shingle <= 1) explode(split(trim(col(textCol)), "\\s+"))
       else explode(word_shingles(col(textCol), shingle))
     // lazy-checkpoint tf: both the idf branch and the final join read
-    // it, and recomputing means a second tokenize+explode scan pass
-    val tf = docs.select(col(idCol).as("id"), toks.as("tok"))
+    // it, and recomputing means a second tokenize+explode scan pass.
+    // balance first (guide §2.5): the shingle explode multiplies
+    // per-byte compute ~50×, so a small-on-disk corpus otherwise runs
+    // the whole tokenize pass on the scan's 1-2 splits
+    val tf = graft.sources.Lake.balance(docs)
+      .select(col(idCol).as("id"), toks.as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false)
@@ -421,12 +425,30 @@ object Dedup {
     // weight rows out through the join, instead of paying 5 md5
     // evaluations per (doc, tok, slot) row (per-distinct-token hashing
     // is ~df̄× cheaper; at sf0.1 documents that is 51 s → seconds).
+    // Explicitly re-widen after the distinct (guide §2.5): AQE
+    // coalesces the post-distinct exchange by BYTES (a few MB of
+    // tokens → 1 partition), but the stage downstream fans out ×k and
+    // evaluates 5 md5 draws per (tok, slot) row — measured at sf0.1 as
+    // a single-task 9.8 s stage, the whole query's floor. A
+    // hash(tok)-keyed repartition is REMOVED as redundant against the
+    // distinct's own exchange, so pin a round-robin repartition with an
+    // explicit count (REPARTITION_BY_NUM — AQE neither removes nor
+    // coalesces it); the count follows the session's shuffle
+    // parallelism, not a local constant.
+    val shufP = weights.sparkSession.sessionState.conf.numShufflePartitions
     val params = weights.select(col("tok")).distinct()
+      .repartition(shufP)
       .select(col("tok"), explode(sequence(lit(0), lit(k - 1))).as("k"))
       .withColumn("r", -(round(log(u(1)), 6) + round(log(u(2)), 6)))
       .withColumn("lnc", round(log(-(round(log(u(3)), 6) + round(log(u(4)), 6))), 6))
       .withColumn("beta", u(5))
       .select(col("tok"), col("k"), col("r"), col("lnc"), col("beta"))
+      // pin the join-side layout too: the slot join + (id, k) partial
+      // aggregate is the second compute-dense stage (measured 3.8 s on
+      // the 4 tasks AQE's byte budget allows); a user-pinned hash(tok)
+      // exchange is exactly the layout the join requires, so no extra
+      // shuffle is paid and the join stage cannot be byte-coalesced
+      .repartition(shufP, col("tok"))
     val slots = weights
       .withColumn("lnw", round(log(col("w").cast("double")), 6))
       .join(params, "tok")

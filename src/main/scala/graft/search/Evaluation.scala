@@ -212,8 +212,14 @@ object Evaluation {
                        idCol: String = "id"): DataFrame = {
     def rha(y: org.apache.spark.sql.Column) =
       when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
+    // checkpoint the contingency table (≤ ka·kb rows): ra/rb/tot/ha/hb/
+    // nTerm all derive from it, and without the barrier each branch
+    // replays the full upstream pipeline — for j_cluster_agreement that
+    // upstream is the whole Lloyd's cascade, and the executed plan
+    // carried 186 Exchange nodes (measured; 3 with the barrier)
     val ct = a.join(b, idCol)
       .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint(eager = false)
     val ra = ct.groupBy("ca").agg(sum(col("nij")).as("ai"))
     val rb = ct.groupBy("cb").agg(sum(col("nij")).as("bj"))
     val tot = ra.agg(sum(col("ai")).as("n"), count(lit(1)).as("ka"))
