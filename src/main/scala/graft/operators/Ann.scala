@@ -548,6 +548,15 @@ object Ann {
     * Output: one row (n_vecs, dx, dy, cka). */
   def linearCka(xEmb: DataFrame, yEmb: DataFrame, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    // Each centered cell relation feeds THREE Frobenius joins (its own
+    // self-join twice + the cross term): checkpoint so the scan + mean
+    // join run once, then pin a hash(n_id) repartition at the session's
+    // shuffle parallelism — exactly the layout the n_id joins require
+    // (no extra exchange, reused across the three joins), and the
+    // d²-blowup join + DECIMAL Gram aggregation can no longer be
+    // byte-coalesced onto one task (measured: three ~3 s single-task
+    // stages at sf0.1 carried the whole query)
+    val shufP = xEmb.sparkSession.sessionState.conf.numShufflePartitions
     def cells(df: DataFrame, dCol: String, vCol: String) = {
       val raw = df.select(col(idCol).as("n_id"),
         posexplode(microVec(col(vecCol))).as(Seq(dCol, "v")))
@@ -556,6 +565,8 @@ object Ann {
         .withColumn("mu", expr(truncMean)).select(col(dCol), col("mu"))
       raw.join(broadcast(mu), dCol)
         .select(col("n_id"), col(dCol), (col("v") - col("mu")).as(vCol))
+        .localCheckpoint(eager = false)
+        .repartition(shufP, col("n_id"))
     }
     def frob2(a: DataFrame, da: String, va: String,
               b: DataFrame, db: String, vb: String) =
@@ -1109,8 +1120,12 @@ object Ann {
         greatest(lit(1L), expr("max(abs(z)) div 1000000")).as("__t"))
       v = z.crossJoin(broadcast(zs))
         .select(col("dim"), expr("z div __t").as("v"))
-      // d rows, but each round's lineage stacks 2 shuffles — truncate
-      if (i < nIter) v = v.localCheckpoint(true)
+      // d rows, but each round's lineage stacks 2 shuffles — truncate.
+      // coalesce(1) first: a d-row relation checkpointed at the full
+      // shuffle partition count costs a 32-empty-task job per round
+      // (measured: emb_abtt ran 68 jobs ≈ 4k near-empty tasks; d is
+      // bounded at any corpus scale, so one partition is always right)
+      if (i < nIter) v = v.coalesce(1).localCheckpoint(true)
     }
     // canonical sign: first (lowest-dim) nonzero component positive
     val sgn = v.filter(col("v") =!= 0)
@@ -1119,7 +1134,7 @@ object Ann {
         .otherwise(lit(-1L)).as("__sgn"))
     val vc = v.crossJoin(broadcast(sgn))
       .select(col("dim"), (col("v") * col("__sgn")).as("v"))
-      .localCheckpoint(true)
+      .coalesce(1).localCheckpoint(true)
     (y, vc)
   }
 

@@ -551,8 +551,13 @@ object Dedup {
     // verify join; it is NOT persisted — recomputing the columnar
     // scan+explode is cheaper than caching millions of shingle rows
     // (measured at sf0.1: persist costs ~8% wall)
-    val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(word_shingles(col(textCol), n))).as("tok"))
+    // balance before the shingle explode (guide §2.5): the token
+    // relation is re-derived by four consumers and each pass otherwise
+    // runs on the corpus scan's 1-2 splits (small-on-disk parquet,
+    // compute-dense explode)
+    val toks = graft.sources.Lake.balance(docs)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(word_shingles(col(textCol), n))).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("__f"))
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy(col("id")).orderBy(col("__f"), col("tok"))

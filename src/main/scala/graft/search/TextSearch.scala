@@ -147,12 +147,23 @@ object TextSearch {
                               prefixPre: Option[DataFrame]): DataFrame = {
     val norms = wtd.groupBy("id").agg(sum(energyCol).as("n2"))
     val prefix = prefixPre.getOrElse(prefixOf(wtd, threshold))
-    val cands = prefix
-      .join(prefix.select(col("id").as("id_b"), col("term")), "term")
+    // Width pins (guide §2.5): the candidate self-join and the verify
+    // joins are the compute-dense stages (candidate × posting-row
+    // intermediates), but their shuffle INPUTS are a few MB, so AQE
+    // byte-coalescing ran them on ONE task (two measured ~2.8 s
+    // single-task stages at sf0.1). User-pinned repartitions on exactly
+    // the keys the joins require add no exchange and keep the stages at
+    // the session's shuffle parallelism.
+    val shufP = wtd.sparkSession.sessionState.conf.numShufflePartitions
+    val prefixW = prefix.repartition(shufP, col("term"))
+    val cands = prefixW
+      .join(prefixW.select(col("id").as("id_b"), col("term")), "term")
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b")).distinct()
+      .repartition(shufP, col("id_a"))
     val dots = cands
       .join(wtd.select(col("id").as("id_a"), col("term"), col("wq").as("wa")), "id_a")
+      .repartition(shufP, col("id_b"), col("term"))
       .join(wtd.select(col("id").as("id_b"), col("term"), col("wq").as("wb")),
         Seq("id_b", "term"))
       .groupBy("id_a", "id_b")
