@@ -44,7 +44,11 @@ object QualityDistill {
   def hashedFeatures(docs: DataFrame, dims: Int = 8,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    // balance before the tokenize+md5 explode (guide §2.5): the corpus
+    // is small on disk but the per-token hash work is compute-dense,
+    // and the scan otherwise yields 1-2 splits
+    val toks = graft.sources.Lake.balance(docs)
+      .select(col(idCol).as("id"),
         explode(split(trim(col(s"`$textCol`")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
     toks.select(col("id"), (md5_low32(col("tok")) % dims).as("dim"))
@@ -81,7 +85,9 @@ object QualityDistill {
         .select(col("dim"), (col("w_micro") +
           expr(s"((coalesce(g, 0L) div n) * ${etaMicro}L) div 1000000L"))
           .as("w_micro"))
-      if (i < nIter) w = w.localCheckpoint(eager = true)
+      // dims+1 rows: coalesce before the checkpoint or each round pays
+      // a 32-empty-task job (the pcaCore discipline)
+      if (i < nIter) w = w.coalesce(1).localCheckpoint(eager = true)
     }
     w
   }
@@ -147,7 +153,8 @@ object QualityDistill {
         .select(col("dim"), (col("w_micro") +
           expr(s"((coalesce(g, 0L) div n) * ${etaMicro}L) div 1000000L"))
           .as("w_micro"))
-      if (i < nIter) w = w.localCheckpoint(eager = true)
+      // dims+1 rows — coalesce before the checkpoint (pcaCore discipline)
+      if (i < nIter) w = w.coalesce(1).localCheckpoint(eager = true)
     }
     infl
   }
