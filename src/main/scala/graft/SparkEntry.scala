@@ -4393,7 +4393,9 @@ object SparkEntry {
     */
   private def cmsFreqQ(s: SparkSession, dir: String): DataFrame = {
     import graft.profile.CountMin
-    val toks = t(s, dir, "documents")
+    // balance before the token explode: the depth×width md5 cell hashing
+    // ran as a 3.1 s single-task stage on the 1-split scan (guide §2.5)
+    val toks = graft.sources.Lake.balance(t(s, dir, "documents"))
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
     val spec = CountMin.CmsSpec(depth = 3, width = 16)
     val cms = CountMin.build(toks, "tok", spec)

@@ -57,7 +57,11 @@ object Importance {
         slice(col("w"), lit(2), size(col("w")) - 1),
         (a, b) => concat(lit("b:"), a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"), words.as("w"))
+    // balance before the unigram+bigram explode + per-feature md5
+    // (guide §2.5): measured as 1.3 s + 2.2 s single-task stages on the
+    // 1-split corpus scan
+    graft.sources.Lake.balance(docs)
+      .select(col(idCol).as("doc_id"), words.as("w"))
       .select(col("doc_id"), explode(concat(unis, bis)).as("feat"))
       .select(col("doc_id"), (md5l(col("feat")) % mBuckets).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
