@@ -640,7 +640,7 @@ object Ann {
     // window-free cell ids for the k seed rows (see Ranking.withPosition)
     var cents = Ranking.withPosition(vecs.orderBy(col("id")).limit(k), "cell")
       .select(col("cell"), col("qv").as("cq"))
-      .localCheckpoint(true)
+      .coalesce(1).localCheckpoint(true)
     (1 to iters).foreach { _ =>
       val assigned = assignCells(vecs, cents).select(col("cell"), col("qv"))
       val newC = assigned
@@ -651,9 +651,10 @@ object Ann {
         .groupBy("cell")
         .agg(collect_list(struct(col("d"), col("cv"))).as("l"))
         .select(col("cell"), transform(array_sort(col("l")), _.getField("cv")).as("cq"))
+      // k rows — coalesce before the checkpoint (pcaCore discipline)
       cents = cents.as("o").join(newC.as("nw"), Seq("cell"), "left")
         .select(col("cell"), coalesce(col("nw.cq"), col("o.cq")).as("cq"))
-        .localCheckpoint(true)
+        .coalesce(1).localCheckpoint(true)
     }
     cents
   }
@@ -851,7 +852,7 @@ object Ann {
       vecs.select(col("id")).distinct().orderBy(col("id")).limit(k), "code")
     var cents = vecs.join(seeds, Seq("id"))
       .select(col("sub"), col("code"), col("sq").as("cq"))
-      .localCheckpoint(true)
+      .coalesce(1).localCheckpoint(true)
     (1 to iters).foreach { _ =>
       val assigned = assignCodes(vecs, cents).select(col("sub"), col("code"), col("sq"))
       val newC = assigned
@@ -863,9 +864,10 @@ object Ann {
         .agg(collect_list(struct(col("d"), col("cv"))).as("l"))
         .select(col("sub"), col("code"),
           transform(array_sort(col("l")), _.getField("cv")).as("cq"))
+      // nSub·k rows — coalesce before the checkpoint (pcaCore discipline)
       cents = cents.as("o").join(newC.as("nw"), Seq("sub", "code"), "left")
         .select(col("sub"), col("code"), coalesce(col("nw.cq"), col("o.cq")).as("cq"))
-        .localCheckpoint(true)
+        .coalesce(1).localCheckpoint(true)
     }
     cents
   }
