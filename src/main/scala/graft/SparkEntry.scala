@@ -468,8 +468,10 @@ object SparkEntry {
     val ids = docs.select(col("doc_id").as("id"))
     val pairs = ids.as("a").join(ids.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val wts = Dedup.idfWeights(docs)
-    val sig = Dedup.icwsSignatures(wts, k = 32)
+    // wide = false: this audit is a deliberate 25-doc slice — the
+    // corpus-scale width pins cost more than they buy here (measured)
+    val wts = Dedup.idfWeights(docs, wide = false)
+    val sig = Dedup.icwsSignatures(wts, k = 32, wide = false)
     val est = pairs
       .join(sig.select(col("id").as("id_a"), col("k"),
         col("s_tok").as("ta"), col("s_tk").as("ka")), "id_a")

@@ -371,7 +371,8 @@ object Dedup {
     * invariant to the uniform 1e6 scaling, so integer micros keep the
     * exact side order-independent). */
   def idfWeights(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text", shingle: Int = 1): DataFrame = {
+                 textCol: String = "text", shingle: Int = 1,
+                 wide: Boolean = true): DataFrame = {
     def rha(y: Column) = when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5))
     // shingle = 1: whitespace unigrams; n > 1: word n-gram shingles
     // (word_shingles semantics incl. the short-doc whole-text collapse)
@@ -383,7 +384,7 @@ object Dedup {
     // balance first (guide §2.5): the shingle explode multiplies
     // per-byte compute ~50×, so a small-on-disk corpus otherwise runs
     // the whole tokenize pass on the scan's 1-2 splits
-    val tf = graft.sources.Lake.balance(docs)
+    val tf = (if (wide) graft.sources.Lake.balance(docs) else docs)
       .select(col(idCol).as("id"), toks.as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
@@ -414,7 +415,8 @@ object Dedup {
     *
     * @param weights (id, tok, w) with w > 0 (e.g. [[idfWeights]]).
     * @return (id, k, s_tok, s_tk) — K rows per doc. */
-  def icwsSignatures(weights: DataFrame, k: Int = 32): DataFrame = {
+  def icwsSignatures(weights: DataFrame, k: Int = 32,
+                     wide: Boolean = true): DataFrame = {
     require(k >= 1, "k >= 1")
     def u(j: Int) =
       (graft.functions.SketchFunctions.md5_low32(concat_ws(":",
@@ -435,23 +437,28 @@ object Dedup {
     // explicit count (REPARTITION_BY_NUM — AQE neither removes nor
     // coalesces it); the count follows the session's shuffle
     // parallelism, not a local constant.
+    // `wide = false` skips both pins for deliberately tiny inputs
+    // (the 25-doc d_icws_minhash audit regressed 2.6 -> 4.2 s paying
+    // fixed-width exchanges on a 325-pair relation)
     val shufP = weights.sparkSession.sessionState.conf.numShufflePartitions
-    val params = weights.select(col("tok")).distinct()
-      .repartition(shufP)
+    def pinRR(df: DataFrame) = if (wide) df.repartition(shufP) else df
+    def pinTok(df: DataFrame) =
+      if (wide) df.repartition(shufP, col("tok")) else df
+    val params = pinRR(weights.select(col("tok")).distinct())
       .select(col("tok"), explode(sequence(lit(0), lit(k - 1))).as("k"))
       .withColumn("r", -(round(log(u(1)), 6) + round(log(u(2)), 6)))
       .withColumn("lnc", round(log(-(round(log(u(3)), 6) + round(log(u(4)), 6))), 6))
       .withColumn("beta", u(5))
       .select(col("tok"), col("k"), col("r"), col("lnc"), col("beta"))
-      // pin the join-side layout too: the slot join + (id, k) partial
-      // aggregate is the second compute-dense stage (measured 3.8 s on
-      // the 4 tasks AQE's byte budget allows); a user-pinned hash(tok)
-      // exchange is exactly the layout the join requires, so no extra
-      // shuffle is paid and the join stage cannot be byte-coalesced
-      .repartition(shufP, col("tok"))
+    // pin the join-side layout too: the slot join + (id, k) partial
+    // aggregate is the second compute-dense stage (measured 3.8 s on
+    // the 4 tasks AQE's byte budget allows); a user-pinned hash(tok)
+    // exchange is exactly the layout the join requires, so no extra
+    // shuffle is paid and the join stage cannot be byte-coalesced
+    val paramsP = pinTok(params)
     val slots = weights
       .withColumn("lnw", round(log(col("w").cast("double")), 6))
-      .join(params, "tok")
+      .join(paramsP, "tok")
       .withColumn("tk", floor(col("lnw") / col("r") + col("beta")).cast("long"))
       .withColumn("key", col("lnc")
         - col("r") * (col("tk").cast("double") - col("beta")) - col("r"))
