@@ -2032,11 +2032,47 @@ object SparkEntry {
     * runs its whole map side on 1-3 cores (measured: the quantile
     * micro-batch spent 3.7 s in a 3-task stage). One round-robin
     * exchange of the RAW rows (pre-explode — the narrow relation)
-    * spreads the fan-out; the count follows the session's shuffle
-    * parallelism. Pure partitioning: every streamed aggregate is
+    * spreads the fan-out; the count follows the session's CORE
+    * parallelism (defaultParallelism, not numShufflePartitions — the
+    * stateful-stream runs lower the shuffle-partition conf to bound
+    * state-store instances, and the map-side width must not shrink
+    * with it). Pure partitioning: every streamed aggregate is
     * partition-invariant (streamed == batch is each query's oracle). */
   private def widenStream(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Run a stateful streaming query (its `.start()` + drain) with
+    * `spark.sql.shuffle.partitions` lowered to the state-partition
+    * count, restoring the session value after. Stateful operators
+    * (streaming aggregates, stream-stream joins, dedup-within-watermark,
+    * session windows) instantiate ONE state store per shuffle partition
+    * per stateful operator and pay a per-partition commit on EVERY
+    * micro-batch — at the session's 32 shuffle partitions that is pure
+    * fixed overhead (measured on st_stream_attrib: two ~3 s 32-task
+    * stages whose shuffle input is <1 MB; the cost is 4 stores × 32
+    * partitions × per-batch commit, not compute — guide §5). State
+    * partitioning is invisible to results (streamed == batch is each
+    * query's oracle) and bounds STATE-STORE INSTANCES, not correctness.
+    * Scale note: the right count tracks STATE VOLUME, not core count —
+    * a 100 TB deployment sets SPARK_GRAFT_STREAM_STATE_PARTITIONS to
+    * its cluster's shuffle width; the local default 4 matches the MBs
+    * of state these queries carry per micro-batch. */
+  private def withStreamState[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+    s.conf.set(key, n)
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Start a stateful streaming query under [[withStreamState]] and
+    * drain it (AvailableNow + awaitTermination). The `start` thunk must
+    * CONTAIN the `.start()` call: Structured Streaming snapshots the
+    * session conf when the query starts, so the lowered
+    * shuffle-partition count must be in force at that moment. */
+  private def runStreamNarrow(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    withStreamState(s) { start.awaitTermination() }
 
   /** §2.12: Structured-Streaming profile of `nation`, driven to completion
     * with AvailableNow and read back from the memory sink. The MinHash
@@ -2056,12 +2092,11 @@ object SparkEntry {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       // micros-NTZ → session-TZ (UTC) timestamp for the watermark clock
       .withColumn("ts", col("ts").cast("timestamp"))
-    val q = graft.streaming.StreamingProfile.hourlyEventCounts(stream)
+    runStreamNarrow(s)(graft.streaming.StreamingProfile.hourlyEventCounts(stream)
       // back to NTZ so the parquet dump compares as a wall-clock hour
       .select(col("event_type"), col("h").cast("timestamp_ntz").as("h"), col("n"))
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table(name).orderBy("event_type", "h")
   }
 
@@ -2080,10 +2115,9 @@ object SparkEntry {
       struct(lit(f.name).as("col_name"), v.as("value"))
     }
     val long = stream.select(explode(array(structs.toIndexedSeq: _*)).as("c")).select("c.*")
-    val q = graft.streaming.StreamingProfile.profileStream(long)
+    runStreamNarrow(s)(graft.streaming.StreamingProfile.profileStream(long)
       .writeStream.format("memory").queryName(name)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("update").trigger(Trigger.AvailableNow()).start())
     s.table(name)
       .select(col("col_name"), col("rows").as("n_rows"), col("nulls").as("n_nulls"),
         array_join(col("digest"), ",").as("digest"))
@@ -2103,10 +2137,9 @@ object SparkEntry {
       .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
     val long = Profiler.longFormat(widenStream(stream))
       .withColumn("table_name", lit("lineitem"))
-    val q = graft.streaming.StreamingProfile.quantileSketchStream(long)
+    runStreamNarrow(s)(graft.streaming.StreamingProfile.quantileSketchStream(long)
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     graft.profile.QuantileSketch.deciles(s.table(name))
       .orderBy("col_idx", "decile")
   }
@@ -2129,9 +2162,8 @@ object SparkEntry {
       .withColumn("ts", col("ts").cast("timestamp"))
     val deduped = graft.streaming.StreamingDedup.dedupStream(
       stream, "ts", "3650 days", Seq("user_id", "event_type"))
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    runStreamNarrow(s)(deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start())
     s.table(name).groupBy("event_type")
       .agg(count(lit(1)).as("n_kept")).orderBy("event_type")
   }
@@ -2181,9 +2213,8 @@ object SparkEntry {
       .withColumn("ts", col("ts").cast("timestamp"))
     val sess = graft.streaming.StreamingProfile.sessionWindows(
       stream, "30 minutes", "1 hour")
-    val q = sess.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    runStreamNarrow(s)(sess.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start())
     s.table(name).filter(col("user_id") >= 0)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
@@ -2207,11 +2238,10 @@ object SparkEntry {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val dim = s.read.parquet(s"$dir/customer.parquet")
-    val q = graft.streaming.StreamingProfile.enrichedCounts(
+    runStreamNarrow(s)(graft.streaming.StreamingProfile.enrichedCounts(
         stream, dim, "user_id", "c_custkey", "c_mktsegment", "value")
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table(name)
       .select(col("c_mktsegment"), col("n"),
         col("amount").cast("double").as("amount"))
@@ -2234,11 +2264,10 @@ object SparkEntry {
       .filter(col("doc_id") > 5)
     val bench = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") <= 5)
-    val q = graft.streaming.StreamingProfile.decontamReport(
+    runStreamNarrow(s)(graft.streaming.StreamingProfile.decontamReport(
         stream, bench, n = 3, threshold = 0.2)
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table(name).orderBy("id")
   }
 
@@ -2257,11 +2286,10 @@ object SparkEntry {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", col("ts").cast("timestamp"))
-    val q = graft.streaming.StreamingProfile.attributionJoin(
+    runStreamNarrow(s)(graft.streaming.StreamingProfile.attributionJoin(
         stream, "click", "purchase", "1 hour", "1 hour")
       .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("append").trigger(Trigger.AvailableNow()).start())
     s.table(name).groupBy(col("t_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("t_id")).as("trig_checksum"),
@@ -2312,9 +2340,8 @@ object SparkEntry {
       (0 until d).map(di =>
         sum(col(s"e$di").cast(DecimalType(18, 6))).cast("double")
           .as(s"sum_e$di")): _*)
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    runStreamNarrow(s)(agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table(name).orderBy("lang")
   }
 
@@ -3270,14 +3297,13 @@ object SparkEntry {
     val words = widenStream(stream).select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")
-    val q = words.join(encoded, "word")
+    runStreamNarrow(s)(words.join(encoded, "word")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("pieces"))).cast("long").as("n_subwords"),
         (sum(col("sc")).cast("double") / 1e6).as("loglik_r"))
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table(name).orderBy("lang")
   }
 
@@ -3481,12 +3507,11 @@ object SparkEntry {
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val q = c4Rollup(graft.operators.TextAnalysis.c4Filter(
+    runStreamNarrow(s)(c4Rollup(graft.operators.TextAnalysis.c4Filter(
         c4Pages(stream),
         graft.operators.TextAnalysis.C4Rules(badWords = Seq("unsafeword"))))
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table(name).orderBy("lang")
   }
 
@@ -3662,10 +3687,9 @@ object SparkEntry {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val train = s.read.parquet(s"$dir/documents.parquet")
-    val q = graft.operators.TextAnalysis.bigramLogProb(stream, train)
+    runStreamNarrow(s)(graft.operators.TextAnalysis.bigramLogProb(stream, train)
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table(name).orderBy("doc_id")
   }
 
@@ -3685,11 +3709,10 @@ object SparkEntry {
     val train = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 5 =!= 0)
     val (classes, scores) = graft.ml.NaiveBayes.model(train, "lang", "text", 2000)
-    val q = graft.ml.NaiveBayes.tokenLikelihoods(stream, classes, scores,
+    runStreamNarrow(s)(graft.ml.NaiveBayes.tokenLikelihoods(stream, classes, scores,
         "doc_id", "text", keep = Seq("lang"))
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("total_sc").desc, col("cls").asc)
     s.table(name)
@@ -3721,7 +3744,10 @@ object SparkEntry {
     val w = graft.ml.QualityDistill.trainHardSigmoidLr(
       graft.ml.QualityDistill.hashedFeatures(docs), labels)
       .localCheckpoint(eager = true)
-    val q = stream
+    // widen the micro-batch map side (guide §2.5): the tokenize+md5
+    // pass otherwise runs on the scan's 1-2 splits (measured 1.4 s
+    // single-task stage)
+    runStreamNarrow(s)(widenStream(stream)
       .select(col("doc_id").as("id"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
@@ -3730,8 +3756,7 @@ object SparkEntry {
       .join(broadcast(w), "dim")
       .groupBy("id").agg(sum(col("w_micro")).as("z_tok"))
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     val w8 = w.filter(col("dim") === 8).select(col("w_micro").as("w_icept"))
     labels.join(s.table(name), Seq("id"), "left").crossJoin(broadcast(w8))
       .withColumn("z_micro", coalesce(col("z_tok"), lit(0L)) + col("w_icept"))
@@ -3757,12 +3782,11 @@ object SparkEntry {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
     val batch = s.read.parquet(s"$dir/documents.parquet")
-    val q = graft.operators.Sampling.domainLpmRows(stream, batch)
+    runStreamNarrow(s)(graft.operators.Sampling.domainLpmRows(stream, batch)
       .groupBy("domain")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lpm")).as("s"))
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     val nd = batch.groupBy(col("lang").as("domain"))
       .agg(count(lit(1)).as("n_docs"))
     graft.operators.Sampling.domainReweightFromSums(
@@ -4422,10 +4446,9 @@ object SparkEntry {
     val toks = widenStream(stream)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
     val spec = CountMin.CmsSpec(depth = 3, width = 16)
-    val q = graft.streaming.StreamingProfile.cmsStream(toks, "tok", spec)
+    runStreamNarrow(s)(graft.streaming.StreamingProfile.cmsStream(toks, "tok", spec)
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     val cms = s.table(name)
     val exact = t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))

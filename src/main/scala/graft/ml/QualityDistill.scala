@@ -57,9 +57,35 @@ object QualityDistill {
         lit(dims.toLong).as("dim"), lit(1L).as("x")))
   }
 
+  /** Hard-sigmoid residuals (id, r_micro) of the feature relation
+    * against a LITERAL weight array (dim-indexed lookup — exactly the
+    * former broadcast-join on a complete 0..dims weight relation, as a
+    * codegen `element_at`). */
+  private def residualsLit(fx: DataFrame, lab: DataFrame,
+                           w: Array[Long]): DataFrame = {
+    val wLit = typedlit(w.toSeq)
+    fx.select(col("id"),
+        (col("x") * element_at(wLit, col("dim").cast("int") + 1)).as("__xw"))
+      .groupBy("id").agg(sum(col("__xw")).as("z_micro"))
+      .join(lab, "id")
+      .select(col("id"), (col("y") * 1000000L -
+        least(lit(1000000L), greatest(lit(0L),
+          expr("z_micro div 4") + 500000L))).as("r_micro"))
+  }
+
   /** Full-batch hard-sigmoid GD from w = 0: returns (dim, w_micro)
     * after `nIter` rounds on features (id, dim, x) and labels (id, y)
-    * with y ∈ {0, 1}. */
+    * with y ∈ {0, 1}.
+    *
+    * The dims+1-row weight vector iterates on the DRIVER (guide §5 —
+    * bounded MODEL PARAMETERS, not data; the standard distributed-GD
+    * shape): each round is ONE action — the per-dim gradient collect —
+    * instead of the former weight-relation checkpoint plus per-round
+    * broadcast builds (measured: 3 rounds cost ~36 jobs whose
+    * scheduling gaps dominated the wall; now 1 job per round). The
+    * update arithmetic is the identical truncating integer algebra
+    * (JVM Long division truncates toward zero exactly like Spark `div`
+    * and DuckDB `//`), so the oracle replay is unchanged. */
   def trainHardSigmoidLr(feats: DataFrame, labels: DataFrame,
                          dims: Int = 8, nIter: Int = 3,
                          etaMicro: Long = 1000L): DataFrame = {
@@ -69,27 +95,19 @@ object QualityDistill {
     val fx = feats.localCheckpoint(eager = true)
     val lab = labels.select(col("id"), col("y").cast("long").as("y"))
       .localCheckpoint(eager = true)
-    val n = lab.agg(count(lit(1)).as("n"))
-    var w = (0 to dims).map(_.toLong).toDF("dim")
-      .withColumn("w_micro", lit(0L))
-    for (i <- 1 to nIter) {
-      val z = fx.join(broadcast(w), "dim")
-        .groupBy("id").agg(sum(col("x") * col("w_micro")).as("z_micro"))
-      val r = z.join(lab, "id")
-        .select(col("id"), (col("y") * 1000000L -
-          least(lit(1000000L), greatest(lit(0L),
-            expr("z_micro div 4") + 500000L))).as("r_micro"))
-      val grad = fx.join(r, "id")
+    val n = lab.count()
+    val w = Array.fill(dims + 1)(0L)
+    for (_ <- 1 to nIter) {
+      val grad = fx.join(residualsLit(fx, lab, w), "id")
         .groupBy("dim").agg(sum(col("x") * col("r_micro")).as("g"))
-      w = w.join(grad, Seq("dim"), "left").crossJoin(broadcast(n))
-        .select(col("dim"), (col("w_micro") +
-          expr(s"((coalesce(g, 0L) div n) * ${etaMicro}L) div 1000000L"))
-          .as("w_micro"))
-      // dims+1 rows: coalesce before the checkpoint or each round pays
-      // a 32-empty-task job (the pcaCore discipline)
-      if (i < nIter) w = w.coalesce(1).localCheckpoint(eager = true)
+        .collect()
+      // dims absent from the gradient relation contributed 0 (the former
+      // left-join coalesce(g, 0)); all divisions truncate toward zero
+      grad.foreach { row =>
+        w(row.getLong(0).toInt) += ((row.getLong(1) / n) * etaMicro) / 1000000L
+      }
     }
-    w
+    (0 to dims).map(d => (d.toLong, w(d))).toDF("dim", "w_micro")
   }
 
   /** TracIn-style training-data attribution (Pruthi et al. 2020,
@@ -121,40 +139,63 @@ object QualityDistill {
       .localCheckpoint(eager = true)
     val va = valLabels.select(col("id"), col("y").cast("long").as("y"))
       .localCheckpoint(eager = true)
-    val n = tr.agg(count(lit(1)).as("n"))
-    val nVal = va.agg(count(lit(1)).as("nv"))
-    def residuals(lab: DataFrame, w: DataFrame): DataFrame =
-      fx.join(broadcast(w), "dim")
-        .groupBy("id").agg(sum(col("x") * col("w_micro")).as("z_micro"))
+    val n = tr.count()
+    val nVal = va.count()
+    // ONE tagged residual pass per round serves both the train gradient
+    // and the validation mean gradient (the id sets may overlap — each
+    // (id, side) row keeps its own residual, exactly the former two
+    // separate residual relations)
+    val lab = tr.withColumn("__val", lit(false))
+      .unionByName(va.withColumn("__val", lit(true)))
+      .localCheckpoint(eager = true)
+    // the dims+1-row weight vector iterates on the DRIVER (guide §5 —
+    // bounded model parameters; see trainHardSigmoidLr): each round is
+    // 3 actions — residual checkpoint, one fused per-dim (g, us)
+    // collect, influence checkpoint — instead of the former ~6 actions
+    // plus per-round broadcast builds. Identical truncating integer
+    // algebra (JVM Long division == Spark `div` == DuckDB `//`).
+    val w = Array.fill(dims + 1)(0L)
+    var infl = tr.select(col("id"), col("y"), lit(0L).as("infl"))
+    for (_ <- 1 to nIter) {
+      // residualsLit's shape with the side tag riding through the join
+      val rTagged = fx.select(col("id"),
+          (col("x") * element_at(typedlit(w.toSeq),
+            col("dim").cast("int") + 1)).as("__xw"))
+        .groupBy("id").agg(sum(col("__xw")).as("z_micro"))
         .join(lab, "id")
-        .select(col("id"), (col("y") * 1000000L -
+        .select(col("id"), col("__val"), (col("y") * 1000000L -
           least(lit(1000000L), greatest(lit(0L),
             expr("z_micro div 4") + 500000L))).as("r_micro"))
-    var w = (0 to dims).map(_.toLong).toDF("dim")
-      .withColumn("w_micro", lit(0L))
-    var infl = tr.select(col("id"), col("y"), lit(0L).as("infl"))
-    for (i <- 1 to nIter) {
-      val rTr = residuals(tr, w).localCheckpoint(eager = true)
-      // mean validation gradient per dim (9 rows)
-      val u = fx.join(residuals(va, w), "id")
-        .groupBy("dim").agg(sum(col("x") * col("r_micro")).as("us"))
-        .crossJoin(broadcast(nVal))
-        .select(col("dim"), expr("us div nv").as("u"))
-      val dot = fx.join(broadcast(u), "dim")
-        .groupBy("id").agg(sum(col("x") * col("u")).as("dot"))
-      infl = infl.join(rTr, "id").join(dot, "id")
+        .localCheckpoint(eager = true)
+      // fused per-dim TRAIN gradient g and VALIDATION gradient sum us
+      val sums = fx.join(rTagged, "id")
+        .groupBy("dim").agg(
+          sum(when(!col("__val"), col("x") * col("r_micro"))
+            .otherwise(0L)).as("g"),
+          sum(when(col("__val"), col("x") * col("r_micro"))
+            .otherwise(0L)).as("us"))
+        .collect()
+      val u = Array.fill(dims + 1)(0L)
+      val g = Array.fill(dims + 1)(0L)
+      sums.foreach { row =>
+        val d = row.getLong(0).toInt
+        g(d) = row.getLong(1)
+        u(d) = row.getLong(2) / nVal // mean validation gradient, trunc div
+      }
+      val dot = fx.select(col("id"),
+          (col("x") * element_at(typedlit(u.toSeq),
+            col("dim").cast("int") + 1)).as("__xu"))
+        .groupBy("id").agg(sum(col("__xu")).as("dot"))
+      infl = infl
+        .join(rTagged.filter(!col("__val")).select(col("id"), col("r_micro")), "id")
+        .join(dot, "id")
         .select(col("id"), col("y"), (col("infl") +
           expr("(r_micro div 1000) * (dot div 1000)")).as("infl"))
         .localCheckpoint(eager = true)
       // the training step itself (gradient over TRAIN docs only)
-      val grad = fx.join(rTr, "id")
-        .groupBy("dim").agg(sum(col("x") * col("r_micro")).as("g"))
-      w = w.join(grad, Seq("dim"), "left").crossJoin(broadcast(n))
-        .select(col("dim"), (col("w_micro") +
-          expr(s"((coalesce(g, 0L) div n) * ${etaMicro}L) div 1000000L"))
-          .as("w_micro"))
-      // dims+1 rows — coalesce before the checkpoint (pcaCore discipline)
-      if (i < nIter) w = w.coalesce(1).localCheckpoint(eager = true)
+      g.zipWithIndex.foreach { case (gd, d) =>
+        w(d) += ((gd / n) * etaMicro) / 1000000L
+      }
     }
     infl
   }
