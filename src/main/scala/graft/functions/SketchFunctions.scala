@@ -122,15 +122,13 @@ object SketchFunctions {
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
 
   /** Column mirror of `MinHash.md5Low32`: little-endian uint32 of MD5
-    * bytes [8,12) as BIGINT — all codegen'd built-ins (md5 hex →
-    * byte-pair reorder → conv). DuckDB recomputes it as
+    * bytes [8,12) as BIGINT — the native [[graft.plans.Md5Low32]]
+    * expression (bit-identical to the former md5 hex → byte-pair
+    * reorder → conv built-in chain, minus its per-call MessageDigest,
+    * hex-string and radix-parse allocations). DuckDB recomputes it as
     * `md5_number_lower(v) & 4294967295`. */
-  def md5_low32(c: Column): Column = {
-    import org.apache.spark.sql.functions._
-    val h = md5(c)
-    conv(concat(substring(h, 23, 2), substring(h, 21, 2),
-      substring(h, 19, 2), substring(h, 17, 2)), 16, 10).cast("long")
-  }
+  def md5_low32(c: Column): Column =
+    columnOf(graft.plans.Md5Low32(expressionOf(c.cast("binary"))))
 
   /** `minhash_bands(digest, nBands)`: array of band keys for LSH joins —
     * `bands` keys, each hashing `numPerm/bands` consecutive slots. Two

@@ -599,6 +599,12 @@ object Ann {
           .as("cka"))
   }
 
+  /** One centroid/codeword entry as a driver-side value: `typedlit` of
+    * a cell-ascending `Seq[CentLit]` produces exactly the
+    * `array<struct<cell, cq>>` layout [[argminCell]] folds over — the
+    * literal form of the former one-row collect_list broadcast. */
+  private case class CentLit(cell: Long, cq: Seq[Long])
+
   /** Micro-quantized vector (the rhSignature quantization, shared). */
   private def microVec(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000000).cast("long"))
@@ -635,28 +641,44 @@ object Ann {
     */
   def kmeansCentroids(embs: DataFrame, k: Int = 8, iters: Int = 3,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sp = embs.sparkSession
+    import sp.implicits._
     val vecs = graft.sources.Lake.balance(embs)
       .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
-    // window-free cell ids for the k seed rows (see Ranking.withPosition)
-    var cents = Ranking.withPosition(vecs.orderBy(col("id")).limit(k), "cell")
-      .select(col("cell"), col("qv").as("cq"))
-      .coalesce(1).localCheckpoint(true)
+    // The k centroids are bounded MODEL PARAMETERS — iterate them on
+    // the DRIVER (guide §5; the trainHardSigmoidLr shape). Seeds = the
+    // k lowest-id vectors, cell = 1-based id rank (the former
+    // Ranking.withPosition numbering). Each Lloyd's round is then ONE
+    // job — the (cell, dim) integer-sum collect, k·dim bounded rows —
+    // instead of a broadcast build plus a k-row checkpoint per round,
+    // and the centroids enter the assignment as a LITERAL sorted array
+    // (no broadcast, no join). The mean is the identical
+    // truncating-toward-zero integer division (JVM Long `/` == Spark
+    // `div` == DuckDB `//`), so every iteration replays bit-for-bit.
+    var cents: Seq[CentLit] = vecs.orderBy(col("id")).limit(k)
+      .select(col("qv")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => CentLit(i + 1L, r.getSeq[Long](0)) }
     (1 to iters).foreach { _ =>
-      val assigned = assignCells(vecs, cents).select(col("cell"), col("qv"))
-      val newC = assigned
+      val sums = vecs
+        .withColumn("cell", argminCell(typedlit(cents), col("qv")))
         .select(col("cell"), posexplode(col("qv")).as(Seq("d", "x")))
         .groupBy("cell", "d")
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cv", expr(truncMean))
-        .groupBy("cell")
-        .agg(collect_list(struct(col("d"), col("cv"))).as("l"))
-        .select(col("cell"), transform(array_sort(col("l")), _.getField("cv")).as("cq"))
-      // k rows — coalesce before the checkpoint (pcaCore discipline)
-      cents = cents.as("o").join(newC.as("nw"), Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("nw.cq"), col("o.cq")).as("cq"))
-        .coalesce(1).localCheckpoint(true)
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      // cells that lose all members keep their previous centroid
+      cents = cents.map { c =>
+        byCell.get(c.cell).fold(c) { rows =>
+          val cq = c.cq.toArray
+          rows.foreach { r =>
+            val s = r.getLong(2); val n = r.getLong(3)
+            cq(r.getInt(1)) = if (s >= 0) s / n else -((-s) / n)
+          }
+          CentLit(c.cell, cq.toSeq)
+        }
+      }
     }
-    cents
+    cents.map(c => (c.cell, c.cq)).toDF("cell", "cq")
   }
 
   /** IVF index balance report — the load-skew stat an index build
@@ -699,15 +721,17 @@ object Ann {
     * cq>>` of centroids: fold keeping the strictly smaller distance, so
     * on ties the EARLIEST (lowest cell id) entry wins — bit-identical
     * to ordering by (dist, cell) and taking rank 1. A pure expression:
-    * no row blowup, no shuffle, no sort. */
+    * no row blowup, no shuffle, no sort. The O(dim) distance is
+    * materialized ONCE per centroid by an inner `transform` before the
+    * fold — subexpression elimination does not reliably reach inside
+    * higher-order-function lambdas, and referencing the distance twice
+    * (predicate + kept struct) evaluated it twice per centroid. */
   private def argminCell(cents: Column, v: Column): Column =
-    aggregate(cents,
+    aggregate(
+      transform(cents, c => struct(sqDistMicro(v, c.getField("cq")).as("d"),
+        c.getField("cell").as("cell"))),
       struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cell")),
-      (acc, c) => {
-        val d = sqDistMicro(v, c.getField("cq"))
-        when(d < acc.getField("d"),
-          struct(d.as("d"), c.getField("cell").as("cell"))).otherwise(acc)
-      },
+      (acc, c) => when(c.getField("d") < acc.getField("d"), c).otherwise(acc),
       acc => acc.getField("cell"))
 
   /** Nearest-cell assignment under broadcast centroids: exact integer
@@ -848,28 +872,54 @@ object Ann {
     * training and encoding. */
   private def pqCodebooksFromSubVecs(vecs: DataFrame, k: Int,
                                      iters: Int): DataFrame = {
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    // nSub·k codewords are bounded model parameters — iterate on the
+    // DRIVER (the kmeansCentroids shape): one seed collect, then ONE
+    // (sub, code, dim) integer-sum collect per round; the per-subspace
+    // codebooks enter the assignment as one nested literal indexed by
+    // sub. Identical truncating-division means, so each round replays
+    // bit-for-bit against the former checkpoint chain.
     val seeds = Ranking.withPosition(
       vecs.select(col("id")).distinct().orderBy(col("id")).limit(k), "code")
-    var cents = vecs.join(seeds, Seq("id"))
-      .select(col("sub"), col("code"), col("sq").as("cq"))
-      .coalesce(1).localCheckpoint(true)
-    (1 to iters).foreach { _ =>
-      val assigned = assignCodes(vecs, cents).select(col("sub"), col("code"), col("sq"))
-      val newC = assigned
-        .select(col("sub"), col("code"), posexplode(col("sq")).as(Seq("d", "x")))
-        .groupBy("sub", "code", "d")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cv", expr(truncMean))
-        .groupBy("sub", "code")
-        .agg(collect_list(struct(col("d"), col("cv"))).as("l"))
-        .select(col("sub"), col("code"),
-          transform(array_sort(col("l")), _.getField("cv")).as("cq"))
-      // nSub·k rows — coalesce before the checkpoint (pcaCore discipline)
-      cents = cents.as("o").join(newC.as("nw"), Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"), coalesce(col("nw.cq"), col("o.cq")).as("cq"))
-        .coalesce(1).localCheckpoint(true)
+    var cents: Map[Long, Seq[CentLit]] = vecs.join(seeds, Seq("id"))
+      .select(col("sub"), col("code"), col("sq")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (sub, rows) =>
+        sub -> rows.map(r => CentLit(r.getLong(1), r.getSeq[Long](2)))
+          .sortBy(_.cell).toSeq
+      }
+    if (cents.nonEmpty) {
+      val maxSub = cents.keys.max
+      (1 to iters).foreach { _ =>
+        val litCb = typedlit((0L to maxSub).map(s =>
+          cents.getOrElse(s, Seq.empty[CentLit])))
+        val sums = vecs
+          .withColumn("code", argminCell(
+            element_at(litCb, col("sub").cast("int") + 1), col("sq")))
+          .select(col("sub"), col("code"), posexplode(col("sq")).as(Seq("d", "x")))
+          .groupBy("sub", "code", "d")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val bySubCode = sums.groupBy(r => (r.getLong(0), r.getLong(1)))
+        // codes that lose all members keep their previous codeword
+        cents = cents.map { case (sub, cl) =>
+          sub -> cl.map { c =>
+            bySubCode.get((sub, c.cell)).fold(c) { rows =>
+              val cq = c.cq.toArray
+              rows.foreach { r =>
+                val s = r.getLong(3); val n = r.getLong(4)
+                cq(r.getInt(2)) = if (s >= 0) s / n else -((-s) / n)
+              }
+              CentLit(c.cell, cq.toSeq)
+            }
+          }
+        }
+      }
     }
-    cents
+    cents.toSeq.sortBy(_._1)
+      .flatMap { case (sub, cl) => cl.map(c => (sub, c.cell, c.cq)) }
+      .toDF("sub", "code", "cq")
   }
 
   /** Nearest-codeword assignment per (id, sub) under broadcast
@@ -1091,52 +1141,54 @@ object Ann {
   private def pcaCore(embs: DataFrame, nIter: Int, idCol: String,
                       vecCol: String): (DataFrame, DataFrame) = {
     require(nIter > 0, "need at least one iteration")
+    val sp = embs.sparkSession
+    import sp.implicits._
     val comps = embs.select(col(idCol).cast("long").as("id"),
         posexplode(transform(col(s"`$vecCol`"), _.cast("double"))))
       .select(col("id"), col("pos").as("dim"),
         round(col("col") * 1000000, 0).cast("long").as("u"))
-    val mu = comps.groupBy("dim")
-      .agg(sum(col("u")).as("su"), count(lit(1)).as("n"))
-      .select(col("dim"), expr("su div n").as("mu"))
+    // The d-row direction is a bounded MODEL PARAMETER — iterate it on
+    // the DRIVER (guide §5; the kmeansCentroids shape). Per round the
+    // former plan paid dots 3× and z 2× across two broadcast builds
+    // plus a d-row checkpoint; now round = exactly TWO jobs (the |dot|
+    // max, then the per-dim z collect), with v and mu entering as
+    // literal array lookups. All scalar algebra is the identical
+    // truncating-toward-zero Long division, so every round replays
+    // bit-for-bit.
+    val muRows = comps.groupBy("dim")
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n")).collect()
+    val d = muRows.length
+    val mu = new Array[Long](d)
+    muRows.foreach(r => mu(r.getInt(0)) = r.getLong(1) / r.getLong(2))
     // centered relation reused 2·nIter+2 times — materialize once
-    val y = comps.join(broadcast(mu), "dim")
-      .select(col("id"), col("dim"), (col("u") - col("mu")).as("y"))
+    val y = comps.select(col("id"), col("dim"),
+        (col("u") - element_at(typedlit(mu.toSeq), col("dim") + 1)).as("y"))
       .localCheckpoint(true)
     // start vector 1e6 + dim: a FLAT start is exactly orthogonal to any
     // dominant direction whose components sum to zero (e.g. perfectly
     // anti-correlated dims) and the iteration would silently return the
     // zero vector; the per-dim perturbation breaks that symmetry at no
     // determinism cost
-    var v = y.select(col("dim")).distinct()
-      .select(col("dim"), (lit(1000000L) + col("dim")).as("v"))
-    for (i <- 1 to nIter) {
-      val dots = y.join(broadcast(v.withColumnRenamed("v", "__v")), "dim")
-        .groupBy("id").agg(sum(col("y") * col("__v")).as("dot"))
-      val sc = dots.agg(
-        greatest(lit(1L), expr("max(abs(dot)) div 1000000")).as("__s"))
-      val dotsN = dots.crossJoin(broadcast(sc))
-        .select(col("id"), expr("dot div __s").as("ds"))
-      val z = y.join(dotsN, "id")
-        .groupBy("dim").agg(sum(col("y") * col("ds")).as("z"))
-      val zs = z.agg(
-        greatest(lit(1L), expr("max(abs(z)) div 1000000")).as("__t"))
-      v = z.crossJoin(broadcast(zs))
-        .select(col("dim"), expr("z div __t").as("v"))
-      // d rows, but each round's lineage stacks 2 shuffles — truncate.
-      // coalesce(1) first: a d-row relation checkpointed at the full
-      // shuffle partition count costs a 32-empty-task job per round
-      // (measured: emb_abtt ran 68 jobs ≈ 4k near-empty tasks; d is
-      // bounded at any corpus scale, so one partition is always right)
-      if (i < nIter) v = v.coalesce(1).localCheckpoint(true)
+    var v: Array[Long] = Array.tabulate(d)(i => 1000000L + i)
+    for (_ <- 1 to nIter) {
+      val dots = y.select(col("id"),
+          (col("y") * element_at(typedlit(v.toSeq), col("dim") + 1)).as("p"))
+        .groupBy("id").agg(sum(col("p")).as("dot"))
+      val scRow = dots.agg(max(abs(col("dot")))).collect()(0)
+      val sc = math.max(1L,
+        (if (scRow.isNullAt(0)) 0L else scRow.getLong(0)) / 1000000L)
+      val zRows = y.join(
+          dots.select(col("id"), expr(s"dot div ${sc}L").as("ds")), "id")
+        .groupBy("dim").agg(sum(col("y") * col("ds")).as("z")).collect()
+      val z = new Array[Long](d)
+      zRows.foreach(r => z(r.getInt(0)) = r.getLong(1))
+      val zs = math.max(1L,
+        (if (zRows.isEmpty) 0L else z.map(math.abs).max) / 1000000L)
+      v = z.map(_ / zs)
     }
     // canonical sign: first (lowest-dim) nonzero component positive
-    val sgn = v.filter(col("v") =!= 0)
-      .agg(min(struct(col("dim"), col("v"))).as("fz"))
-      .select(when(col("fz").isNull || col("fz.v") >= 0, lit(1L))
-        .otherwise(lit(-1L)).as("__sgn"))
-    val vc = v.crossJoin(broadcast(sgn))
-      .select(col("dim"), (col("v") * col("__sgn")).as("v"))
-      .coalesce(1).localCheckpoint(true)
+    val sgn = v.find(_ != 0L).map(x => if (x >= 0) 1L else -1L).getOrElse(1L)
+    val vc = (0 until d).map(i => (i, v(i) * sgn)).toDF("dim", "v")
     (y, vc)
   }
 

@@ -45,6 +45,25 @@ class SketchFunctionsSpec extends SparkSpec {
     assert(out == MinHash.xxhash32("abc"))
   }
 
+  test("md5_low32 native expression matches the built-in md5/conv chain") {
+    // the former implementation, kept verbatim as the equivalence oracle
+    def oldChain(c: org.apache.spark.sql.Column) = {
+      val h = md5(c)
+      conv(concat(substring(h, 23, 2), substring(h, 21, 2),
+        substring(h, 19, 2), substring(h, 17, 2)), 16, 10).cast("long")
+    }
+    val vals = Seq("", "a", "abc", "tok:icws:3:1", "héllo wörld",
+      "0", "a" * 300) ++ (1 to 200).map(i => s"key$i:slot${i % 7}")
+    val df = vals.toDF("v")
+    val rows = df.select(md5_low32(col("v")).as("nw"),
+      oldChain(col("v")).as("od")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // null in, null out — same as the built-in chain
+    val n = Seq[Option[String]](None).toDF("v")
+      .select(md5_low32(col("v"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("minhash_bands: identical digests share all bands, disjoint share none") {
     val a = (1 to 300).map(i => ("a", s"v$i"))
     val b = (1 to 300).map(i => ("b", s"v$i"))     // same set
