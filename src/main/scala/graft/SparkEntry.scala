@@ -3709,7 +3709,11 @@ object SparkEntry {
     val train = s.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 5 =!= 0)
     val (classes, scores) = graft.ml.NaiveBayes.model(train, "lang", "text", 2000)
-    runStreamNarrow(s)(graft.ml.NaiveBayes.tokenLikelihoods(stream, classes, scores,
+    // widen the micro-batch map side (guide §2.5): the tokenize + model
+    // join otherwise runs on the scan's single split (measured 0.86 s
+    // one-task stage). Re-tried after the model checkpoint + narrow
+    // state partitions landed — the r16 negative result predated both.
+    runStreamNarrow(s)(graft.ml.NaiveBayes.tokenLikelihoods(widenStream(stream), classes, scores,
         "doc_id", "text", keep = Seq("lang"))
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start())

@@ -72,7 +72,15 @@ object NaiveBayes {
       .select(col("cls"), col("word"),
         microRound(log((col("cnt") + lit(1)).cast("double") /
           (col("tot") + col("v")).cast("double")) * lit(1000000.0)).as("sc"))
-    (classes, scores)
+    // Both relations are bounded (C rows; ≤ maxVocab·C rows) but derive
+    // from corpus-scale token aggregations, and every consumer
+    // broadcast-joins them MORE THAN ONCE (tokenLikelihoods reads
+    // classes + scores per evaluation — per MICRO-BATCH on a stream;
+    // predict reads classes twice more). Materialize each once
+    // (guide §5; coalesce(1) first — the tiny-relation checkpoint
+    // discipline) so the training cascade runs once, not per consumer.
+    (classes.coalesce(1).localCheckpoint(eager = true),
+      scores.coalesce(1).localCheckpoint(eager = true))
   }
 
   /** Per-(doc, class) token log-likelihood sums under a trained model:

@@ -643,8 +643,13 @@ object Ann {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sp = embs.sparkSession
     import sp.implicits._
+    // persisted across the seed pass + `iters` assignment passes (the
+    // scan + micro-quantization otherwise re-runs per round); local to
+    // this call — centroids leave as driver values, so nothing
+    // downstream holds the lineage and the unpersist is safe
     val vecs = graft.sources.Lake.balance(embs)
       .select(col(idCol).as("id"), microVec(col(vecCol)).as("qv"))
+      .persist()
     // The k centroids are bounded MODEL PARAMETERS — iterate them on
     // the DRIVER (guide §5; the trainHardSigmoidLr shape). Seeds = the
     // k lowest-id vectors, cell = 1-based id rank (the former
@@ -655,30 +660,32 @@ object Ann {
     // (no broadcast, no join). The mean is the identical
     // truncating-toward-zero integer division (JVM Long `/` == Spark
     // `div` == DuckDB `//`), so every iteration replays bit-for-bit.
-    var cents: Seq[CentLit] = vecs.orderBy(col("id")).limit(k)
-      .select(col("qv")).collect().toSeq.zipWithIndex
-      .map { case (r, i) => CentLit(i + 1L, r.getSeq[Long](0)) }
-    (1 to iters).foreach { _ =>
-      val sums = vecs
-        .withColumn("cell", argminCell(typedlit(cents), col("qv")))
-        .select(col("cell"), posexplode(col("qv")).as(Seq("d", "x")))
-        .groupBy("cell", "d")
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val byCell = sums.groupBy(_.getLong(0))
-      // cells that lose all members keep their previous centroid
-      cents = cents.map { c =>
-        byCell.get(c.cell).fold(c) { rows =>
-          val cq = c.cq.toArray
-          rows.foreach { r =>
-            val s = r.getLong(2); val n = r.getLong(3)
-            cq(r.getInt(1)) = if (s >= 0) s / n else -((-s) / n)
+    try {
+      var cents: Seq[CentLit] = vecs.orderBy(col("id")).limit(k)
+        .select(col("qv")).collect().toSeq.zipWithIndex
+        .map { case (r, i) => CentLit(i + 1L, r.getSeq[Long](0)) }
+      (1 to iters).foreach { _ =>
+        val sums = vecs
+          .withColumn("cell", argminCell(typedlit(cents), col("qv")))
+          .select(col("cell"), posexplode(col("qv")).as(Seq("d", "x")))
+          .groupBy("cell", "d")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCell = sums.groupBy(_.getLong(0))
+        // cells that lose all members keep their previous centroid
+        cents = cents.map { c =>
+          byCell.get(c.cell).fold(c) { rows =>
+            val cq = c.cq.toArray
+            rows.foreach { r =>
+              val s = r.getLong(2); val n = r.getLong(3)
+              cq(r.getInt(1)) = if (s >= 0) s / n else -((-s) / n)
+            }
+            CentLit(c.cell, cq.toSeq)
           }
-          CentLit(c.cell, cq.toSeq)
         }
       }
-    }
-    cents.map(c => (c.cell, c.cq)).toDF("cell", "cq")
+      cents.map(c => (c.cell, c.cq)).toDF("cell", "cq")
+    } finally vecs.unpersist()
   }
 
   /** IVF index balance report — the load-skew stat an index build
@@ -880,13 +887,18 @@ object Ann {
     // codebooks enter the assignment as one nested literal indexed by
     // sub. Identical truncating-division means, so each round replays
     // bit-for-bit against the former checkpoint chain.
-    val seeds = Ranking.withPosition(
-      vecs.select(col("id")).distinct().orderBy(col("id")).limit(k), "code")
-    var cents: Map[Long, Seq[CentLit]] = vecs.join(seeds, Seq("id"))
-      .select(col("sub"), col("code"), col("sq")).collect()
-      .groupBy(_.getLong(0))
+    // seeds = the k lowest distinct ids, code = 1-based id rank (the
+    // former Ranking.withPosition numbering, without its zipWithIndex
+    // RDD job): one id collect, one filtered subvector collect
+    val seedIds = vecs.select(col("id")).distinct().orderBy(col("id"))
+      .limit(k).collect().map(_.get(0))
+    val idCode = seedIds.zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap
+    var cents: Map[Long, Seq[CentLit]] = vecs
+      .filter(col("id").isInCollection(seedIds.toSeq))
+      .select(col("id"), col("sub"), col("sq")).collect()
+      .groupBy(_.getLong(1))
       .map { case (sub, rows) =>
-        sub -> rows.map(r => CentLit(r.getLong(1), r.getSeq[Long](2)))
+        sub -> rows.map(r => CentLit(idCode(r.get(0)), r.getSeq[Long](2)))
           .sortBy(_.cell).toSeq
       }
     if (cents.nonEmpty) {

@@ -440,8 +440,16 @@ object Dedup {
     // `wide = false` skips both pins for deliberately tiny inputs
     // (the 25-doc d_icws_minhash audit regressed 2.6 -> 4.2 s paying
     // fixed-width exchanges on a 325-pair relation)
+    // Width semantics (r16 verdict follow-up): the round-robin pin
+    // spreads a COMPUTE-dense fan-out (×k explode, 5 md5 draws per
+    // row), so its width follows CORE parallelism — on a cluster the
+    // shuffle-partition conf tracks data volume and can be orders of
+    // magnitude wider than the compute slots this stage can use. The
+    // token pin is a JOIN layout (data-keyed exchange) and stays on the
+    // session's shuffle parallelism.
+    val coreP = weights.sparkSession.sparkContext.defaultParallelism
     val shufP = weights.sparkSession.sessionState.conf.numShufflePartitions
-    def pinRR(df: DataFrame) = if (wide) df.repartition(shufP) else df
+    def pinRR(df: DataFrame) = if (wide) df.repartition(coreP) else df
     def pinTok(df: DataFrame) =
       if (wide) df.repartition(shufP, col("tok")) else df
     val params = pinRR(weights.select(col("tok")).distinct())

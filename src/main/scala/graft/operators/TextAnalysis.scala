@@ -661,9 +661,13 @@ object TextAnalysis {
                               textCol: String = "text",
                               langCol: String = "lang"): DataFrame = {
     import graft.profile.QuantileSketch
+    // three consumers (per-lang min, the sketch pass, the final bucket
+    // join) would each replay the bigram-LM scoring cascade — checkpoint
+    // the scored relation once (guide §5; lazy, materializes on first use)
     val scores0 = bigramLogProb(docs, train, addK, idCol, textCol)
       .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
         "doc_id")
+      .localCheckpoint(eager = false)
     val mins = scores0.groupBy("lang")
       .agg(min(col("avg_logprob_r")).as("__vmin"))
     val scores = scores0.join(broadcast(mins), "lang")

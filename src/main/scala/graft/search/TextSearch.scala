@@ -351,6 +351,13 @@ object TextSearch {
     }
   private val wtdMemo = lru[Any, (DataFrame, Row)]()
   private val prefixMemo = lru[(Any, Double), (DataFrame, Double)]()
+  // BM25 scored relation keyed by (session, corpus plan, normalized
+  // terms, k1, b): rank-k and PRF-feedback retrievals over one corpus
+  // share one scoring cascade (j3_rbo runs the IDENTICAL cascade as its
+  // own arm and again inside bm25PrfTopK's feedback stage — only the
+  // limit differs). Lazy checkpoint: a single-consumer query pays only
+  // write-through, a second consumer reuses the materialized rows.
+  private val bm25Memo = lru[Any, DataFrame]()
   // test-visible hit counter (RouterMemoSpec)
   private[search] var routerMemoHits = 0L
   // test-visible size probes (RouterMemoSpec eviction coverage)
@@ -364,6 +371,7 @@ object TextSearch {
   def clearRouterMemo(): Unit = {
     wtdMemo.synchronized(wtdMemo.clear())
     prefixMemo.synchronized(prefixMemo.clear())
+    bm25Memo.synchronized(bm25Memo.clear())
   }
 
   private def sessionStopped(df: DataFrame): Boolean =
@@ -487,7 +495,31 @@ object TextSearch {
                idCol: String = "doc_id", textCol: String = "text",
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val scored = bm25Scored(docs, queryTerms, idCol, textCol, k1, b)
+    // global top-k as TakeOrdered (distributed partial top-k per partition,
+    // merged on the driver), NOT a global window over the whole corpus;
+    // the rank window then orders only the k surviving rows
+    val top = scored.orderBy(col("score_r").desc, col("doc_id")).limit(k)
+    // window-free rank of the k survivors (TakeOrdered output is one
+    // sorted partition; see Ranking.withPosition)
+    graft.operators.Ranking.withPosition(top, "rank")
+      .select("doc_id", "score_r", "rank")
+  }
+
+  /** The full-corpus BM25 scored relation (doc_id, score_r) behind
+    * [[bm25TopK]], memoized per (session, corpus plan, normalized
+    * terms, k1, b) — see [[bm25Memo]]. */
+  private def bm25Scored(docs: DataFrame, queryTerms: Seq[String],
+                         idCol: String, textCol: String,
+                         k1: Double, b: Double): DataFrame = {
     val terms = queryTerms.distinct.map(_.toLowerCase)
+    val key = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, terms, idCol, textCol, k1, b)
+    bm25Memo.synchronized {
+      val hit = bm25Memo.get(key)
+      if (hit != null) { routerMemoHits += 1; return hit }
+      bm25Memo.values.removeIf(v => sessionStopped(v))
+    }
     val base = docs.select(col(idCol).as("doc_id"),
       toks(col(textCol)).as("w"))
       .withColumn("dl", size(col("w")).cast("double"))
@@ -516,14 +548,9 @@ object TextSearch {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
     val scored = contrib.groupBy(col("doc_id"))
       .agg(sum(col("c").cast(DecimalType(18, 6))).cast("double").as("score_r"))
-    // global top-k as TakeOrdered (distributed partial top-k per partition,
-    // merged on the driver), NOT a global window over the whole corpus;
-    // the rank window then orders only the k surviving rows
-    val top = scored.orderBy(col("score_r").desc, col("doc_id")).limit(k)
-    // window-free rank of the k survivors (TakeOrdered output is one
-    // sorted partition; see Ranking.withPosition)
-    graft.operators.Ranking.withPosition(top, "rank")
-      .select("doc_id", "score_r", "rank")
+      .localCheckpoint(eager = false)
+    bm25Memo.synchronized { bm25Memo.put(key, scored) }
+    scored
   }
 
   /** Pseudo-relevance-feedback expansion terms (Rocchio 1971 /

@@ -90,6 +90,30 @@ class RouterMemoSpec extends SparkSpec {
     assert(TextSearch.routerMemoSizes == ((0, 0)))
   }
 
+  test("bm25 scored memo: repeat retrievals over one corpus hit and stay exact") {
+    TextSearch.clearRouterMemo()
+    val d = docs
+    val terms = Seq("alpha", "beta")
+    val hits0 = TextSearch.routerMemoHits
+    val full = TextSearch.bm25TopK(d, terms, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    val afterFirst = TextSearch.routerMemoHits
+    // second retrieval, different k, same corpus+terms: the scored
+    // cascade must be reused (the j3_rbo / PRF-feedback shape)
+    val top3 = TextSearch.bm25TopK(d, terms, k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    assert(TextSearch.routerMemoHits > afterFirst,
+      "second bm25 retrieval did not hit the scored memo")
+    // memoized prefix is exactly the fresh ranking's head
+    assert(top3 == full.take(3))
+    // a fresh (cleared) computation agrees bit-for-bit
+    TextSearch.clearRouterMemo()
+    val fresh = TextSearch.bm25TopK(d, terms, k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    assert(fresh == top3)
+    assert(TextSearch.routerMemoHits >= hits0)
+  }
+
   test("different corpora do not share memo entries") {
     val other = Seq((10L, "kappa lambda mu"), (11L, "kappa lambda nu"))
       .toDF("doc_id", "text")
