@@ -103,11 +103,23 @@ object Bpe {
     * symbolized words.
     */
   def train(wordsWithSyms: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
-    var words = wordsWithSyms.localCheckpoint(true)
+    val words0 = wordsWithSyms.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // one job per round (the winning-pair collect) — the per-round
+    // rewrite checkpoint is gone; each round's symbol state is the
+    // merges-so-far fold cascade over the ONE checkpointed base
+    // (exactly [[applyMerges]], i.e. the same mergePair chain the old
+    // per-round rewrites materialized), re-evaluated per round on the
+    // vocab-bounded relation. Trade note: at numMerges ≫ 10² over an
+    // unbounded vocabulary the O(rounds²) fold re-application argues
+    // for periodic re-checkpoints; every registered caller trains ≤ 8
+    // merges on a maxWords-capped relation.
+    def state(): DataFrame =
+      if (merges.isEmpty) words0
+      else words0.withColumn("syms", applyMerges(col("syms"), merges.toSeq))
     var round = 1
     while (round <= numMerges) {
-      val best = words
+      val best = state()
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(
           transform(sequence(lit(1), size(col("syms")) - 1),
@@ -121,13 +133,10 @@ object Bpe {
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(round, l, r, c)
-        words = words
-          .withColumn("syms", mergePair(col("syms"), l, r))
-          .localCheckpoint(true)
         round += 1
       }
     }
-    (merges.toSeq, words)
+    (merges.toSeq, state())
   }
 
   /** Token frequencies of a trained state: explode final symbols. */
